@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch readers for the driver-generated testdata (TESTDATA.md).
+  *
+  * All readers take the scale-factor directory so the same query code runs at
+  * sf0.001 (smoke), sf0.01 (DuckDB-oracle correctness) and sf0.1+ (bench).
+  * At cluster scale these would be partitioned-table reads; the API shape
+  * (schema-first, filter/projection handled by Catalyst pushdown) is the same.
+  */
+object Tables {
+
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "region"))
+  def nation(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "nation"))
+  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "customer"))
+  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "supplier"))
+  def part(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(p(dir, "part"))
+  def orders(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(p(dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "lineitem"))
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
+
+  /** The `events` table stands in for the reference's trade/tick stream
+    * (FIXTURES.md §B): `ts` = event time, `value` = qty/price proxy,
+    * `event_type` plays the `isBuyerMaker` role for conditional sums.
+    *
+    * The parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; we read nanos as long (legacy conf, session-scoped) and
+    * convert with integer division — `/` would round-trip through double
+    * and lose microsecond precision at 1.7e18 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(p(dir, "events"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Buy/sell polarity for conditional-sum operators (delta, CVD):
+    * the reference keys on `isBuyerMaker` (futures_websocket.py:91); the
+    * testdata keys on event_type. Fixed, documented mapping.
+    */
+  val BuyTypes: Seq[String] = Seq("click", "view", "purchase")
+
+  def eventsWithSide(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).withColumn("is_buy", col("event_type").isin(BuyTypes: _*))
+
+  /** SQL fragment for the same polarity, used by the DuckDB oracles. */
+  val BuySql: String = "event_type IN ('click','view','purchase')"
+}
