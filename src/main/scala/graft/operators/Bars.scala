@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.OpModule
+
+/** Bar/candle analytics re-expressing the reference's resample + volatility
+  * estimators (SURVEY.md §2.5) over the `events` table, hourly buckets:
+  *
+  *  - OHLC resample       (data_manager.py:788-801, aether_oracle.py:205-217)
+  *  - ATR% with <N-bar realized-vol fallback (data_manager.py:774-833)
+  *  - realized volatility (data_manager.py:747-772)
+  *  - EMA span=20, adjust=False, bounded 3*span lookback
+  *    (data_manager.py:721-745)
+  *
+  * The reference recomputes each estimator by rescanning a Python deque per
+  * tick; here each is one declarative pass: a hash aggregation (partial
+  * map-side combine for free) into per-bucket bars, then ordered window
+  * frames over the bar table. The bar table is ~len(stream)/3600 rows, so
+  * the `Window.orderBy` single-partition stage is tiny even at 100 TB of
+  * raw events; multi-symbol data would `partitionBy(symbol)` every window.
+  *
+  * EMA is the one frame Spark lacks natively (SURVEY §2.6): we fold
+  * `ema = a*x + (1-a)*ema` over an ordered `collect_list` frame with
+  * `aggregate`, seeded with the frame's first element — the exact
+  * `ewm(adjust=False)` recursion, bounded to the reference's 3*span-tick
+  * lookback so state stays O(span) at any scale. The DuckDB oracle uses
+  * `list_reduce` over the identical frame: both engines fold left in frame
+  * order with the same double constants, so results match bitwise.
+  */
+object Bars extends OpModule {
+  import Flow.HourUs
+
+  val Span = 20
+  val Lookback: Int = 3 * Span // reference: last 3*span ticks
+  val AtrN = 10                // reference ATR window (config.py:82)
+  val RvN = 30
+  // Annualize-to-bucket factor; the reference scales realized vol by
+  // sqrt(ticks_per_min) (data_manager.py:768) — fixed equivalent constant.
+  val RvScale = "sqrt(60.0)"
+
+  private[operators] def ohlcDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy(expr(s"ts_us div $HourUs").as("bucket"))
+      .agg(
+        min_by($"value", $"event_id").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"event_id").as("close"),
+        sum($"value").as("volume"),
+        count(lit(1)).as("n_ticks"))
+  }
+
+  private[operators] val ohlcSql: String =
+    s"""SELECT epoch_us(ts) // $HourUs AS bucket,
+       |  arg_min(value, event_id) AS open, max(value) AS high,
+       |  min(value) AS low, arg_max(value, event_id) AS close,
+       |  sum(value) AS volume, count(*) AS n_ticks
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** True range + prev-close lag inputs shared by ATR and realized vol.
+    * tr is explicitly NULL on the first bar (no prev close) — both engines'
+    * `greatest` skip NULLs, so we guard rather than rely on that. */
+  private def withTr(df: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket")
+    df.withColumn("pc", lag($"close", 1).over(w))
+      .withColumn(
+        "tr",
+        when(
+          $"pc".isNotNull,
+          greatest($"high" - $"low", abs($"high" - $"pc"), abs($"low" - $"pc"))))
+      .withColumn(
+        "ret",
+        when($"pc".isNotNull && $"pc" =!= 0.0, ($"close" - $"pc") / $"pc"))
+  }
+
+  private val trSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |b AS (SELECT *, lag(close) OVER (ORDER BY bucket) AS pc FROM ohlc),
+       |t AS (SELECT *,
+       |  CASE WHEN pc IS NOT NULL
+       |       THEN greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr,
+       |  CASE WHEN pc IS NOT NULL AND pc <> 0.0
+       |       THEN (close - pc) / pc END AS ret
+       |  FROM b)""".stripMargin
+
+  private def barsDf(spark: SparkSession, dir: String): DataFrame =
+    ohlcDf(spark, dir)
+      .select("bucket", "open", "high", "low", "close", "volume", "n_ticks")
+
+  private val barsSql: String =
+    s"""WITH ohlc AS ($ohlcSql)
+       |SELECT bucket, open, high, low, close, volume, n_ticks FROM ohlc""".stripMargin
+
+  /** ATR% = mean(last 10 TRs)/close once 10 TRs exist; before that, the
+    * reference falls back to realized vol (data_manager.py:798-799,833). */
+  private[operators] def atrDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAtr = Window.orderBy($"bucket").rowsBetween(-(AtrN - 1), 0)
+    val wRv = Window.orderBy($"bucket").rowsBetween(-(RvN - 1), 0)
+    withTr(ohlcDf(spark, dir), spark)
+      .withColumn("n_tr", count($"tr").over(wAtr))
+      .withColumn("rv", stddev_pop($"ret").over(wRv) * expr(RvScale))
+      .withColumn(
+        "atr_pct",
+        when($"n_tr" >= AtrN, avg($"tr").over(wAtr) / $"close").otherwise($"rv"))
+      .select("bucket", "close", "tr", "atr_pct")
+  }
+
+  private[operators] val atrSql: String =
+    s"""$trSql
+       |SELECT bucket, close, tr,
+       |  CASE WHEN count(tr) OVER wa >= $AtrN
+       |       THEN (avg(tr) OVER wa) / close
+       |       ELSE stddev_pop(ret) OVER wr * $RvScale END AS atr_pct
+       |FROM t
+       |WINDOW wa AS (ORDER BY bucket ROWS BETWEEN ${AtrN - 1} PRECEDING AND CURRENT ROW),
+       |       wr AS (ORDER BY bucket ROWS BETWEEN ${RvN - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Rolling realized volatility of close-to-close returns. */
+  private def rvDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket").rowsBetween(-(RvN - 1), 0)
+    withTr(ohlcDf(spark, dir), spark)
+      .withColumn("rv", stddev_pop($"ret").over(w) * expr(RvScale))
+      .select("bucket", "close", "ret", "rv")
+  }
+
+  private val rvSql: String =
+    s"""$trSql
+       |SELECT bucket, close, ret,
+       |  stddev_pop(ret) OVER wr * $RvScale AS rv
+       |FROM t
+       |WINDOW wr AS (ORDER BY bucket ROWS BETWEEN ${RvN - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // alpha/one-minus-alpha written as the same double expressions on both
+  // sides so the IEEE ops (one division, one subtraction) agree bitwise.
+  private val alpha: Double = 2.0 / (Span + 1.0)
+  private val omAlpha: Double = 1.0 - 2.0 / (Span + 1.0)
+
+  /** EMA(span=20, adjust=False) over closes, bounded to the trailing
+    * 3*span bars: fold seeded with the frame's first element. */
+  private[operators] def emaDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Window.orderBy($"bucket").rowsBetween(-(Lookback - 1), 0)
+    ohlcDf(spark, dir)
+      .withColumn("arr", collect_list($"close").over(wf))
+      .withColumn(
+        "ema",
+        aggregate(
+          slice($"arr", 2, Lookback - 1),
+          element_at($"arr", 1),
+          (acc, x) => lit(alpha) * x + lit(omAlpha) * acc))
+      .select("bucket", "close", "ema")
+  }
+
+  private[operators] val emaSql: String =
+    s"""WITH ohlc AS ($ohlcSql)
+       |SELECT bucket, close,
+       |  list_reduce(list(close) OVER wf,
+       |              (acc, x) -> (2.0 / ${Span + 1}.0) * x + (1.0 - 2.0 / ${Span + 1}.0) * acc) AS ema
+       |FROM ohlc
+       |WINDOW wf AS (ORDER BY bucket ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bars_ohlc" -> (barsDf(_, _)),
+    "bars_atr" -> (atrDf(_, _)),
+    "bars_rv" -> (rvDf(_, _)),
+    "bars_ema" -> (emaDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bars_ohlc" -> barsSql,
+    "bars_atr" -> atrSql,
+    "bars_rv" -> rvSql,
+    "bars_ema" -> emaSql
+  )
+}

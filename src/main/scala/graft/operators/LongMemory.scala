@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.OpModule
+
+/** Long-memory / structure estimators (SURVEY.md §2.5):
+  *
+  *  - Hurst exponent via rescaled range (aether_oracle.py:155-186): demean a
+  *    20-sample series, cumulative-sum the deviations, H = log(R/S)/log(n)
+  *    with R = max(cum)-min(cum), S = stddev_pop(cum).
+  *  - Break-of-structure alignment (aether_oracle.py:188-250): fraction of
+  *    the trailing 10 bars whose high/low the current close escapes,
+  *    averaged across two timeframes (1h and 4h).
+  *
+  * The reference recomputes both on a Python list per tick. Here Hurst is a
+  * pure window/group computation over *tumbling* 20-bar groups (the
+  * reference's trailing-20 window, evaluated once per complete window): a
+  * `row_number` assigns each bar to a group, the group mean demeans it, an
+  * ordered running sum builds the cumulative-deviation series, and one
+  * grouped aggregation finishes R, S and H — no per-row rescans, and every
+  * stage is a hash aggregation or bounded window that survives arbitrary
+  * scale (bars are already ~stream/3600 reduced; multi-symbol data adds
+  * `partitionBy(symbol)`).
+  *
+  * BOS compares each bar's close against a *band* of preceding rows — a
+  * range self-join on row number (each side ~720 rows at sf0.01), exactly
+  * the interval-join family from SURVEY §2.4.
+  */
+object LongMemory extends OpModule {
+
+  val HurstN = 20 // reference lookback (aether_oracle.py:162)
+  val BosBars = 10 // reference last-10 bars (aether_oracle.py:227)
+
+  private def hurstDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.orderBy($"bucket")
+    val wGrp = Window.partitionBy($"grp")
+    val wCum = Window.partitionBy($"grp").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Bars
+      .ohlcDf(spark, dir)
+      .withColumn("rn", row_number().over(wOrd) - 1)
+      .withColumn("grp", expr(s"rn div $HurstN"))
+      .withColumn("mu", avg($"close").over(wGrp))
+      .withColumn("n", count(lit(1)).over(wGrp))
+      .withColumn("cum", sum($"close" - $"mu").over(wCum))
+      .groupBy($"grp")
+      .agg(
+        max($"n").as("n"),
+        (max($"cum") - min($"cum")).as("r_range"),
+        stddev_pop($"cum").as("s_dev"))
+      .withColumn(
+        "hurst",
+        when(
+          $"n" >= HurstN && $"r_range" > 0.0 && $"s_dev" > 0.0,
+          log($"r_range" / $"s_dev") / log($"n".cast("double"))))
+      .select("grp", "n", "r_range", "s_dev", "hurst")
+  }
+
+  private[operators] val hurstSql: String =
+    s"""WITH ohlc AS (${Bars.ohlcSql}),
+       |r AS (SELECT bucket, close,
+       |        row_number() OVER (ORDER BY bucket) - 1 AS rn FROM ohlc),
+       |g AS (SELECT *, rn // $HurstN AS grp FROM r),
+       |m AS (SELECT *, avg(close) OVER (PARTITION BY grp) AS mu,
+       |        count(*) OVER (PARTITION BY grp) AS n FROM g),
+       |c AS (SELECT *, sum(close - mu) OVER (PARTITION BY grp ORDER BY bucket
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
+       |s AS (SELECT grp, max(n) AS n, max(cum) - min(cum) AS r_range,
+       |        stddev_pop(cum) AS s_dev FROM c GROUP BY grp)
+       |SELECT grp, n, r_range, s_dev,
+       |  CASE WHEN n >= $HurstN AND r_range > 0.0 AND s_dev > 0.0
+       |       THEN ln(r_range / s_dev) / ln(n::DOUBLE) END AS hurst
+       |FROM s""".stripMargin
+
+  /** Per-bar fraction of the previous 10 bars broken by the current close,
+    * on 1h bars and 4h bars, averaged when both exist. */
+  private def bosDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bars1 = Bars.ohlcDf(spark, dir)
+      .withColumn("rn", row_number().over(Window.orderBy($"bucket")))
+      .select($"bucket", $"close", $"high", $"low", $"rn")
+    val b = bars1.select($"bucket", $"close", $"rn".as("brn"))
+    val p = bars1.select($"rn".as("prn"), $"high".as("phigh"), $"low".as("plow"))
+    val bos1 = b
+      .join(p, $"prn".between($"brn" - BosBars, $"brn" - 1))
+      .groupBy($"bucket")
+      .agg(avg(when($"close" > $"phigh" || $"close" < $"plow", 1.0)
+        .otherwise(0.0)).as("bos_1h"))
+
+    val bars4 = Bars
+      .ohlcDf(spark, dir)
+      .groupBy(expr("bucket div 4").as("bucket4"))
+      .agg(max($"high").as("high"), min($"low").as("low"),
+        max_by($"close", $"bucket").as("close"))
+      .withColumn("rn", row_number().over(Window.orderBy($"bucket4")))
+    val b4 = bars4.select($"bucket4", $"close", $"rn".as("brn"))
+    val p4 = bars4.select($"rn".as("prn"), $"high".as("phigh"), $"low".as("plow"))
+    val bos4 = b4
+      .join(p4, $"prn".between($"brn" - BosBars, $"brn" - 1))
+      .groupBy($"bucket4")
+      .agg(avg(when($"close" > $"phigh" || $"close" < $"plow", 1.0)
+        .otherwise(0.0)).as("bos_4h"))
+
+    bos1
+      .join(bos4, expr("bucket div 4") === $"bucket4", "left")
+      .withColumn(
+        "bos",
+        when($"bos_4h".isNotNull, ($"bos_1h" + $"bos_4h") / 2.0)
+          .otherwise($"bos_1h"))
+      .select("bucket", "bos_1h", "bos_4h", "bos")
+  }
+
+  private[operators] val bosSql: String =
+    s"""WITH ohlc AS (${Bars.ohlcSql}),
+       |r1 AS (SELECT bucket, close, high, low,
+       |         row_number() OVER (ORDER BY bucket) AS rn FROM ohlc),
+       |bos1 AS (
+       |  SELECT b.bucket,
+       |    avg(CASE WHEN b.close > p.high OR b.close < p.low
+       |             THEN 1.0 ELSE 0.0 END) AS bos_1h
+       |  FROM r1 b JOIN r1 p ON p.rn BETWEEN b.rn - $BosBars AND b.rn - 1
+       |  GROUP BY b.bucket),
+       |o4 AS (SELECT bucket // 4 AS bucket4, max(high) AS high, min(low) AS low,
+       |         arg_max(close, bucket) AS close FROM ohlc GROUP BY 1),
+       |r4 AS (SELECT *, row_number() OVER (ORDER BY bucket4) AS rn FROM o4),
+       |bos4 AS (
+       |  SELECT b.bucket4,
+       |    avg(CASE WHEN b.close > p.high OR b.close < p.low
+       |             THEN 1.0 ELSE 0.0 END) AS bos_4h
+       |  FROM r4 b JOIN r4 p ON p.rn BETWEEN b.rn - $BosBars AND b.rn - 1
+       |  GROUP BY b.bucket4)
+       |SELECT bos1.bucket, bos1.bos_1h, bos4.bos_4h,
+       |  CASE WHEN bos4.bos_4h IS NOT NULL
+       |       THEN (bos1.bos_1h + bos4.bos_4h) / 2.0
+       |       ELSE bos1.bos_1h END AS bos
+       |FROM bos1 LEFT JOIN bos4 ON bos1.bucket // 4 = bos4.bucket4""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_hurst" -> (hurstDf(_, _)),
+    "lm_bos" -> (bosDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lm_hurst" -> hurstSql,
+    "lm_bos" -> bosSql
+  )
+}
