@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.OpModule
+
+/** Standard relational families over the TPC-H-ish tables (SURVEY.md §2.4,
+  * §2.7): the reference correlates its streams temporally rather than
+  * relationally, but parity/BENCH requires the full join/agg/sort surface a
+  * user of any engine expects — and the reference's book⋈price and
+  * daily-summary upserts *are* as-of joins and keyed aggregations once
+  * expressed relationally.
+  *
+  * Scale notes (the point of doing these in Spark):
+  *  - `q1_pricing` is a pure map-side-combinable hash aggregate: 6 groups,
+  *    so the shuffle carries ~6 rows per partition regardless of input size.
+  *  - `q3_topk` joins two big fact tables after filters; customer is tiny
+  *    and broadcast (checked in the plan), so only orders⋈lineitem shuffles,
+  *    on the join key. The top-10 is a `TakeOrderedAndProject`, never a full
+  *    sort.
+  *  - `join_asof` uses the union-and-carry-forward formulation: tag both
+  *    sides, sort within each `o_custkey` partition, carry the last right
+  *    row forward with `last(_, ignoreNulls)` over an unbounded-preceding
+  *    frame. One shuffle on the key, no range explosion — this is the plan
+  *    that survives 100 TB, unlike a naive theta-join. The DuckDB oracle
+  *    uses its native ASOF JOIN, so the two formulations cross-check.
+  *  - `join_interval` is a genuine range join bounded by an equi-key, the
+  *    shape Spark executes as a broadcast/shuffled hash join on the key
+  *    with a range filter — key-bounded, so no quadratic blowup.
+  */
+object Relational extends OpModule {
+
+  private def relDfs(spark: SparkSession, dir: String) = (
+    Tables.lineitem(spark, dir),
+    Tables.orders(spark, dir),
+    Tables.customer(spark, dir))
+
+  /** TPC-H Q1 pricing summary: the canonical partial-agg benchmark. */
+  private def q1Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shipping priority: broadcast dim ⋈ two facts, top-10. */
+  private def q3Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l, o, c) = relDfs(spark, dir)
+    val cut = lit("1997-06-30").cast("timestamp")
+    broadcast(c.filter($"c_mktsegment" === "BUILDING"))
+      .join(o.filter($"o_orderdate" < cut), $"c_custkey" === $"o_custkey")
+      .join(l.filter($"l_shipdate" > cut), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-30'
+      |  AND l_shipdate > TIMESTAMP '1997-06-30'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped 6-way join: revenue by region/nation. The three dims
+    * are broadcast; the two facts shuffle once each on the join key. */
+  private def q5Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l, o, c) = relDfs(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Left-semi: orders having at least one returned ('R') item. */
+  private def semiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l, o, _) = relDfs(spark, dir)
+    o.join(l.filter($"l_returnflag" === "R"),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  private val semiSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  /** Left-anti: orders with no lineitem shipped after 2000-01-01. */
+  private def antiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l, o, _) = relDfs(spark, dir)
+    o.join(l.filter($"l_shipdate" > lit("2000-01-01").cast("timestamp")),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+  }
+
+  private val antiSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > TIMESTAMP '2000-01-01')""".stripMargin
+
+  /** As-of join (SURVEY §2.4 book⋈last-trade): for each open ('O') order,
+    * the customer's most recent finalized ('F') order at or before its
+    * date. Spark side: tag both streams, union, one shuffle on the key,
+    * carry the latest right row forward — O(n log n) per key, no range
+    * explosion. Right side pre-deduped per (key, ts) with arg_max for a
+    * deterministic tie-break; DuckDB cross-checks with native ASOF JOIN.
+    */
+  private def asofDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val left = o.filter($"o_orderstatus" === "O")
+      .select($"o_custkey".as("k"), $"o_orderdate".as("ts"),
+        $"o_orderkey", lit(1).as("side"),
+        lit(null).cast("double").as("r_price"), lit(null).cast("timestamp").as("r_ts"))
+    val right = o.filter($"o_orderstatus" === "F")
+      .groupBy($"o_custkey".as("k"), $"o_orderdate".as("ts"))
+      .agg(max_by($"o_totalprice", $"o_orderkey").as("price"))
+      .select($"k", $"ts", lit(null).cast("long").as("o_orderkey"),
+        lit(0).as("side"), $"price".as("r_price"), $"ts".as("r_ts"))
+    // right rows sort before left rows at equal ts (side 0 < 1) so an
+    // 'F' order on the same date is visible to the 'O' order — mirrors
+    // ASOF's >= semantics.
+    val w = Window.partitionBy($"k").orderBy($"ts", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("last_price", last($"r_price", ignoreNulls = true).over(w))
+      .withColumn("last_ts", last($"r_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 1 && $"last_price".isNotNull)
+      .select($"o_orderkey", $"k".as("o_custkey"), $"ts".as("o_orderdate"),
+        $"last_ts".as("prev_f_date"), $"last_price".as("prev_f_price"))
+  }
+
+  private val asofSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey AS k, o_orderdate AS fts,
+      |         arg_max(o_totalprice, o_orderkey) AS price
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |       f.fts AS prev_f_date, f.price AS prev_f_price
+      |FROM orders o
+      |ASOF JOIN f ON o.o_custkey = f.k AND o.o_orderdate >= f.fts
+      |WHERE o.o_orderstatus = 'O'""".stripMargin
+
+  /** Interval join: finalized orders within the 90 days before each open
+    * order of the same customer (equi-key + range predicate). */
+  private def intervalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val left = o.filter($"o_orderstatus" === "O")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val right = o.filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("f_custkey"), $"o_orderdate".as("f_date"),
+        $"o_totalprice".as("f_price"))
+    left
+      .join(right,
+        $"o_custkey" === $"f_custkey" &&
+          $"f_date" >= $"o_orderdate" - expr("INTERVAL 90 DAYS") &&
+          $"f_date" < $"o_orderdate",
+        "left")
+      .groupBy($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .agg(count($"f_date").as("n_recent_f"),
+        coalesce(sum($"f_price"), lit(0.0)).as("sum_recent_f"))
+  }
+
+  private val intervalSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |  count(f.o_orderdate) AS n_recent_f,
+      |  coalesce(sum(f.o_totalprice), 0.0) AS sum_recent_f
+      |FROM orders o
+      |LEFT JOIN orders f ON f.o_custkey = o.o_custkey
+      |  AND f.o_orderstatus = 'F'
+      |  AND f.o_orderdate >= o.o_orderdate - INTERVAL 90 DAY
+      |  AND f.o_orderdate < o.o_orderdate
+      |WHERE o.o_orderstatus = 'O'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Top-3 orders per customer (rank window + filter; the reference's
+    * head-N-after-sort family, SURVEY §2.7). */
+  private def topkDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+  }
+
+  private val topkSql: String =
+    """SELECT o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |  o_orderkey, o_totalprice
+      |FROM orders QUALIFY rk <= 3""".stripMargin
+
+  /** Rollup aggregation (subtotal + grand-total rows). Labels coalesce to
+    * 'ALL' — the raw data has no NULL group keys, so this is unambiguous
+    * and keeps the compare engine-neutral. */
+  private def rollupDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"revenue", $"n_items")
+  }
+
+  private val rollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
+  private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(($"user_id" % 10).as("user_mod"), $"event_type")
+      .distinct()
+  }
+
+  private val distinctSql: String =
+    "SELECT DISTINCT user_id % 10 AS user_mod, event_type FROM events"
+
+  /** Semi-structured path: parse the `props` JSON column, aggregate by the
+    * extracted key (the reference parses nested REST/WS JSON payloads at
+    * every source, SURVEY §2.10). */
+  private def jsonDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+  }
+
+  private val jsonSql: String =
+    """SELECT json_extract_string(props, '$.k')::BIGINT // 10 AS k_bucket,
+      |  count(*) AS n, sum(value) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Df(_, _)),
+    "q3_topk" -> (q3Df(_, _)),
+    "q5_region_revenue" -> (q5Df(_, _)),
+    "join_semi" -> (semiDf(_, _)),
+    "join_anti" -> (antiDf(_, _)),
+    "join_asof" -> (asofDf(_, _)),
+    "join_interval" -> (intervalDf(_, _)),
+    "topk_per_group" -> (topkDf(_, _)),
+    "agg_rollup" -> (rollupDf(_, _)),
+    "distinct_proj" -> (distinctDf(_, _)),
+    "json_extract_agg" -> (jsonDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1Sql,
+    "q3_topk" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "join_semi" -> semiSql,
+    "join_anti" -> antiSql,
+    "join_asof" -> asofSql,
+    "join_interval" -> intervalSql,
+    "topk_per_group" -> topkSql,
+    "agg_rollup" -> rollupSql,
+    "distinct_proj" -> distinctSql,
+    "json_extract_agg" -> jsonSql
+  )
+}
