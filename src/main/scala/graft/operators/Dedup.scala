@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns
+import graft.OpModule
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (builder-prompt north star): exact, MinHash(+LSH banding), n-gram
+  * Jaccard, and SimHash. All are shuffle-on-key patterns that scale
+  * linearly with corpus size:
+  *
+  *  - exact: one hash aggregation on md5(text) — the 100 TB plan is
+  *    groupBy(contentHash) with map-side combine; no text ever shuffles,
+  *    only (hash, doc_id).
+  *  - MinHash: explode word-3-gram shingles (map side), then ONE groupBy
+  *    per doc computing all k permuted minima simultaneously — the shuffle
+  *    carries (doc_id, shingle_hash) pairs, never raw text. LSH banding
+  *    then buckets signatures so candidate generation is an equi-join on
+  *    (band, band_hash) — the standard near-dup plan at web scale.
+  *  - Jaccard: inverted-index self-join on shingle hash. Bounded because
+  *    each shingle's posting list is short in real corpora; a hot-shingle
+  *    cap (stopword-gram blacklisting) would be the skew guard at scale.
+  *  - SimHash: per (doc, bit) conditional sum over token hashes, then one
+  *    re-group per doc folding the 32 sign bits into a signature.
+  *
+  * Token/shingle hashing uses `ColFns.hex32` (md5-derived) so the DuckDB
+  * oracle reproduces every signature bit-for-bit — Spark's murmur `hash()`
+  * would be faster but engine-private (noted as the production swap).
+  */
+object Dedup extends OpModule {
+
+  /** Exact dedup: content-hash groups with the kept (minimum) doc id. */
+  private def exactDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val exactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Word-3-gram shingles of the whitespace token stream. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= ""))
+      .withColumn(
+        "shingles",
+        when(size($"toks") >= 3,
+          transform(sequence(lit(1), size($"toks") - 2), i =>
+            concat_ws(" ", element_at($"toks", i),
+              element_at($"toks", i + 1), element_at($"toks", i + 2))))
+          .otherwise(array()))
+      .select($"doc_id", explode($"shingles").as("shingle"))
+      .withColumn("h", ColFns.hex32($"shingle"))
+  }
+
+  // scalar range()+unnest: DuckDB's range *table* function cannot take
+  // lateral column parameters (len(ws)), the scalar form can
+  private val shingledSql: String =
+    s"""SELECT doc_id,
+       |  ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle,
+       |  ${ColFns.hex32Sql("ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]")} AS h
+       |FROM (SELECT doc_id, ws,
+       |        unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+       |      FROM (SELECT doc_id,
+       |              list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws
+       |            FROM documents) w0) w1""".stripMargin
+
+  // k=8 universal-hash permutations h_i = (a_i*h + b_i) mod p, constants
+  // sized so a*h < 2^63 (h < 2^32, a < 2^25).
+  val MinhashK = 8
+  val MinhashP = 2147483647L
+  val MinhashA: Seq[Long] = (0 until MinhashK).map(i => (2L * i + 1) * 1299709L % MinhashP)
+  val MinhashB: Seq[Long] = (0 until MinhashK).map(i => (i + 1L) * 104729L)
+
+  /** Per-doc MinHash signature: all k minima in one grouped pass. */
+  private def minhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mins = (0 until MinhashK).map(i =>
+      min((lit(MinhashA(i)) * $"h" + lit(MinhashB(i))) % lit(MinhashP))
+        .as(s"mh$i"))
+    shingled(spark, dir).groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private val minhashSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(",\n")
+    s"""WITH sh AS ($shingledSql)
+       |SELECT doc_id,
+       |$mins
+       |FROM sh GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH banding: 2 bands x 4 rows; candidate pairs share any full band.
+    * Output is the deduplicated candidate pair list. */
+  private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashDf(spark, dir)
+    val bands = (0 until MinhashK / 4).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)
+          .as("band_key"))
+    }.reduce(_ unionByName _)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val minhashPairsSql: String = {
+    val bandRows = (0 until MinhashK / 4).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingledSql),
+       |sig AS (SELECT doc_id,
+       |${(0 until MinhashK).map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(",\n")}
+       |FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.band_key = y.band_key
+       | AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over the inverted index: top-20 most similar
+    * pairs (j desc, ids asc). Distinct shingle sets per doc. */
+  private def jaccardDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = shingled(spark, dir).select($"doc_id", $"h").distinct()
+    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(20)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  private val jaccardSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
+
+  /** 32-bit SimHash: frequency-weighted sign sum per bit position. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= ""))
+      .select($"doc_id", explode($"toks").as("tok"))
+      .withColumn("h", ColFns.hex32($"tok"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("(h div shiftleft(cast(1 as bigint), int(b))) % 2") === 1, 1)
+        .otherwise(-1)).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"s" >= 0,
+        expr("shiftleft(cast(1 as bigint), int(b))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  private val simhashSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                                    t -> t <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${ColFns.hex32Sql("tok")} AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 32) t(b) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
+       |FROM bits GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDf(_, _)),
+    "dedup_minhash_sig" -> (minhashDf(_, _)),
+    "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
+    "dedup_jaccard_topk" -> (jaccardDf(_, _)),
+    "dedup_simhash" -> (simhashDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_minhash_sig" -> minhashSql,
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_jaccard_topk" -> jaccardSql,
+    "dedup_simhash" -> simhashSql
+  )
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns
+import graft.OpModule
+
+/** Similarity search over the `embeddings` table (builder-prompt north
+  * star): brute-force cosine top-k as the correctness baseline, a
+  * random-projection LSH bucketed variant as the scale path, plus
+  * per-label centroid statistics (the vector-aggregate building block).
+  *
+  * Scale shape:
+  *  - brute force is the O(Q·N) baseline — correct at any size but only
+  *    viable when Q is small; the query set is broadcast so the big side
+  *    never shuffles (one scan of N, partial top-k per partition via the
+  *    rank-window, which Spark executes with a per-partition sort).
+  *  - LSH: each vector maps to a bucket id from the sign pattern of 6
+  *    deterministic hyperplane projections; candidates are an equi-join on
+  *    the bucket — at 100 TB this is the difference between a cross join
+  *    and a shuffle on a well-distributed key. Hyperplane weights derive
+  *    from `ColFns.hex32` so both engines build identical planes (a real
+  *    deployment would broadcast a seeded random matrix instead).
+  *
+  * All vector math is `zip_with`/`transform`/`aggregate` over the array
+  * column — codegen-friendly, no UDF, no collect. Accumulation order per
+  * pair differs between engines only at the last few ulps, far inside the
+  * driver's 1e-9 compare tolerance.
+  */
+object Similarity extends OpModule {
+
+  val Dim = 64 // embeddings are fixed 64-dim (FIXTURES.md §B)
+  val TopK = 5
+  val QueryMod = 25 // vec_id % 25 == 0 -> 1-in-25 vectors are queries
+  val LshBits = 6
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** DuckDB twin: per-index sum over range(1, Dim+1); grouped, so the
+    * accumulation order is engine-chosen — tolerance-safe (see above). */
+  private def dotSql(a: String, b: String): String =
+    s"sum($a[i]::DOUBLE * $b[i]::DOUBLE)"
+
+  /** Brute-force cosine top-5 for the query subset. No rank column in the
+    * output: the *set* of neighbors is the contract. */
+  private def knnDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" % QueryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val pairs = broadcast(q)
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
+        $"nid" =!= $"qid")
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select("qid", "nid", "cos")
+  }
+
+  private val knnSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q, embeddings e, range(1, ${Dim + 1}) t(i)
+       |      WHERE e.vec_id <> qid GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= $TopK""".stripMargin
+
+  /** Deterministic hyperplane weight for (bit, dim): md5-derived uniform
+    * in [-1, 1). Both engines build the identical plane. */
+  private def planeW(b: Column, i: Column): Column =
+    ColFns.hex32(concat(b.cast("string"), lit("_"), i.cast("string"))) /
+      lit(2147483648.0) - lit(1.0)
+
+  private def planeWSql(b: String, i: String): String =
+    s"(${ColFns.hex32Sql(s"($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
+
+  /** Per-vector LSH bucket: sign pattern of the 6 projections. */
+  private def lshSigDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        explode(sequence(lit(0), lit(LshBits - 1))).as("b"))
+      .withColumn(
+        "proj",
+        aggregate(
+          zip_with($"embedding", sequence(lit(1), lit(Dim)),
+            (x, i) => x.cast("double") * planeW($"b", i)),
+          lit(0.0), (acc, v) => acc + v))
+      .groupBy($"vec_id")
+      .agg(sum(when($"proj" >= 0.0,
+        expr("shiftleft(cast(1 as bigint), int(b))")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  private val lshSigSql: String =
+    s"""WITH p AS (
+       |  SELECT vec_id, b,
+       |    sum(embedding[i]::DOUBLE * ${planeWSql("b", "i")}) AS proj
+       |  FROM embeddings, range(0, $LshBits) tb(b), range(1, ${Dim + 1}) ti(i)
+       |  GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  sum(CASE WHEN proj >= 0.0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS bucket
+       |FROM p GROUP BY 1""".stripMargin
+
+  /** ANN: candidates share the LSH bucket; exact cosine re-rank inside the
+    * bucket, top-3 per query. The equi-join on bucket replaces the cross
+    * join — the whole point of the scale path. */
+  private def lshTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val sig = lshSigDf(spark, dir)
+    val withSig = e.join(sig, Seq("vec_id"))
+    val q = withSig.filter($"vec_id" % QueryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
+    val cand = withSig
+      .select($"vec_id".as("nid"), $"embedding".as("ne"), $"bucket")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    q.join(cand, Seq("bucket"))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select("qid", "nid", "cos")
+  }
+
+  private val lshTopkSql: String =
+    s"""WITH p AS (
+       |  SELECT vec_id, b,
+       |    sum(embedding[i]::DOUBLE * ${planeWSql("b", "i")}) AS proj
+       |  FROM embeddings, range(0, $LshBits) tb(b), range(1, ${Dim + 1}) ti(i)
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT vec_id,
+       |    sum(CASE WHEN proj >= 0.0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS bucket
+       |  FROM p GROUP BY 1),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, s.bucket
+       |      FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
+       |      WHERE e.vec_id % $QueryMod = 0),
+       |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q JOIN sig s ON s.bucket = q.bucket
+       |             JOIN embeddings e ON e.vec_id = s.vec_id,
+       |           range(1, ${Dim + 1}) t(i)
+       |      WHERE e.vec_id <> qid GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  /** Per-label centroid statistics: count, centroid norm, mean vector
+    * norm — the vector-mean aggregate every embedding pipeline needs. */
+  private def centroidDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", $"vec_id", $"embedding",
+        explode(sequence(lit(1), lit(Dim))).as("i"))
+      .withColumn("x", element_at($"embedding", $"i").cast("double"))
+      .groupBy($"label", $"i")
+      .agg(avg($"x").as("c"), count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(max($"n").as("n"),
+        sqrt(sum($"c" * $"c")).as("centroid_norm"))
+  }
+
+  private val centroidSql: String =
+    s"""WITH comp AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c, count(*) AS n
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
+       |SELECT label, max(n)::BIGINT AS n, sqrt(sum(c * c)) AS centroid_norm
+       |FROM comp GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute" -> (knnDf(_, _)),
+    "ann_lsh_sig" -> (lshSigDf(_, _)),
+    "ann_lsh_topk" -> (lshTopkDf(_, _)),
+    "emb_centroids" -> (centroidDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute" -> knnSql,
+    "ann_lsh_sig" -> lshSigSql,
+    "ann_lsh_topk" -> lshTopkSql,
+    "emb_centroids" -> centroidSql
+  )
+}
