@@ -57,7 +57,7 @@ object Book extends OpModule {
        |                     ORDER BY value DESC, event_id) AS rn
        |FROM events QUALIFY rn <= $Depth""".stripMargin
 
-  private def imbalanceDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def imbalanceDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     levels(spark, dir)
       .groupBy($"bucket")
@@ -87,7 +87,7 @@ object Book extends OpModule {
 
   /** Wall: zone = mid*(1 +- 12%), strength = zone volume / (side top-20
     * volume / 20). mid = mean level qty stands in for mid price. */
-  private def wallDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def wallDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     levels(spark, dir)
       .withColumn("mid", avg($"value").over(Window.partitionBy($"bucket")))
@@ -134,7 +134,7 @@ object Book extends OpModule {
 
   /** Touch: distance of the bucket close to the best (rank-1) level per
     * side, in 0.1%-of-close ticks. */
-  private def touchDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def touchDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val best = levels(spark, dir)
       .filter($"rn" === 1)

@@ -52,7 +52,7 @@ object Flow {
   /** Rolling population z-score of the delta over the trailing 3000 buckets,
     * ddof=0, minimum population 30 (strategy.py:1024-1035); |z| >= 2.1 gates
     * the entry signal (config.py:66). */
-  private def zscoreDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def zscoreDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Single logical symbol => global ordering, mirroring the reference's one
     // population deque. Multi-symbol data would partitionBy(symbol) here.
@@ -70,7 +70,7 @@ object Flow {
       .select("bucket", "delta", "mu", "sigma", "z", "signal")
   }
 
-  private val zscoreSql: String =
+  private[operators] val zscoreSql: String =
     s"""WITH d AS ($deltaSql)
        |SELECT bucket, delta,
        |  avg(delta) OVER w AS mu,
@@ -114,7 +114,7 @@ object Flow {
     * 1h and 4h resolutions and correlated (the §2.4 window equi-join); the
     * micro-trap flag fires when lv_1h > 1.5 * lv_4h (aether_oracle.py:83-121).
     */
-  private def lvDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def lvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
     // event_id is globally unique and monotone in ts => deterministic lag.
@@ -134,7 +134,7 @@ object Flow {
       .select("bucket", "lv_1h", "lv_4h", "micro_trap")
   }
 
-  private val lvSql: String =
+  private[operators] val lvSql: String =
     s"""WITH diffs AS (
        |  SELECT epoch_us(ts) AS ts_us, value,
        |         abs(value - lag(value) OVER (ORDER BY event_id)) AS dp
@@ -152,7 +152,7 @@ object Flow {
 
   /** Volume-rate ratio: recent 1h qty/sec vs the trailing-24h baseline,
     * clamped to [0.5, 2.0] (data_manager.py:1005-1035). */
-  private def volRateDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def volRateDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"bucket").rowsBetween(-23, 0)
     Tables
@@ -173,7 +173,7 @@ object Flow {
       .select("bucket", "qty", "recent_rate", "baseline_rate", "vol_factor")
   }
 
-  private val volRateSql: String =
+  private[operators] val volRateSql: String =
     s"""WITH h AS (
        |  SELECT epoch_us(ts) // $HourUs AS bucket, sum(value) AS qty
        |  FROM events GROUP BY 1)

@@ -33,7 +33,7 @@ object LongMemory extends OpModule {
   val HurstN = 20 // reference lookback (aether_oracle.py:162)
   val BosBars = 10 // reference last-10 bars (aether_oracle.py:227)
 
-  private def hurstDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hurstDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wOrd = Window.orderBy($"bucket")
     val wGrp = Window.partitionBy($"grp")
@@ -77,7 +77,7 @@ object LongMemory extends OpModule {
 
   /** Per-bar fraction of the previous 10 bars broken by the current close,
     * on 1h bars and 4h bars, averaged when both exist. */
-  private def bosDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def bosDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bars1 = Bars.ohlcDf(spark, dir)
       .withColumn("rn", row_number().over(Window.orderBy($"bucket")))
