@@ -65,7 +65,7 @@ object Scores extends OpModule {
 
   /** The wide per-bucket signal frame: all families left-joined onto the
     * hourly bar spine. */
-  private def signalsDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def signalsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val atr = Bars.atrDf(spark, dir).select($"bucket", $"close", $"atr_pct")
     // z lives on 10-minute buckets; the hour inherits its last defined z
@@ -152,7 +152,7 @@ object Scores extends OpModule {
        |  LEFT JOIN hurstq ON hurstq.bucket = atr.bucket)""".stripMargin
 
   /** All scoring columns on top of the signal frame. */
-  private def scored(df: DataFrame, spark: SparkSession): DataFrame = {
+  private[operators] def scored(df: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val z0 = coalesce($"z", lit(0.0))
     val cvd0 = coalesce($"cvd", lit(0.0))
@@ -249,7 +249,7 @@ object Scores extends OpModule {
   private def kellySql(p: String) =
     ColFns.clampSql(s"(($p) * $KellyB - (1.0 - ($p))) / $KellyB", 0.0, KellyCap)
 
-  private val scoredSql: String =
+  private[operators] val scoredSql: String =
     s"""WITH $signalsSql,
        |g AS (
        |  SELECT *,

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.OpModule
+import graft.state.Fsm
+import graft.state.Fsm.{FsmIn, FsmEvent, TrendIn}
+
+/** Batch replay of the reference's stateful operators (SURVEY §2.9) plus
+  * the result-table queries they feed (§2.2):
+  *
+  *  - `fsm_position_events`: the position engine — enter on fused signal,
+  *    exit on bracket (SL before TP, pessimistic), score decay, or time
+  *    stop, with a post-exit cooldown. The Spark side runs the pure
+  *    `Fsm.step` over ts-sorted rows per key via `flatMapGroups`; the
+  *    DuckDB oracle replays the *same* transition as a recursive CTE, so
+  *    even the stateful path is hash-checked, not rows-only.
+  *  - `fsm_daily_summary`: per-day aggregation of closed trades (count,
+  *    wins/losses, win rate, pnl extremes, profit factor, avg hold) —
+  *    the Daily Summary sink (zscore_excel_logger.py:345-420).
+  *  - `fsm_cum_pnl`: running cumulative P&L over exits
+  *    (zscore_excel_logger.py:330-343).
+  *  - `trend_hysteresis`: k-confirmation trend flips over the EMA-derived
+  *    raw trend (data_manager.py:1047-1067).
+  *
+  * Scale: state is O(1) per key and the fold is per-key sequential — the
+  * same shape `flatMapGroupsWithState` gives the streaming path. The
+  * single-symbol testdata means one group; real data keys by symbol and
+  * every symbol folds in parallel.
+  */
+object Stateful extends OpModule {
+
+  /** Per-bucket FSM input: bars + the side/total columns of the fusion
+    * frame. */
+  private def fsmInput(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bars.ohlcDf(spark, dir)
+      .select($"bucket", $"close", $"high", $"low")
+      .join(
+        Scores.scored(Scores.signalsDf(spark, dir), spark)
+          .select($"bucket", $"side", $"total_long", $"total_short"),
+        Seq("bucket"))
+  }
+
+  private val fsmInputSql: String =
+    s"""SELECT o.bucket, o.close, o.high, o.low,
+       |       s.side, s.total_long, s.total_short,
+       |       row_number() OVER (ORDER BY o.bucket) AS rn
+       |FROM (${Bars.ohlcSql}) o
+       |JOIN (SELECT bucket, side, total_long, total_short
+       |      FROM (${Scores.scoredSql}) sq) s ON s.bucket = o.bucket""".stripMargin
+
+  private def eventsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fsmInput(spark, dir)
+      .as[FsmIn]
+      .groupByKey(_ => 0) // single symbol; real data keys by symbol here
+      .flatMapGroups((_: Int, it: Iterator[FsmIn]) =>
+        Fsm.run(it.toArray.sortBy(_.bucket).iterator))
+      .toDF()
+  }
+
+  /** The same transition function as `Fsm.step`, unrolled into a recursive
+    * CTE: state columns carry (pos_side, entry, tp, sl, cooldown); event
+    * columns carry the emitted row. Two nested subqueries stage the
+    * derived predicates (exit_reason, enter_now, exit_px) since SQL can't
+    * reference a select-list alias in the same select. */
+  private[operators] val eventsSql: String = {
+    import Fsm._
+    s"""WITH RECURSIVE inp AS MATERIALIZED ($fsmInputSql),
+       |fsm AS (
+       |  SELECT 0::BIGINT AS rn,
+       |    CAST(NULL AS VARCHAR) AS pos_side, CAST(NULL AS BIGINT) AS pentry_bucket,
+       |    CAST(NULL AS DOUBLE) AS pentry_price, CAST(NULL AS DOUBLE) AS tp,
+       |    CAST(NULL AS DOUBLE) AS sl, (-4611686018427387904)::BIGINT AS cooldown_until,
+       |    CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS VARCHAR) AS action,
+       |    CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS entry_bucket,
+       |    CAST(NULL AS DOUBLE) AS entry_price, CAST(NULL AS DOUBLE) AS exit_price,
+       |    CAST(NULL AS DOUBLE) AS pnl, CAST(NULL AS VARCHAR) AS reason
+       |  UNION ALL
+       |  SELECT t.rn,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
+       |         WHEN t.pos_side0 IS NOT NULL THEN t.pos_side0
+       |         WHEN t.enter_now THEN t.in_side END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
+       |         WHEN t.pos_side0 IS NOT NULL THEN t.entry_bucket0
+       |         WHEN t.enter_now THEN t.bucket END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
+       |         WHEN t.pos_side0 IS NOT NULL THEN t.entry_price0
+       |         WHEN t.enter_now THEN t.close END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
+       |         WHEN t.pos_side0 IS NOT NULL THEN t.tp0
+       |         WHEN t.enter_now AND t.in_side = 'LONG' THEN t.close * $TpPctLongSql
+       |         WHEN t.enter_now THEN t.close * $TpPctShortSql END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
+       |         WHEN t.pos_side0 IS NOT NULL THEN t.sl0
+       |         WHEN t.enter_now AND t.in_side = 'LONG' THEN t.close * $SlPctLongSql
+       |         WHEN t.enter_now THEN t.close * $SlPctShortSql END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN t.bucket + $CooldownBuckets
+       |         ELSE t.cooldown_until0 END,
+       |    t.bucket,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN 'EXIT'
+       |         WHEN t.enter_now THEN 'ENTER' END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN t.pos_side0
+       |         WHEN t.enter_now THEN t.in_side END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN t.entry_bucket0
+       |         WHEN t.enter_now THEN t.bucket END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN t.entry_price0
+       |         WHEN t.enter_now THEN t.close END,
+       |    t.exit_px,
+       |    CASE WHEN t.exit_reason IS NOT NULL
+       |         THEN (t.exit_px - t.entry_price0) *
+       |              (CASE WHEN t.pos_side0 = 'LONG' THEN 1.0 ELSE -1.0 END) END,
+       |    t.exit_reason
+       |  FROM (
+       |    SELECT t0.*,
+       |      CASE WHEN t0.exit_reason = 'SL_HIT' THEN t0.sl0
+       |           WHEN t0.exit_reason = 'TP_HIT' THEN t0.tp0
+       |           WHEN t0.exit_reason IS NOT NULL THEN t0.close END AS exit_px
+       |    FROM (
+       |      SELECT i.rn, i.bucket, i.close, i.high, i.low,
+       |        i.side AS in_side, i.total_long, i.total_short,
+       |        f.pos_side AS pos_side0, f.pentry_bucket AS entry_bucket0,
+       |        f.pentry_price AS entry_price0, f.tp AS tp0, f.sl AS sl0,
+       |        f.cooldown_until AS cooldown_until0,
+       |        CASE WHEN f.pos_side = 'LONG' AND i.low <= f.sl THEN 'SL_HIT'
+       |             WHEN f.pos_side = 'LONG' AND i.high >= f.tp THEN 'TP_HIT'
+       |             WHEN f.pos_side = 'SHORT' AND i.high >= f.sl THEN 'SL_HIT'
+       |             WHEN f.pos_side = 'SHORT' AND i.low <= f.tp THEN 'TP_HIT'
+       |             WHEN f.pos_side IS NOT NULL
+       |                  AND i.bucket - f.pentry_bucket >= $DecayMinBuckets
+       |                  AND (CASE WHEN f.pos_side = 'LONG' THEN i.total_long
+       |                            ELSE i.total_short END) < $DecayGate
+       |                  THEN 'SCORE_DECAY'
+       |             WHEN f.pos_side IS NOT NULL
+       |                  AND i.bucket - f.pentry_bucket >= $MaxHoldBuckets
+       |                  THEN 'TIME_STOP' END AS exit_reason,
+       |        (f.pos_side IS NULL AND i.bucket >= f.cooldown_until
+       |         AND i.side <> 'NONE') AS enter_now
+       |      FROM fsm f JOIN inp i ON i.rn = f.rn + 1) t0) t)
+       |SELECT bucket, action, side, entry_bucket, entry_price, exit_price,
+       |       pnl, reason
+       |FROM fsm WHERE action IS NOT NULL""".stripMargin
+  }
+
+  // bracket multipliers as SQL literals (1 +- pct), matching the Scala
+  // doubles in Fsm.step exactly
+  private def TpPctLongSql = "1.04"
+  private def TpPctShortSql = "0.96"
+  private def SlPctLongSql = "0.98"
+  private def SlPctShortSql = "1.02"
+
+  private def exits(spark: SparkSession, dir: String): DataFrame =
+    eventsDf(spark, dir).filter(col("action") === "EXIT")
+
+  /** Daily Summary sink semantics (per trading day = 24 hourly buckets). */
+  private def dailyDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exits(spark, dir)
+      .groupBy(expr("bucket div 24").as("day"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when($"pnl" > 0.0, 1L).otherwise(0L)).as("wins"),
+        sum(when($"pnl" <= 0.0, 1L).otherwise(0L)).as("losses"),
+        (sum(when($"pnl" > 0.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("win_rate"),
+        sum($"pnl").as("total_pnl"),
+        max($"pnl").as("max_pnl"),
+        min($"pnl").as("min_pnl"),
+        avg(when($"pnl" > 0.0, $"pnl")).as("avg_win"),
+        avg(when($"pnl" <= 0.0, $"pnl")).as("avg_loss"),
+        abs(avg(when($"pnl" > 0.0, $"pnl")) /
+          when(avg(when($"pnl" <= 0.0, $"pnl")) =!= 0.0,
+            avg(when($"pnl" <= 0.0, $"pnl")))).as("profit_factor"),
+        avg(($"bucket" - $"entry_bucket").cast("double")).as("avg_hold"))
+  }
+
+  private val dailySql: String =
+    s"""WITH ev AS ($eventsSql)
+       |SELECT bucket // 24 AS day, count(*) AS n_trades,
+       |  sum(CASE WHEN pnl > 0.0 THEN 1 ELSE 0 END)::BIGINT AS wins,
+       |  sum(CASE WHEN pnl <= 0.0 THEN 1 ELSE 0 END)::BIGINT AS losses,
+       |  sum(CASE WHEN pnl > 0.0 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS win_rate,
+       |  sum(pnl) AS total_pnl, max(pnl) AS max_pnl, min(pnl) AS min_pnl,
+       |  avg(CASE WHEN pnl > 0.0 THEN pnl END) AS avg_win,
+       |  avg(CASE WHEN pnl <= 0.0 THEN pnl END) AS avg_loss,
+       |  abs(avg(CASE WHEN pnl > 0.0 THEN pnl END)
+       |      / nullif(avg(CASE WHEN pnl <= 0.0 THEN pnl END), 0.0)) AS profit_factor,
+       |  avg((bucket - entry_bucket)::DOUBLE) AS avg_hold
+       |FROM ev WHERE action = 'EXIT' GROUP BY 1""".stripMargin
+
+  /** Running cumulative P&L over closed trades (§2.5). */
+  private def cumPnlDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exits(spark, dir)
+      .select($"bucket", $"side", $"pnl", $"reason")
+      .withColumn("cum_pnl", sum($"pnl").over(w))
+  }
+
+  private val cumPnlSql: String =
+    s"""WITH ev AS ($eventsSql)
+       |SELECT bucket, side, pnl,
+       |  reason,
+       |  sum(pnl) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pnl
+       |FROM ev WHERE action = 'EXIT'""".stripMargin
+
+  // Raw trend band: +-2% around the EMA.
+  private def trendDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bars.emaDf(spark, dir)
+      .withColumn("raw",
+        when($"close" > $"ema" * 1.02, "UPTREND")
+          .when($"close" < $"ema" * 0.98, "DOWNTREND")
+          .otherwise("RANGEBOUND"))
+      .select($"bucket", $"raw")
+      .as[TrendIn]
+      .groupByKey(_ => 0)
+      .flatMapGroups((_: Int, it: Iterator[TrendIn]) =>
+        Fsm.trendRun(it.toArray.sortBy(_.bucket).iterator))
+      .toDF()
+  }
+
+  private val trendSql: String =
+    s"""WITH RECURSIVE b AS MATERIALIZED (${Bars.emaSql}),
+       |inp AS MATERIALIZED (SELECT bucket,
+       |    CASE WHEN close > ema * 1.02 THEN 'UPTREND'
+       |         WHEN close < ema * 0.98 THEN 'DOWNTREND'
+       |         ELSE 'RANGEBOUND' END AS raw,
+       |    row_number() OVER (ORDER BY bucket) AS rn
+       |  FROM b),
+       |t AS (
+       |  SELECT 0::BIGINT AS rn, 'RANGEBOUND' AS confirmed,
+       |    CAST(NULL AS VARCHAR) AS pending, 0 AS cnt,
+       |    CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS VARCHAR) AS raw
+       |  UNION ALL
+       |  SELECT i.rn,
+       |    CASE WHEN i.raw = t.confirmed THEN t.confirmed
+       |         WHEN t.pending = i.raw AND t.cnt + 1 >= ${Fsm.HysteresisK} THEN i.raw
+       |         ELSE t.confirmed END,
+       |    CASE WHEN i.raw = t.confirmed THEN NULL
+       |         WHEN t.pending = i.raw AND t.cnt + 1 >= ${Fsm.HysteresisK} THEN NULL
+       |         WHEN t.pending = i.raw THEN t.pending
+       |         ELSE i.raw END,
+       |    CASE WHEN i.raw = t.confirmed THEN 0
+       |         WHEN t.pending = i.raw AND t.cnt + 1 >= ${Fsm.HysteresisK} THEN 0
+       |         WHEN t.pending = i.raw THEN t.cnt + 1
+       |         ELSE 1 END,
+       |    i.bucket, i.raw
+       |  FROM t JOIN inp i ON i.rn = t.rn + 1)
+       |SELECT bucket, raw, confirmed FROM t WHERE bucket IS NOT NULL""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fsm_position_events" -> (eventsDf(_, _)),
+    "fsm_daily_summary" -> (dailyDf(_, _)),
+    "fsm_cum_pnl" -> (cumPnlDf(_, _)),
+    "trend_hysteresis" -> (trendDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fsm_position_events" -> eventsSql,
+    "fsm_daily_summary" -> dailySql,
+    "fsm_cum_pnl" -> cumPnlSql,
+    "trend_hysteresis" -> trendSql
+  )
+}

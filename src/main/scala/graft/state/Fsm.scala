@@ -1,0 +1,122 @@
+package graft.state
+
+/** Pure state machines for the reference's stateful operators
+  * (SURVEY.md §2.9):
+  *
+  *  - position FSM (strategy.py:334-364 dispatch, :719-757 manage,
+  *    :854-874 brackets, :876-933 exit, cooldown :360-363): one position
+  *    at a time; enter on signal, exit on SL/TP bracket, score decay, or
+  *    time stop; cooldown after every exit. Exit priority mirrors the
+  *    reference: bracket first, then decay, then time stop.
+  *  - trend hysteresis (data_manager.py:123-130, 1047-1067): a trend flip
+  *    must be confirmed k consecutive times before it is accepted.
+  *
+  * Both are pure `(state, input) => (state, output)` functions so the
+  * batch replay (`flatMapGroups` over ts-sorted rows) and the streaming
+  * path (`flatMapGroupsWithState`) share one implementation — the FSM is a
+  * function of (state, ordered events) exactly as SURVEY §7.4(3) requires.
+  * State is O(1) per key; at scale the key is the symbol.
+  */
+object Fsm {
+
+  // Bracket / hold parameters (reference: TP/SL price calc
+  // strategy.py:606-617; time stop strategy.py:753; cooldown config.py:43;
+  // decay exit strategy.py:743-747 with gate 0.50*0.65 ~ a third of the
+  // score range — 0.25 in this engine's score units).
+  val TpPct = 0.04
+  val SlPct = 0.02
+  val MaxHoldBuckets = 10L
+  val DecayMinBuckets = 2L
+  val DecayGate = 0.25
+  val CooldownBuckets = 2L
+
+  case class FsmIn(bucket: Long, close: Double, high: Double, low: Double,
+      side: String, total_long: Double, total_short: Double)
+
+  case class FsmEvent(bucket: Long, action: String, side: String,
+      entry_bucket: Long, entry_price: Double, exit_price: Option[Double],
+      pnl: Option[Double], reason: Option[String])
+
+  case class PosState(side: Option[String], entryBucket: Long,
+      entryPrice: Double, tp: Double, sl: Double, cooldownUntil: Long)
+
+  val initState: PosState = PosState(None, 0L, 0.0, 0.0, 0.0, Long.MinValue)
+
+  /** One transition. Emits at most one event per input row. */
+  def step(st: PosState, i: FsmIn): (PosState, Option[FsmEvent]) =
+    st.side match {
+      case Some(side) =>
+        val long = side == "LONG"
+        val exitReason: Option[String] =
+          if (long && i.low <= st.sl) Some("SL_HIT")
+          else if (long && i.high >= st.tp) Some("TP_HIT")
+          else if (!long && i.high >= st.sl) Some("SL_HIT")
+          else if (!long && i.low <= st.tp) Some("TP_HIT")
+          else if (i.bucket - st.entryBucket >= DecayMinBuckets &&
+            (if (long) i.total_long else i.total_short) < DecayGate)
+            Some("SCORE_DECAY")
+          else if (i.bucket - st.entryBucket >= MaxHoldBuckets)
+            Some("TIME_STOP")
+          else None
+        exitReason match {
+          case Some(reason) =>
+            val exitPx = reason match {
+              case "SL_HIT" => st.sl
+              case "TP_HIT" => st.tp
+              case _ => i.close
+            }
+            val dir = if (long) 1.0 else -1.0
+            val pnl = (exitPx - st.entryPrice) * dir
+            (initState.copy(cooldownUntil = i.bucket + CooldownBuckets),
+              Some(FsmEvent(i.bucket, "EXIT", side, st.entryBucket,
+                st.entryPrice, Some(exitPx), Some(pnl), Some(reason))))
+          case None => (st, None)
+        }
+      case None =>
+        if (i.bucket >= st.cooldownUntil && i.side != "NONE") {
+          val long = i.side == "LONG"
+          val tp = if (long) i.close * 1.04 else i.close * 0.96
+          val sl = if (long) i.close * 0.98 else i.close * 1.02
+          (PosState(Some(i.side), i.bucket, i.close, tp, sl, st.cooldownUntil),
+            Some(FsmEvent(i.bucket, "ENTER", i.side, i.bucket, i.close,
+              None, None, None)))
+        } else (st, None)
+    }
+
+  /** Fold a ts-sorted iterator of inputs into the event stream. */
+  def run(rows: Iterator[FsmIn]): Iterator[FsmEvent] = {
+    var st = initState
+    rows.flatMap { i =>
+      val (st2, ev) = step(st, i)
+      st = st2
+      ev
+    }
+  }
+
+  // ---- trend hysteresis ----
+
+  val HysteresisK = 2 // LTF confirmation count (data_manager.py:1155-1170)
+
+  case class TrendIn(bucket: Long, raw: String)
+  case class TrendOut(bucket: Long, raw: String, confirmed: String)
+  case class TrendState(confirmed: String, pending: Option[String], count: Int)
+
+  val trendInit: TrendState = TrendState("RANGEBOUND", None, 0)
+
+  /** A raw reading equal to the confirmed trend clears any pending flip;
+    * a repeated new reading flips once seen k times in a row. */
+  def trendStep(st: TrendState, raw: String): TrendState =
+    if (raw == st.confirmed) st.copy(pending = None, count = 0)
+    else if (st.pending.contains(raw)) {
+      if (st.count + 1 >= HysteresisK) TrendState(raw, None, 0)
+      else st.copy(count = st.count + 1)
+    } else st.copy(pending = Some(raw), count = 1)
+
+  def trendRun(rows: Iterator[TrendIn]): Iterator[TrendOut] = {
+    var st = trendInit
+    rows.map { i =>
+      st = trendStep(st, i.raw)
+      TrendOut(i.bucket, i.raw, st.confirmed)
+    }
+  }
+}
