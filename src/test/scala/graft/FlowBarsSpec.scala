@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Bars, Flow}
+
+/** Hand-computed semantics for the flow and bar operators over a tiny
+  * events fixture (SURVEY §5.1): conditional-sum delta, OHLC
+  * open/high/low/close by arrival order, and the EMA adjust=False
+  * recursion.
+  */
+class FlowBarsSpec extends SparkSpec {
+
+  // Two hours of events; ts in nanos. Hour bucket h0 and h0+1.
+  private val h0 = 473000L
+  private def ns(hour: Long, sec: Long): Long =
+    (hour * 3600L * 1000000L + sec * 1000000L) * 1000L
+
+  private lazy val dir = writeEventsFixture(Seq(
+    // (event_id, ts_ns, user_id, event_type, value)
+    (1L, ns(h0, 0), 1L, "click", 10.0),     // buy
+    (2L, ns(h0, 60), 2L, "error", 20.0),    // sell
+    (3L, ns(h0, 120), 3L, "view", 30.0),    // buy
+    (4L, ns(h0 + 1, 10), 1L, "signup", 5.0), // sell
+    (5L, ns(h0 + 1, 70), 2L, "purchase", 15.0))) // buy
+
+  test("taker delta: conditional sums per 10-minute bucket") {
+    val d = rowsOf(Flow.queries("flow_delta")(spark, dir))
+      .map(m => m("bucket") -> m).toMap
+    val b0 = h0 * 6 // 10-minute buckets per hour
+    assert(d(b0)("buy_vol") == 40.0)
+    assert(d(b0)("sell_vol") == 20.0)
+    assert(d(b0)("delta") == 20.0)
+    val b1 = (h0 + 1) * 6
+    assert(d(b1)("delta") == 15.0 - 5.0)
+  }
+
+  test("cvd: clamped normalized delta") {
+    val c = rowsOf(Flow.queries("flow_cvd")(spark, dir))
+      .map(m => m("bucket") -> m("cvd")).toMap
+    assert(c(h0 * 6) == (40.0 - 20.0) / 60.0)
+    assert(c((h0 + 1) * 6) == 10.0 / 20.0)
+  }
+
+  test("OHLC: first/last by arrival, extremes by value") {
+    val o = rowsOf(Bars.queries("bars_ohlc")(spark, dir))
+      .map(m => m("bucket") -> m).toMap
+    val bar = o(h0)
+    assert(bar("open") == 10.0 && bar("close") == 30.0)
+    assert(bar("high") == 30.0 && bar("low") == 10.0)
+    assert(bar("volume") == 60.0 && bar("n_ticks") == 3L)
+    assert(o(h0 + 1)("open") == 5.0 && o(h0 + 1)("close") == 15.0)
+  }
+
+  test("EMA matches the adjust=False recursion computed by hand") {
+    val e = rowsOf(Bars.queries("bars_ema")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    val closes = Seq(30.0, 15.0)
+    val alpha = 2.0 / 21.0
+    val expected = closes.tail.scanLeft(closes.head)((acc, x) =>
+      alpha * x + (1 - alpha) * acc)
+    e.map(_("ema").asInstanceOf[Double]).zip(expected).foreach {
+      case (got, exp) => assert(math.abs(got - exp) < 1e-12)
+    }
+  }
+
+  test("z-score withholds until the population minimum") {
+    // fewer than 30 delta buckets -> z must be null everywhere here
+    val z = rowsOf(Flow.queries("flow_zscore")(spark, dir))
+    assert(z.nonEmpty && z.forall(_("z") == null))
+    assert(z.forall(_("signal") == "NONE"))
+  }
+
+  test("z-score on real data: population stats kick in after 30 buckets") {
+    val z = rowsOf(Flow.queries("flow_zscore")(spark, sfDir()))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    assert(z.take(29).forall(_("z") == null))
+    assert(z.drop(30).exists(_("z") != null))
+    // z is shift-invariant around its own mean: |z| stays bounded in sane data
+    val zs = z.flatMap(m => Option(m("z")).map(_.asInstanceOf[Double]))
+    assert(zs.forall(v => math.abs(v) < 50))
+  }
+
+  test("ATR falls back to realized vol below 10 true ranges") {
+    val a = rowsOf(Bars.queries("bars_atr")(spark, sfDir()))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // bucket 0 has no prev close -> tr null; first 10 rows use the fallback
+    assert(a.head("tr") == null)
+    assert(a.size > 20)
+    // from row 11 onward atr_pct must be defined
+    assert(a.drop(11).forall(_("atr_pct") != null))
+  }
+}

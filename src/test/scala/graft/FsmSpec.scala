@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.state.Fsm
+import graft.state.Fsm._
+
+/** Table-driven and property tests for the pure state machines
+  * (SURVEY.md §5.4-§5.5): exit-priority order, cooldown, hysteresis
+  * k-confirmation, and the one-position invariant. Property cases use a
+  * fixed-seed generator (the scalatest/scalacheck bridge is not in the
+  * offline cache, so properties run as seeded loops).
+  */
+class FsmSpec extends AnyFunSuite {
+
+  private def in(bucket: Long, close: Double, high: Double = 0, low: Double = 0,
+      side: String = "NONE", tl: Double = 1.0, ts: Double = 1.0) =
+    FsmIn(bucket, close, if (high == 0) close else high,
+      if (low == 0) close else low, side, tl, ts)
+
+  test("enter then take-profit at the bracket price") {
+    val evs = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG"),
+      in(2, 103.0, high = 103.0, low = 99.5),
+      in(3, 105.0, high = 105.0, low = 103.0))).toList
+    assert(evs.map(_.action) == List("ENTER", "EXIT"))
+    val exit = evs.last
+    assert(exit.reason.contains("TP_HIT"))
+    assert(exit.exit_price.contains(100.0 * 1.04))
+    assert(exit.pnl.contains(100.0 * 1.04 - 100.0))
+  }
+
+  test("stop-loss wins over take-profit when both hit in one bar") {
+    val evs = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG"),
+      in(2, 100.0, high = 200.0, low = 50.0))).toList
+    assert(evs.last.reason.contains("SL_HIT"))
+    assert(evs.last.exit_price.contains(100.0 * 0.98))
+  }
+
+  test("short position brackets mirror long") {
+    val evs = Fsm.run(Iterator(
+      in(1, 100.0, side = "SHORT"),
+      in(2, 97.0, high = 97.5, low = 95.0))).toList
+    assert(evs.last.reason.contains("TP_HIT"))
+    assert(evs.last.exit_price.contains(100.0 * 0.96))
+    assert(evs.last.pnl.contains((100.0 * 0.96 - 100.0) * -1.0))
+  }
+
+  test("score decay exits only after the minimum hold") {
+    val evs = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG"),
+      in(2, 100.5, tl = 0.0), // below gate but hold < 2 buckets
+      in(3, 100.5, tl = 0.0))).toList
+    assert(evs.map(_.action) == List("ENTER", "EXIT"))
+    assert(evs.last.bucket == 3)
+    assert(evs.last.reason.contains("SCORE_DECAY"))
+    assert(evs.last.exit_price.contains(100.5))
+  }
+
+  test("time stop fires at max hold") {
+    val rows = in(1, 100.0, side = "LONG") +:
+      (2L to 12L).map(b => in(b, 100.1))
+    val evs = Fsm.run(rows.iterator).toList
+    assert(evs.last.reason.contains("TIME_STOP"))
+    assert(evs.last.bucket == 11) // entry 1 + MaxHold 10
+  }
+
+  test("cooldown suppresses re-entry for 2 buckets") {
+    val evs = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG"),
+      in(2, 100.0, high = 200.0), // TP exit at bucket 2 -> cooldown until 4
+      in(3, 100.0, side = "LONG"), // suppressed
+      in(4, 100.0, side = "LONG"))).toList
+    assert(evs.map(e => (e.action, e.bucket)) ==
+      List(("ENTER", 1L), ("EXIT", 2L), ("ENTER", 4L)))
+  }
+
+  test("one-position invariant under random signal streams") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 50) {
+      val ins = (0 until 200).map { i =>
+        val side = rnd.nextInt(4) match {
+          case 0 => "LONG"; case 1 => "SHORT"; case _ => "NONE"
+        }
+        val px = 50.0 + rnd.nextDouble() * 100.0
+        val sp = rnd.nextDouble() * 10.0
+        val t = rnd.nextDouble()
+        FsmIn(i.toLong, px, px + sp, px - sp, side, t, t)
+      }
+      val evs = Fsm.run(ins.iterator).toList
+      // events alternate ENTER/EXIT and every EXIT matches the prior ENTER
+      assert(evs.map(_.action).sliding(2).forall {
+        case Seq("ENTER", "EXIT") | Seq("EXIT", "ENTER") => true
+        case Seq(_) => true
+        case _ => false
+      })
+      assert(evs.headOption.forall(_.action == "ENTER"))
+      evs.grouped(2).foreach {
+        case Seq(e, x) if x.action == "EXIT" =>
+          assert(x.side == e.side && x.entry_bucket == e.bucket &&
+            x.entry_price == e.entry_price && x.bucket > e.bucket)
+        case _ => ()
+      }
+    }
+  }
+
+  test("hysteresis: flip needs k=2 consecutive confirmations") {
+    val raws = Seq("RANGEBOUND", "UPTREND", "RANGEBOUND", "UPTREND",
+      "UPTREND", "DOWNTREND", "UPTREND", "DOWNTREND", "DOWNTREND")
+    val outs = Fsm.trendRun(
+      raws.zipWithIndex.map { case (r, i) => TrendIn(i.toLong, r) }.iterator
+    ).toList.map(_.confirmed)
+    assert(outs == Seq(
+      "RANGEBOUND", // initial
+      "RANGEBOUND", // UP seen once -> pending
+      "RANGEBOUND", // back to RANGE clears pending
+      "RANGEBOUND", // UP pending again (1)
+      "UPTREND",    // UP confirmed (2 consecutive)
+      "UPTREND",    // DOWN pending (1)
+      "UPTREND",    // UP == confirmed clears pending
+      "UPTREND",    // DOWN pending (1)
+      "DOWNTREND")) // DOWN confirmed
+  }
+
+  test("hysteresis never flips on a single reading") {
+    val rnd = new Random(7)
+    val trends = Array("UPTREND", "DOWNTREND", "RANGEBOUND")
+    for (_ <- 1 to 50) {
+      val raws = (0 until 100).map(_ => trends(rnd.nextInt(3)))
+      val outs = Fsm.trendRun(
+        raws.zipWithIndex.map { case (r, i) => TrendIn(i.toLong, r) }.iterator).toList
+      // a flip's new confirmed value is always the current raw reading
+      outs.sliding(2).foreach {
+        case Seq(a, b) if a.confirmed != b.confirmed =>
+          assert(b.raw == b.confirmed)
+        case _ => ()
+      }
+    }
+  }
+}

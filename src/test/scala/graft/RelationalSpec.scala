@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Join/agg family semantics cross-checked in-engine (the DuckDB oracle
+  * covers exact values; these assert the relational invariants). */
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // collect() yields java.sql.Timestamp or java.time.LocalDateTime
+  // depending on spark.sql.datetime.java8API.enabled — normalize
+  private def ldt(a: Any): java.time.LocalDateTime = a match {
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case l: java.time.LocalDateTime => l
+  }
+
+  test("semi + anti partition orders exactly") {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).count()
+    val semi = Relational.queries("join_semi")(spark, dir).count()
+    val lWithR = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R").select($"l_orderkey").distinct()
+    val expectSemi = Tables.orders(spark, dir)
+      .join(lWithR, $"o_orderkey" === $"l_orderkey").count()
+    assert(semi == expectSemi)
+    assert(semi <= o)
+  }
+
+  test("as-of join: every matched previous order is truly at-or-before") {
+    val rows = rowsOf(Relational.queries("join_asof")(spark, dir))
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      assert(!ldt(m("prev_f_date")).isAfter(ldt(m("o_orderdate"))))
+    }
+  }
+
+  test("as-of join picks the latest eligible row") {
+    import spark.implicits._
+    // spot-check one customer end-to-end
+    val rows = rowsOf(Relational.queries("join_asof")(spark, dir))
+    val sample = rows.head
+    val ck = sample("o_custkey").asInstanceOf[Long]
+    val od = ldt(sample("o_orderdate"))
+    val best = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F" && $"o_custkey" === ck &&
+        $"o_orderdate" <= lit(java.sql.Timestamp.valueOf(od)))
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .select($"o_orderdate").limit(1).collect()
+    assert(ldt(best.head.get(0)) == ldt(sample("prev_f_date")))
+  }
+
+  test("interval join counts only the 90-day window") {
+    import spark.implicits._
+    val rows = rowsOf(Relational.queries("join_interval")(spark, dir))
+    val withF = rows.filter(_("n_recent_f").asInstanceOf[Long] > 0)
+    assert(withF.nonEmpty)
+    // left join keeps orders with zero matches
+    val o = Tables.orders(spark, dir).filter($"o_orderstatus" === "O").count()
+    assert(rows.size.toLong == o)
+  }
+
+  test("top-3 per group is bounded and ordered") {
+    val rows = rowsOf(Relational.queries("topk_per_group")(spark, dir))
+    rows.groupBy(_("o_custkey")).foreach { case (_, grp) =>
+      assert(grp.size <= 3)
+      val sorted = grp.sortBy(_("rk").asInstanceOf[Int])
+      val prices = sorted.map(_("o_totalprice").asInstanceOf[Double])
+      assert(prices == prices.sorted.reverse)
+    }
+  }
+
+  test("rollup adds subtotal and grand-total rows consistently") {
+    val rows = rowsOf(Relational.queries("agg_rollup")(spark, dir))
+    val grand = rows.filter(m => m("rf") == "ALL" && m("ls") == "ALL")
+    assert(grand.size == 1)
+    val leafSum = rows.filter(m => m("rf") != "ALL" && m("ls") != "ALL")
+      .map(_("revenue").asInstanceOf[Double]).sum
+    val grandRev = grand.head("revenue").asInstanceOf[Double]
+    assert(math.abs(leafSum - grandRev) < 1e-6 * math.abs(grandRev))
+  }
+
+  test("q3 plan broadcasts the customer dim") {
+    val plan = Relational.queries("q3_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q1 plan is a partial-final hash aggregate with pushed filter") {
+    val qe = Relational.queries("q1_pricing")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // the shipdate filter must reach the parquet scan
+    assert(qe.executedPlan.toString.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Scores, Stateful, Book, LongMemory}
+
+/** Bounds/invariants for the fusion cascade and batch FSM replay on real
+  * data (exact values are covered by the DuckDB oracle). */
+class ScoresStatefulSpec extends SparkSpec {
+
+  private lazy val fusion = rowsOf(
+    Scores.queries("fusion_scores")(spark, sfDir()))
+
+  test("all probability-like scores stay in [0,1]") {
+    val cols = Seq("core_long", "core_short", "mc_long", "mc_short",
+      "bayes_long", "bayes_short", "fused_long", "fused_short",
+      "winprob_long", "winprob_short")
+    assert(fusion.nonEmpty)
+    fusion.foreach { m =>
+      cols.foreach { c =>
+        Option(m(c)).foreach { v =>
+          val d = v.asInstanceOf[Double]
+          assert(d >= 0.0 && d <= 1.0, s"$c = $d out of range")
+        }
+      }
+    }
+  }
+
+  test("kelly is capped and non-negative") {
+    fusion.foreach { m =>
+      Seq("kelly_long", "kelly_short").foreach { c =>
+        Option(m(c)).foreach { v =>
+          val d = v.asInstanceOf[Double]
+          assert(d >= 0.0 && d <= Scores.KellyCap)
+        }
+      }
+    }
+  }
+
+  test("rl is present exactly when hurst is, and clamped") {
+    fusion.foreach { m =>
+      assert((m("rl") == null) == (m("hurst") == null))
+      Option(m("rl")).foreach { v =>
+        val d = v.asInstanceOf[Double]
+        assert(d >= 0.01 && d <= 0.99)
+      }
+    }
+  }
+
+  test("entry side honors the gates") {
+    fusion.foreach { m =>
+      m("side") match {
+        case "LONG" =>
+          assert(m("total_long").asInstanceOf[Double] > Scores.EntryTotal)
+          assert(m("winprob_long").asInstanceOf[Double] > Scores.EntryWinprob)
+        case "SHORT" =>
+          assert(m("total_short").asInstanceOf[Double] > Scores.EntryTotal)
+          assert(m("winprob_short").asInstanceOf[Double] > Scores.EntryWinprob)
+        case _ => ()
+      }
+    }
+  }
+
+  test("regime classification is total") {
+    assert(fusion.map(_("regime")).toSet.subsetOf(
+      Set[Any]("LOW", "NEUTRAL", "HIGH")))
+  }
+
+  test("book imbalance bounded in [-1,1]") {
+    rowsOf(Book.queries("book_imbalance")(spark, sfDir())).foreach { m =>
+      Option(m("imbalance")).foreach { v =>
+        val d = v.asInstanceOf[Double]
+        assert(d >= -1.0 && d <= 1.0)
+      }
+    }
+  }
+
+  test("hurst defined only on complete groups, in a sane band") {
+    rowsOf(LongMemory.queries("lm_hurst")(spark, sfDir())).foreach { m =>
+      if (m("n").asInstanceOf[Long] < LongMemory.HurstN)
+        assert(m("hurst") == null)
+      Option(m("hurst")).foreach { v =>
+        val d = v.asInstanceOf[Double]
+        assert(d > 0.0 && d < 1.0)
+      }
+    }
+  }
+
+  test("FSM events from the batch replay pair up and respect cooldown") {
+    val evs = rowsOf(Stateful.queries("fsm_position_events")(spark, sfDir()))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    assert(evs.nonEmpty, "expected the sf0.001 replay to trade")
+    val actions = evs.map(_("action"))
+    actions.sliding(2).foreach {
+      case Seq(a, b) => assert(a != b, "ENTER/EXIT must alternate")
+      case _ => ()
+    }
+    evs.grouped(2).foreach {
+      case Seq(e, x) if x("action") == "EXIT" =>
+        assert(x("entry_bucket") == e("bucket"))
+        assert(x("pnl") != null && x("reason") != null)
+      case _ => ()
+    }
+    // cooldown: consecutive (EXIT at b) -> next ENTER at >= b + cooldown
+    evs.sliding(2).foreach {
+      case Seq(x, e) if x("action") == "EXIT" && e("action") == "ENTER" =>
+        assert(e("bucket").asInstanceOf[Long] >=
+          x("bucket").asInstanceOf[Long] + graft.state.Fsm.CooldownBuckets)
+      case _ => ()
+    }
+  }
+
+  test("daily summary reconciles with the event stream") {
+    val evs = rowsOf(Stateful.queries("fsm_position_events")(spark, sfDir()))
+      .filter(_("action") == "EXIT")
+    val daily = rowsOf(Stateful.queries("fsm_daily_summary")(spark, sfDir()))
+    assert(daily.map(_("n_trades").asInstanceOf[Long]).sum == evs.size.toLong)
+    val sumPnl = daily.map(_("total_pnl").asInstanceOf[Double]).sum
+    val evPnl = evs.map(_("pnl").asInstanceOf[Double]).sum
+    assert(math.abs(sumPnl - evPnl) < 1e-9 * math.max(1.0, math.abs(evPnl)))
+  }
+
+  test("cumulative pnl is a prefix sum") {
+    val c = rowsOf(Stateful.queries("fsm_cum_pnl")(spark, sfDir()))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    var acc = 0.0
+    c.foreach { m =>
+      acc += m("pnl").asInstanceOf[Double]
+      assert(math.abs(m("cum_pnl").asInstanceOf[Double] - acc) < 1e-9)
+    }
+  }
+
+  test("hysteresis output is total and lags raw flips") {
+    val t = rowsOf(Stateful.queries("trend_hysteresis")(spark, sfDir()))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    assert(t.nonEmpty)
+    t.sliding(2).foreach {
+      case Seq(a, b) if a("confirmed") != b("confirmed") =>
+        assert(b("raw") == b("confirmed"))
+      case _ => ()
+    }
+  }
+}

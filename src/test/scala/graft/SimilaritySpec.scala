@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics on a constructed embedding space. */
+class SimilaritySpec extends SparkSpec {
+
+  // vec 0 is a query (0 % 25 == 0); vec 50 likewise. 64-dim vectors.
+  private def vec(f: Int => Float): Seq[Float] = (0 until 64).map(f)
+
+  private lazy val dir = writeEmbFixture(Seq(
+    (0L, vec(i => if (i == 0) 1f else 0f), 0),
+    (1L, vec(i => if (i == 0) 1f else 0f), 0),   // identical to query 0
+    (2L, vec(i => if (i <= 1) 1f else 0f), 0),   // cos = 1/sqrt(2)
+    (3L, vec(i => if (i == 1) 1f else 0f), 1),   // orthogonal
+    (4L, vec(i => if (i == 0) -1f else 0f), 1),  // opposite
+    (50L, vec(i => if (i == 2) 2f else 0f), 2),
+    (51L, vec(i => if (i == 2) 5f else 0f), 2))) // same direction as 50
+
+  test("brute-force knn ranks by exact cosine") {
+    val rows = rowsOf(Similarity.queries("knn_brute")(spark, dir))
+    val q0 = rows.filter(_("qid") == 0L)
+      .map(m => m("nid").asInstanceOf[Long] -> m("cos").asInstanceOf[Double]).toMap
+    assert(math.abs(q0(1L) - 1.0) < 1e-12)
+    assert(math.abs(q0(2L) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(q0(3L)) < 1e-12)
+    // 6 candidates, k=5: the antipodal vector is the one cut
+    assert(!q0.contains(4L))
+    val q50 = rows.filter(_("qid") == 50L)
+      .map(m => m("nid").asInstanceOf[Long] -> m("cos").asInstanceOf[Double]).toMap
+    assert(math.abs(q50(51L) - 1.0) < 1e-12) // scale-invariant
+  }
+
+  test("knn returns at most k neighbors per query") {
+    val rows = rowsOf(Similarity.queries("knn_brute")(spark, sfDir()))
+    val counts = rows.groupBy(_("qid")).map(_._2.size)
+    assert(counts.nonEmpty && counts.forall(_ == Similarity.TopK))
+  }
+
+  test("lsh buckets identical vectors together") {
+    val sig = rowsOf(Similarity.queries("ann_lsh_sig")(spark, dir))
+      .map(m => m("vec_id") -> m("bucket")).toMap
+    assert(sig(0L) == sig(1L)) // identical vectors, identical projections
+    assert(sig(50L) == sig(51L)) // same direction
+    sig.values.foreach { b =>
+      val v = b.asInstanceOf[Long]
+      assert(v >= 0 && v < (1L << Similarity.LshBits))
+    }
+  }
+
+  test("lsh candidates are a subset of brute-force with exact cosines") {
+    val brute = rowsOf(Similarity.queries("knn_brute")(spark, sfDir()))
+      .map(m => (m("qid"), m("nid")) -> m("cos")).toMap
+    val lsh = rowsOf(Similarity.queries("ann_lsh_topk")(spark, sfDir()))
+    assert(lsh.nonEmpty)
+    lsh.foreach { m =>
+      brute.get((m("qid"), m("nid"))).foreach { bc =>
+        assert(bc == m("cos")) // same pair -> identical exact cosine
+      }
+    }
+  }
+
+  test("per-label centroids count every vector") {
+    val c = rowsOf(Similarity.queries("emb_centroids")(spark, sfDir()))
+    assert(c.map(_("n").asInstanceOf[Long]).sum == 500L)
+    c.foreach(m => assert(m("centroid_norm").asInstanceOf[Double] > 0.0))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup and text-analysis semantics on a fixture with known duplicate
+  * structure. */
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val dir = writeDocsFixture(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog", "en"),   // near dup
+    (4L, "der hund und die katze und das haus", "de"),
+    (5L, "completely different words entirely here now", "en")))
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val g = rowsOf(Dedup.queries("dedup_exact")(spark, dir))
+    assert(g.size == 4) // 5 docs, one exact pair
+    val dup = g.find(_("n_copies") == 2L).get
+    assert(dup("keeper_doc_id") == 1L)
+  }
+
+  test("identical docs have identical minhash signatures; near dups share most") {
+    val sig = rowsOf(Dedup.queries("dedup_minhash_sig")(spark, dir))
+      .map(m => m("doc_id") -> (0 until Dedup.MinhashK).map(i => m(s"mh$i"))).toMap
+    assert(sig(1L) == sig(2L))
+    val shared = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(shared >= Dedup.MinhashK / 2, s"only $shared minhashes shared")
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH banding surfaces the exact-dup pair") {
+    val pairs = rowsOf(Dedup.queries("dedup_minhash_pairs")(spark, dir))
+      .map(m => (m("doc_a"), m("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard: identical docs score 1.0 and rank first") {
+    val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
+    val first = top.head
+    assert((first("doc_a"), first("doc_b")) == (1L, 2L))
+    assert(first("jaccard") == 1.0)
+    // near-dup pair present with high-but-below-1 similarity
+    val near = top.find(m => (m("doc_a"), m("doc_b")) == (1L, 3L)).get
+    val j = near("jaccard").asInstanceOf[Double]
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("simhash: identical docs equal; unrelated docs differ") {
+    val s = rowsOf(Dedup.queries("dedup_simhash")(spark, dir))
+      .map(m => m("doc_id") -> m("simhash")).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h13 = hamming(s(1L).asInstanceOf[Long], s(3L).asInstanceOf[Long])
+    val h14 = hamming(s(1L).asInstanceOf[Long], s(4L).asInstanceOf[Long])
+    assert(h13 < h14, s"near-dup hamming $h13 should beat unrelated $h14")
+  }
+
+  test("token stats") {
+    val t = rowsOf(TextAnalysis.queries("text_tokens")(spark, dir))
+      .map(m => m("doc_id") -> m).toMap
+    assert(t(1L)("n_tokens") == 9)
+    assert(t(1L)("n_distinct") == 8) // 'the' twice
+    assert(t(5L)("n_tokens") == 6)
+  }
+
+  test("language id picks the stopword-matching language") {
+    val l = rowsOf(TextAnalysis.queries("text_langid")(spark, dir))
+      .map(m => m("doc_id") -> m).toMap
+    assert(l(1L)("pred_lang") == "en")
+    assert(l(4L)("pred_lang") == "de")
+    assert(l(1L)("match") == true)
+    assert(l(5L)("pred_lang") == "und") // no stopwords at all
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d2 = writeDocsFixture(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "gamma beta alpha", "en"),
+      (3L, "alpha beta gamma", "en")))
+    val f = rowsOf(TextAnalysis.queries("text_fingerprint")(spark, d2))
+      .map(m => m("doc_id") -> m("fingerprint")).toMap
+    assert(f(1L) == f(3L))
+    assert(f(1L) != f(2L))
+  }
+
+  test("quality score stays in [0,1] on real data") {
+    val q = rowsOf(TextAnalysis.queries("text_quality")(spark, sfDir()))
+    assert(q.nonEmpty)
+    q.foreach { m =>
+      val v = m("quality").asInstanceOf[Double]
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+}
