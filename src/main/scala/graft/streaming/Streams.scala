@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.state.Fsm
+import graft.state.Fsm.{FsmEvent, FsmIn, PosState, TrendIn, TrendOut, TrendState}
+
+/** Structured Streaming pipeline pieces (SURVEY.md §2.9): the live-mode
+  * twins of the batch operators, built so the two modes share semantics:
+  *
+  *  - event-time windowed aggregations with watermarks: the reference's
+  *    deque-with-time-cutoff buffers map 1:1 to
+  *    `withWatermark(ts, grace)` + `window(ts, len)` — the watermark
+  *    *is* the eviction policy (data_manager.py:627-671), and state is
+  *    bounded per (symbol, window) at any scale.
+  *  - incremental EMA via `flatMapGroupsWithState`: the reference rescans
+  *    its window per tick (O(window)); the streaming fold carries one
+  *    (value) state per symbol — O(1) per event, the SURVEY §4
+  *    "improved" plan.
+  *  - the position FSM and trend hysteresis as `flatMapGroupsWithState`
+  *    over the SAME pure `Fsm.step`/`Fsm.trendStep` used by batch replay
+  *    — SURVEY §7.4(3): the FSM is a function of (state, ordered events),
+  *    so batch and streaming cannot drift apart.
+  *
+  * Sinks: `writeStream.format("parquet")` append for the Trades /
+  * Parameters tables; the Daily Summary upsert and alert throttle are
+  * `foreachBatch` concerns (demonstrated in the spec).
+  */
+object Streams {
+
+  /** Trade wire schema (SURVEY §1.1 #1). */
+  case class Trade(symbol: String, ts: Timestamp, price: Double, qty: Double,
+      isBuyerMaker: Boolean)
+
+  /** Watermarked per-10s taker delta (streaming twin of flow_delta;
+    * strategy.py:1000-1021). Append mode emits a window only once the
+    * watermark passes — late rows within the grace update it, later rows
+    * are dropped, exactly the reference's retention slack. */
+  def takerDelta(trades: Dataset[Trade], watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "10 seconds"), $"symbol")
+      .agg(
+        sum(when(!$"isBuyerMaker", $"qty").otherwise(0.0)).as("buy_vol"),
+        sum(when($"isBuyerMaker", $"qty").otherwise(0.0)).as("sell_vol"))
+      .withColumn("delta", $"buy_vol" - $"sell_vol")
+      .select($"window.start".as("win_start"), $"symbol", $"buy_vol",
+        $"sell_vol", $"delta")
+  }
+
+  /** Tumbling 1-minute OHLC bars from the trade stream (streaming twin of
+    * bars_ohlc; data_manager.py:788-801). */
+  def ohlcBars(trades: Dataset[Trade], watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 minute"), $"symbol")
+      .agg(
+        min_by($"price", $"ts").as("open"),
+        max($"price").as("high"),
+        min($"price").as("low"),
+        max_by($"price", $"ts").as("close"),
+        sum($"qty").as("volume"))
+      .select($"window.start".as("bar_start"), $"symbol", $"open", $"high",
+        $"low", $"close", $"volume")
+  }
+
+  case class EmaState(ema: Double)
+  case class EmaOut(symbol: String, ts: Timestamp, price: Double, ema: Double)
+
+  /** Incremental EMA: one double of state per symbol, exact
+    * `ewm(adjust=False)` recursion (data_manager.py:721-745) — O(1) per
+    * event instead of the reference's per-tick window rescan. Rows within
+    * a trigger batch fold in event-time order. */
+  def emaStream(trades: Dataset[Trade], span: Int = 20): Dataset[EmaOut] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (span + 1.0)
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, it: Iterator[Trade], state: GroupState[EmaState]) => {
+          var ema = state.getOption.map(_.ema)
+          val out = it.toArray.sortBy(_.ts.getTime).map { t =>
+            val next = ema match {
+              case Some(e) => alpha * t.price + (1.0 - alpha) * e
+              case None => t.price
+            }
+            ema = Some(next)
+            EmaOut(symbol, t.ts, t.price, next)
+          }
+          state.update(EmaState(ema.getOrElse(0.0)))
+          out.iterator
+        })
+  }
+
+  /** Position FSM over a keyed signal stream: the same `Fsm.step` as the
+    * batch replay, with keyed state in the state store. In live mode the
+    * 10-bucket time stop would add a ProcessingTimeTimeout; the pure
+    * transition already handles it from event time. */
+  def positionEvents(signals: Dataset[FsmIn]): Dataset[FsmEvent] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    signals
+      .groupByKey(_ => "SYM") // single-symbol reference; key by symbol col in real data
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[FsmIn], state: GroupState[PosState]) => {
+          var st = state.getOption.getOrElse(Fsm.initState)
+          val evs = it.toArray.sortBy(_.bucket).flatMap { i =>
+            val (st2, ev) = Fsm.step(st, i)
+            st = st2
+            ev
+          }
+          state.update(st)
+          evs.iterator
+        })
+  }
+
+  /** Trend hysteresis over a keyed raw-trend stream (data_manager.py:
+    * 1047-1067) — `Fsm.trendStep` with keyed state. */
+  def trendStream(raw: Dataset[TrendIn]): Dataset[TrendOut] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw
+      .groupByKey(_ => "SYM")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[TrendIn], state: GroupState[TrendState]) => {
+          var st = state.getOption.getOrElse(Fsm.trendInit)
+          val out = it.toArray.sortBy(_.bucket).map { i =>
+            st = Fsm.trendStep(st, i.raw)
+            TrendOut(i.bucket, i.raw, st.confirmed)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Backfill-then-stream (SURVEY §2.8, EP2): Spark cannot union a static
+    * and a streaming Dataset, and does not need to — a file streaming
+    * source reads the already-present history files as its first batches
+    * and then tails new arrivals, which is exactly the reference's
+    * REST-warmup-then-live-socket sequence (data_manager.py:191-197).
+    * Rows appearing in both the backfill and the live overlap dedupe on
+    * (symbol, ts) within the watermark. */
+  def backfillThenStream(spark: SparkSession, dir: String,
+      watermark: String = "2 minutes"): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Trade].schema)
+      .parquet(dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("symbol", "ts")
+      .select($"symbol", $"ts", $"price")
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.state.Fsm
+import graft.state.Fsm.{FsmIn, TrendIn}
+import graft.streaming.Streams
+import graft.streaming.Streams.Trade
+
+/** End-to-end streaming semantics with MemoryStream (SURVEY §5.3): the
+  * watermark drops too-late rows, append-mode windows finalize exactly
+  * once, and the streaming FSMs emit the identical event stream as the
+  * batch replay over the same inputs.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("windowed delta: append emits finalized windows; late data beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.takerDelta(input.toDS(), watermark = "30 seconds")
+      .writeStream.format("memory").queryName("delta_out")
+      .outputMode("append").start()
+
+    // window [0,10): two trades; then advance event time far past the
+    // watermark so the window finalizes
+    input.addData(
+      Trade("S", ts(1), 100.0, 2.0, false), // buy
+      Trade("S", ts(5), 100.0, 0.5, true))  // sell
+    input.addData(Trade("S", ts(120), 100.0, 1.0, false))
+    q.processAllAvailable()
+    // a too-late row for the closed window must be ignored
+    input.addData(Trade("S", ts(2), 100.0, 99.0, false))
+    input.addData(Trade("S", ts(240), 100.0, 1.0, false))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("delta_out").collect()
+      .map(r => r.getAs[Timestamp]("win_start").getTime / 1000 ->
+        (r.getAs[Double]("buy_vol"), r.getAs[Double]("sell_vol"))).toMap
+    assert(rows(0L) == ((2.0, 0.5))) // the late 99.0 never arrived
+  }
+
+  test("streaming OHLC bars match arrival-order open/close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.ohlcBars(input.toDS(), watermark = "30 seconds")
+      .writeStream.format("memory").queryName("bars_out")
+      .outputMode("append").start()
+    input.addData(
+      Trade("S", ts(1), 10.0, 1.0, false),
+      Trade("S", ts(30), 30.0, 1.0, false),
+      Trade("S", ts(59), 20.0, 1.0, false))
+    input.addData(Trade("S", ts(300), 1.0, 1.0, false)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("bars_out").collect()
+      .find(_.getAs[Timestamp]("bar_start").getTime == 0L).get
+    assert(r.getAs[Double]("open") == 10.0)
+    assert(r.getAs[Double]("high") == 30.0)
+    assert(r.getAs[Double]("close") == 20.0)
+  }
+
+  test("incremental EMA equals the batch recursion") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.emaStream(input.toDS(), span = 20)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode("append").start()
+    val prices = Seq(30.0, 15.0, 22.5, 18.0)
+    // split across two triggers to prove state carries over
+    input.addData(prices.take(2).zipWithIndex.map { case (p, i) =>
+      Trade("S", ts(i * 60), p, 1.0, false) })
+    q.processAllAvailable()
+    input.addData(prices.drop(2).zipWithIndex.map { case (p, i) =>
+      Trade("S", ts((i + 2) * 60), p, 1.0, false) })
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ema_out").collect()
+      .sortBy(_.getAs[Timestamp]("ts").getTime).map(_.getAs[Double]("ema")).toSeq
+    val alpha = 2.0 / 21.0
+    val expected = prices.tail.scanLeft(prices.head)((acc, x) =>
+      alpha * x + (1 - alpha) * acc)
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("streaming position FSM replays identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ins = Seq(
+      FsmIn(1, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0),
+      FsmIn(2, 101.0, 103.0, 99.5, "NONE", 1.0, 1.0),
+      FsmIn(3, 105.0, 105.0, 103.0, "NONE", 1.0, 1.0), // TP hit
+      FsmIn(4, 100.0, 100.0, 100.0, "SHORT", 1.0, 1.0), // cooldown blocks
+      FsmIn(5, 100.0, 100.0, 100.0, "SHORT", 1.0, 1.0),
+      FsmIn(6, 100.0, 103.0, 100.0, "NONE", 1.0, 1.0)) // SL (short) hit
+    val batch = Fsm.run(ins.iterator).toList
+
+    val input = MemoryStream[FsmIn]
+    val q = Streams.positionEvents(input.toDS())
+      .writeStream.format("memory").queryName("fsm_out")
+      .outputMode("append").start()
+    input.addData(ins.take(3)) // state must survive the trigger boundary
+    q.processAllAvailable()
+    input.addData(ins.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fsm_out").as[graft.state.Fsm.FsmEvent]
+      .collect().toList.sortBy(_.bucket)
+    assert(streamed == batch)
+  }
+
+  test("streaming hysteresis replays identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raws = Seq("RANGEBOUND", "UPTREND", "UPTREND", "DOWNTREND",
+      "DOWNTREND", "DOWNTREND").zipWithIndex
+      .map { case (r, i) => TrendIn(i.toLong, r) }
+    val batch = Fsm.trendRun(raws.iterator).toList
+
+    val input = MemoryStream[TrendIn]
+    val q = Streams.trendStream(input.toDS())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    input.addData(raws.take(2))
+    q.processAllAvailable()
+    input.addData(raws.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trend_out").as[graft.state.Fsm.TrendOut]
+      .collect().toList.sortBy(_.bucket)
+    assert(streamed == batch)
+  }
+
+  test("backfill-then-stream dedupes the overlap inside the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // history files exist before the stream starts = the REST warmup
+    // (times offset from epoch: a ts equal to the initial watermark of 0
+    // would be dropped as late)
+    Seq(Trade("S", ts(1000), 10.0, 1.0, false),
+        Trade("S", ts(1060), 11.0, 1.0, false),
+        Trade("S", ts(1120), 12.0, 1.0, false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.backfillThenStream(spark, dir)
+      .writeStream.format("memory").queryName("union_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // live arrivals: first repeats the last backfill bar, second is new
+    Seq(Trade("S", ts(1120), 12.0, 1.0, false),
+        Trade("S", ts(1180), 13.0, 1.0, false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("union_out").collect()
+    assert(rows.length == 4) // 3 history + 1 new; duplicate dropped
+  }
+}
