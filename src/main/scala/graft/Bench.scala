@@ -1,24 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line (driver contract).
+  *
+  * Extra env knobs for local iteration (ignored by the driver):
+  *  - SPARK_GRAFT_ONLY=a,b,c   run only the named queries
+  *  - SPARK_GRAFT_EXPLAIN=1    print each query's formatted plan
+  *  - SPARK_GRAFT_REPEAT=n     best-of-n timing per query
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val qs = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = qs.map { case (name, fn) =>
+      if (explain) {
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => System.err.println(s"$name: $e") }
+      }
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
