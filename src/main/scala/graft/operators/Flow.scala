@@ -30,7 +30,7 @@ object Flow {
   val DeltaBucketUs: Long = 600L * 1000000L
   val HourUs: Long = 3600L * 1000000L
 
-  private def deltaDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def deltaDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .eventsWithSide(spark, dir)
@@ -41,7 +41,7 @@ object Flow {
       .withColumn("delta", $"buy_vol" - $"sell_vol")
   }
 
-  private val deltaSql: String =
+  private[operators] val deltaSql: String =
     s"""SELECT epoch_us(ts) // $DeltaBucketUs AS bucket,
        |  sum(CASE WHEN $BuySql THEN value ELSE 0.0 END) AS buy_vol,
        |  sum(CASE WHEN $BuySql THEN 0.0 ELSE value END) AS sell_vol,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ColFns, MomentsAgg, NormCdf}
+import graft.GraftExtensions
+
+/** The custom Catalyst surface: codegen expression vs expression tree vs
+  * scalar kernel must agree bitwise; the Welford aggregator must match
+  * Spark's built-in population stats. */
+class ScalarsSpec extends SparkSpec {
+
+  test("norm_cdf codegen expression == expression tree == scalar kernel, bitwise") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val xs = Seq(-4.0, -1.5, -0.0001, 0.0, 0.3, 1.96, 5.5)
+    val rows = xs.toDF("x")
+      .withColumn("native", expr("norm_cdf(x)"))
+      .withColumn("tree", ColFns.normCdf($"x"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getDouble(0)
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"native != tree at $x")
+      assert(r.getDouble(1) == NormCdf.compute(x), s"native != kernel at $x")
+    }
+  }
+
+  test("norm_cdf expression survives whole-stage codegen and nulls") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // a real scan: local relations constant-fold before codegen
+    val df = graft.sources.Tables.events(spark, sfDir())
+      .selectExpr("value", "norm_cdf(value) AS p",
+        "norm_cdf(cast(NULL as double)) AS pn")
+    // "*(n)" prefixes mark WholeStageCodegen stages in this plan format
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("norm_cdf(value"),
+      s"not codegen'd:\n$plan")
+    val first = df.collect().head
+    assert(first.getDouble(1) == NormCdf.compute(first.getDouble(0)))
+    assert(first.isNullAt(2)) // null propagates
+  }
+
+  test("MomentsAgg matches built-in count/avg/stddev_pop across partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val xs = (1 to 10001).map(_ => rnd.nextDouble() * 100 - 50)
+    val ds = xs.toDS().repartition(7) // force non-trivial merges
+    val (n, mean, std) = ds.select(MomentsAgg.toColumn).collect().head
+    val exp = ds.agg(count(lit(1)), avg($"value"), stddev_pop($"value"))
+      .collect().head
+    assert(n == exp.getLong(0))
+    assert(math.abs(mean - exp.getDouble(1)) < 1e-9)
+    assert(math.abs(std - exp.getDouble(2)) < 1e-9)
+  }
+
+  test("MomentsAgg merge is associative-safe on empty/singleton buffers") {
+    import graft.functions.MomentsBuf
+    val a = MomentsAgg.reduce(MomentsAgg.zero, 3.0)
+    assert(MomentsAgg.merge(MomentsAgg.zero, a) == a)
+    assert(MomentsAgg.merge(a, MomentsAgg.zero) == a)
+    val (n, mean, std) = MomentsAgg.finish(a)
+    assert(n == 1L && mean == 3.0 && std == 0.0)
+  }
+}
