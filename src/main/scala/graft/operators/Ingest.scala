@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.OpModule
+
+/** Ingestion-edge operators (SURVEY §2.1, §2.3, §2.9):
+  *
+  *  - `ingest_validated`: the reference's validity filters — drop
+  *    non-positive prices/quantities and zero timestamps, dedupe repeated
+  *    deliveries by event id (data_manager.py:513-514, 282-286) — plus
+  *    the wire-format cast chain (string-encoded decimal -> double,
+  *    futures_api.py:349-364): the JSON `props` payload's `k` field is
+  *    parsed and cast exactly as the reference casts `close_str`.
+  *  - `session_agg`: fixed UTC session bucketing (Asia/London/NY,
+  *    config.py:112-115) — a pure hour-of-day expression, not a gap
+  *    session window — with per-session aggregates.
+  *
+  * Both are scan-level map work plus one hash aggregation: the filters
+  * and the projection reach the parquet scan (PushedFilters), so at
+  * 100 TB invalid rows are skipped before they cost anything downstream.
+  */
+object Ingest extends OpModule {
+
+  private def validatedDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"value" > 0.0 && $"ts_us" > 0L)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_id")
+      .agg(max_by(struct($"ts_us", $"event_type", $"value", $"k"), $"ts_us")
+        .as("r"))
+      .select($"event_id", $"r.ts_us".as("ts_us"),
+        $"r.event_type".as("event_type"), $"r.value".as("value"),
+        $"r.k".as("k"))
+  }
+
+  private val validatedSql: String =
+    """SELECT event_id,
+      |  arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us,
+      |  arg_max(event_type, epoch_us(ts)) AS event_type,
+      |  arg_max(value, epoch_us(ts)) AS value,
+      |  arg_max(json_extract_string(props, '$.k')::BIGINT, epoch_us(ts)) AS k
+      |FROM events
+      |WHERE value > 0.0 AND epoch_us(ts) > 0
+      |GROUP BY event_id""".stripMargin
+
+  // Fixed UTC session ranges (the reference's config.py:112-115 shape).
+  private val sessions = Seq(
+    ("ASIA", 0, 8), ("LONDON", 8, 13), ("NY", 13, 21), ("LATE", 21, 24))
+
+  private def sessionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourOfDay = expr("(ts_us div 3600000000) % 24")
+    val label = sessions.foldLeft(lit("LATE")) {
+      case (acc, (name, lo, hi)) =>
+        when(hourOfDay >= lo && hourOfDay < hi, name).otherwise(acc)
+    }
+    Tables.eventsWithSide(spark, dir)
+      .withColumn("session", label)
+      .groupBy($"session")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value").as("volume"),
+        avg($"value").as("avg_value"),
+        sum(when($"is_buy", $"value").otherwise(0.0)).as("buy_volume"))
+  }
+
+  private val sessionSql: String = {
+    val hourOfDay = "(epoch_us(ts) // 3600000000) % 24"
+    val label = sessions.reverse.foldRight("'LATE'") {
+      case ((name, lo, hi), acc) =>
+        s"CASE WHEN $hourOfDay >= $lo AND $hourOfDay < $hi THEN '$name' ELSE $acc END"
+    }
+    s"""SELECT $label AS session,
+       |  count(*) AS n_events, sum(value) AS volume, avg(value) AS avg_value,
+       |  sum(CASE WHEN ${Tables.BuySql} THEN value ELSE 0.0 END) AS buy_volume
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_validated" -> (validatedDf(_, _)),
+    "session_agg" -> (sessionDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ingest_validated" -> validatedSql,
+    "session_agg" -> sessionSql
+  )
+}

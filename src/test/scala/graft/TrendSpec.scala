@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LogisticTrendClassifier, Trend}
+
+/** Trend classifier: dataset-builder semantics and the ML pipeline
+  * behind the TrendClassifier trait (capability parity: 3-state output
+  * with a probability floor, SURVEY §2.11). */
+class TrendSpec extends SparkSpec {
+
+  private lazy val features = Trend.queries("trend_features")(spark, sfDir("sf0.01"))
+
+  test("feature rows are complete and labels match the future return") {
+    val rows = rowsOf(features)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      (0 until Trend.SeqLen).foreach(i => assert(m(s"f$i") != null))
+      val fr = m("future_ret").asInstanceOf[Double]
+      val expected =
+        if (fr > Trend.RetThresh) "UP"
+        else if (fr < -Trend.RetThresh) "DOWN"
+        else "RANGE"
+      assert(m("label") == expected)
+    }
+  }
+
+  test("labels cover all three classes on real data") {
+    val labels = rowsOf(features).map(_("label")).toSet
+    assert(labels == Set[Any]("UP", "DOWN", "RANGE"))
+  }
+
+  test("classifier fits, predicts all rows, and honors the probability floor") {
+    val clf = new LogisticTrendClassifier(probFloor = 0.5)
+    clf.fit(features)
+    val pred = clf.predict(features)
+    val rows = pred
+      .withColumn("max_prob", array_max(
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))))
+      .select("pred_trend", "max_prob", "label").collect()
+    assert(rows.length == features.count())
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(Set("UPTREND", "DOWNTREND", "RANGEBOUND").contains(t))
+      if (r.getDouble(1) < 0.5) assert(t == "RANGEBOUND")
+    }
+    // better than the trivial all-majority baseline on its training set
+    val full = pred.count().toDouble
+    val majority = rowsOf(features).groupBy(_("label")).map(_._2.size).max / full
+    val correct = rows.count { r =>
+      (r.getString(0), r.getString(2)) match {
+        case ("UPTREND", "UP") | ("DOWNTREND", "DOWN") |
+             ("RANGEBOUND", "RANGE") => true
+        case _ => false
+      }
+    } / full
+    assert(correct >= majority * 0.85,
+      s"accuracy $correct should approach majority $majority")
+  }
+
+  test("classifier is deterministic across refits") {
+    val a = new LogisticTrendClassifier()
+    val b = new LogisticTrendClassifier()
+    a.fit(features); b.fit(features)
+    val pa = a.predict(features).select("bucket", "pred_trend").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pb = b.predict(features).select("bucket", "pred_trend").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pa == pb)
+  }
+}
