@@ -306,6 +306,18 @@ object Scores extends OpModule {
        |       ELSE 'NONE' END AS side
        |FROM g6""".stripMargin
 
+  /** The scored frame is the shared input of five queries (fusion,
+    * entries, and the three FSM-derived tables). Memoize + persist per
+    * (session, dir): ~720 rows at sf0.01, materialized once per session
+    * instead of re-running the ten-join pipeline per query — the
+    * "reuse a partitioning across stages" rule applied to a whole frame. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[operators] def scoredShared(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, dir),
+      _ => scored(signalsDf(spark, dir), spark).persist())
+
   private val outCols = Seq("bucket", "close", "regime", "z", "cvd",
     "imbalance", "bid_wall", "ask_wall", "bos", "hurst", "atr_pct",
     "core_long", "core_short", "mc_long", "mc_short", "bayes_long",
@@ -314,14 +326,14 @@ object Scores extends OpModule {
     "total_short", "entry_long", "entry_short", "side")
 
   private def fusionDf(spark: SparkSession, dir: String): DataFrame =
-    scored(signalsDf(spark, dir), spark).select(outCols.map(col): _*)
+    scoredShared(spark, dir).select(outCols.map(col): _*)
 
   private val fusionSql: String =
     s"""SELECT ${outCols.mkString(", ")} FROM ($scoredSql) q""".stripMargin
 
   private def entriesDf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    scored(signalsDf(spark, dir), spark)
+    scoredShared(spark, dir)
       .filter(col("side") =!= "NONE")
       .select(col("bucket"), col("close"), col("side"),
         when(col("side") === "LONG", col("total_long"))

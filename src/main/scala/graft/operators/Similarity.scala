@@ -82,10 +82,17 @@ object Similarity extends OpModule {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= $TopK""".stripMargin
 
   /** Deterministic hyperplane weight for (bit, dim): md5-derived uniform
-    * in [-1, 1). Both engines build the identical plane. */
-  private def planeW(b: Column, i: Column): Column =
-    ColFns.hex32(concat(b.cast("string"), lit("_"), i.cast("string"))) /
-      lit(2147483648.0) - lit(1.0)
+    * in [-1, 1). Both engines build the identical plane — the Spark side
+    * precomputes the 6x64 matrix driver-side with the same md5 formula
+    * (bitwise-equal doubles) and ships it as a literal, instead of
+    * hashing per (row, bit, dim): a broadcast-constant in the plan, 768k
+    * md5 calls saved per pass at sf0.1. */
+  private[operators] def planeWeight(b: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${b}_$i".getBytes("UTF-8"))
+    val h = md.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    h / 2147483648.0 - 1.0
+  }
 
   private def planeWSql(b: String, i: String): String =
     s"(${ColFns.hex32Sql(s"($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
@@ -93,14 +100,16 @@ object Similarity extends OpModule {
   /** Per-vector LSH bucket: sign pattern of the 6 projections. */
   private def lshSigDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val planes = array((0 until LshBits).map(b =>
+      array((1 to Dim).map(i => lit(planeWeight(b, i))): _*)): _*)
     Tables.embeddings(spark, dir)
+      .withColumn("planes", planes)
       .select($"vec_id", $"embedding",
-        explode(sequence(lit(0), lit(LshBits - 1))).as("b"))
+        posexplode($"planes").as(Seq("b", "w")))
       .withColumn(
         "proj",
-        aggregate(
-          zip_with($"embedding", sequence(lit(1), lit(Dim)),
-            (x, i) => x.cast("double") * planeW($"b", i)),
+        aggregate(zip_with($"embedding", $"w",
+          (x, wi) => x.cast("double") * wi),
           lit(0.0), (acc, v) => acc + v))
       .groupBy($"vec_id")
       .agg(sum(when($"proj" >= 0.0,

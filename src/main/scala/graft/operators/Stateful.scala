@@ -38,7 +38,7 @@ object Stateful extends OpModule {
     Bars.ohlcDf(spark, dir)
       .select($"bucket", $"close", $"high", $"low")
       .join(
-        Scores.scored(Scores.signalsDf(spark, dir), spark)
+        Scores.scoredShared(spark, dir)
           .select($"bucket", $"side", $"total_long", $"total_short"),
         Seq("bucket"))
   }
