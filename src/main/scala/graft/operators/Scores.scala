@@ -351,13 +351,47 @@ object Scores extends OpModule {
        |  CASE WHEN side = 'LONG' THEN kelly_long ELSE kelly_short END AS kelly
        |FROM ($scoredSql) q WHERE side <> 'NONE'""".stripMargin
 
+  // Position sizing (risk_manager.py:148-174, config.py:23-26): margin =
+  // clamp(balance*pct, 4, 10000) with the regime-dependent pct
+  // (config.py:144-155: 15% in HIGH vol, else 20%); qty = round(margin *
+  // leverage / price, 6) floored at the 0.001 min lot.
+  val Balance = 10000.0
+  val Leverage = 10.0
+
+  private def sizingDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredShared(spark, dir)
+      .filter($"side" =!= "NONE")
+      .withColumn("pct",
+        when($"regime" === "HIGH", 0.15).otherwise(0.20))
+      .withColumn("margin",
+        ColFns.clamp(lit(Balance) * $"pct", 4.0, 10000.0))
+      .withColumn("qty",
+        greatest(round($"margin" * Leverage / $"close", 6), lit(0.001)))
+      .select($"bucket", $"side", $"regime", $"close", $"pct", $"margin",
+        $"qty")
+  }
+
+  private val sizingSql: String =
+    s"""SELECT bucket, side, regime, close,
+       |  CASE WHEN regime = 'HIGH' THEN 0.15 ELSE 0.20 END AS pct,
+       |  ${ColFns.clampSql(
+        s"$Balance * (CASE WHEN regime = 'HIGH' THEN 0.15 ELSE 0.20 END)",
+        4.0, 10000.0)} AS margin,
+       |  greatest(round(${ColFns.clampSql(
+        s"$Balance * (CASE WHEN regime = 'HIGH' THEN 0.15 ELSE 0.20 END)",
+        4.0, 10000.0)} * $Leverage / close, 6), 0.001) AS qty
+       |FROM ($scoredSql) q WHERE side <> 'NONE'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fusion_scores" -> (fusionDf(_, _)),
-    "entry_signals" -> (entriesDf(_, _))
+    "entry_signals" -> (entriesDf(_, _)),
+    "position_sizing" -> (sizingDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "fusion_scores" -> fusionSql,
-    "entry_signals" -> entriesSql
+    "entry_signals" -> entriesSql,
+    "position_sizing" -> sizingSql
   )
 }
