@@ -70,6 +70,59 @@ object Streams {
         $"low", $"close", $"volume")
   }
 
+  /** Sliding-window CVD (SURVEY §2.9 "sliding windows"): a 60-second
+    * window sliding every 10 seconds — each event contributes to six
+    * overlapping windows, all maintained incrementally in the state
+    * store (aether_oracle.py:123-153's "last N seconds" rescan,
+    * declaratively). */
+  def slidingCvd(trades: Dataset[Trade], watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "60 seconds", "10 seconds"), $"symbol")
+      .agg(
+        sum(when(!$"isBuyerMaker", $"qty").otherwise(0.0)).as("buy_vol"),
+        sum(when($"isBuyerMaker", $"qty").otherwise(0.0)).as("sell_vol"))
+      .withColumn("cvd",
+        coalesce(
+          least(greatest(($"buy_vol" - $"sell_vol") /
+            when($"buy_vol" + $"sell_vol" =!= 0.0, $"buy_vol" + $"sell_vol"),
+            lit(-1.0)), lit(1.0)),
+          lit(0.0)))
+      .select($"window.start".as("win_start"), $"symbol", $"buy_vol",
+        $"sell_vol", $"cvd")
+  }
+
+  case class Alert(symbol: String, ts: Timestamp, message: String)
+  case class ThrottleState(lastEmitMs: Long)
+
+  /** Throttled alert sink feed (telegram_notifier.py:87-103: >= WARNING
+    * with a global 5 s throttle): keyed state holds only the last emit
+    * time; alerts inside the throttle window drop. Sink-side rate
+    * limiting expressed as a streaming operator so the decision is
+    * replayable and testable. */
+  def throttledAlerts(alerts: Dataset[Alert],
+      throttleMs: Long = 5000L): Dataset[Alert] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    alerts
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Alert], state: GroupState[ThrottleState]) => {
+          // Option, not a Long.MinValue sentinel: ts - MinValue overflows
+          var last: Option[Long] = state.getOption.map(_.lastEmitMs)
+          val out = it.toArray.sortBy(_.ts.getTime).flatMap { a =>
+            if (last.forall(l => a.ts.getTime - l >= throttleMs)) {
+              last = Some(a.ts.getTime)
+              Some(a)
+            } else None
+          }
+          last.foreach(l => state.update(ThrottleState(l)))
+          out.iterator
+        })
+  }
+
   case class EmaState(ema: Double)
   case class EmaOut(symbol: String, ts: Timestamp, price: Double, ema: Double)
 

@@ -136,6 +136,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sliding CVD: each event lands in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.slidingCvd(input.toDS(), watermark = "30 seconds")
+      .writeStream.format("memory").queryName("cvd_out")
+      .outputMode("append").start()
+    // one buy at t=65s: belongs to windows starting 10..60s (6 windows)
+    input.addData(Trade("S", ts(65), 100.0, 3.0, false))
+    input.addData(Trade("S", ts(500), 100.0, 1.0, true)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cvd_out").collect()
+      .filter(_.getAs[Double]("buy_vol") == 3.0)
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getAs[Double]("cvd") == 1.0))
+    val starts = rows.map(_.getAs[Timestamp]("win_start").getTime / 1000).sorted
+    assert(starts.toSeq == Seq(10L, 20L, 30L, 40L, 50L, 60L))
+  }
+
+  test("alert throttle: drops alerts inside the 5s window, state survives triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams.Alert
+    val input = MemoryStream[Alert]
+    val q = Streams.throttledAlerts(input.toDS())
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    input.addData(
+      Alert("S", ts(10), "a"), // emit
+      Alert("S", ts(12), "b"), // throttled
+      Alert("S", ts(15), "c")) // emit (>= 5s after a)
+    q.processAllAvailable()
+    input.addData(
+      Alert("S", ts(17), "d"), // throttled (state crossed the trigger)
+      Alert("S", ts(21), "e")) // emit
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts_out").collect()
+      .map(_.getAs[String]("message")).sorted.toSeq
+    assert(got == Seq("a", "c", "e"))
+  }
+
   test("backfill-then-stream dedupes the overlap inside the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
