@@ -99,15 +99,42 @@ object Keyed extends OpModule {
       |  avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS fill_rate
       |FROM orders GROUP BY 1""".stripMargin
 
+  val SaltBuckets = 16
+
+  /** Two-phase salted aggregation for skewed keys: event_type has only 5
+    * hot values, so a plain groupBy concentrates each key on one reducer.
+    * Salting by event_id%N spreads each hot key over N partial aggregates
+    * that a cheap second pass folds — the declarative AQE-independent
+    * skew guard. The oracle is the UNSALTED aggregation: same answer by
+    * construction, which is the point of the pattern. */
+  private def saltedDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("salt", $"event_id" % SaltBuckets)
+      .groupBy($"event_type", $"salt")
+      .agg(sum($"value").as("pv"), count(lit(1)).as("pn"),
+        max($"value").as("pmax"))
+      .groupBy($"event_type")
+      .agg(sum($"pv").as("volume"), sum($"pn").as("n_events"),
+        max($"pmax").as("max_value"))
+  }
+
+  private val saltedSql: String =
+    """SELECT event_type, sum(value) AS volume, count(*) AS n_events,
+      |  max(value) AS max_value
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
-    "order_success_rate" -> (successRateDf(_, _))
+    "order_success_rate" -> (successRateDf(_, _)),
+    "agg_salted" -> (saltedDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
-    "order_success_rate" -> successRateSql
+    "order_success_rate" -> successRateSql,
+    "agg_salted" -> saltedSql
   )
 }

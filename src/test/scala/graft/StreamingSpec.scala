@@ -179,6 +179,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("a", "c", "e"))
   }
 
+  test("FSM state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val srcDir = s"$base/src"
+    val ckptDir = s"$base/ckpt"
+    val ins = Seq(
+      FsmIn(1, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0),
+      FsmIn(2, 101.0, 101.0, 100.5, "NONE", 1.0, 1.0), // position held
+      FsmIn(3, 105.0, 105.0, 103.0, "NONE", 1.0, 1.0), // TP hit after restart
+      FsmIn(4, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0)) // blocked by cooldown
+    val batch = Fsm.run(ins.iterator).toList
+
+    val outDir = s"$base/out"
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    def startQuery() = Streams
+      .positionEvents(spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[FsmIn].schema)
+        .parquet(srcDir).as[FsmIn])
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+
+    ins.take(2).toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // open position lives only in the state store now
+    ins.drop(2).toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(outDir).as[graft.state.Fsm.FsmEvent]
+      .collect().toList.sortBy(_.bucket)
+    assert(all == batch, s"restart lost state: $all vs $batch")
+    // the exit emitted AFTER the restart closes the position entered BEFORE
+    assert(all.exists(e =>
+      e.action == "EXIT" && e.reason.contains("TP_HIT") && e.entry_bucket == 1))
+  }
+
   test("backfill-then-stream dedupes the overlap inside the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
