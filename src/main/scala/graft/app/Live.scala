@@ -1,0 +1,116 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.state.Fsm.FsmIn
+import graft.streaming.Streams
+import graft.streaming.Streams.Trade
+
+/** Live-mode wiring (SURVEY §7.1, EP1): the streaming pipeline as three
+  * always-on queries over a file-source trade feed (swap the source for
+  * kafka in production — everything downstream is source-agnostic):
+  *
+  *  1. bars: watermarked 1-minute OHLC -> parquet append (the candle
+  *     buffer, persisted instead of deque'd)
+  *  2. deltas: watermarked 10 s taker-delta -> parquet append (the
+  *     Parameters-table feed)
+  *  3. trades: the position FSM over a signal feed -> parquet append
+  *     (the Trades table), PLUS a foreachBatch daily-summary UPSERT —
+  *     each micro-batch folds its closed trades into a day-keyed summary
+  *     table (read-modify-overwrite merge; zscore_excel_logger.py:
+  *     387-415's update-or-append row, made transactional per batch)
+  *
+  * Every query checkpoints independently; restart-with-state is covered
+  * by the checkpoint-recovery spec.
+  */
+object Live {
+
+  def tradeSource(spark: SparkSession, dir: String) =
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Trade].schema)
+      .parquet(dir).as[Trade](org.apache.spark.sql.Encoders.product[Trade])
+
+  def signalSource(spark: SparkSession, dir: String) =
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[FsmIn].schema)
+      .parquet(dir).as[FsmIn](org.apache.spark.sql.Encoders.product[FsmIn])
+
+  def barsQuery(spark: SparkSession, tradesDir: String, outDir: String,
+      ckptDir: String): StreamingQuery =
+    Streams.ohlcBars(tradeSource(spark, tradesDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/bars")
+      .option("checkpointLocation", s"$ckptDir/bars")
+      .outputMode("append").start()
+
+  def deltaQuery(spark: SparkSession, tradesDir: String, outDir: String,
+      ckptDir: String): StreamingQuery =
+    Streams.takerDelta(tradeSource(spark, tradesDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/deltas")
+      .option("checkpointLocation", s"$ckptDir/deltas")
+      .outputMode("append").start()
+
+  /** Merge a micro-batch of closed trades into the day-keyed summary:
+    * read the existing table, re-aggregate affected days, overwrite.
+    * The parquet swap is atomic per batch via a temp-dir rename. */
+  private[app] def upsertDailySummary(outDir: String)(
+      exits: DataFrame): Unit = {
+    val spark = exits.sparkSession
+    val path = s"$outDir/daily_summary"
+    val newAgg = exits
+      .groupBy(expr("bucket div 24").as("day"))
+      .agg(count(lit(1)).as("n_trades"), sum(col("pnl")).as("total_pnl"))
+    val merged =
+      if (new java.io.File(path).exists()) {
+        spark.read.parquet(path)
+          .unionByName(newAgg)
+          .groupBy(col("day"))
+          .agg(sum(col("n_trades")).as("n_trades"),
+            sum(col("total_pnl")).as("total_pnl"))
+      } else newAgg
+    val tmp = s"$outDir/.daily_summary_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(path)
+    if (dst.exists()) {
+      dst.listFiles().foreach(_.delete()); dst.delete()
+    }
+    new java.io.File(tmp).renameTo(dst)
+  }
+
+  def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
+      ckptDir: String): StreamingQuery = {
+    import spark.implicits._
+    Streams.positionEvents(signalSource(spark, signalsDir))
+      .writeStream
+      .option("checkpointLocation", s"$ckptDir/trades")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], _: Long) =>
+        val df = batch.toDF().cache()
+        try {
+          df.write.mode("append").parquet(s"$outDir/trades")
+          val exits = df.filter(col("action") === "EXIT")
+          if (!exits.isEmpty) upsertDailySummary(outDir)(exits)
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(tradesDir, signalsDir, outDir, ckptDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = Seq(
+      barsQuery(spark, tradesDir, outDir, ckptDir),
+      deltaQuery(spark, tradesDir, outDir, ckptDir),
+      tradesQuery(spark, signalsDir, outDir, ckptDir))
+    qs.foreach(_.awaitTermination())
+  }
+}

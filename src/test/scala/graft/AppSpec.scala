@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.app.{Backtest, Live}
+import graft.state.Fsm.FsmIn
+import graft.streaming.Streams.Trade
+
+/** End-to-end app wiring: batch backtest writes every result table;
+  * live-mode queries land bars/deltas/trades and keep the day-keyed
+  * summary upserted across micro-batches. */
+class AppSpec extends SparkSpec {
+
+  test("backtest writes all result tables") {
+    val out = Files.createTempDirectory("graft_bt").toString
+    Backtest.run(spark, sfDir(), out)
+    Backtest.ResultTables.foreach { t =>
+      val df = spark.read.parquet(s"$out/$t")
+      assert(df.count() > 0, s"$t empty")
+    }
+  }
+
+  test("live pipeline: sinks land and the daily summary upserts across batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_live").toString
+    val tradesDir = s"$base/trades_in"
+    val signalsDir = s"$base/signals_in"
+    val outDir = s"$base/out"
+    val ckptDir = s"$base/ckpt"
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+    // batch 1: trades for one bar; a signal that opens and TP-closes
+    Seq(Trade("S", ts(1000), 10.0, 1.0, false),
+        Trade("S", ts(1030), 12.0, 2.0, true),
+        Trade("S", ts(2000), 11.0, 1.0, false)) // advances the watermark
+      .toDS().coalesce(1).write.mode("append").parquet(tradesDir)
+    Seq(FsmIn(1, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0),
+        FsmIn(2, 105.0, 105.0, 100.0, "NONE", 1.0, 1.0)) // TP exit, day 0
+      .toDS().coalesce(1).write.mode("append").parquet(signalsDir)
+
+    val qs = Seq(
+      Live.barsQuery(spark, tradesDir, outDir, ckptDir),
+      Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
+      Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
+    qs.foreach(_.processAllAvailable())
+
+    // batch 2: a second closed trade on a different day (bucket 30 -> day 1)
+    Seq(FsmIn(30, 100.0, 100.0, 100.0, "SHORT", 1.0, 1.0),
+        FsmIn(31, 95.0, 100.0, 95.0, "NONE", 1.0, 1.0)) // TP (short)
+      .toDS().coalesce(1).write.mode("append").parquet(signalsDir)
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+
+    val bars = spark.read.parquet(s"$outDir/bars")
+    assert(bars.count() >= 1)
+    val deltas = spark.read.parquet(s"$outDir/deltas")
+    assert(deltas.count() >= 1)
+    val trades = spark.read.parquet(s"$outDir/trades")
+    assert(trades.filter($"action" === "EXIT").count() == 2)
+    val summary = spark.read.parquet(s"$outDir/daily_summary")
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_trades"))
+      .toMap
+    assert(summary == Map(0L -> 1L, 1L -> 1L), s"summary was $summary")
+  }
+}
