@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -171,15 +171,74 @@ object Book extends OpModule {
        |  coalesce(abs(close - best_ask) / (close * $TickPct) <= $TouchGateTicks, false) AS ask_touch_ok
        |FROM ohlc JOIN best ON ohlc.bucket = best.bucket""".stripMargin
 
+  /** The ArrayType(Struct) book model (SURVEY §1.1 #3): one row per
+    * snapshot with sorted level *arrays*, depth-capped with `slice` and
+    * aggregated with the array fold — the reference's
+    * `List[(price, qty)]` sorted-wholesale-per-update representation
+    * kept intact instead of exploded. Both engines sort (qty desc,
+    * event_id), cap at 20, and fold in array order, so sums match
+    * bitwise. */
+  private def arrayBookDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("value") > r.getField("value"), -1)
+        .when(l.getField("value") < r.getField("value"), 1)
+        .otherwise(
+          when(l.getField("event_id") < r.getField("event_id"), -1)
+            .when(l.getField("event_id") > r.getField("event_id"), 1)
+            .otherwise(0))
+    def sideArr(buy: Boolean) = slice(
+      array_sort(
+        collect_list(when(if (buy) $"is_buy" else !$"is_buy",
+          struct($"value", $"event_id"))),
+        cmp _),
+      1, Depth)
+    def arrSum(a: Column) = aggregate(
+      transform(a, x => x.getField("value")), lit(0.0), (acc, v) => acc + v)
+    Tables.eventsWithSide(spark, dir)
+      .withColumn("bucket", expr(s"ts_us div $HourUs"))
+      .groupBy($"bucket")
+      .agg(sideArr(buy = true).as("bids"), sideArr(buy = false).as("asks"))
+      .select($"bucket",
+        size($"bids").as("bid_depth"), size($"asks").as("ask_depth"),
+        arrSum($"bids").as("bid_vol"), arrSum($"asks").as("ask_vol"))
+      .withColumn("imbalance",
+        ($"bid_vol" - $"ask_vol") /
+          when($"bid_vol" + $"ask_vol" =!= 0.0, $"bid_vol" + $"ask_vol"))
+  }
+
+  private val arrayBookSql: String = {
+    def sideList(cond: String) =
+      s"list(value ORDER BY value DESC, event_id) FILTER (WHERE $cond)[1:$Depth]"
+    def listSum(l: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $l), (acc, v) -> acc + v)"
+    s"""WITH b AS (
+       |  SELECT epoch_us(ts) // $HourUs AS bucket,
+       |    ${sideList(Tables.BuySql)} AS bids,
+       |    ${sideList(s"NOT (${Tables.BuySql})")} AS asks
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT bucket,
+       |    coalesce(len(bids), 0) AS bid_depth,
+       |    coalesce(len(asks), 0) AS ask_depth,
+       |    coalesce(${listSum("bids")}, 0.0) AS bid_vol,
+       |    coalesce(${listSum("asks")}, 0.0) AS ask_vol
+       |  FROM b)
+       |SELECT bucket, bid_depth, ask_depth, bid_vol, ask_vol,
+       |  (bid_vol - ask_vol) / nullif(bid_vol + ask_vol, 0.0) AS imbalance
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "book_imbalance" -> (imbalanceDf(_, _)),
     "book_wall" -> (wallDf(_, _)),
-    "book_touch" -> (touchDf(_, _))
+    "book_touch" -> (touchDf(_, _)),
+    "book_array_imbalance" -> (arrayBookDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "book_imbalance" -> imbalanceSql,
     "book_wall" -> wallSql,
-    "book_touch" -> touchSql
+    "book_touch" -> touchSql,
+    "book_array_imbalance" -> arrayBookSql
   )
 }

@@ -51,15 +51,22 @@ object Stateful extends OpModule {
        |JOIN (SELECT bucket, side, total_long, total_short
        |      FROM (${Scores.scoredSql}) sq) s ON s.bucket = o.bucket""".stripMargin
 
-  private def eventsDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    fsmInput(spark, dir)
-      .as[FsmIn]
-      .groupByKey(_ => 0) // single symbol; real data keys by symbol here
-      .flatMapGroups((_: Int, it: Iterator[FsmIn]) =>
-        Fsm.run(it.toArray.sortBy(_.bucket).iterator))
-      .toDF()
-  }
+  // three queries (events, daily summary, cum P&L) derive from the same
+  // event stream: materialize it once per (session, dir)
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def eventsDf(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, dir), _ => {
+      import spark.implicits._
+      fsmInput(spark, dir)
+        .as[FsmIn]
+        .groupByKey(_ => 0) // single symbol; real data keys by symbol here
+        .flatMapGroups((_: Int, it: Iterator[FsmIn]) =>
+          Fsm.run(it.toArray.sortBy(_.bucket).iterator))
+        .toDF()
+        .persist()
+    })
 
   /** The same transition function as `Fsm.step`, unrolled into a recursive
     * CTE: state columns carry (pos_side, entry, tp, sl, cooldown); event
