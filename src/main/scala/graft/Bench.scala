@@ -32,16 +32,26 @@ object Bench {
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"$name: $e") }
       }
-      val times = (1 to repeat).map { _ =>
+      // a failed attempt must NOT masquerade as a fast run: failures
+      // report -1 and never contribute a timing
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed queries failed")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -52,31 +52,40 @@ object Live {
       .option("checkpointLocation", s"$ckptDir/deltas")
       .outputMode("append").start()
 
-  /** Merge a micro-batch of closed trades into the day-keyed summary:
-    * read the existing table, re-aggregate affected days, overwrite.
-    * The parquet swap is atomic per batch via a temp-dir rename. */
-  private[app] def upsertDailySummary(outDir: String)(
-      exits: DataFrame): Unit = {
-    val spark = exits.sparkSession
+  /** Recompute the day-keyed summary from the trades table (the source
+    * of truth) and swap it into place. Deriving from the full table
+    * instead of merging increments makes the summary self-healing under
+    * replays: as long as the trades append is idempotent, any number of
+    * recomputes converge. The directory swap is driver-local java.io
+    * (fine for this local demo; production would write a transactional
+    * table format) and a failed swap heals on the next batch. */
+  def refreshDailySummary(spark: SparkSession, outDir: String): Unit = {
     val path = s"$outDir/daily_summary"
-    val newAgg = exits
+    val merged = spark.read.parquet(s"$outDir/trades")
+      .filter(col("action") === "EXIT")
       .groupBy(expr("bucket div 24").as("day"))
       .agg(count(lit(1)).as("n_trades"), sum(col("pnl")).as("total_pnl"))
-    val merged =
-      if (new java.io.File(path).exists()) {
-        spark.read.parquet(path)
-          .unionByName(newAgg)
-          .groupBy(col("day"))
-          .agg(sum(col("n_trades")).as("n_trades"),
-            sum(col("total_pnl")).as("total_pnl"))
-      } else newAgg
     val tmp = s"$outDir/.daily_summary_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dst = new java.io.File(path)
     if (dst.exists()) {
       dst.listFiles().foreach(_.delete()); dst.delete()
     }
-    new java.io.File(tmp).renameTo(dst)
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"daily_summary swap failed: $tmp -> $dst")
+  }
+
+  /** Idempotent trades append: every row carries its micro-batch id and a
+    * replayed batch (same id already present) is skipped — Structured
+    * Streaming re-runs a foreachBatch whose commit didn't land, so the
+    * batchId is the dedup key (batch ids are monotone per checkpoint). */
+  def alreadyCommitted(spark: SparkSession, outDir: String,
+      batchId: Long): Boolean = {
+    val path = new java.io.File(s"$outDir/trades")
+    path.exists() && {
+      val ids = spark.read.parquet(path.toString).select(col("batch_id"))
+      !ids.filter(col("batch_id") === batchId).isEmpty
+    }
   }
 
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
@@ -86,12 +95,13 @@ object Live {
       .writeStream
       .option("checkpointLocation", s"$ckptDir/trades")
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], _: Long) =>
-        val df = batch.toDF().cache()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], batchId: Long) =>
+        val df = batch.toDF().withColumn("batch_id", lit(batchId)).cache()
         try {
-          df.write.mode("append").parquet(s"$outDir/trades")
-          val exits = df.filter(col("action") === "EXIT")
-          if (!exits.isEmpty) upsertDailySummary(outDir)(exits)
+          if (!df.isEmpty && !alreadyCommitted(spark, outDir, batchId)) {
+            df.write.mode("append").parquet(s"$outDir/trades")
+            refreshDailySummary(spark, outDir)
+          }
         } finally df.unpersist()
         ()
       }

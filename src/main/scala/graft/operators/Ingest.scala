@@ -25,26 +25,31 @@ object Ingest extends OpModule {
 
   private def validatedDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // whole-row max_by with a composite (ts, value) key: ties on ts alone
+    // would let the oracle's per-column arg_max assemble a chimera row —
+    // both engines must pick ONE row, deterministically
     Tables.events(spark, dir)
       .filter($"value" > 0.0 && $"ts_us" > 0L)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .groupBy($"event_id")
-      .agg(max_by(struct($"ts_us", $"event_type", $"value", $"k"), $"ts_us")
-        .as("r"))
+      .agg(max_by(struct($"ts_us", $"event_type", $"value", $"k"),
+        struct($"ts_us", $"value", $"event_type")).as("r"))
       .select($"event_id", $"r.ts_us".as("ts_us"),
         $"r.event_type".as("event_type"), $"r.value".as("value"),
         $"r.k".as("k"))
   }
 
+  // row_number, not per-column arg_max: the winner must be ONE row on
+  // both engines (per-column picks could assemble a chimera from tied
+  // rows); DuckDB 1.0's arg_max rejects composite keys, so the oracle
+  // ranks explicitly with the same (ts, value, event_type) key
   private val validatedSql: String =
-    """SELECT event_id,
-      |  arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us,
-      |  arg_max(event_type, epoch_us(ts)) AS event_type,
-      |  arg_max(value, epoch_us(ts)) AS value,
-      |  arg_max(json_extract_string(props, '$.k')::BIGINT, epoch_us(ts)) AS k
+    """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value,
+      |  json_extract_string(props, '$.k')::BIGINT AS k
       |FROM events
       |WHERE value > 0.0 AND epoch_us(ts) > 0
-      |GROUP BY event_id""".stripMargin
+      |QUALIFY row_number() OVER (PARTITION BY event_id
+      |  ORDER BY epoch_us(ts) DESC, value DESC, event_type DESC) = 1""".stripMargin
 
   // Fixed UTC session ranges (the reference's config.py:112-115 shape).
   private val sessions = Seq(

@@ -88,6 +88,9 @@ object Multimodal extends OpModule {
       .filter($"kind" === "video")
       .withColumn("n_frames",
         ceil(octet_length($"payload").cast("double") / FrameBytes).cast("long"))
+      // an empty payload (n_frames = 0) would make sequence(0, -1, 4)
+      // throw in Spark; DuckDB's range just yields no rows — skip on both
+      .filter($"n_frames" > 0)
       .select($"media_id", $"text", $"n_frames",
         explode(sequence(lit(0L), $"n_frames" - 1, lit(FrameStride.toLong)))
           .as("frame_idx"))
@@ -104,7 +107,7 @@ object Multimodal extends OpModule {
        |      FROM m WHERE kind = 'video'),
        |x AS (SELECT media_id, text, n_frames,
        |        unnest(range(0, n_frames, $FrameStride)) AS frame_idx
-       |      FROM f)
+       |      FROM f WHERE n_frames > 0)
        |SELECT media_id, n_frames, frame_idx,
        |  ${ColFns.hex32Sql(s"substr(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)")} AS frame_hash
        |FROM x""".stripMargin

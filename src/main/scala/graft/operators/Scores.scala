@@ -307,16 +307,12 @@ object Scores extends OpModule {
        |FROM g6""".stripMargin
 
   /** The scored frame is the shared input of five queries (fusion,
-    * entries, and the three FSM-derived tables). Memoize + persist per
-    * (session, dir): ~720 rows at sf0.01, materialized once per session
-    * instead of re-running the ten-join pipeline per query — the
-    * "reuse a partitioning across stages" rule applied to a whole frame. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * entries, sizing, and the FSM-derived tables). Memoized + persisted
+    * per (session, dir): ~720 rows at sf0.01, materialized once per
+    * session instead of re-running the ten-join pipeline per query. */
   private[operators] def scoredShared(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((spark, dir),
-      _ => scored(signalsDf(spark, dir), spark).persist())
+    graft.functions.DfMemo.cached(spark, s"scored:$dir")(
+      scored(signalsDf(spark, dir), spark))
 
   private val outCols = Seq("bucket", "close", "regime", "z", "cvd",
     "imbalance", "bid_wall", "ask_wall", "bos", "hurst", "atr_pct",

@@ -53,11 +53,8 @@ object Stateful extends OpModule {
 
   // three queries (events, daily summary, cum P&L) derive from the same
   // event stream: materialize it once per (session, dir)
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def eventsDf(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((spark, dir), _ => {
+    graft.functions.DfMemo.cached(spark, s"fsm_events:$dir") {
       import spark.implicits._
       fsmInput(spark, dir)
         .as[FsmIn]
@@ -65,8 +62,7 @@ object Stateful extends OpModule {
         .flatMapGroups((_: Int, it: Iterator[FsmIn]) =>
           Fsm.run(it.toArray.sortBy(_.bucket).iterator))
         .toDF()
-        .persist()
-    })
+    }
 
   /** The same transition function as `Fsm.step`, unrolled into a recursive
     * CTE: state columns carry (pos_side, entry, tp, sl, cooldown); event

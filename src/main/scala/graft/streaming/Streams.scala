@@ -61,10 +61,14 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window($"ts", "1 minute"), $"symbol")
       .agg(
-        min_by($"price", $"ts").as("open"),
+        // tie-break on (ts, price), not ts alone: Trade has no sequence
+        // field, and a ts-only min_by is nondeterministic across replays
+        // when two trades share a millisecond (the batch twin tie-breaks
+        // on event_id; this is the documented streaming equivalent)
+        min_by($"price", struct($"ts", $"price")).as("open"),
         max($"price").as("high"),
         min($"price").as("low"),
-        max_by($"price", $"ts").as("close"),
+        max_by($"price", struct($"ts", $"price")).as("close"),
         sum($"qty").as("volume"))
       .select($"window.start".as("bar_start"), $"symbol", $"open", $"high",
         $"low", $"close", $"volume")

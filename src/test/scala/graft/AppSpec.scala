@@ -20,6 +20,27 @@ class AppSpec extends SparkSpec {
     }
   }
 
+  test("trades sink replay protection: committed batches are detected, summary recompute converges") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_idem").toString
+    val trades = Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), 0L),
+      (30L, "EXIT", "SHORT", 29L, 50.0, Some(48.0), Some(2.0), Some("TP_HIT"), 1L))
+      .toDF("bucket", "action", "side", "entry_bucket", "entry_price",
+        "exit_price", "pnl", "reason", "batch_id")
+    trades.write.mode("append").parquet(s"$out/trades")
+    assert(Live.alreadyCommitted(spark, out, 0L))
+    assert(Live.alreadyCommitted(spark, out, 1L))
+    assert(!Live.alreadyCommitted(spark, out, 2L))
+    // recompute is idempotent: summary derives from the trades table
+    Live.refreshDailySummary(spark, out)
+    Live.refreshDailySummary(spark, out)
+    val summary = spark.read.parquet(s"$out/daily_summary")
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_trades"))
+      .toMap
+    assert(summary == Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("live pipeline: sinks land and the daily summary upserts across batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_live").toString
