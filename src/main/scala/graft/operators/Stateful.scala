@@ -39,16 +39,18 @@ object Stateful extends OpModule {
       .select($"bucket", $"close", $"high", $"low")
       .join(
         Scores.scoredShared(spark, dir)
-          .select($"bucket", $"side", $"total_long", $"total_short"),
+          .select($"bucket", $"side", $"total_long", $"total_short",
+            ($"regime" === "HIGH").as("trail_arm")),
         Seq("bucket"))
   }
 
   private val fsmInputSql: String =
     s"""SELECT o.bucket, o.close, o.high, o.low,
        |       s.side, s.total_long, s.total_short,
+       |       s.regime = 'HIGH' AS trail_arm,
        |       row_number() OVER (ORDER BY o.bucket) AS rn
        |FROM (${Bars.ohlcSql}) o
-       |JOIN (SELECT bucket, side, total_long, total_short
+       |JOIN (SELECT bucket, side, total_long, total_short, regime
        |      FROM (${Scores.scoredSql}) sq) s ON s.bucket = o.bucket""".stripMargin
 
   // three queries (events, daily summary, cum P&L) derive from the same
@@ -76,7 +78,8 @@ object Stateful extends OpModule {
        |  SELECT 0::BIGINT AS rn,
        |    CAST(NULL AS VARCHAR) AS pos_side, CAST(NULL AS BIGINT) AS pentry_bucket,
        |    CAST(NULL AS DOUBLE) AS pentry_price, CAST(NULL AS DOUBLE) AS tp,
-       |    CAST(NULL AS DOUBLE) AS sl, (-4611686018427387904)::BIGINT AS cooldown_until,
+       |    CAST(NULL AS DOUBLE) AS sl, false AS trailed,
+       |    (-4611686018427387904)::BIGINT AS cooldown_until,
        |    CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS VARCHAR) AS action,
        |    CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS entry_bucket,
        |    CAST(NULL AS DOUBLE) AS entry_price, CAST(NULL AS DOUBLE) AS exit_price,
@@ -97,9 +100,15 @@ object Stateful extends OpModule {
        |         WHEN t.enter_now AND t.in_side = 'LONG' THEN t.close * $TpPctLongSql
        |         WHEN t.enter_now THEN t.close * $TpPctShortSql END,
        |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
-       |         WHEN t.pos_side0 IS NOT NULL THEN t.sl0
+       |         WHEN t.pos_side0 IS NOT NULL THEN
+       |           CASE WHEN t.trail_arm AND NOT t.trailed0 AND t.trail_fav
+       |                THEN t.entry_price0 ELSE t.sl0 END
        |         WHEN t.enter_now AND t.in_side = 'LONG' THEN t.close * $SlPctLongSql
        |         WHEN t.enter_now THEN t.close * $SlPctShortSql END,
+       |    CASE WHEN t.exit_reason IS NOT NULL THEN false
+       |         WHEN t.pos_side0 IS NOT NULL THEN
+       |           t.trailed0 OR (t.trail_arm AND t.trail_fav)
+       |         ELSE false END,
        |    CASE WHEN t.exit_reason IS NOT NULL THEN t.bucket + $CooldownBuckets
        |         ELSE t.cooldown_until0 END,
        |    t.bucket,
@@ -120,12 +129,16 @@ object Stateful extends OpModule {
        |    SELECT t0.*,
        |      CASE WHEN t0.exit_reason = 'SL_HIT' THEN t0.sl0
        |           WHEN t0.exit_reason = 'TP_HIT' THEN t0.tp0
-       |           WHEN t0.exit_reason IS NOT NULL THEN t0.close END AS exit_px
+       |           WHEN t0.exit_reason IS NOT NULL THEN t0.close END AS exit_px,
+       |      ((t0.pos_side0 = 'LONG' AND t0.close >= t0.entry_price0 * ${1.0 + TrailTriggerPct})
+       |       OR (t0.pos_side0 = 'SHORT' AND t0.close <= t0.entry_price0 * ${1.0 - TrailTriggerPct}))
+       |        AS trail_fav
        |    FROM (
        |      SELECT i.rn, i.bucket, i.close, i.high, i.low,
-       |        i.side AS in_side, i.total_long, i.total_short,
+       |        i.side AS in_side, i.total_long, i.total_short, i.trail_arm,
        |        f.pos_side AS pos_side0, f.pentry_bucket AS entry_bucket0,
        |        f.pentry_price AS entry_price0, f.tp AS tp0, f.sl AS sl0,
+       |        f.trailed AS trailed0,
        |        f.cooldown_until AS cooldown_until0,
        |        CASE WHEN f.pos_side = 'LONG' AND i.low <= f.sl THEN 'SL_HIT'
        |             WHEN f.pos_side = 'LONG' AND i.high >= f.tp THEN 'TP_HIT'

@@ -29,18 +29,24 @@ object Fsm {
   val DecayMinBuckets = 2L
   val DecayGate = 0.25
   val CooldownBuckets = 2L
+  // Trailing stop (strategy.py:822-852): armed in the HIGH vol regime,
+  // ratchets the SL to breakeven after a favorable 2% move, at most once.
+  val TrailTriggerPct = 0.02
 
   case class FsmIn(bucket: Long, close: Double, high: Double, low: Double,
-      side: String, total_long: Double, total_short: Double)
+      side: String, total_long: Double, total_short: Double,
+      trail_arm: Boolean = false)
 
   case class FsmEvent(bucket: Long, action: String, side: String,
       entry_bucket: Long, entry_price: Double, exit_price: Option[Double],
       pnl: Option[Double], reason: Option[String])
 
   case class PosState(side: Option[String], entryBucket: Long,
-      entryPrice: Double, tp: Double, sl: Double, cooldownUntil: Long)
+      entryPrice: Double, tp: Double, sl: Double, cooldownUntil: Long,
+      trailed: Boolean = false)
 
-  val initState: PosState = PosState(None, 0L, 0.0, 0.0, 0.0, Long.MinValue)
+  val initState: PosState =
+    PosState(None, 0L, 0.0, 0.0, 0.0, Long.MinValue, trailed = false)
 
   /** One transition. Emits at most one event per input row. */
   def step(st: PosState, i: FsmIn): (PosState, Option[FsmEvent]) =
@@ -70,14 +76,24 @@ object Fsm {
             (initState.copy(cooldownUntil = i.bucket + CooldownBuckets),
               Some(FsmEvent(i.bucket, "EXIT", side, st.entryBucket,
                 st.entryPrice, Some(exitPx), Some(pnl), Some(reason))))
-          case None => (st, None)
+          case None =>
+            // exit priority is bracket > decay > time (above); a held
+            // position may then trail: SL ratchets to breakeven after a
+            // favorable 2% move, at most once (strategy.py:833,852)
+            val favorable =
+              if (long) i.close >= st.entryPrice * 1.02
+              else i.close <= st.entryPrice * 0.98
+            if (i.trail_arm && !st.trailed && favorable)
+              (st.copy(sl = st.entryPrice, trailed = true), None)
+            else (st, None)
         }
       case None =>
         if (i.bucket >= st.cooldownUntil && i.side != "NONE") {
           val long = i.side == "LONG"
           val tp = if (long) i.close * 1.04 else i.close * 0.96
           val sl = if (long) i.close * 0.98 else i.close * 1.02
-          (PosState(Some(i.side), i.bucket, i.close, tp, sl, st.cooldownUntil),
+          (PosState(Some(i.side), i.bucket, i.close, tp, sl, st.cooldownUntil,
+            trailed = false),
             Some(FsmEvent(i.bucket, "ENTER", i.side, i.bucket, i.close,
               None, None, None)))
         } else (st, None)

@@ -76,6 +76,39 @@ class FsmSpec extends AnyFunSuite {
       List(("ENTER", 1L), ("EXIT", 2L), ("ENTER", 4L)))
   }
 
+  test("trailing stop ratchets to breakeven once, only when armed") {
+    // armed: favorable 2% move lifts SL to entry; later drop exits at
+    // breakeven instead of the original stop
+    val armed = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG").copy(trail_arm = true),
+      in(2, 102.5, high = 102.5, low = 101.0).copy(trail_arm = true), // trail fires
+      in(3, 99.0, high = 101.0, low = 99.0).copy(trail_arm = true))).toList
+    assert(armed.last.reason.contains("SL_HIT"))
+    assert(armed.last.exit_price.contains(100.0)) // breakeven, not 98.0
+    assert(armed.last.pnl.contains(0.0))
+
+    // unarmed: the same path exits at the original stop
+    val unarmed = Fsm.run(Iterator(
+      in(1, 100.0, side = "LONG"),
+      in(2, 102.5, high = 102.5, low = 101.0),
+      in(3, 97.5, high = 101.0, low = 97.5))).toList
+    assert(unarmed.last.exit_price.contains(100.0 * 0.98))
+  }
+
+  test("trailing stop fires at most once per position") {
+    var st = Fsm.initState
+    val rows = Seq(
+      in(1, 100.0, side = "LONG").copy(trail_arm = true),
+      in(2, 102.5, high = 102.5, low = 101.0).copy(trail_arm = true),
+      in(3, 104.0 - 0.001, high = 103.99, low = 103.0).copy(trail_arm = true))
+    val states = rows.map { i =>
+      val (s2, _) = Fsm.step(st, i); st = s2; s2
+    }
+    assert(!states(0).trailed && states(0).sl == 98.0)
+    assert(states(1).trailed && states(1).sl == 100.0)
+    assert(states(2).trailed && states(2).sl == 100.0) // no second ratchet
+  }
+
   test("one-position invariant under random signal streams") {
     val rnd = new Random(42)
     for (_ <- 1 to 50) {
