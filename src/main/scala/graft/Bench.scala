@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     // best-of-2 by default: the first execution pays codegen + parquet
