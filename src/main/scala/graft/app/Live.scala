@@ -88,6 +88,23 @@ object Live {
     }
   }
 
+  /** Silver stage: tails the delta table the deltaQuery lands and keeps
+    * the rolling z-score + entry signal incrementally — the
+    * bronze(deltas) -> silver(signals) hop of the live topology. */
+  def signalQuery(spark: SparkSession, outDir: String,
+      ckptDir: String): StreamingQuery = {
+    import spark.implicits._
+    val deltas = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Streams.DeltaRow].schema)
+      .parquet(s"$outDir/deltas")
+      .as[Streams.DeltaRow]
+    Streams.zscoreStream(deltas)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/signals")
+      .option("checkpointLocation", s"$ckptDir/signals")
+      .outputMode("append").start()
+  }
+
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
     import spark.implicits._

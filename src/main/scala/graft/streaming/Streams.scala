@@ -127,6 +127,49 @@ object Streams {
         })
   }
 
+  case class DeltaRow(symbol: String, win_start: Timestamp, delta: Double)
+  case class ZState(ring: Seq[Double])
+  case class ZOut(symbol: String, win_start: Timestamp, delta: Double,
+      z: Option[Double], signal: String)
+
+  val ZPop = 3000 // population ring size (strategy.py:58)
+  val ZMin = 30   // minimum population (strategy.py:1024)
+  val ZGate = 2.1 // config.py:66
+
+  /** Incremental rolling z-score with the batch estimator's exact
+    * semantics: keyed state holds the trailing-3000 delta ring
+    * (~24 KB/symbol, the reference's population deque), so the live
+    * population is the same trailing window as the batch
+    * `rowsBetween(-2999, 0)` frame (ddof=0, min 30) — not a
+    * growing-window approximation that drifts from the replay. Rows
+    * within a trigger fold in event-time order. */
+  def zscoreStream(deltas: Dataset[DeltaRow]): Dataset[ZOut] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, it: Iterator[DeltaRow], state: GroupState[ZState]) => {
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          val out = it.toArray.sortBy(_.win_start.getTime).map { d =>
+            ring = (ring :+ d.delta).takeRight(ZPop)
+            val n = ring.length
+            val mu = ring.sum / n
+            val sigma = math.sqrt(ring.map(x => (x - mu) * (x - mu)).sum / n)
+            val z = if (n >= ZMin && sigma > 0) Some((d.delta - mu) / sigma)
+                    else None
+            val signal = z match {
+              case Some(v) if v >= ZGate => "LONG"
+              case Some(v) if v <= -ZGate => "SHORT"
+              case _ => "NONE"
+            }
+            ZOut(symbol, d.win_start, d.delta, z, signal)
+          }
+          state.update(ZState(ring))
+          out.iterator
+        })
+  }
+
   case class EmaState(ema: Double)
   case class EmaOut(symbol: String, ts: Timestamp, price: Double, ema: Double)
 

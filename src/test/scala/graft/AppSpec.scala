@@ -64,18 +64,27 @@ class AppSpec extends SparkSpec {
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
       Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
+    // silver stage tails the delta table the bronze stage just landed
+    val zq = Live.signalQuery(spark, outDir, ckptDir)
+    zq.processAllAvailable()
 
     // batch 2: a second closed trade on a different day (bucket 30 -> day 1)
     Seq(FsmIn(30, 100.0, 100.0, 100.0, "SHORT", 1.0, 1.0),
         FsmIn(31, 95.0, 100.0, 95.0, "NONE", 1.0, 1.0)) // TP (short)
       .toDS().coalesce(1).write.mode("append").parquet(signalsDir)
     qs.foreach(_.processAllAvailable())
+    zq.processAllAvailable()
     qs.foreach(_.stop())
+    zq.stop()
 
     val bars = spark.read.parquet(s"$outDir/bars")
     assert(bars.count() >= 1)
     val deltas = spark.read.parquet(s"$outDir/deltas")
     assert(deltas.count() >= 1)
+    val signals = spark.read.parquet(s"$outDir/signals")
+    assert(signals.count() == deltas.count()) // one z row per delta row
+    assert(signals.select("signal").collect()
+      .forall(_.getString(0) == "NONE")) // population below the minimum
     val trades = spark.read.parquet(s"$outDir/trades")
     assert(trades.filter($"action" === "EXIT").count() == 2)
     val summary = spark.read.parquet(s"$outDir/daily_summary")

@@ -88,6 +88,44 @@ class StreamingSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("incremental z-score matches the trailing-population formula across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams.DeltaRow
+    val rnd = new scala.util.Random(5)
+    val deltas = (0 until 60).map(i =>
+      DeltaRow("S", ts(i * 10), rnd.nextDouble() * 20 - 10))
+    val input = MemoryStream[DeltaRow]
+    val q = Streams.zscoreStream(input.toDS())
+      .writeStream.format("memory").queryName("z_out")
+      .outputMode("append").start()
+    input.addData(deltas.take(25)) // below the min population
+    q.processAllAvailable()
+    input.addData(deltas.drop(25)) // ring must carry across the trigger
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("z_out").collect()
+      .map(r => r.getAs[Timestamp]("win_start").getTime ->
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble))
+      .toMap
+    // reference computation over the same trailing window
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      val pop = deltas.slice(math.max(0, i - graft.streaming.Streams.ZPop + 1),
+        i + 1).map(_.delta)
+      val mu = pop.sum / pop.length
+      val sigma = math.sqrt(pop.map(x => (x - mu) * (x - mu)).sum / pop.length)
+      val expected =
+        if (pop.length >= graft.streaming.Streams.ZMin && sigma > 0)
+          Some((d.delta - mu) / sigma)
+        else None
+      val got = rows(d.win_start.getTime)
+      (expected, got) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-12)
+        case (e, g) => assert(e == g)
+      }
+    }
+  }
+
   test("streaming position FSM replays identically to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
