@@ -142,14 +142,27 @@ object Dedup extends OpModule {
        | AND x.doc_id < y.doc_id""".stripMargin
   }
 
+  /** Posting lists longer than this are dropped from the pairwise join:
+    * a shingle shared by k docs contributes k^2 candidate pairs, so one
+    * stopword-gram ("of the and") in a web corpus is a quadratic bomb.
+    * Set sizes count ALL shingles, so the Jaccard denominator is exact;
+    * only the intersection misses capped shingles (standard blacklisting
+    * trade-off, identical on both engines). No effect at these SFs
+    * (max posting list ~8 docs at sf0.1). */
+  val HotShingleCap = 64
+
   /** Exact n-gram Jaccard over the inverted index: top-20 most similar
     * pairs (j desc, ids asc). Distinct shingle sets per doc. */
   private def jaccardDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sets = shingled(spark, dir).select($"doc_id", $"h").distinct()
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sets.as("a")
-      .join(sets.as("b"),
+    val postings = sets
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"df" <= HotShingleCap)
+      .select($"doc_id", $"h")
+    val inter = postings.as("a")
+      .join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -167,9 +180,13 @@ object Dedup extends OpModule {
     s"""WITH sh AS ($shingledSql),
        |sets AS (SELECT DISTINCT doc_id, h FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+       |postings AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sets) p
+       |  WHERE df <= $HotShingleCap),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM postings a JOIN postings b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
