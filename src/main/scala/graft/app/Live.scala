@@ -7,7 +7,7 @@ import graft.state.Fsm.FsmIn
 import graft.streaming.Streams
 import graft.streaming.Streams.Trade
 
-/** Live-mode wiring (SURVEY §7.1, EP1): the streaming pipeline as three
+/** Live-mode wiring (SURVEY §7.1, EP1): the streaming pipeline as four
   * always-on queries over a file-source trade feed (swap the source for
   * kafka in production — everything downstream is source-agnostic):
   *
@@ -15,14 +15,18 @@ import graft.streaming.Streams.Trade
   *     buffer, persisted instead of deque'd)
   *  2. deltas: watermarked 10 s taker-delta -> parquet append (the
   *     Parameters-table feed)
-  *  3. trades: the position FSM over a signal feed -> parquet append
-  *     (the Trades table), PLUS a foreachBatch daily-summary UPSERT —
-  *     each micro-batch folds its closed trades into a day-keyed summary
-  *     table (read-modify-overwrite merge; zscore_excel_logger.py:
-  *     387-415's update-or-append row, made transactional per batch)
+  *  3. signals: the bronze->silver hop — rolling z + entry signal kept
+  *     incrementally over the delta table
+  *  4. trades: the position FSM over a signal feed -> parquet append
+  *     (the Trades table), with an idempotent foreachBatch that also
+  *     refreshes the day-keyed summary (zscore_excel_logger.py:387-415's
+  *     update-or-append row, recomputed from the source of truth)
   *
   * Every query checkpoints independently; restart-with-state is covered
-  * by the checkpoint-recovery spec.
+  * by the checkpoint-recovery spec. NOTE on schema evolution: the state
+  * store validates its schema, so changing PosState (as the trailing-stop
+  * commit did) requires a fresh checkpoint — standard Structured
+  * Streaming practice, called out here because it bit once.
   */
 object Live {
 
@@ -31,10 +35,19 @@ object Live {
       .schema(org.apache.spark.sql.Encoders.product[Trade].schema)
       .parquet(dir).as[Trade](org.apache.spark.sql.Encoders.product[Trade])
 
-  def signalSource(spark: SparkSession, dir: String) =
-    spark.readStream
-      .schema(org.apache.spark.sql.Encoders.product[FsmIn].schema)
-      .parquet(dir).as[FsmIn](org.apache.spark.sql.Encoders.product[FsmIn])
+  def signalSource(spark: SparkSession, dir: String) = {
+    // read trail_arm as nullable and default it: signal files written
+    // before the trailing-stop field existed must keep replaying (the
+    // non-nullable encoder schema would throw on their nulls)
+    val enc = org.apache.spark.sql.Encoders.product[FsmIn]
+    val relaxed = org.apache.spark.sql.types.StructType(
+      enc.schema.map(f =>
+        if (f.name == "trail_arm") f.copy(nullable = true) else f))
+    spark.readStream.schema(relaxed).parquet(dir)
+      .withColumn("trail_arm",
+        coalesce(col("trail_arm"), lit(false)))
+      .as[FsmIn](enc)
+  }
 
   def barsQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery =
@@ -134,9 +147,13 @@ object Live {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the silver stage tails the delta table; make sure its source dir
+    // exists before the file source initializes
+    new java.io.File(s"$outDir/deltas").mkdirs()
     val qs = Seq(
       barsQuery(spark, tradesDir, outDir, ckptDir),
       deltaQuery(spark, tradesDir, outDir, ckptDir),
+      signalQuery(spark, outDir, ckptDir),
       tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())
   }

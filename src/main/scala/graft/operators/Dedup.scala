@@ -145,10 +145,11 @@ object Dedup extends OpModule {
   /** Posting lists longer than this are dropped from the pairwise join:
     * a shingle shared by k docs contributes k^2 candidate pairs, so one
     * stopword-gram ("of the and") in a web corpus is a quadratic bomb.
-    * Set sizes count ALL shingles, so the Jaccard denominator is exact;
-    * only the intersection misses capped shingles (standard blacklisting
-    * trade-off, identical on both engines). No effect at these SFs
-    * (max posting list ~8 docs at sf0.1). */
+    * Set sizes still count ALL shingles, but the intersection misses
+    * capped shingles, so jaccard is biased LOW for pairs overlapping in
+    * hot shingles (and a pair overlapping ONLY in hot shingles drops
+    * out) — the standard blacklisting trade-off, applied identically on
+    * both engines. No effect at these SFs (max posting ~8 docs). */
   val HotShingleCap = 64
 
   /** Exact n-gram Jaccard over the inverted index: top-20 most similar

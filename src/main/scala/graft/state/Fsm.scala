@@ -79,10 +79,10 @@ object Fsm {
           case None =>
             // exit priority is bracket > decay > time (above); a held
             // position may then trail: SL ratchets to breakeven after a
-            // favorable 2% move, at most once (strategy.py:833,852)
+            // favorable move, at most once (strategy.py:833,852)
             val favorable =
-              if (long) i.close >= st.entryPrice * 1.02
-              else i.close <= st.entryPrice * 0.98
+              if (long) i.close >= st.entryPrice * (1.0 + TrailTriggerPct)
+              else i.close <= st.entryPrice * (1.0 - TrailTriggerPct)
             if (i.trail_arm && !st.trailed && favorable)
               (st.copy(sl = st.entryPrice, trailed = true), None)
             else (st, None)

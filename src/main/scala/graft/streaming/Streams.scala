@@ -136,12 +136,15 @@ object Streams {
   val ZMin = 30   // minimum population (strategy.py:1024)
   val ZGate = 2.1 // config.py:66
 
-  /** Incremental rolling z-score with the batch estimator's exact
-    * semantics: keyed state holds the trailing-3000 delta ring
-    * (~24 KB/symbol, the reference's population deque), so the live
-    * population is the same trailing window as the batch
-    * `rowsBetween(-2999, 0)` frame (ddof=0, min 30) — not a
-    * growing-window approximation that drifts from the replay. Rows
+  /** Rolling z-score with the batch estimator's exact semantics: keyed
+    * state holds the trailing-3000 delta ring (~24 KB/symbol, the
+    * reference's population deque), so the live population is the same
+    * trailing window as the batch `rowsBetween(-2999, 0)` frame (ddof=0,
+    * min 30) — not a growing-window approximation that drifts from the
+    * replay. Moments are recomputed over the ring per finalized window
+    * — O(3000) doubles once per 10 s per symbol, deliberately chosen
+    * over a Welford add-remove running form: exact, drift-free, and
+    * negligible at window cadence (this is NOT a per-tick cost). Rows
     * within a trigger fold in event-time order. */
   def zscoreStream(deltas: Dataset[DeltaRow]): Dataset[ZOut] = {
     val spark = deltas.sparkSession
