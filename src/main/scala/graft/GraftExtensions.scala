@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.NormCdfExpr
+import graft.functions.{ArrayDotExpr, NormCdfExpr}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 optional surface):
   * registers the engine's native expressions as SQL functions so
@@ -12,20 +12,24 @@ import graft.functions.NormCdfExpr
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.normCdfDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val normCdfDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("norm_cdf"),
-    new ExpressionInfo(classOf[NormCdfExpr].getName, "norm_cdf"),
-    (children: Seq[Expression]) => NormCdfExpr(Cast(children.head, DoubleType)))
+  private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("norm_cdf"),
+      new ExpressionInfo(classOf[NormCdfExpr].getName, "norm_cdf"),
+      (children: Seq[Expression]) => NormCdfExpr(Cast(children.head, DoubleType))),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[ArrayDotExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) => ArrayDotExpr(children(0), children(1))))
 
   /** Register on an already-built session (Verify/Bench create plain
     * sessions; tests too). Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "norm_cdf", normCdfDescriptor._3, "built-in")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

