@@ -54,7 +54,11 @@ object Dedup extends OpModule {
     * element_at — O(words^2) regex work per document (measured 18s at
     * sf0.1; this shape runs in ~1s and its shuffle is a well-distributed
     * (doc_id) key at any corpus size). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"shingled:$dir")(
+      shingledUncached(spark, dir))
+
+  private def shingledUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     Tables.documents(spark, dir)

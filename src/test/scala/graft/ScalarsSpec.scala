@@ -41,6 +41,29 @@ class ScalarsSpec extends SparkSpec {
     assert(first.isNullAt(2)) // null propagates
   }
 
+  test("vec_dot equals the fold it replaced, handles nulls and short vectors") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (2L, Seq(0.5f, -1.5f), Seq(2f, 2f)),
+      (3L, Seq(1f, 1f, 1f), Seq(1f, 1f))) // mismatched length: min-length prefix
+      .toDF("id", "a", "b")
+      .withColumn("native", expr("vec_dot(a, b)"))
+      .withColumn("fold",
+        aggregate(zip_with($"a", $"b",
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0))))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(1L)._1 == 32.0 && rows(1L)._1 == rows(1L)._2)
+    assert(rows(2L)._1 == -2.0 && rows(2L)._1 == rows(2L)._2)
+    assert(rows(3L)._1 == 2.0) // zip_with pads with null; kernel stops at min
+    val n = Seq((Seq(1f), Option.empty[Seq[Float]])).toDF("a", "b")
+      .selectExpr("vec_dot(a, b)").collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("MomentsAgg matches built-in count/avg/stddev_pop across partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
