@@ -202,10 +202,48 @@ object Similarity extends OpModule {
        |SELECT label, max(n)::BIGINT AS n, sqrt(sum(c * c)) AS centroid_norm
        |FROM comp GROUP BY 1""".stripMargin
 
+  /** ANN quality metric: per-query recall of the LSH candidates against
+    * the exact top-3 (the evaluation loop every ANN deployment runs;
+    * embedding-cosine *near-dup* detection is this same join with a
+    * cosine threshold — this corpus has no near-dups, max pair cos
+    * ~0.46, so recall is the version with non-trivial output).
+    *
+    * Measured ~0.07 at sf0.01 — which is what theory predicts for
+    * 6-bit single-table LSH on neighbors at cos~0.35 ((1-θ/π)^6 ≈
+    * 0.055): honest evidence that unclustered data needs multi-table /
+    * multi-probe LSH, which is exactly what this metric exists to
+    * decide. */
+  private def recallDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val brute3 = knnDf(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"qid", $"nid")
+    val lsh = lshTopkDf(spark, dir)
+      .select($"qid".as("lsh_qid"), $"nid".as("lsh_nid"))
+    brute3
+      .join(lsh, $"qid" === $"lsh_qid" && $"nid" === $"lsh_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"lsh_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private val recallSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |lsh AS ($lshTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
+    "ann_recall" -> (recallDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -213,6 +251,7 @@ object Similarity extends OpModule {
     "knn_brute" -> knnSql,
     "ann_lsh_sig" -> lshSigSql,
     "ann_lsh_topk" -> lshTopkSql,
+    "ann_recall" -> recallSql,
     "emb_centroids" -> centroidSql
   )
 }
