@@ -202,6 +202,101 @@ object Similarity extends OpModule {
        |SELECT label, max(n)::BIGINT AS n, sqrt(sum(c * c)) AS centroid_norm
        |FROM comp GROUP BY 1""".stripMargin
 
+  val LshTables = 4
+
+  /** Multi-table LSH (what the recall metric says this corpus needs):
+    * L independent hash tables, candidates = union of per-table bucket
+    * matches, exact re-rank. Collision probability goes from p to
+    * 1-(1-p)^L while the join stays an equi-join on (table, bucket) —
+    * the standard recall/cost dial, here as a checkable query. Plane
+    * weights hash a (table, bit, dim) key with the same md5 formula on
+    * both engines. */
+  private def multiWeight(t: Int, b: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${b}_$i".getBytes("UTF-8"))
+    val h = md.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    h / 2147483648.0 - 1.0
+  }
+
+  private def multiWSql(t: String, b: String, i: String): String =
+    s"(${ColFns.hex32Sql(s"($t)::VARCHAR || '_' || ($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
+
+  /** Per-(vector, table) bucket ids. */
+  private def multiSigDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // planes flattened to T*B rows; posexplode index decomposes back
+    val planes = array((0 until LshTables).flatMap(t =>
+      (0 until LshBits).map(b =>
+        array((1 to Dim).map(i => lit(multiWeight(t, b, i))): _*))): _*)
+    Tables.embeddings(spark, dir)
+      .withColumn("planes", planes)
+      .select($"vec_id", $"embedding",
+        posexplode($"planes").as(Seq("idx", "w")))
+      .withColumn("t", expr(s"idx div $LshBits"))
+      .withColumn("b", expr(s"idx % $LshBits"))
+      .withColumn("proj",
+        aggregate(zip_with($"embedding", $"w",
+          (x, wi) => x.cast("double") * wi),
+          lit(0.0), (acc, v) => acc + v))
+      .groupBy($"vec_id", $"t")
+      .agg(sum(when($"proj" >= 0.0,
+        expr("shiftleft(cast(1 as bigint), int(b))")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  private val multiSigSqlBody: String =
+    s"""SELECT vec_id, t,
+       |    sum(CASE WHEN proj >= 0.0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS bucket
+       |  FROM (
+       |    SELECT vec_id, t, b,
+       |      sum(embedding[i]::DOUBLE * ${multiWSql("t", "b", "i")}) AS proj
+       |    FROM embeddings, range(0, $LshTables) tt(t),
+       |         range(0, $LshBits) tb(b), range(1, ${Dim + 1}) ti(i)
+       |    GROUP BY 1, 2, 3) p
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** Candidates from ANY of the L tables, deduped, exact top-3. */
+  private def multiTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val sig = multiSigDf(spark, dir)
+    val q = sig.filter($"vec_id" % QueryMod === 0)
+      .select($"vec_id".as("qid"), $"t", $"bucket")
+    val cand = q.join(sig.select($"vec_id".as("nid"), $"t", $"bucket"),
+        Seq("t", "bucket"))
+      .filter($"nid" =!= $"qid")
+      .select("qid", "nid").distinct()
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    cand
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), Seq("nid"))
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select("qid", "nid", "cos")
+  }
+
+  private val multiTopkSql: String =
+    s"""WITH sig AS ($multiSigSqlBody),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM sig q JOIN sig c ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id % $QueryMod = 0 AND c.vec_id <> q.vec_id),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM cand JOIN embeddings eq ON eq.vec_id = qid
+       |                JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
   /** ANN quality metric: per-query recall of the LSH candidates against
     * the exact top-3 (the evaluation loop every ANN deployment runs;
     * embedding-cosine *near-dup* detection is this same join with a
@@ -239,11 +334,41 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  /** Same recall metric over the multi-table candidates — the
+    * before/after pair that justifies the L-tables cost. */
+  private def recallMultiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val brute3 = knnDf(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"qid", $"nid")
+    val lsh = multiTopkDf(spark, dir)
+      .select($"qid".as("lsh_qid"), $"nid".as("lsh_nid"))
+    brute3
+      .join(lsh, $"qid" === $"lsh_qid" && $"nid" === $"lsh_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"lsh_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private val recallMultiSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |lsh AS ($multiTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
+    "ann_multi_topk" -> (multiTopkDf(_, _)),
     "ann_recall" -> (recallDf(_, _)),
+    "ann_recall_multi" -> (recallMultiDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -251,7 +376,9 @@ object Similarity extends OpModule {
     "knn_brute" -> knnSql,
     "ann_lsh_sig" -> lshSigSql,
     "ann_lsh_topk" -> lshTopkSql,
+    "ann_multi_topk" -> multiTopkSql,
     "ann_recall" -> recallSql,
+    "ann_recall_multi" -> recallMultiSql,
     "emb_centroids" -> centroidSql
   )
 }
