@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.streaming.Streams.DeltaRow
+
+/** SURVEY §5.4 property items: z-score shift/scale invariance and the
+  * CVD clamp, checked through the engine's own operators. */
+class InvarianceSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def runZ(deltas: Seq[Double]): Seq[Option[Double]] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = s"zinv_${deltas.hashCode.abs}"
+    val input = MemoryStream[DeltaRow]
+    val q = Streams.zscoreStream(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    input.addData(deltas.zipWithIndex.map { case (d, i) =>
+      DeltaRow("S", ts(i * 10), d) })
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect()
+      .sortBy(_.getAs[Timestamp]("win_start").getTime)
+      .map(r => Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toSeq
+  }
+
+  test("z-score is invariant under shift and positive scaling") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 45).map(_ => rnd.nextDouble() * 10 - 5)
+    val z0 = runZ(base)
+    val zShift = runZ(base.map(_ + 1000.0))
+    val zScale = runZ(base.map(_ * 37.5))
+    assert(z0.count(_.isDefined) > 10)
+    z0.zip(zShift).foreach {
+      case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-7,
+        s"shift changed z: $a vs $b")
+      case (a, b) => assert(a == b)
+    }
+    z0.zip(zScale).foreach {
+      case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+      case (a, b) => assert(a == b)
+    }
+  }
+
+  test("CVD is clamped to [-1, 1] and zero-volume-safe on real data") {
+    val rows = rowsOf(graft.operators.Flow.queries("flow_cvd")(spark, sfDir()))
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val v = m("cvd").asInstanceOf[Double]
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("scores are invariant to the query evaluation order (memoized frame)") {
+    // calling entries before fusion must give the same frame as the
+    // reverse order — the DfMemo must not leak staleness across queries
+    val a = rowsOf(graft.operators.Scores.queries("entry_signals")(spark, sfDir()))
+    val b = rowsOf(graft.operators.Scores.queries("fusion_scores")(spark, sfDir()))
+      .filter(_("side") != "NONE")
+    assert(a.size == b.size)
+  }
+}
