@@ -65,27 +65,40 @@ object Live {
       .option("checkpointLocation", s"$ckptDir/deltas")
       .outputMode("append").start()
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Recompute the day-keyed summary from the trades table (the source
     * of truth) and swap it into place. Deriving from the full table
     * instead of merging increments makes the summary self-healing under
     * replays: as long as the trades append is idempotent, any number of
-    * recomputes converge. The directory swap is driver-local java.io
-    * (fine for this local demo; production would write a transactional
-    * table format) and a failed swap heals on the next batch. */
+    * recomputes converge. The schema is the full 12-column Daily Summary
+    * (shared with the hash-checked `fsm_daily_summary` batch query via
+    * [[graft.operators.Stateful.dailySummaryOf]]). Swap is rename-aside:
+    * the old table moves out of the way only after the replacement is
+    * fully written, so readers never observe a missing table and a crash
+    * leaves either old or new in place — never neither. Driver-local
+    * java.io (fine for this local demo; production writes a
+    * transactional table format). */
   def refreshDailySummary(spark: SparkSession, outDir: String): Unit = {
-    val path = s"$outDir/daily_summary"
-    val merged = spark.read.parquet(s"$outDir/trades")
-      .filter(col("action") === "EXIT")
-      .groupBy(expr("bucket div 24").as("day"))
-      .agg(count(lit(1)).as("n_trades"), sum(col("pnl")).as("total_pnl"))
-    val tmp = s"$outDir/.daily_summary_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(path)
-    if (dst.exists()) {
-      dst.listFiles().foreach(_.delete()); dst.delete()
-    }
-    if (!new java.io.File(tmp).renameTo(dst))
+    if (!new java.io.File(s"$outDir/trades").exists()) return
+    val merged = graft.operators.Stateful.dailySummaryOf(
+      spark.read.parquet(s"$outDir/trades").filter(col("action") === "EXIT"))
+    val tmp = new java.io.File(s"$outDir/.daily_summary_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new java.io.File(s"$outDir/daily_summary")
+    val old = new java.io.File(s"$outDir/.daily_summary_old")
+    if (old.exists()) deleteRecursively(old)
+    if (dst.exists() && !dst.renameTo(old))
+      throw new java.io.IOException(s"daily_summary swap failed: $dst -> $old")
+    if (!tmp.renameTo(dst)) {
+      if (old.exists()) old.renameTo(dst) // restore; heal on next batch
       throw new java.io.IOException(s"daily_summary swap failed: $tmp -> $dst")
+    }
+    if (old.exists()) deleteRecursively(old)
   }
 
   /** Idempotent trades append: every row carries its micro-batch id and a
@@ -130,8 +143,11 @@ object Live {
         try {
           if (!df.isEmpty && !alreadyCommitted(spark, outDir, batchId)) {
             df.write.mode("append").parquet(s"$outDir/trades")
-            refreshDailySummary(spark, outDir)
           }
+          // unconditional (it is an idempotent recompute from the source
+          // of truth): a crash between the append and the refresh must
+          // not leave the summary stale until some future non-empty batch
+          refreshDailySummary(spark, outDir)
         } finally df.unpersist()
         ()
       }

@@ -15,8 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DfMemo {
   private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, key), _ => build.persist())
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      // Build OUTSIDE the map's lock: build closures may re-enter cached()
+      // (Stateful.eventsDf -> Scores.scoredShared), and computeIfAbsent
+      // forbids recursive mutation of the same ConcurrentHashMap. A lost
+      // race costs one redundant build, immediately unpersisted.
+      val built = build.persist()
+      val raced = memo.putIfAbsent(k, built)
+      if (raced != null) { built.unpersist(); raced } else built
+    }
+  }
 
   /** Unpersist and forget everything (idempotent). */
   def clear(): Unit = {

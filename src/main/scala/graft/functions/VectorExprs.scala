@@ -12,15 +12,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle tolerance argument stays as documented in Similarity).
   */
 object VectorOps {
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null-propagating dot, matching `zip_with`+`aggregate` exactly:
+    * unequal lengths (zip_with pads with null) or any null element make
+    * the fold NULL, so they make this NULL too. Returns a boxed Double
+    * or null. */
+  def dotFloatOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -41,13 +47,25 @@ case class ArrayDotExpr(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure("vec_dot requires array<float> inputs")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Null elements / length mismatch produce NULL even from non-null inputs.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorOps.dotFloat(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    VectorOps.dotFloatOrNull(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (l, r) => s"graft.functions.VectorOps.dotFloat($l, $r)")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $res = graft.functions.VectorOps.dotFloatOrNull($l, $r);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =

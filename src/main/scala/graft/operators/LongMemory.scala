@@ -12,7 +12,7 @@ import graft.OpModule
   *    with R = max(cum)-min(cum), S = stddev_pop(cum).
   *  - Break-of-structure alignment (aether_oracle.py:188-250): fraction of
   *    the trailing 10 bars whose high/low the current close escapes,
-  *    averaged across two timeframes (1h and 4h).
+  *    averaged across three timeframes (15m, 1h, 4h).
   *
   * The reference recomputes both on a Python list per tick. Here Hurst is a
   * pure window/group computation over *tumbling* 20-bar groups (the
@@ -76,7 +76,12 @@ object LongMemory extends OpModule {
        |FROM s""".stripMargin
 
   /** Per-bar fraction of the previous 10 bars broken by the current close,
-    * on 1h bars and 4h bars, averaged when both exist. */
+    * on 15m, 1h and 4h bars (the scale analog of the reference's
+    * 1/5/15-minute triple, aether_oracle.py:222), averaged across the
+    * timeframes that exist — exactly the reference's sum/valid_count
+    * (aether_oracle.py:240-248). Reported at the hour grain; `bos_15m` is
+    * the hour's latest quarter (the decision-time short-TF reading, same
+    * convention as `flow_lv.lv_15m`). */
   private[operators] def bosDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bars1 = Bars.ohlcDf(spark, dir)
@@ -89,6 +94,21 @@ object LongMemory extends OpModule {
       .groupBy($"bucket")
       .agg(avg(when($"close" > $"phigh" || $"close" < $"plow", 1.0)
         .otherwise(0.0)).as("bos_1h"))
+
+    val bars15 = graft.sources.Tables.events(spark, dir)
+      .groupBy(expr(s"ts_us div ${Flow.QuarterUs}").as("b15"))
+      .agg(max($"value").as("high"), min($"value").as("low"),
+        max_by($"value", $"event_id").as("close"))
+      .withColumn("rn", row_number().over(Window.orderBy($"b15")))
+    val b15 = bars15.select($"b15", $"close", $"rn".as("brn"))
+    val p15 = bars15.select($"rn".as("prn"), $"high".as("phigh"), $"low".as("plow"))
+    val bos15h = b15
+      .join(p15, $"prn".between($"brn" - BosBars, $"brn" - 1))
+      .groupBy($"b15")
+      .agg(avg(when($"close" > $"phigh" || $"close" < $"plow", 1.0)
+        .otherwise(0.0)).as("bos15"))
+      .groupBy(expr("b15 div 4").as("b15h"))
+      .agg(max_by($"bos15", $"b15").as("bos_15m"))
 
     val bars4 = Bars
       .ohlcDf(spark, dir)
@@ -105,12 +125,16 @@ object LongMemory extends OpModule {
         .otherwise(0.0)).as("bos_4h"))
 
     bos1
+      .join(bos15h, $"bucket" === $"b15h", "left")
       .join(bos4, expr("bucket div 4") === $"bucket4", "left")
+      .withColumn("n_tf",
+        lit(1) + $"bos_15m".isNotNull.cast("int") +
+          $"bos_4h".isNotNull.cast("int"))
       .withColumn(
         "bos",
-        when($"bos_4h".isNotNull, ($"bos_1h" + $"bos_4h") / 2.0)
-          .otherwise($"bos_1h"))
-      .select("bucket", "bos_1h", "bos_4h", "bos")
+        (coalesce($"bos_15m", lit(0.0)) + $"bos_1h" +
+          coalesce($"bos_4h", lit(0.0))) / $"n_tf")
+      .select("bucket", "bos_15m", "bos_1h", "bos_4h", "bos")
   }
 
   private[operators] val bosSql: String =
@@ -123,6 +147,18 @@ object LongMemory extends OpModule {
        |             THEN 1.0 ELSE 0.0 END) AS bos_1h
        |  FROM r1 b JOIN r1 p ON p.rn BETWEEN b.rn - $BosBars AND b.rn - 1
        |  GROUP BY b.bucket),
+       |o15 AS (SELECT epoch_us(ts) // ${Flow.QuarterUs} AS b15,
+       |         max(value) AS high, min(value) AS low,
+       |         arg_max(value, event_id) AS close FROM events GROUP BY 1),
+       |r15 AS (SELECT *, row_number() OVER (ORDER BY b15) AS rn FROM o15),
+       |bos15 AS (
+       |  SELECT b.b15,
+       |    avg(CASE WHEN b.close > p.high OR b.close < p.low
+       |             THEN 1.0 ELSE 0.0 END) AS bos15
+       |  FROM r15 b JOIN r15 p ON p.rn BETWEEN b.rn - $BosBars AND b.rn - 1
+       |  GROUP BY b.b15),
+       |bos15h AS (SELECT b15 // 4 AS b15h, arg_max(bos15, b15) AS bos_15m
+       |  FROM bos15 GROUP BY 1),
        |o4 AS (SELECT bucket // 4 AS bucket4, max(high) AS high, min(low) AS low,
        |         arg_max(close, bucket) AS close FROM ohlc GROUP BY 1),
        |r4 AS (SELECT *, row_number() OVER (ORDER BY bucket4) AS rn FROM o4),
@@ -132,11 +168,12 @@ object LongMemory extends OpModule {
        |             THEN 1.0 ELSE 0.0 END) AS bos_4h
        |  FROM r4 b JOIN r4 p ON p.rn BETWEEN b.rn - $BosBars AND b.rn - 1
        |  GROUP BY b.bucket4)
-       |SELECT bos1.bucket, bos1.bos_1h, bos4.bos_4h,
-       |  CASE WHEN bos4.bos_4h IS NOT NULL
-       |       THEN (bos1.bos_1h + bos4.bos_4h) / 2.0
-       |       ELSE bos1.bos_1h END AS bos
-       |FROM bos1 LEFT JOIN bos4 ON bos1.bucket // 4 = bos4.bucket4""".stripMargin
+       |SELECT bos1.bucket, bos15h.bos_15m, bos1.bos_1h, bos4.bos_4h,
+       |  (coalesce(bos15h.bos_15m, 0.0) + bos1.bos_1h + coalesce(bos4.bos_4h, 0.0))
+       |    / (1 + (bos15h.bos_15m IS NOT NULL)::INT + (bos4.bos_4h IS NOT NULL)::INT) AS bos
+       |FROM bos1
+       |LEFT JOIN bos15h ON bos1.bucket = bos15h.b15h
+       |LEFT JOIN bos4 ON bos1.bucket // 4 = bos4.bucket4""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_hurst" -> (hurstDf(_, _)),

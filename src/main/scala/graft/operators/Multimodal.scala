@@ -116,10 +116,13 @@ object Multimodal extends OpModule {
     * `mapInPandas`: each partition decodes its payloads (stub) and emits
     * a normalized ${FeatureBins}-bin byte histogram per media row. Rows
     * never leave their partition; the feature vector is fixed-width.
+    * Bins are flattened to scalar columns f0..f15 (a fixed-width feature
+    * frame downstream trainers consume directly, and the driver's
+    * rows-only check can sort scalars where it cannot sort array cells).
     * Not SQL-expressible → driver records the rows-only check. */
   private def featuresDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir)
+    val raw = mediaDf(spark, dir)
       .select($"media_id", $"payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
@@ -131,6 +134,8 @@ object Multimodal extends OpModule {
         }
       }
       .toDF("media_id", "features")
+    val bins = (0 until FeatureBins).map(i => $"features" (i).as(s"f$i"))
+    raw.select($"media_id" +: bins: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,10 +44,10 @@ object Similarity extends OpModule {
     * materializing a zipped array per pair. Callers register the
     * function first (Similarity queries do). */
   private def dot(a: Column, b: Column): Column =
-    expr(s"vec_dot(${a.toString}, ${b.toString})")
+    call_function("vec_dot", a, b)
 
   private def norm(a: Column): Column =
-    sqrt(expr(s"vec_dot(${a.toString}, ${a.toString})"))
+    sqrt(call_function("vec_dot", a, a))
 
   /** DuckDB twin: per-index sum over range(1, Dim+1); grouped, so the
     * accumulation order is engine-chosen — tolerance-safe (see above). */

@@ -170,10 +170,14 @@ object Stateful extends OpModule {
   private def exits(spark: SparkSession, dir: String): DataFrame =
     eventsDf(spark, dir).filter(col("action") === "EXIT")
 
-  /** Daily Summary sink semantics (per trading day = 24 hourly buckets). */
-  private def dailyDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Daily Summary sink semantics (per trading day = 24 hourly buckets).
+    * Factored over any exit-event frame so the live refresh
+    * ([[graft.app.Live.refreshDailySummary]]) emits the identical
+    * 12-column schema the batch query is hash-checked against. */
+  def dailySummaryOf(exits: DataFrame): DataFrame = {
+    val spark = exits.sparkSession
     import spark.implicits._
-    exits(spark, dir)
+    exits
       .groupBy(expr("bucket div 24").as("day"))
       .agg(
         count(lit(1)).as("n_trades"),
@@ -191,6 +195,9 @@ object Stateful extends OpModule {
             avg(when($"pnl" <= 0.0, $"pnl")))).as("profit_factor"),
         avg(($"bucket" - $"entry_bucket").cast("double")).as("avg_hold"))
   }
+
+  private def dailyDf(spark: SparkSession, dir: String): DataFrame =
+    dailySummaryOf(exits(spark, dir))
 
   private val dailySql: String =
     s"""WITH ev AS ($eventsSql)

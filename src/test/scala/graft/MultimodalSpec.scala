@@ -37,8 +37,8 @@ class MultimodalSpec extends SparkSpec {
     val rows = rowsOf(Multimodal.queries("media_features")(spark, sfDir()))
     assert(rows.size == 500)
     rows.foreach { m =>
-      val f = m("features").asInstanceOf[scala.collection.Seq[Double]]
-      assert(f.size == Multimodal.FeatureBins)
+      val f = (0 until Multimodal.FeatureBins)
+        .map(i => m(s"f$i").asInstanceOf[Double])
       assert(math.abs(f.sum - 1.0) < 1e-9) // normalized over payload bytes
       assert(f.forall(v => v >= 0.0 && v <= 1.0))
     }

@@ -46,19 +46,28 @@ class ScalarsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val df = Seq(
       (1L, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
-      (2L, Seq(0.5f, -1.5f), Seq(2f, 2f)),
-      (3L, Seq(1f, 1f, 1f), Seq(1f, 1f))) // mismatched length: min-length prefix
+      (2L, Seq(0.5f, -1.5f), Seq(2f, 2f)))
       .toDF("id", "a", "b")
       .withColumn("native", expr("vec_dot(a, b)"))
       .withColumn("fold",
         aggregate(zip_with($"a", $"b",
           (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0))))
+          lit(0.0), (acc, v) => acc + v))
     val rows = df.collect().map(r =>
       r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
     assert(rows(1L)._1 == 32.0 && rows(1L)._1 == rows(1L)._2)
     assert(rows(2L)._1 == -2.0 && rows(2L)._1 == rows(2L)._2)
-    assert(rows(3L)._1 == 2.0) // zip_with pads with null; kernel stops at min
+    // zip_with pads the shorter array with null, which nulls the fold —
+    // the kernel propagates NULL for mismatched lengths the same way
+    val mis = spark.sql(
+      "SELECT vec_dot(array(float(1), float(1), float(1)), " +
+        "array(float(1), float(1)))").collect().head
+    assert(mis.isNullAt(0))
+    // a null ELEMENT nulls the fold: the kernel must match
+    val ne = spark.sql(
+      "SELECT vec_dot(array(float(1), cast(null as float)), " +
+        "array(float(1), float(1)))").collect().head
+    assert(ne.isNullAt(0))
     val n = Seq((Seq(1f), Option.empty[Seq[Float]])).toDF("a", "b")
       .selectExpr("vec_dot(a, b)").collect().head
     assert(n.isNullAt(0))
