@@ -25,11 +25,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "vec_dot"),
       (children: Seq[Expression]) => ArrayDotExpr(children(0), children(1))))
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Register on an already-built session (Verify/Bench create plain
-    * sessions; tests too). Idempotent. */
+    * sessions; tests too). Idempotent AND once-per-session: re-running
+    * createOrReplaceTempFunction on every query spams "function replaced"
+    * warnings through a whole bench run. */
   def register(spark: SparkSession): Unit =
-    descriptors.foreach { case (id, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        id.funcName, builder, "built-in")
-    }
+    if (registered.add(spark))
+      descriptors.foreach { case (id, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "built-in")
+      }
 }

@@ -154,14 +154,16 @@ object Flow {
         sum(abs($"value" - $"prev")).as("dp_within"),
         min_by($"value", $"event_id").as("first_val"),
         max_by($"value", $"event_id").as("last_val"))
-    val q15 = per15
+    // persisted: the three TF rollups (and the fusion frame via Scores)
+    // would otherwise each re-run the raw-event scan + bucket aggregation
+    val q15 = graft.functions.DfMemo.cached(spark, s"lv_q15:$dir")(per15
       .withColumn("prev_last",
         lag($"last_val", 1).over(Window.orderBy($"b15")))
       .withColumn("dp",
         coalesce($"dp_within", lit(0.0)) +
           coalesce(abs($"first_val" - $"prev_last"), lit(0.0)))
       .withColumn("lv15", $"qty" / ($"dp" + 1e-6))
-      .select($"b15", $"qty", $"dp", $"lv15")
+      .select($"b15", $"qty", $"dp", $"lv15"))
     val h1 = q15
       .groupBy(expr("b15 div 4").as("bucket"))
       .agg(

@@ -308,16 +308,24 @@ object Similarity extends OpModule {
     * 0.055): honest evidence that unclustered data needs multi-table /
     * multi-probe LSH, which is exactly what this metric exists to
     * decide. */
+  /** Exact top-3 ground truth, persisted: all three recall queries score
+    * against it — recomputing the O(Q·N) brute-force pass per metric
+    * would triple the most expensive scan in the family. */
+  private def brute3Df(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"brute3:$dir") {
+      import spark.implicits._
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      knnDf(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"qid", $"nid")
+    }
+
   private def recallDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    val brute3 = knnDf(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
-      .select($"qid", $"nid")
     val lsh = lshTopkDf(spark, dir)
       .select($"qid".as("lsh_qid"), $"nid".as("lsh_nid"))
-    brute3
+    brute3Df(spark, dir)
       .join(lsh, $"qid" === $"lsh_qid" && $"nid" === $"lsh_nid", "left")
       .groupBy($"qid")
       .agg(count($"lsh_nid").as("hits"))
@@ -338,14 +346,9 @@ object Similarity extends OpModule {
     * before/after pair that justifies the L-tables cost. */
   private def recallMultiDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    val brute3 = knnDf(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
-      .select($"qid", $"nid")
     val lsh = multiTopkDf(spark, dir)
       .select($"qid".as("lsh_qid"), $"nid".as("lsh_nid"))
-    brute3
+    brute3Df(spark, dir)
       .join(lsh, $"qid" === $"lsh_qid" && $"nid" === $"lsh_nid", "left")
       .groupBy($"qid")
       .agg(count($"lsh_nid").as("hits"))
@@ -362,13 +365,145 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  val IvfProbes = 3
+
+  /** IVF rung (ANN rung 3): coarse-quantize the corpus onto the 10 label
+    * centroids (data-derived, not literals — a real IVF trains k-means;
+    * the per-label mean is the 1-iteration equivalent and keeps both
+    * engines bit-reproducible), then probe the top-`IvfProbes` centroids
+    * per query and exact-re-rank only those cells. Probing 3 of 10 cells
+    * scans ~30% of the corpus per query instead of 100% (brute) — the
+    * standard recall/cost dial, and unlike LSH the cells adapt to the
+    * data distribution. Centroid cosines are quantized to 6 decimals
+    * before ranking (label tiebreak after) so cell assignment cannot flip
+    * on engine float noise.
+    *
+    * Per-(vector, centroid) cosine, ranked within vector: rank 1 is the
+    * vector's cell assignment; ranks 1..P on query vectors are the probe
+    * set. One frame feeds both. */
+  private def ivfRankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"ivf_ranked:$dir") {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val comp = e
+        .select($"label", posexplode($"embedding").as(Seq("i0", "x")))
+        .groupBy($"label", ($"i0" + 1).as("i"))
+        .agg(avg($"x".cast("double")).as("c"))
+      val cn = comp.groupBy($"label")
+        .agg(sqrt(sum($"c" * $"c")).as("cnorm"))
+      val vn = e.select($"vec_id", norm($"embedding").as("vnorm"))
+      val cc = e
+        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+        .withColumn("i", $"i0" + 1)
+        .join(broadcast(comp), Seq("i"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"x".cast("double") * $"c").as("dt"))
+        .join(broadcast(cn), Seq("label"))
+        .join(vn, Seq("vec_id"))
+        .withColumn("cos_c", round($"dt" / ($"vnorm" * $"cnorm"), 6))
+      cc.withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"label")))
+        .select("vec_id", "label", "cos_c", "rk")
+    }
+
+  /** ANN via IVF: probe top-P centroids, exact top-3 inside the cells. */
+  private def ivfTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val ranked = ivfRankedDf(spark, dir)
+    val assign = ranked.filter($"rk" === 1)
+      .select($"vec_id".as("nid"), $"label")
+    val probe = ranked
+      .filter($"vec_id" % QueryMod === 0 && $"rk" <= IvfProbes)
+      .select($"vec_id".as("qid"), $"label")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    probe.join(assign, Seq("label"))
+      .filter($"nid" =!= $"qid")
+      .select("qid", "nid")
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), Seq("nid"))
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select("qid", "nid", "cos")
+  }
+
+  private val ivfCellsSqlBody: String =
+    s"""comp AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2),
+       |cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM comp GROUP BY 1),
+       |vn AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |       FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |cc AS (
+       |  SELECT e.vec_id, comp.label,
+       |    round(sum(e.embedding[comp.i]::DOUBLE * comp.c) / (max(vn.nrm) * max(cn.cnorm)), 6) AS cos_c
+       |  FROM embeddings e
+       |  JOIN comp ON true
+       |  JOIN cn ON cn.label = comp.label
+       |  JOIN vn ON vn.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT vec_id, label, cos_c,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, label) AS rk
+       |  FROM cc),
+       |assign AS (SELECT vec_id AS nid, label FROM ranked WHERE rk = 1),
+       |probe AS (SELECT vec_id AS qid, label FROM ranked
+       |          WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes)""".stripMargin
+
+  private val ivfTopkSql: String =
+    s"""WITH $ivfCellsSqlBody,
+       |cand AS (
+       |  SELECT p.qid, a.nid FROM probe p JOIN assign a USING (label)
+       |  WHERE a.nid <> p.qid),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM cand JOIN embeddings eq ON eq.vec_id = qid
+       |                JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  /** Recall of the IVF candidates against the exact top-3 — completes the
+    * recall triptych (single-table LSH / multi-table LSH / IVF). */
+  private def recallIvfDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ivf = ivfTopkDf(spark, dir)
+      .select($"qid".as("ivf_qid"), $"nid".as("ivf_nid"))
+    brute3Df(spark, dir)
+      .join(ivf, $"qid" === $"ivf_qid" && $"nid" === $"ivf_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"ivf_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private val recallIvfSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |ivf AS ($ivfTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN ivf l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
     "ann_multi_topk" -> (multiTopkDf(_, _)),
+    "ann_ivf_topk" -> (ivfTopkDf(_, _)),
     "ann_recall" -> (recallDf(_, _)),
     "ann_recall_multi" -> (recallMultiDf(_, _)),
+    "ann_recall_ivf" -> (recallIvfDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -377,8 +512,10 @@ object Similarity extends OpModule {
     "ann_lsh_sig" -> lshSigSql,
     "ann_lsh_topk" -> lshTopkSql,
     "ann_multi_topk" -> multiTopkSql,
+    "ann_ivf_topk" -> ivfTopkSql,
     "ann_recall" -> recallSql,
     "ann_recall_multi" -> recallMultiSql,
+    "ann_recall_ivf" -> recallIvfSql,
     "emb_centroids" -> centroidSql
   )
 }
