@@ -101,18 +101,74 @@ object Live {
     if (old.exists()) deleteRecursively(old)
   }
 
-  /** Idempotent trades append: every row carries its micro-batch id and a
-    * replayed batch (same id already present) is skipped — Structured
-    * Streaming re-runs a foreachBatch whose commit didn't land, so the
-    * batchId is the dedup key (batch ids are monotone per checkpoint). */
-  def alreadyCommitted(spark: SparkSession, outDir: String,
+  /** Idempotent append guard: every sink row carries its micro-batch id
+    * and a replayed batch (same id already present) is skipped —
+    * Structured Streaming re-runs a foreachBatch whose commit didn't
+    * land, so the batchId is the dedup key (batch ids are monotone per
+    * checkpoint). */
+  private def committedIn(spark: SparkSession, tableDir: String,
       batchId: Long): Boolean = {
-    val path = new java.io.File(s"$outDir/trades")
+    val path = new java.io.File(tableDir)
     path.exists() && {
       val ids = spark.read.parquet(path.toString).select(col("batch_id"))
       !ids.filter(col("batch_id") === batchId).isEmpty
     }
   }
+
+  def alreadyCommitted(spark: SparkSession, outDir: String,
+      batchId: Long): Boolean = committedIn(spark, s"$outDir/trades", batchId)
+
+  /** Max orders per rate window (reference config.py:56). */
+  val RateLimitOrders = 20
+
+  /** FSM events -> order actions (order_manager.py:152-209): ENTER places
+    * a market order in the position direction, EXIT a reduce-only order
+    * on the opposite side. The per-minute rate limiter
+    * (order_manager.py:44-53) is applied declaratively: orders beyond the
+    * cap within a 60-bucket window are flagged DEFERRED rather than
+    * silently dropped — the replayable, auditable form of the reference's
+    * sleep-and-retry. order_id is deterministic in (bucket, action, side)
+    * so replays produce identical rows. */
+  def ordersOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rate_win"))
+      .orderBy(col("bucket"), col("action"), col("side"))
+    events
+      .withColumn("order_side",
+        when(col("action") === "ENTER",
+          when(col("side") === "LONG", "BUY").otherwise("SELL"))
+          .otherwise(when(col("side") === "LONG", "SELL").otherwise("BUY")))
+      .withColumn("reduce_only", col("action") === "EXIT")
+      .withColumn("order_id",
+        concat_ws("-", col("bucket"), col("action"), col("side")))
+      .withColumn("rate_win", expr("bucket div 60"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("status",
+        when(col("rn") <= RateLimitOrders, "PLACED").otherwise("DEFERRED"))
+      .select("order_id", "bucket", "action", "order_side", "reduce_only",
+        "status")
+  }
+
+  /** Order placement sink (closes the EP1 loop): the FSM event stream
+    * lands in an `orders` table via an idempotent foreachBatch — the same
+    * batch-id replay guard as the trades sink, so a crashed-and-replayed
+    * micro-batch cannot double-place. */
+  def ordersQuery(spark: SparkSession, signalsDir: String, outDir: String,
+      ckptDir: String): StreamingQuery =
+    Streams.positionEvents(signalSource(spark, signalsDir))
+      .writeStream
+      .option("checkpointLocation", s"$ckptDir/orders")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], batchId: Long) =>
+        val df = ordersOf(batch.toDF())
+          .withColumn("batch_id", lit(batchId)).cache()
+        try {
+          if (!df.isEmpty && !committedIn(spark, s"$outDir/orders", batchId))
+            df.write.mode("append").parquet(s"$outDir/orders")
+        } finally df.unpersist()
+        ()
+      }
+      .start()
 
   /** Silver stage: tails the delta table the deltaQuery lands and keeps
     * the rolling z-score + entry signal incrementally — the
@@ -170,7 +226,8 @@ object Live {
       barsQuery(spark, tradesDir, outDir, ckptDir),
       deltaQuery(spark, tradesDir, outDir, ckptDir),
       signalQuery(spark, outDir, ckptDir),
-      tradesQuery(spark, signalsDir, outDir, ckptDir))
+      tradesQuery(spark, signalsDir, outDir, ckptDir),
+      ordersQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())
   }
 }

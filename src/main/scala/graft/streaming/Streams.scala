@@ -243,6 +243,73 @@ object Streams {
         })
   }
 
+  /** One windowed aggregation produces EVERY per-bar signal input (OHLC +
+    * taker flow) — the signal families fuse by sharing the (window,
+    * symbol) group instead of re-joining N windowed streams on the window
+    * key, so the whole fusion costs one shuffle of per-bar aggregates.
+    * Works on a streaming OR static Dataset: the batch twin uses the
+    * identical aggregation (watermark is a no-op on static data). */
+  def signalBars(trades: Dataset[Trade],
+      watermark: String = "2 minutes"): Dataset[graft.state.Fusion.SigBar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val agged = (if (trades.isStreaming) trades.withWatermark("ts", watermark)
+                 else trades)
+      .groupBy(window($"ts", "1 minute"), $"symbol")
+      .agg(
+        min_by($"price", struct($"ts", $"price")).as("open"),
+        max($"price").as("high"),
+        min($"price").as("low"),
+        max_by($"price", struct($"ts", $"price")).as("close"),
+        sum($"qty").as("volume"),
+        sum(when(!$"isBuyerMaker", $"qty").otherwise(0.0)).as("buy_vol"),
+        sum(when($"isBuyerMaker", $"qty").otherwise(0.0)).as("sell_vol"))
+      .select($"window.start".as("win_start"), $"symbol", $"open", $"high",
+        $"low", $"close", $"volume", $"buy_vol", $"sell_vol")
+    agged.as[graft.state.Fusion.SigBar]
+  }
+
+  /** Fully incremental streaming fusion (EP1, strategy.py:334-443): the
+    * finalized signal bars fold through the pure [[graft.state.Fusion]]
+    * transition — z + CVD + EMA + trend + LV + fused score + entry side +
+    * position FSM, one O(ring)-state pass per symbol. Every signal the
+    * batch `fusion_scores`/`entry_signals` family computes per bucket is
+    * kept incrementally here; StreamingSpec asserts the e2e equivalence
+    * against `fusedBatch` on the same trades. */
+  def fusedStream(bars: Dataset[graft.state.Fusion.SigBar])
+      : Dataset[graft.state.Fusion.FusedOut] = {
+    import graft.state.Fusion
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Fusion.SigBar],
+            state: GroupState[Fusion.FusionState]) => {
+          var st = state.getOption.getOrElse(Fusion.init)
+          val out = it.toArray.sortBy(_.win_start.getTime).map { b =>
+            val (st2, o) = Fusion.step(st, b)
+            st = st2
+            o
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Batch replay of the fused pipeline — same aggregation, same pure
+    * fold, `flatMapGroups` instead of keyed state. */
+  def fusedBatch(bars: Dataset[graft.state.Fusion.SigBar])
+      : Dataset[graft.state.Fusion.FusedOut] = {
+    import graft.state.Fusion
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroups((_: String, it: Iterator[Fusion.SigBar]) =>
+        Fusion.run(it.toArray.sortBy(_.win_start.getTime).iterator))
+  }
+
   /** Backfill-then-stream (SURVEY §2.8, EP2): Spark cannot union a static
     * and a streaming Dataset, and does not need to — a file streaming
     * source reads the already-present history files as its first batches

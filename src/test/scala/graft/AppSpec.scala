@@ -62,7 +62,8 @@ class AppSpec extends SparkSpec {
     val qs = Seq(
       Live.barsQuery(spark, tradesDir, outDir, ckptDir),
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
-      Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
+      Live.tradesQuery(spark, signalsDir, outDir, ckptDir),
+      Live.ordersQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
     // silver stage tails the delta table the bronze stage just landed
     val zq = Live.signalQuery(spark, outDir, ckptDir)
@@ -87,9 +88,39 @@ class AppSpec extends SparkSpec {
       .forall(_.getString(0) == "NONE")) // population below the minimum
     val trades = spark.read.parquet(s"$outDir/trades")
     assert(trades.filter($"action" === "EXIT").count() == 2)
-    val summary = spark.read.parquet(s"$outDir/daily_summary")
+    val summaryDf = spark.read.parquet(s"$outDir/daily_summary")
+    // the live refresh emits the FULL batch Daily Summary schema (the
+    // 12 columns fsm_daily_summary is hash-checked against), not a subset
+    val batchSchema = graft.operators.Stateful
+      .dailySummaryOf(trades.filter($"action" === "EXIT"))
+      .schema.map(f => f.name -> f.dataType)
+    assert(summaryDf.schema.map(f => f.name -> f.dataType) == batchSchema)
+    val summary = summaryDf
       .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_trades"))
       .toMap
     assert(summary == Map(0L -> 1L, 1L -> 1L), s"summary was $summary")
+    assert(summaryDf.filter($"day" === 0L).head.getAs[Double]("win_rate") == 1.0)
+
+    // the order sink closed the loop: 2 ENTER + 2 EXIT, exits reduce-only
+    val orders = spark.read.parquet(s"$outDir/orders")
+    assert(orders.count() == 4)
+    assert(orders.filter($"reduce_only").count() == 2)
+    val byId = orders.collect()
+      .map(r => r.getAs[String]("order_id") -> r.getAs[String]("order_side"))
+      .toMap
+    assert(byId("1-ENTER-LONG") == "BUY" && byId("2-EXIT-LONG") == "SELL")
+    assert(byId("30-ENTER-SHORT") == "SELL" && byId("31-EXIT-SHORT") == "BUY")
+    assert(orders.collect().forall(_.getAs[String]("status") == "PLACED"))
+
+    // replay: a fresh checkpoint re-reads every signal file as batch 0 —
+    // the batch-id guard must keep the orders (and trades) tables intact
+    val replay = Seq(
+      Live.tradesQuery(spark, signalsDir, outDir, s"$base/ckpt_replay"),
+      Live.ordersQuery(spark, signalsDir, outDir, s"$base/ckpt_replay"))
+    replay.foreach(_.processAllAvailable())
+    replay.foreach(_.stop())
+    assert(spark.read.parquet(s"$outDir/orders").count() == 4)
+    assert(spark.read.parquet(s"$outDir/trades")
+      .filter($"action" === "EXIT").count() == 2)
   }
 }

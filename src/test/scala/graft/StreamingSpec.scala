@@ -279,4 +279,49 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("union_out").collect()
     assert(rows.length == 4) // 3 history + 1 new; duplicate dropped
   }
+
+  test("incremental fused pipeline (EP1) matches batch replay and trades the spike") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.state.Fusion
+    // 41 one-minute bars: small alternating deltas build the z population,
+    // bar 36 is a 50x buy spike (z >> gate -> LONG entry), bar 38 prints
+    // 105 (high >= tp=104 -> TP_HIT exit, pnl = 4)
+    val trades = (0 to 40).flatMap { m =>
+      val p = if (m == 38) 105.0 else 100.0
+      val buyQ = if (m == 36) 50.0 else 1.0 + 0.1 * (m % 5)
+      Seq(Trade("S", ts(m * 60 + 5), p, buyQ, false),
+        Trade("S", ts(m * 60 + 35), p, 1.0, true))
+    }
+    val sentinel = Trade("S", ts(7200), 100.0, 1.0, true)
+
+    val input = MemoryStream[Trade]
+    val q = Streams.fusedStream(Streams.signalBars(input.toDS(), "30 seconds"))
+      .writeStream.format("memory").queryName("fused_out")
+      .outputMode("append").start()
+    // two triggers: the z-ring / EMA / trend / FSM state must carry over
+    input.addData(trades.filter(_.ts.getTime < 20 * 60000L))
+    q.processAllAvailable()
+    input.addData(trades.filter(_.ts.getTime >= 20 * 60000L) :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("fused_out").as[Fusion.FusedOut]
+      .collect().toList.sortBy(_.win_start.getTime)
+    assert(streamed.size >= 40) // every finalized bar arrived incrementally
+
+    val batch = Streams.fusedBatch(
+      Streams.signalBars(spark.createDataset(trades :+ sentinel)))
+      .collect().toList
+    val batchByWin = batch.map(o => o.win_start.getTime -> o).toMap
+    // identical pure fold => exact equality row by row
+    streamed.foreach(o => assert(o == batchByWin(o.win_start.getTime)))
+
+    val enter = streamed.find(_.action.contains("ENTER")).get
+    assert(enter.win_start.getTime == 36 * 60000L && enter.side == "LONG")
+    val exit = streamed.find(_.action.contains("EXIT")).get
+    assert(exit.win_start.getTime == 38 * 60000L)
+    assert(exit.reason.contains("TP_HIT"))
+    assert(exit.pnl.exists(p => math.abs(p - 4.0) < 1e-9))
+  }
 }
