@@ -16,11 +16,16 @@ object Backtest {
     "fsm_position_events", "fsm_daily_summary", "fsm_cum_pnl",
     "position_sizing", "trend_hysteresis")
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     ResultTables.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/$name")
     }
+    // batch side of the order-placement leg: the identical event->order
+    // mapping + rate limiter the live sink applies (Live.ordersOf)
+    Live.ordersOf(SparkEntry.queries("fsm_position_events")(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$outDir/orders")
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

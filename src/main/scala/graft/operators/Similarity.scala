@@ -472,6 +472,54 @@ object Similarity extends OpModule {
        |SELECT qid, nid, cos FROM c
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
 
+  /** Cosine threshold for embedding near-duplicates. The corpus's max
+    * pair cosine is ~0.46, so 0.35 yields a small, non-trivial pair set —
+    * on a real near-dup corpus this sits at ~0.9. */
+  val NearDupCos = 0.35
+
+  /** Embedding-cosine near-dup detection (north-star dedup family): the
+    * multi-table LSH candidate join with an exact cosine threshold on
+    * top — the 100 TB shape (bucket equi-join, never all-pairs; recall
+    * bounded by the L-table union like `ann_multi_topk`, which is the
+    * documented trade every production near-dup pipeline makes). Pairs
+    * are canonical (vec_a < vec_b). */
+  private def embNearDupDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val sig = multiSigDf(spark, dir)
+    val cand = sig.select($"vec_id".as("vec_a"), $"t", $"bucket")
+      .join(sig.select($"vec_id".as("vec_b"), $"t", $"bucket"),
+        Seq("t", "bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+      .withColumn("cos", dot($"ea", $"eb") / (norm($"ea") * norm($"eb")))
+      .filter($"cos" >= NearDupCos)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  private val embNearDupSql: String =
+    s"""WITH sig AS ($multiSigSqlBody),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b ON b.t = a.t AND b.bucket = a.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT vec_a, vec_b,
+       |        sum(ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS dt
+       |      FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+       |                JOIN embeddings eb ON eb.vec_id = vec_b,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2)
+       |SELECT vec_a, vec_b, dt / (na.nrm * nb.nrm) AS cos
+       |FROM d JOIN n na ON na.vec_id = vec_a
+       |       JOIN n nb ON nb.vec_id = vec_b
+       |WHERE dt / (na.nrm * nb.nrm) >= $NearDupCos""".stripMargin
+
   /** Recall of the IVF candidates against the exact top-3 — completes the
     * recall triptych (single-table LSH / multi-table LSH / IVF). */
   private def recallIvfDf(spark: SparkSession, dir: String): DataFrame = {
@@ -501,6 +549,7 @@ object Similarity extends OpModule {
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
     "ann_multi_topk" -> (multiTopkDf(_, _)),
     "ann_ivf_topk" -> (ivfTopkDf(_, _)),
+    "dedup_embedding" -> (embNearDupDf(_, _)),
     "ann_recall" -> (recallDf(_, _)),
     "ann_recall_multi" -> (recallMultiDf(_, _)),
     "ann_recall_ivf" -> (recallIvfDf(_, _)),
@@ -513,6 +562,7 @@ object Similarity extends OpModule {
     "ann_lsh_topk" -> lshTopkSql,
     "ann_multi_topk" -> multiTopkSql,
     "ann_ivf_topk" -> ivfTopkSql,
+    "dedup_embedding" -> embNearDupSql,
     "ann_recall" -> recallSql,
     "ann_recall_multi" -> recallMultiSql,
     "ann_recall_ivf" -> recallIvfSql,

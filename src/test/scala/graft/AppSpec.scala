@@ -14,10 +14,13 @@ class AppSpec extends SparkSpec {
   test("backtest writes all result tables") {
     val out = Files.createTempDirectory("graft_bt").toString
     Backtest.run(spark, sfDir(), out)
-    Backtest.ResultTables.foreach { t =>
+    (Backtest.ResultTables :+ "orders").foreach { t =>
       val df = spark.read.parquet(s"$out/$t")
       assert(df.count() > 0, s"$t empty")
     }
+    // one order per FSM event, mapped by the shared Live.ordersOf rule
+    assert(spark.read.parquet(s"$out/orders").count() ==
+      spark.read.parquet(s"$out/fsm_position_events").count())
   }
 
   test("trades sink replay protection: committed batches are detected, summary recompute converges") {

@@ -88,4 +88,17 @@ class FlowBarsSpec extends SparkSpec {
     // from row 11 onward atr_pct must be defined
     assert(a.drop(11).forall(_("atr_pct") != null))
   }
+
+  test("flow_lv plan: the raw-event lag is partitioned by the finest bucket") {
+    // analyzed plan (pre cache-substitution, so stable across DfMemo): the
+    // only window touching raw events must carry the b15 partition key —
+    // an UNpartitioned lag over events pulls the whole table through one
+    // task, the scale killer this formulation exists to avoid
+    val plan = Flow.queries("flow_lv")(spark, sfDir())
+      .queryExecution.analyzed.toString
+    assert(plan.contains("windowspecdefinition(b15"),
+      s"expected b15-partitioned lag:\n$plan")
+    assert(!plan.contains("windowspecdefinition(event_id"),
+      s"unpartitioned raw-event window found:\n$plan")
+  }
 }

@@ -93,4 +93,15 @@ class TextDedupSpec extends SparkSpec {
       assert(v >= 0.0 && v <= 1.0)
     }
   }
+
+  test("jaccard plan scores document frequency without a shingle window") {
+    // the round-1 plan computed df with count().over(partitionBy(h)) — a
+    // full shuffle+sort of every (doc, shingle) pair; the fix is a hash
+    // aggregation + broadcast anti-join, so no window over the shingle
+    // hash may appear anywhere in the tree
+    val plan = Dedup.queries("dedup_jaccard_topk")(spark, sfDir())
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("windowspecdefinition(h#"),
+      s"shingle-hash window found (df scored by window again?):\n$plan")
+  }
 }
