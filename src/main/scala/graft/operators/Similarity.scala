@@ -221,8 +221,14 @@ object Similarity extends OpModule {
   private def multiWSql(t: String, b: String, i: String): String =
     s"(${ColFns.hex32Sql(s"($t)::VARCHAR || '_' || ($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
 
-  /** Per-(vector, table) bucket ids. */
-  private def multiSigDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(vector, table) bucket ids. Persisted: the signature frame feeds
+    * both sides of the candidate self-joins in `ann_multi_topk` and
+    * `dedup_embedding` (and the recall pass re-derives them). */
+  private def multiSigDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"multi_sig:$dir")(
+      multiSigUncached(spark, dir))
+
+  private def multiSigUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // planes flattened to T*B rows; posexplode index decomposes back
     val planes = array((0 until LshTables).flatMap(t =>

@@ -31,6 +31,13 @@ object TextAnalysis extends OpModule {
   private val tokensSql: String =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** BPE-ish subword segmentation (the LLM-token-estimate every training
+    * pipeline budgets with): letter runs, digit runs, and punctuation
+    * runs each count as one token — the GPT-2 pre-tokenizer pattern
+    * without the merges table. Identical RE2-compatible pattern on both
+    * engines. */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
   private def tokensDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -38,14 +45,17 @@ object TextAnalysis extends OpModule {
       .select(
         $"doc_id",
         size($"toks").as("n_tokens"),
+        size(regexp_extract_all($"text", lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"),
         size(array_distinct($"toks")).as("n_distinct"),
         aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
           .cast("double")./(size($"toks")).as("mean_token_len"))
   }
 
   private val tokensSqlQ: String =
-    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+    s"""WITH w AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
        |SELECT doc_id, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
        |  len(list_distinct(toks)) AS n_distinct,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
        |              (a, x) -> a + x)::DOUBLE / len(toks) AS mean_token_len

@@ -127,6 +127,41 @@ object Streams {
         })
   }
 
+  case class LogRecord(source: String, ts: Timestamp, level: String,
+      message: String)
+
+  val LevelRank: Map[String, Int] = Map("DEBUG" -> 0, "INFO" -> 1,
+    "WARNING" -> 2, "ERROR" -> 3, "CRITICAL" -> 4)
+
+  /** Throttled log-forwarding sink feed (telegram_notifier.py:84-102's
+    * log handler: only records at or above WARNING forward, under the
+    * same 5 s throttle as alerts). The severity filter runs BEFORE the
+    * keyed throttle, so DEBUG/INFO floods never consume throttle slots —
+    * exactly the handler's level check ordering. Unknown levels are
+    * dropped (rank below every threshold). */
+  def forwardedLogs(logs: Dataset[LogRecord], minLevel: String = "WARNING",
+      throttleMs: Long = 5000L): Dataset[LogRecord] = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    val min = LevelRank(minLevel)
+    logs
+      .filter(r => LevelRank.getOrElse(r.level, -1) >= min)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[LogRecord],
+            state: GroupState[ThrottleState]) => {
+          var last: Option[Long] = state.getOption.map(_.lastEmitMs)
+          val out = it.toArray.sortBy(_.ts.getTime).flatMap { r =>
+            if (last.forall(l => r.ts.getTime - l >= throttleMs)) {
+              last = Some(r.ts.getTime)
+              Some(r)
+            } else None
+          }
+          last.foreach(l => state.update(ThrottleState(l)))
+          out.iterator
+        })
+  }
+
   case class DeltaRow(symbol: String, win_start: Timestamp, delta: Double)
   case class ZState(ring: Seq[Double])
   case class ZOut(symbol: String, win_start: Timestamp, delta: Double,

@@ -280,6 +280,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 4) // 3 history + 1 new; duplicate dropped
   }
 
+  test("log forwarding: severity filter precedes the throttle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams.LogRecord
+    val input = MemoryStream[LogRecord]
+    val q = Streams.forwardedLogs(input.toDS())
+      .writeStream.format("memory").queryName("logs_out")
+      .outputMode("append").start()
+    input.addData(
+      LogRecord("app", ts(1), "WARNING", "w1"),   // forwards
+      LogRecord("app", ts(2), "INFO", "noise"),   // filtered, no slot used
+      LogRecord("app", ts(3), "ERROR", "e1"),     // inside throttle: dropped
+      LogRecord("app", ts(9), "ERROR", "e2"),     // past throttle: forwards
+      LogRecord("app", ts(10), "DEBUG", "noise2"))
+    q.processAllAvailable()
+    // state carries across triggers: ts(12) is inside e2's 5s window
+    input.addData(
+      LogRecord("app", ts(12), "CRITICAL", "c_dropped"),
+      LogRecord("app", ts(15), "CRITICAL", "c1"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("logs_out").collect()
+      .map(_.getAs[String]("message")).sorted.toSeq
+    assert(got == Seq("c1", "e2", "w1"))
+  }
+
   test("incremental fused pipeline (EP1) matches batch replay and trades the spike") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
