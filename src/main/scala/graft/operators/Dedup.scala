@@ -54,7 +54,7 @@ object Dedup extends OpModule {
     * element_at — O(words^2) regex work per document (measured 18s at
     * sf0.1; this shape runs in ~1s and its shuffle is a well-distributed
     * (doc_id) key at any corpus size). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"shingled:$dir")(
       shingledUncached(spark, dir))
 
@@ -75,7 +75,7 @@ object Dedup extends OpModule {
 
   // scalar range()+unnest: DuckDB's range *table* function cannot take
   // lateral column parameters (len(ws)), the scalar form can
-  private val shingledSql: String =
+  private[operators] val shingledSql: String =
     s"""SELECT doc_id,
        |  ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle,
        |  ${ColFns.hex32Sql("ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]")} AS h

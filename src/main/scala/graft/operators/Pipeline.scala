@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColFns
+import graft.OpModule
+
+/** Training-set assembly operators (builder-prompt north star): the
+  * steps a 100 TB corpus goes through between raw documents and a
+  * training shard, composed from the engine's own primitives:
+  *
+  *  - stratified sampling: deterministic hash-based keep decision with a
+  *    per-source rate — reproducible (re-running selects the identical
+  *    subset, the property that makes a sampled corpus auditable) and
+  *    embarrassingly parallel (pure per-row map work, zero shuffle).
+  *  - quality gate: the selection join — language filter x quality
+  *    threshold x exact-dedup keeper, one plan composing three operator
+  *    families. Each input is itself a hash-checked query.
+  *  - benchmark contamination: flags training documents sharing word
+  *    3-gram shingles with a held-out benchmark set (the eval-leakage
+  *    check every LLM data pipeline runs). Inverted-index equi-join on
+  *    the shingle hash — the same bounded join shape as the Jaccard
+  *    dedup, never all-pairs.
+  */
+object Pipeline extends OpModule {
+
+  /** Per-source sampling rate in [25, 74] percent, derived from the
+    * source name: stands in for the curated per-domain weights of a real
+    * mixture (e.g. up-weight reference text, down-weight boilerplate). */
+  val RateBase = 25
+  val RateSpan = 50
+
+  /** Benchmark membership: 1-in-BenchMod doc ids form the held-out set. */
+  val BenchMod = 97
+  /** Minimum shared shingles to count as contaminated. */
+  val MinOverlap = 3
+
+  private def sampleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("rate",
+        lit(RateBase) + ColFns.hex32($"source") % RateSpan)
+      .withColumn("keep_hash",
+        ColFns.hex32(concat($"doc_id".cast("string"), lit(":"), $"source"))
+          % 100)
+      .filter($"keep_hash" < $"rate")
+      .select("doc_id", "source", "rate", "keep_hash")
+  }
+
+  private val sampleSql: String =
+    s"""SELECT doc_id, source,
+       |  $RateBase + ${ColFns.hex32Sql("source")} % $RateSpan AS rate,
+       |  ${ColFns.hex32Sql("(doc_id::VARCHAR || ':' || source)")} % 100 AS keep_hash
+       |FROM documents
+       |WHERE ${ColFns.hex32Sql("(doc_id::VARCHAR || ':' || source)")} % 100
+       |      < $RateBase + ${ColFns.hex32Sql("source")} % $RateSpan""".stripMargin
+
+  /** Selection = english AND quality >= 0.5 AND exact-dedup keeper.
+    * Composes three already-verified frames in one plan: the keeper set
+    * is a hash aggregation (map-side combine), the quality/langid frames
+    * are zero-shuffle map work, and the joins all hash on doc_id. */
+  private def qualityGateDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = TextAnalysis.queries("text_langid")(spark, dir)
+      .select($"doc_id", $"lang")
+    val quality = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", $"quality")
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(keepers, Seq("doc_id")) // semi: keeper ids are unique
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .filter($"lang" === "en" && $"quality" >= 0.5)
+      .select("doc_id", "source", "lang", "quality")
+  }
+
+  private val qualityGateSql: String =
+    s"""WITH l AS (${TextAnalysis.oracles("text_langid")}),
+       |q AS (${TextAnalysis.oracles("text_quality")}),
+       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.doc_id, d.source, l.lang, q.quality
+       |FROM documents d
+       |JOIN k ON k.doc_id = d.doc_id
+       |JOIN l ON l.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |WHERE l.lang = 'en' AND q.quality >= 0.5""".stripMargin
+
+  /** Contaminated training docs: >= MinOverlap distinct 3-gram shingles
+    * shared with any benchmark document. Reuses the memoized shingle
+    * index; the join hashes on the shingle, so work is proportional to
+    * actual overlap, not corpus^2. */
+  private def contaminationDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = Dedup.shingled(spark, dir)
+      .select($"doc_id", $"h").distinct()
+    val bench = sets.filter($"doc_id" % BenchMod === 0)
+      .select($"h").distinct()
+    sets.filter($"doc_id" % BenchMod =!= 0)
+      .join(bench, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinOverlap)
+  }
+
+  private val contaminationSql: String =
+    s"""WITH sh AS (${Dedup.shingledSql}),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM sets WHERE doc_id % $BenchMod = 0)
+       |SELECT s.doc_id, count(*) AS n_shared
+       |FROM sets s JOIN bench b ON b.h = s.h
+       |WHERE s.doc_id % $BenchMod <> 0
+       |GROUP BY 1
+       |HAVING count(*) >= $MinOverlap""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleDf(_, _)),
+    "docs_quality_gate" -> (qualityGateDf(_, _)),
+    "bench_contamination" -> (contaminationDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" -> sampleSql,
+    "docs_quality_gate" -> qualityGateSql,
+    "bench_contamination" -> contaminationSql
+  )
+}

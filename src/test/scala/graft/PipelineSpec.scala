@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Pipeline
+
+/** Training-set assembly semantics: deterministic sampling, the composed
+  * quality gate, and benchmark-contamination detection. */
+class PipelineSpec extends SparkSpec {
+
+  test("stratified sample is deterministic and respects per-source rates") {
+    val a = rowsOf(Pipeline.queries("sample_stratified")(spark, sfDir()))
+    val b = rowsOf(Pipeline.queries("sample_stratified")(spark, sfDir()))
+    assert(a.nonEmpty)
+    // reproducibility: the keep decision is pure hash, not RNG
+    assert(a.map(_("doc_id")).toSet == b.map(_("doc_id")).toSet)
+    a.foreach { m =>
+      val rate = m("rate").asInstanceOf[Long]
+      val kh = m("keep_hash").asInstanceOf[Long]
+      assert(rate >= Pipeline.RateBase &&
+        rate < Pipeline.RateBase + Pipeline.RateSpan)
+      assert(kh < rate) // every kept row actually passed its gate
+    }
+  }
+
+  test("quality gate keeps only dedup keepers that pass language and quality") {
+    val dup = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val d = writeDocsFixture(Seq(
+      (1L, dup, "en"),
+      (2L, dup, "en"),                                   // dup of 1: dropped
+      (3L, "der hund und die katze und das haus und so", "de"), // non-en
+      (4L, "a b", "en"),                                 // too short: low quality
+      (5L, "the distributed computation frameworks optimize partitioned " +
+        "aggregation pipelines across heterogeneous clusters while " +
+        "storage layers maintain consistent snapshots during concurrent " +
+        "modifications", "en")))
+    val kept = rowsOf(Pipeline.queries("docs_quality_gate")(spark, d))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(kept.contains(1L) && !kept.contains(2L)) // keeper = min doc_id
+    assert(!kept.contains(3L))
+    assert(kept.contains(5L))
+  }
+
+  test("contamination flags exactly the docs sharing enough benchmark shingles") {
+    val rows = rowsOf(
+      Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty) // the sf corpus plants duplicate docs across ids
+    rows.foreach { m =>
+      val id = m("doc_id").asInstanceOf[Long]
+      assert(id % Pipeline.BenchMod != 0) // benchmark never flags itself
+      assert(m("n_shared").asInstanceOf[Long] >= Pipeline.MinOverlap)
+    }
+  }
+}
