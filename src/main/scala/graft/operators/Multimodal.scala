@@ -138,16 +138,37 @@ object Multimodal extends OpModule {
     raw.select($"media_id" +: bins: _*)
   }
 
+  /** SQL twin of the feature extractor. Valid ONLY because the decode
+    * stub is the identity and the corpus payloads are ASCII (byte ==
+    * char, verified across all SFs), so the per-byte histogram is
+    * expressible as a char unnest + conditional pivot. A real codec
+    * decode has no SQL twin — swap back to the rows-only check then.
+    * Both engines divide exact integer counts by the same n, so the
+    * doubles match bitwise. */
+  private val featuresSql: String = {
+    val bins = (0 until FeatureBins)
+      .map(b => s"  coalesce(max(CASE WHEN bin = $b THEN cnt END), 0)::DOUBLE / max(n) AS f$b")
+      .mkString(",\n")
+    s"""WITH x AS (SELECT doc_id AS media_id, text, length(text) AS n,
+       |             unnest(range(1, length(text) + 1)) AS i
+       |           FROM documents),
+       |b AS (SELECT media_id, n,
+       |        ascii(substr(text, i::INT, 1)) % $FeatureBins AS bin FROM x),
+       |c AS (SELECT media_id, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
+       |SELECT media_id,
+       |$bins
+       |FROM c GROUP BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (metaDf(_, _)),
     "media_frames" -> (framesDf(_, _)),
     "media_features" -> (featuresDf(_, _))
   )
 
-  // media_features intentionally absent: per-partition feature extraction
-  // has no SQL twin (rows-only check per the driver contract).
   val oracles: Map[String, String] = Map(
     "media_meta" -> metaSql,
-    "media_frames" -> framesSql
+    "media_frames" -> framesSql,
+    "media_features" -> featuresSql
   )
 }

@@ -387,44 +387,57 @@ object Similarity extends OpModule {
     * Per-(vector, centroid) cosine, ranked within vector: rank 1 is the
     * vector's cell assignment; ranks 1..P on query vectors are the probe
     * set. One frame feeds both. */
-  private def ivfRankedDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"ivf_ranked:$dir") {
-      import spark.implicits._
-      val e = Tables.embeddings(spark, dir)
-      val comp = e
-        .select($"label", posexplode($"embedding").as(Seq("i0", "x")))
-        .groupBy($"label", ($"i0" + 1).as("i"))
-        .agg(avg($"x".cast("double")).as("c"))
-      val cn = comp.groupBy($"label")
-        .agg(sqrt(sum($"c" * $"c")).as("cnorm"))
-      val vn = e.select($"vec_id", norm($"embedding").as("vnorm"))
-      val cc = e
-        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
-        .withColumn("i", $"i0" + 1)
-        .join(broadcast(comp), Seq("i"))
-        .groupBy($"vec_id", $"label")
-        .agg(sum($"x".cast("double") * $"c").as("dt"))
-        .join(broadcast(cn), Seq("label"))
-        .join(vn, Seq("vec_id"))
-        .withColumn("cos_c", round($"dt" / ($"vnorm" * $"cnorm"), 6))
-      cc.withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"label")))
-        .select("vec_id", "label", "cos_c", "rk")
-    }
+  /** Per-(vector, cell) quantized cosine ranked within vector, against an
+    * arbitrary centroid component frame (cell, i, c) — shared by the
+    * label-seeded IVF and the k-means-refined rung. The component frame
+    * is tiny (cells x dims) and broadcasts; the corpus streams through
+    * one explode + hash aggregation. */
+  private def rankAgainst(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val cn = comp.groupBy($"cell")
+      .agg(sqrt(sum($"c" * $"c")).as("cnorm"))
+    val vn = e.select($"vec_id", norm($"embedding").as("vnorm"))
+    e.select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+      .withColumn("i", $"i0" + 1)
+      .join(broadcast(comp), Seq("i"))
+      .groupBy($"vec_id", $"cell")
+      .agg(sum($"x".cast("double") * $"c").as("dt"))
+      .join(broadcast(cn), Seq("cell"))
+      .join(vn, Seq("vec_id"))
+      .withColumn("cos_c", round($"dt" / ($"vnorm" * $"cnorm"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")))
+      .select("vec_id", "cell", "cos_c", "rk")
+  }
 
-  /** ANN via IVF: probe top-P centroids, exact top-3 inside the cells. */
-  private def ivfTopkDf(spark: SparkSession, dir: String): DataFrame = {
+  private def labelCompDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label".as("cell"), posexplode($"embedding").as(Seq("i0", "x")))
+      .groupBy($"cell", ($"i0" + 1).as("i"))
+      .agg(avg($"x".cast("double")).as("c"))
+  }
+
+  private def ivfRankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"ivf_ranked:$dir")(
+      rankAgainst(spark, dir, labelCompDf(spark, dir)))
+
+  /** Probe top-P cells per query, exact top-3 inside the probed cells —
+    * the common tail of every coarse-quantized ANN rung. */
+  private def cellTopk(spark: SparkSession, dir: String,
+      ranked: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val ranked = ivfRankedDf(spark, dir)
     val assign = ranked.filter($"rk" === 1)
-      .select($"vec_id".as("nid"), $"label")
+      .select($"vec_id".as("nid"), $"cell")
     val probe = ranked
       .filter($"vec_id" % QueryMod === 0 && $"rk" <= IvfProbes)
-      .select($"vec_id".as("qid"), $"label")
+      .select($"vec_id".as("qid"), $"cell")
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    probe.join(assign, Seq("label"))
+    probe.join(assign, Seq("cell"))
       .filter($"nid" =!= $"qid")
       .select("qid", "nid")
       .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
@@ -434,6 +447,35 @@ object Similarity extends OpModule {
       .filter($"rk" <= 3)
       .select("qid", "nid", "cos")
   }
+
+  /** ANN via IVF: probe top-P centroids, exact top-3 inside the cells. */
+  private def ivfTopkDf(spark: SparkSession, dir: String): DataFrame =
+    cellTopk(spark, dir, ivfRankedDf(spark, dir))
+
+  /** ANN rung 4: one Lloyd iteration on top of the label seed — members
+    * of each seeded cell vote a refined centroid (the per-cell mean),
+    * and assignment/probing re-run against the refined cells. Cells now
+    * adapt to where vectors actually cluster instead of where labels put
+    * them; the recall metric quantifies the gain. Deterministic on both
+    * engines: the seed assignment is the quantized-cosine argmax and the
+    * refined means are exact averages. */
+  private def kmeansRankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"kmeans_ranked:$dir") {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val seed = ivfRankedDf(spark, dir).filter($"rk" === 1)
+        .select($"vec_id", $"cell")
+      val refined = e
+        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+        .withColumn("i", $"i0" + 1)
+        .join(seed, Seq("vec_id"))
+        .groupBy($"cell", $"i")
+        .agg(avg($"x".cast("double")).as("c"))
+      rankAgainst(spark, dir, refined)
+    }
+
+  private def kmeansTopkDf(spark: SparkSession, dir: String): DataFrame =
+    cellTopk(spark, dir, kmeansRankedDf(spark, dir))
 
   private val ivfCellsSqlBody: String =
     s"""comp AS (
@@ -526,6 +568,67 @@ object Similarity extends OpModule {
        |       JOIN n nb ON nb.vec_id = vec_b
        |WHERE dt / (na.nrm * nb.nrm) >= $NearDupCos""".stripMargin
 
+  private val kmeansTopkSql: String =
+    s"""WITH $ivfCellsSqlBody,
+       |seed AS (SELECT nid AS vec_id, label AS cell FROM assign),
+       |comp2 AS (
+       |  SELECT s.cell, i, avg(e.embedding[i]::DOUBLE) AS c
+       |  FROM seed s JOIN embeddings e ON e.vec_id = s.vec_id,
+       |       range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |cn2 AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM comp2 GROUP BY 1),
+       |cc2 AS (
+       |  SELECT e.vec_id, comp2.cell,
+       |    round(sum(e.embedding[comp2.i]::DOUBLE * comp2.c) / (max(vn.nrm) * max(cn2.cnorm)), 6) AS cos_c
+       |  FROM embeddings e
+       |  JOIN comp2 ON true
+       |  JOIN cn2 ON cn2.cell = comp2.cell
+       |  JOIN vn ON vn.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |ranked2 AS (
+       |  SELECT vec_id, cell, cos_c,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cell) AS rk
+       |  FROM cc2),
+       |assign2 AS (SELECT vec_id AS nid, cell FROM ranked2 WHERE rk = 1),
+       |probe2 AS (SELECT vec_id AS qid, cell FROM ranked2
+       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |cand2 AS (
+       |  SELECT p.qid, a.nid FROM probe2 p JOIN assign2 a USING (cell)
+       |  WHERE a.nid <> p.qid),
+       |d2 AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM cand2 JOIN embeddings eq ON eq.vec_id = qid
+       |                 JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c2 AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d2 JOIN vn nq ON nq.vec_id = qid
+       |              JOIN vn nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c2
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private def recallKmeansDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val km = kmeansTopkDf(spark, dir)
+      .select($"qid".as("km_qid"), $"nid".as("km_nid"))
+    brute3Df(spark, dir)
+      .join(km, $"qid" === $"km_qid" && $"nid" === $"km_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"km_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private val recallKmeansSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |km AS ($kmeansTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN km l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
   /** Recall of the IVF candidates against the exact top-3 — completes the
     * recall triptych (single-table LSH / multi-table LSH / IVF). */
   private def recallIvfDf(spark: SparkSession, dir: String): DataFrame = {
@@ -555,10 +658,12 @@ object Similarity extends OpModule {
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
     "ann_multi_topk" -> (multiTopkDf(_, _)),
     "ann_ivf_topk" -> (ivfTopkDf(_, _)),
+    "ann_kmeans_topk" -> (kmeansTopkDf(_, _)),
     "dedup_embedding" -> (embNearDupDf(_, _)),
     "ann_recall" -> (recallDf(_, _)),
     "ann_recall_multi" -> (recallMultiDf(_, _)),
     "ann_recall_ivf" -> (recallIvfDf(_, _)),
+    "ann_recall_kmeans" -> (recallKmeansDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -568,10 +673,12 @@ object Similarity extends OpModule {
     "ann_lsh_topk" -> lshTopkSql,
     "ann_multi_topk" -> multiTopkSql,
     "ann_ivf_topk" -> ivfTopkSql,
+    "ann_kmeans_topk" -> kmeansTopkSql,
     "dedup_embedding" -> embNearDupSql,
     "ann_recall" -> recallSql,
     "ann_recall_multi" -> recallMultiSql,
     "ann_recall_ivf" -> recallIvfSql,
+    "ann_recall_kmeans" -> recallKmeansSql,
     "emb_centroids" -> centroidSql
   )
 }
