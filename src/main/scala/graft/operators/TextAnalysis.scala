@@ -28,6 +28,14 @@ object TextAnalysis extends OpModule {
   private def tokens: Column =
     filter(split(col("text"), "\\s+"), t => t =!= "")
 
+  /** Documents with the token array attached, persisted once per
+    * session: five query families (tokens/langid/quality/fingerprint and
+    * the Pipeline quality gate) start from the same regex split — at
+    * 100 TB you materialize the tokenized frame once, not per consumer. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"doc_toks:$dir")(
+      Tables.documents(spark, dir).withColumn("toks", tokens))
+
   private val tokensSql: String =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
@@ -40,8 +48,7 @@ object TextAnalysis extends OpModule {
 
   private def tokensDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("toks", tokens)
+    tokenized(spark, dir)
       .select(
         $"doc_id",
         size($"toks").as("n_tokens"),
@@ -82,7 +89,7 @@ object TextAnalysis extends OpModule {
     * zero. Ties resolve in declared language order on both engines. */
   private def langidDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var df = Tables.documents(spark, dir).withColumn("toks", tokens)
+    var df = tokenized(spark, dir)
     for ((l, ws) <- Langs) df = df.withColumn(s"score_$l", langScore(ws))
     val best = Langs.map { case (l, _) => col(s"score_$l") }
       .reduce((a, b) => greatest(a, b))
@@ -121,8 +128,7 @@ object TextAnalysis extends OpModule {
   private def qualityDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val en = Langs.head._2
-    Tables.documents(spark, dir)
-      .withColumn("toks", tokens)
+    tokenized(spark, dir)
       .withColumn("n_tokens", size($"toks"))
       .withColumn("distinct_ratio",
         size(array_distinct($"toks")).cast("double") / $"n_tokens")
@@ -169,8 +175,7 @@ object TextAnalysis extends OpModule {
     * mod M over the token stream. Identical fold on both engines. */
   private def fingerprintDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("toks", tokens)
+    tokenized(spark, dir)
       .withColumn("hashes", transform($"toks", t => ColFns.hex32(t)))
       .withColumn(
         "fingerprint",
