@@ -187,6 +187,20 @@ object Live {
       .outputMode("append").start()
   }
 
+  /** The fully incremental fused decision stream (EP1): one windowed
+    * aggregation over the raw trade feed into one keyed-state fold —
+    * every signal family, the fused score, the entry side, and the FSM
+    * events land per finalized bar in the `fused` table. Spark 4 chains
+    * the stateful operators in a single query, so this needs no bronze
+    * hop. */
+  def fusedQuery(spark: SparkSession, tradesDir: String, outDir: String,
+      ckptDir: String): StreamingQuery =
+    Streams.fusedStream(Streams.signalBars(tradeSource(spark, tradesDir)))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/fused")
+      .option("checkpointLocation", s"$ckptDir/fused")
+      .outputMode("append").start()
+
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
     import spark.implicits._
@@ -226,6 +240,7 @@ object Live {
       barsQuery(spark, tradesDir, outDir, ckptDir),
       deltaQuery(spark, tradesDir, outDir, ckptDir),
       signalQuery(spark, outDir, ckptDir),
+      fusedQuery(spark, tradesDir, outDir, ckptDir),
       tradesQuery(spark, signalsDir, outDir, ckptDir),
       ordersQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())

@@ -65,6 +65,7 @@ class AppSpec extends SparkSpec {
     val qs = Seq(
       Live.barsQuery(spark, tradesDir, outDir, ckptDir),
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
+      Live.fusedQuery(spark, tradesDir, outDir, ckptDir),
       Live.tradesQuery(spark, signalsDir, outDir, ckptDir),
       Live.ordersQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
@@ -87,6 +88,11 @@ class AppSpec extends SparkSpec {
     assert(deltas.count() >= 1)
     val signals = spark.read.parquet(s"$outDir/signals")
     assert(signals.count() == deltas.count()) // one z row per delta row
+    // the fused decision stream landed per finalized bar, full frame
+    val fused = spark.read.parquet(s"$outDir/fused")
+    assert(fused.count() >= 1)
+    assert(fused.columns.toSet.contains("total_long") &&
+      fused.columns.toSet.contains("side"))
     assert(signals.select("signal").collect()
       .forall(_.getString(0) == "NONE")) // population below the minimum
     val trades = spark.read.parquet(s"$outDir/trades")
