@@ -394,6 +394,10 @@ object Similarity extends OpModule {
     * one explode + hash aggregation. */
   private def rankAgainst(spark: SparkSession, dir: String,
       comp: DataFrame): DataFrame = {
+    // register BEFORE norm() builds a vec_dot call: this frame is
+    // constructed as an argument expression, i.e. before any caller's
+    // own register() line runs
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val cn = comp.groupBy($"cell")
