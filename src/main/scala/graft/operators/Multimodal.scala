@@ -117,9 +117,10 @@ object Multimodal extends OpModule {
     * a normalized ${FeatureBins}-bin byte histogram per media row. Rows
     * never leave their partition; the feature vector is fixed-width.
     * Bins are flattened to scalar columns f0..f15 (a fixed-width feature
-    * frame downstream trainers consume directly, and the driver's
-    * rows-only check can sort scalars where it cannot sort array cells).
-    * Not SQL-expressible → driver records the rows-only check. */
+    * frame downstream trainers consume directly, and checkers can sort
+    * scalar columns where they cannot sort array cells). Hash-checked
+    * against `featuresSql` while the decode stub is identity (see its
+    * doc); with a real codec this reverts to a rows-only check. */
   private def featuresDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val raw = mediaDf(spark, dir)
