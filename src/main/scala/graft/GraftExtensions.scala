@@ -25,8 +25,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "vec_dot"),
       (children: Seq[Expression]) => ArrayDotExpr(children(0), children(1))))
 
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // Weak keys: the guard must not pin stopped sessions (and their whole
+  // sessionState) in memory for the life of the process.
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Register on an already-built session (Verify/Bench create plain
     * sessions; tests too). Idempotent AND once-per-session: re-running

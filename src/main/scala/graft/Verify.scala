@@ -18,11 +18,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-      ()
-    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -30,7 +25,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale dump from a previous run must not masquerade as this
         // run's output — fail loudly as "no engine output" instead
-        rm(new java.io.File(s"$outDir/$name"))
+        functions.Fs.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

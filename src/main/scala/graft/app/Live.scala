@@ -65,10 +65,27 @@ object Live {
       .option("checkpointLocation", s"$ckptDir/deltas")
       .outputMode("append").start()
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
+  /** Rename-aside swap of a recomputed table. The replacement is fully
+    * written aside before the old table moves; the only unavailable
+    * window is the instant between the two renames, and a crash there is
+    * healed by the restore at the top of the NEXT refresh (dst missing +
+    * backup present -> restore backup first). Driver-local java.io
+    * (demo-grade; production writes a transactional table format). */
+  private def swapInPlace(outDir: String, table: String,
+      df: DataFrame): Unit = {
+    val dst = new java.io.File(s"$outDir/$table")
+    val old = new java.io.File(s"$outDir/.${table}_old")
+    val tmp = new java.io.File(s"$outDir/.${table}_tmp")
+    if (!dst.exists() && old.exists()) old.renameTo(dst) // heal prior crash
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+    if (dst.exists() && !dst.renameTo(old))
+      throw new java.io.IOException(s"$table swap failed: $dst -> $old")
+    if (!tmp.renameTo(dst)) {
+      if (old.exists()) old.renameTo(dst) // restore; heal on next batch
+      throw new java.io.IOException(s"$table swap failed: $tmp -> $dst")
+    }
+    if (old.exists()) graft.functions.Fs.deleteRecursively(old)
   }
 
   /** Recompute the day-keyed summary from the trades table (the source
@@ -77,28 +94,23 @@ object Live {
     * replays: as long as the trades append is idempotent, any number of
     * recomputes converge. The schema is the full 12-column Daily Summary
     * (shared with the hash-checked `fsm_daily_summary` batch query via
-    * [[graft.operators.Stateful.dailySummaryOf]]). Swap is rename-aside:
-    * the old table moves out of the way only after the replacement is
-    * fully written, so readers never observe a missing table and a crash
-    * leaves either old or new in place — never neither. Driver-local
-    * java.io (fine for this local demo; production writes a
-    * transactional table format). */
+    * [[graft.operators.Stateful.dailySummaryOf]]). */
   def refreshDailySummary(spark: SparkSession, outDir: String): Unit = {
     if (!new java.io.File(s"$outDir/trades").exists()) return
-    val merged = graft.operators.Stateful.dailySummaryOf(
-      spark.read.parquet(s"$outDir/trades").filter(col("action") === "EXIT"))
-    val tmp = new java.io.File(s"$outDir/.daily_summary_tmp")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val dst = new java.io.File(s"$outDir/daily_summary")
-    val old = new java.io.File(s"$outDir/.daily_summary_old")
-    if (old.exists()) deleteRecursively(old)
-    if (dst.exists() && !dst.renameTo(old))
-      throw new java.io.IOException(s"daily_summary swap failed: $dst -> $old")
-    if (!tmp.renameTo(dst)) {
-      if (old.exists()) old.renameTo(dst) // restore; heal on next batch
-      throw new java.io.IOException(s"daily_summary swap failed: $tmp -> $dst")
-    }
-    if (old.exists()) deleteRecursively(old)
+    swapInPlace(outDir, "daily_summary", graft.operators.Stateful
+      .dailySummaryOf(
+        spark.read.parquet(s"$outDir/trades").filter(col("action") === "EXIT")))
+  }
+
+  /** Recompute the orders table from the full trades table, same
+    * source-of-truth pattern as the daily summary: the rate-limit rank
+    * is computed over ALL events, so the cap holds per 60-bucket window
+    * regardless of how events were split across micro-batches, and the
+    * live table equals Backtest's batch orders table by construction. */
+  def refreshOrders(spark: SparkSession, outDir: String): Unit = {
+    if (!new java.io.File(s"$outDir/trades").exists()) return
+    swapInPlace(outDir, "orders",
+      ordersOf(spark.read.parquet(s"$outDir/trades")))
   }
 
   /** Idempotent append guard: every sink row carries its micro-batch id
@@ -149,27 +161,6 @@ object Live {
         "status")
   }
 
-  /** Order placement sink (closes the EP1 loop): the FSM event stream
-    * lands in an `orders` table via an idempotent foreachBatch — the same
-    * batch-id replay guard as the trades sink, so a crashed-and-replayed
-    * micro-batch cannot double-place. */
-  def ordersQuery(spark: SparkSession, signalsDir: String, outDir: String,
-      ckptDir: String): StreamingQuery =
-    Streams.positionEvents(signalSource(spark, signalsDir))
-      .writeStream
-      .option("checkpointLocation", s"$ckptDir/orders")
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], batchId: Long) =>
-        val df = ordersOf(batch.toDF())
-          .withColumn("batch_id", lit(batchId)).cache()
-        try {
-          if (!df.isEmpty && !committedIn(spark, s"$outDir/orders", batchId))
-            df.write.mode("append").parquet(s"$outDir/orders")
-        } finally df.unpersist()
-        ()
-      }
-      .start()
-
   /** Silver stage: tails the delta table the deltaQuery lands and keeps
     * the rolling z-score + entry signal incrementally — the
     * bronze(deltas) -> silver(signals) hop of the live topology. */
@@ -214,10 +205,13 @@ object Live {
           if (!df.isEmpty && !alreadyCommitted(spark, outDir, batchId)) {
             df.write.mode("append").parquet(s"$outDir/trades")
           }
-          // unconditional (it is an idempotent recompute from the source
-          // of truth): a crash between the append and the refresh must
-          // not leave the summary stale until some future non-empty batch
+          // unconditional (idempotent recomputes from the source of
+          // truth): a crash between the append and a refresh must not
+          // leave the derived tables stale until some future non-empty
+          // batch. Orders derive here too (closing the EP1 loop) so the
+          // trades and orders tables can never be mutually inconsistent.
           refreshDailySummary(spark, outDir)
+          refreshOrders(spark, outDir)
         } finally df.unpersist()
         ()
       }
@@ -241,8 +235,7 @@ object Live {
       deltaQuery(spark, tradesDir, outDir, ckptDir),
       signalQuery(spark, outDir, ckptDir),
       fusedQuery(spark, tradesDir, outDir, ckptDir),
-      tradesQuery(spark, signalsDir, outDir, ckptDir),
-      ordersQuery(spark, signalsDir, outDir, ckptDir))
+      tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())
   }
 }

@@ -23,10 +23,12 @@ object DfMemo {
       // Build OUTSIDE the map's lock: build closures may re-enter cached()
       // (Stateful.eventsDf -> Scores.scoredShared), and computeIfAbsent
       // forbids recursive mutation of the same ConcurrentHashMap. A lost
-      // race costs one redundant build, immediately unpersisted.
+      // race is NOT unpersisted: Spark's CacheManager keys cached data by
+      // logical plan, so both racers share ONE cache entry — unpersisting
+      // the loser would evict the winner's cache too.
       val built = build.persist()
       val raced = memo.putIfAbsent(k, built)
-      if (raced != null) { built.unpersist(); raced } else built
+      if (raced != null) raced else built
     }
   }
 

@@ -147,18 +147,21 @@ object Multimodal extends OpModule {
     * Both engines divide exact integer counts by the same n, so the
     * doubles match bitwise. */
   private val featuresSql: String = {
+    // LEFT JOIN from documents so an empty payload still yields its row
+    // (all-zero bins), matching the Spark side's max(1, length) guard.
     val bins = (0 until FeatureBins)
-      .map(b => s"  coalesce(max(CASE WHEN bin = $b THEN cnt END), 0)::DOUBLE / max(n) AS f$b")
+      .map(b => s"  coalesce(max(CASE WHEN c.bin = $b THEN c.cnt END), 0)::DOUBLE / greatest(max(length(d.text)), 1) AS f$b")
       .mkString(",\n")
-    s"""WITH x AS (SELECT doc_id AS media_id, text, length(text) AS n,
+    s"""WITH x AS (SELECT doc_id AS media_id, text,
        |             unnest(range(1, length(text) + 1)) AS i
        |           FROM documents),
-       |b AS (SELECT media_id, n,
+       |b AS (SELECT media_id,
        |        ascii(substr(text, i::INT, 1)) % $FeatureBins AS bin FROM x),
-       |c AS (SELECT media_id, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
-       |SELECT media_id,
+       |c AS (SELECT media_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
+       |SELECT d.doc_id AS media_id,
        |$bins
-       |FROM c GROUP BY media_id""".stripMargin
+       |FROM documents d LEFT JOIN c ON c.media_id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -66,8 +66,7 @@ class AppSpec extends SparkSpec {
       Live.barsQuery(spark, tradesDir, outDir, ckptDir),
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
       Live.fusedQuery(spark, tradesDir, outDir, ckptDir),
-      Live.tradesQuery(spark, signalsDir, outDir, ckptDir),
-      Live.ordersQuery(spark, signalsDir, outDir, ckptDir))
+      Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
     // silver stage tails the delta table the bronze stage just landed
     val zq = Live.signalQuery(spark, outDir, ckptDir)
@@ -122,10 +121,10 @@ class AppSpec extends SparkSpec {
     assert(orders.collect().forall(_.getAs[String]("status") == "PLACED"))
 
     // replay: a fresh checkpoint re-reads every signal file as batch 0 —
-    // the batch-id guard must keep the orders (and trades) tables intact
+    // the batch-id guard must keep the trades table intact, and the
+    // derived orders table must converge to the same rows
     val replay = Seq(
-      Live.tradesQuery(spark, signalsDir, outDir, s"$base/ckpt_replay"),
-      Live.ordersQuery(spark, signalsDir, outDir, s"$base/ckpt_replay"))
+      Live.tradesQuery(spark, signalsDir, outDir, s"$base/ckpt_replay"))
     replay.foreach(_.processAllAvailable())
     replay.foreach(_.stop())
     assert(spark.read.parquet(s"$outDir/orders").count() == 4)
