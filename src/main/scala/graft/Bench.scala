@@ -1,8 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line (driver contract).
+  *
+  * Queries run in NAME order, so each operator family's queries are
+  * adjacent and their shared DfMemo frames are touched consecutively —
+  * the LRU memo (cap [[graft.functions.DfMemo.MaxResident]]) then bounds
+  * resident cache pressure without thrashing inside a family.
+  *
+  * Besides per-query seconds, the JSON carries two memory columns so a
+  * cache-pressure artifact shows up AS a memory number instead of
+  * masquerading as a per-query regression:
+  *  - "heap_mb": JVM used heap sampled right after the query finished
+  *    (the accumulation curve across the run)
+  *  - "peak_task_mb": max task peakExecutionMemory observed during the
+  *    query (the query's own shuffle/agg working set)
   *
   * Extra env knobs for local iteration (ignored by the driver):
   *  - SPARK_GRAFT_ONLY=a,b,c   run only the named queries
@@ -26,13 +40,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries
+
+    // running max of task peakExecutionMemory; reset per query
+    val peakTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          peakTask.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    })
+    def usedHeapMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = qs.map { case (name, fn) =>
       if (explain) {
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"$name: $e") }
       }
+      peakTask.set(0L)
       // a failed attempt must NOT masquerade as a fast run: failures
       // report -1 and never contribute a timing
       val times = (1 to repeat).flatMap { _ =>
@@ -46,14 +76,18 @@ object Bench {
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      (name, times.minOption.getOrElse(-1.0), usedHeapMb,
+        peakTask.get() / (1024L * 1024L))
     }
-    val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kv: Seq[(String, Any)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsJson = jsonMap(results.map(r => r._1 -> r._2))
+    val heapJson = jsonMap(results.map(r => r._1 -> r._3))
+    val peakJson = jsonMap(results.map(r => r._1 -> r._4))
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"heap_mb":$heapJson,"peak_task_mb":$peakJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

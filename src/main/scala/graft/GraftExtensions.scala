@@ -34,11 +34,15 @@ object GraftExtensions {
   /** Register on an already-built session (Verify/Bench create plain
     * sessions; tests too). Idempotent AND once-per-session: re-running
     * createOrReplaceTempFunction on every query spams "function replaced"
-    * warnings through a whole bench run. */
-  def register(spark: SparkSession): Unit =
+    * warnings through a whole bench run. The check-and-register runs
+    * under the session's monitor so a concurrent first use cannot observe
+    * the guard set while registration is still in flight (the functions
+    * are registered before ANY caller returns). */
+  def register(spark: SparkSession): Unit = spark.synchronized {
     if (registered.add(spark))
       descriptors.foreach { case (id, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "built-in")
       }
+  }
 }

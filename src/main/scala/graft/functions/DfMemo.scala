@@ -1,41 +1,85 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-(session, key) memo of persisted DataFrames, for intermediate
   * frames shared by several queries in one session (the fusion signal
   * frame feeds five queries; the FSM event stream feeds three).
   *
-  * Lifecycle: entries live until `clear()` (tests / long-lived services)
-  * or session shutdown — cached blocks die with their SparkSession
-  * either way, and `clear()` unpersists eagerly. Verify/Bench sessions
-  * are short-lived one-shots, where memoization is pure win.
+  * Lifecycle: the outer map is WEAK in the session, so a stopped and
+  * dropped SparkSession releases its cached plans without anyone calling
+  * `clear()`. Within a session the memo is an LRU bounded at
+  * [[MaxResident]] entries: a long multi-family run (Bench's 70+ queries)
+  * holds at most that many persisted frames at a time — the
+  * least-recently-used one is unpersisted and forgotten when a new family
+  * starts memoizing, instead of every family's frames accumulating for
+  * the whole session (the round-2 bench-noise mechanism). Bench runs
+  * queries in name order, so a family's queries touch their shared memo
+  * consecutively and the LRU never thrashes within a family.
   */
 object DfMemo {
-  private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** LRU cap per session. Large enough for the widest reuse distance in
+    * the suite (the ANN recall family interleaves brute3 with four
+    * per-rung frames), small enough to bound resident cache pressure. */
+  val MaxResident: Int =
+    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "6").toInt
+
+  // Weak keys: a dropped session must not be pinned (with its whole
+  // sessionState + persisted plans) for the life of the process.
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]()
+
+  private def tableFor(spark: SparkSession) = sessions.synchronized {
+    var m = sessions.get(spark)
+    if (m == null) {
+      // accessOrder = true: get() refreshes recency, giving true LRU
+      m = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+      sessions.put(spark, m)
+    }
+    m
+  }
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (spark, key)
-    val existing = memo.get(k)
+    val tab = tableFor(spark)
+    // access-order maps mutate on get: every touch needs the lock
+    val existing = tab.synchronized(tab.get(key))
     if (existing != null) existing
     else {
-      // Build OUTSIDE the map's lock: build closures may re-enter cached()
-      // (Stateful.eventsDf -> Scores.scoredShared), and computeIfAbsent
-      // forbids recursive mutation of the same ConcurrentHashMap. A lost
-      // race is NOT unpersisted: Spark's CacheManager keys cached data by
-      // logical plan, so both racers share ONE cache entry — unpersisting
-      // the loser would evict the winner's cache too.
+      // Build OUTSIDE the lock: build closures may re-enter cached()
+      // (Stateful.eventsDf -> Scores.scoredShared). A lost race is NOT
+      // unpersisted: Spark's CacheManager keys cached data by logical
+      // plan, so both racers share ONE cache entry — unpersisting the
+      // loser would evict the winner's cache too.
       val built = build.persist()
-      val raced = memo.putIfAbsent(k, built)
-      if (raced != null) raced else built
+      tab.synchronized {
+        val raced = tab.get(key)
+        if (raced != null) raced
+        else {
+          tab.put(key, built)
+          // LRU eviction: unpersist is safe even if an already-built plan
+          // still references the frame — it only drops the cache, the
+          // plan recomputes (a perf, never a correctness, event).
+          val it = tab.entrySet().iterator()
+          while (tab.size() > MaxResident && it.hasNext) {
+            val eldest = it.next()
+            try eldest.getValue.unpersist()
+            catch { case _: Throwable => () }
+            it.remove()
+          }
+          built
+        }
+      }
     }
   }
 
-  /** Unpersist and forget everything (idempotent). */
-  def clear(): Unit = {
-    memo.forEach((_, df) =>
-      try df.unpersist() catch { case _: Throwable => () })
-    memo.clear()
+  /** Unpersist and forget everything (idempotent; tests + long services). */
+  def clear(): Unit = sessions.synchronized {
+    sessions.values.forEach { tab =>
+      tab.values.forEach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+      tab.clear()
+    }
+    sessions.clear()
   }
 }

@@ -134,19 +134,27 @@ object Streams {
     "WARNING" -> 2, "ERROR" -> 3, "CRITICAL" -> 4)
 
   /** Throttled log-forwarding sink feed (telegram_notifier.py:84-102's
-    * log handler: only records at or above WARNING forward, under the
-    * same 5 s throttle as alerts). The severity filter runs BEFORE the
-    * keyed throttle, so DEBUG/INFO floods never consume throttle slots —
-    * exactly the handler's level check ordering. Unknown levels are
-    * dropped (rank below every threshold). */
+    * log handler: only records at or above WARNING forward, under ONE
+    * GLOBAL 5 s throttle across all loggers — the handler keeps a single
+    * last-sent time, not one per source, so the default here keys the
+    * state on a constant). The severity filter runs BEFORE the throttle,
+    * so DEBUG/INFO floods never consume throttle slots — exactly the
+    * handler's level check ordering. Unknown levels are dropped (rank
+    * below every threshold).
+    *
+    * `perSource = true` is the documented scale deviation: one throttle
+    * state per source parallelizes across the cluster, at the cost of
+    * forwarding up to one record per source per window instead of one
+    * total. The global default matches the reference; a real fleet-wide
+    * deployment would flip it. */
   def forwardedLogs(logs: Dataset[LogRecord], minLevel: String = "WARNING",
-      throttleMs: Long = 5000L): Dataset[LogRecord] = {
+      throttleMs: Long = 5000L, perSource: Boolean = false): Dataset[LogRecord] = {
     val spark = logs.sparkSession
     import spark.implicits._
     val min = LevelRank(minLevel)
     logs
       .filter(r => LevelRank.getOrElse(r.level, -1) >= min)
-      .groupByKey(_.source)
+      .groupByKey(r => if (perSource) r.source else "GLOBAL")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[LogRecord],
             state: GroupState[ThrottleState]) => {

@@ -306,6 +306,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("c1", "e2", "w1"))
   }
 
+  test("log forwarding throttle is global across sources (reference handler keeps ONE last-sent time)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams.LogRecord
+    val input = MemoryStream[LogRecord]
+    val q = Streams.forwardedLogs(input.toDS())
+      .writeStream.format("memory").queryName("glogs_out")
+      .outputMode("append").start()
+    input.addData(
+      LogRecord("svc_a", ts(1), "ERROR", "a1"),      // forwards
+      LogRecord("svc_b", ts(3), "ERROR", "b_drop"),  // OTHER source, same global window: dropped
+      LogRecord("svc_b", ts(7), "ERROR", "b1"))      // past the window: forwards
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("glogs_out").collect()
+      .map(_.getAs[String]("message")).sorted.toSeq
+    assert(got == Seq("a1", "b1"))
+  }
+
   test("incremental fused pipeline (EP1) matches batch replay and trades the spike") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
