@@ -178,19 +178,35 @@ object Live {
       .outputMode("append").start()
   }
 
-  /** The fully incremental fused decision stream (EP1): one windowed
-    * aggregation over the raw trade feed into one keyed-state fold —
-    * every signal family, the fused score, the entry side, and the FSM
-    * events land per finalized bar in the `fused` table. Spark 4 chains
-    * the stateful operators in a single query, so this needs no bronze
-    * hop. */
+  def bookSource(spark: SparkSession, dir: String) =
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Streams.BookLevel].schema)
+      .parquet(dir)
+      .as[Streams.BookLevel](
+        org.apache.spark.sql.Encoders.product[Streams.BookLevel])
+
+  /** The fully incremental fused decision stream (EP1): the raw trade
+    * feed and (when a book feed exists) the book-update feed union into
+    * ONE windowed aggregation — one shuffle on the (window, symbol) key
+    * — then one keyed-state fold: every signal family including the
+    * book trio and the aether components, the full fused cascade, the
+    * entry side, and the FSM events land per finalized bar in the
+    * `fused` table. Spark 4 chains the stateful operators in a single
+    * query, so this needs no bronze hop. */
   def fusedQuery(spark: SparkSession, tradesDir: String, outDir: String,
-      ckptDir: String): StreamingQuery =
-    Streams.fusedStream(Streams.signalBars(tradeSource(spark, tradesDir)))
+      ckptDir: String, booksDir: Option[String] = None): StreamingQuery = {
+    val trades = tradeSource(spark, tradesDir)
+    val bars = booksDir match {
+      case Some(bd) =>
+        Streams.signalBarsWithBook(trades, bookSource(spark, bd))
+      case None => Streams.signalBars(trades)
+    }
+    Streams.fusedStream(bars)
       .writeStream.format("parquet")
       .option("path", s"$outDir/fused")
       .option("checkpointLocation", s"$ckptDir/fused")
       .outputMode("append").start()
+  }
 
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
@@ -219,7 +235,9 @@ object Live {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(tradesDir, signalsDir, outDir, ckptDir) = args
+    // 4-arg: trade-only; optional 5th arg: a book-update feed directory
+    val Array(tradesDir, signalsDir, outDir, ckptDir) = args.take(4)
+    val booksDir = args.drop(4).headOption
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -234,7 +252,7 @@ object Live {
       barsQuery(spark, tradesDir, outDir, ckptDir),
       deltaQuery(spark, tradesDir, outDir, ckptDir),
       signalQuery(spark, outDir, ckptDir),
-      fusedQuery(spark, tradesDir, outDir, ckptDir),
+      fusedQuery(spark, tradesDir, outDir, ckptDir, booksDir),
       tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())
   }

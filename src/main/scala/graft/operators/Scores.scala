@@ -151,8 +151,10 @@ object Scores extends OpModule {
        |  LEFT JOIN bosq ON bosq.bucket = atr.bucket
        |  LEFT JOIN hurstq ON hurstq.bucket = atr.bucket)""".stripMargin
 
-  /** All scoring columns on top of the signal frame. */
-  private[operators] def scored(df: DataFrame, spark: SparkSession): DataFrame = {
+  /** All scoring columns on top of the signal frame. `private[graft]`:
+    * ScoringSpec asserts the pure-scalar twin ([[graft.state.Scoring]])
+    * produces identical numbers on identical inputs. */
+  private[graft] def scored(df: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val z0 = coalesce($"z", lit(0.0))
     val cvd0 = coalesce($"cvd", lit(0.0))

@@ -2,12 +2,17 @@ package graft.state
 
 import java.sql.Timestamp
 
-/** The EP1 hot path as a pure fold: per finalized signal bar, every
-  * trade-derived signal family (rolling z, normalized CVD, incremental
-  * EMA, trend hysteresis, bar-grain liquidity velocity), the fused
-  * long/short scores, the entry side, and the position FSM — in ONE
-  * `(state, bar) => (state, out)` transition (reference per-tick loop:
-  * strategy.py:334-443; fusion weights mirror `Scores`' formula shape).
+/** The EP1 hot path as a pure fold: per finalized signal bar, EVERY
+  * signal family of the batch cascade — rolling z, normalized CVD,
+  * incremental EMA + trend hysteresis, bar-grain liquidity velocity,
+  * the order-book trio (imbalance / wall / touch over the bar's top-k
+  * level arrays, strategy.py:939-998,1046-1068), ATR% regime, and the
+  * aether components (trailing-ring Hurst, bar-ring BOS, closed-form
+  * MC / Bayes / RL, aether_oracle.py:155-341) — then the FULL fused
+  * scoring cascade ([[Scoring.score]] ≡ `Scores.scored`, asserted by
+  * ScoringSpec), Kelly + win-prob, the entry side, and the position
+  * FSM, in ONE `(state, bar) => (state, out)` transition (reference
+  * per-tick loop: strategy.py:334-443).
   *
   * Pure like [[Fsm]], and for the same reason: the streaming path
   * (`Streams.fusedStream`, `flatMapGroupsWithState`) and the batch replay
@@ -16,41 +21,63 @@ import java.sql.Timestamp
   * end-to-end in StreamingSpec.
   *
   * Scale shape: inputs are already-aggregated per-(symbol, window) bars
-  * — the shuffle carries one row per bar, never trades — and the state is
-  * O(ring) per symbol (~24 KB), exactly the `flatMapGroupsWithState`
-  * budget the rest of the engine uses.
+  * — the shuffle carries one row per bar (the book levels arrive
+  * depth-capped at [[graft.operators.Book.Depth]] per side), and the
+  * state is O(ring) per symbol (~25 KB: 3000 deltas + the small ATR /
+  * Hurst / BOS rings), exactly the `flatMapGroupsWithState` budget the
+  * rest of the engine uses.
+  *
+  * Deliberate live-vs-batch grain deviations (documented, spec'd):
+  * Hurst folds over a TRAILING 20-bar ring (the reference's per-tick
+  * rescan) where the batch `lm_hurst` evaluates tumbling 20-bar groups;
+  * BOS is single-TF at the stream's bar grain where batch `lm_bos`
+  * averages three timeframes; z is unquantized (batch rounds to 6
+  * decimals purely for the cross-engine oracle compare).
   */
 object Fusion {
 
-  /** One finalized per-(symbol, window) signal bar: OHLC + taker flow. */
+  /** One finalized per-(symbol, window) signal bar: OHLC + taker flow +
+    * the bar's top-[[graft.operators.Book.Depth]] book level quantities
+    * per side, qty-desc sorted (empty when no book feed exists). */
   case class SigBar(symbol: String, win_start: Timestamp, open: Double,
       high: Double, low: Double, close: Double, volume: Double,
-      buy_vol: Double, sell_vol: Double)
+      buy_vol: Double, sell_vol: Double,
+      bids: Seq[Double] = Nil, asks: Seq[Double] = Nil)
 
   case class FusionState(ring: Vector[Double], ema: Option[Double],
-      trend: Fsm.TrendState, pos: Fsm.PosState)
+      trend: Fsm.TrendState, closes: Vector[Double],
+      prevClose: Option[Double], trs: Vector[Double], rets: Vector[Double],
+      bars: Vector[(Double, Double)], pos: Fsm.PosState)
 
   /** The fused frame row + the FSM event it produced (if any), flattened
-    * so one append-mode stream carries the whole decision. */
+    * so one append-mode stream carries the whole decision: the component
+    * inputs (z..atr_pct), the cascade outputs (regime..total_short), the
+    * entry side, and the FSM columns. */
   case class FusedOut(symbol: String, win_start: Timestamp, close: Double,
       delta: Double, z: Option[Double], cvd: Double, ema: Double,
-      trend: String, lv: Double, total_long: Double, total_short: Double,
-      side: String, action: Option[String], pnl: Option[Double],
-      reason: Option[String])
+      trend: String, lv: Double, imbalance: Option[Double],
+      bid_wall: Option[Double], ask_wall: Option[Double],
+      bid_touch_ok: Boolean, ask_touch_ok: Boolean, bos: Option[Double],
+      hurst: Option[Double], atr_pct: Option[Double], regime: String,
+      core_long: Double, core_short: Double, fused_long: Double,
+      fused_short: Double, kelly_long: Double, kelly_short: Double,
+      winprob_long: Double, winprob_short: Double, total_long: Double,
+      total_short: Double, side: String, action: Option[String],
+      pnl: Option[Double], reason: Option[String])
 
   val Span = 20         // EMA span (data_manager.py:721-745)
   val ZPop = 3000       // population ring (strategy.py:58)
   val ZMin = 30         // minimum population (strategy.py:1024)
-  val ZGate = 2.1       // config.py:66
-  val EntryGate = 0.55  // fused-score entry threshold (Scores' gate)
 
   def init: FusionState =
-    FusionState(Vector.empty, None, Fsm.trendInit, Fsm.initState)
+    FusionState(Vector.empty, None, Fsm.trendInit, Vector.empty, None,
+      Vector.empty, Vector.empty, Vector.empty, Fsm.initState)
 
   private def clamp(x: Double, lo: Double, hi: Double): Double =
     math.max(lo, math.min(hi, x))
 
   def step(st: FusionState, b: SigBar): (FusionState, FusedOut) = {
+    // rolling z over the taker-delta ring (strategy.py:1022-1044)
     val delta = b.buy_vol - b.sell_vol
     val ring = (st.ring :+ delta).takeRight(ZPop)
     val n = ring.length
@@ -58,8 +85,10 @@ object Fusion {
     val sigma = math.sqrt(ring.map(x => (x - mu) * (x - mu)).sum / n)
     val z =
       if (n >= ZMin && sigma > 0) Some((delta - mu) / sigma) else None
+    // normalized CVD (aether_oracle.py:123-153)
     val tot = b.buy_vol + b.sell_vol
     val cvd = if (tot == 0.0) 0.0 else clamp(delta / tot, -1.0, 1.0)
+    // incremental EMA + trend hysteresis (data_manager.py:721-745,1047-1067)
     val alpha = 2.0 / (Span + 1.0)
     val ema = st.ema match {
       case Some(e) => alpha * b.close + (1.0 - alpha) * e
@@ -72,28 +101,45 @@ object Fusion {
     val trend = Fsm.trendStep(st.trend, raw)
     // bar-grain LV analog: volume per unit of realized price movement
     val lv = b.volume / (b.high - b.low + 1e-6)
-    val z0 = z.map(v => clamp(v / 4.0, -1.0, 1.0)).getOrElse(0.0)
-    val lvTerm = 0.1 * math.min(lv / 100.0, 1.0)
-    val totalLong = 0.4 + 0.2 * z0 + 0.2 * cvd +
-      0.1 * (if (trend.confirmed == "UPTREND") 1.0 else 0.0) + lvTerm
-    val totalShort = 0.4 - 0.2 * z0 - 0.2 * cvd +
-      0.1 * (if (trend.confirmed == "DOWNTREND") 1.0 else 0.0) + lvTerm
-    val zSig = z match {
-      case Some(v) if v >= ZGate => "LONG"
-      case Some(v) if v <= -ZGate => "SHORT"
-      case _ => "NONE"
+    // ATR% regime inputs: TR + return vs the previous close
+    val (tr, ret) = st.prevClose match {
+      case Some(pc) =>
+        (Some(math.max(b.high - b.low,
+          math.max(math.abs(b.high - pc), math.abs(b.low - pc)))),
+          if (pc != 0.0) Some((b.close - pc) / pc) else None)
+      case None => (None, None)
     }
-    val side =
-      if (zSig == "LONG" && totalLong >= EntryGate) "LONG"
-      else if (zSig == "SHORT" && totalShort >= EntryGate) "SHORT"
-      else "NONE"
+    val trs = (st.trs ++ tr).takeRight(graft.operators.Bars.AtrN)
+    val rets = (st.rets ++ ret).takeRight(graft.operators.Bars.RvN)
+    val atrPct = Scoring.atrPct(trs, rets, b.close)
+    // aether long-memory components over their trailing rings
+    val closes = (st.closes :+ b.close)
+      .takeRight(graft.operators.LongMemory.HurstN)
+    val hurst = Scoring.hurst(closes)
+    val bos = Scoring.bos(st.bars, b.close)
+    val bars = (st.bars :+ ((b.high, b.low)))
+      .takeRight(graft.operators.LongMemory.BosBars)
+    // the book trio over the bar's depth-capped level arrays
+    val bk = Scoring.bookSignals(b.bids, b.asks, b.close)
+    // the full cascade — exactly Scores.scored's formulas (ScoringSpec)
+    val sc = Scoring.score(Scoring.SignalIn(b.close, atrPct, z, cvd,
+      bk.imbalance, bk.bidWall, bk.askWall, bk.bidTouchOk, bk.askTouchOk,
+      Some(lv), bos, hurst))
+    // position FSM; the trailing stop arms in the HIGH-vol regime, the
+    // same trail_arm the batch FSM input derives (Stateful.fsmInput)
     val bucket = b.win_start.getTime / 60000L
     val (pos2, ev) = Fsm.step(st.pos,
-      Fsm.FsmIn(bucket, b.close, b.high, b.low, side, totalLong, totalShort))
+      Fsm.FsmIn(bucket, b.close, b.high, b.low, sc.side,
+        sc.totalLong, sc.totalShort, trail_arm = sc.regime == "HIGH"))
     val out = FusedOut(b.symbol, b.win_start, b.close, delta, z, cvd, ema,
-      trend.confirmed, lv, totalLong, totalShort, side,
+      trend.confirmed, lv, bk.imbalance, bk.bidWall, bk.askWall,
+      bk.bidTouchOk, bk.askTouchOk, bos, hurst, atrPct, sc.regime,
+      sc.coreLong, sc.coreShort, sc.fusedLong, sc.fusedShort,
+      sc.kellyLong, sc.kellyShort, sc.winprobLong, sc.winprobShort,
+      sc.totalLong, sc.totalShort, sc.side,
       ev.map(_.action), ev.flatMap(_.pnl), ev.flatMap(_.reason))
-    (FusionState(ring, Some(ema), trend, pos2), out)
+    (FusionState(ring, Some(ema), trend, closes, Some(b.close), trs, rets,
+      bars, pos2), out)
   }
 
   /** Fold a win_start-sorted iterator of bars into the fused stream. */

@@ -286,31 +286,105 @@ object Streams {
         })
   }
 
-  /** One windowed aggregation produces EVERY per-bar signal input (OHLC +
-    * taker flow) — the signal families fuse by sharing the (window,
-    * symbol) group instead of re-joining N windowed streams on the window
-    * key, so the whole fusion costs one shuffle of per-bar aggregates.
-    * Works on a streaming OR static Dataset: the batch twin uses the
-    * identical aggregation (watermark is a no-op on static data). */
-  def signalBars(trades: Dataset[Trade],
-      watermark: String = "2 minutes"): Dataset[graft.state.Fusion.SigBar] = {
+  /** One order-book level update (SURVEY §1.1 #3's stream form): side,
+    * level quantity, and a monotone per-symbol sequence for
+    * deterministic tie-breaks (the reference's book updates arrive
+    * sequenced, data_manager.py:484-485). */
+  case class BookLevel(symbol: String, ts: Timestamp, is_bid: Boolean,
+      qty: Double, seq: Long)
+
+  /** Trades and book updates unified into one wire row, so ONE windowed
+    * aggregation (one shuffle on the (window, symbol) key) produces
+    * every per-bar signal input — including the book arrays — instead
+    * of a stream-stream join of two windowed aggregates on the window
+    * key. */
+  case class MarketEvent(symbol: String, ts: Timestamp, price: Double,
+      qty: Double, isBuyerMaker: Boolean, is_trade: Boolean,
+      is_bid: Boolean, seq: Long)
+
+  def asMarketEvents(trades: Dataset[Trade]): Dataset[MarketEvent] = {
     val spark = trades.sparkSession
     import spark.implicits._
-    val agged = (if (trades.isStreaming) trades.withWatermark("ts", watermark)
-                 else trades)
+    trades.map(t => MarketEvent(t.symbol, t.ts, t.price, t.qty,
+      t.isBuyerMaker, is_trade = true, is_bid = false, seq = 0L))
+  }
+
+  def asMarketEvents(books: Dataset[BookLevel])(
+      implicit d: DummyImplicit): Dataset[MarketEvent] = {
+    val spark = books.sparkSession
+    import spark.implicits._
+    books.map(b => MarketEvent(b.symbol, b.ts, 0.0, b.qty,
+      isBuyerMaker = false, is_trade = false, is_bid = b.is_bid, b.seq))
+  }
+
+  /** One windowed aggregation produces EVERY per-bar signal input (OHLC +
+    * taker flow + the depth-capped book level arrays) — the signal
+    * families fuse by sharing the (window, symbol) group instead of
+    * re-joining N windowed streams on the window key, so the whole
+    * fusion costs one shuffle of per-bar aggregates. Bars with no trades
+    * (book-only windows) are dropped: the reference decides on trade
+    * ticks, a book snapshot alone opens no bar. Works on a streaming OR
+    * static Dataset: the batch twin uses the identical aggregation
+    * (watermark is a no-op on static data). */
+  def signalBarsOf(events: Dataset[MarketEvent],
+      watermark: String = "2 minutes"): Dataset[graft.state.Fusion.SigBar] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // trade-only measures: the when(...) guards make book rows invisible
+    // to them (sum/max/min skip nulls; min_by/max_by skip null orderings)
+    def tp = when($"is_trade", $"price")
+    def tOrd = when($"is_trade", struct($"ts", $"price"))
+    // book side arrays: qty desc, seq asc (the deterministic tie-break),
+    // capped at the top Book.Depth levels — the same rank the batch
+    // Book.levels window computes
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("qty") > r.getField("qty"), -1)
+        .when(l.getField("qty") < r.getField("qty"), 1)
+        .otherwise(
+          when(l.getField("seq") < r.getField("seq"), -1)
+            .when(l.getField("seq") > r.getField("seq"), 1)
+            .otherwise(0))
+    def sideArr(col: Column): Column = transform(
+      slice(array_sort(col, cmp _), 1, graft.operators.Book.Depth),
+      x => x.getField("qty"))
+    val agged = (if (events.isStreaming) events.withWatermark("ts", watermark)
+                 else events)
       .groupBy(window($"ts", "1 minute"), $"symbol")
       .agg(
-        min_by($"price", struct($"ts", $"price")).as("open"),
-        max($"price").as("high"),
-        min($"price").as("low"),
-        max_by($"price", struct($"ts", $"price")).as("close"),
-        sum($"qty").as("volume"),
-        sum(when(!$"isBuyerMaker", $"qty").otherwise(0.0)).as("buy_vol"),
-        sum(when($"isBuyerMaker", $"qty").otherwise(0.0)).as("sell_vol"))
+        min_by(tp, tOrd).as("open"),
+        max(tp).as("high"),
+        min(tp).as("low"),
+        max_by(tp, tOrd).as("close"),
+        sum(when($"is_trade", $"qty").otherwise(0.0)).as("volume"),
+        sum(when($"is_trade" && !$"isBuyerMaker", $"qty").otherwise(0.0))
+          .as("buy_vol"),
+        sum(when($"is_trade" && $"isBuyerMaker", $"qty").otherwise(0.0))
+          .as("sell_vol"),
+        collect_list(when(!$"is_trade" && $"is_bid",
+          struct($"qty", $"seq"))).as("bid_levels"),
+        collect_list(when(!$"is_trade" && !$"is_bid",
+          struct($"qty", $"seq"))).as("ask_levels"))
+      .filter($"open".isNotNull)
       .select($"window.start".as("win_start"), $"symbol", $"open", $"high",
-        $"low", $"close", $"volume", $"buy_vol", $"sell_vol")
+        $"low", $"close", $"volume", $"buy_vol", $"sell_vol",
+        sideArr($"bid_levels").as("bids"), sideArr($"ask_levels").as("asks"))
     agged.as[graft.state.Fusion.SigBar]
   }
+
+  /** Trade-only signal bars (no book feed: empty level arrays, the
+    * book signal trio reads None/false downstream). */
+  def signalBars(trades: Dataset[Trade],
+      watermark: String = "2 minutes"): Dataset[graft.state.Fusion.SigBar] =
+    signalBarsOf(asMarketEvents(trades), watermark)
+
+  /** Trades + book updates into one bar stream: the union shuffles ONCE
+    * on the shared (window, symbol) key — the "union-into-one-groupBy"
+    * plan, not a stream-stream join. */
+  def signalBarsWithBook(trades: Dataset[Trade], books: Dataset[BookLevel],
+      watermark: String = "2 minutes"): Dataset[graft.state.Fusion.SigBar] =
+    signalBarsOf(asMarketEvents(trades).union(asMarketEvents(books)),
+      watermark)
 
   /** Fully incremental streaming fusion (EP1, strategy.py:334-443): the
     * finalized signal bars fold through the pure [[graft.state.Fusion]]

@@ -329,12 +329,13 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.state.Fusion
-    // 41 one-minute bars: small alternating deltas build the z population,
-    // bar 36 is a 50x buy spike (z >> gate -> LONG entry), bar 38 prints
-    // 105 (high >= tp=104 -> TP_HIT exit, pnl = 4)
+    // 41 one-minute bars: balanced flow keeps the full cascade's entry
+    // gates shut (cvd=0 -> mc=0.5, total ~0.19 < 0.32), bar 36 is a 50x
+    // buy spike (z >> gate, cvd ~0.96 -> total ~0.54, winprob ~0.99 ->
+    // LONG entry), bar 38 prints 105 (high >= tp=104 -> TP_HIT, pnl = 4)
     val trades = (0 to 40).flatMap { m =>
       val p = if (m == 38) 105.0 else 100.0
-      val buyQ = if (m == 36) 50.0 else 1.0 + 0.1 * (m % 5)
+      val buyQ = if (m == 36) 50.0 else 1.0
       Seq(Trade("S", ts(m * 60 + 5), p, buyQ, false),
         Trade("S", ts(m * 60 + 35), p, 1.0, true))
     }
@@ -368,5 +369,68 @@ class StreamingSpec extends SparkSpec {
     assert(exit.win_start.getTime == 38 * 60000L)
     assert(exit.reason.contains("TP_HIT"))
     assert(exit.pnl.exists(p => math.abs(p - 4.0) < 1e-9))
+  }
+
+  test("book-fed fused pipeline: union-into-one-groupBy, streaming equals batch, book trio lands") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.state.Fusion
+    import graft.streaming.Streams.BookLevel
+    val rnd = new scala.util.Random(13)
+    // 30 bars of trades, each bar also carrying 6 bid + 6 ask book levels
+    // (bids heavier -> positive imbalance); one level ties close enough
+    // for the touch gate
+    val trades = (0 until 30).flatMap { m =>
+      val p = 100.0 + 0.2 * (m % 5)
+      Seq(Trade("S", ts(m * 60 + 5), p, 1.0 + rnd.nextDouble(), false),
+        Trade("S", ts(m * 60 + 35), p, 1.0 + rnd.nextDouble(), true))
+    }
+    var seq = 0L
+    val books = (0 until 30).flatMap { m =>
+      (0 until 6).flatMap { i =>
+        seq += 2
+        Seq(
+          BookLevel("S", ts(m * 60 + 10 + i), is_bid = true,
+            qty = 100.0 + 3.0 * i, seq = seq),
+          BookLevel("S", ts(m * 60 + 11 + i), is_bid = false,
+            qty = 60.0 + 2.0 * i, seq = seq + 1))
+      }
+    }
+    val sentinelT = Trade("S", ts(7200), 100.0, 1.0, true)
+
+    val tIn = MemoryStream[Trade]
+    val bIn = MemoryStream[BookLevel]
+    val q = Streams.fusedStream(
+      Streams.signalBarsWithBook(tIn.toDS(), bIn.toDS(), "30 seconds"))
+      .writeStream.format("memory").queryName("fusedbk_out")
+      .outputMode("append").start()
+    // split mid-corpus: rings and FSM state must carry across triggers
+    tIn.addData(trades.filter(_.ts.getTime < 15 * 60000L))
+    bIn.addData(books.filter(_.ts.getTime < 15 * 60000L))
+    q.processAllAvailable()
+    tIn.addData(trades.filter(_.ts.getTime >= 15 * 60000L) :+ sentinelT)
+    bIn.addData(books.filter(_.ts.getTime >= 15 * 60000L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("fusedbk_out").as[Fusion.FusedOut]
+      .collect().toList.sortBy(_.win_start.getTime)
+    assert(streamed.size >= 29)
+
+    val batch = Streams.fusedBatch(Streams.signalBarsOf(
+      Streams.asMarketEvents(spark.createDataset(trades :+ sentinelT))
+        .union(Streams.asMarketEvents(spark.createDataset(books)))))
+      .collect().toList
+    val batchByWin = batch.map(o => o.win_start.getTime -> o).toMap
+    streamed.foreach(o => assert(o == batchByWin(o.win_start.getTime)))
+
+    // the book trio reached the fused frame: heavier bids -> positive
+    // imbalance; wall ratios present on both sides
+    val withBook = streamed.filter(_.win_start.getTime < 30 * 60000L)
+    assert(withBook.nonEmpty)
+    withBook.foreach { o =>
+      assert(o.imbalance.exists(_ > 0.0), s"imbalance ${o.imbalance}")
+      assert(o.bid_wall.isDefined && o.ask_wall.isDefined)
+    }
   }
 }
