@@ -17,10 +17,31 @@ import graft.streaming.Streams.Trade
   *     Parameters-table feed)
   *  3. signals: the bronze->silver hop — rolling z + entry signal kept
   *     incrementally over the delta table
-  *  4. trades: the position FSM over a signal feed -> parquet append
-  *     (the Trades table), with an idempotent foreachBatch that also
-  *     refreshes the day-keyed summary (zscore_excel_logger.py:387-415's
-  *     update-or-append row, recomputed from the source of truth)
+  *  4. trades: the position FSM over a signal feed -> the Trades table,
+  *     with derived tables (Daily Summary, orders) maintained
+  *     INCREMENTALLY — per-micro-batch work is O(batch), independent of
+  *     how much trades history has accumulated (the reference upserts one
+  *     day row per save, zscore_excel_logger.py:387-415; it never rescans
+  *     the book).
+  *
+  * Commit protocol (per micro-batch, crash-safe, replay-idempotent):
+  *
+  *  - The Trades table is laid out as one partition directory per
+  *    committed micro-batch (`trades/batch_id=N/`). Replay detection is
+  *    a single `_SUCCESS`-marker stat — O(1), never a table scan — and a
+  *    half-written partition from a crash is replaced wholesale because
+  *    the batch write is `overwrite` into its own directory.
+  *  - Derived-table refreshes consume ONLY the batch's rows: the Daily
+  *    Summary merges per-day sufficient statistics (sums/counts/extrema,
+  *    all associative) into a tiny day-keyed stats table; the orders
+  *    table recomputes only the rate-limit windows the batch touched,
+  *    via partition-pruned reads and dynamic partition overwrite — the
+  *    poor-man's MERGE (production would use a transactional format).
+  *  - A pending-refresh marker written BEFORE the batch append makes the
+  *    append+refresh pair atomic-in-effect: a crash anywhere between is
+  *    healed on the next batch by re-running the refreshes from the
+  *    committed batch partition; a per-day `last_batch` high watermark in
+  *    the stats table makes that replay a no-op where it already applied.
   *
   * Every query checkpoints independently; restart-with-state is covered
   * by the checkpoint-recovery spec. NOTE on schema evolution: the state
@@ -36,16 +57,18 @@ object Live {
       .parquet(dir).as[Trade](org.apache.spark.sql.Encoders.product[Trade])
 
   def signalSource(spark: SparkSession, dir: String) = {
-    // read trail_arm as nullable and default it: signal files written
-    // before the trailing-stop field existed must keep replaying (the
+    // read trail_arm/symbol as nullable and default them: signal files
+    // written before those fields existed must keep replaying (the
     // non-nullable encoder schema would throw on their nulls)
     val enc = org.apache.spark.sql.Encoders.product[FsmIn]
     val relaxed = org.apache.spark.sql.types.StructType(
       enc.schema.map(f =>
-        if (f.name == "trail_arm") f.copy(nullable = true) else f))
+        if (f.name == "trail_arm" || f.name == "symbol") f.copy(nullable = true)
+        else f))
     spark.readStream.schema(relaxed).parquet(dir)
       .withColumn("trail_arm",
         coalesce(col("trail_arm"), lit(false)))
+      .withColumn("symbol", coalesce(col("symbol"), lit("SYM")))
       .as[FsmIn](enc)
   }
 
@@ -65,19 +88,23 @@ object Live {
       .option("checkpointLocation", s"$ckptDir/deltas")
       .outputMode("append").start()
 
-  /** Rename-aside swap of a recomputed table. The replacement is fully
-    * written aside before the old table moves; the only unavailable
-    * window is the instant between the two renames, and a crash there is
-    * healed by the restore at the top of the NEXT refresh (dst missing +
-    * backup present -> restore backup first). Driver-local java.io
-    * (demo-grade; production writes a transactional table format). */
+  /** Rename-aside swap of a recomputed SMALL table (the day-keyed stats
+    * and summary — O(days) rows by construction; large tables use
+    * partitioned dynamic overwrite instead, never this). The replacement
+    * is fully written aside before the old table moves; the only
+    * unavailable window is the instant between the two renames, and a
+    * crash there is healed by the restore at the top of the NEXT swap.
+    * Driver-local java.io (demo-grade; production writes a transactional
+    * table format). */
   private def swapInPlace(outDir: String, table: String,
       df: DataFrame): Unit = {
     val dst = new java.io.File(s"$outDir/$table")
     val old = new java.io.File(s"$outDir/.${table}_old")
     val tmp = new java.io.File(s"$outDir/.${table}_tmp")
-    if (!dst.exists() && old.exists()) old.renameTo(dst) // heal prior crash
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!dst.exists() && old.exists() && !old.renameTo(dst))
+      // the heal is load-bearing: continuing would delete the only copy
+      throw new java.io.IOException(s"$table heal failed: $old -> $dst")
+    df.write.mode("overwrite").parquet(tmp.toString)
     if (old.exists()) graft.functions.Fs.deleteRecursively(old)
     if (dst.exists() && !dst.renameTo(old))
       throw new java.io.IOException(s"$table swap failed: $dst -> $old")
@@ -88,47 +115,153 @@ object Live {
     if (old.exists()) graft.functions.Fs.deleteRecursively(old)
   }
 
-  /** Recompute the day-keyed summary from the trades table (the source
-    * of truth) and swap it into place. Deriving from the full table
-    * instead of merging increments makes the summary self-healing under
-    * replays: as long as the trades append is idempotent, any number of
-    * recomputes converge. The schema is the full 12-column Daily Summary
-    * (shared with the hash-checked `fsm_daily_summary` batch query via
-    * [[graft.operators.Stateful.dailySummaryOf]]). */
-  def refreshDailySummary(spark: SparkSession, outDir: String): Unit = {
-    if (!new java.io.File(s"$outDir/trades").exists()) return
-    swapInPlace(outDir, "daily_summary", graft.operators.Stateful
-      .dailySummaryOf(
-        spark.read.parquet(s"$outDir/trades").filter(col("action") === "EXIT")))
-  }
+  // ---- trades-table commit protocol ----
 
-  /** Recompute the orders table from the full trades table, same
-    * source-of-truth pattern as the daily summary: the rate-limit rank
-    * is computed over ALL events, so the cap holds per 60-bucket window
-    * regardless of how events were split across micro-batches, and the
-    * live table equals Backtest's batch orders table by construction. */
-  def refreshOrders(spark: SparkSession, outDir: String): Unit = {
-    if (!new java.io.File(s"$outDir/trades").exists()) return
-    swapInPlace(outDir, "orders",
-      ordersOf(spark.read.parquet(s"$outDir/trades")))
-  }
+  private def batchDir(outDir: String, batchId: Long) =
+    new java.io.File(s"$outDir/trades/batch_id=$batchId")
 
-  /** Idempotent append guard: every sink row carries its micro-batch id
-    * and a replayed batch (same id already present) is skipped —
-    * Structured Streaming re-runs a foreachBatch whose commit didn't
-    * land, so the batchId is the dedup key (batch ids are monotone per
-    * checkpoint). */
-  private def committedIn(spark: SparkSession, tableDir: String,
-      batchId: Long): Boolean = {
-    val path = new java.io.File(tableDir)
-    path.exists() && {
-      val ids = spark.read.parquet(path.toString).select(col("batch_id"))
-      !ids.filter(col("batch_id") === batchId).isEmpty
+  /** O(1) idempotent-append guard: a micro-batch is committed iff its
+    * partition directory carries the `_SUCCESS` marker — one file stat,
+    * independent of table size (replaces the round-2 full-table
+    * batch-id scan). Structured Streaming re-runs a foreachBatch whose
+    * commit didn't land; batch ids are monotone per checkpoint. */
+  def alreadyCommitted(spark: SparkSession, outDir: String,
+      batchId: Long): Boolean =
+    new java.io.File(batchDir(outDir, batchId), "_SUCCESS").exists()
+
+  /** Land one micro-batch in its own partition directory. `overwrite`
+    * into the batch's OWN directory: a half-written partition from a
+    * crash is replaced wholesale when the batch replays. */
+  def commitBatch(df: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(batchDir(outDir, batchId).toString)
+
+  // ---- pending-refresh marker (append+refresh crash atomicity) ----
+
+  private def pendingFile(outDir: String) =
+    new java.io.File(s"$outDir/.refresh_pending")
+
+  private def markPending(outDir: String, batchId: Long): Unit =
+    java.nio.file.Files.write(pendingFile(outDir).toPath,
+      batchId.toString.getBytes("UTF-8"))
+
+  /** Re-run the derived-table refreshes for a batch whose marker was
+    * never cleared (crash between append and refresh completion). Work
+    * is O(that batch): its rows come back from its own partition
+    * directory, and both refreshes are idempotent (per-day `last_batch`
+    * watermark; order recompute from a deduped input set). */
+  def healPending(spark: SparkSession, outDir: String): Unit = {
+    val f = pendingFile(outDir)
+    if (f.exists()) {
+      val m = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+      if (alreadyCommitted(spark, outDir, m)) {
+        val batch = spark.read.parquet(batchDir(outDir, m).toString)
+        refreshDailySummary(spark, outDir,
+          batch.filter(col("action") === "EXIT"), m)
+        refreshOrders(spark, outDir, batch, m)
+      }
+      // else: the append itself never landed — the engine will replay
+      // the batch normally, nothing to heal
+      f.delete()
+      ()
     }
   }
 
-  def alreadyCommitted(spark: SparkSession, outDir: String,
-      batchId: Long): Boolean = committedIn(spark, s"$outDir/trades", batchId)
+  // ---- incremental Daily Summary (MERGE on the day key) ----
+
+  /** Per-day sufficient statistics of an exit-event frame. Every column
+    * is associative (count/sum/max/min), so per-batch stats MERGE into
+    * the running stats table without ever rescanning trades history;
+    * the 12-column Daily Summary derives from them exactly
+    * ([[summaryOfStats]] vs [[graft.operators.Stateful.dailySummaryOf]],
+    * asserted equivalent in AppSpec). */
+  private[app] def statsOf(exits: DataFrame): DataFrame =
+    exits
+      .groupBy(expr("bucket div 24").as("day"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("pnl") > 0.0, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("pnl") <= 0.0, 1L).otherwise(0L)).as("losses"),
+        sum(col("pnl")).as("total_pnl"),
+        max(col("pnl")).as("max_pnl"),
+        min(col("pnl")).as("min_pnl"),
+        sum(when(col("pnl") > 0.0, col("pnl")).otherwise(0.0)).as("sum_win"),
+        sum(when(col("pnl") <= 0.0, col("pnl")).otherwise(0.0)).as("sum_loss"),
+        sum((col("bucket") - col("entry_bucket")).cast("double"))
+          .as("sum_hold"))
+
+  private val StatCols = Seq("n_trades", "wins", "losses", "total_pnl",
+    "max_pnl", "min_pnl", "sum_win", "sum_loss", "sum_hold")
+
+  /** The full 12-column Daily Summary (the schema `fsm_daily_summary` is
+    * hash-checked against) from the sufficient-stats table. Null
+    * semantics mirror the batch aggregate: avg_win/avg_loss are NULL for
+    * a day with no wins/losses, profit_factor NULL when either is. */
+  private[app] def summaryOfStats(stats: DataFrame): DataFrame = {
+    val avgWin = when(col("wins") > 0, col("sum_win") / col("wins"))
+    val avgLoss = when(col("losses") > 0, col("sum_loss") / col("losses"))
+    stats.select(
+      col("day"),
+      col("n_trades"),
+      col("wins"),
+      col("losses"),
+      (col("wins").cast("double") / col("n_trades")).as("win_rate"),
+      col("total_pnl"),
+      col("max_pnl"),
+      col("min_pnl"),
+      avgWin.as("avg_win"),
+      avgLoss.as("avg_loss"),
+      abs(avgWin / when(avgLoss =!= 0.0, avgLoss)).as("profit_factor"),
+      (col("sum_hold") / col("n_trades")).as("avg_hold"))
+  }
+
+  /** MERGE the batch's per-day stats into the running stats table and
+    * re-derive the summary. Reads touch only the stats/summary tables
+    * (O(days), bounded by calendar time) and the batch itself — NEVER
+    * the trades table. The per-day `last_batch` watermark makes a healed
+    * replay of the same batch a no-op. */
+  def refreshDailySummary(spark: SparkSession, outDir: String,
+      batchExits: DataFrame, batchId: Long): Unit = {
+    val fresh = statsOf(batchExits)
+    if (fresh.isEmpty) return
+    val statsPath = s"$outDir/daily_stats"
+    val merged =
+      if (!new java.io.File(statsPath).exists())
+        fresh.withColumn("last_batch", lit(batchId))
+      else {
+        val o = spark.read.parquet(statsPath)
+          .select(col("day") +: ("last_batch" +: StatCols)
+            .map(c => col(c).as(s"o_$c")): _*)
+        val n = fresh
+          .select(col("day") +: StatCols.map(c => col(c).as(s"n_$c")): _*)
+        val j = o.join(n, Seq("day"), "full_outer")
+        // stale: this batch already merged into this day (heal replay)
+        val stale = col("o_last_batch").isNotNull &&
+          col("o_last_batch") >= lit(batchId)
+        def pick(c: String, combined: org.apache.spark.sql.Column) =
+          when(col(s"n_$c").isNull, col(s"o_$c"))
+            .when(col(s"o_$c").isNull, col(s"n_$c"))
+            .when(stale, col(s"o_$c"))
+            .otherwise(combined).as(c)
+        j.select(
+          col("day"),
+          pick("n_trades", col("o_n_trades") + col("n_n_trades")),
+          pick("wins", col("o_wins") + col("n_wins")),
+          pick("losses", col("o_losses") + col("n_losses")),
+          pick("total_pnl", col("o_total_pnl") + col("n_total_pnl")),
+          pick("max_pnl", greatest(col("o_max_pnl"), col("n_max_pnl"))),
+          pick("min_pnl", least(col("o_min_pnl"), col("n_min_pnl"))),
+          pick("sum_win", col("o_sum_win") + col("n_sum_win")),
+          pick("sum_loss", col("o_sum_loss") + col("n_sum_loss")),
+          pick("sum_hold", col("o_sum_hold") + col("n_sum_hold")),
+          when(col("n_n_trades").isNull || stale, col("o_last_batch"))
+            .otherwise(lit(batchId)).as("last_batch"))
+      }
+    swapInPlace(outDir, "daily_stats", merged)
+    swapInPlace(outDir, "daily_summary",
+      summaryOfStats(spark.read.parquet(statsPath)))
+  }
 
   /** Max orders per rate window (reference config.py:56). */
   val RateLimitOrders = 20
@@ -139,12 +272,16 @@ object Live {
     * (order_manager.py:44-53) is applied declaratively: orders beyond the
     * cap within a 60-bucket window are flagged DEFERRED rather than
     * silently dropped — the replayable, auditable form of the reference's
-    * sleep-and-retry. order_id is deterministic in (bucket, action, side)
-    * so replays produce identical rows. */
+    * sleep-and-retry. The cap is ACCOUNT-level like the reference's, so
+    * the rank runs per window across all symbols; order_id is
+    * deterministic in (symbol, bucket, action, side) so replays produce
+    * identical rows. The (symbol, bucket, action, side) inputs ride along
+    * in the output so a rate window can be recomputed from its own order
+    * rows plus a new batch — the incremental-refresh contract. */
   def ordersOf(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("rate_win"))
-      .orderBy(col("bucket"), col("action"), col("side"))
+      .orderBy(col("bucket"), col("action"), col("side"), col("symbol"))
     events
       .withColumn("order_side",
         when(col("action") === "ENTER",
@@ -152,13 +289,56 @@ object Live {
           .otherwise(when(col("side") === "LONG", "SELL").otherwise("BUY")))
       .withColumn("reduce_only", col("action") === "EXIT")
       .withColumn("order_id",
-        concat_ws("-", col("bucket"), col("action"), col("side")))
-      .withColumn("rate_win", expr("bucket div 60"))
+        concat_ws("-", col("symbol"), col("bucket"), col("action"),
+          col("side")))
+      // int, not long: the window is a bucket (hour/minute) index, far
+      // inside int range — and int partition values round-trip through
+      // the partition-directory encoding without type-inference surprises
+      .withColumn("rate_win", expr("int(bucket div 60)"))
       .withColumn("rn", row_number().over(w))
       .withColumn("status",
         when(col("rn") <= RateLimitOrders, "PLACED").otherwise("DEFERRED"))
-      .select("order_id", "bucket", "action", "order_side", "reduce_only",
-        "status")
+      .select("order_id", "symbol", "bucket", "action", "side",
+        "order_side", "reduce_only", "status", "rate_win")
+  }
+
+  /** Incrementally refresh the orders table: recompute ONLY the rate
+    * windows the batch touched. Prior events for those windows come back
+    * from the orders table itself (each order row carries its FSM-event
+    * key), read partition-pruned on `rate_win`; the recomputed windows
+    * replace their partitions via dynamic partition overwrite. Per-batch
+    * work is O(batch + touched windows), independent of orders-table
+    * size. Idempotent: the input set dedupes on the deterministic event
+    * key, so a healed replay recomputes identical partitions. */
+  def refreshOrders(spark: SparkSession, outDir: String,
+      batchEvents: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val keyCols = Seq("symbol", "bucket", "action", "side")
+    val fresh = batchEvents.select(keyCols.map(col): _*)
+    if (fresh.isEmpty) return
+    val ordersPath = s"$outDir/orders"
+    // touched windows: a tiny driver-side list (bounded by the batch's
+    // time span), used as a partition-pruning literal — not a data fetch
+    val wins = fresh.select(expr("int(bucket div 60)")).distinct()
+      .as[Int].collect()
+    val prior =
+      if (new java.io.File(ordersPath).exists())
+        spark.read.parquet(ordersPath)
+          .filter(col("rate_win").isin(wins.map(Int.box): _*))
+          .select(keyCols.map(col): _*)
+      else fresh.limit(0)
+    val recomputed = ordersOf(
+      prior.unionByName(fresh).dropDuplicates(keyCols))
+    // tmp round-trip breaks the read-from/write-to-same-path cycle, then
+    // dynamic overwrite replaces exactly the touched window partitions
+    val tmp = new java.io.File(s"$outDir/.orders_tmp")
+    recomputed.write.mode("overwrite").parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("rate_win")
+      .parquet(ordersPath)
+    graft.functions.Fs.deleteRecursively(tmp)
   }
 
   /** Silver stage: tails the delta table the deltaQuery lands and keeps
@@ -210,24 +390,32 @@ object Live {
 
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
-    import spark.implicits._
+    // heal a crash that predates this restart before any new batch lands
+    healPending(spark, outDir)
     Streams.positionEvents(signalSource(spark, signalsDir))
       .writeStream
       .option("checkpointLocation", s"$ckptDir/trades")
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.state.Fsm.FsmEvent], batchId: Long) =>
-        val df = batch.toDF().withColumn("batch_id", lit(batchId)).cache()
+        healPending(spark, outDir) // crash in an EARLIER batch's refresh
+        val df = batch.toDF().cache()
         try {
-          if (!df.isEmpty && !alreadyCommitted(spark, outDir, batchId)) {
-            df.write.mode("append").parquet(s"$outDir/trades")
+          // evaluate the batch UNCONDITIONALLY: the upstream stateful
+          // operators must run their tasks (and commit their state
+          // stores) even when the sink-side commit is skipped as a
+          // replay — only the side effects below are guarded
+          val rows = df.count()
+          if (rows > 0 && !alreadyCommitted(spark, outDir, batchId)) {
+            // marker BEFORE the append: a crash anywhere up to the
+            // marker delete re-runs the (idempotent) refreshes
+            markPending(outDir, batchId)
+            commitBatch(df, outDir, batchId)
+            refreshDailySummary(spark, outDir,
+              df.filter(col("action") === "EXIT"), batchId)
+            refreshOrders(spark, outDir, df, batchId)
+            pendingFile(outDir).delete()
           }
-          // unconditional (idempotent recomputes from the source of
-          // truth): a crash between the append and a refresh must not
-          // leave the derived tables stale until some future non-empty
-          // batch. Orders derive here too (closing the EP1 loop) so the
-          // trades and orders tables can never be mutually inconsistent.
-          refreshDailySummary(spark, outDir)
-          refreshOrders(spark, outDir)
+          // empty or replayed batch: nothing to append, nothing to refresh
         } finally df.unpersist()
         ()
       }

@@ -42,6 +42,7 @@ object Stateful extends OpModule {
           .select($"bucket", $"side", $"total_long", $"total_short",
             ($"regime" === "HIGH").as("trail_arm")),
         Seq("bucket"))
+      .withColumn("symbol", lit("SYM")) // single-symbol testdata (config.py:21)
   }
 
   private val fsmInputSql: String =
@@ -60,8 +61,8 @@ object Stateful extends OpModule {
       import spark.implicits._
       fsmInput(spark, dir)
         .as[FsmIn]
-        .groupByKey(_ => 0) // single symbol; real data keys by symbol here
-        .flatMapGroups((_: Int, it: Iterator[FsmIn]) =>
+        .groupByKey(_.symbol) // one state entry per symbol, folded in parallel
+        .flatMapGroups((_: String, it: Iterator[FsmIn]) =>
           Fsm.run(it.toArray.sortBy(_.bucket).iterator))
         .toDF()
     }
@@ -156,7 +157,7 @@ object Stateful extends OpModule {
        |         AND i.side <> 'NONE') AS enter_now
        |      FROM fsm f JOIN inp i ON i.rn = f.rn + 1) t0) t)
        |SELECT bucket, action, side, entry_bucket, entry_price, exit_price,
-       |       pnl, reason
+       |       pnl, reason, 'SYM' AS symbol
        |FROM fsm WHERE action IS NOT NULL""".stripMargin
   }
 
@@ -240,9 +241,10 @@ object Stateful extends OpModule {
           .when($"close" < $"ema" * 0.98, "DOWNTREND")
           .otherwise("RANGEBOUND"))
       .select($"bucket", $"raw")
+      .withColumn("symbol", lit("SYM"))
       .as[TrendIn]
-      .groupByKey(_ => 0)
-      .flatMapGroups((_: Int, it: Iterator[TrendIn]) =>
+      .groupByKey(_.symbol)
+      .flatMapGroups((_: String, it: Iterator[TrendIn]) =>
         Fsm.trendRun(it.toArray.sortBy(_.bucket).iterator))
       .toDF()
   }
@@ -274,7 +276,8 @@ object Stateful extends OpModule {
        |         ELSE 1 END,
        |    i.bucket, i.raw
        |  FROM t JOIN inp i ON i.rn = t.rn + 1)
-       |SELECT bucket, raw, confirmed FROM t WHERE bucket IS NOT NULL""".stripMargin
+       |SELECT bucket, raw, confirmed, 'SYM' AS symbol
+       |FROM t WHERE bucket IS NOT NULL""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),

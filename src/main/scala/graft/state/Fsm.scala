@@ -33,13 +33,17 @@ object Fsm {
   // ratchets the SL to breakeven after a favorable 2% move, at most once.
   val TrailTriggerPct = 0.02
 
+  // `symbol` rides along (defaulted for the single-symbol reference,
+  // config.py:21) so the streaming FSMs key their state by the DATA's
+  // symbol and the emitted events stay attributable per key — the
+  // multi-symbol scale shape every scaladoc here promises.
   case class FsmIn(bucket: Long, close: Double, high: Double, low: Double,
       side: String, total_long: Double, total_short: Double,
-      trail_arm: Boolean = false)
+      trail_arm: Boolean = false, symbol: String = "SYM")
 
   case class FsmEvent(bucket: Long, action: String, side: String,
       entry_bucket: Long, entry_price: Double, exit_price: Option[Double],
-      pnl: Option[Double], reason: Option[String])
+      pnl: Option[Double], reason: Option[String], symbol: String = "SYM")
 
   case class PosState(side: Option[String], entryBucket: Long,
       entryPrice: Double, tp: Double, sl: Double, cooldownUntil: Long,
@@ -75,7 +79,8 @@ object Fsm {
             val pnl = (exitPx - st.entryPrice) * dir
             (initState.copy(cooldownUntil = i.bucket + CooldownBuckets),
               Some(FsmEvent(i.bucket, "EXIT", side, st.entryBucket,
-                st.entryPrice, Some(exitPx), Some(pnl), Some(reason))))
+                st.entryPrice, Some(exitPx), Some(pnl), Some(reason),
+                i.symbol)))
           case None =>
             // exit priority is bracket > decay > time (above); a held
             // position may then trail: SL ratchets to breakeven after a
@@ -95,7 +100,7 @@ object Fsm {
           (PosState(Some(i.side), i.bucket, i.close, tp, sl, st.cooldownUntil,
             trailed = false),
             Some(FsmEvent(i.bucket, "ENTER", i.side, i.bucket, i.close,
-              None, None, None)))
+              None, None, None, i.symbol)))
         } else (st, None)
     }
 
@@ -113,8 +118,9 @@ object Fsm {
 
   val HysteresisK = 2 // LTF confirmation count (data_manager.py:1155-1170)
 
-  case class TrendIn(bucket: Long, raw: String)
-  case class TrendOut(bucket: Long, raw: String, confirmed: String)
+  case class TrendIn(bucket: Long, raw: String, symbol: String = "SYM")
+  case class TrendOut(bucket: Long, raw: String, confirmed: String,
+      symbol: String = "SYM")
   case class TrendState(confirmed: String, pending: Option[String], count: Int)
 
   val trendInit: TrendState = TrendState("RANGEBOUND", None, 0)
@@ -132,7 +138,7 @@ object Fsm {
     var st = trendInit
     rows.map { i =>
       st = trendStep(st, i.raw)
-      TrendOut(i.bucket, i.raw, st.confirmed)
+      TrendOut(i.bucket, i.raw, st.confirmed, i.symbol)
     }
   }
 }

@@ -130,7 +130,8 @@ object Fusion {
     val bucket = b.win_start.getTime / 60000L
     val (pos2, ev) = Fsm.step(st.pos,
       Fsm.FsmIn(bucket, b.close, b.high, b.low, sc.side,
-        sc.totalLong, sc.totalShort, trail_arm = sc.regime == "HIGH"))
+        sc.totalLong, sc.totalShort, trail_arm = sc.regime == "HIGH",
+        symbol = b.symbol))
     val out = FusedOut(b.symbol, b.win_start, b.close, delta, z, cvd, ema,
       trend.confirmed, lv, bk.imbalance, bk.bidWall, bk.askWall,
       bk.bidTouchOk, bk.askTouchOk, bos, hurst, atrPct, sc.regime,

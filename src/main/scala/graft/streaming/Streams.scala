@@ -246,14 +246,17 @@ object Streams {
   }
 
   /** Position FSM over a keyed signal stream: the same `Fsm.step` as the
-    * batch replay, with keyed state in the state store. In live mode the
-    * 10-bucket time stop would add a ProcessingTimeTimeout; the pure
-    * transition already handles it from event time. */
+    * batch replay, with keyed state in the state store — keyed by the
+    * DATA's symbol, so N symbols fold as N independent state entries in
+    * parallel tasks (the reference is single-symbol by config, so its
+    * rows default to one key). In live mode the 10-bucket time stop would
+    * add a ProcessingTimeTimeout; the pure transition already handles it
+    * from event time. */
   def positionEvents(signals: Dataset[FsmIn]): Dataset[FsmEvent] = {
     val spark = signals.sparkSession
     import spark.implicits._
     signals
-      .groupByKey(_ => "SYM") // single-symbol reference; key by symbol col in real data
+      .groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[FsmIn], state: GroupState[PosState]) => {
           var st = state.getOption.getOrElse(Fsm.initState)
@@ -273,13 +276,13 @@ object Streams {
     val spark = raw.sparkSession
     import spark.implicits._
     raw
-      .groupByKey(_ => "SYM")
+      .groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[TrendIn], state: GroupState[TrendState]) => {
           var st = state.getOption.getOrElse(Fsm.trendInit)
           val out = it.toArray.sortBy(_.bucket).map { i =>
             st = Fsm.trendStep(st, i.raw)
-            TrendOut(i.bucket, i.raw, st.confirmed)
+            TrendOut(i.bucket, i.raw, st.confirmed, i.symbol)
           }
           state.update(st)
           out.iterator

@@ -23,25 +23,75 @@ class AppSpec extends SparkSpec {
       spark.read.parquet(s"$out/fsm_position_events").count())
   }
 
-  test("trades sink replay protection: committed batches are detected, summary recompute converges") {
+  private def eventDf(rows: Seq[(Long, String, String, Long, Double,
+      Option[Double], Option[Double], Option[String], String)]) = {
+    import spark.implicits._
+    rows.toDF("bucket", "action", "side", "entry_bucket", "entry_price",
+      "exit_price", "pnl", "reason", "symbol")
+  }
+
+  test("trades sink replay protection: O(1) commit detection, idempotent incremental refresh") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_idem").toString
-    val trades = Seq(
-      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), 0L),
-      (30L, "EXIT", "SHORT", 29L, 50.0, Some(48.0), Some(2.0), Some("TP_HIT"), 1L))
-      .toDF("bucket", "action", "side", "entry_bucket", "entry_price",
-        "exit_price", "pnl", "reason", "batch_id")
-    trades.write.mode("append").parquet(s"$out/trades")
+    val b0 = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    val b1 = eventDf(Seq(
+      (30L, "EXIT", "SHORT", 29L, 50.0, Some(48.0), Some(2.0), Some("TP_HIT"), "SYM")))
+    Live.commitBatch(b0, out, 0L)
+    Live.commitBatch(b1, out, 1L)
     assert(Live.alreadyCommitted(spark, out, 0L))
     assert(Live.alreadyCommitted(spark, out, 1L))
     assert(!Live.alreadyCommitted(spark, out, 2L))
-    // recompute is idempotent: summary derives from the trades table
-    Live.refreshDailySummary(spark, out)
-    Live.refreshDailySummary(spark, out)
+    // refresh consumes ONLY the batch; re-running the same batch id is a
+    // no-op (the per-day last_batch watermark absorbs healed replays)
+    Live.refreshDailySummary(spark, out, b0, 0L)
+    Live.refreshDailySummary(spark, out, b1, 1L)
+    Live.refreshDailySummary(spark, out, b1, 1L)
     val summary = spark.read.parquet(s"$out/daily_summary")
       .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_trades"))
       .toMap
     assert(summary == Map(0L -> 1L, 1L -> 1L))
+    // orders refresh is idempotent the same way (deduped event keys)
+    Live.refreshOrders(spark, out, b0, 0L)
+    Live.refreshOrders(spark, out, b0, 0L)
+    assert(spark.read.parquet(s"$out/orders").count() == 1)
+  }
+
+  test("derived-table refresh never touches the trades table (per-batch work is O(batch))") {
+    val out = Files.createTempDirectory("graft_nobase").toString
+    // NO trades table exists in this outDir: the refreshes must still
+    // work because they read only the batch rows + their own tables —
+    // the structural proof that per-batch work cannot scale with
+    // accumulated trades history
+    val b = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM"),
+      (5L, "ENTER", "SHORT", 5L, 99.0, None, None, None, "SYM")))
+    Live.refreshDailySummary(spark, out,
+      b.filter(org.apache.spark.sql.functions.col("action") === "EXIT"), 7L)
+    Live.refreshOrders(spark, out, b, 7L)
+    assert(spark.read.parquet(s"$out/daily_summary").count() == 1)
+    assert(spark.read.parquet(s"$out/orders").count() == 2)
+    assert(!new java.io.File(s"$out/trades").exists())
+  }
+
+  test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
+    val out = Files.createTempDirectory("graft_heal").toString
+    val b = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    // simulate a crash after the append but before any refresh ran
+    Live.commitBatch(b, out, 3L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/.refresh_pending"), "3".getBytes)
+    Live.healPending(spark, out)
+    assert(!new java.io.File(s"$out/.refresh_pending").exists())
+    assert(spark.read.parquet(s"$out/daily_summary").count() == 1)
+    assert(spark.read.parquet(s"$out/orders").count() == 1)
+    // healing again (marker re-appears, refresh already applied) no-ops
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/.refresh_pending"), "3".getBytes)
+    Live.healPending(spark, out)
+    assert(spark.read.parquet(s"$out/daily_summary")
+      .head.getAs[Long]("n_trades") == 1L)
   }
 
   test("live pipeline: sinks land and the daily summary upserts across batches") {
@@ -116,9 +166,31 @@ class AppSpec extends SparkSpec {
     val byId = orders.collect()
       .map(r => r.getAs[String]("order_id") -> r.getAs[String]("order_side"))
       .toMap
-    assert(byId("1-ENTER-LONG") == "BUY" && byId("2-EXIT-LONG") == "SELL")
-    assert(byId("30-ENTER-SHORT") == "SELL" && byId("31-EXIT-SHORT") == "BUY")
+    assert(byId("SYM-1-ENTER-LONG") == "BUY" && byId("SYM-2-EXIT-LONG") == "SELL")
+    assert(byId("SYM-30-ENTER-SHORT") == "SELL" && byId("SYM-31-EXIT-SHORT") == "BUY")
     assert(orders.collect().forall(_.getAs[String]("status") == "PLACED"))
+
+    // the incremental MERGE converges to exactly what a from-scratch
+    // batch recompute over the full trades table would produce
+    val exitsAll = trades.filter($"action" === "EXIT")
+    val batchSummary = graft.operators.Stateful.dailySummaryOf(exitsAll)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    summaryDf.collect().foreach { r =>
+      val b = batchSummary(r.getAs[Long]("day"))
+      Seq("n_trades", "wins", "losses").foreach(c =>
+        assert(r.getAs[Long](c) == b.getAs[Long](c), c))
+      Seq("win_rate", "total_pnl", "max_pnl", "min_pnl", "avg_hold")
+        .foreach(c => assert(
+          math.abs(r.getAs[Double](c) - b.getAs[Double](c)) < 1e-9, c))
+    }
+    val batchOrders = Live.ordersOf(
+      trades.drop("batch_id"))
+      .collect().map(r => r.getAs[String]("order_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("order_side"))).toMap
+    val liveOrders = orders
+      .collect().map(r => r.getAs[String]("order_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("order_side"))).toMap
+    assert(liveOrders == batchOrders)
 
     // replay: a fresh checkpoint re-reads every signal file as batch 0 —
     // the batch-id guard must keep the trades table intact, and the
