@@ -62,8 +62,11 @@ object Stateful extends OpModule {
       fsmInput(spark, dir)
         .as[FsmIn]
         .groupByKey(_.symbol) // one state entry per symbol, folded in parallel
-        .flatMapGroups((_: String, it: Iterator[FsmIn]) =>
-          Fsm.run(it.toArray.sortBy(_.bucket).iterator))
+        // sorted-group fold: the shuffle's sort (spill-capable) orders each
+        // symbol's history, so the fold streams — the group is never
+        // materialized in memory, at any history length
+        .flatMapSortedGroups(col("bucket"))((_: String, it: Iterator[FsmIn]) =>
+          Fsm.run(it))
         .toDF()
     }
 
@@ -244,8 +247,8 @@ object Stateful extends OpModule {
       .withColumn("symbol", lit("SYM"))
       .as[TrendIn]
       .groupByKey(_.symbol)
-      .flatMapGroups((_: String, it: Iterator[TrendIn]) =>
-        Fsm.trendRun(it.toArray.sortBy(_.bucket).iterator))
+      .flatMapSortedGroups(col("bucket"))((_: String, it: Iterator[TrendIn]) =>
+        Fsm.trendRun(it))
       .toDF()
   }
 

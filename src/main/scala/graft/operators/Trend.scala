@@ -34,6 +34,12 @@ object Trend extends OpModule {
   val RetThresh = 0.02 // labeling threshold, scaled to this data's vol
   val NormWin = 60     // z-normalization lookback
   val ProbFloor = 0.5  // below max-prob floor -> RANGEBOUND
+  // Dynamic floor under volume spikes (data_manager.py:1034-1035): the
+  // reference lowers the RANGEBOUND threshold to max(0.4, 0.6/vol_factor)
+  // — a volume surge (vol_factor > 1, §2.5 volume-rate ratio) makes the
+  // classifier more willing to call a trend; a lull raises the bar.
+  val FloorMin = 0.4
+  val FloorBase = 0.6
 
   private[operators] def featuresDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -102,7 +108,11 @@ trait TrendClassifier {
 
   /** Adds `pred_trend` (UP/DOWN/RANGEBOUND) honoring the probability
     * floor: an uncertain model output degrades to RANGEBOUND
-    * (data_manager.py:958-965). */
+    * (data_manager.py:958-965). When the input carries a `vol_factor`
+    * column (the §2.5 volume-rate ratio), the floor is the reference's
+    * dynamic `max(0.4, 0.6/vol_factor)` per row
+    * (data_manager.py:1034-1035); otherwise the static constructor
+    * floor applies. */
   def predict(features: DataFrame): DataFrame
 }
 
@@ -138,8 +148,17 @@ class LogisticTrendClassifier(probFloor: Double = Trend.ProbFloor)
       case (acc, (l, i)) =>
         when(col("prediction") === i.toDouble, l).otherwise(acc)
     }
+    // dynamic RANGEBOUND threshold under volume spikes: a missing or
+    // null vol_factor falls back to the static floor (the reference
+    // guards the same way, data_manager.py:1031-1035)
+    val floor =
+      if (features.columns.contains("vol_factor"))
+        coalesce(
+          greatest(lit(Trend.FloorMin), lit(Trend.FloorBase) / col("vol_factor")),
+          lit(probFloor))
+      else lit(probFloor)
     out.withColumn("pred_trend",
-      when(maxProb < probFloor, "RANGEBOUND")
+      when(maxProb < floor, "RANGEBOUND")
         .otherwise(when(predLabel === "RANGE", "RANGEBOUND")
           .when(predLabel === "UP", "UPTREND")
           .otherwise("DOWNTREND")))

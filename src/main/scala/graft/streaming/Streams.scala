@@ -30,6 +30,19 @@ import graft.state.Fsm.{FsmEvent, FsmIn, PosState, TrendIn, TrendOut, TrendState
   */
 object Streams {
 
+  /** Event-time-sort ONLY the trigger's slice, in place. In a
+    * `flatMapGroupsWithState` body the iterator holds this micro-batch's
+    * rows for the key — never the group's history (that lives in the
+    * state store) — so the buffer is bounded by rows-per-trigger-per-key
+    * regardless of how long the stream has run. The in-place sort avoids
+    * the extra copy a `sortBy` would allocate per trigger. */
+  private def sortedSlice[T](it: Iterator[T])(key: T => Long)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val rows = it.toArray
+    rows.sortInPlaceBy(key)
+    rows
+  }
+
   /** Trade wire schema (SURVEY §1.1 #1). */
   case class Trade(symbol: String, ts: Timestamp, price: Double, qty: Double,
       isBuyerMaker: Boolean)
@@ -116,7 +129,7 @@ object Streams {
         (_: String, it: Iterator[Alert], state: GroupState[ThrottleState]) => {
           // Option, not a Long.MinValue sentinel: ts - MinValue overflows
           var last: Option[Long] = state.getOption.map(_.lastEmitMs)
-          val out = it.toArray.sortBy(_.ts.getTime).flatMap { a =>
+          val out = sortedSlice(it)(_.ts.getTime).flatMap { a =>
             if (last.forall(l => a.ts.getTime - l >= throttleMs)) {
               last = Some(a.ts.getTime)
               Some(a)
@@ -159,7 +172,7 @@ object Streams {
         (_: String, it: Iterator[LogRecord],
             state: GroupState[ThrottleState]) => {
           var last: Option[Long] = state.getOption.map(_.lastEmitMs)
-          val out = it.toArray.sortBy(_.ts.getTime).flatMap { r =>
+          val out = sortedSlice(it)(_.ts.getTime).flatMap { r =>
             if (last.forall(l => r.ts.getTime - l >= throttleMs)) {
               last = Some(r.ts.getTime)
               Some(r)
@@ -197,7 +210,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (symbol: String, it: Iterator[DeltaRow], state: GroupState[ZState]) => {
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
-          val out = it.toArray.sortBy(_.win_start.getTime).map { d =>
+          val out = sortedSlice(it)(_.win_start.getTime).map { d =>
             ring = (ring :+ d.delta).takeRight(ZPop)
             val n = ring.length
             val mu = ring.sum / n
@@ -232,7 +245,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (symbol: String, it: Iterator[Trade], state: GroupState[EmaState]) => {
           var ema = state.getOption.map(_.ema)
-          val out = it.toArray.sortBy(_.ts.getTime).map { t =>
+          val out = sortedSlice(it)(_.ts.getTime).map { t =>
             val next = ema match {
               case Some(e) => alpha * t.price + (1.0 - alpha) * e
               case None => t.price
@@ -260,7 +273,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[FsmIn], state: GroupState[PosState]) => {
           var st = state.getOption.getOrElse(Fsm.initState)
-          val evs = it.toArray.sortBy(_.bucket).flatMap { i =>
+          val evs = sortedSlice(it)(_.bucket).flatMap { i =>
             val (st2, ev) = Fsm.step(st, i)
             st = st2
             ev
@@ -280,7 +293,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[TrendIn], state: GroupState[TrendState]) => {
           var st = state.getOption.getOrElse(Fsm.trendInit)
-          val out = it.toArray.sortBy(_.bucket).map { i =>
+          val out = sortedSlice(it)(_.bucket).map { i =>
             st = Fsm.trendStep(st, i.raw)
             TrendOut(i.bucket, i.raw, st.confirmed, i.symbol)
           }
@@ -407,7 +420,7 @@ object Streams {
         (_: String, it: Iterator[Fusion.SigBar],
             state: GroupState[Fusion.FusionState]) => {
           var st = state.getOption.getOrElse(Fusion.init)
-          val out = it.toArray.sortBy(_.win_start.getTime).map { b =>
+          val out = sortedSlice(it)(_.win_start.getTime).map { b =>
             val (st2, o) = Fusion.step(st, b)
             st = st2
             o
@@ -418,7 +431,9 @@ object Streams {
   }
 
   /** Batch replay of the fused pipeline — same aggregation, same pure
-    * fold, `flatMapGroups` instead of keyed state. */
+    * fold, a sorted-group fold instead of keyed state: the shuffle's
+    * spill-capable sort orders each symbol's bars, so the replay streams
+    * through the fold without ever materializing a symbol's history. */
   def fusedBatch(bars: Dataset[graft.state.Fusion.SigBar])
       : Dataset[graft.state.Fusion.FusedOut] = {
     import graft.state.Fusion
@@ -426,8 +441,8 @@ object Streams {
     import spark.implicits._
     bars
       .groupByKey(_.symbol)
-      .flatMapGroups((_: String, it: Iterator[Fusion.SigBar]) =>
-        Fusion.run(it.toArray.sortBy(_.win_start.getTime).iterator))
+      .flatMapSortedGroups($"win_start")(
+        (_: String, it: Iterator[Fusion.SigBar]) => Fusion.run(it))
   }
 
   /** Backfill-then-stream (SURVEY §2.8, EP2): Spark cannot union a static

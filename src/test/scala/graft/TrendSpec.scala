@@ -57,6 +57,37 @@ class TrendSpec extends SparkSpec {
       s"accuracy $correct should approach majority $majority")
   }
 
+  test("volume spike lowers the RANGEBOUND floor and flips uncertain predictions") {
+    val clf = new LogisticTrendClassifier(probFloor = 0.5)
+    clf.fit(features)
+    def predWith(vf: Double) = clf
+      .predict(features.withColumn("vol_factor", lit(vf)))
+      .withColumn("max_prob", array_max(
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))))
+      .select("bucket", "pred_trend", "max_prob").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // lull (vol_factor 1.0): floor = max(0.4, 0.6/1.0) = 0.6
+    val calm = predWith(1.0)
+    // spike (vol_factor 2.0, the reference's clamp ceiling): floor =
+    // max(0.4, 0.6/2.0) = 0.4 — strictly more willing to call a trend
+    val spike = predWith(2.0)
+    calm.foreach { case (b, (t, p)) =>
+      if (p < 0.6) assert(t == "RANGEBOUND", s"bucket $b: $p under calm floor")
+    }
+    spike.foreach { case (b, (t, p)) =>
+      if (p >= 0.4 && calm(b)._1 != "RANGEBOUND")
+        assert(t == calm(b)._1) // confident calls unaffected by the floor
+    }
+    // at least one uncertain row (0.4 <= p < 0.6) flips out of RANGEBOUND
+    val flipped = spike.count { case (b, (t, _)) =>
+      calm(b)._1 == "RANGEBOUND" && t != "RANGEBOUND"
+    }
+    assert(flipped > 0, "expected an uncertain prediction to flip on the spike")
+    // and the flip is one-directional: a spike never ADDS a RANGEBOUND
+    assert(spike.count(_._2._1 == "RANGEBOUND") <=
+      calm.count(_._2._1 == "RANGEBOUND"))
+  }
+
   test("classifier is deterministic across refits") {
     val a = new LogisticTrendClassifier()
     val b = new LogisticTrendClassifier()
