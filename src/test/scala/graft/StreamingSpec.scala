@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Double]("close") == 20.0)
   }
 
+  test("session window runs streaming: gap merges within, watermark finalizes sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = input.toDS()
+      .withWatermark("ts", "30 seconds")
+      .groupBy($"symbol",
+        org.apache.spark.sql.functions.session_window($"ts", "60 seconds").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"symbol", $"w.start".as("s"), $"w.end".as("e"), $"n")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // gaps 40 s and 50 s merge (< 60); the 600 s jump closes the session
+    input.addData(
+      Trade("S", ts(0), 1.0, 1.0, false),
+      Trade("S", ts(40), 1.0, 1.0, false),
+      Trade("S", ts(90), 1.0, 1.0, false))
+    input.addData(Trade("S", ts(700), 1.0, 1.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("sess_out").collect()
+      .map(x => x.getAs[Timestamp]("s").getTime / 1000 ->
+        (x.getAs[Timestamp]("e").getTime / 1000, x.getAs[Long]("n"))).toMap
+    // one finalized session [0, 90+60) holding all three merged events
+    assert(r(0L) == ((150L, 3L)))
+  }
+
   test("incremental EMA equals the batch recursion") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
