@@ -251,14 +251,19 @@ object Scores extends OpModule {
   private def kellySql(p: String) =
     ColFns.clampSql(s"(($p) * $KellyB - (1.0 - ($p))) / $KellyB", 0.0, KellyCap)
 
-  private[operators] val scoredSql: String =
-    s"""WITH $signalsSql,
-       |g AS (
+  /** The whole scoring cascade as SQL against ANY input CTE exposing the
+    * signal columns (atr_pct, z, cvd, imbalance, walls, touch flags,
+    * lv_1h, bos, hurst + whatever should ride along, e.g. symbol): the
+    * single-symbol `fusion_scores` oracle and the multi-symbol
+    * `fused_multi` oracle share this text, so the cascade formulas exist
+    * exactly once on the SQL side too. */
+  private[operators] def cascadeSql(from: String): String =
+    s"""g AS (
        |  SELECT *,
        |    CASE WHEN atr_pct < $AtrLow THEN 'LOW'
        |         WHEN atr_pct > $AtrHigh THEN 'HIGH'
        |         ELSE 'NEUTRAL' END AS regime
-       |  FROM sig),
+       |  FROM $from),
        |g2 AS (
        |  SELECT *,
        |    CASE WHEN regime = 'HIGH' THEN ${ZGate + ZShift}
@@ -307,6 +312,10 @@ object Scores extends OpModule {
        |  CASE WHEN entry_long THEN 'LONG' WHEN entry_short THEN 'SHORT'
        |       ELSE 'NONE' END AS side
        |FROM g6""".stripMargin
+
+  private[operators] val scoredSql: String =
+    s"""WITH $signalsSql,
+       |${cascadeSql("sig")}""".stripMargin
 
   /** The scored frame is the shared input of five queries (fusion,
     * entries, sizing, and the FSM-derived tables). Memoized + persisted

@@ -48,8 +48,7 @@ object Stateful extends OpModule {
   private val fsmInputSql: String =
     s"""SELECT o.bucket, o.close, o.high, o.low,
        |       s.side, s.total_long, s.total_short,
-       |       s.regime = 'HIGH' AS trail_arm,
-       |       row_number() OVER (ORDER BY o.bucket) AS rn
+       |       s.regime = 'HIGH' AS trail_arm, 'SYM' AS symbol
        |FROM (${Bars.ohlcSql}) o
        |JOIN (SELECT bucket, side, total_long, total_short, regime
        |      FROM (${Scores.scoredSql}) sq) s ON s.bucket = o.bucket""".stripMargin
@@ -71,15 +70,27 @@ object Stateful extends OpModule {
     }
 
   /** The same transition function as `Fsm.step`, unrolled into a recursive
-    * CTE: state columns carry (pos_side, entry, tp, sl, cooldown); event
+    * CTE — PER SYMBOL: the seed emits one rn=0 state row per distinct
+    * symbol, rows rank per symbol, and each iteration advances every
+    * symbol's fold by one row (`PARTITION BY symbol` in the rank,
+    * `i.symbol = f.symbol` in the recursive join) — the SQL mirror of the
+    * engine's keyed `flatMapSortedGroups`/`flatMapGroupsWithState` folds.
+    * State columns carry (pos_side, entry, tp, sl, cooldown); event
     * columns carry the emitted row. Two nested subqueries stage the
     * derived predicates (exit_reason, enter_now, exit_px) since SQL can't
-    * reference a select-list alias in the same select. */
-  private[operators] val eventsSql: String = {
+    * reference a select-list alias in the same select.
+    *
+    * `inpSql` must expose: symbol, bucket, close, high, low, side,
+    * total_long, total_short, trail_arm. Shared by the single-symbol
+    * `fsm_position_events` oracle and the multi-symbol
+    * `fsm_position_events_keyed` oracle ([[MultiSym]]). */
+  private[operators] def fsmCteSql(inpSql: String): String = {
     import Fsm._
-    s"""WITH RECURSIVE inp AS MATERIALIZED ($fsmInputSql),
+    s"""WITH RECURSIVE inp AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+       |  FROM ($inpSql) fsm_base),
        |fsm AS (
-       |  SELECT 0::BIGINT AS rn,
+       |  SELECT symbol, 0::BIGINT AS rn,
        |    CAST(NULL AS VARCHAR) AS pos_side, CAST(NULL AS BIGINT) AS pentry_bucket,
        |    CAST(NULL AS DOUBLE) AS pentry_price, CAST(NULL AS DOUBLE) AS tp,
        |    CAST(NULL AS DOUBLE) AS sl, false AS trailed,
@@ -88,8 +99,9 @@ object Stateful extends OpModule {
        |    CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS entry_bucket,
        |    CAST(NULL AS DOUBLE) AS entry_price, CAST(NULL AS DOUBLE) AS exit_price,
        |    CAST(NULL AS DOUBLE) AS pnl, CAST(NULL AS VARCHAR) AS reason
+       |  FROM (SELECT DISTINCT symbol FROM inp) syms
        |  UNION ALL
-       |  SELECT t.rn,
+       |  SELECT t.symbol, t.rn,
        |    CASE WHEN t.exit_reason IS NOT NULL THEN NULL
        |         WHEN t.pos_side0 IS NOT NULL THEN t.pos_side0
        |         WHEN t.enter_now THEN t.in_side END,
@@ -138,7 +150,7 @@ object Stateful extends OpModule {
        |       OR (t0.pos_side0 = 'SHORT' AND t0.close <= t0.entry_price0 * ${1.0 - TrailTriggerPct}))
        |        AS trail_fav
        |    FROM (
-       |      SELECT i.rn, i.bucket, i.close, i.high, i.low,
+       |      SELECT i.symbol, i.rn, i.bucket, i.close, i.high, i.low,
        |        i.side AS in_side, i.total_long, i.total_short, i.trail_arm,
        |        f.pos_side AS pos_side0, f.pentry_bucket AS entry_bucket0,
        |        f.pentry_price AS entry_price0, f.tp AS tp0, f.sl AS sl0,
@@ -158,11 +170,14 @@ object Stateful extends OpModule {
        |                  THEN 'TIME_STOP' END AS exit_reason,
        |        (f.pos_side IS NULL AND i.bucket >= f.cooldown_until
        |         AND i.side <> 'NONE') AS enter_now
-       |      FROM fsm f JOIN inp i ON i.rn = f.rn + 1) t0) t)
+       |      FROM fsm f
+       |      JOIN inp i ON i.symbol = f.symbol AND i.rn = f.rn + 1) t0) t)
        |SELECT bucket, action, side, entry_bucket, entry_price, exit_price,
-       |       pnl, reason, 'SYM' AS symbol
+       |       pnl, reason, symbol
        |FROM fsm WHERE action IS NOT NULL""".stripMargin
   }
+
+  private[operators] val eventsSql: String = fsmCteSql(fsmInputSql)
 
   // bracket multipliers as SQL literals (1 +- pct), matching the Scala
   // doubles in Fsm.step exactly
