@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 /** The EP1 hot path as a pure fold: per finalized signal bar, EVERY
   * signal family of the batch cascade — rolling z, normalized CVD,
-  * incremental EMA + trend hysteresis, bar-grain liquidity velocity,
+  * incremental EMA + trend hysteresis, EXACT multi-TF liquidity velocity
+  * (Σqty/Σ|ΔP| rollups over 1/5/15-bar rings with the micro-trap flag)
+  * plus the volume-rate ratio,
   * the order-book trio (imbalance / wall / touch over the bar's top-k
   * level arrays, strategy.py:939-998,1046-1068), ATR% regime, and the
   * aether components (trailing-ring Hurst, bar-ring BOS, closed-form
@@ -31,23 +33,31 @@ import java.sql.Timestamp
   * Hurst folds over a TRAILING 20-bar ring (the reference's per-tick
   * rescan) where the batch `lm_hurst` evaluates tumbling 20-bar groups;
   * BOS is single-TF at the stream's bar grain where batch `lm_bos`
-  * averages three timeframes; z is unquantized (batch rounds to 6
+  * averages three timeframes; LV/vol-factor use the stream's bar as
+  * their unit TF where the batch queries use 15m/1h/4h buckets — the
+  * FORMULAS (sum/sum rollups, ratio clamp) are the batch ones exactly,
+  * asserted in StreamingSpec; z is unquantized (batch rounds to 6
   * decimals purely for the cross-engine oracle compare).
   */
 object Fusion {
 
   /** One finalized per-(symbol, window) signal bar: OHLC + taker flow +
-    * the bar's top-[[graft.operators.Book.Depth]] book level quantities
-    * per side, qty-desc sorted (empty when no book feed exists). */
+    * the bar's within-window price-path length `dp` (Σ|ΔP| over the
+    * bar's (ts, price)-ordered trades — the liquidity-velocity
+    * denominator, aether_oracle.py:89) + the bar's
+    * top-[[graft.operators.Book.Depth]] book level quantities per side,
+    * qty-desc sorted (empty when no book feed exists). */
   case class SigBar(symbol: String, win_start: Timestamp, open: Double,
       high: Double, low: Double, close: Double, volume: Double,
       buy_vol: Double, sell_vol: Double,
-      bids: Seq[Double] = Nil, asks: Seq[Double] = Nil)
+      bids: Seq[Double] = Nil, asks: Seq[Double] = Nil, dp: Double = 0.0)
 
   case class FusionState(ring: Vector[Double], ema: Option[Double],
       trend: Fsm.TrendState, closes: Vector[Double],
       prevClose: Option[Double], trs: Vector[Double], rets: Vector[Double],
-      bars: Vector[(Double, Double)], pos: Fsm.PosState)
+      bars: Vector[(Double, Double)], pos: Fsm.PosState,
+      lvRing: Vector[(Double, Double)] = Vector.empty,
+      volRing: Vector[Double] = Vector.empty)
 
   /** The fused frame row + the FSM event it produced (if any), flattened
     * so one append-mode stream carries the whole decision: the component
@@ -55,7 +65,8 @@ object Fusion {
     * entry side, and the FSM columns. */
   case class FusedOut(symbol: String, win_start: Timestamp, close: Double,
       delta: Double, z: Option[Double], cvd: Double, ema: Double,
-      trend: String, lv: Double, imbalance: Option[Double],
+      trend: String, lv_1m: Double, lv_5m: Double, lv_15m: Double,
+      micro_trap: Boolean, vol_factor: Double, imbalance: Option[Double],
       bid_wall: Option[Double], ask_wall: Option[Double],
       bid_touch_ok: Boolean, ask_touch_ok: Boolean, bos: Option[Double],
       hurst: Option[Double], atr_pct: Option[Double], regime: String,
@@ -68,6 +79,9 @@ object Fusion {
   val Span = 20         // EMA span (data_manager.py:721-745)
   val ZPop = 3000       // population ring (strategy.py:58)
   val ZMin = 30         // minimum population (strategy.py:1024)
+  val LvMid = 5         // LV middle TF in bars (reference 300 s / 60 s)
+  val LvLong = 15       // LV long TF in bars (reference 900 s / 60 s)
+  val VolBase = 24      // volume-rate baseline bars (flow_volrate's 24 h)
 
   def init: FusionState =
     FusionState(Vector.empty, None, Fsm.trendInit, Vector.empty, None,
@@ -99,8 +113,29 @@ object Fusion {
       else if (b.close < ema * 0.98) "DOWNTREND"
       else "RANGEBOUND"
     val trend = Fsm.trendStep(st.trend, raw)
-    // bar-grain LV analog: volume per unit of realized price movement
-    val lv = b.volume / (b.high - b.low + 1e-6)
+    // EXACT multi-TF liquidity velocity (aether_oracle.py:77-121, the
+    // batch flow_lv semantics at the stream's bar grain): the bar's dp is
+    // its within-window price-path length; the boundary pair between this
+    // bar's first trade and the previous bar's last lands HERE (the bucket
+    // of the later event — the same convention Flow.lvDf documents), so
+    // the multi-TF sums are exact rollups: LV_n = Σvol(n) / (Σdp(n) + ε).
+    // micro_trap fires when the shortest TF runs hot vs the middle one
+    // (lv_1m > 1.5·lv_5m, aether_oracle.py:116-119).
+    val dpB = b.dp + st.prevClose.map(pc => math.abs(b.open - pc)).getOrElse(0.0)
+    val lvRing = (st.lvRing :+ ((b.volume, dpB))).takeRight(LvLong)
+    def lvOver(n: Int): Double = {
+      val w = lvRing.takeRight(n)
+      w.map(_._1).sum / (w.map(_._2).sum + 1e-6)
+    }
+    val lv1 = lvOver(1)
+    val lv5 = lvOver(LvMid)
+    val lv15 = lvOver(LvLong)
+    val microTrap = lv1 > 1.5 * lv5
+    // volume-rate ratio at bar grain (data_manager.py:1005-1035): current
+    // bar volume vs the trailing-24-bar mean, clamped [0.5, 2.0] — the
+    // flow_volrate twin (the /sec normalization cancels at one grain)
+    val volRing = (st.volRing :+ b.volume).takeRight(VolBase)
+    val volFactor = clamp(b.volume / (volRing.sum / volRing.length), 0.5, 2.0)
     // ATR% regime inputs: TR + return vs the previous close
     val (tr, ret) = st.prevClose match {
       case Some(pc) =>
@@ -121,10 +156,12 @@ object Fusion {
       .takeRight(graft.operators.LongMemory.BosBars)
     // the book trio over the bar's depth-capped level arrays
     val bk = Scoring.bookSignals(b.bids, b.asks, b.close)
-    // the full cascade — exactly Scores.scored's formulas (ScoringSpec)
+    // the full cascade — exactly Scores.scored's formulas (ScoringSpec);
+    // the LV input is the long-TF reading (the batch cascade consumes the
+    // hour-grain lv_1h; lv_15m is the stream's longest TF)
     val sc = Scoring.score(Scoring.SignalIn(b.close, atrPct, z, cvd,
       bk.imbalance, bk.bidWall, bk.askWall, bk.bidTouchOk, bk.askTouchOk,
-      Some(lv), bos, hurst))
+      Some(lv15), bos, hurst))
     // position FSM; the trailing stop arms in the HIGH-vol regime, the
     // same trail_arm the batch FSM input derives (Stateful.fsmInput)
     val bucket = b.win_start.getTime / 60000L
@@ -133,14 +170,15 @@ object Fusion {
         sc.totalLong, sc.totalShort, trail_arm = sc.regime == "HIGH",
         symbol = b.symbol))
     val out = FusedOut(b.symbol, b.win_start, b.close, delta, z, cvd, ema,
-      trend.confirmed, lv, bk.imbalance, bk.bidWall, bk.askWall,
+      trend.confirmed, lv1, lv5, lv15, microTrap, volFactor,
+      bk.imbalance, bk.bidWall, bk.askWall,
       bk.bidTouchOk, bk.askTouchOk, bos, hurst, atrPct, sc.regime,
       sc.coreLong, sc.coreShort, sc.fusedLong, sc.fusedShort,
       sc.kellyLong, sc.kellyShort, sc.winprobLong, sc.winprobShort,
       sc.totalLong, sc.totalShort, sc.side,
       ev.map(_.action), ev.flatMap(_.pnl), ev.flatMap(_.reason))
     (FusionState(ring, Some(ema), trend, closes, Some(b.close), trs, rets,
-      bars, pos2), out)
+      bars, pos2, lvRing, volRing), out)
   }
 
   /** Fold a win_start-sorted iterator of bars into the fused stream. */

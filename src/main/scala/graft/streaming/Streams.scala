@@ -302,6 +302,98 @@ object Streams {
         })
   }
 
+  // ---- exact streaming twins of flow_lv / flow_volrate ----
+
+  case class TradeDp(symbol: String, ts: Timestamp, qty: Double, dp: Double)
+  case class PrevPx(price: Double)
+
+  /** Per-trade |ΔP| via ONE double of keyed state — the lag the batch
+    * `flow_lv` computes with a partitioned window. Each consecutive-pair
+    * |ΔP| belongs to the LATER trade (Flow.lvDf's documented convention),
+    * so any downstream windowed sum of `dp` rolls up exactly — including
+    * across bar boundaries, with no special boundary handling. The first
+    * trade of a symbol contributes dp = 0 (the batch side's coalesced
+    * NULL lag). */
+  def diffStream(trades: Dataset[Trade]): Dataset[TradeDp] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, it: Iterator[Trade], state: GroupState[PrevPx]) => {
+          var prev: Option[Double] = state.getOption.map(_.price)
+          val out = sortedSlice(it)(_.ts.getTime).map { t =>
+            val dp = prev.map(p => math.abs(t.price - p)).getOrElse(0.0)
+            prev = Some(t.price)
+            TradeDp(symbol, t.ts, t.qty, dp)
+          }
+          prev.foreach(p => state.update(PrevPx(p)))
+          out.iterator
+        })
+  }
+
+  case class LvBarIn(symbol: String, win_start: Timestamp, qty: Double,
+      dp: Double)
+
+  /** Tumbling per-bar (Σqty, Σdp) over the diffed trade stream — the q15
+    * rollup of the batch flow_lv plan at the stream's bar grain. */
+  def lvWindows(diffs: Dataset[TradeDp], barLen: String = "1 minute",
+      watermark: String = "2 minutes"): Dataset[LvBarIn] = {
+    val spark = diffs.sparkSession
+    import spark.implicits._
+    diffs
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", barLen), $"symbol")
+      .agg(sum($"qty").as("qty"), sum($"dp").as("dp"))
+      .select($"symbol", $"window.start".as("win_start"), $"qty", $"dp")
+      .as[LvBarIn]
+  }
+
+  case class LvOut(symbol: String, win_start: Timestamp, qty: Double,
+      dp: Double, lv_1m: Double, lv_5m: Double, lv_15m: Double,
+      micro_trap: Boolean, vol_factor: Double)
+  case class LvState(ring: Seq[(Double, Double)], volRing: Seq[Double])
+
+  /** EXACT multi-TF liquidity velocity + volume-rate ratio over the bar
+    * stream (aether_oracle.py:77-121, data_manager.py:1005-1035): rings
+    * of the trailing [[graft.state.Fusion.LvLong]] (qty, dp) pairs and
+    * [[graft.state.Fusion.VolBase]] qtys; LV_n = Σqty(n)/(Σdp(n)+1e-6)
+    * — the same sum-over-sum rollup as the batch `flow_lv` (never an
+    * average of per-bar ratios) — micro_trap = lv_1 > 1.5·lv_5, and
+    * vol_factor = clamp(bar qty / trailing-24-bar mean, 0.5, 2.0),
+    * `flow_volrate`'s formula with /sec normalization cancelled at one
+    * grain. StreamingSpec asserts equivalence against the batch frames
+    * on the same input, including across trigger boundaries. */
+  def lvStream(bars: Dataset[LvBarIn]): Dataset[LvOut] = {
+    import graft.state.Fusion.{LvLong, LvMid, VolBase}
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, it: Iterator[LvBarIn], state: GroupState[LvState]) => {
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          var volRing = state.getOption.map(_.volRing.toVector)
+            .getOrElse(Vector.empty)
+          val out = sortedSlice(it)(_.win_start.getTime).map { b =>
+            ring = (ring :+ ((b.qty, b.dp))).takeRight(LvLong)
+            volRing = (volRing :+ b.qty).takeRight(VolBase)
+            def lvOver(n: Int): Double = {
+              val w = ring.takeRight(n)
+              w.map(_._1).sum / (w.map(_._2).sum + 1e-6)
+            }
+            val lv1 = lvOver(1)
+            val lv5 = lvOver(LvMid)
+            LvOut(symbol, b.win_start, b.qty, b.dp, lv1, lv5, lvOver(LvLong),
+              lv1 > 1.5 * lv5,
+              math.min(math.max(b.qty / (volRing.sum / volRing.length), 0.5),
+                2.0))
+          }
+          state.update(LvState(ring, volRing))
+          out.iterator
+        })
+  }
+
   /** One order-book level update (SURVEY §1.1 #3's stream form): side,
     * level quantity, and a monotone per-symbol sequence for
     * deterministic tie-breaks (the reference's book updates arrive
@@ -364,6 +456,23 @@ object Streams {
     def sideArr(col: Column): Column = transform(
       slice(array_sort(col, cmp _), 1, graft.operators.Book.Depth),
       x => x.getField("qty"))
+    // within-bar price-path length Σ|ΔP| over the bar's (ts, price)-sorted
+    // trades (the LV denominator, aether_oracle.py:89): a left fold with a
+    // NaN "no previous trade yet" sentinel — the cross-bar boundary pair is
+    // recovered by the fusion fold from its prevClose state, so the multi-TF
+    // LV sums stay exact without any second pass over raw events
+    def dpOf(c: Column): Column = {
+      val sorted = array_sort(c)
+      aggregate(
+        sorted,
+        struct(lit(Double.NaN).as("prev"), lit(0.0).as("acc")),
+        (st, x) => struct(
+          x.getField("price").as("prev"),
+          (st.getField("acc") + when(isnan(st.getField("prev")), 0.0)
+            .otherwise(abs(x.getField("price") - st.getField("prev"))))
+            .as("acc")),
+        st => st.getField("acc"))
+    }
     val agged = (if (events.isStreaming) events.withWatermark("ts", watermark)
                  else events)
       .groupBy(window($"ts", "1 minute"), $"symbol")
@@ -380,11 +489,14 @@ object Streams {
         collect_list(when(!$"is_trade" && $"is_bid",
           struct($"qty", $"seq"))).as("bid_levels"),
         collect_list(when(!$"is_trade" && !$"is_bid",
-          struct($"qty", $"seq"))).as("ask_levels"))
+          struct($"qty", $"seq"))).as("ask_levels"),
+        collect_list(when($"is_trade", struct($"ts", $"price")))
+          .as("trade_path"))
       .filter($"open".isNotNull)
       .select($"window.start".as("win_start"), $"symbol", $"open", $"high",
         $"low", $"close", $"volume", $"buy_vol", $"sell_vol",
-        sideArr($"bid_levels").as("bids"), sideArr($"ask_levels").as("asks"))
+        sideArr($"bid_levels").as("bids"), sideArr($"ask_levels").as("asks"),
+        dpOf($"trade_path").as("dp"))
     agged.as[graft.state.Fusion.SigBar]
   }
 

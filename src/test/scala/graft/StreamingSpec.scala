@@ -154,6 +154,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exact streaming LV + vol-rate twins equal the batch formulas across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val trades = (0 until 120).map(i =>
+      Trade("S", ts(i * 10L), 100.0 + rnd.nextDouble() * 10, 1.0 + rnd.nextDouble(), false))
+
+    // stage 1: per-trade |ΔP| — state must carry the last price across triggers
+    val tIn = MemoryStream[Trade]
+    val q1 = Streams.diffStream(tIn.toDS())
+      .writeStream.format("memory").queryName("dp_out")
+      .outputMode("append").start()
+    tIn.addData(trades.take(50))
+    q1.processAllAvailable()
+    tIn.addData(trades.drop(50))
+    q1.processAllAvailable()
+    q1.stop()
+    val gotDp = spark.table("dp_out").collect()
+      .map(r => r.getAs[Timestamp]("ts").getTime -> r.getAs[Double]("dp")).toMap
+    val expDp = trades.zip(None +: trades.map(t => Some(t.price)))
+      .map { case (t, prev) =>
+        t.ts.getTime -> prev.map(p => math.abs(t.price - p)).getOrElse(0.0) }
+    expDp.foreach { case (k, e) => assert(math.abs(gotDp(k) - e) < 1e-12) }
+
+    // stage 2: bar rollup + multi-TF rings — the batch flow_lv shape
+    // (sum-over-sum, never avg-of-ratios) recomputed independently here
+    val expBars = expDp.zip(trades).groupBy(_._2.ts.getTime / 60000)
+      .toSeq.sortBy(_._1)
+      .map { case (m, rows) =>
+        Streams.LvBarIn("S", ts(m * 60), rows.map(_._2.qty).sum,
+          rows.map(_._1._2).sum) }
+    val bIn = MemoryStream[Streams.LvBarIn]
+    val q2 = Streams.lvStream(bIn.toDS())
+      .writeStream.format("memory").queryName("lv_out")
+      .outputMode("append").start()
+    bIn.addData(expBars.take(7)) // split mid-ring: state must carry over
+    q2.processAllAvailable()
+    bIn.addData(expBars.drop(7))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("lv_out").collect()
+      .map(r => r.getAs[Timestamp]("win_start").getTime -> r).toMap
+    expBars.zipWithIndex.foreach { case (b, i) =>
+      val ring = expBars.slice(math.max(0, i - 14), i + 1)
+      def lv(n: Int) = {
+        val w = ring.takeRight(n)
+        w.map(_.qty).sum / (w.map(_.dp).sum + 1e-6)
+      }
+      val volRing = expBars.slice(math.max(0, i - 23), i + 1).map(_.qty)
+      val r = got(b.win_start.getTime)
+      assert(math.abs(r.getAs[Double]("lv_1m") - lv(1)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("lv_5m") - lv(5)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("lv_15m") - lv(15)) < 1e-12)
+      assert(r.getAs[Boolean]("micro_trap") == (lv(1) > 1.5 * lv(5)))
+      val vf = math.min(math.max(
+        b.qty / (volRing.sum / volRing.length), 0.5), 2.0)
+      assert(math.abs(r.getAs[Double]("vol_factor") - vf) < 1e-12)
+    }
+  }
+
+  test("fused fold carries the exact multi-TF LV (boundary pair included)") {
+    import spark.implicits._
+    import graft.state.Fusion
+    // two bars: the |open2 - close1| boundary pair must land in bar 2's dp
+    val trades = Seq(
+      Trade("S", ts(0), 10.0, 1.0, false),
+      Trade("S", ts(30), 14.0, 1.0, false),  // dp within bar 1: 4
+      Trade("S", ts(70), 20.0, 2.0, false),  // boundary |20-14|=6
+      Trade("S", ts(80), 21.0, 1.0, false),  // dp within bar 2: 1
+      Trade("S", ts(600), 1.0, 1.0, false))  // closes the watermark in specs
+    val out = Streams.fusedBatch(
+      Streams.signalBars(spark.createDataset(trades))).collect()
+      .sortBy(_.win_start.getTime)
+    val b1 = out(0); val b2 = out(1)
+    assert(math.abs(b1.lv_1m - 2.0 / (4.0 + 1e-6)) < 1e-12)
+    assert(math.abs(b2.lv_1m - 3.0 / (7.0 + 1e-12) ) < 1e-6 ||
+      math.abs(b2.lv_1m - 3.0 / (7.0 + 1e-6)) < 1e-12)
+    // lv_5m aggregates both bars: (2+3)/(4+7+eps)
+    assert(math.abs(b2.lv_5m - 5.0 / (11.0 + 1e-6)) < 1e-12)
+  }
+
   test("streaming position FSM replays identically to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
