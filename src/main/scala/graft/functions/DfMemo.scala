@@ -20,10 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DfMemo {
 
   /** LRU cap per session. Large enough for the widest reuse distance in
-    * the suite (the ANN recall family interleaves brute3 with four
-    * per-rung frames), small enough to bound resident cache pressure. */
+    * the suite (the ANN recall family interleaves brute3 with the
+    * per-rung frames — the PQ rung alone touches kmeans_comp /
+    * kmeans_ranked / pq_resid / pq_cb on top of brute3 and ivf_ranked),
+    * small enough to bound resident cache pressure. */
   val MaxResident: Int =
-    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "6").toInt
+    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "8").toInt
 
   // Weak keys: a dropped session must not be pinned (with its whole
   // sessionState + persisted plans) for the life of the process.
@@ -48,10 +50,19 @@ object DfMemo {
     else {
       // Build OUTSIDE the lock: build closures may re-enter cached()
       // (Stateful.eventsDf -> Scores.scoredShared). A lost race is NOT
-      // unpersisted: Spark's CacheManager keys cached data by logical
-      // plan, so both racers share ONE cache entry — unpersisting the
-      // loser would evict the winner's cache too.
-      val built = build.persist()
+      // unpersisted: the loser's checkpoint RDD is freed by the
+      // ContextCleaner once unreferenced.
+      //
+      // localCheckpoint, not persist: a persisted frame keeps its FULL
+      // plan, and every downstream query re-pays per-execution overhead
+      // proportional to that tree even when the data comes from cache
+      // (measured ~1.9 s per access on the deep ANN chains vs ~0.1 s
+      // through the truncated lineage). The checkpoint materializes the
+      // rows once and hands consumers a LogicalRDD — the memo boundary
+      // IS the lineage boundary, which is exactly what a shared
+      // intermediate means. Local mode trades away recompute-on-loss;
+      // a cluster deployment would use reliable checkpoint() instead.
+      val built = build.localCheckpoint()
       tab.synchronized {
         val raced = tab.get(key)
         if (raced != null) raced

@@ -6,16 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Scalar kernels over float-vector columns. Accumulation is in index
-  * order, exactly like the `zip_with`+`aggregate` fold these replace, so
+/** Scalar kernels over vector columns. Accumulation is in index order,
+  * exactly like the `zip_with`+`aggregate` fold these replace, so
   * swapping implementations cannot move a result by even one ulp (the
   * DuckDB oracle tolerance argument stays as documented in Similarity).
   */
 object VectorOps {
-  /** Null-propagating dot, matching `zip_with`+`aggregate` exactly:
-    * unequal lengths (zip_with pads with null) or any null element make
-    * the fold NULL, so they make this NULL too. Returns a boxed Double
-    * or null. */
+  /** Null-propagating dot over float arrays, matching
+    * `zip_with`+`aggregate` exactly: unequal lengths (zip_with pads with
+    * null) or any null element make the fold NULL, so they make this
+    * NULL too. Returns a boxed Double or null. */
   def dotFloatOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -28,37 +28,65 @@ object VectorOps {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** The double-array twin (PQ residual/reconstruction vectors are
+    * double-typed derived data, not raw float embeddings). */
+  def dotDoubleOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }
 
-/** Native dot product over two array<float> columns (SURVEY §7.3 "custom
-  * Expression beats UDF"): one kernel call per row inside whole-stage
-  * codegen instead of materializing a zipped intermediate array and
-  * folding it with higher-order-function lambdas — the hot inner loop of
-  * every similarity-search query. Registered as SQL `vec_dot` by
-  * [[graft.GraftExtensions]].
+/** Native dot product over two array<float> or two array<double> columns
+  * (SURVEY §7.3 "custom Expression beats UDF"): one kernel call per row
+  * inside whole-stage codegen instead of materializing a zipped
+  * intermediate array and folding it with higher-order-function lambdas —
+  * the hot inner loop of every similarity-search query. Registered as SQL
+  * `vec_dot` by [[graft.GraftExtensions]].
   */
 case class ArrayDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure("vec_dot requires array<float> inputs")
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(FloatType, DoubleType).exists(t =>
+      Seq(left, right).forall(_.dataType match {
+        case ArrayType(`t`, _) => true
+        case _ => false
+      }))
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_dot requires two array<float> or two array<double> inputs")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
   // Null elements / length mismatch produce NULL even from non-null inputs.
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorOps.dotFloatOrNull(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (isFloat)
+      VectorOps.dotFloatOrNull(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      VectorOps.dotDoubleOrNull(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "dotFloatOrNull" else "dotDoubleOrNull"
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val res = ctx.freshName("dotRes")
       s"""
-         |java.lang.Double $res = graft.functions.VectorOps.dotFloatOrNull($l, $r);
+         |java.lang.Double $res = graft.functions.VectorOps.$fn($l, $r);
          |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -66,6 +94,7 @@ case class ArrayDotExpr(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =

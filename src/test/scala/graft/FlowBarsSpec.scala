@@ -90,11 +90,12 @@ class FlowBarsSpec extends SparkSpec {
   }
 
   test("flow_lv plan: the raw-event lag is partitioned by the finest bucket") {
-    // analyzed plan (pre cache-substitution, so stable across DfMemo): the
-    // only window touching raw events must carry the b15 partition key —
-    // an UNpartitioned lag over events pulls the whole table through one
-    // task, the scale killer this formulation exists to avoid
-    val plan = Flow.queries("flow_lv")(spark, sfDir())
+    // inspect the PRE-memo builder: the memoized twin's lineage is
+    // checkpoint-truncated, so the raw-event window only appears here.
+    // The only window touching raw events must carry the b15 partition
+    // key — an UNpartitioned lag over events pulls the whole table
+    // through one task, the scale killer this formulation exists to avoid
+    val plan = Flow.lvQ15Uncached(spark, sfDir())
       .queryExecution.analyzed.toString
     assert(plan.contains("windowspecdefinition(b15"),
       s"expected b15-partitioned lag:\n$plan")

@@ -60,6 +60,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq top-k is exact-cosine-ranked and finds the shortlisted true neighbors") {
+    // on sf0.001 (50 vectors, 10 cells) the 6-probe + 50-deep shortlist
+    // covers most of the corpus, so PQ's top-k must match brute-force
+    // wherever the probed cells contain the true neighbors
+    val pq = rowsOf(Similarity.queries("ann_pq_topk")(spark, sfDir()))
+    assert(pq.nonEmpty)
+    val brute = rowsOf(Similarity.queries("knn_brute")(spark, sfDir()))
+      .map(m => (m("qid"), m("nid")) -> m("cos").asInstanceOf[Double]).toMap
+    pq.foreach { m =>
+      val exact = brute.get((m("qid"), m("nid")))
+      // every PQ pair carries the EXACT cosine (the re-rank contract):
+      // where brute computed the same pair, values must agree
+      exact.foreach(c =>
+        assert(math.abs(m("cos").asInstanceOf[Double] - c) < 1e-9))
+    }
+    // per-query output is a descending-ranked top-3
+    pq.groupBy(_("qid")).foreach { case (_, rows) =>
+      assert(rows.size <= 3)
+      val cs = rows.map(_("cos").asInstanceOf[Double]).sorted(Ordering[Double].reverse)
+      assert(cs == rows.sortBy(r => (-r("cos").asInstanceOf[Double])).map(_("cos")))
+    }
+    // the ADC shortlist keeps recall at or above the k-means rung here
+    val rPq = rowsOf(Similarity.queries("ann_recall_pq")(spark, sfDir()))
+      .map(_("recall").asInstanceOf[Double])
+    val rKm = rowsOf(Similarity.queries("ann_recall_kmeans")(spark, sfDir()))
+      .map(_("recall").asInstanceOf[Double])
+    assert(rPq.sum / rPq.size >= rKm.sum / rKm.size)
+  }
+
   test("per-label centroids count every vector") {
     val c = rowsOf(Similarity.queries("emb_centroids")(spark, sfDir()))
     assert(c.map(_("n").asInstanceOf[Long]).sum == 500L)
