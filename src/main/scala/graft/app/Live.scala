@@ -388,6 +388,21 @@ object Live {
       .outputMode("append").start()
   }
 
+  /** Exact multi-TF liquidity-velocity + volume-rate table, live: the
+    * diff -> bar-rollup -> ring-fold stages chain as THREE stateful
+    * operators in ONE streaming query (Spark 4 chained-stateful support)
+    * — per-trade |ΔP| keyed state, a watermarked tumbling bar
+    * aggregation, then the 15/24-bar rings — landing the `flow_lv` /
+    * `flow_volrate` semantics per finalized bar. */
+  def lvQuery(spark: SparkSession, tradesDir: String, outDir: String,
+      ckptDir: String): StreamingQuery =
+    Streams.lvStream(Streams.lvWindows(
+        Streams.diffStream(tradeSource(spark, tradesDir))))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/lv")
+      .option("checkpointLocation", s"$ckptDir/lv")
+      .outputMode("append").start()
+
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
     // heal a crash that predates this restart before any new batch lands
@@ -441,6 +456,7 @@ object Live {
       deltaQuery(spark, tradesDir, outDir, ckptDir),
       signalQuery(spark, outDir, ckptDir),
       fusedQuery(spark, tradesDir, outDir, ckptDir, booksDir),
+      lvQuery(spark, tradesDir, outDir, ckptDir),
       tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.awaitTermination())
   }

@@ -116,6 +116,7 @@ class AppSpec extends SparkSpec {
       Live.barsQuery(spark, tradesDir, outDir, ckptDir),
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
       Live.fusedQuery(spark, tradesDir, outDir, ckptDir),
+      Live.lvQuery(spark, tradesDir, outDir, ckptDir),
       Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
     // silver stage tails the delta table the bronze stage just landed
@@ -142,6 +143,11 @@ class AppSpec extends SparkSpec {
     assert(fused.count() >= 1)
     assert(fused.columns.toSet.contains("total_long") &&
       fused.columns.toSet.contains("side"))
+    // the chained-stateful LV query landed per-bar exact multi-TF rows
+    val lv = spark.read.parquet(s"$outDir/lv")
+    assert(lv.count() >= 1)
+    assert(lv.columns.toSet.contains("lv_15m") &&
+      lv.columns.toSet.contains("vol_factor"))
     assert(signals.select("signal").collect()
       .forall(_.getString(0) == "NONE")) // population below the minimum
     val trades = spark.read.parquet(s"$outDir/trades")

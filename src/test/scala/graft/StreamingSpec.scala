@@ -214,6 +214,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("diff -> bars -> rings chain as THREE stateful operators in one query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.lvStream(Streams.lvWindows(Streams.diffStream(input.toDS())))
+      .writeStream.format("memory").queryName("lvchain_out")
+      .outputMode("append").start()
+    input.addData(
+      Trade("S", ts(0), 10.0, 1.0, false),
+      Trade("S", ts(30), 14.0, 2.0, false), // |ΔP| 4 within bar 0
+      Trade("S", ts(70), 20.0, 1.0, false)) // |ΔP| 6 lands in bar 1
+    input.addData(Trade("S", ts(600), 20.0, 1.0, false)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lvchain_out").collect()
+      .map(r => r.getAs[Timestamp]("win_start").getTime / 1000 ->
+        (r.getAs[Double]("qty"), r.getAs[Double]("dp"),
+          r.getAs[Double]("lv_1m"))).toMap
+    assert(rows(0L) == ((3.0, 4.0, 3.0 / (4.0 + 1e-6))))
+    // the cross-bar |ΔP| belongs to the LATER trade's bar
+    assert(rows(60L) == ((1.0, 6.0, 1.0 / (6.0 + 1e-6))))
+  }
+
   test("fused fold carries the exact multi-TF LV (boundary pair included)") {
     import spark.implicits._
     import graft.state.Fusion
