@@ -96,14 +96,25 @@ object Live {
     * crash there is healed by the restore at the top of the NEXT swap.
     * Driver-local java.io (demo-grade; production writes a transactional
     * table format). */
+  /** Restore a table whose last swap crashed between its two renames
+    * (dst missing, the backup holds the only copy). MUST run before any
+    * reader checks the table's existence — a reader that branches on
+    * "table missing" without healing first would treat the backed-up
+    * history as absent and rebuild from scratch. */
+  private def healSwapped(outDir: String, table: String): Unit = {
+    val dst = new java.io.File(s"$outDir/$table")
+    val old = new java.io.File(s"$outDir/.${table}_old")
+    if (!dst.exists() && old.exists() && !old.renameTo(dst))
+      // the heal is load-bearing: continuing would delete the only copy
+      throw new java.io.IOException(s"$table heal failed: $old -> $dst")
+  }
+
   private def swapInPlace(outDir: String, table: String,
       df: DataFrame): Unit = {
     val dst = new java.io.File(s"$outDir/$table")
     val old = new java.io.File(s"$outDir/.${table}_old")
     val tmp = new java.io.File(s"$outDir/.${table}_tmp")
-    if (!dst.exists() && old.exists() && !old.renameTo(dst))
-      // the heal is load-bearing: continuing would delete the only copy
-      throw new java.io.IOException(s"$table heal failed: $old -> $dst")
+    healSwapped(outDir, table)
     df.write.mode("overwrite").parquet(tmp.toString)
     if (old.exists()) graft.functions.Fs.deleteRecursively(old)
     if (dst.exists() && !dst.renameTo(old))
@@ -141,9 +152,16 @@ object Live {
   private def pendingFile(outDir: String) =
     new java.io.File(s"$outDir/.refresh_pending")
 
-  private def markPending(outDir: String, batchId: Long): Unit =
-    java.nio.file.Files.write(pendingFile(outDir).toPath,
-      batchId.toString.getBytes("UTF-8"))
+  private def markPending(outDir: String, batchId: Long): Unit = {
+    // write-aside + rename: a crash mid-write must not leave a partial
+    // marker (the heal path would otherwise fail to parse it on every
+    // restart — wedging recovery exactly when it is needed)
+    val tmp = new java.io.File(s"$outDir/.refresh_pending_tmp")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, pendingFile(outDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** Re-run the derived-table refreshes for a batch whose marker was
     * never cleared (crash between append and refresh completion). Work
@@ -153,16 +171,20 @@ object Live {
   def healPending(spark: SparkSession, outDir: String): Unit = {
     val f = pendingFile(outDir)
     if (f.exists()) {
-      val m = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-      if (alreadyCommitted(spark, outDir, m)) {
-        val batch = spark.read.parquet(batchDir(outDir, m).toString)
-        refreshDailySummary(spark, outDir,
-          batch.filter(col("action") === "EXIT"), m)
-        refreshOrders(spark, outDir, batch, m)
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      raw.toLongOption match {
+        case Some(m) if alreadyCommitted(spark, outDir, m) =>
+          val batch = spark.read.parquet(batchDir(outDir, m).toString)
+          refreshDailySummary(spark, outDir,
+            batch.filter(col("action") === "EXIT"), m)
+          refreshOrders(spark, outDir, batch, m)
+        case _ =>
+          // unparsable marker (legacy non-atomic write) or an append that
+          // never landed: in both cases nothing was committed under this
+          // marker — the engine replays the batch normally
+          ()
       }
-      // else: the append itself never landed — the engine will replay
-      // the batch normally, nothing to heal
       f.delete()
       ()
     }
@@ -225,6 +247,11 @@ object Live {
       batchExits: DataFrame, batchId: Long): Unit = {
     val fresh = statsOf(batchExits)
     if (fresh.isEmpty) return
+    // heal BEFORE the existence check below: a crash inside a prior swap
+    // leaves the stats in the backup dir, and treating that as "no stats
+    // yet" would rebuild from this batch alone and discard all history
+    healSwapped(outDir, "daily_stats")
+    healSwapped(outDir, "daily_summary")
     val statsPath = s"$outDir/daily_stats"
     val merged =
       if (!new java.io.File(statsPath).exists())

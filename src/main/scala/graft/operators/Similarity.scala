@@ -556,9 +556,6 @@ object Similarity extends OpModule {
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v), 6)
 
-  private def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
   /** Per-(vector, subspace) residual subvector against the vector's
     * refined-cell centroid — the PQ training/encoding input. */
   private def pqRsubDf(spark: SparkSession, dir: String): DataFrame =

@@ -150,12 +150,14 @@ class LogisticTrendClassifier(probFloor: Double = Trend.ProbFloor)
     }
     // dynamic RANGEBOUND threshold under volume spikes: a missing or
     // null vol_factor falls back to the static floor (the reference
-    // guards the same way, data_manager.py:1031-1035)
+    // guards the same way, data_manager.py:1031-1035). The null branch is
+    // explicit — greatest() SKIPS nulls, so a coalesce around
+    // greatest(0.4, 0.6/null) would never fire (it yields 0.4, not null)
     val floor =
       if (features.columns.contains("vol_factor"))
-        coalesce(
-          greatest(lit(Trend.FloorMin), lit(Trend.FloorBase) / col("vol_factor")),
-          lit(probFloor))
+        when(col("vol_factor").isNotNull,
+          greatest(lit(Trend.FloorMin), lit(Trend.FloorBase) / col("vol_factor")))
+          .otherwise(lit(probFloor))
       else lit(probFloor)
     out.withColumn("pred_trend",
       when(maxProb < floor, "RANGEBOUND")

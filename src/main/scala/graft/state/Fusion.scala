@@ -90,6 +90,29 @@ object Fusion {
   private def clamp(x: Double, lo: Double, hi: Double): Double =
     math.max(lo, math.min(hi, x))
 
+  /** One multi-TF LV + volume-rate step over the trailing rings — THE
+    * single implementation of the liquidity-velocity/vol-factor formulas
+    * (sum-over-sum rollups, micro-trap, ratio clamp), shared by the fused
+    * fold below and the standalone `Streams.lvStream` so the two live
+    * surfaces cannot drift. */
+  case class LvTick(lv1: Double, lv5: Double, lv15: Double,
+      microTrap: Boolean, volFactor: Double,
+      ring: Vector[(Double, Double)], volRing: Vector[Double])
+
+  def lvStep(ring0: Vector[(Double, Double)], volRing0: Vector[Double],
+      qty: Double, dp: Double): LvTick = {
+    val ring = (ring0 :+ ((qty, dp))).takeRight(LvLong)
+    def lvOver(n: Int): Double = {
+      val w = ring.takeRight(n)
+      w.map(_._1).sum / (w.map(_._2).sum + 1e-6)
+    }
+    val lv1 = lvOver(1)
+    val lv5 = lvOver(LvMid)
+    val volRing = (volRing0 :+ qty).takeRight(VolBase)
+    LvTick(lv1, lv5, lvOver(LvLong), lv1 > 1.5 * lv5,
+      clamp(qty / (volRing.sum / volRing.length), 0.5, 2.0), ring, volRing)
+  }
+
   def step(st: FusionState, b: SigBar): (FusionState, FusedOut) = {
     // rolling z over the taker-delta ring (strategy.py:1022-1044)
     val delta = b.buy_vol - b.sell_vol
@@ -122,20 +145,10 @@ object Fusion {
     // micro_trap fires when the shortest TF runs hot vs the middle one
     // (lv_1m > 1.5·lv_5m, aether_oracle.py:116-119).
     val dpB = b.dp + st.prevClose.map(pc => math.abs(b.open - pc)).getOrElse(0.0)
-    val lvRing = (st.lvRing :+ ((b.volume, dpB))).takeRight(LvLong)
-    def lvOver(n: Int): Double = {
-      val w = lvRing.takeRight(n)
-      w.map(_._1).sum / (w.map(_._2).sum + 1e-6)
-    }
-    val lv1 = lvOver(1)
-    val lv5 = lvOver(LvMid)
-    val lv15 = lvOver(LvLong)
-    val microTrap = lv1 > 1.5 * lv5
     // volume-rate ratio at bar grain (data_manager.py:1005-1035): current
     // bar volume vs the trailing-24-bar mean, clamped [0.5, 2.0] — the
     // flow_volrate twin (the /sec normalization cancels at one grain)
-    val volRing = (st.volRing :+ b.volume).takeRight(VolBase)
-    val volFactor = clamp(b.volume / (volRing.sum / volRing.length), 0.5, 2.0)
+    val lv = lvStep(st.lvRing, st.volRing, b.volume, dpB)
     // ATR% regime inputs: TR + return vs the previous close
     val (tr, ret) = st.prevClose match {
       case Some(pc) =>
@@ -161,7 +174,7 @@ object Fusion {
     // hour-grain lv_1h; lv_15m is the stream's longest TF)
     val sc = Scoring.score(Scoring.SignalIn(b.close, atrPct, z, cvd,
       bk.imbalance, bk.bidWall, bk.askWall, bk.bidTouchOk, bk.askTouchOk,
-      Some(lv15), bos, hurst))
+      Some(lv.lv15), bos, hurst))
     // position FSM; the trailing stop arms in the HIGH-vol regime, the
     // same trail_arm the batch FSM input derives (Stateful.fsmInput)
     val bucket = b.win_start.getTime / 60000L
@@ -170,7 +183,7 @@ object Fusion {
         sc.totalLong, sc.totalShort, trail_arm = sc.regime == "HIGH",
         symbol = b.symbol))
     val out = FusedOut(b.symbol, b.win_start, b.close, delta, z, cvd, ema,
-      trend.confirmed, lv1, lv5, lv15, microTrap, volFactor,
+      trend.confirmed, lv.lv1, lv.lv5, lv.lv15, lv.microTrap, lv.volFactor,
       bk.imbalance, bk.bidWall, bk.askWall,
       bk.bidTouchOk, bk.askTouchOk, bos, hurst, atrPct, sc.regime,
       sc.coreLong, sc.coreShort, sc.fusedLong, sc.fusedShort,
@@ -178,7 +191,7 @@ object Fusion {
       sc.totalLong, sc.totalShort, sc.side,
       ev.map(_.action), ev.flatMap(_.pnl), ev.flatMap(_.reason))
     (FusionState(ring, Some(ema), trend, closes, Some(b.close), trs, rets,
-      bars, pos2, lvRing, volRing), out)
+      bars, pos2, lv.ring, lv.volRing), out)
   }
 
   /** Fold a win_start-sorted iterator of bars into the fused stream. */

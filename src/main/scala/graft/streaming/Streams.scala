@@ -305,15 +305,21 @@ object Streams {
   // ---- exact streaming twins of flow_lv / flow_volrate ----
 
   case class TradeDp(symbol: String, ts: Timestamp, qty: Double, dp: Double)
-  case class PrevPx(price: Double)
+  case class PrevPx(tsMs: Long, price: Double)
 
-  /** Per-trade |ΔP| via ONE double of keyed state — the lag the batch
-    * `flow_lv` computes with a partitioned window. Each consecutive-pair
-    * |ΔP| belongs to the LATER trade (Flow.lvDf's documented convention),
-    * so any downstream windowed sum of `dp` rolls up exactly — including
-    * across bar boundaries, with no special boundary handling. The first
-    * trade of a symbol contributes dp = 0 (the batch side's coalesced
-    * NULL lag). */
+  /** Per-trade |ΔP| via ONE (ts, price) pair of keyed state — the lag the
+    * batch `flow_lv` computes with a partitioned window. Each
+    * consecutive-pair |ΔP| belongs to the LATER trade (Flow.lvDf's
+    * documented convention), so any downstream windowed sum of `dp` rolls
+    * up exactly — including across bar boundaries, with no special
+    * boundary handling. The first trade of a symbol contributes dp = 0
+    * (the batch side's coalesced NULL lag).
+    *
+    * A trade older than the state's watermark-of-one (the last processed
+    * ts) is SKIPPED entirely: the downstream windowed aggregation's
+    * watermark would drop its row anyway, and letting it mutate the
+    * prev-price state would permanently skew every subsequent on-time
+    * trade's dp — late data must not corrupt what it cannot change. */
   def diffStream(trades: Dataset[Trade]): Dataset[TradeDp] = {
     val spark = trades.sparkSession
     import spark.implicits._
@@ -321,13 +327,16 @@ object Streams {
       .groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (symbol: String, it: Iterator[Trade], state: GroupState[PrevPx]) => {
-          var prev: Option[Double] = state.getOption.map(_.price)
-          val out = sortedSlice(it)(_.ts.getTime).map { t =>
-            val dp = prev.map(p => math.abs(t.price - p)).getOrElse(0.0)
-            prev = Some(t.price)
-            TradeDp(symbol, t.ts, t.qty, dp)
+          var prev: Option[PrevPx] = state.getOption
+          val out = sortedSlice(it)(_.ts.getTime).flatMap { t =>
+            if (prev.exists(_.tsMs > t.ts.getTime)) None // late: see above
+            else {
+              val dp = prev.map(p => math.abs(t.price - p.price)).getOrElse(0.0)
+              prev = Some(PrevPx(t.ts.getTime, t.price))
+              Some(TradeDp(symbol, t.ts, t.qty, dp))
+            }
           }
-          prev.foreach(p => state.update(PrevPx(p)))
+          prev.foreach(state.update)
           out.iterator
         })
   }
@@ -355,17 +364,19 @@ object Streams {
   case class LvState(ring: Seq[(Double, Double)], volRing: Seq[Double])
 
   /** EXACT multi-TF liquidity velocity + volume-rate ratio over the bar
-    * stream (aether_oracle.py:77-121, data_manager.py:1005-1035): rings
-    * of the trailing [[graft.state.Fusion.LvLong]] (qty, dp) pairs and
-    * [[graft.state.Fusion.VolBase]] qtys; LV_n = Σqty(n)/(Σdp(n)+1e-6)
-    * — the same sum-over-sum rollup as the batch `flow_lv` (never an
-    * average of per-bar ratios) — micro_trap = lv_1 > 1.5·lv_5, and
-    * vol_factor = clamp(bar qty / trailing-24-bar mean, 0.5, 2.0),
-    * `flow_volrate`'s formula with /sec normalization cancelled at one
-    * grain. StreamingSpec asserts equivalence against the batch frames
-    * on the same input, including across trigger boundaries. */
+    * stream (aether_oracle.py:77-121, data_manager.py:1005-1035), one
+    * keyed fold over [[graft.state.Fusion.lvStep]] — the SAME kernel the
+    * fused pipeline uses, so the standalone lv table and the fused
+    * stream's lv_* columns cannot drift: rings of the trailing
+    * (qty, dp) pairs and qtys; LV_n = Σqty(n)/(Σdp(n)+1e-6) (the batch
+    * `flow_lv` sum-over-sum rollup, never an average of per-bar ratios);
+    * micro_trap = lv_1 > 1.5·lv_5; vol_factor = clamp(bar qty /
+    * trailing-24-bar mean, 0.5, 2.0) — `flow_volrate`'s formula with the
+    * /sec normalization cancelled at one grain. StreamingSpec asserts
+    * equivalence against the batch frames on the same input, including
+    * across trigger boundaries. */
   def lvStream(bars: Dataset[LvBarIn]): Dataset[LvOut] = {
-    import graft.state.Fusion.{LvLong, LvMid, VolBase}
+    import graft.state.Fusion
     val spark = bars.sparkSession
     import spark.implicits._
     bars
@@ -376,18 +387,11 @@ object Streams {
           var volRing = state.getOption.map(_.volRing.toVector)
             .getOrElse(Vector.empty)
           val out = sortedSlice(it)(_.win_start.getTime).map { b =>
-            ring = (ring :+ ((b.qty, b.dp))).takeRight(LvLong)
-            volRing = (volRing :+ b.qty).takeRight(VolBase)
-            def lvOver(n: Int): Double = {
-              val w = ring.takeRight(n)
-              w.map(_._1).sum / (w.map(_._2).sum + 1e-6)
-            }
-            val lv1 = lvOver(1)
-            val lv5 = lvOver(LvMid)
-            LvOut(symbol, b.win_start, b.qty, b.dp, lv1, lv5, lvOver(LvLong),
-              lv1 > 1.5 * lv5,
-              math.min(math.max(b.qty / (volRing.sum / volRing.length), 0.5),
-                2.0))
+            val lv = Fusion.lvStep(ring, volRing, b.qty, b.dp)
+            ring = lv.ring
+            volRing = lv.volRing
+            LvOut(symbol, b.win_start, b.qty, b.dp, lv.lv1, lv.lv5, lv.lv15,
+              lv.microTrap, lv.volFactor)
           }
           state.update(LvState(ring, volRing))
           out.iterator

@@ -214,6 +214,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("diffStream skips late trades instead of letting them corrupt the prev-price state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Trade]
+    val q = Streams.diffStream(input.toDS())
+      .writeStream.format("memory").queryName("dp_late_out")
+      .outputMode("append").start()
+    input.addData(
+      Trade("S", ts(100), 10.0, 1.0, false),
+      Trade("S", ts(700), 20.0, 1.0, false))
+    q.processAllAvailable()
+    // a LATE trade (older than the last processed ts) arrives, then an
+    // on-time one: the on-time dp must be measured against price 20, not
+    // the late 99 (which downstream watermarks would drop anyway)
+    input.addData(Trade("S", ts(50), 99.0, 1.0, false))
+    input.addData(Trade("S", ts(760), 21.0, 1.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dp_late_out").collect()
+      .map(r => r.getAs[Timestamp]("ts").getTime / 1000 -> r.getAs[Double]("dp"))
+      .toMap
+    assert(!rows.contains(50L)) // the late row emitted nothing
+    assert(rows(760L) == 1.0, s"expected |21-20|=1, got ${rows(760L)}")
+  }
+
   test("diff -> bars -> rings chain as THREE stateful operators in one query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -86,6 +86,21 @@ class TrendSpec extends SparkSpec {
     // and the flip is one-directional: a spike never ADDS a RANGEBOUND
     assert(spike.count(_._2._1 == "RANGEBOUND") <=
       calm.count(_._2._1 == "RANGEBOUND"))
+
+    // a NULL vol_factor falls back to the STATIC floor (0.5), not the
+    // dynamic minimum — greatest() skips nulls, so this needs the
+    // explicit null branch the implementation carries
+    val nullVf = clf
+      .predict(features.withColumn("vol_factor",
+        lit(null).cast("double")))
+      .withColumn("max_prob", array_max(
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))))
+      .select("pred_trend", "max_prob").collect()
+    nullVf.foreach { r =>
+      if (r.getDouble(1) < 0.5)
+        assert(r.getString(0) == "RANGEBOUND",
+          s"null vol_factor must use the static 0.5 floor, got ${r.getString(0)} at ${r.getDouble(1)}")
+    }
   }
 
   test("classifier is deterministic across refits") {
