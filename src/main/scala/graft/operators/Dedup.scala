@@ -239,10 +239,76 @@ object Dedup extends OpModule {
        |  sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
        |FROM bits GROUP BY 1""".stripMargin
 
+  /** Duplicate-CLUSTER resolution: connected components over the
+    * MinHash-LSH pair graph, one canonical (minimum) doc id per
+    * component — the step a real dedup pipeline runs AFTER pair
+    * generation, because duplicates arrive as chains (A~B, B~C) and
+    * keep-one-per-PAIR would drop either too much or too little.
+    *
+    * Spark side: Pregel-style min-label propagation — each round every
+    * node takes the minimum of its own label and its neighbors' labels,
+    * one join + hash aggregation per round, converging in O(component
+    * diameter) rounds (the same loop GraphX's connectedComponents runs).
+    * The driver orchestrates rounds and checks convergence; the data
+    * never leaves the cluster, and each round's lineage is
+    * checkpoint-truncated so iteration N doesn't replan N-deep trees.
+    * Duplicate components in web corpora are shallow (near-clique), so
+    * the round count stays small at any corpus size.
+    *
+    * DuckDB twin: transitive closure as a recursive CTE with UNION
+    * dedup, then min(reachable) per node — tractable because components
+    * are tiny; the Spark side is the one that scales. */
+  private def clustersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairsDf(spark, dir)
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("canon", $"doc_id")
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("src"), $"canon".as("nbr_canon")),
+          Seq("src"))
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"nbr_canon").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.canon") =!= col("o.canon"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.withColumn("is_canonical", $"doc_id" === $"canon")
+  }
+
+  private val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($minhashPairsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+       |SELECT node AS doc_id, min(r) AS canon,
+       |  node = min(r) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
     "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
+    "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
     "dedup_simhash" -> (simhashDf(_, _))
   )
@@ -251,6 +317,7 @@ object Dedup extends OpModule {
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
     "dedup_simhash" -> simhashSql
   )

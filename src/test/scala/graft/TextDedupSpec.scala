@@ -35,6 +35,29 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("duplicate clusters: pair endpoints share a canon, canon is the member minimum") {
+    val pairs = rowsOf(Dedup.queries("dedup_minhash_pairs")(spark, dir))
+      .map(m => (m("doc_a").asInstanceOf[Long], m("doc_b").asInstanceOf[Long]))
+    val clusters = rowsOf(Dedup.queries("dedup_clusters")(spark, dir))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        (m("canon").asInstanceOf[Long], m("is_canonical").asInstanceOf[Boolean]))
+      .toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // connectivity: both endpoints of every LSH pair resolve to ONE canon
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split") }
+    // canonical choice: the canon is a member, flagged, and the minimum
+    clusters.foreach { case (d, (c, flag)) =>
+      assert(c <= d)
+      assert(clusters(c)._1 == c) // the canon maps to itself
+      assert(flag == (d == c))
+    }
+    // the exact-dup docs 1 and 2 land in the same cluster with canon 1
+    assert(clusters(1L)._1 == 1L && clusters(2L)._1 == 1L)
+    // the unrelated doc 4 is in no cluster (it pairs with nothing)
+    assert(!clusters.contains(4L))
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
