@@ -239,6 +239,51 @@ object Dedup extends OpModule {
        |  sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
        |FROM bits GROUP BY 1""".stripMargin
 
+  /** Max Hamming distance for a SimHash near-dup pair. With 4 bands of
+    * 8 bits, any pair within distance 3 shares at least one identical
+    * band (pigeonhole), so the banded equi-join below has PERFECT recall
+    * at this threshold — unlike MinHash banding's probabilistic recall.
+    * One band collision on unrelated docs costs one cheap bit_count. */
+  val SimhashHamMax = 3
+  val SimhashBands = 4
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
+    * candidates share any band (equi-join on (band, byte) — never
+    * all-pairs), then the exact Hamming check via one XOR + popcount.
+    * The alternative pair generator to MinHash LSH: cheaper signatures
+    * (one int vs k minima), exact distance semantics, at the cost of a
+    * cruder similarity notion. */
+  private def simhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = simhashDf(spark, dir)
+    val bands = sig.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("band_key",
+        expr("(simhash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= SimhashHamMax)
+  }
+
+  private val simhashPairsSql: String =
+    s"""WITH sig AS ($simhashSql),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |    (simhash // (1::BIGINT << (b * 8))) % 256 AS band_key
+       |  FROM sig, range(0, $SimhashBands) t(b))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.band_key = y.band_key
+       | AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashHamMax""".stripMargin
+
   /** Duplicate-CLUSTER resolution: connected components over the
     * MinHash-LSH pair graph, one canonical (minimum) doc id per
     * component — the step a real dedup pipeline runs AFTER pair
@@ -308,6 +353,7 @@ object Dedup extends OpModule {
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
     "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
+    "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
     "dedup_simhash" -> (simhashDf(_, _))
@@ -317,6 +363,7 @@ object Dedup extends OpModule {
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
     "dedup_simhash" -> simhashSql

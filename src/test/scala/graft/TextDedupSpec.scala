@@ -35,6 +35,25 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash pairs: exact dups at hamming 0; banding loses nothing within the threshold") {
+    val pairs = rowsOf(Dedup.queries("dedup_simhash_pairs")(spark, dir))
+      .map(m => (m("doc_a").asInstanceOf[Long], m("doc_b").asInstanceOf[Long]) ->
+        m("hamming").asInstanceOf[Number].longValue).toMap
+    assert(pairs((1L, 2L)) == 0L) // identical text -> identical signature
+    assert(pairs.values.forall(_ <= Dedup.SimhashHamMax))
+    assert(pairs.keys.forall { case (a, b) => a < b }) // canonical ordering
+    // perfect recall check: brute-force all signature pairs within the
+    // threshold and compare against the banded join's output
+    val sig = rowsOf(Dedup.queries("dedup_simhash")(spark, dir))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        m("simhash").asInstanceOf[Long]).toMap
+    val brute = (for {
+      (a, sa) <- sig.toSeq; (b, sb) <- sig.toSeq if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= Dedup.SimhashHamMax
+    } yield (a, b)).toSet
+    assert(pairs.keySet == brute, "banded join must equal brute force at this threshold")
+  }
+
   test("duplicate clusters: pair endpoints share a canon, canon is the member minimum") {
     val pairs = rowsOf(Dedup.queries("dedup_minhash_pairs")(spark, dir))
       .map(m => (m("doc_a").asInstanceOf[Long], m("doc_b").asInstanceOf[Long]))
