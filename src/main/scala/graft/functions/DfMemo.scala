@@ -68,14 +68,12 @@ object DfMemo {
         if (raced != null) raced
         else {
           tab.put(key, built)
-          // LRU eviction: unpersist is safe even if an already-built plan
-          // still references the frame — it only drops the cache, the
-          // plan recomputes (a perf, never a correctness, event).
+          // LRU eviction: releasing is safe even if an already-built plan
+          // still references the frame — it only drops the stored blocks,
+          // the RDD recomputes (a perf, never a correctness, event).
           val it = tab.entrySet().iterator()
           while (tab.size() > MaxResident && it.hasNext) {
-            val eldest = it.next()
-            try eldest.getValue.unpersist()
-            catch { case _: Throwable => () }
+            release(it.next().getValue)
             it.remove()
           }
           built
@@ -84,11 +82,24 @@ object DfMemo {
     }
   }
 
-  /** Unpersist and forget everything (idempotent; tests + long services). */
+  /** Free a memoized frame's storage eagerly. A localCheckpoint'ed frame
+    * is backed by a persisted RDD that `df.unpersist()` does not touch
+    * (no CacheManager entry) — without this, evicted checkpoints wait
+    * for the ContextCleaner's GC cycle to release their blocks. */
+  private def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        ()
+      case _ =>
+        df.unpersist()
+        ()
+    } catch { case _: Throwable => () }
+
+  /** Release and forget everything (idempotent; tests + long services). */
   def clear(): Unit = sessions.synchronized {
     sessions.values.forEach { tab =>
-      tab.values.forEach(df =>
-        try df.unpersist() catch { case _: Throwable => () })
+      tab.values.forEach(release)
       tab.clear()
     }
     sessions.clear()
