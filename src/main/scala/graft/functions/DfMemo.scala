@@ -68,12 +68,15 @@ object DfMemo {
         if (raced != null) raced
         else {
           tab.put(key, built)
-          // LRU eviction: releasing is safe even if an already-built plan
-          // still references the frame — it only drops the stored blocks,
-          // the RDD recomputes (a perf, never a correctness, event).
+          // LRU eviction drops the REFERENCE only. A checkpoint's blocks
+          // are its ONLY copy (lineage is truncated — LocalCheckpointRDD
+          // cannot recompute), so unpersisting here would crash any
+          // already-built plan that still references the frame with
+          // "Checkpoint block not found". The ContextCleaner frees the
+          // blocks once the last reference is gone — delayed, but safe.
           val it = tab.entrySet().iterator()
           while (tab.size() > MaxResident && it.hasNext) {
-            release(it.next().getValue)
+            it.next()
             it.remove()
           }
           built
@@ -82,11 +85,14 @@ object DfMemo {
     }
   }
 
-  /** Free a memoized frame's storage eagerly. A localCheckpoint'ed frame
-    * is backed by a persisted RDD that `df.unpersist()` does not touch
-    * (no CacheManager entry) — without this, evicted checkpoints wait
-    * for the ContextCleaner's GC cycle to release their blocks. */
-  private def release(df: DataFrame): Unit =
+  /** Free a checkpointed frame's storage eagerly. ONLY safe when the
+    * caller knows no live plan references the frame: a localCheckpoint's
+    * blocks are its only copy (`df.unpersist()` would be a no-op — no
+    * CacheManager entry — while the backing RDD cannot recompute), so
+    * releasing a frame someone still holds fails their next execution.
+    * Used by iterative drivers (label propagation) for superseded
+    * per-round snapshots, which by construction nothing references. */
+  private[graft] def release(df: DataFrame): Unit =
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -96,12 +102,11 @@ object DfMemo {
         ()
     } catch { case _: Throwable => () }
 
-  /** Release and forget everything (idempotent; tests + long services). */
+  /** Forget everything (idempotent; tests + long services). References
+    * drop; the ContextCleaner frees checkpoint blocks once consumers
+    * let go — an eager release here would break frames still held. */
   def clear(): Unit = sessions.synchronized {
-    sessions.values.forEach { tab =>
-      tab.values.forEach(release)
-      tab.clear()
-    }
+    sessions.values.forEach(_.clear())
     sessions.clear()
   }
 }

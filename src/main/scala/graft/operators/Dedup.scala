@@ -112,8 +112,13 @@ object Dedup extends OpModule {
   }
 
   /** LSH banding: 2 bands x 4 rows; candidate pairs share any full band.
-    * Output is the deduplicated candidate pair list. */
-  private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    * Output is the deduplicated candidate pair list. Memoized: the
+    * cluster-resolution query consumes the same pair graph. */
+  private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"minhash_pairs:$dir")(
+      minhashPairsUncached(spark, dir))
+
+  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashDf(spark, dir)
     val bands = (0 until MinhashK / 4).map { b =>
@@ -208,8 +213,14 @@ object Dedup extends OpModule {
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
 
-  /** 32-bit SimHash: frequency-weighted sign sum per bit position. */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+  /** 32-bit SimHash: frequency-weighted sign sum per bit position.
+    * Memoized: the pair generator consumes the signatures twice (both
+    * sides of its band self-join). */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"simhash_sig:$dir")(
+      simhashUncached(spark, dir))
+
+  private def simhashUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= ""))
@@ -267,8 +278,11 @@ object Dedup extends OpModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so the
+      // result is identical but the dedup shuffle carries only the pairs
+      // inside the threshold, not every band collision
       .filter($"hamming" <= SimhashHamMax)
+      .distinct()
   }
 
   private val simhashPairsSql: String =
@@ -329,9 +343,16 @@ object Dedup extends OpModule {
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.canon") =!= col("o.canon"))
         .isEmpty
+      // the superseded round's checkpoint is referenced by nothing once
+      // `next` is materialized — release it eagerly instead of pinning
+      // O(rounds) label snapshots until the ContextCleaner's GC cycle
+      graft.functions.DfMemo.release(labels)
       labels = next
       rounds += 1
     }
+    // a pathological corpus (component diameter > 64) must fail loudly:
+    // silently emitting half-propagated labels would split real clusters
+    require(converged, s"label propagation did not converge in $rounds rounds")
     labels.withColumn("is_canonical", $"doc_id" === $"canon")
   }
 
