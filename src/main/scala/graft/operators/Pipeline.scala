@@ -117,15 +117,53 @@ object Pipeline extends OpModule {
        |GROUP BY 1
        |HAVING count(*) >= $MinOverlap""".stripMargin
 
+  /** Corpus length profile: exact per-language document-length
+    * percentiles (the distribution snapshot every pipeline takes before
+    * choosing truncation/packing lengths). Spark's `percentile` is the
+    * EXACT sort-based aggregate with linear interpolation — the same
+    * definition as DuckDB's `quantile_cont` — computed per group in one
+    * pass; round(6) guards the interpolation arithmetic's last ulp.
+    * Scale note: exact percentiles sort within each (small) language
+    * group; a single giant group at 100 TB would switch to
+    * `approx_percentile` (t-digest) — the documented accuracy/cost dial,
+    * not needed while groups fit a partition. */
+  val LengthPcts: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  private def lengthStatsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pctArr = LengthPcts.map(p => s"${p}D").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg($"n_chars".cast("double")).as("avg_chars"),
+        expr(s"percentile(n_chars, $pctArr)").as("pcts"))
+      .select(($"lang" +: $"n_docs" +: round($"avg_chars", 6).as("avg_chars") +:
+        LengthPcts.zipWithIndex.map { case (p, i) =>
+          round(element_at($"pcts", i + 1), 6)
+            .as(s"p${(p * 100).toInt}")
+        }): _*)
+  }
+
+  private val lengthStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  round(avg(n_chars::DOUBLE), 6) AS avg_chars,
+       |${LengthPcts.map(p =>
+            s"  round(quantile_cont(n_chars, $p), 6) AS p${(p * 100).toInt}")
+          .mkString(",\n")}
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
+    "docs_length_stats" -> (lengthStatsDf(_, _)),
     "bench_contamination" -> (contaminationDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
     "docs_quality_gate" -> qualityGateSql,
+    "docs_length_stats" -> lengthStatsSql,
     "bench_contamination" -> contaminationSql
   )
 }

@@ -39,6 +39,21 @@ class PipelineSpec extends SparkSpec {
     assert(kept.contains(5L))
   }
 
+  test("length stats: percentiles are monotone and bracket the per-language extremes") {
+    val rows = rowsOf(graft.operators.Pipeline.queries("docs_length_stats")(
+      spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    val total = rows.map(_("n_docs").asInstanceOf[Long]).sum
+    assert(total == 500L) // every document profiled exactly once
+    rows.foreach { m =>
+      val ps = Seq("p25", "p50", "p75", "p95")
+        .map(c => m(c).asInstanceOf[Double])
+      assert(ps == ps.sorted, s"percentiles not monotone: $ps")
+      val avg = m("avg_chars").asInstanceOf[Double]
+      assert(avg >= ps.head / 10 && avg > 0)
+    }
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
