@@ -28,6 +28,18 @@ class InvarianceSpec extends SparkSpec {
       .map(r => Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toSeq
   }
 
+  test("session_gap_agg plans as native sort-based session merge, one shuffle") {
+    val plan = graft.operators.Ingest
+      .queries("session_gap_agg")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    // the gap semantics must lower to Spark's MergingSessions operator —
+    // partial agg, ONE exchange on the grouping key, in-partition merge —
+    // never a self-join or a global sort (PLANS.md "session_gap_agg")
+    assert(plan.contains("MergingSessions"), s"no MergingSessions in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "session aggregation must not plan a join")
+  }
+
   test("z-score is invariant under shift and positive scaling") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 45).map(_ => rnd.nextDouble() * 10 - 5)

@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("a", "c", "e"))
   }
 
+  test("LV rings survive a query restart from the checkpoint") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lvckpt").toString
+    val srcDir = s"$base/src"
+    val ckptDir = s"$base/ckpt"
+    val outDir = s"$base/out"
+    val bars = (0 until 8).map(i =>
+      Streams.LvBarIn("S", ts(i * 60L), qty = i + 1.0, dp = 1.0))
+    def startQuery() = Streams
+      .lvStream(spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Streams.LvBarIn].schema)
+        .parquet(srcDir).as[Streams.LvBarIn])
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+    bars.take(4).toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // the (qty, dp) rings live only in the state store now
+    bars.drop(4).toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Timestamp]("win_start").getTime / 60000 ->
+        r.getAs[Double]("lv_5m")).toMap
+    // bar 5 (0-based index 5, after the restart): its 5-bar ring spans the
+    // restart boundary — qty 2..6 over dp 5 — proving the ring recovered
+    assert(math.abs(got(5L) - (2 + 3 + 4 + 5 + 6) / (5 * 1.0 + 1e-6)) < 1e-9)
+  }
+
   test("FSM state survives a query restart from the checkpoint") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
