@@ -155,7 +155,10 @@ object Live {
   private def markPending(outDir: String, batchId: Long): Unit = {
     // write-aside + rename: a crash mid-write must not leave a partial
     // marker (the heal path would otherwise fail to parse it on every
-    // restart — wedging recovery exactly when it is needed)
+    // restart — wedging recovery exactly when it is needed). The marker
+    // may be the FIRST write into outDir (trades-only deployments), so
+    // create the directory here rather than assume another sink did.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val tmp = new java.io.File(s"$outDir/.refresh_pending_tmp")
     java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, pendingFile(outDir).toPath,

@@ -74,6 +74,45 @@ class AppSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/trades").exists())
   }
 
+  test("live multi-symbol: keyed FSM folds per symbol into one trades table, global rate rank") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_msym").toString
+    val signalsDir = s"$base/signals_in"
+    val outDir = s"$base/out"
+    // two symbols' signals interleaved in one feed: A opens and TP-closes;
+    // B opens and SL-closes — each fold must see only its own rows
+    Seq(
+      FsmIn(1, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0, symbol = "A"),
+      FsmIn(1, 50.0, 50.0, 50.0, "SHORT", 1.0, 1.0, symbol = "B"),
+      FsmIn(2, 105.0, 105.0, 100.0, "NONE", 1.0, 1.0, symbol = "A"), // A TP
+      FsmIn(2, 50.5, 51.5, 50.0, "NONE", 1.0, 1.0, symbol = "B"))    // B SL
+      .toDS().coalesce(1).write.mode("append").parquet(signalsDir)
+    val q = Live.tradesQuery(spark, signalsDir, outDir, s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val trades = spark.read.parquet(s"$outDir/trades")
+    val bySym = trades.collect()
+      .groupBy(_.getAs[String]("symbol"))
+      .view.mapValues(_.map(r =>
+        r.getAs[String]("action") -> r.getAs[String]("side")).toSet).toMap
+    assert(bySym("A") == Set("ENTER" -> "LONG", "EXIT" -> "LONG"))
+    assert(bySym("B") == Set("ENTER" -> "SHORT", "EXIT" -> "SHORT"))
+    assert(trades.filter($"action" === "EXIT" && $"symbol" === "A")
+      .head.getAs[String]("reason") == "TP_HIT")
+    assert(trades.filter($"action" === "EXIT" && $"symbol" === "B")
+      .head.getAs[String]("reason") == "SL_HIT")
+    // orders: symbol-qualified deterministic ids; the rate-limit rank is
+    // ACCOUNT-level, so all four land in one rate window and all place
+    val orders = spark.read.parquet(s"$outDir/orders").collect()
+    assert(orders.length == 4)
+    assert(orders.map(_.getAs[String]("order_id")).toSet ==
+      Set("A-1-ENTER-LONG", "A-2-EXIT-LONG", "B-1-ENTER-SHORT", "B-2-EXIT-SHORT"))
+    assert(orders.forall(_.getAs[String]("status") == "PLACED"))
+    // the daily summary aggregates ACROSS symbols (account-level day row)
+    val summary = spark.read.parquet(s"$outDir/daily_summary").collect()
+    assert(summary.length == 1 && summary.head.getAs[Long]("n_trades") == 2L)
+  }
+
   test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
     val out = Files.createTempDirectory("graft_heal").toString
     val b = eventDf(Seq(
