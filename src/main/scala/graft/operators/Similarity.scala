@@ -466,22 +466,50 @@ object Similarity extends OpModule {
     *
     * The refined centroid component frame is memoized separately: the PQ
     * rung consumes it again for residual encoding. */
+  /** Member-mean centroid components from a ranked assignment frame —
+    * one Lloyd refinement round, shared by every iteration depth. */
+  private def memberMeanComp(spark: SparkSession, dir: String,
+      ranked: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seed = ranked.filter($"rk" === 1).select($"vec_id", $"cell")
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+      .withColumn("i", $"i0" + 1)
+      .join(seed, Seq("vec_id"))
+      .groupBy($"cell", $"i")
+      .agg(avg($"x".cast("double")).as("c"))
+  }
+
   private def kmeansCompDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"kmeans_comp:$dir") {
-      import spark.implicits._
-      val e = Tables.embeddings(spark, dir)
-      val seed = ivfRankedDf(spark, dir).filter($"rk" === 1)
-        .select($"vec_id", $"cell")
-      e.select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
-        .withColumn("i", $"i0" + 1)
-        .join(seed, Seq("vec_id"))
-        .groupBy($"cell", $"i")
-        .agg(avg($"x".cast("double")).as("c"))
-    }
+    graft.functions.DfMemo.cached(spark, s"kmeans_comp:$dir")(
+      memberMeanComp(spark, dir, ivfRankedDf(spark, dir)))
 
   private def kmeansRankedDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"kmeans_ranked:$dir")(
       rankAgainst(spark, dir, kmeansCompDf(spark, dir)))
+
+  /** ANN rung 5: a SECOND Lloyd iteration — cells re-refined from the
+    * first refinement's membership, probing unchanged. The recall delta
+    * vs rung 4 measures how fast the iteration converges on this corpus
+    * (the builder makes depth N a one-liner on both engines). */
+  private def kmeans2RankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"kmeans2_ranked:$dir")(
+      rankAgainst(spark, dir,
+        memberMeanComp(spark, dir, kmeansRankedDf(spark, dir))))
+
+  private def kmeans2TopkDf(spark: SparkSession, dir: String): DataFrame =
+    cellTopk(spark, dir, kmeans2RankedDf(spark, dir))
+
+  private def recallKmeans2Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val km = kmeans2TopkDf(spark, dir)
+      .select($"qid".as("km_qid"), $"nid".as("km_nid"))
+    brute3Df(spark, dir)
+      .join(km, $"qid" === $"km_qid" && $"nid" === $"km_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"km_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
 
   private def kmeansTopkDf(spark: SparkSession, dir: String): DataFrame =
     cellTopk(spark, dir, kmeansRankedDf(spark, dir))
@@ -871,29 +899,44 @@ object Similarity extends OpModule {
     * centroid components), `ranked2`, `assign2` feed both the k-means
     * top-k tail and the PQ rung. */
   // lazy: referenced by the PQ SQL vals that appear earlier in the file
-  private lazy val kmeansCellsSqlBody: String =
-    s"""$ivfCellsSqlBody,
-       |seed AS (SELECT nid AS vec_id, label AS cell FROM assign),
-       |comp2 AS (
+  /** One Lloyd refinement round as SQL: from a previous assignment CTE
+    * (exposing nid, cell), emit `comp$n` (member-mean centroid
+    * components), `ranked$n` (quantized-cosine rank per vector), and
+    * `assign$n` — identical text at every iteration depth, so "more
+    * Lloyd iterations" (the documented next rung) is a builder call,
+    * not a hand-copied CTE chain. */
+  private def lloydRoundSql(prevAssign: String, n: Int): String =
+    s"""seed$n AS (SELECT nid AS vec_id, cell FROM $prevAssign),
+       |comp$n AS (
        |  SELECT s.cell, i, avg(e.embedding[i]::DOUBLE) AS c
-       |  FROM seed s JOIN embeddings e ON e.vec_id = s.vec_id,
+       |  FROM seed$n s JOIN embeddings e ON e.vec_id = s.vec_id,
        |       range(1, ${Dim + 1}) t(i)
        |  GROUP BY 1, 2),
-       |cn2 AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM comp2 GROUP BY 1),
-       |cc2 AS (
-       |  SELECT e.vec_id, comp2.cell,
-       |    round(sum(e.embedding[comp2.i]::DOUBLE * comp2.c) / (max(vn.nrm) * max(cn2.cnorm)), 6) AS cos_c
+       |cn$n AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM comp$n GROUP BY 1),
+       |cc$n AS (
+       |  SELECT e.vec_id, comp$n.cell,
+       |    round(sum(e.embedding[comp$n.i]::DOUBLE * comp$n.c) / (max(vn.nrm) * max(cn$n.cnorm)), 6) AS cos_c
        |  FROM embeddings e
-       |  JOIN comp2 ON true
-       |  JOIN cn2 ON cn2.cell = comp2.cell
+       |  JOIN comp$n ON true
+       |  JOIN cn$n ON cn$n.cell = comp$n.cell
        |  JOIN vn ON vn.vec_id = e.vec_id
        |  GROUP BY 1, 2),
-       |ranked2 AS (
+       |ranked$n AS (
        |  SELECT vec_id, cell, cos_c,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cell) AS rk
-       |  FROM cc2),
-       |assign2 AS (SELECT vec_id AS nid, cell FROM ranked2 WHERE rk = 1)""".stripMargin
+       |  FROM cc$n),
+       |assign$n AS (SELECT vec_id AS nid, cell FROM ranked$n WHERE rk = 1)""".stripMargin
+
+  private lazy val kmeansCellsSqlBody: String =
+    s"""$ivfCellsSqlBody,
+       |${lloydRoundSql("(SELECT nid, label AS cell FROM assign) a0", 2)}""".stripMargin
+
+  /** Two Lloyd iterations: one more refinement round on top of the
+    * k-means chain. */
+  private lazy val kmeans2CellsSqlBody: String =
+    s"""$kmeansCellsSqlBody,
+       |${lloydRoundSql("assign2", 3)}""".stripMargin
 
   private val kmeansTopkSql: String =
     s"""WITH $kmeansCellsSqlBody,
@@ -913,6 +956,35 @@ object Similarity extends OpModule {
        |              JOIN vn nn ON nn.vec_id = nid)
        |SELECT qid, nid, cos FROM c2
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private lazy val kmeans2TopkSql: String =
+    s"""WITH $kmeans2CellsSqlBody,
+       |probe3 AS (SELECT vec_id AS qid, cell FROM ranked3
+       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |cand3 AS (
+       |  SELECT p.qid, a.nid FROM probe3 p JOIN assign3 a USING (cell)
+       |  WHERE a.nid <> p.qid),
+       |d3 AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM cand3 JOIN embeddings eq ON eq.vec_id = qid
+       |                 JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c3 AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d3 JOIN vn nq ON nq.vec_id = qid
+       |              JOIN vn nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c3
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private lazy val recallKmeans2Sql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |km AS ($kmeans2TopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN km l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
 
   private def recallKmeansDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -970,6 +1042,8 @@ object Similarity extends OpModule {
     "ann_recall_multi" -> (recallMultiDf(_, _)),
     "ann_recall_ivf" -> (recallIvfDf(_, _)),
     "ann_recall_kmeans" -> (recallKmeansDf(_, _)),
+    "ann_kmeans2_topk" -> (kmeans2TopkDf(_, _)),
+    "ann_recall_kmeans2" -> (recallKmeans2Df(_, _)),
     "ann_pq_topk" -> (pqTopkDf(_, _)),
     "ann_recall_pq" -> (recallPqDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
@@ -987,6 +1061,8 @@ object Similarity extends OpModule {
     "ann_recall_multi" -> recallMultiSql,
     "ann_recall_ivf" -> recallIvfSql,
     "ann_recall_kmeans" -> recallKmeansSql,
+    "ann_kmeans2_topk" -> kmeans2TopkSql,
+    "ann_recall_kmeans2" -> recallKmeans2Sql,
     "ann_pq_topk" -> pqTopkSql,
     "ann_recall_pq" -> recallPqSql,
     "emb_centroids" -> centroidSql
