@@ -35,8 +35,9 @@ import graft.streaming.Streams.Trade
   *    Summary merges per-day sufficient statistics (sums/counts/extrema,
   *    all associative) into a tiny day-keyed stats table; the orders
   *    table recomputes only the rate-limit windows the batch touched,
-  *    via partition-pruned reads and dynamic partition overwrite — the
-  *    poor-man's MERGE (production would use a transactional format).
+  *    via partition-pruned reads and a per-partition rename-aside swap
+  *    — the poor-man's MERGE (production would use a transactional
+  *    format).
   *  - A pending-refresh marker written BEFORE the batch append makes the
   *    append+refresh pair atomic-in-effect: a crash anywhere between is
   *    healed on the next batch by re-running the refreshes from the
@@ -332,42 +333,84 @@ object Live {
         "order_side", "reduce_only", "status", "rate_win")
   }
 
+  /** Heal orders partitions whose swap crashed between its two renames
+    * (partition dir missing, the `.rate_win=N_old` backup holds the only
+    * committed copy). MUST run before any read of the orders table —
+    * reading while a partition sits in its backup would silently drop
+    * that window's prior orders from the recompute input. A backup
+    * whose partition dir EXISTS is the other crash point (new data
+    * landed, backup not yet deleted): the new dir is complete, drop the
+    * backup. */
+  private def healOrderPartitions(ordersDir: java.io.File): Unit =
+    Option(ordersDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".rate_win=") &&
+        f.getName.endsWith("_old"))
+      .foreach { old =>
+        val dst = new java.io.File(ordersDir,
+          old.getName.stripPrefix(".").stripSuffix("_old"))
+        if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
+        else if (!old.renameTo(dst))
+          throw new java.io.IOException(
+            s"orders partition heal failed: $old -> $dst")
+      }
+
   /** Incrementally refresh the orders table: recompute ONLY the rate
     * windows the batch touched. Prior events for those windows come back
     * from the orders table itself (each order row carries its FSM-event
-    * key), read partition-pruned on `rate_win`; the recomputed windows
-    * replace their partitions via dynamic partition overwrite. Per-batch
-    * work is O(batch + touched windows), independent of orders-table
-    * size. Idempotent: the input set dedupes on the deterministic event
-    * key, so a healed replay recomputes identical partitions. */
+    * key), read partition-pruned on `rate_win`; each recomputed window
+    * then replaces its partition directory via the same rename-aside
+    * swap the small tables use — crash-safe per window (a dynamic
+    * partition overwrite is NOT: a crash between its delete and move
+    * loses the window's PRIOR batches, and the heal replay would then
+    * recompute from the corrupted partition). Per-batch work is
+    * O(batch + touched windows), independent of orders-table size.
+    * Idempotent: the input set dedupes on the deterministic event key,
+    * so a healed replay recomputes identical partitions. */
   def refreshOrders(spark: SparkSession, outDir: String,
       batchEvents: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
     val keyCols = Seq("symbol", "bucket", "action", "side")
     val fresh = batchEvents.select(keyCols.map(col): _*)
     if (fresh.isEmpty) return
-    val ordersPath = s"$outDir/orders"
+    val ordersDir = new java.io.File(s"$outDir/orders")
+    healOrderPartitions(ordersDir)
     // touched windows: a tiny driver-side list (bounded by the batch's
     // time span), used as a partition-pruning literal — not a data fetch
     val wins = fresh.select(expr("int(bucket div 60)")).distinct()
       .as[Int].collect()
     val prior =
-      if (new java.io.File(ordersPath).exists())
-        spark.read.parquet(ordersPath)
+      if (ordersDir.exists())
+        spark.read.parquet(ordersDir.toString)
           .filter(col("rate_win").isin(wins.map(Int.box): _*))
           .select(keyCols.map(col): _*)
       else fresh.limit(0)
     val recomputed = ordersOf(
       prior.unionByName(fresh).dropDuplicates(keyCols))
-    // tmp round-trip breaks the read-from/write-to-same-path cycle, then
-    // dynamic overwrite replaces exactly the touched window partitions
+    // write the recomputed windows fully aside, then swap each touched
+    // partition directory in: backup the old dir, move the new one in,
+    // drop the backup — any crash leaves either the old or the new dir
+    // committed (or the backup, which healOrderPartitions restores)
     val tmp = new java.io.File(s"$outDir/.orders_tmp")
-    recomputed.write.mode("overwrite").parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("rate_win")
-      .parquet(ordersPath)
+    recomputed.write.mode("overwrite").partitionBy("rate_win")
+      .parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(ordersDir.toPath)
+    wins.foreach { w =>
+      val src = new java.io.File(tmp, s"rate_win=$w")
+      val dst = new java.io.File(ordersDir, s"rate_win=$w")
+      val old = new java.io.File(ordersDir, s".rate_win=${w}_old")
+      if (src.exists()) {
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+        if (dst.exists() && !dst.renameTo(old))
+          throw new java.io.IOException(
+            s"orders swap failed: $dst -> $old")
+        if (!src.renameTo(dst)) {
+          old.renameTo(dst) // restore; heal on next refresh
+          throw new java.io.IOException(
+            s"orders swap failed: $src -> $dst")
+        }
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+      }
+    }
     graft.functions.Fs.deleteRecursively(tmp)
   }
 

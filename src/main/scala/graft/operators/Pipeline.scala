@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.ColFns
@@ -153,17 +154,128 @@ object Pipeline extends OpModule {
           .mkString(",\n")}
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Tokens per packed training sequence. Sized so a typical source
+    * (median doc ~56 tokens) fills several sequences at sf0.01; a real
+    * pipeline sets this to the model's context length. */
+  val PackBudget = 256L
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * layout: per source, documents are concatenated in doc_id order and
+    * the token stream is cut every [[PackBudget]] tokens; each document
+    * records which sequence it starts in and at what token offset.
+    * One cumulative-sum window per source = ONE shuffle partitioned by
+    * source, never a global sort. Scale note: with few giant sources the
+    * per-source window skews — a 100 TB deployment packs within file
+    * partitions first and renumbers sequences with a prefix sum of
+    * per-partition token totals (hierarchical packing), trading exact
+    * stream order for unbounded parallelism; at this corpus' source
+    * cardinality the direct window is the better plan. */
+  private def packDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+      .select($"doc_id", $"n_tokens")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(toks, Seq("doc_id"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens",
+        ($"cum_before" / lit(PackBudget)).cast("long").as("seq_id"),
+        ($"cum_before" % lit(PackBudget)).as("tok_offset"))
+  }
+
+  private val packSql: String =
+    s"""WITH t AS (${TextAnalysis.oracles("text_tokens")}),
+       |j AS (SELECT d.doc_id, d.source, t.n_tokens
+       |      FROM documents d JOIN t ON t.doc_id = d.doc_id),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS cum_before
+       |FROM j)
+       |SELECT doc_id, source, n_tokens,
+       |  (cum_before // $PackBudget)::BIGINT AS seq_id,
+       |  (cum_before % $PackBudget)::BIGINT AS tok_offset
+       |FROM c""".stripMargin
+
+  /** Mixture accounting — the data card every training run publishes:
+    * per (source, language) document and token counts and each cell's
+    * share of the total token budget. The share window runs over the
+    * ALREADY-AGGREGATED frame (|sources| x |languages| rows), so the
+    * single-partition window the planner warns about holds a few dozen
+    * rows regardless of corpus size — the raw-data shuffle is the one
+    * hash aggregation. */
+  private def mixtureDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+      .select($"doc_id", $"n_tokens")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang")
+      .join(toks, Seq("doc_id"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .withColumn("token_share",
+        round($"n_tokens" / sum($"n_tokens").over(Window.partitionBy()), 6))
+  }
+
+  private val mixtureSql: String =
+    s"""WITH t AS (${TextAnalysis.oracles("text_tokens")}),
+       |j AS (SELECT d.doc_id, d.source, d.lang, t.n_tokens
+       |      FROM documents d JOIN t ON t.doc_id = d.doc_id),
+       |g AS (SELECT source, lang, count(*) AS n_docs,
+       |             sum(n_tokens)::BIGINT AS n_tokens
+       |      FROM j GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, n_tokens,
+       |  round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share
+       |FROM g""".stripMargin
+
+  /** Duplicate-cluster RESOLUTION by quality — the keep-best step a real
+    * dedup pipeline runs after clustering: within each connected
+    * component of the near-dup graph, keep the highest-quality member
+    * (not the arbitrary minimum id), drop the rest. Quality is rounded
+    * to 6 dp BEFORE ranking on both engines so summation-tree noise in
+    * the blend can't flip a rank; ties resolve by doc_id. Joins hash on
+    * doc_id; the rank window partitions by cluster — near-dup components
+    * in web corpora are shallow, so no skew. */
+  private def keepBestDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = Dedup.queries("dedup_clusters")(spark, dir)
+      .select($"doc_id", $"canon")
+    val quality = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", round($"quality", 6).as("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"canon").orderBy($"quality".desc, $"doc_id")))
+      .select($"doc_id", $"canon", $"quality", ($"rk" === 1).as("keep"))
+  }
+
+  private val keepBestSql: String =
+    s"""WITH c AS (${Dedup.oracles("dedup_clusters")}),
+       |q AS (${TextAnalysis.oracles("text_quality")}),
+       |r AS (SELECT c.doc_id, c.canon, round(q.quality, 6) AS quality,
+       |  row_number() OVER (PARTITION BY c.canon
+       |    ORDER BY round(q.quality, 6) DESC, c.doc_id) AS rk
+       |FROM c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT doc_id, canon, quality, rk = 1 AS keep FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
     "docs_length_stats" -> (lengthStatsDf(_, _)),
-    "bench_contamination" -> (contaminationDf(_, _))
+    "bench_contamination" -> (contaminationDf(_, _)),
+    "pipeline_pack" -> (packDf(_, _)),
+    "pipeline_mixture" -> (mixtureDf(_, _)),
+    "dedup_keep_best" -> (keepBestDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
     "docs_quality_gate" -> qualityGateSql,
     "docs_length_stats" -> lengthStatsSql,
-    "bench_contamination" -> contaminationSql
+    "bench_contamination" -> contaminationSql,
+    "pipeline_pack" -> packSql,
+    "pipeline_mixture" -> mixtureSql,
+    "dedup_keep_best" -> keepBestSql
   )
 }

@@ -113,6 +113,28 @@ class AppSpec extends SparkSpec {
     assert(summary.length == 1 && summary.head.getAs[Long]("n_trades") == 2L)
   }
 
+  test("orders partition heal: a swap crashed between renames loses no prior orders") {
+    val out = Files.createTempDirectory("graft_oswap").toString
+    val b0 = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    Live.refreshOrders(spark, out, b0, 0L)
+    // simulate the crash point between backup-rename and new-dir-rename:
+    // the window's only committed copy sits in the dot-backup directory
+    val dir = new java.io.File(s"$out/orders")
+    assert(new java.io.File(dir, "rate_win=0")
+      .renameTo(new java.io.File(dir, ".rate_win=0_old")))
+    // the next batch touches the same window: the heal must restore the
+    // backup BEFORE the prior read, or b0's order would vanish
+    val b1 = eventDf(Seq(
+      (5L, "ENTER", "SHORT", 5L, 99.0, None, None, None, "SYM")))
+    Live.refreshOrders(spark, out, b1, 1L)
+    val ids = spark.read.parquet(s"$out/orders").collect()
+      .map(_.getAs[String]("order_id")).toSet
+    assert(ids == Set("SYM-2-EXIT-LONG", "SYM-5-ENTER-SHORT"))
+    // no backup directories survive a completed refresh
+    assert(!dir.listFiles().exists(_.getName.endsWith("_old")))
+  }
+
   test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
     val out = Files.createTempDirectory("graft_heal").toString
     val b = eventDf(Seq(

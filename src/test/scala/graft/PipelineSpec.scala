@@ -54,6 +54,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: contiguous per-source token stream cut at the budget") {
+    val rows = rowsOf(Pipeline.queries("pipeline_pack")(spark, sfDir("sf0.01")))
+    assert(rows.size == 500)
+    val bySource = rows.groupBy(_("source"))
+    bySource.values.foreach { docs =>
+      val ordered = docs.sortBy(_("doc_id").asInstanceOf[Long])
+      // reconstruct the concatenated stream: each doc starts exactly where
+      // the previous one ended
+      var cum = 0L
+      ordered.foreach { m =>
+        val seq = m("seq_id").asInstanceOf[Long]
+        val off = m("tok_offset").asInstanceOf[Long]
+        assert(off >= 0 && off < Pipeline.PackBudget)
+        assert(seq * Pipeline.PackBudget + off == cum,
+          s"doc ${m("doc_id")} not contiguous in its source stream")
+        cum += m("n_tokens").asInstanceOf[Number].longValue
+      }
+    }
+  }
+
+  test("mixture accounting: token shares partition the corpus") {
+    val rows = rowsOf(Pipeline.queries("pipeline_mixture")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_("n_docs").asInstanceOf[Long]).sum == 500L)
+    val shareSum = rows.map(_("token_share").asInstanceOf[Double]).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
+
+  test("keep-best resolution: one highest-quality survivor per duplicate cluster") {
+    val rows = rowsOf(Pipeline.queries("dedup_keep_best")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_("canon")).values.foreach { cluster =>
+      val keepers = cluster.filter(_("keep").asInstanceOf[Boolean])
+      assert(keepers.size == 1, "exactly one survivor per cluster")
+      val best = cluster.map(_("quality").asInstanceOf[Double]).max
+      assert(keepers.head("quality").asInstanceOf[Double] == best)
+    }
+    // resolution covers exactly the clustered nodes
+    val clustered = rowsOf(
+      graft.operators.Dedup.queries("dedup_clusters")(spark, sfDir("sf0.01")))
+      .map(_("doc_id")).toSet
+    assert(rows.map(_("doc_id")).toSet == clustered)
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
