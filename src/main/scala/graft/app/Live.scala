@@ -135,11 +135,14 @@ object Live {
   /** O(1) idempotent-append guard: a micro-batch is committed iff its
     * partition directory carries the `_SUCCESS` marker — one file stat,
     * independent of table size (replaces the round-2 full-table
-    * batch-id scan). Structured Streaming re-runs a foreachBatch whose
-    * commit didn't land; batch ids are monotone per checkpoint. */
+    * batch-id scan) — or its id sits in the compaction ledger (the
+    * batch's rows were folded into the archive; see [[compactTrades]]).
+    * Structured Streaming re-runs a foreachBatch whose commit didn't
+    * land; batch ids are monotone per checkpoint. */
   def alreadyCommitted(spark: SparkSession, outDir: String,
       batchId: Long): Boolean =
-    new java.io.File(batchDir(outDir, batchId), "_SUCCESS").exists()
+    new java.io.File(batchDir(outDir, batchId), "_SUCCESS").exists() ||
+      compactedIds(outDir).contains(batchId)
 
   /** Land one micro-batch in its own partition directory. `overwrite`
     * into the batch's OWN directory: a half-written partition from a
@@ -178,7 +181,11 @@ object Live {
       val raw = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
       raw.toLongOption match {
-        case Some(m) if alreadyCommitted(spark, outDir, m) =>
+        // the DIR probe, not alreadyCommitted: a compacted batch (ledger
+        // hit, directory gone) had its refreshes completed long before
+        // compaction touched it — nothing to replay, just drop the marker
+        case Some(m) if new java.io.File(batchDir(outDir, m), "_SUCCESS")
+            .exists() =>
           val batch = spark.read.parquet(batchDir(outDir, m).toString)
           refreshDailySummary(spark, outDir,
             batch.filter(col("action") === "EXIT"), m)
@@ -342,17 +349,7 @@ object Live {
     * landed, backup not yet deleted): the new dir is complete, drop the
     * backup. */
   private def healOrderPartitions(ordersDir: java.io.File): Unit =
-    Option(ordersDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(".rate_win=") &&
-        f.getName.endsWith("_old"))
-      .foreach { old =>
-        val dst = new java.io.File(ordersDir,
-          old.getName.stripPrefix(".").stripSuffix("_old"))
-        if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
-        else if (!old.renameTo(dst))
-          throw new java.io.IOException(
-            s"orders partition heal failed: $old -> $dst")
-      }
+    healOrderStyleBackups(ordersDir, "rate_win=")
 
   /** Incrementally refresh the orders table: recompute ONLY the rate
     * windows the batch touched. Prior events for those windows come back
@@ -413,6 +410,155 @@ object Live {
     }
     graft.functions.Fs.deleteRecursively(tmp)
   }
+
+  // ---- trades compaction (bounds the partition-directory count) ----
+
+  /** Batch partitions newer than this many ids below the max stay
+    * un-compacted: Structured Streaming can only replay batches at or
+    * after the checkpoint's last uncommitted offset, so anything older
+    * is final — but the margin keeps the O(1) `_SUCCESS` probe the
+    * common path and the ledger the rare one. */
+  val CompactKeepBatches = 4
+
+  private def ledgerFile(outDir: String) =
+    new java.io.File(s"$outDir/trades_archive/_compacted_batches")
+
+  /** Batch ids whose partitions were folded into the archive. Tiny
+    * (one long per compacted micro-batch id, newline-delimited) and
+    * read only when the `_SUCCESS` probe misses. */
+  def compactedIds(outDir: String): Set[Long] = {
+    val f = ledgerFile(outDir)
+    if (!f.exists()) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.toLongOption).toSet
+  }
+
+  /** The live trades table for consumers: recent micro-batch partitions
+    * union the day-keyed archive. Either side may not exist yet. At
+    * scale this is the bronze(recent)/archive split every streaming
+    * lakehouse runs; a transactional format would hide it behind one
+    * table name. */
+  def readTrades(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    def readIf(p: String) = {
+      val f = new java.io.File(p)
+      if (f.exists() && f.listFiles() != null &&
+        f.listFiles().exists(n => !n.getName.startsWith("_") &&
+          !n.getName.startsWith(".")))
+        Some(spark.read.parquet(p)) else None
+    }
+    val live = readIf(s"$outDir/trades")
+      .map(_.drop("batch_id"))
+    val archived = readIf(s"$outDir/trades_archive")
+      .map(_.drop("day"))
+    (live, archived) match {
+      case (Some(l), Some(a)) => Some(l.unionByName(a))
+      case (l, a) => l.orElse(a)
+    }
+  }
+
+  /** Maintenance job: fold committed micro-batch partitions (all but the
+    * newest [[CompactKeepBatches]]) into day-keyed archive partitions —
+    * the operation that keeps the one-directory-per-micro-batch commit
+    * protocol viable at scale (a 20 Hz live stream otherwise accretes
+    * millions of tiny partitions). Crash-safe end to end:
+    *
+    *  1. the compacted rows merge into the archive's touched day
+    *     partitions via the same rename-aside swap the orders table
+    *     uses (backup, move in, drop backup; leftover backups healed
+    *     before any read);
+    *  2. the batch ids append to the `_compacted_batches` ledger via
+    *     write-aside + atomic rename BEFORE the batch directories are
+    *     deleted, so [[alreadyCommitted]]'s replay guard never has a
+    *     window where a compacted batch looks uncommitted;
+    *  3. deleting the source batch directories is the last step — a
+    *     crash before it leaves rows present in BOTH tables, which the
+    *     next compaction heals by re-listing ledgered ids still on disk
+    *     (dedup by construction: it rewrites the same day partitions
+    *     from archive ∪ batch rows, deduped on the event key).
+    *
+    * Runs on whatever cadence operations chooses (end of day, every N
+    * batches); idempotent, so overlapping runs converge. */
+  def compactTrades(spark: SparkSession, outDir: String,
+      keepBatches: Int = CompactKeepBatches): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val tradesDir = new java.io.File(s"$outDir/trades")
+    val batchDirs = Option(tradesDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(f => f.getName.stripPrefix("batch_id=").toLong -> f)
+      .sortBy(_._1)
+    if (batchDirs.isEmpty) return
+    val cutoff = batchDirs.last._1 - keepBatches
+    val toFold = batchDirs.filter(_._1 <= cutoff)
+    if (toFold.isEmpty) return
+    val archiveDir = new java.io.File(s"$outDir/trades_archive")
+    healOrderStyleBackups(archiveDir, "day=")
+    val batchRows = spark.read
+      .parquet(toFold.map(_._2.toString): _*)
+      .withColumn("day", expr("int(bucket div 24)"))
+    val eventKey = Seq("symbol", "bucket", "action", "side")
+    // touched days: tiny driver-side list, same shape as refreshOrders
+    val days = batchRows.select(col("day")).distinct()
+      .collect().map(_.getInt(0))
+    val priorArchive =
+      if (archiveDir.exists() &&
+        Option(archiveDir.listFiles()).exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("day="))))
+        spark.read.parquet(archiveDir.toString)
+          .filter(col("day").isin(days.map(Int.box): _*))
+      else batchRows.limit(0)
+    val merged = priorArchive.unionByName(batchRows)
+      .dropDuplicates(eventKey)
+    val tmp = new java.io.File(s"$outDir/.archive_tmp")
+    merged.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(archiveDir.toPath)
+    days.foreach { d =>
+      val src = new java.io.File(tmp, s"day=$d")
+      val dst = new java.io.File(archiveDir, s"day=$d")
+      val old = new java.io.File(archiveDir, s".day=${d}_old")
+      if (src.exists()) {
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+        if (dst.exists() && !dst.renameTo(old))
+          throw new java.io.IOException(s"archive swap failed: $dst -> $old")
+        if (!src.renameTo(dst)) {
+          old.renameTo(dst)
+          throw new java.io.IOException(s"archive swap failed: $src -> $dst")
+        }
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+      }
+    }
+    graft.functions.Fs.deleteRecursively(tmp)
+    // ledger BEFORE deleting sources: a compacted batch must never look
+    // uncommitted to the replay guard, even mid-crash
+    val ledger = ledgerFile(outDir)
+    val ids = compactedIds(outDir) ++ toFold.map(_._1)
+    val ltmp = new java.io.File(s"$outDir/trades_archive/._ledger_tmp")
+    java.nio.file.Files.write(ltmp.toPath,
+      ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(ltmp.toPath, ledger.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    toFold.foreach { case (_, dir) =>
+      graft.functions.Fs.deleteRecursively(dir)
+    }
+  }
+
+  /** Shared heal for rename-aside-swapped partition directories (orders
+    * rate windows, archive days): restore a backup whose partition is
+    * missing, drop one whose partition landed. */
+  private def healOrderStyleBackups(dir: java.io.File,
+      prefix: String): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".$prefix") &&
+        f.getName.endsWith("_old"))
+      .foreach { old =>
+        val dst = new java.io.File(dir,
+          old.getName.stripPrefix(".").stripSuffix("_old"))
+        if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
+        else if (!old.renameTo(dst))
+          throw new java.io.IOException(
+            s"partition heal failed: $old -> $dst")
+      }
 
   /** Silver stage: tails the delta table the deltaQuery lands and keeps
     * the rolling z-score + entry signal incrementally — the

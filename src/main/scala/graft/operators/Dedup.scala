@@ -317,7 +317,13 @@ object Dedup extends OpModule {
     * DuckDB twin: transitive closure as a recursive CTE with UNION
     * dedup, then min(reachable) per node — tractable because components
     * are tiny; the Spark side is the one that scales. */
-  private def clustersDf(spark: SparkSession, dir: String): DataFrame = {
+  // memoized: the keep-best resolution (Pipeline.dedup_keep_best) reuses
+  // the converged labels instead of re-running the propagation loop
+  private def clustersDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"dedup_clusters:$dir")(
+      clustersBuild(spark, dir))
+
+  private def clustersBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashPairsDf(spark, dir)
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))

@@ -135,6 +135,39 @@ class AppSpec extends SparkSpec {
     assert(!dir.listFiles().exists(_.getName.endsWith("_old")))
   }
 
+  test("trades compaction: old batches fold into the day archive, replay guard survives") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    // six committed micro-batches spanning three days (bucket div 24)
+    (0 until 6).foreach { i =>
+      val b = eventDf(Seq(
+        (i * 13L, if (i % 2 == 0) "ENTER" else "EXIT", "LONG", i * 13L,
+          100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+      Live.commitBatch(b, out, i.toLong)
+    }
+    def keysOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("action"))).toSet
+    val before = keysOf(Live.readTrades(spark, out).get)
+    assert(before.size == 6)
+    Live.compactTrades(spark, out, keepBatches = 2)
+    // cutoff = maxId - keep: batches 0..3 folded, 4 and 5 stay live
+    val tradesDir = new java.io.File(s"$out/trades")
+    val liveDirs = tradesDir.listFiles().map(_.getName).toSet
+    assert(liveDirs == Set("batch_id=4", "batch_id=5"), s"saw $liveDirs")
+    val archDays = new java.io.File(s"$out/trades_archive").listFiles()
+      .map(_.getName).filter(_.startsWith("day=")).toSet
+    assert(archDays == Set("day=0", "day=1"), s"saw $archDays")
+    // the union view sees every row exactly once, before == after
+    assert(keysOf(Live.readTrades(spark, out).get) == before)
+    // replay guard: compacted ids answer via the ledger, recent via marker
+    assert(Live.alreadyCommitted(spark, out, 0L))
+    assert(Live.alreadyCommitted(spark, out, 3L))
+    assert(Live.alreadyCommitted(spark, out, 5L))
+    assert(!Live.alreadyCommitted(spark, out, 6L))
+    // idempotent: a second run (nothing old enough) changes nothing
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(keysOf(Live.readTrades(spark, out).get) == before)
+  }
+
   test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
     val out = Files.createTempDirectory("graft_heal").toString
     val b = eventDf(Seq(
