@@ -238,12 +238,52 @@ object TextAnalysis extends OpModule {
        |FROM scored
        |QUALIFY rk <= $TfIdfTopK""".stripMargin
 
+  /** Vocabulary coverage curve: the top corpus tokens by frequency with
+    * each prefix's cumulative share of all token occurrences — the table
+    * a tokenizer-training step reads to pick vocabulary size / coverage
+    * targets. The counts are ONE hash aggregation over the exploded
+    * token stream (map-side combine); the rank and running-sum windows
+    * run over the ALREADY-AGGREGATED vocabulary frame (|vocab| rows —
+    * millions at web scale, never corpus-sized), the same
+    * tiny-frame-window justification as the mixture data card. Ties in
+    * frequency break on the token text so both engines rank
+    * identically. */
+  val VocabTopK = 40
+
+  private def vocabDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = tokenized(spark, dir)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val wRank = Window.orderBy($"n".desc, $"tok")
+    counts
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cum_share",
+        round(sum($"n").over(wRank.rowsBetween(Window.unboundedPreceding, 0))
+          / sum($"n").over(Window.partitionBy()), 6))
+      .filter($"rk" <= VocabTopK)
+      .select($"tok", $"n", $"rk", $"cum_share")
+  }
+
+  private val vocabSql: String =
+    s"""WITH tk AS (SELECT unnest($tokensSql) AS tok FROM documents),
+       |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+       |r AS (SELECT tok, n,
+       |  row_number() OVER (ORDER BY n DESC, tok) AS rk,
+       |  (sum(n) OVER (ORDER BY n DESC, tok
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+       |    / (sum(n) OVER ())::DOUBLE AS share
+       |FROM c)
+       |SELECT tok, n, rk, round(share, 6) AS cum_share
+       |FROM r WHERE rk <= $VocabTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
     "text_quality" -> (qualityDf(_, _)),
     "text_fingerprint" -> (fingerprintDf(_, _)),
-    "text_tfidf" -> (tfidfDf(_, _))
+    "text_tfidf" -> (tfidfDf(_, _)),
+    "text_vocab_coverage" -> (vocabDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,6 +291,7 @@ object TextAnalysis extends OpModule {
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
-    "text_tfidf" -> tfidfSql
+    "text_tfidf" -> tfidfSql,
+    "text_vocab_coverage" -> vocabSql
   )
 }

@@ -151,6 +151,22 @@ class TextDedupSpec extends SparkSpec {
     assert(aScore.isDefined, "df=1 token must make doc 3's top-5")
   }
 
+  test("vocab coverage: ranks contiguous, counts non-increasing, share monotone to <= 1") {
+    val rows = rowsOf(graft.operators.TextAnalysis
+      .queries("text_vocab_coverage")(spark, sfDir("sf0.01")))
+      .sortBy(_("rk").asInstanceOf[Number].longValue)
+    // the synthetic corpus' whole vocabulary (31 tokens) fits the cap
+    assert(rows.nonEmpty &&
+      rows.size <= graft.operators.TextAnalysis.VocabTopK)
+    assert(rows.map(_("rk").asInstanceOf[Number].longValue) ==
+      (1L to rows.size.toLong))
+    val ns = rows.map(_("n").asInstanceOf[Long])
+    assert(ns == ns.sorted.reverse, "counts must be non-increasing by rank")
+    val shares = rows.map(_("cum_share").asInstanceOf[Double])
+    assert(shares == shares.sorted && shares.last <= 1.0)
+    assert(shares.head > 0.0)
+  }
+
   test("quality score stays in [0,1] on real data") {
     val q = rowsOf(TextAnalysis.queries("text_quality")(spark, sfDir()))
     assert(q.nonEmpty)
