@@ -366,7 +366,7 @@ object Live {
   def refreshOrders(spark: SparkSession, outDir: String,
       batchEvents: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
-    val keyCols = Seq("symbol", "bucket", "action", "side")
+    val keyCols = EventKey
     val fresh = batchEvents.select(keyCols.map(col): _*)
     if (fresh.isEmpty) return
     val ordersDir = new java.io.File(s"$outDir/orders")
@@ -434,12 +434,25 @@ object Live {
       .flatMap(_.toLongOption).toSet
   }
 
+  /** The deterministic event identity: what makes a trades row unique
+    * (order_id derives from it). Shared by the orders refresh dedup, the
+    * compaction merge, and the union view below. */
+  private val EventKey = Seq("symbol", "bucket", "action", "side")
+
   /** The live trades table for consumers: recent micro-batch partitions
-    * union the day-keyed archive. Either side may not exist yet. At
+    * union the day-keyed archive. Either side may not exist yet.
+    * Exactly-once under compaction crashes: a batch folded into the
+    * archive whose source directory still exists (crash between the
+    * archive swap and the source delete) would otherwise appear on both
+    * sides, so ledgered batch ids filter out of the live read (partition
+    * pruning on `batch_id`) and the union dedups on the event key — a
+    * no-op in the steady state (sides are disjoint, keys unique), the
+    * heal in the crash window before the next compaction converges. At
     * scale this is the bronze(recent)/archive split every streaming
     * lakehouse runs; a transactional format would hide it behind one
     * table name. */
   def readTrades(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
     def readIf(p: String) = {
       val f = new java.io.File(p)
       if (f.exists() && f.listFiles() != null &&
@@ -447,12 +460,18 @@ object Live {
           !n.getName.startsWith(".")))
         Some(spark.read.parquet(p)) else None
     }
+    val ledgered = compactedIds(outDir)
     val live = readIf(s"$outDir/trades")
+      .map { df =>
+        if (ledgered.isEmpty) df
+        else df.filter(!col("batch_id").isin(ledgered.toSeq.map(Long.box): _*))
+      }
       .map(_.drop("batch_id"))
     val archived = readIf(s"$outDir/trades_archive")
       .map(_.drop("day"))
     (live, archived) match {
-      case (Some(l), Some(a)) => Some(l.unionByName(a))
+      case (Some(l), Some(a)) =>
+        Some(l.unionByName(a).dropDuplicates(EventKey))
       case (l, a) => l.orElse(a)
     }
   }
@@ -497,7 +516,6 @@ object Live {
     val batchRows = spark.read
       .parquet(toFold.map(_._2.toString): _*)
       .withColumn("day", expr("int(bucket div 24)"))
-    val eventKey = Seq("symbol", "bucket", "action", "side")
     // touched days: tiny driver-side list, same shape as refreshOrders
     val days = batchRows.select(col("day")).distinct()
       .collect().map(_.getInt(0))
@@ -509,7 +527,7 @@ object Live {
           .filter(col("day").isin(days.map(Int.box): _*))
       else batchRows.limit(0)
     val merged = priorArchive.unionByName(batchRows)
-      .dropDuplicates(eventKey)
+      .dropDuplicates(EventKey)
     val tmp = new java.io.File(s"$outDir/.archive_tmp")
     merged.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
     java.nio.file.Files.createDirectories(archiveDir.toPath)

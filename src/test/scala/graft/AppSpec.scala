@@ -166,6 +166,20 @@ class AppSpec extends SparkSpec {
     // idempotent: a second run (nothing old enough) changes nothing
     Live.compactTrades(spark, out, keepBatches = 2)
     assert(keysOf(Live.readTrades(spark, out).get) == before)
+    // crash window: a folded batch's source directory survives (crash
+    // between the archive swap / ledger write and the source delete) —
+    // its rows sit on BOTH sides, and the union view must not double-count
+    val b0again = eventDf(Seq(
+      (0L, "ENTER", "LONG", 0L, 100.0, Some(104.0), Some(4.0),
+        Some("TP_HIT"), "SYM")))
+    Live.commitBatch(b0again, out, 0L)
+    val healed = Live.readTrades(spark, out).get
+    assert(keysOf(healed) == before)
+    assert(healed.count() == 6)
+    // and the next compaction run converges: re-folds, deletes the dir
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(!new java.io.File(s"$out/trades/batch_id=0").exists())
+    assert(keysOf(Live.readTrades(spark, out).get) == before)
   }
 
   test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
