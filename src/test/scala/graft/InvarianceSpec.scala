@@ -40,6 +40,20 @@ class InvarianceSpec extends SparkSpec {
       "session aggregation must not plan a join")
   }
 
+  test("pipeline_pack plans one source-partitioned window, never a global sort") {
+    val plan = graft.operators.Pipeline
+      .queries("pipeline_pack")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    // the packing cut points come from a running-sum window partitioned
+    // by source: the exchange hashes on source, the sort is within
+    // partitions (PLANS.md "pipeline_pack"); a rangepartitioning exchange
+    // would mean a global order crept in
+    assert(plan.contains("hashpartitioning(source"),
+      s"no source-hash exchange in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      "packing must not plan a global sort")
+  }
+
   test("z-score is invariant under shift and positive scaling") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 45).map(_ => rnd.nextDouble() * 10 - 5)
