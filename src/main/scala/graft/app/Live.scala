@@ -66,11 +66,37 @@ object Live {
       enc.schema.map(f =>
         if (f.name == "trail_arm" || f.name == "symbol") f.copy(nullable = true)
         else f))
+    guardLegacySymbols(spark, dir, relaxed)
     spark.readStream.schema(relaxed).parquet(dir)
       .withColumn("trail_arm",
         coalesce(col("trail_arm"), lit(false)))
       .withColumn("symbol", coalesce(col("symbol"), lit("SYM")))
       .as[FsmIn](enc)
+  }
+
+  /** The `"SYM"` backfill above is only sound while the deployment is
+    * single-symbol: legacy pre-symbol rows replaying INTO a multi-symbol
+    * feed would all merge into the one `"SYM"` FSM key — silently
+    * interleaving every symbol's signals through one position machine.
+    * Refuse at source-construction time when the existing signal files
+    * hold BOTH null-symbol legacy rows and more than one real symbol
+    * (one startup scan of the bounded signals table; the live writer
+    * always stamps a symbol, so the mix can only arrive via old files). */
+  private[app] def guardLegacySymbols(spark: SparkSession, dir: String,
+      relaxed: org.apache.spark.sql.types.StructType): Unit = {
+    if (!new java.io.File(dir).exists()) return
+    val r = spark.read.schema(relaxed).parquet(dir)
+      .agg(
+        coalesce(sum(when(col("symbol").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_legacy"),
+        count_distinct(col("symbol")).as("n_syms"))
+      .head()
+    if (r.getLong(0) > 0 && r.getLong(1) > 1)
+      throw new IllegalStateException(
+        s"signal feed at $dir mixes ${r.getLong(0)} legacy null-symbol " +
+          s"row(s) with ${r.getLong(1)} distinct symbols: the \"SYM\" " +
+          "backfill would merge all legacy rows into one FSM key. " +
+          "Re-stamp the legacy files with their true symbol first.")
   }
 
   def barsQuery(spark: SparkSession, tradesDir: String, outDir: String,
@@ -135,14 +161,14 @@ object Live {
   /** O(1) idempotent-append guard: a micro-batch is committed iff its
     * partition directory carries the `_SUCCESS` marker — one file stat,
     * independent of table size (replaces the round-2 full-table
-    * batch-id scan) — or its id sits in the compaction ledger (the
-    * batch's rows were folded into the archive; see [[compactTrades]]).
-    * Structured Streaming re-runs a foreachBatch whose commit didn't
-    * land; batch ids are monotone per checkpoint. */
+    * batch-id scan) — or its id sits at or below the folded watermark
+    * (the batch's rows were folded into the archive; see
+    * [[compactTrades]]). Structured Streaming re-runs a foreachBatch
+    * whose commit didn't land; batch ids are monotone per checkpoint. */
   def alreadyCommitted(spark: SparkSession, outDir: String,
       batchId: Long): Boolean =
     new java.io.File(batchDir(outDir, batchId), "_SUCCESS").exists() ||
-      compactedIds(outDir).contains(batchId)
+      foldedWatermark(outDir).exists(batchId <= _)
 
   /** Land one micro-batch in its own partition directory. `overwrite`
     * into the batch's OWN directory: a half-written partition from a
@@ -417,21 +443,27 @@ object Live {
     * un-compacted: Structured Streaming can only replay batches at or
     * after the checkpoint's last uncommitted offset, so anything older
     * is final — but the margin keeps the O(1) `_SUCCESS` probe the
-    * common path and the ledger the rare one. */
+    * common path and the watermark check the rare one. */
   val CompactKeepBatches = 4
 
   private def ledgerFile(outDir: String) =
     new java.io.File(s"$outDir/trades_archive/_compacted_batches")
 
-  /** Batch ids whose partitions were folded into the archive. Tiny
-    * (one long per compacted micro-batch id, newline-delimited) and
-    * read only when the `_SUCCESS` probe misses. */
-  def compactedIds(outDir: String): Set[Long] = {
+  /** High watermark of folded batch ids: every committed batch id at or
+    * below it has been folded into the day archive. Compaction always
+    * folds from the bottom (every on-disk committed id <= its cutoff),
+    * so one long fully describes the folded set — O(1) to read on the
+    * replay-probe miss path and constant-size forever, where the
+    * round-4 per-id ledger grew one line per micro-batch (millions at
+    * the reference's 20 Hz cadence), re-parsed in full on EVERY new
+    * batch and expanded into an ever-wider `isin` tree in the union
+    * view. A legacy multi-line ledger reads as its max — the same set. */
+  def foldedWatermark(outDir: String): Option[Long] = {
     val f = ledgerFile(outDir)
-    if (!f.exists()) Set.empty
+    if (!f.exists()) None
     else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .flatMap(_.toLongOption).toSet
+      .flatMap(_.toLongOption).maxOption
   }
 
   /** The deterministic event identity: what makes a trades row unique
@@ -444,15 +476,20 @@ object Live {
     * Exactly-once under compaction crashes: a batch folded into the
     * archive whose source directory still exists (crash between the
     * archive swap and the source delete) would otherwise appear on both
-    * sides, so ledgered batch ids filter out of the live read (partition
-    * pruning on `batch_id`) and the union dedups on the event key — a
+    * sides, so directories at or below the folded watermark never join
+    * the live path list, and the union dedups on the event key — a
     * no-op in the steady state (sides are disjoint, keys unique), the
     * heal in the crash window before the next compaction converges. At
     * scale this is the bronze(recent)/archive split every streaming
     * lakehouse runs; a transactional format would hide it behind one
     * table name. */
   def readTrades(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.col
+    // heal BEFORE reading: a compaction that crashed between its two
+    // archive renames leaves the only copy of a day's archived rows in
+    // the dot-prefixed backup, which partition discovery ignores —
+    // reading without the heal would silently drop that day until the
+    // next compaction happened to run
+    healOrderStyleBackups(new java.io.File(s"$outDir/trades_archive"), "day=")
     def readIf(p: String) = {
       val f = new java.io.File(p)
       if (f.exists() && f.listFiles() != null &&
@@ -460,13 +497,22 @@ object Live {
           !n.getName.startsWith(".")))
         Some(spark.read.parquet(p)) else None
     }
-    val ledgered = compactedIds(outDir)
-    val live = readIf(s"$outDir/trades")
-      .map { df =>
-        if (ledgered.isEmpty) df
-        else df.filter(!col("batch_id").isin(ledgered.toSeq.map(Long.box): _*))
-      }
-      .map(_.drop("batch_id"))
+    // live side = batch partitions that carry _SUCCESS (a half-written
+    // directory from a crashed commitBatch must not leak uncommitted
+    // rows into a view documented exactly-once) with ids ABOVE the
+    // folded watermark (a surviving dir at or below it means the
+    // compaction crashed before its source delete — the archive already
+    // holds those rows). Explicit committed paths, never root partition
+    // discovery, and never a data-side filter over ledgered ids.
+    val wm = foldedWatermark(outDir).getOrElse(Long.MinValue)
+    val liveDirs = Option(new java.io.File(s"$outDir/trades").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists() &&
+        f.getName.stripPrefix("batch_id=").toLong > wm)
+    val live =
+      if (liveDirs.isEmpty) None
+      else Some(spark.read.parquet(liveDirs.map(_.toString).toIndexedSeq: _*))
     val archived = readIf(s"$outDir/trades_archive")
       .map(_.drop("day"))
     (live, archived) match {
@@ -486,21 +532,35 @@ object Live {
     *     partitions via the same rename-aside swap the orders table
     *     uses (backup, move in, drop backup; leftover backups healed
     *     before any read);
-    *  2. the batch ids append to the `_compacted_batches` ledger via
+    *  2. the folded watermark advances in `_compacted_batches` via
     *     write-aside + atomic rename BEFORE the batch directories are
     *     deleted, so [[alreadyCommitted]]'s replay guard never has a
     *     window where a compacted batch looks uncommitted;
     *  3. deleting the source batch directories is the last step — a
     *     crash before it leaves rows present in BOTH tables, which the
-    *     next compaction heals by re-listing ledgered ids still on disk
-    *     (dedup by construction: it rewrites the same day partitions
-    *     from archive ∪ batch rows, deduped on the event key).
+    *     next compaction heals by re-folding the sub-watermark dirs
+    *     still on disk (dedup by construction: it rewrites the same day
+    *     partitions from archive ∪ batch rows, deduped on the event
+    *     key), and which [[readTrades]] masks meanwhile by excluding
+    *     sub-watermark dirs from the live side.
     *
     * Runs on whatever cadence operations chooses (end of day, every N
     * batches); idempotent, so overlapping runs converge. */
   def compactTrades(spark: SparkSession, outDir: String,
       keepBatches: Int = CompactKeepBatches): Unit = {
     import org.apache.spark.sql.functions.{col, expr}
+    val archiveDir = new java.io.File(s"$outDir/trades_archive")
+    // heal FIRST, before any early return: a crash between the archive
+    // swap's two renames must be repaired even when this run has nothing
+    // new to fold, or the backed-up day stays invisible indefinitely
+    healOrderStyleBackups(archiveDir, "day=")
+    // keepBatches >= 1 is load-bearing, not tuning: the newest batch is
+    // the one Structured Streaming can replay after a crash, and the
+    // replay guard relies on either its _SUCCESS marker or the ledger —
+    // folding it with keepBatches=0 while its pending-refresh marker is
+    // uncleared would also lose that batch's derived-table refreshes
+    // permanently (healPending drops a marker whose batch dir is gone)
+    val keep = math.max(1, keepBatches)
     val tradesDir = new java.io.File(s"$outDir/trades")
     val batchDirs = Option(tradesDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
@@ -508,11 +568,18 @@ object Live {
       .map(f => f.getName.stripPrefix("batch_id=").toLong -> f)
       .sortBy(_._1)
     if (batchDirs.isEmpty) return
-    val cutoff = batchDirs.last._1 - keepBatches
+    // never fold a batch whose derived-table refreshes are still pending:
+    // the heal replays them FROM the batch directory, so deleting it
+    // before the marker clears loses the summary/orders updates forever
+    val pendingId = {
+      val f = pendingFile(outDir)
+      if (!f.exists()) Long.MaxValue
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toLongOption.getOrElse(Long.MaxValue)
+    }
+    val cutoff = math.min(batchDirs.last._1 - keep, pendingId - 1)
     val toFold = batchDirs.filter(_._1 <= cutoff)
     if (toFold.isEmpty) return
-    val archiveDir = new java.io.File(s"$outDir/trades_archive")
-    healOrderStyleBackups(archiveDir, "day=")
     val batchRows = spark.read
       .parquet(toFold.map(_._2.toString): _*)
       .withColumn("day", expr("int(bucket div 24)"))
@@ -547,14 +614,15 @@ object Live {
       }
     }
     graft.functions.Fs.deleteRecursively(tmp)
-    // ledger BEFORE deleting sources: a compacted batch must never look
-    // uncommitted to the replay guard, even mid-crash
-    val ledger = ledgerFile(outDir)
-    val ids = compactedIds(outDir) ++ toFold.map(_._1)
+    // watermark BEFORE deleting sources: a compacted batch must never
+    // look uncommitted to the replay guard, even mid-crash. One long,
+    // written via write-aside + atomic rename — never grows, never
+    // needs pruning.
+    val wm = math.max(
+      foldedWatermark(outDir).getOrElse(Long.MinValue), toFold.last._1)
     val ltmp = new java.io.File(s"$outDir/trades_archive/._ledger_tmp")
-    java.nio.file.Files.write(ltmp.toPath,
-      ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(ltmp.toPath, ledger.toPath,
+    java.nio.file.Files.write(ltmp.toPath, wm.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(ltmp.toPath, ledgerFile(outDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     toFold.foreach { case (_, dir) =>
       graft.functions.Fs.deleteRecursively(dir)

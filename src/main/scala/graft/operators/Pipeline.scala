@@ -181,7 +181,10 @@ object Pipeline extends OpModule {
       .join(toks, Seq("doc_id"))
       .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .select($"doc_id", $"source", $"n_tokens",
-        ($"cum_before" / lit(PackBudget)).cast("long").as("seq_id"),
+        // integer `div`, not double '/' + cast: long division through a
+        // double rounds at 2^52-scale cumulative token counts, where the
+        // truncating cast can land one past the oracle's exact floor
+        expr(s"cum_before div $PackBudget").as("seq_id"),
         ($"cum_before" % lit(PackBudget)).as("tok_offset"))
   }
 

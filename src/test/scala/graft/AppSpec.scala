@@ -182,6 +182,135 @@ class AppSpec extends SparkSpec {
     assert(keysOf(Live.readTrades(spark, out).get) == before)
   }
 
+  test("archive heal: a compaction crashed between its two renames loses no archived rows") {
+    val out = Files.createTempDirectory("graft_archheal").toString
+    (0 until 6).foreach { i =>
+      val b = eventDf(Seq(
+        (i * 13L, if (i % 2 == 0) "ENTER" else "EXIT", "LONG", i * 13L,
+          100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+      Live.commitBatch(b, out, i.toLong)
+    }
+    def keysOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("action"))).toSet
+    val before = keysOf(Live.readTrades(spark, out).get)
+    Live.compactTrades(spark, out, keepBatches = 2)
+    // crash point: dst -> .day=0_old done, src -> dst not. The backup
+    // holds the ONLY copy of day 0's archived rows; Spark's partition
+    // discovery ignores dot-prefixed dirs, so an unhealed read would
+    // silently drop the day — readTrades must heal before reading
+    val arch = new java.io.File(s"$out/trades_archive")
+    assert(new java.io.File(arch, "day=0")
+      .renameTo(new java.io.File(arch, ".day=0_old")))
+    assert(keysOf(Live.readTrades(spark, out).get) == before)
+    assert(new java.io.File(arch, "day=0").exists())
+    assert(!new java.io.File(arch, ".day=0_old").exists())
+    // same crash healed by a compaction run with nothing new to fold
+    // (the heal must sit ABOVE the early returns)
+    assert(new java.io.File(arch, "day=1")
+      .renameTo(new java.io.File(arch, ".day=1_old")))
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(new java.io.File(arch, "day=1").exists())
+    assert(keysOf(Live.readTrades(spark, out).get) == before)
+  }
+
+  test("read-committed: a half-written batch directory never leaks into the trades view") {
+    val out = Files.createTempDirectory("graft_rc").toString
+    val b0 = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    Live.commitBatch(b0, out, 0L)
+    // batch 1 crashed mid-write: complete part files, no _SUCCESS
+    val b1 = eventDf(Seq(
+      (30L, "ENTER", "SHORT", 30L, 50.0, None, None, None, "SYM")))
+    Live.commitBatch(b1, out, 1L)
+    assert(new java.io.File(s"$out/trades/batch_id=1/_SUCCESS").delete())
+    val seen = Live.readTrades(spark, out).get.collect()
+      .map(_.getAs[Long]("bucket")).toSet
+    assert(seen == Set(2L), s"uncommitted rows leaked: $seen")
+    // the batch replays (overwrite into its own dir) and becomes visible
+    Live.commitBatch(b1, out, 1L)
+    assert(Live.readTrades(spark, out).get.count() == 2)
+  }
+
+  test("compaction respects the pending-refresh marker and clamps keepBatches to >= 1") {
+    val out = Files.createTempDirectory("graft_pend").toString
+    (0 until 6).foreach { i =>
+      val b = eventDf(Seq(
+        (i * 13L, "ENTER", "LONG", i * 13L, 100.0, None, None, None, "SYM")))
+      Live.commitBatch(b, out, i.toLong)
+    }
+    // batch 2's refreshes never completed: its marker is still pending.
+    // Folding it would delete the only input healPending can replay from
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/.refresh_pending"), "2".getBytes)
+    Live.compactTrades(spark, out, keepBatches = 2)
+    val left = new java.io.File(s"$out/trades").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    // only batches BELOW the marker folded; 2..5 all survive
+    assert(left == Set("batch_id=2", "batch_id=3", "batch_id=4", "batch_id=5"),
+      s"saw $left")
+    // marker cleared: keepBatches=0 must still keep the newest batch —
+    // it is the one Structured Streaming can replay, and its replay
+    // guard depends on the _SUCCESS marker surviving un-folded
+    new java.io.File(s"$out/.refresh_pending").delete()
+    Live.compactTrades(spark, out, keepBatches = 0)
+    val left2 = new java.io.File(s"$out/trades").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(left2 == Set("batch_id=5"), s"saw $left2")
+    assert((0L to 5L).forall(Live.alreadyCommitted(spark, out, _)))
+  }
+
+  test("folded watermark stays O(1): one long, not a per-batch ledger") {
+    val out = Files.createTempDirectory("graft_wm").toString
+    (0 until 8).foreach { i =>
+      val b = eventDf(Seq(
+        (i * 13L, "ENTER", "LONG", i * 13L, 100.0, None, None, None, "SYM")))
+      Live.commitBatch(b, out, i.toLong)
+    }
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(Live.foldedWatermark(out).contains(5L))
+    val ledger = new java.io.File(s"$out/trades_archive/_compacted_batches")
+    assert(new String(java.nio.file.Files.readAllBytes(ledger.toPath),
+      "UTF-8").trim == "5")
+    // a second compaction advances the single value — no accumulation
+    val b8 = eventDf(Seq(
+      (8 * 13L, "ENTER", "LONG", 8 * 13L, 100.0, None, None, None, "SYM")))
+    Live.commitBatch(b8, out, 8L)
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(new String(java.nio.file.Files.readAllBytes(ledger.toPath),
+      "UTF-8").trim == "6")
+    // legacy per-id ledgers (round-4 format) read as their max
+    java.nio.file.Files.write(ledger.toPath, "0\n1\n2\n".getBytes)
+    assert(Live.foldedWatermark(out).contains(2L))
+  }
+
+  test("signal source refuses legacy null-symbol rows mixed with a multi-symbol feed") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_symguard").toString
+    def legacyRows(dir: String): Unit =
+      Seq(FsmIn(1, 100.0, 100.0, 100.0, "LONG", 1.0, 1.0))
+        .toDS().toDF()
+        .withColumn("symbol",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // legacy rows alone (single-symbol deployment): backfill is sound
+    val single = s"$base/single"
+    legacyRows(single)
+    Seq(FsmIn(2, 100.0, 100.0, 100.0, "NONE", 1.0, 1.0, symbol = "SYM"))
+      .toDS().coalesce(1).write.mode("append").parquet(single)
+    Live.signalSource(spark, single) // must not throw
+    // legacy rows + two real symbols: the "SYM" backfill would merge
+    // every legacy row into one FSM key — refuse loudly
+    val multi = s"$base/multi"
+    legacyRows(multi)
+    Seq(FsmIn(2, 100.0, 100.0, 100.0, "NONE", 1.0, 1.0, symbol = "A"),
+        FsmIn(2, 50.0, 50.0, 50.0, "NONE", 1.0, 1.0, symbol = "B"))
+      .toDS().coalesce(1).write.mode("append").parquet(multi)
+    val e = intercept[IllegalStateException] {
+      Live.signalSource(spark, multi)
+    }
+    assert(e.getMessage.contains("legacy null-symbol"))
+  }
+
   test("crash healing: an uncleared pending marker replays the refresh from the batch partition") {
     val out = Files.createTempDirectory("graft_heal").toString
     val b = eventDf(Seq(
