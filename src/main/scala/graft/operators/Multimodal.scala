@@ -1,167 +1,440 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns
 import graft.sources.Tables
 import graft.OpModule
 
-/** Multimodal-column plumbing for a training-data pipeline (builder-prompt
-  * north star): media lives as an opaque `binary` payload column with
-  * typed metadata, and every operator is schema-first so the plan scales
-  * like any other column pipeline (scan → project → explode — no UDF in
-  * the metadata path, no collect anywhere).
+/** Multimodal-column pipeline for training data (builder-prompt north
+  * star): media lives as an opaque `binary` payload column, and every
+  * downstream fact — modality, dimensions, sample counts, frame
+  * contents, feature histograms — comes from PARSING those bytes, never
+  * from side-channel metadata. The containers are real uncompressed
+  * public formats a bare JVM can encode and decode without codec
+  * libraries:
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): `decodePayload` is the identity and the "parsed" media
-  * dimensions are a deterministic hash-derived fake, clearly marked. The
-  * Spark-side structure — binary column, metadata struct, per-partition
-  * batch feature extraction, frame explosion — is real and tested; a
-  * production build swaps `decodePayload` for the codec call and keeps
-  * every plan shape.
+  *   - image: binary PPM (`P6`, netpbm) — ASCII header + RGB bytes
+  *   - audio: WAV (RIFF) mono 16-bit PCM — 44-byte header + samples
+  *   - video: YUV4MPEG2 (`C444`) — ASCII stream header + `FRAME\n`
+  *     separators + raw planes
   *
-  * The testdata has no media table, so `documents.text` (UTF-8-encoded)
-  * stands in as the payload bytes; `source` hashes to a modality.
+  * The testdata has no media table, so payloads are SYNTHESIZED
+  * deterministically from the documents corpus (the fixture-generation
+  * step, one `mapPartitions`): the container holds essence bytes
+  * `(seed + i*37) % 256` where `seed = hex32(text)`, with dimensions /
+  * sample counts drawn from the same hash family. The DuckDB oracles
+  * recompute every output from those GENERATING formulas — header
+  * lengths included, via SQL string construction — so a parser that
+  * mis-reads a header, drops a chunk, or mis-slices a frame
+  * hash-mismatches. Decode is NOT identity: the parsers validate magic
+  * numbers, chunk layout, and data lengths, and throw on corrupt input.
+  *
+  * Plan shape: generation and decoding are partition-local (no shuffle,
+  * no collect); only fixed-width parsed facts leave the decoder — at
+  * 100 TB the payload bytes never move, exactly like a production
+  * `mapInPandas` decode stage.
   */
 object Multimodal extends OpModule {
 
-  val FrameBytes = 32
-  val FrameStride = 4
   val FeatureBins = 16
+  /** Keep every 4th frame (video keyframe-sampling shape). */
+  val FrameStride = 4
+  /** Fit-within target of the resize plan. Small because the synthetic
+    * dims are small — the expression is the point, not the pixels. */
+  val FitPx = 16L
+  val SampleRate = 8000
+  val Fps = 25
+  /** Essence byte stream: `(seed + i * ByteStep) % 256`. */
+  val ByteStep = 37L
 
-  /** STUB: a real deployment decodes the container here (JPEG/PCM/mp4).
-    * Identity keeps the plumbing (and tests) deterministic. */
-  def decodePayload(bytes: Array[Byte]): Array[Byte] = bytes
+  // ---- deterministic synthesis (fixture generation) ----
 
-  /** The media table: binary payload + modality + metadata struct.
-    * Width/height/duration are hash-derived FAKES standing in for header
-    * parsing (documented stub; the schema and plan shape are the point). */
-  private def mediaDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id".as("media_id"), $"text", $"source")
-      .withColumn("payload", encode($"text", "UTF-8"))
-      .withColumn("kind",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (ColFns.hex32($"source") % 3 + 1).cast("int")))
-      .withColumn("width", (ColFns.hex32($"text") % 1920 + 16).cast("long"))
-      .withColumn("height", (ColFns.hex32(concat($"text", lit("h"))) % 1080 + 16).cast("long"))
+  /** JVM twin of [[ColFns.hex32]] / [[ColFns.hex32Sql]]: first 8 hex
+    * digits of md5 as a non-negative long. All three engines' media
+    * formulas hang off this one hash. */
+  def hex32Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
   }
 
-  private val mediaSqlBase: String =
-    s"""SELECT doc_id AS media_id, text, source,
-       |  encode(text) AS payload,
-       |  ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT] AS kind,
-       |  ${ColFns.hex32Sql("text")} % 1920 + 16 AS width,
-       |  ${ColFns.hex32Sql("(text || 'h')")} % 1080 + 16 AS height
-       |FROM documents""".stripMargin
+  private def essenceByte(seed: Long, i: Long): Int =
+    ((seed + i * ByteStep) % 256).toInt
 
-  /** Metadata projection + a resize plan (fit within 512px, aspect kept)
-    * — pure column arithmetic over the metadata, no payload decode. */
+  private def essence(seed: Long, n: Int, into: java.io.ByteArrayOutputStream,
+      from: Long = 0L): Unit = {
+    var i = 0L
+    while (i < n) { into.write(essenceByte(seed, from + i)); i += 1 }
+  }
+
+  /** Synthesize one media payload from a document. Modality follows
+    * `hex32(source) % 3` (0=image, 1=audio, 2=video); dimensions and
+    * counts come from salted hashes of the text — the exact formulas the
+    * oracles reconstruct. */
+  def synthesize(text: String, source: String): Array[Byte] = {
+    val seed = hex32Jvm(text)
+    val out = new java.io.ByteArrayOutputStream()
+    (hex32Jvm(source) % 3) match {
+      case 0 => // PPM P6
+        val w = (seed % 24 + 8).toInt
+        val h = (hex32Jvm(text + "h") % 18 + 6).toInt
+        out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+        essence(seed, w * h * 3, out)
+      case 1 => // WAV mono 16-bit PCM
+        val nSamples = (hex32Jvm(text + "s") % 256 + 16).toInt
+        val dataLen = nSamples * 2
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(SampleRate).putInt(SampleRate * 2)
+          .putShort(2).putShort(16) // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        out.write(bb.array())
+        essence(seed, dataLen, out)
+      case _ => // YUV4MPEG2, C444 (three full planes per frame)
+        val w = (seed % 12 + 4).toInt
+        val h = (hex32Jvm(text + "h") % 10 + 4).toInt
+        val nFrames = (hex32Jvm(text + "f") % 12 + 2).toInt
+        out.write(s"YUV4MPEG2 W$w H$h F$Fps:1 C444\n".getBytes("US-ASCII"))
+        val fsz = w * h * 3
+        var f = 0
+        while (f < nFrames) {
+          out.write("FRAME\n".getBytes("US-ASCII"))
+          essence(seed, fsz, out, from = f.toLong * fsz)
+          f += 1
+        }
+    }
+    out.toByteArray
+  }
+
+  // ---- real container parsers ----
+
+  /** Everything the parsers extract from a payload. `data` is the
+    * decoded essence: RGB bytes (image), PCM data bytes (audio), or
+    * concatenated frame planes (video). Counts are -1 where the
+    * modality has none (audio has no frames; image/video no samples). */
+  final case class Decoded(kind: String, width: Long, height: Long,
+      nFrames: Long, sampleRate: Long, nSamples: Long, data: Array[Byte])
+
+  /** Sniff the container from its magic bytes and parse it. Throws
+    * (loudly, with the reason) on unknown magic, malformed headers, or
+    * length mismatches — corrupt media must fail the job, not flow on. */
+  def decode(bytes: Array[Byte]): Decoded = {
+    def startsWith(s: String) = bytes.length >= s.length &&
+      s.indices.forall(i => bytes(i) == s.charAt(i).toByte)
+    if (startsWith("P6")) parsePpm(bytes)
+    else if (startsWith("RIFF")) parseWav(bytes)
+    else if (startsWith("YUV4MPEG2")) parseY4m(bytes)
+    else throw new IllegalArgumentException(
+      s"unknown media container (first bytes: ${bytes.take(8).mkString(",")})")
+  }
+
+  /** The decode step of the feature path: container in, essence out. */
+  def decodePayload(bytes: Array[Byte]): Array[Byte] = decode(bytes).data
+
+  private def parsePpm(b: Array[Byte]): Decoded = {
+    var pos = 2
+    def skipWs(): Unit =
+      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' ||
+        b(pos) == '\t' || b(pos) == '\r')) pos += 1
+    def int(): Int = {
+      skipWs()
+      var v = 0; var seen = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1; seen = true
+      }
+      if (!seen) throw new IllegalArgumentException("PPM: expected integer")
+      v
+    }
+    val w = int(); val h = int(); val maxval = int()
+    if (maxval != 255)
+      throw new IllegalArgumentException(s"PPM: unsupported maxval $maxval")
+    pos += 1 // the single whitespace byte after maxval (netpbm spec)
+    val data = java.util.Arrays.copyOfRange(b, pos, b.length)
+    if (data.length != w * h * 3)
+      throw new IllegalArgumentException(
+        s"PPM: ${data.length} data bytes for ${w}x$h")
+    Decoded("image", w, h, -1, -1, -1, data)
+  }
+
+  private def parseWav(b: Array[Byte]): Decoded = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") throw new IllegalArgumentException("WAV: no RIFF")
+    val riffLen = bb.getInt
+    if (riffLen != b.length - 8)
+      throw new IllegalArgumentException(
+        s"WAV: RIFF length $riffLen != ${b.length - 8}")
+    if (fourcc() != "WAVE") throw new IllegalArgumentException("WAV: no WAVE")
+    // walk chunks: fmt must precede data; unknown chunks skip (real
+    // files carry LIST/fact chunks — a parser that assumes a fixed
+    // 44-byte layout breaks on them)
+    var rate = -1; var bits = -1; var channels = -1
+    var data: Array[Byte] = null
+    while (bb.remaining() >= 8 && data == null) {
+      val id = fourcc(); val len = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort
+          if (fmt != 1)
+            throw new IllegalArgumentException(s"WAV: not PCM (fmt $fmt)")
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort
+          bb.position(bb.position() + (len - 16))
+        case "data" =>
+          if (rate < 0)
+            throw new IllegalArgumentException("WAV: data before fmt")
+          data = new Array[Byte](len); bb.get(data)
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    if (data == null) throw new IllegalArgumentException("WAV: no data chunk")
+    if (channels != 1 || bits != 16)
+      throw new IllegalArgumentException(
+        s"WAV: want mono 16-bit, got $channels ch $bits bit")
+    Decoded("audio", -1, -1, -1, rate, data.length / 2, data)
+  }
+
+  private def parseY4m(b: Array[Byte]): Decoded = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < b.length && b(pos) != '\n') pos += 1
+      if (pos >= b.length)
+        throw new IllegalArgumentException("Y4M: unterminated header")
+      pos += 1
+      new String(b, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = line()
+    val params = header.split(' ')
+    if (params(0) != "YUV4MPEG2")
+      throw new IllegalArgumentException("Y4M: bad magic")
+    def param(p: Char): Option[String] =
+      params.iterator.drop(1).find(_.headOption.contains(p)).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M: no width"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M: no height"))
+    val c = param('C').getOrElse("420")
+    if (c != "444")
+      throw new IllegalArgumentException(s"Y4M: unsupported chroma C$c")
+    val fsz = w * h * 3
+    val out = new java.io.ByteArrayOutputStream()
+    var nFrames = 0L
+    while (pos < b.length) {
+      if (!line().startsWith("FRAME"))
+        throw new IllegalArgumentException("Y4M: expected FRAME marker")
+      if (pos + fsz > b.length)
+        throw new IllegalArgumentException(
+          s"Y4M: truncated frame $nFrames")
+      out.write(b, pos, fsz); pos += fsz; nFrames += 1
+    }
+    Decoded("video", w, h, nFrames, -1, -1, out.toByteArray)
+  }
+
+  // ---- the media table (synthesized payloads) ----
+
+  private def mediaDs(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        (id, synthesize(text, source))
+      })
+  }
+
+  /** The oracle's reconstruction of the generating formulas: per-media
+    * kind, dims/counts, essence length, and container byte size (header
+    * length via SQL string construction — a Spark-side header the
+    * generator writes differently, or a parser that misreports payload
+    * size, mismatches here). */
+  private val genSql: String = {
+    val seed = ColFns.hex32Sql("text")
+    val seedH = ColFns.hex32Sql("(text || 'h')")
+    val seedS = ColFns.hex32Sql("(text || 's')")
+    val seedF = ColFns.hex32Sql("(text || 'f')")
+    s"""SELECT doc_id AS media_id,
+       |  ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT] AS kind,
+       |  $seed AS seed,
+       |  CASE ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT]
+       |    WHEN 'image' THEN $seed % 24 + 8
+       |    WHEN 'video' THEN $seed % 12 + 4 END AS width,
+       |  CASE ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT]
+       |    WHEN 'image' THEN $seedH % 18 + 6
+       |    WHEN 'video' THEN $seedH % 10 + 4 END AS height,
+       |  CASE ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT]
+       |    WHEN 'video' THEN $seedF % 12 + 2 END AS n_frames,
+       |  CASE ['image', 'audio', 'video'][(${ColFns.hex32Sql("source")} % 3 + 1)::INT]
+       |    WHEN 'audio' THEN $seedS % 256 + 16 END AS n_samples
+       |FROM documents""".stripMargin
+  }
+
+  /** genSql + essence length + container length. */
+  private val sizedSql: String =
+    s"""SELECT *,
+       |  CASE kind WHEN 'image' THEN width * height * 3
+       |            WHEN 'audio' THEN n_samples * 2
+       |            ELSE n_frames * width * height * 3 END AS n_essence,
+       |  CASE kind
+       |    WHEN 'image' THEN length('P6' || chr(10) || width || ' ' || height ||
+       |      chr(10) || '255' || chr(10)) + width * height * 3
+       |    WHEN 'audio' THEN 44 + n_samples * 2
+       |    ELSE length('YUV4MPEG2 W' || width || ' H' || height ||
+       |      ' F$Fps:1 C444' || chr(10)) + n_frames * (6 + width * height * 3)
+       |  END AS n_bytes
+       |FROM g""".stripMargin
+
+  // ---- queries ----
+
+  // public: codegen'd projections call the accessors from generated
+  // Java, which cannot see a private class's methods (Janino falls back
+  // to the interpreted path otherwise)
+  case class MetaRow(media_id: Long, kind: String, n_bytes: Long,
+      width: Option[Long], height: Option[Long], n_frames: Option[Long],
+      n_samples: Option[Long], duration_ms: Option[Long], essence_sum: Long,
+      out_width: Option[Long], out_height: Option[Long])
+
+  /** Positionally-weighted checksum of the decoded essence — the
+    * decoded-content identity both engines can compute (Spark from the
+    * parsed bytes, the oracle from the generating formula). */
+  private def essenceSum(data: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < data.length) { s += (i + 1).toLong * (data(i) & 0xff); i += 1 }
+    s
+  }
+
+  /** Metadata + resize plan, every field from the PARSED container:
+    * kind from magic bytes, dims from headers, durations from sample /
+    * frame counts, checksum from decoded bytes. */
   private def metaDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir)
-      .withColumn("n_bytes", octet_length($"payload").cast("long"))
-      .withColumn("content_hash", md5($"text"))
-      .withColumn("scale",
-        least(lit(1.0), lit(512.0) / $"width".cast("double")))
-      .withColumn("out_width", floor($"width" * $"scale").cast("long"))
-      .withColumn("out_height", floor($"height" * $"scale").cast("long"))
-      .select("media_id", "kind", "n_bytes", "content_hash", "width",
-        "height", "out_width", "out_height")
+    mediaDs(spark, dir).mapPartitions(_.map { case (id, payload) =>
+      val d = decode(payload)
+      val visual = d.kind != "audio"
+      val scale =
+        if (visual) math.min(1.0, FitPx.toDouble / d.width) else 0.0
+      MetaRow(
+        media_id = id,
+        kind = d.kind,
+        n_bytes = payload.length.toLong,
+        width = if (visual) Some(d.width) else None,
+        height = if (visual) Some(d.height) else None,
+        n_frames = if (d.kind == "video") Some(d.nFrames) else None,
+        n_samples = if (d.kind == "audio") Some(d.nSamples) else None,
+        duration_ms = d.kind match {
+          case "audio" => Some(d.nSamples * 1000L / SampleRate)
+          case "video" => Some(d.nFrames * 1000L / Fps)
+          case _ => None
+        },
+        essence_sum = essenceSum(d.data),
+        out_width =
+          if (visual) Some(math.floor(d.width * scale).toLong) else None,
+        out_height =
+          if (visual) Some(math.floor(d.height * scale).toLong) else None)
+    }).toDF()
   }
 
   private val metaSql: String =
-    s"""WITH m AS ($mediaSqlBase)
-       |SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes,
-       |  md5(text) AS content_hash, width, height,
-       |  floor(width * least(1.0, 512.0 / width::DOUBLE))::BIGINT AS out_width,
-       |  floor(height * least(1.0, 512.0 / width::DOUBLE))::BIGINT AS out_height
-       |FROM m""".stripMargin
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |s AS (SELECT media_id,
+       |        sum((i + 1) * ((seed + i * $ByteStep) % 256))::BIGINT AS essence_sum
+       |      FROM (SELECT media_id, seed,
+       |              unnest(range(0, n_essence)) AS i FROM e)
+       |      GROUP BY 1)
+       |SELECT e.media_id, e.kind, e.n_bytes::BIGINT AS n_bytes,
+       |  e.width::BIGINT AS width, e.height::BIGINT AS height,
+       |  e.n_frames::BIGINT AS n_frames, e.n_samples::BIGINT AS n_samples,
+       |  (CASE e.kind WHEN 'audio' THEN e.n_samples * 1000 // $SampleRate
+       |               WHEN 'video' THEN e.n_frames * 1000 // $Fps
+       |   END)::BIGINT AS duration_ms,
+       |  s.essence_sum,
+       |  floor(e.width * least(1.0, $FitPx.0 / e.width))::BIGINT AS out_width,
+       |  floor(e.height * least(1.0, $FitPx.0 / e.width))::BIGINT AS out_height
+       |FROM e JOIN s USING (media_id)""".stripMargin
 
-  /** Frame sampling: the payload divides into fixed-size frames; every
-    * FrameStride-th frame is kept (video keyframe sampling shape: one
-    * explode, work proportional to frames kept). */
+  /** Frame sampling over the PARSED video stream: every
+    * [[FrameStride]]-th decoded frame's checksum. One partition-local
+    * decode per payload; only (id, idx, sum) rows leave it. */
   private def framesDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir)
-      .filter($"kind" === "video")
-      .withColumn("n_frames",
-        ceil(octet_length($"payload").cast("double") / FrameBytes).cast("long"))
-      // an empty payload (n_frames = 0) would make sequence(0, -1, 4)
-      // throw in Spark; DuckDB's range just yields no rows — skip on both
-      .filter($"n_frames" > 0)
-      .select($"media_id", $"text", $"n_frames",
-        explode(sequence(lit(0L), $"n_frames" - 1, lit(FrameStride.toLong)))
-          .as("frame_idx"))
-      .withColumn("frame",
-        expr(s"substr(text, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)"))
-      .withColumn("frame_hash", ColFns.hex32($"frame"))
-      .select("media_id", "n_frames", "frame_idx", "frame_hash")
+    mediaDs(spark, dir).mapPartitions(_.flatMap { case (id, payload) =>
+      val d = decode(payload)
+      if (d.kind != "video") Iterator.empty
+      else {
+        val fsz = (d.width * d.height * 3).toInt
+        (0L until d.nFrames by FrameStride.toLong).iterator.map { idx =>
+          val from = (idx * fsz).toInt
+          val frame = java.util.Arrays.copyOfRange(d.data, from, from + fsz)
+          (id, d.nFrames, idx, essenceSum(frame))
+        }
+      }
+    }).toDF("media_id", "n_frames", "frame_idx", "frame_sum")
   }
 
   private val framesSql: String =
-    s"""WITH m AS ($mediaSqlBase),
-       |f AS (SELECT media_id, text,
-       |        ceil(octet_length(payload)::DOUBLE / $FrameBytes)::BIGINT AS n_frames
-       |      FROM m WHERE kind = 'video'),
-       |x AS (SELECT media_id, text, n_frames,
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |v AS (SELECT media_id, seed, width * height * 3 AS fsz, n_frames
+       |      FROM e WHERE kind = 'video'),
+       |x AS (SELECT media_id, seed, fsz, n_frames,
        |        unnest(range(0, n_frames, $FrameStride)) AS frame_idx
-       |      FROM f WHERE n_frames > 0)
-       |SELECT media_id, n_frames, frame_idx,
-       |  ${ColFns.hex32Sql(s"substr(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)")} AS frame_hash
-       |FROM x""".stripMargin
+       |      FROM v)
+       |SELECT media_id, n_frames::BIGINT AS n_frames, frame_idx,
+       |  sum((j + 1) * ((seed + (frame_idx * fsz + j) * $ByteStep) % 256))::BIGINT
+       |    AS frame_sum
+       |FROM (SELECT *, unnest(range(0, fsz)) AS j FROM x)
+       |GROUP BY media_id, n_frames, frame_idx""".stripMargin
 
   /** Per-partition batched feature extraction — the Scala analog of
-    * `mapInPandas`: each partition decodes its payloads (stub) and emits
-    * a normalized ${FeatureBins}-bin byte histogram per media row. Rows
-    * never leave their partition; the feature vector is fixed-width.
-    * Bins are flattened to scalar columns f0..f15 (a fixed-width feature
-    * frame downstream trainers consume directly, and checkers can sort
-    * scalar columns where they cannot sort array cells). Hash-checked
-    * against `featuresSql` while the decode stub is identity (see its
-    * doc); with a real codec this reverts to a rows-only check. */
+    * `mapInPandas`: each partition DECODES its payloads (real container
+    * parse) and emits a normalized ${FeatureBins}-bin byte histogram of
+    * the essence per media row. Rows never leave their partition; the
+    * feature vector is fixed-width, flattened to scalar columns
+    * f0..f15. Both engines divide exact integer counts by the same n,
+    * so the doubles match bitwise. */
   private def featuresDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val raw = mediaDf(spark, dir)
-      .select($"media_id", $"payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val bytes = decodePayload(payload)
-          val hist = new Array[Double](FeatureBins)
-          bytes.foreach(b => hist((b & 0xff) % FeatureBins) += 1.0)
-          val n = math.max(1, bytes.length).toDouble
-          (id, hist.map(_ / n).toSeq)
-        }
-      }
+    val raw = mediaDs(spark, dir)
+      .mapPartitions(_.map { case (id, payload) =>
+        val bytes = decodePayload(payload)
+        val hist = new Array[Double](FeatureBins)
+        bytes.foreach(b => hist((b & 0xff) % FeatureBins) += 1.0)
+        val n = math.max(1, bytes.length).toDouble
+        (id, hist.map(_ / n).toSeq)
+      })
       .toDF("media_id", "features")
     val bins = (0 until FeatureBins).map(i => $"features" (i).as(s"f$i"))
     raw.select($"media_id" +: bins: _*)
   }
 
-  /** SQL twin of the feature extractor. Valid ONLY because the decode
-    * stub is the identity and the corpus payloads are ASCII (byte ==
-    * char, verified across all SFs), so the per-byte histogram is
-    * expressible as a char unnest + conditional pivot. A real codec
-    * decode has no SQL twin — swap back to the rows-only check then.
-    * Both engines divide exact integer counts by the same n, so the
-    * doubles match bitwise. */
   private val featuresSql: String = {
-    // LEFT JOIN from documents so an empty payload still yields its row
-    // (all-zero bins), matching the Spark side's max(1, length) guard.
     val bins = (0 until FeatureBins)
-      .map(b => s"  coalesce(max(CASE WHEN c.bin = $b THEN c.cnt END), 0)::DOUBLE / greatest(max(length(d.text)), 1) AS f$b")
+      .map(b => s"  coalesce(max(CASE WHEN bin = $b THEN cnt END), 0)::DOUBLE / max(n) AS f$b")
       .mkString(",\n")
-    s"""WITH x AS (SELECT doc_id AS media_id, text,
-       |             unnest(range(1, length(text) + 1)) AS i
-       |           FROM documents),
-       |b AS (SELECT media_id,
-       |        ascii(substr(text, i::INT, 1)) % $FeatureBins AS bin FROM x),
-       |c AS (SELECT media_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
-       |SELECT d.doc_id AS media_id,
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |b AS (SELECT media_id, ((seed + i * $ByteStep) % 256) % $FeatureBins AS bin,
+       |        n_essence
+       |      FROM (SELECT media_id, seed, n_essence,
+       |              unnest(range(0, n_essence)) AS i FROM e)),
+       |c AS (SELECT media_id, bin, count(*) AS cnt, max(n_essence) AS n
+       |      FROM b GROUP BY 1, 2)
+       |SELECT media_id,
        |$bins
-       |FROM documents d LEFT JOIN c ON c.media_id = d.doc_id
-       |GROUP BY d.doc_id""".stripMargin
+       |FROM c GROUP BY media_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,25 +2,78 @@ package graft
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: schema, frame sampling arithmetic, and the
-  * partition-batched feature extraction (stubbed decode). */
+/** Multimodal pipeline: real container codecs (PPM / WAV PCM / Y4M)
+  * over deterministically synthesized payloads — roundtrip, corrupt
+  * input, frame sampling, and feature extraction. */
 class MultimodalSpec extends SparkSpec {
 
-  test("media metadata: resize plan fits 512px and keeps aspect") {
-    val rows = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
-    assert(rows.size == 500)
-    rows.foreach { m =>
-      val w = m("width").asInstanceOf[Long]
-      val ow = m("out_width").asInstanceOf[Long]
-      assert(ow <= 512 && ow <= w)
-      if (w <= 512) assert(ow == w) // no upscale
-      assert(Set("image", "audio", "video").contains(
-        m("kind").asInstanceOf[String]))
-      assert(m("n_bytes").asInstanceOf[Long] > 0)
+  test("decode is a real parser: synthesize -> decode roundtrips every modality") {
+    // kind comes from MAGIC bytes, dims/counts from headers, essence
+    // from the data sections; 30 seeds cover all three modalities
+    val all = (0 until 30).map(i =>
+      Multimodal.decode(Multimodal.synthesize(s"text$i", s"source$i")))
+    assert(all.map(_.kind).toSet == Set("image", "audio", "video"))
+    all.foreach { d =>
+      assert(d.data.nonEmpty)
+      d.kind match {
+        case "image" =>
+          assert(d.width >= 8 && d.height >= 6)
+          assert(d.data.length == d.width * d.height * 3)
+        case "audio" =>
+          assert(d.sampleRate == Multimodal.SampleRate)
+          assert(d.nSamples >= 16 && d.data.length == d.nSamples * 2)
+        case "video" =>
+          assert(d.nFrames >= 2)
+          assert(d.data.length == d.nFrames * d.width * d.height * 3)
+      }
     }
   }
 
-  test("frame sampling keeps every 4th frame within bounds") {
+  test("decode fails loudly on corrupt containers, never flows bad media on") {
+    val img = (0 until 30).map(i =>
+        Multimodal.synthesize(s"text$i", s"source$i"))
+      .find(b => b(0) == 'P' && b(1) == '6').get
+    // truncated pixel data: length check must fire
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(java.util.Arrays.copyOf(img, img.length - 1))
+    }
+    // unknown magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decode("GIF89a....".getBytes("US-ASCII"))
+    }
+    // WAV with a lying RIFF length
+    val wav = (0 until 30).map(i =>
+        Multimodal.synthesize(s"text$i", s"source$i"))
+      .find(b => b(0) == 'R').get
+    val bad = wav.clone(); bad(4) = (bad(4) + 1).toByte
+    intercept[IllegalArgumentException] { Multimodal.decode(bad) }
+  }
+
+  test("media metadata: parsed dims, durations, and a fit-within resize plan") {
+    val rows = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
+    assert(rows.size == 500)
+    rows.foreach { m =>
+      val kind = m("kind").asInstanceOf[String]
+      assert(Set("image", "audio", "video").contains(kind))
+      assert(m("n_bytes").asInstanceOf[Long] > 0)
+      assert(m("essence_sum").asInstanceOf[Long] > 0)
+      if (kind == "audio") {
+        assert(m("width") == null && m("out_width") == null)
+        assert(m("n_samples").asInstanceOf[Long] >= 16)
+        assert(m("duration_ms").asInstanceOf[Long] ==
+          m("n_samples").asInstanceOf[Long] * 1000 / Multimodal.SampleRate)
+      } else {
+        val w = m("width").asInstanceOf[Long]
+        val ow = m("out_width").asInstanceOf[Long]
+        assert(ow <= Multimodal.FitPx && ow <= w)
+        if (w <= Multimodal.FitPx) assert(ow == w) // no upscale
+      }
+      if (kind == "video")
+        assert(m("n_frames").asInstanceOf[Long] >= 2)
+    }
+  }
+
+  test("frame sampling keeps every 4th parsed frame within bounds") {
     val rows = rowsOf(Multimodal.queries("media_frames")(spark, sfDir()))
     assert(rows.nonEmpty)
     rows.groupBy(_("media_id")).foreach { case (_, frames) =>
@@ -33,13 +86,13 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("feature extraction: normalized fixed-width histograms per row") {
+  test("feature extraction: normalized fixed-width histograms over decoded essence") {
     val rows = rowsOf(Multimodal.queries("media_features")(spark, sfDir()))
     assert(rows.size == 500)
     rows.foreach { m =>
       val f = (0 until Multimodal.FeatureBins)
         .map(i => m(s"f$i").asInstanceOf[Double])
-      assert(math.abs(f.sum - 1.0) < 1e-9) // normalized over payload bytes
+      assert(math.abs(f.sum - 1.0) < 1e-9) // normalized over essence bytes
       assert(f.forall(v => v >= 0.0 && v <= 1.0))
     }
   }
