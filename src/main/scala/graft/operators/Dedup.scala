@@ -308,8 +308,10 @@ object Dedup extends OpModule {
     * node takes the minimum of its own label and its neighbors' labels,
     * one join + hash aggregation per round, converging in O(component
     * diameter) rounds (the same loop GraphX's connectedComponents runs).
-    * The driver orchestrates rounds and checks convergence; the data
-    * never leaves the cluster, and each round's lineage is
+    * The driver orchestrates rounds; convergence is detected by a
+    * change-count accumulator folded into each round's own
+    * materializing job (one Spark action per round, no compare-join).
+    * The data never leaves the cluster, and each round's lineage is
     * checkpoint-truncated so iteration N doesn't replan N-deep trees.
     * Duplicate components in web corpora are shallow (near-clique), so
     * the round count stays small at any corpus size.
@@ -340,15 +342,25 @@ object Dedup extends OpModule {
           Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"nbr_canon").as("nbr_min"))
+      // convergence detection rides INSIDE the round's one materializing
+      // job: the label fold counts its own changes into an accumulator
+      // while the eager localCheckpoint computes the new frame — no
+      // separate compare-join action per round (round 4 ran one, doubling
+      // the job count). Task retries can only inflate a NONZERO count
+      // (a task that saw no change re-adds zero), so `== 0` stays exact.
+      val changes = spark.sparkContext.longAccumulator(s"labelChanges$rounds")
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"canon", coalesce($"nbr_min", $"canon")).as("canon"))
+        .select($"doc_id", $"canon", $"nbr_min")
+        .as[(Long, Long, Option[Long])]
+        .mapPartitions(_.map { case (id, canon, nbr) =>
+          val c = math.min(canon, nbr.getOrElse(canon))
+          if (c != canon) changes.add(1L)
+          (id, c)
+        })
+        .toDF("doc_id", "canon")
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.canon") =!= col("o.canon"))
-        .isEmpty
+      converged = changes.value == 0L
       // the superseded round's checkpoint is referenced by nothing once
       // `next` is materialized — release it eagerly instead of pinning
       // O(rounds) label snapshots until the ContextCleaner's GC cycle
