@@ -679,19 +679,24 @@ object Similarity extends OpModule {
     * shortlist (~6x fewer exact dots) — codes + tables are O(K·m) per
     * (query, cell), the PQ trade every billion-vector deployment makes.
     * `ann_recall_pq` quantifies it against the same brute-force truth. */
-  private def pqTopkDf(spark: SparkSession, dir: String): DataFrame = {
+  /** The ADC approximation stream at an arbitrary probe budget:
+    * (qid, nid, prk, ip) where `prk` is the probe rank of the
+    * candidate's cell for that query and `ip` the quantized cosine.
+    * Shared by the fixed-budget top-k tail and the recall-curve sweep. */
+  private def pqApproxDf(spark: SparkSession, dir: String,
+      probes: Int): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val ranked = kmeansRankedDf(spark, dir)
     val comp = kmeansCompDf(spark, dir)
     val probe = ranked
-      .filter($"vec_id" % QueryMod === 0 && $"rk" <= PqProbes)
-      .select($"vec_id".as("qid"), $"cell")
+      .filter($"vec_id" % QueryMod === 0 && $"rk" <= probes)
+      .select($"vec_id".as("qid"), $"cell", $"rk".as("prk"))
     val assign = ranked.filter($"rk" === 1)
       .select($"vec_id".as("nid"), $"cell")
     val vn = e.select($"vec_id", norm($"embedding").as("nrm"))
-    val qxs = probe
+    val qxs = probe.drop("prk")
       .join(e.select($"vec_id".as("qid"), posexplode($"embedding").as(Seq("i0", "x"))),
         Seq("qid"))
       .withColumn("i", $"i0" + 1)
@@ -711,7 +716,7 @@ object Similarity extends OpModule {
     // data with no stats — broadcast them explicitly or the planner
     // sort-merge-joins the |candidates| stream once per side
     val cand = probe.join(assign, Seq("cell")).filter($"nid" =!= $"qid")
-    val approx = cand
+    cand
       .join(broadcast(pqReconDf(spark, dir)), Seq("nid"))
       .join(broadcast(qres), Seq("qid", "cell"))
       .join(broadcast(qc), Seq("qid", "cell"))
@@ -719,10 +724,16 @@ object Similarity extends OpModule {
         Seq("qid"))
       .join(broadcast(vn.select($"vec_id".as("nid"), $"nrm".as("nnrm"))),
         Seq("nid"))
-      .select($"qid", $"nid",
+      .select($"qid", $"nid", $"prk",
         round(($"qc" + call_function("vec_dot", $"qres", $"recon")) /
           ($"qnrm" * $"nnrm"), 6).as("ip"))
-    val short = approx
+  }
+
+  private def pqTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val short = pqApproxDf(spark, dir, PqProbes)
       .withColumn("srk", row_number().over(
         Window.partitionBy($"qid").orderBy($"ip".desc, $"nid")))
       .filter($"srk" <= PqShortlist)
@@ -737,7 +748,7 @@ object Similarity extends OpModule {
       .select("qid", "nid", "cos")
   }
 
-  private val pqChainSqlBody: String =
+  private def pqChainSqlBody(probes: Int): String =
     s"""xs AS (
        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
@@ -777,8 +788,8 @@ object Similarity extends OpModule {
        |code AS (SELECT vec_id, s, k FROM d2pq
        |         QUALIFY row_number() OVER (PARTITION BY vec_id, s
        |           ORDER BY d, k) = 1),
-       |probepq AS (SELECT vec_id AS qid, cell FROM ranked2
-       |            WHERE vec_id % $QueryMod = 0 AND rk <= $PqProbes),
+       |probepq AS (SELECT vec_id AS qid, cell, rk AS prk FROM ranked2
+       |            WHERE vec_id % $QueryMod = 0 AND rk <= $probes),
        |qxs AS (
        |  SELECT p.qid, p.cell, xs.i, xs.x, comp2.c
        |  FROM probepq p
@@ -793,10 +804,10 @@ object Similarity extends OpModule {
        |           AND c.j = (q.i - 1) % $PqSubDim
        |  GROUP BY 1, 2, 3, 4),
        |candpq AS (
-       |  SELECT p.qid, a.nid, p.cell FROM probepq p JOIN assign2 a USING (cell)
+       |  SELECT p.qid, a.nid, p.cell, p.prk FROM probepq p JOIN assign2 a USING (cell)
        |  WHERE a.nid <> p.qid),
        |approx AS (
-       |  SELECT c.qid, c.nid,
+       |  SELECT c.qid, c.nid, max(c.prk) AS prk,
        |    round((max(qcent.qc) + sum(t.t)) / (max(vq.nrm) * max(vnn.nrm)), 6) AS ip
        |  FROM candpq c
        |  JOIN code ON code.vec_id = c.nid
@@ -812,7 +823,7 @@ object Similarity extends OpModule {
 
   private val pqTopkSql: String =
     s"""WITH $kmeansCellsSqlBody,
-       |$pqChainSqlBody,
+       |${pqChainSqlBody(PqProbes)},
        |dpq AS (SELECT qid, nid,
        |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
        |      FROM short JOIN embeddings eq ON eq.vec_id = qid
@@ -1030,6 +1041,115 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN ivf l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  /** Probe budgets the tuning curve sweeps — 10 is the cell count, so
+    * the cell-geometry curves reach recall 1.0 at the right edge by
+    * construction (a built-in sanity anchor). */
+  val MaxProbeBudget = 10
+
+  /** The ANN tuning surface — the plot an operator reads before picking
+    * a deployment's probe budget: recall@3 (the ladder's k) at probe
+    * budgets 1..[[MaxProbeBudget]] for every coarse-quantized rung, in
+    * ONE query over the already-memoized ranked frames.
+    *
+    * For the exact-re-rank rungs (ivf / kmeans / kmeans2), candidate-set
+    * membership IS final recall — a true top-3 neighbor inside the
+    * probed cells always survives an exact re-rank — so each curve is a
+    * three-way join of the 3-rows-per-query truth against the rung's
+    * memoized cell ranks, crossed with ten budget rows: no new corpus
+    * scan. The `pq` rung additionally models its ADC shortlist: a true
+    * neighbor is recalled at budget p iff its cell is probed AND it
+    * ranks <= [[PqShortlist]] by quantized score within the budget's
+    * candidates. Budget sets nest, so each budget's shortlist draws only
+    * from the per-(query, cell-rank) ADC top-[[PqShortlist]] — the wide
+    * probe stream collapses to <= 10·50 rows per query before the
+    * per-budget windows run. */
+  private def recallCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = brute3Df(spark, dir)
+    val budgets = broadcast((1 to MaxProbeBudget).toDF("probes"))
+    def cellCurve(ranked: DataFrame, rung: String): DataFrame = {
+      val cellOf = ranked.filter($"rk" === 1)
+        .select($"vec_id".as("nid"), $"cell")
+      val prk = ranked.filter($"vec_id" % QueryMod === 0)
+        .select($"vec_id".as("qid"), $"cell", $"rk".as("prk"))
+      truth.join(cellOf, Seq("nid"))
+        .join(prk, Seq("qid", "cell"))
+        .crossJoin(budgets)
+        .groupBy($"probes")
+        .agg(sum(when($"prk" <= $"probes", 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("n"))
+        .select(lit(rung).as("rung"), $"probes", $"hits",
+          ($"hits" / $"n").as("recall"))
+    }
+    val pruned = pqApproxDf(spark, dir, MaxProbeBudget)
+      .withColumn("brk", row_number().over(
+        Window.partitionBy($"qid", $"prk").orderBy($"ip".desc, $"nid")))
+      .filter($"brk" <= PqShortlist)
+    val short = pruned
+      .join(budgets, $"prk" <= $"probes")
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"qid", $"probes").orderBy($"ip".desc, $"nid")))
+      .filter($"srk" <= PqShortlist)
+      .select($"qid", $"nid", $"probes", lit(1L).as("hit"))
+    val pqCurve = truth.crossJoin(budgets)
+      .join(short, Seq("qid", "nid", "probes"), "left")
+      .groupBy($"probes")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"), count(lit(1)).as("n"))
+      .select(lit("pq").as("rung"), $"probes", $"hits",
+        ($"hits" / $"n").as("recall"))
+    cellCurve(ivfRankedDf(spark, dir), "ivf")
+      .unionByName(cellCurve(kmeansRankedDf(spark, dir), "kmeans"))
+      .unionByName(cellCurve(kmeans2RankedDf(spark, dir), "kmeans2"))
+      .unionByName(pqCurve)
+  }
+
+  private def cellCurveSqlCte(rankedCte: String, cellCol: String,
+      rung: String): String =
+    s"""c_$rung AS (
+       |  SELECT '$rung' AS rung, b.probes,
+       |    sum(CASE WHEN pr.rk <= b.probes THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    count(*) AS n
+       |  FROM brute3 t
+       |  JOIN (SELECT vec_id AS nid, $cellCol AS cc FROM $rankedCte
+       |        WHERE rk = 1) a ON a.nid = t.nid
+       |  JOIN (SELECT vec_id AS qid, $cellCol AS cc, rk FROM $rankedCte
+       |        WHERE vec_id % $QueryMod = 0) pr
+       |    ON pr.qid = t.qid AND pr.cc = a.cc
+       |  CROSS JOIN budgets b
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val recallCurveSql: String =
+    s"""WITH $kmeans2CellsSqlBody,
+       |${pqChainSqlBody(MaxProbeBudget)},
+       |brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |budgets AS (SELECT p::INT AS probes
+       |            FROM range(1, ${MaxProbeBudget + 1}) t(p)),
+       |${cellCurveSqlCte("ranked", "label", "ivf")},
+       |${cellCurveSqlCte("ranked2", "cell", "kmeans")},
+       |${cellCurveSqlCte("ranked3", "cell", "kmeans2")},
+       |prunedpq AS (SELECT qid, nid, prk, ip FROM approx
+       |             QUALIFY row_number() OVER (PARTITION BY qid, prk
+       |               ORDER BY ip DESC, nid) <= $PqShortlist),
+       |shortp AS (
+       |  SELECT qid, nid, b.probes
+       |  FROM prunedpq p JOIN budgets b ON p.prk <= b.probes
+       |  QUALIFY row_number() OVER (PARTITION BY qid, b.probes
+       |    ORDER BY ip DESC, nid) <= $PqShortlist),
+       |c_pq AS (
+       |  SELECT 'pq' AS rung, b.probes,
+       |    sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    count(*) AS n
+       |  FROM brute3 t CROSS JOIN budgets b
+       |  LEFT JOIN shortp s
+       |    ON s.qid = t.qid AND s.nid = t.nid AND s.probes = b.probes
+       |  GROUP BY 1, 2)
+       |SELECT rung, probes, hits, hits::DOUBLE / n AS recall
+       |FROM (SELECT * FROM c_ivf UNION ALL SELECT * FROM c_kmeans
+       |      UNION ALL SELECT * FROM c_kmeans2 UNION ALL SELECT * FROM c_pq)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -1046,6 +1166,7 @@ object Similarity extends OpModule {
     "ann_recall_kmeans2" -> (recallKmeans2Df(_, _)),
     "ann_pq_topk" -> (pqTopkDf(_, _)),
     "ann_recall_pq" -> (recallPqDf(_, _)),
+    "ann_recall_curve" -> (recallCurveDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _))
   )
 
@@ -1065,6 +1186,7 @@ object Similarity extends OpModule {
     "ann_recall_kmeans2" -> recallKmeans2Sql,
     "ann_pq_topk" -> pqTopkSql,
     "ann_recall_pq" -> recallPqSql,
+    "ann_recall_curve" -> recallCurveSql,
     "emb_centroids" -> centroidSql
   )
 }

@@ -94,4 +94,28 @@ class SimilaritySpec extends SparkSpec {
     assert(c.map(_("n").asInstanceOf[Long]).sum == 500L)
     c.foreach(m => assert(m("centroid_norm").asInstanceOf[Double] > 0.0))
   }
+
+  test("recall curve: monotone in probes, cell rungs reach 1.0 at full probing") {
+    val rows = rowsOf(Similarity.queries("ann_recall_curve")(spark, sfDir()))
+    val byRung = rows.groupBy(_("rung").asInstanceOf[String])
+    assert(byRung.keySet == Set("ivf", "kmeans", "kmeans2", "pq"))
+    byRung.foreach { case (rung, rs) =>
+      assert(rs.size == Similarity.MaxProbeBudget, rung)
+      val curve = rs.sortBy(_("probes").asInstanceOf[Int])
+        .map(_("recall").asInstanceOf[Double])
+      // widening the probe set can only add candidates: recall is
+      // non-decreasing in the budget for every rung
+      curve.sliding(2).foreach { case Seq(a, b) => assert(a <= b, rung) }
+      assert(curve.head >= 0.0 && curve.last <= 1.0)
+      // probing all 10 cells makes the candidate set the whole corpus,
+      // so the exact-re-rank rungs end at perfect recall; pq may sit
+      // below it (shortlist truncation) but not above
+      if (rung != "pq") assert(curve.last == 1.0, rung)
+    }
+    val pq = byRung("pq").sortBy(_("probes").asInstanceOf[Int])
+      .map(_("recall").asInstanceOf[Double])
+    val km = byRung("kmeans").sortBy(_("probes").asInstanceOf[Int])
+      .map(_("recall").asInstanceOf[Double])
+    pq.zip(km).foreach { case (p, k) => assert(p <= k) }
+  }
 }
