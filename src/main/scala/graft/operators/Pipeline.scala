@@ -262,6 +262,107 @@ object Pipeline extends OpModule {
        |FROM c JOIN q ON q.doc_id = c.doc_id)
        |SELECT doc_id, canon, quality, rk = 1 AS keep FROM r""".stripMargin
 
+  /** Epoch seed of the deterministic training-order shuffle: re-running
+    * with the same seed reproduces the exact order (auditable training
+    * runs); the next epoch changes the seed, not the machinery. */
+  val ShuffleSeed = "epoch0"
+
+  /** Deterministic training-order shuffle — the step after assembly in
+    * every real pipeline: documents take a pseudo-random but REPRODUCIBLE
+    * order, seeded-hash-ranked WITHIN each source and round-robin
+    * interleaved ACROSS sources (`global_ord = src_ord * n_sources +
+    * src_idx`), so any contiguous read of the order sees the mixture's
+    * source balance, not one source's run. Scale shape: the rank window
+    * shuffles once on `source` (the same key `pipeline_pack` uses); the
+    * source-index frame is |sources| rows (window over a few dozen rows,
+    * then broadcast); the GLOBAL order comes from the formula — there is
+    * no global sort or single-partition corpus window anywhere. */
+  private def shuffleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val srcIdx = docs.select($"source").distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy($"source")) - 1).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy()))
+    docs
+      .withColumn("shuffle_key",
+        ColFns.hex32(concat(lit(s"$ShuffleSeed:"), $"doc_id")))
+      .withColumn("src_ord",
+        (row_number().over(Window.partitionBy($"source")
+          .orderBy($"shuffle_key", $"doc_id")) - 1).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .select($"doc_id", $"source", $"shuffle_key", $"src_ord",
+        ($"src_ord" * $"n_src" + $"src_idx").as("global_ord"))
+  }
+
+  private val shuffleSql: String =
+    s"""WITH s AS (SELECT source,
+       |             row_number() OVER (ORDER BY source) - 1 AS src_idx,
+       |             count(*) OVER () AS n_src
+       |           FROM (SELECT DISTINCT source FROM documents)),
+       |k AS (SELECT doc_id, source,
+       |        ${ColFns.hex32Sql(s"('$ShuffleSeed:' || doc_id::VARCHAR)")} AS shuffle_key
+       |      FROM documents),
+       |o AS (SELECT doc_id, source, shuffle_key,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY shuffle_key, doc_id) - 1 AS src_ord
+       |      FROM k)
+       |SELECT o.doc_id, o.source, o.shuffle_key::BIGINT AS shuffle_key,
+       |  o.src_ord::BIGINT AS src_ord,
+       |  (o.src_ord * s.n_src + s.src_idx)::BIGINT AS global_ord
+       |FROM o JOIN s USING (source)""".stripMargin
+
+  /** Tokens per training shard — [[PackBudget]]-divisible so shards cut
+    * on sequence boundaries (16 sequences per shard at the defaults). */
+  val ShardTokens = 4096L
+
+  /** Shard assignment — the final assembly step: the per-source packed
+    * sequence streams concatenate (source-ascending) into one global
+    * token stream, cut every [[ShardTokens]] tokens. This is the
+    * documented two-level prefix-sum renumbering IN USE: each source's
+    * sequence count derives from its token total (`ceil(tokens/budget)`,
+    * covering budget-spanning documents), the tiny per-source frame
+    * takes an exclusive prefix sum to yield each source's global base,
+    * and `global_seq = base + seq_id` / `shard_id = global_seq div
+    * (shard/budget)` follow by formula. Scale shape: ONE shuffle (the
+    * per-(source, seq) aggregation); the prefix-sum window runs over
+    * |sources| rows; no global sort. */
+  private def shardDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = packDf(spark, dir)
+    val seqs = packed.groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    val bases = packed.groupBy($"source")
+      .agg(sum($"n_tokens").as("t"))
+      .withColumn("n_seqs", expr(s"(t + ${PackBudget - 1}) div $PackBudget"))
+      .withColumn("base",
+        coalesce(sum($"n_seqs").over(Window.orderBy($"source")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"base")
+    seqs.join(broadcast(bases), Seq("source"))
+      .select($"source", $"seq_id", $"n_docs", $"n_tokens",
+        ($"base" + $"seq_id").as("global_seq"),
+        expr(s"(base + seq_id) div ${ShardTokens / PackBudget}")
+          .as("shard_id"))
+  }
+
+  private val shardSql: String =
+    s"""WITH p AS ($packSql),
+       |seqs AS (SELECT source, seq_id, count(*) AS n_docs,
+       |           sum(n_tokens)::BIGINT AS n_tokens
+       |         FROM p GROUP BY 1, 2),
+       |bases AS (SELECT source,
+       |    coalesce(sum((t + ${PackBudget - 1}) // $PackBudget)
+       |      OVER (ORDER BY source
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS base
+       |  FROM (SELECT source, sum(n_tokens)::BIGINT AS t FROM p GROUP BY 1))
+       |SELECT s.source, s.seq_id, s.n_docs, s.n_tokens,
+       |  (b.base + s.seq_id)::BIGINT AS global_seq,
+       |  ((b.base + s.seq_id) // ${ShardTokens / PackBudget})::BIGINT AS shard_id
+       |FROM seqs s JOIN bases b USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -269,6 +370,8 @@ object Pipeline extends OpModule {
     "bench_contamination" -> (contaminationDf(_, _)),
     "pipeline_pack" -> (packDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
+    "pipeline_shuffle" -> (shuffleDf(_, _)),
+    "pipeline_shard" -> (shardDf(_, _)),
     "dedup_keep_best" -> (keepBestDf(_, _))
   )
 
@@ -279,6 +382,8 @@ object Pipeline extends OpModule {
     "bench_contamination" -> contaminationSql,
     "pipeline_pack" -> packSql,
     "pipeline_mixture" -> mixtureSql,
+    "pipeline_shuffle" -> shuffleSql,
+    "pipeline_shard" -> shardSql,
     "dedup_keep_best" -> keepBestSql
   )
 }

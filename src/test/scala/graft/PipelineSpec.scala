@@ -98,6 +98,55 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_("doc_id")).toSet == clustered)
   }
 
+  test("deterministic shuffle: reproducible, one position per doc, sources interleave") {
+    val rows = rowsOf(Pipeline.queries("pipeline_shuffle")(spark, sfDir("sf0.01")))
+    assert(rows.size == 500)
+    // every document takes exactly one distinct global position
+    val ords = rows.map(_("global_ord").asInstanceOf[Long])
+    assert(ords.distinct.size == rows.size)
+    // reproducible: a second run yields the identical order
+    val again = rowsOf(Pipeline.queries("pipeline_shuffle")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id") -> m("global_ord")).toMap
+    rows.foreach(m => assert(again(m("doc_id")) == m("global_ord")))
+    // round-robin interleave: the first position of each source lands in
+    // the first n_src slots of the global order (src_ord=0 -> global_ord
+    // = src_idx), so a reader's first |sources| docs span every source
+    val nSrc = rows.map(_("source")).distinct.size
+    val firstSlots = rows.filter(_("src_ord").asInstanceOf[Long] == 0L)
+      .map(_("global_ord").asInstanceOf[Long]).sorted
+    assert(firstSlots == (0L until nSrc.toLong).toList)
+    // within a source the order follows the seeded hash, not doc_id
+    val bySrc = rows.groupBy(_("source")).head._2
+      .sortBy(_("src_ord").asInstanceOf[Long])
+    assert(bySrc.map(_("doc_id").asInstanceOf[Long]) !=
+      bySrc.map(_("doc_id").asInstanceOf[Long]).sorted)
+  }
+
+  test("shard assignment: global sequence renumbering cuts on fixed token budgets") {
+    val rows = rowsOf(Pipeline.queries("pipeline_shard")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    // global_seq is unique and source-contiguous: each source occupies
+    // the interval [base, base + n_seqs)
+    val gseqs = rows.map(_("global_seq").asInstanceOf[Long])
+    assert(gseqs.distinct.size == rows.size)
+    rows.groupBy(_("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_("seq_id").asInstanceOf[Long])
+      val base = sorted.head("global_seq").asInstanceOf[Long] -
+        sorted.head("seq_id").asInstanceOf[Long]
+      sorted.foreach(r => assert(r("global_seq").asInstanceOf[Long] ==
+        base + r("seq_id").asInstanceOf[Long]))
+    }
+    // shards cut every ShardTokens/PackBudget sequences of the global stream
+    val perShard = Pipeline.ShardTokens / Pipeline.PackBudget
+    rows.foreach { r =>
+      assert(r("shard_id").asInstanceOf[Long] ==
+        r("global_seq").asInstanceOf[Long] / perShard)
+    }
+    // the shard table accounts for every packed document
+    val packed = rowsOf(Pipeline.queries("pipeline_pack")(spark, sfDir("sf0.01")))
+    assert(rows.map(_("n_docs").asInstanceOf[Long]).sum == packed.size)
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
