@@ -1,0 +1,195 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The generic batch-partitioned parquet sink every live table lands
+  * through (trades AND the windowed tables — bars, deltas, signals,
+  * fused, lv). One micro-batch = one partition directory with a
+  * `_SUCCESS` marker; a maintenance compaction folds old partitions
+  * into a day-keyed archive so a 20 Hz stream does not accrete
+  * unbounded small files. Extracted from the trades commit protocol
+  * (round 4) when the other five sinks — previously plain `writeStream`
+  * parquet appends with no retention story — adopted it.
+  *
+  * Layout for a table at `liveDir`:
+  *
+  *   liveDir/batch_id=N/_SUCCESS     committed micro-batch partitions
+  *   liveDir_archive/day=K/          compacted day partitions
+  *   liveDir_archive/_compacted_batches   the folded-id watermark
+  *
+  * Invariants (each spec'd through the trades suite, which delegates
+  * here):
+  *
+  *  - replay guard: a batch is committed iff its `_SUCCESS` exists (one
+  *    stat, O(1)) or its id is at or below the folded watermark (one
+  *    long — constant-size at any history length);
+  *  - compaction folds FROM THE BOTTOM into day partitions via
+  *    rename-aside swaps (backup, move in, drop backup), advances the
+  *    watermark BEFORE deleting sources, and keeps at least the newest
+  *    batch (the only one Structured Streaming can replay);
+  *  - readers heal crashed swaps first, take ONLY committed partitions
+  *    above the watermark on the live side (never root partition
+  *    discovery), and dedup the live ∪ archive union on the table's
+  *    row key — exactly-once through every crash window.
+  *
+  * At scale this is the bronze(recent)/archive split every streaming
+  * lakehouse runs; a transactional table format would subsume it. */
+object BatchSink {
+
+  private def batchDir(liveDir: String, batchId: Long) =
+    new java.io.File(s"$liveDir/batch_id=$batchId")
+
+  private def archiveDir(liveDir: String) =
+    new java.io.File(s"${liveDir}_archive")
+
+  private def ledgerFile(liveDir: String) =
+    new java.io.File(archiveDir(liveDir), "_compacted_batches")
+
+  /** High watermark of folded batch ids: every committed batch id at or
+    * below it has been folded into the day archive. Compaction always
+    * folds from the bottom, so one long fully describes the folded set.
+    * A legacy multi-line per-id ledger reads as its max — the same set. */
+  def foldedWatermark(liveDir: String): Option[Long] = {
+    val f = ledgerFile(liveDir)
+    if (!f.exists()) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.toLongOption).maxOption
+  }
+
+  /** O(1) idempotent-append guard (see the invariants above). */
+  def alreadyCommitted(liveDir: String, batchId: Long): Boolean =
+    new java.io.File(batchDir(liveDir, batchId), "_SUCCESS").exists() ||
+      foldedWatermark(liveDir).exists(batchId <= _)
+
+  /** Land one micro-batch in its own partition directory. `overwrite`
+    * into the batch's OWN directory: a half-written partition from a
+    * crash is replaced wholesale when the batch replays. */
+  def commit(df: DataFrame, liveDir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(batchDir(liveDir, batchId).toString)
+
+  /** Restore rename-aside-swapped partition directories whose swap
+    * crashed between its two renames (partition missing, the dot-backup
+    * holds the only copy) and drop backups whose partition landed. MUST
+    * run before any read of a swapped table. */
+  def healBackups(dir: java.io.File, prefix: String): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".$prefix") &&
+        f.getName.endsWith("_old"))
+      .foreach { old =>
+        val dst = new java.io.File(dir,
+          old.getName.stripPrefix(".").stripSuffix("_old"))
+        if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
+        else if (!old.renameTo(dst))
+          throw new java.io.IOException(
+            s"partition heal failed: $old -> $dst")
+      }
+
+  /** The table for consumers: committed live partitions above the
+    * watermark ∪ the day archive, deduped on `key`. None while empty. */
+  def read(spark: SparkSession, liveDir: String,
+      key: Seq[String]): Option[DataFrame] = {
+    healBackups(archiveDir(liveDir), "day=")
+    val wm = foldedWatermark(liveDir).getOrElse(Long.MinValue)
+    val liveDirs = Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists() &&
+        f.getName.stripPrefix("batch_id=").toLong > wm)
+    val live =
+      if (liveDirs.isEmpty) None
+      else Some(spark.read.parquet(liveDirs.map(_.toString).toIndexedSeq: _*))
+    val arch = archiveDir(liveDir)
+    val archived =
+      if (arch.exists() &&
+        Option(arch.listFiles()).exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("day="))))
+        Some(spark.read.parquet(arch.toString).drop("day"))
+      else None
+    (live, archived) match {
+      case (Some(l), Some(a)) =>
+        Some(l.unionByName(a).dropDuplicates(key))
+      case (l, a) => l.orElse(a)
+    }
+  }
+
+  /** Fold committed batch partitions older than the newest `keepBatches`
+    * (clamped to >= 1 — the newest batch is the one Structured Streaming
+    * can replay, and its replay guard needs the `_SUCCESS` marker to
+    * survive un-folded) into day partitions keyed by `bucketExpr` (a
+    * SQL expression over the table's columns yielding an int day).
+    * `noFoldAtOrAbove` lets callers pin batches whose side effects are
+    * still pending (the trades pending-refresh marker). Crash-safe and
+    * idempotent; see the object doc for the step order. */
+  def compact(spark: SparkSession, liveDir: String, bucketExpr: String,
+      key: Seq[String], keepBatches: Int,
+      noFoldAtOrAbove: Long = Long.MaxValue): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val arch = archiveDir(liveDir)
+    // heal FIRST, before any early return: a crash between a prior
+    // swap's two renames must be repaired even when this run has
+    // nothing new to fold
+    healBackups(arch, "day=")
+    val keep = math.max(1, keepBatches)
+    val batchDirs = Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(f => f.getName.stripPrefix("batch_id=").toLong -> f)
+      .sortBy(_._1)
+    if (batchDirs.isEmpty) return
+    val cutoff = math.min(batchDirs.last._1 - keep, noFoldAtOrAbove - 1)
+    val toFold = batchDirs.filter(_._1 <= cutoff)
+    if (toFold.isEmpty) return
+    val batchRows = spark.read
+      .parquet(toFold.map(_._2.toString).toIndexedSeq: _*)
+      .withColumn("day", expr(bucketExpr))
+    // touched days: tiny driver-side list (bounded by the fold's time
+    // span), used as partition-pruning literals — not a data fetch
+    val days = batchRows.select(col("day")).distinct()
+      .collect().map(_.getInt(0))
+    val priorArchive =
+      if (arch.exists() &&
+        Option(arch.listFiles()).exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("day="))))
+        spark.read.parquet(arch.toString)
+          .filter(col("day").isin(days.map(Int.box): _*))
+      else batchRows.limit(0)
+    val merged = priorArchive.unionByName(batchRows)
+      .dropDuplicates(key)
+    val live = new java.io.File(liveDir)
+    val tmp = new java.io.File(live.getParentFile,
+      s".${live.getName}_archive_tmp")
+    merged.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(arch.toPath)
+    days.foreach { d =>
+      val src = new java.io.File(tmp, s"day=$d")
+      val dst = new java.io.File(arch, s"day=$d")
+      val old = new java.io.File(arch, s".day=${d}_old")
+      if (src.exists()) {
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+        if (dst.exists() && !dst.renameTo(old))
+          throw new java.io.IOException(s"archive swap failed: $dst -> $old")
+        if (!src.renameTo(dst)) {
+          old.renameTo(dst)
+          throw new java.io.IOException(s"archive swap failed: $src -> $dst")
+        }
+        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+      }
+    }
+    graft.functions.Fs.deleteRecursively(tmp)
+    // watermark BEFORE deleting sources: a compacted batch must never
+    // look uncommitted to the replay guard, even mid-crash. One long,
+    // written via write-aside + atomic rename — never grows.
+    val wm = math.max(
+      foldedWatermark(liveDir).getOrElse(Long.MinValue), toFold.last._1)
+    val ltmp = new java.io.File(arch, "._ledger_tmp")
+    java.nio.file.Files.write(ltmp.toPath, wm.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(ltmp.toPath, ledgerFile(liveDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    toFold.foreach { case (_, dir) =>
+      graft.functions.Fs.deleteRecursively(dir)
+    }
+  }
+}

@@ -11,12 +11,11 @@ import graft.streaming.Streams.Trade
   * always-on queries over a file-source trade feed (swap the source for
   * kafka in production — everything downstream is source-agnostic):
   *
-  *  1. bars: watermarked 1-minute OHLC -> parquet append (the candle
-  *     buffer, persisted instead of deque'd)
-  *  2. deltas: watermarked 10 s taker-delta -> parquet append (the
-  *     Parameters-table feed)
-  *  3. signals: the bronze->silver hop — rolling z + entry signal kept
-  *     incrementally over the delta table
+  *  1. bars: watermarked 1-minute OHLC (the candle buffer, persisted
+  *     instead of deque'd)
+  *  2. deltas: watermarked 10 s taker-delta (the Parameters-table feed)
+  *  3. signals: rolling z + entry signal, chained windowed-agg ->
+  *     keyed-state in one query
   *  4. trades: the position FSM over a signal feed -> the Trades table,
   *     with derived tables (Daily Summary, orders) maintained
   *     INCREMENTALLY — per-micro-batch work is O(batch), independent of
@@ -99,21 +98,68 @@ object Live {
           "Re-stamp the legacy files with their true symbol first.")
   }
 
+  /** Row key and day-bucket expression per windowed live table — what
+    * [[BatchSink]] needs to dedup the union view and to fold batches
+    * into day partitions. Every table is one row per (symbol, window). */
+  val SinkTables: Map[String, (Seq[String], String)] = {
+    def winTable(timeCol: String) =
+      (Seq("symbol", timeCol), s"int(unix_timestamp($timeCol) div 86400)")
+    Map(
+      "bars" -> winTable("bar_start"),
+      "deltas" -> winTable("win_start"),
+      "signals" -> winTable("win_start"),
+      "fused" -> winTable("win_start"),
+      "lv" -> winTable("win_start"))
+  }
+
+  /** The shared sink of the five windowed tables: the same batch-dir
+    * commit protocol the trades table uses (O(1) replay guard, day-fold
+    * compaction, exactly-once union view) instead of the round-4 plain
+    * `writeStream` parquet append — which accreted unbounded small files
+    * at the reference's 20 Hz cadence with no retention story. */
+  private def sinkQuery(out: DataFrame, outDir: String, table: String,
+      ckptDir: String): StreamingQuery =
+    out.writeStream
+      .option("checkpointLocation", s"$ckptDir/$table")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val df = batch.cache()
+        try {
+          // evaluate unconditionally: the upstream stateful operators
+          // must commit their state stores even when the sink-side
+          // commit is skipped as a replay
+          val rows = df.count()
+          if (rows > 0 && !BatchSink.alreadyCommitted(s"$outDir/$table", batchId))
+            BatchSink.commit(df, s"$outDir/$table", batchId)
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
+  /** The live table for consumers (committed recent ∪ archive). */
+  def readSink(spark: SparkSession, outDir: String,
+      table: String): Option[DataFrame] =
+    BatchSink.read(spark, s"$outDir/$table", SinkTables(table)._1)
+
+  /** Maintenance job over the windowed tables: fold old batch
+    * partitions into each table's day archive. Trades has its own
+    * [[compactTrades]] (it additionally respects the pending-refresh
+    * marker). */
+  def compactSinks(spark: SparkSession, outDir: String,
+      keepBatches: Int = CompactKeepBatches): Unit =
+    SinkTables.foreach { case (table, (key, bucket)) =>
+      BatchSink.compact(spark, s"$outDir/$table", bucket, key, keepBatches)
+    }
+
   def barsQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery =
-    Streams.ohlcBars(tradeSource(spark, tradesDir))
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/bars")
-      .option("checkpointLocation", s"$ckptDir/bars")
-      .outputMode("append").start()
+    sinkQuery(Streams.ohlcBars(tradeSource(spark, tradesDir)),
+      outDir, "bars", ckptDir)
 
   def deltaQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery =
-    Streams.takerDelta(tradeSource(spark, tradesDir))
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/deltas")
-      .option("checkpointLocation", s"$ckptDir/deltas")
-      .outputMode("append").start()
+    sinkQuery(Streams.takerDelta(tradeSource(spark, tradesDir)),
+      outDir, "deltas", ckptDir)
 
   /** Rename-aside swap of a recomputed SMALL table (the day-keyed stats
     * and summary — O(days) rows by construction; large tables use
@@ -153,7 +199,7 @@ object Live {
     if (old.exists()) graft.functions.Fs.deleteRecursively(old)
   }
 
-  // ---- trades-table commit protocol ----
+  // ---- trades-table commit protocol (delegates to [[BatchSink]]) ----
 
   private def batchDir(outDir: String, batchId: Long) =
     new java.io.File(s"$outDir/trades/batch_id=$batchId")
@@ -167,15 +213,14 @@ object Live {
     * whose commit didn't land; batch ids are monotone per checkpoint. */
   def alreadyCommitted(spark: SparkSession, outDir: String,
       batchId: Long): Boolean =
-    new java.io.File(batchDir(outDir, batchId), "_SUCCESS").exists() ||
-      foldedWatermark(outDir).exists(batchId <= _)
+    BatchSink.alreadyCommitted(s"$outDir/trades", batchId)
 
   /** Land one micro-batch in its own partition directory. `overwrite`
     * into the batch's OWN directory: a half-written partition from a
     * crash is replaced wholesale when the batch replays. */
   def commitBatch(df: DataFrame, outDir: String,
       batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(batchDir(outDir, batchId).toString)
+    BatchSink.commit(df, s"$outDir/trades", batchId)
 
   // ---- pending-refresh marker (append+refresh crash atomicity) ----
 
@@ -375,7 +420,7 @@ object Live {
     * landed, backup not yet deleted): the new dir is complete, drop the
     * backup. */
   private def healOrderPartitions(ordersDir: java.io.File): Unit =
-    healOrderStyleBackups(ordersDir, "rate_win=")
+    BatchSink.healBackups(ordersDir, "rate_win=")
 
   /** Incrementally refresh the orders table: recompute ONLY the rate
     * windows the batch touched. Prior events for those windows come back
@@ -446,221 +491,56 @@ object Live {
     * common path and the watermark check the rare one. */
   val CompactKeepBatches = 4
 
-  private def ledgerFile(outDir: String) =
-    new java.io.File(s"$outDir/trades_archive/_compacted_batches")
-
-  /** High watermark of folded batch ids: every committed batch id at or
-    * below it has been folded into the day archive. Compaction always
-    * folds from the bottom (every on-disk committed id <= its cutoff),
-    * so one long fully describes the folded set — O(1) to read on the
-    * replay-probe miss path and constant-size forever, where the
-    * round-4 per-id ledger grew one line per micro-batch (millions at
-    * the reference's 20 Hz cadence), re-parsed in full on EVERY new
-    * batch and expanded into an ever-wider `isin` tree in the union
-    * view. A legacy multi-line ledger reads as its max — the same set. */
-  def foldedWatermark(outDir: String): Option[Long] = {
-    val f = ledgerFile(outDir)
-    if (!f.exists()) None
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .flatMap(_.toLongOption).maxOption
-  }
+  /** Folded-batch high watermark of the trades table ([[BatchSink]]). */
+  def foldedWatermark(outDir: String): Option[Long] =
+    BatchSink.foldedWatermark(s"$outDir/trades")
 
   /** The deterministic event identity: what makes a trades row unique
     * (order_id derives from it). Shared by the orders refresh dedup, the
     * compaction merge, and the union view below. */
   private val EventKey = Seq("symbol", "bucket", "action", "side")
 
-  /** The live trades table for consumers: recent micro-batch partitions
-    * union the day-keyed archive. Either side may not exist yet.
-    * Exactly-once under compaction crashes: a batch folded into the
-    * archive whose source directory still exists (crash between the
-    * archive swap and the source delete) would otherwise appear on both
-    * sides, so directories at or below the folded watermark never join
-    * the live path list, and the union dedups on the event key — a
-    * no-op in the steady state (sides are disjoint, keys unique), the
-    * heal in the crash window before the next compaction converges. At
-    * scale this is the bronze(recent)/archive split every streaming
-    * lakehouse runs; a transactional format would hide it behind one
-    * table name. */
-  def readTrades(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    // heal BEFORE reading: a compaction that crashed between its two
-    // archive renames leaves the only copy of a day's archived rows in
-    // the dot-prefixed backup, which partition discovery ignores —
-    // reading without the heal would silently drop that day until the
-    // next compaction happened to run
-    healOrderStyleBackups(new java.io.File(s"$outDir/trades_archive"), "day=")
-    def readIf(p: String) = {
-      val f = new java.io.File(p)
-      if (f.exists() && f.listFiles() != null &&
-        f.listFiles().exists(n => !n.getName.startsWith("_") &&
-          !n.getName.startsWith(".")))
-        Some(spark.read.parquet(p)) else None
-    }
-    // live side = batch partitions that carry _SUCCESS (a half-written
-    // directory from a crashed commitBatch must not leak uncommitted
-    // rows into a view documented exactly-once) with ids ABOVE the
-    // folded watermark (a surviving dir at or below it means the
-    // compaction crashed before its source delete — the archive already
-    // holds those rows). Explicit committed paths, never root partition
-    // discovery, and never a data-side filter over ledgered ids.
-    val wm = foldedWatermark(outDir).getOrElse(Long.MinValue)
-    val liveDirs = Option(new java.io.File(s"$outDir/trades").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
-        new java.io.File(f, "_SUCCESS").exists() &&
-        f.getName.stripPrefix("batch_id=").toLong > wm)
-    val live =
-      if (liveDirs.isEmpty) None
-      else Some(spark.read.parquet(liveDirs.map(_.toString).toIndexedSeq: _*))
-    val archived = readIf(s"$outDir/trades_archive")
-      .map(_.drop("day"))
-    (live, archived) match {
-      case (Some(l), Some(a)) =>
-        Some(l.unionByName(a).dropDuplicates(EventKey))
-      case (l, a) => l.orElse(a)
-    }
-  }
+  /** The live trades table for consumers: committed recent micro-batch
+    * partitions ∪ the day-keyed archive, exactly-once through every
+    * compaction crash window ([[BatchSink.read]]). */
+  def readTrades(spark: SparkSession, outDir: String): Option[DataFrame] =
+    BatchSink.read(spark, s"$outDir/trades", EventKey)
 
-  /** Maintenance job: fold committed micro-batch partitions (all but the
-    * newest [[CompactKeepBatches]]) into day-keyed archive partitions —
-    * the operation that keeps the one-directory-per-micro-batch commit
-    * protocol viable at scale (a 20 Hz live stream otherwise accretes
-    * millions of tiny partitions). Crash-safe end to end:
-    *
-    *  1. the compacted rows merge into the archive's touched day
-    *     partitions via the same rename-aside swap the orders table
-    *     uses (backup, move in, drop backup; leftover backups healed
-    *     before any read);
-    *  2. the folded watermark advances in `_compacted_batches` via
-    *     write-aside + atomic rename BEFORE the batch directories are
-    *     deleted, so [[alreadyCommitted]]'s replay guard never has a
-    *     window where a compacted batch looks uncommitted;
-    *  3. deleting the source batch directories is the last step — a
-    *     crash before it leaves rows present in BOTH tables, which the
-    *     next compaction heals by re-folding the sub-watermark dirs
-    *     still on disk (dedup by construction: it rewrites the same day
-    *     partitions from archive ∪ batch rows, deduped on the event
-    *     key), and which [[readTrades]] masks meanwhile by excluding
-    *     sub-watermark dirs from the live side.
-    *
-    * Runs on whatever cadence operations chooses (end of day, every N
-    * batches); idempotent, so overlapping runs converge. */
+  /** Maintenance job: fold committed micro-batch partitions (all but
+    * the newest [[CompactKeepBatches]]) into the day archive — the
+    * [[BatchSink.compact]] fold with one trades-specific guard: a batch
+    * whose derived-table refreshes are still pending must not fold (the
+    * heal replays those refreshes FROM the batch directory, so deleting
+    * it before the marker clears would lose the summary/orders updates
+    * forever). */
   def compactTrades(spark: SparkSession, outDir: String,
       keepBatches: Int = CompactKeepBatches): Unit = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val archiveDir = new java.io.File(s"$outDir/trades_archive")
-    // heal FIRST, before any early return: a crash between the archive
-    // swap's two renames must be repaired even when this run has nothing
-    // new to fold, or the backed-up day stays invisible indefinitely
-    healOrderStyleBackups(archiveDir, "day=")
-    // keepBatches >= 1 is load-bearing, not tuning: the newest batch is
-    // the one Structured Streaming can replay after a crash, and the
-    // replay guard relies on either its _SUCCESS marker or the ledger —
-    // folding it with keepBatches=0 while its pending-refresh marker is
-    // uncleared would also lose that batch's derived-table refreshes
-    // permanently (healPending drops a marker whose batch dir is gone)
-    val keep = math.max(1, keepBatches)
-    val tradesDir = new java.io.File(s"$outDir/trades")
-    val batchDirs = Option(tradesDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(f => f.getName.stripPrefix("batch_id=").toLong -> f)
-      .sortBy(_._1)
-    if (batchDirs.isEmpty) return
-    // never fold a batch whose derived-table refreshes are still pending:
-    // the heal replays them FROM the batch directory, so deleting it
-    // before the marker clears loses the summary/orders updates forever
     val pendingId = {
       val f = pendingFile(outDir)
       if (!f.exists()) Long.MaxValue
       else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .trim.toLongOption.getOrElse(Long.MaxValue)
     }
-    val cutoff = math.min(batchDirs.last._1 - keep, pendingId - 1)
-    val toFold = batchDirs.filter(_._1 <= cutoff)
-    if (toFold.isEmpty) return
-    val batchRows = spark.read
-      .parquet(toFold.map(_._2.toString): _*)
-      .withColumn("day", expr("int(bucket div 24)"))
-    // touched days: tiny driver-side list, same shape as refreshOrders
-    val days = batchRows.select(col("day")).distinct()
-      .collect().map(_.getInt(0))
-    val priorArchive =
-      if (archiveDir.exists() &&
-        Option(archiveDir.listFiles()).exists(_.exists(f =>
-          f.isDirectory && f.getName.startsWith("day="))))
-        spark.read.parquet(archiveDir.toString)
-          .filter(col("day").isin(days.map(Int.box): _*))
-      else batchRows.limit(0)
-    val merged = priorArchive.unionByName(batchRows)
-      .dropDuplicates(EventKey)
-    val tmp = new java.io.File(s"$outDir/.archive_tmp")
-    merged.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
-    java.nio.file.Files.createDirectories(archiveDir.toPath)
-    days.foreach { d =>
-      val src = new java.io.File(tmp, s"day=$d")
-      val dst = new java.io.File(archiveDir, s"day=$d")
-      val old = new java.io.File(archiveDir, s".day=${d}_old")
-      if (src.exists()) {
-        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
-        if (dst.exists() && !dst.renameTo(old))
-          throw new java.io.IOException(s"archive swap failed: $dst -> $old")
-        if (!src.renameTo(dst)) {
-          old.renameTo(dst)
-          throw new java.io.IOException(s"archive swap failed: $src -> $dst")
-        }
-        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
-      }
-    }
-    graft.functions.Fs.deleteRecursively(tmp)
-    // watermark BEFORE deleting sources: a compacted batch must never
-    // look uncommitted to the replay guard, even mid-crash. One long,
-    // written via write-aside + atomic rename — never grows, never
-    // needs pruning.
-    val wm = math.max(
-      foldedWatermark(outDir).getOrElse(Long.MinValue), toFold.last._1)
-    val ltmp = new java.io.File(s"$outDir/trades_archive/._ledger_tmp")
-    java.nio.file.Files.write(ltmp.toPath, wm.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(ltmp.toPath, ledgerFile(outDir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    toFold.foreach { case (_, dir) =>
-      graft.functions.Fs.deleteRecursively(dir)
-    }
+    BatchSink.compact(spark, s"$outDir/trades", "int(bucket div 24)",
+      EventKey, keepBatches, noFoldAtOrAbove = pendingId)
   }
 
-  /** Shared heal for rename-aside-swapped partition directories (orders
-    * rate windows, archive days): restore a backup whose partition is
-    * missing, drop one whose partition landed. */
-  private def healOrderStyleBackups(dir: java.io.File,
-      prefix: String): Unit =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(s".$prefix") &&
-        f.getName.endsWith("_old"))
-      .foreach { old =>
-        val dst = new java.io.File(dir,
-          old.getName.stripPrefix(".").stripSuffix("_old"))
-        if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
-        else if (!old.renameTo(dst))
-          throw new java.io.IOException(
-            s"partition heal failed: $old -> $dst")
-      }
-
-  /** Silver stage: tails the delta table the deltaQuery lands and keeps
-    * the rolling z-score + entry signal incrementally — the
-    * bronze(deltas) -> silver(signals) hop of the live topology. */
-  def signalQuery(spark: SparkSession, outDir: String,
+  /** Silver stage: the rolling z-score + entry signal over the taker
+    * deltas, chained as windowed-agg -> keyed-state in ONE query (the
+    * same chained-stateful shape as [[lvQuery]]). Round 4 tailed the
+    * landed delta TABLE as a file stream instead; chaining removes that
+    * replay boundary — a compaction of the deltas table can no longer
+    * race a consumer's file-discovery progress — and makes every landed
+    * table a LEAF, which is what lets [[compactSinks]] fold any of them
+    * without coordinating with downstream readers. */
+  def signalQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
     import spark.implicits._
-    val deltas = spark.readStream
-      .schema(org.apache.spark.sql.Encoders.product[Streams.DeltaRow].schema)
-      .parquet(s"$outDir/deltas")
+    val deltas = Streams.takerDelta(tradeSource(spark, tradesDir))
+      .select($"symbol", $"win_start", $"delta")
       .as[Streams.DeltaRow]
-    Streams.zscoreStream(deltas)
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/signals")
-      .option("checkpointLocation", s"$ckptDir/signals")
-      .outputMode("append").start()
+    sinkQuery(Streams.zscoreStream(deltas).toDF(),
+      outDir, "signals", ckptDir)
   }
 
   def bookSource(spark: SparkSession, dir: String) =
@@ -686,11 +566,7 @@ object Live {
         Streams.signalBarsWithBook(trades, bookSource(spark, bd))
       case None => Streams.signalBars(trades)
     }
-    Streams.fusedStream(bars)
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/fused")
-      .option("checkpointLocation", s"$ckptDir/fused")
-      .outputMode("append").start()
+    sinkQuery(Streams.fusedStream(bars).toDF(), outDir, "fused", ckptDir)
   }
 
   /** Exact multi-TF liquidity-velocity + volume-rate table, live: the
@@ -701,12 +577,9 @@ object Live {
     * `flow_volrate` semantics per finalized bar. */
   def lvQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery =
-    Streams.lvStream(Streams.lvWindows(
-        Streams.diffStream(tradeSource(spark, tradesDir))))
-      .writeStream.format("parquet")
-      .option("path", s"$outDir/lv")
-      .option("checkpointLocation", s"$ckptDir/lv")
-      .outputMode("append").start()
+    sinkQuery(Streams.lvStream(Streams.lvWindows(
+        Streams.diffStream(tradeSource(spark, tradesDir)))).toDF(),
+      outDir, "lv", ckptDir)
 
   def tradesQuery(spark: SparkSession, signalsDir: String, outDir: String,
       ckptDir: String): StreamingQuery = {
@@ -753,13 +626,10 @@ object Live {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the silver stage tails the delta table; make sure its source dir
-    // exists before the file source initializes
-    new java.io.File(s"$outDir/deltas").mkdirs()
     val qs = Seq(
       barsQuery(spark, tradesDir, outDir, ckptDir),
       deltaQuery(spark, tradesDir, outDir, ckptDir),
-      signalQuery(spark, outDir, ckptDir),
+      signalQuery(spark, tradesDir, outDir, ckptDir),
       fusedQuery(spark, tradesDir, outDir, ckptDir, booksDir),
       lvQuery(spark, tradesDir, outDir, ckptDir),
       tradesQuery(spark, signalsDir, outDir, ckptDir))

@@ -331,6 +331,45 @@ class AppSpec extends SparkSpec {
       .head.getAs[Long]("n_trades") == 1L)
   }
 
+  test("windowed sinks: batch partitions stay bounded under compaction, readers see identical rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sinkcompact").toString
+    val tradesDir = s"$base/trades_in"
+    val outDir = s"$base/out"
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    new java.io.File(tradesDir).mkdirs() // file source needs the dir up front
+    val q = Live.deltaQuery(spark, tradesDir, outDir, s"$base/ckpt")
+    // five micro-batches, each a day apart so the watermark finalizes
+    // the prior day's windows into a committed batch partition
+    (0 until 5).foreach { i =>
+      Seq(Trade("S", ts(i * 86400L + 1), 10.0 + i, 1.0, i % 2 == 0),
+          Trade("S", ts(i * 86400L + 2000), 11.0, 1.0, false))
+        .toDS().coalesce(1).write.mode("append").parquet(tradesDir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def batchDirs() = Option(new java.io.File(s"$outDir/deltas").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.startsWith("batch_id="))
+    def rowsOfSink() = Live.readSink(spark, outDir, "deltas").get
+      .collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Double]("delta")))
+      .toSet
+    val dirsBefore = batchDirs()
+    assert(dirsBefore >= 3, s"expected several micro-batch dirs, saw $dirsBefore")
+    val before = rowsOfSink()
+    assert(before.nonEmpty)
+    // compaction bounds the partition count; the union view is unchanged
+    Live.compactSinks(spark, outDir, keepBatches = 1)
+    assert(batchDirs() <= 2, s"batch dirs not bounded: ${batchDirs()}")
+    assert(new java.io.File(s"$outDir/deltas_archive").listFiles()
+      .exists(_.getName.startsWith("day=")))
+    assert(rowsOfSink() == before)
+    // idempotent: a second run changes nothing
+    Live.compactSinks(spark, outDir, keepBatches = 1)
+    assert(rowsOfSink() == before)
+  }
+
   test("live pipeline: sinks land and the daily summary upserts across batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_live").toString
@@ -352,36 +391,32 @@ class AppSpec extends SparkSpec {
     val qs = Seq(
       Live.barsQuery(spark, tradesDir, outDir, ckptDir),
       Live.deltaQuery(spark, tradesDir, outDir, ckptDir),
+      Live.signalQuery(spark, tradesDir, outDir, ckptDir),
       Live.fusedQuery(spark, tradesDir, outDir, ckptDir),
       Live.lvQuery(spark, tradesDir, outDir, ckptDir),
       Live.tradesQuery(spark, signalsDir, outDir, ckptDir))
     qs.foreach(_.processAllAvailable())
-    // silver stage tails the delta table the bronze stage just landed
-    val zq = Live.signalQuery(spark, outDir, ckptDir)
-    zq.processAllAvailable()
 
     // batch 2: a second closed trade on a different day (bucket 30 -> day 1)
     Seq(FsmIn(30, 100.0, 100.0, 100.0, "SHORT", 1.0, 1.0),
         FsmIn(31, 95.0, 100.0, 95.0, "NONE", 1.0, 1.0)) // TP (short)
       .toDS().coalesce(1).write.mode("append").parquet(signalsDir)
     qs.foreach(_.processAllAvailable())
-    zq.processAllAvailable()
     qs.foreach(_.stop())
-    zq.stop()
 
-    val bars = spark.read.parquet(s"$outDir/bars")
+    val bars = Live.readSink(spark, outDir, "bars").get
     assert(bars.count() >= 1)
-    val deltas = spark.read.parquet(s"$outDir/deltas")
+    val deltas = Live.readSink(spark, outDir, "deltas").get
     assert(deltas.count() >= 1)
-    val signals = spark.read.parquet(s"$outDir/signals")
+    val signals = Live.readSink(spark, outDir, "signals").get
     assert(signals.count() == deltas.count()) // one z row per delta row
     // the fused decision stream landed per finalized bar, full frame
-    val fused = spark.read.parquet(s"$outDir/fused")
+    val fused = Live.readSink(spark, outDir, "fused").get
     assert(fused.count() >= 1)
     assert(fused.columns.toSet.contains("total_long") &&
       fused.columns.toSet.contains("side"))
     // the chained-stateful LV query landed per-bar exact multi-TF rows
-    val lv = spark.read.parquet(s"$outDir/lv")
+    val lv = Live.readSink(spark, outDir, "lv").get
     assert(lv.count() >= 1)
     assert(lv.columns.toSet.contains("lv_15m") &&
       lv.columns.toSet.contains("vol_factor"))
