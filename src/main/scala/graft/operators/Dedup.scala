@@ -158,7 +158,9 @@ object Dedup extends OpModule {
     * capped shingles, so jaccard is biased LOW for pairs overlapping in
     * hot shingles (and a pair overlapping ONLY in hot shingles drops
     * out) — the standard blacklisting trade-off, applied identically on
-    * both engines. No effect at these SFs (max posting ~8 docs). */
+    * both engines. No effect at these SFs (max posting ~8 docs);
+    * exercised by SkewSpec's hot-shingle fixture (df 122 > cap), which
+    * measures both the dropped pair count and the jaccard bias. */
   val HotShingleCap = 64
 
   /** Exact n-gram Jaccard over the inverted index: top-20 most similar

@@ -159,27 +159,52 @@ object Pipeline extends OpModule {
     * pipeline sets this to the model's context length. */
   val PackBudget = 256L
 
+  /** Documents per packing granule — the two-level (hierarchical)
+    * packing bucket. Sized small so the sf corpora exercise multiple
+    * granules through the oracle gate; a 100 TB deployment raises it to
+    * ~1e5 (the dial trades granule-frame size against per-window
+    * parallelism — results are identical at ANY value). */
+  val PackBucketDocs = 256L
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * layout: per source, documents are concatenated in doc_id order and
     * the token stream is cut every [[PackBudget]] tokens; each document
     * records which sequence it starts in and at what token offset.
-    * One cumulative-sum window per source = ONE shuffle partitioned by
-    * source, never a global sort. Scale note: with few giant sources the
-    * per-source window skews — a 100 TB deployment packs within file
-    * partitions first and renumbers sequences with a prefix sum of
-    * per-partition token totals (hierarchical packing), trading exact
-    * stream order for unbounded parallelism; at this corpus' source
-    * cardinality the direct window is the better plan. */
+    *
+    * Plan: TWO-LEVEL (hierarchical) prefix sums, because a single
+    * per-source running-sum window collapses a giant source onto one
+    * task — the skew a 90%-one-source corpus hits. Level 1 runs the
+    * running sum within bounded `(source, doc_id div PackBucketDocs)`
+    * granules; level 2 prefix-sums the per-granule token totals (a
+    * frame |corpus|/granule rows, broadcast back). Because granule
+    * boundaries follow doc_id order, `granule_base + within_granule`
+    * equals the single-window cumulative sum EXACTLY — unbounded
+    * parallelism with bit-identical output (asserted against the
+    * direct-window reference on a 90%-skewed fixture in SkewSpec), so
+    * the DuckDB oracle stays the simple single-window form. Never a
+    * global sort. */
   private def packDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = TextAnalysis.queries("text_tokens")(spark, dir)
       .select($"doc_id", $"n_tokens")
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select($"doc_id", $"source")
       .join(toks, Seq("doc_id"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("bkt", expr(s"doc_id div $PackBucketDocs"))
+    // level 1: running sum within a bounded granule
+    val wIn = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // level 2: per-granule totals, exclusive-prefix-summed within source
+    val wBase = Window.partitionBy($"source").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy($"source", $"bkt")
+      .agg(sum($"n_tokens").as("bt"))
+      .withColumn("bkt_base", coalesce(sum($"bt").over(wBase), lit(0L)))
+      .select($"source", $"bkt", $"bkt_base")
+    base
+      .withColumn("cum_in", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .join(broadcast(bases), Seq("source", "bkt"))
+      .withColumn("cum_before", $"bkt_base" + $"cum_in")
       .select($"doc_id", $"source", $"n_tokens",
         // integer `div`, not double '/' + cast: long division through a
         // double rounds at 2^52-scale cumulative token counts, where the

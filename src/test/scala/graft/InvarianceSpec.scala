@@ -40,16 +40,19 @@ class InvarianceSpec extends SparkSpec {
       "session aggregation must not plan a join")
   }
 
-  test("pipeline_pack plans one source-partitioned window, never a global sort") {
+  test("pipeline_pack plans bounded granule windows, never a global sort") {
     val plan = graft.operators.Pipeline
       .queries("pipeline_pack")(spark, sfDir())
       .queryExecution.executedPlan.toString
-    // the packing cut points come from a running-sum window partitioned
-    // by source: the exchange hashes on source, the sort is within
-    // partitions (PLANS.md "pipeline_pack"); a rangepartitioning exchange
-    // would mean a global order crept in
+    // two-level packing (PLANS.md "pipeline_pack"): the heavy running-sum
+    // window exchanges on (source, granule) — bounded partitions even
+    // under a one-giant-source corpus — with the per-granule bases
+    // broadcast back; a rangepartitioning exchange would mean a global
+    // order crept in
     assert(plan.contains("hashpartitioning(source"),
       s"no source-hash exchange in:\n$plan")
+    assert(plan.contains("bkt"),
+      s"no granule key in the pack plan:\n$plan")
     assert(!plan.contains("rangepartitioning"),
       "packing must not plan a global sort")
   }

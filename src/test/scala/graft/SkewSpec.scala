@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skewed-corpus fixtures that actually EXERCISE the skew guards the
+  * scale docs describe (round-4 verdict: they were documented prose,
+  * untested):
+  *
+  *  - a stopword 3-gram hot enough to trip [[Dedup.HotShingleCap]]
+  *    (df 122 > 64) — the quadratic candidate-pair bomb;
+  *  - one source holding ~90% of the corpus tokens — the giant-source
+  *    window skew hierarchical packing exists for.
+  */
+class SkewSpec extends graft.SparkSpec {
+
+  private val Hot = "of the and"
+
+  /** Synthesized skewed corpus (documents-table schema) in a temp dir:
+    * 120 docs sharing ONLY the hot shingle, one genuine near-dup pair
+    * (ids 1000/1001) sharing many rare shingles plus the hot one, a
+    * "mega" source with ~90% of tokens, and three small sources. */
+  private lazy val skewDir: String = {
+    val dir = Files.createTempDirectory("graft_skew").toString
+    import spark.implicits._
+    val hotOnly = (0 until 120).map(i =>
+      (i.toLong, s"$Hot u${i}a u${i}b u${i}c", "en", "mega"))
+    val nearDups = Seq(
+      (1000L, s"$Hot alpha beta gamma delta epsilon zeta", "en", "mega"),
+      (1001L, s"$Hot alpha beta gamma delta epsilon eta", "en", "small0"))
+    val megaDocs = (2000 until 4700).map(i =>
+      (i.toLong, s"m${i}x m${i}y m${i}z m${i}w", "en", "mega"))
+    val smallDocs = (5000 until 5300).map(i =>
+      (i.toLong, s"s${i}x s${i}y s${i}z", "en", s"small${i % 3}"))
+    (hotOnly ++ nearDups ++ megaDocs ++ smallDocs)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("hot-shingle cap: the quadratic pair bomb is dropped, real near-dups survive") {
+    import spark.implicits._
+    val sets = Dedup.shingled(spark, skewDir)
+      .select($"doc_id", $"h").distinct().cache()
+    try {
+      val df = sets.groupBy($"h").agg(count(lit(1)).as("df"))
+      // fixture sanity: the stopword shingle is hot (df > cap); every
+      // other shingle is far below the cap
+      val hotDf = df.orderBy($"df".desc).head.getAs[Long]("df")
+      assert(hotDf == 122L, s"hot shingle df was $hotDf")
+      assert(hotDf > Dedup.HotShingleCap)
+      // the cap removes the quadratic bomb: candidate pairs WITH the hot
+      // posting would number sum(df*(df-1)/2) over all shingles — the
+      // hot one alone contributes 122*121/2 = 7381; capped, the join
+      // touches only the rare postings
+      def pairCount(capped: Boolean): Long = {
+        val d = if (capped) df.filter($"df" <= Dedup.HotShingleCap) else df
+        d.select(sum(expr("df * (df - 1) div 2"))).head.getLong(0)
+      }
+      val uncapped = pairCount(capped = false)
+      val capped = pairCount(capped = true)
+      assert(uncapped - capped == 122L * 121 / 2,
+        s"cap should drop exactly the hot posting's pairs ($uncapped vs $capped)")
+      assert(capped < 20, s"rare postings should be near-disjoint: $capped")
+      // the production query: hot-only pairs are gone, the genuine
+      // near-dup pair tops the board
+      val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, skewDir))
+      assert(top.nonEmpty)
+      val best = top.minBy(m => -m("jaccard").asInstanceOf[Double])
+      assert(best("doc_a") == 1000L && best("doc_b") == 1001L)
+      top.foreach { m =>
+        val (a, b) = (m("doc_a").asInstanceOf[Long], m("doc_b").asInstanceOf[Long])
+        assert(!(a < 120 && b < 120),
+          s"pair ($a,$b) shares ONLY the hot shingle and must be capped out")
+      }
+      // the documented jaccard bias, MEASURED: the capped intersection
+      // misses the hot shingle while set sizes keep it, so the reported
+      // jaccard sits below the true value by exactly that one shingle
+      val hotH = df.filter($"df" === hotDf).select($"h").head.getLong(0)
+      val ndSets = sets.filter($"doc_id".isin(1000L, 1001L))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val (sa, sb) = (ndSets(1000L), ndSets(1001L))
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      val cappedInter = ((sa & sb) - hotH).size
+      val cappedJ = cappedInter.toDouble / (sa.size + sb.size - cappedInter)
+      assert(math.abs(best("jaccard").asInstanceOf[Double] - cappedJ) < 1e-12)
+      assert(cappedJ < trueJ,
+        s"cap must bias jaccard low: $cappedJ !< $trueJ")
+    } finally { sets.unpersist(); () }
+  }
+
+  test("hierarchical packing matches the direct window exactly on a 90%-skewed corpus") {
+    import spark.implicits._
+    // fixture sanity: one source holds ~90% of the tokens
+    val toks = TextAnalysis.queries("text_tokens")(spark, skewDir)
+      .select($"doc_id", $"n_tokens")
+    val bySource = graft.sources.Tables.documents(spark, skewDir)
+      .select($"doc_id", $"source").join(toks, Seq("doc_id"))
+      .groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val megaShare = bySource("mega").toDouble / bySource.values.sum
+    assert(megaShare > 0.85, s"mega share $megaShare")
+    // the production (two-level) packing vs the naive single-window
+    // reference the round-4 plan ran: bit-identical on every doc
+    val packed = Pipeline.queries("pipeline_pack")(spark, skewDir)
+    val wRef = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = graft.sources.Tables.documents(spark, skewDir)
+      .select($"doc_id", $"source").join(toks, Seq("doc_id"))
+      .withColumn("cum", coalesce(sum($"n_tokens").over(wRef), lit(0L)))
+      .select($"doc_id",
+        expr(s"cum div ${Pipeline.PackBudget}").as("seq_id"),
+        ($"cum" % Pipeline.PackBudget).as("tok_offset"))
+    val got = packed.select("doc_id", "seq_id", "tok_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = ref.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // the giant source genuinely spans multiple granules, so the level-1
+    // window is bounded — the whole point of the two-level plan
+    val nGranules = graft.sources.Tables.documents(spark, skewDir)
+      .filter($"source" === "mega")
+      .select(expr(s"doc_id div ${Pipeline.PackBucketDocs}")).distinct().count()
+    assert(nGranules >= 10, s"only $nGranules granules")
+    // and the plan's heavy window exchanges on (source, granule), never
+    // a single giant per-source partition or a global sort
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source") &&
+      plan.contains("bkt"), s"no granule exchange in:\n$plan")
+    assert(!plan.contains("rangepartitioning"))
+  }
+}
