@@ -81,13 +81,19 @@ object Bench {
     }
     def jsonMap(kv: Seq[(String, Any)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsJson = jsonMap(results.map(r => r._1 -> r._2))
+    // 3-decimal seconds: sub-millisecond digits are noise, and a short
+    // line survives the driver's record-tail truncation
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qsJson = jsonMap(results.map(r => r._1 -> r3(r._2)))
     val heapJson = jsonMap(results.map(r => r._1 -> r._3))
     val peakJson = jsonMap(results.map(r => r._1 -> r._4))
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"heap_mb":$heapJson,"peak_task_mb":$peakJson,"sf":"$sfDir"}""")
+    // "queries" sits LAST (+ a duplicate total after it): the round-3/4
+    // records show the driver truncates this line from the FRONT, and the
+    // per-query seconds are the part a reader actually needs to survive
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","heap_mb":$heapJson,"peak_task_mb":$peakJson,"queries":$qsJson,"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -72,7 +72,11 @@ object BatchSink {
   /** Restore rename-aside-swapped partition directories whose swap
     * crashed between its two renames (partition missing, the dot-backup
     * holds the only copy) and drop backups whose partition landed. MUST
-    * run before any read of a swapped table. */
+    * run before any read of a swapped table. Race-tolerant for the
+    * reader side: two concurrent readers healing the same backup both
+    * converge (the loser's failed rename is fine once the partition
+    * exists); ONE compactor at a time remains the operational contract,
+    * as with any non-transactional table maintenance. */
   def healBackups(dir: java.io.File, prefix: String): Unit =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s".$prefix") &&
@@ -81,7 +85,10 @@ object BatchSink {
         val dst = new java.io.File(dir,
           old.getName.stripPrefix(".").stripSuffix("_old"))
         if (dst.exists()) graft.functions.Fs.deleteRecursively(old)
-        else if (!old.renameTo(dst))
+        else if (!old.renameTo(dst) && !dst.exists() && old.exists())
+          // a failed rename is only a failure while the partition is
+          // still missing AND the backup still holds the data — a
+          // concurrent reader winning the same heal satisfies both
           throw new java.io.IOException(
             s"partition heal failed: $old -> $dst")
       }
@@ -168,13 +175,28 @@ object BatchSink {
       val dst = new java.io.File(arch, s"day=$d")
       val old = new java.io.File(arch, s".day=${d}_old")
       if (src.exists()) {
-        if (old.exists()) graft.functions.Fs.deleteRecursively(old)
-        if (dst.exists() && !dst.renameTo(old))
-          throw new java.io.IOException(s"archive swap failed: $dst -> $old")
-        if (!src.renameTo(dst)) {
-          old.renameTo(dst)
-          throw new java.io.IOException(s"archive swap failed: $src -> $dst")
+        // up to one retry: a concurrent reader's heal can restore the
+        // backup between our two renames (it sees dst missing and puts
+        // the old data back) — re-doing the backup rename converges;
+        // both directory states it can race into hold complete data
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 2) {
+          attempts += 1
+          if (old.exists()) graft.functions.Fs.deleteRecursively(old)
+          if (dst.exists() && !dst.renameTo(old))
+            throw new java.io.IOException(
+              s"archive swap failed: $dst -> $old")
+          done = src.renameTo(dst)
+          if (!done && !dst.exists()) {
+            old.renameTo(dst) // restore; heal on next run
+            throw new java.io.IOException(
+              s"archive swap failed: $src -> $dst")
+          }
         }
+        if (!done)
+          throw new java.io.IOException(
+            s"archive swap failed after retry: $src -> $dst")
         if (old.exists()) graft.functions.Fs.deleteRecursively(old)
       }
     }

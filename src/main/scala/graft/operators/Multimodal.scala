@@ -181,6 +181,10 @@ object Multimodal extends OpModule {
     var data: Array[Byte] = null
     while (bb.remaining() >= 8 && data == null) {
       val id = fourcc(); val len = bb.getInt
+      // RIFF word-aligns chunks: an odd-length body is followed by one
+      // pad byte NOT counted in len — skipping only len desynchronizes
+      // the walk on real files with odd-sized LIST/INFO chunks
+      val padded = len + (len & 1)
       id match {
         case "fmt " =>
           val fmt = bb.getShort
@@ -190,12 +194,12 @@ object Multimodal extends OpModule {
           rate = bb.getInt
           bb.getInt; bb.getShort // byte rate, block align
           bits = bb.getShort
-          bb.position(bb.position() + (len - 16))
+          bb.position(bb.position() + (padded - 16))
         case "data" =>
           if (rate < 0)
             throw new IllegalArgumentException("WAV: data before fmt")
           data = new Array[Byte](len); bb.get(data)
-        case _ => bb.position(bb.position() + len)
+        case _ => bb.position(bb.position() + padded)
       }
     }
     if (data == null) throw new IllegalArgumentException("WAV: no data chunk")

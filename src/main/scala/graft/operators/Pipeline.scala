@@ -355,10 +355,15 @@ object Pipeline extends OpModule {
     * |sources| rows; no global sort. */
   private def shardDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val packed = packDf(spark, dir)
-    val seqs = packed.groupBy($"source", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
-    val bases = packed.groupBy($"source")
+    // memoized: the per-sequence rollup (a |sequences|-row frame) feeds
+    // both the per-source totals and the output join — without it the
+    // whole two-level packing chain would be planned and executed twice
+    // (Spark does not share subtrees across join sides the way DuckDB
+    // materializes a CTE once)
+    val seqs = graft.functions.DfMemo.cached(spark, s"pack_seqs:$dir")(
+      packDf(spark, dir).groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens")))
+    val bases = seqs.groupBy($"source")
       .agg(sum($"n_tokens").as("t"))
       .withColumn("n_seqs", expr(s"(t + ${PackBudget - 1}) div $PackBudget"))
       .withColumn("base",

@@ -49,6 +49,27 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decode(bad) }
   }
 
+  test("WAV chunk walk honors RIFF word alignment (odd-length chunk + pad byte)") {
+    val wav = (0 until 30).map(i =>
+        Multimodal.synthesize(s"text$i", s"source$i"))
+      .find(b => b(0) == 'R').get
+    val want = Multimodal.decode(wav)
+    // splice an odd-length LIST chunk (3 bytes + 1 pad, as tagging tools
+    // emit) between WAVE and fmt, and grow the RIFF size accordingly —
+    // a walk that advances only `len` desynchronizes on the pad byte
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val out = java.nio.ByteBuffer.allocate(wav.length + extra.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(wav, 0, 4).putInt(
+      java.nio.ByteBuffer.wrap(wav, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + extra.length)
+    out.put(wav, 8, 4).put(extra).put(wav, 12, wav.length - 12)
+    val got = Multimodal.decode(out.array())
+    assert(got.kind == "audio" && got.nSamples == want.nSamples)
+    assert(java.util.Arrays.equals(got.data, want.data))
+  }
+
   test("media metadata: parsed dims, durations, and a fit-within resize plan") {
     val rows = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
     assert(rows.size == 500)

@@ -103,9 +103,13 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.size == Similarity.MaxProbeBudget, rung)
       val curve = rs.sortBy(_("probes").asInstanceOf[Int])
         .map(_("recall").asInstanceOf[Double])
-      // widening the probe set can only add candidates: recall is
-      // non-decreasing in the budget for every rung
-      curve.sliding(2).foreach { case Seq(a, b) => assert(a <= b, rung) }
+      // widening the probe set can only add candidates, so the
+      // exact-re-rank rungs are non-decreasing in the budget. NOT
+      // asserted for pq: its shortlist is fixed at PqShortlist, so a
+      // newly probed cell's high-quantized-score candidates can evict a
+      // true neighbor — pq recall is genuinely non-monotone in general
+      if (rung != "pq")
+        curve.sliding(2).foreach { case Seq(a, b) => assert(a <= b, rung) }
       assert(curve.head >= 0.0 && curve.last <= 1.0)
       // probing all 10 cells makes the candidate set the whole corpus,
       // so the exact-re-rank rungs end at perfect recall; pq may sit
