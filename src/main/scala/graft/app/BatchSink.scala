@@ -121,6 +121,24 @@ object BatchSink {
     }
   }
 
+  /** Retention: drop archive day partitions with day < `minDay` — the
+    * TTL pass that bounds TOTAL storage, where [[compact]] only bounds
+    * the partition-directory count. Deliberately destructive (that is
+    * what retention means); heals crashed swaps first so a backed-up
+    * day is restored before the cutoff judges it, and never touches
+    * live batch partitions (their ids say nothing about event time —
+    * they fold into days first, then age out). Returns the dropped day
+    * count. */
+  def expire(liveDir: String, minDay: Int): Int = {
+    val arch = archiveDir(liveDir)
+    healBackups(arch, "day=")
+    val dropped = Option(arch.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName.stripPrefix("day=").toIntOption.exists(_ < minDay))
+    dropped.foreach(graft.functions.Fs.deleteRecursively)
+    dropped.length
+  }
+
   /** Fold committed batch partitions older than the newest `keepBatches`
     * (clamped to >= 1 — the newest batch is the one Structured Streaming
     * can replay, and its replay guard needs the `_SUCCESS` marker to

@@ -151,6 +151,12 @@ object Live {
       BatchSink.compact(spark, s"$outDir/$table", bucket, key, keepBatches)
     }
 
+  /** Retention over the windowed tables: drop archive days below the
+    * cutoff ([[BatchSink.expire]]); returns dropped-day counts. */
+  def expireSinks(outDir: String, minDay: Int): Map[String, Int] =
+    SinkTables.keys.map(t =>
+      t -> BatchSink.expire(s"$outDir/$t", minDay)).toMap
+
   def barsQuery(spark: SparkSession, tradesDir: String, outDir: String,
       ckptDir: String): StreamingQuery =
     sinkQuery(Streams.ohlcBars(tradeSource(spark, tradesDir)),

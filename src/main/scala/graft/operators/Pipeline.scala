@@ -393,6 +393,51 @@ object Pipeline extends OpModule {
        |  ((b.base + s.seq_id) // ${ShardTokens / PackBudget})::BIGINT AS shard_id
        |FROM seqs s JOIN bases b USING (source)""".stripMargin
 
+  /** Fractional-epoch upsampling — the step that turns mixture WEIGHTS
+    * into an actual resampled corpus: a source with weight 2.3 repeats
+    * every document twice and a deterministic 30% of them a third time
+    * (down-weighting below 1.0 drops the complement). The extra-copy
+    * decision hashes (doc_id), so re-runs reproduce the identical
+    * corpus and no two runs disagree about which documents got the
+    * extra epoch — the reproducibility rule every training-data card
+    * depends on. All arithmetic is integer (weight basis in hundredths;
+    * the fractional part compares a hash residue against it), so the
+    * Spark and DuckDB corpora match row-for-row. Per-row map work +
+    * one bounded explode: zero shuffles. The weights here derive from
+    * the source name (standing in for the curated per-domain mixture,
+    * like [[RateBase]]); a deployment joins its real weight table. */
+  val UpWeightSpan = 200 // weight in [0.50, 2.49] by source-name hash
+
+  private def upsampleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("w_basis",
+        lit(50) + ColFns.hex32(concat($"source", lit("w"))) % UpWeightSpan)
+      .withColumn("extra",
+        (ColFns.hex32(concat(lit("up:"), $"doc_id")) % 100 <
+          $"w_basis" % 100).cast("int"))
+      .withColumn("n_copies",
+        (expr("w_basis div 100") + $"extra").cast("long"))
+      .withColumn("weight", $"w_basis".cast("double") / 100.0)
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"source", $"weight", $"n_copies",
+        explode(sequence(lit(0L), $"n_copies" - 1)).as("copy_idx"))
+  }
+
+  private val upsampleSql: String = {
+    val wBasis = s"(50 + ${ColFns.hex32Sql("(source || 'w')")} % $UpWeightSpan)"
+    val extra = s"(CASE WHEN ${ColFns.hex32Sql("('up:' || doc_id::VARCHAR)")} % 100 < $wBasis % 100 THEN 1 ELSE 0 END)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    $wBasis AS w_basis,
+       |    ($wBasis // 100 + $extra)::BIGINT AS n_copies
+       |  FROM documents)
+       |SELECT doc_id, source, w_basis::DOUBLE / 100.0 AS weight, n_copies,
+       |  unnest(range(0, n_copies)) AS copy_idx
+       |FROM d WHERE n_copies > 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -402,6 +447,7 @@ object Pipeline extends OpModule {
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
+    "pipeline_upsample" -> (upsampleDf(_, _)),
     "dedup_keep_best" -> (keepBestDf(_, _))
   )
 
@@ -414,6 +460,7 @@ object Pipeline extends OpModule {
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,
+    "pipeline_upsample" -> upsampleSql,
     "dedup_keep_best" -> keepBestSql
   )
 }

@@ -277,13 +277,64 @@ object TextAnalysis extends OpModule {
        |SELECT tok, n, rk, round(share, 6) AS cum_share
        |FROM r WHERE rk <= $VocabTopK""".stripMargin
 
+  /** Unigram-LM cross-entropy scoring — the CCNet-style quality filter
+    * every web-scale pipeline runs: train unigram probabilities on the
+    * corpus itself (count / total occurrences), then score each document
+    * by the average negative log-probability of its tokens. Rare-token
+    * soup scores HIGH (filter out), fluent common text LOW (keep); the
+    * downstream gate is a percentile cut on this column.
+    *
+    * Plan: (doc, token, tf) counts are ONE hash aggregation over the
+    * exploded stream (map-side combine); the unigram table is
+    * vocabulary-sized and broadcasts; the weighted sum comes back on
+    * doc_id — token text never shuffles after the first aggregation.
+    * Determinism: per-token log-probs quantize to INTEGER micro-nats
+    * (round(ln·1e6)), so the per-doc weighted sum is exact integer
+    * arithmetic and the final average divides the same two exact
+    * integers on both engines — bitwise-equal output with no final
+    * rounding. (A round-6 double average is NOT safe here: the exact
+    * quotient is a multiple of 1/(n_tokens·1e6) and lands precisely on
+    * a rounding half-boundary for ~1/n_tokens of documents, where
+    * summation-tree noise decides the flip.) */
+  private def unigramXentDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokenized(spark, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+    val tot = uni.agg(sum($"c").as("tot"))
+    val logp = uni.crossJoin(broadcast(tot))
+      .select($"tok",
+        round(log($"c".cast("double") / $"tot") * 1e6, 0).cast("long")
+          .as("lq"))
+    tf.join(broadcast(logp), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"), sum($"tf" * $"lq").as("s"))
+      .select($"doc_id", $"n_tokens",
+        ((-$"s").cast("double") / ($"n_tokens" * lit(1000000L))).as("xent"))
+  }
+
+  private val unigramXentSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |uni AS (SELECT tok, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(c)::BIGINT AS tot FROM uni),
+       |lp AS (SELECT tok, round(ln(c::DOUBLE / tot) * 1e6)::BIGINT AS lq
+       |       FROM uni CROSS JOIN tot)
+       |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       |  (-sum(tf.tf * lp.lq))::DOUBLE / (sum(tf.tf) * 1000000) AS xent
+       |FROM tf JOIN lp USING (tok)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
     "text_quality" -> (qualityDf(_, _)),
     "text_fingerprint" -> (fingerprintDf(_, _)),
     "text_tfidf" -> (tfidfDf(_, _)),
-    "text_vocab_coverage" -> (vocabDf(_, _))
+    "text_vocab_coverage" -> (vocabDf(_, _)),
+    "text_unigram_xent" -> (unigramXentDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,6 +343,7 @@ object TextAnalysis extends OpModule {
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf" -> tfidfSql,
-    "text_vocab_coverage" -> vocabSql
+    "text_vocab_coverage" -> vocabSql,
+    "text_unigram_xent" -> unigramXentSql
   )
 }

@@ -368,6 +368,22 @@ class AppSpec extends SparkSpec {
     // idempotent: a second run changes nothing
     Live.compactSinks(spark, outDir, keepBatches = 1)
     assert(rowsOfSink() == before)
+    // retention: archive days below the cutoff age out; later data and
+    // the un-folded live batches survive
+    val days = new java.io.File(s"$outDir/deltas_archive").listFiles()
+      .map(_.getName).filter(_.startsWith("day="))
+      .map(_.stripPrefix("day=").toInt).sorted
+    assert(days.length >= 2, s"want multiple archive days, saw ${days.toSeq}")
+    val cutoff = days(1) // drop only the earliest day
+    val droppedMap = Live.expireSinks(outDir, cutoff)
+    assert(droppedMap("deltas") == 1)
+    val after = rowsOfSink()
+    assert(after.size < before.size)
+    // exactly the first day's windows disappeared; everything else intact
+    val keptExpected = before.filter { case (ws, _) =>
+      (ws.getTime / 1000 / 86400) >= cutoff
+    }
+    assert(after == keptExpected)
   }
 
   test("live pipeline: sinks land and the daily summary upserts across batches") {

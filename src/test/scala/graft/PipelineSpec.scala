@@ -147,6 +147,38 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_("n_docs").asInstanceOf[Long]).sum == packed.size)
   }
 
+  test("fractional upsampling: reproducible copies tracking the source weight") {
+    val rows = rowsOf(Pipeline.queries("pipeline_upsample")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    // per doc: copy_idx is dense 0..n_copies-1 and n_copies is within
+    // the integer envelope of the weight
+    rows.groupBy(_("doc_id")).foreach { case (_, copies) =>
+      val n = copies.head("n_copies").asInstanceOf[Long]
+      val w = copies.head("weight").asInstanceOf[Double]
+      assert(copies.map(_("copy_idx").asInstanceOf[Long]).sorted ==
+        (0L until n).toList)
+      assert(n == math.floor(w).toLong || n == math.floor(w).toLong + 1)
+    }
+    // per source: mean copies converges on the weight (hash-Bernoulli
+    // fractional part over ~100+ docs)
+    rows.groupBy(_("source")).foreach { case (_, rs) =>
+      val perDoc = rs.groupBy(_("doc_id")).view
+        .mapValues(_.head("n_copies").asInstanceOf[Long].toDouble).values.toSeq
+      val w = rs.head("weight").asInstanceOf[Double]
+      // docs with n_copies = 0 are absent from the output; reconstruct
+      // the denominator from the corpus source counts
+      val total = graft.sources.Tables.documents(spark, sfDir("sf0.01"))
+        .filter(org.apache.spark.sql.functions.col("source") === rs.head("source"))
+        .count()
+      val mean = perDoc.sum / total
+      assert(math.abs(mean - w) < 0.25, s"mean $mean vs weight $w")
+    }
+    // reproducible: a re-run yields identical copies
+    val again = rowsOf(Pipeline.queries("pipeline_upsample")(spark, sfDir("sf0.01")))
+    assert(again.map(m => (m("doc_id"), m("copy_idx"))).toSet ==
+      rows.map(m => (m("doc_id"), m("copy_idx"))).toSet)
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))

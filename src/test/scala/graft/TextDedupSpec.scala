@@ -116,6 +116,22 @@ class TextDedupSpec extends SparkSpec {
     assert(l(5L)("pred_lang") == "und") // no stopwords at all
   }
 
+  test("unigram cross-entropy: rare-token soup scores above fluent common text") {
+    // corpus where "the cat sat" tokens are ubiquitous and one doc is
+    // rare-token junk: the LM filter must rank the junk doc highest
+    val d = writeDocsFixture(
+      (1L to 8L).map(i => (i, "the cat sat on the mat", "en")) :+
+        (9L, "zxqv kjhg wqpo", "en") :+
+        (10L, "the cat sat zxqv", "en"))
+    val x = rowsOf(TextAnalysis.queries("text_unigram_xent")(spark, d))
+      .map(m => m("doc_id") -> m("xent").asInstanceOf[Double]).toMap
+    assert(x.values.forall(v => v > 0.0 && java.lang.Double.isFinite(v)))
+    assert(x(9L) > x(10L) && x(10L) > x(1L),
+      s"junk ${x(9L)} !> mixed ${x(10L)} !> common ${x(1L)}")
+    // identical docs score identically
+    assert(x(1L) == x(2L))
+  }
+
   test("fingerprint is order-sensitive") {
     val d2 = writeDocsFixture(Seq(
       (1L, "alpha beta gamma", "en"),
