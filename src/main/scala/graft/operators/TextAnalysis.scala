@@ -327,6 +327,208 @@ object TextAnalysis extends OpModule {
        |FROM tf JOIN lp USING (tok)
        |GROUP BY 1""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the filter
+    * family every web-scale pipeline runs): per document, the share of
+    * token occurrences claimed by the single most frequent token, and
+    * the fraction of 2-gram / 3-gram occurrences belonging to a gram
+    * that repeats within the document. Boilerplate and spam spike these
+    * measures; the flag ORs the three thresholds (set where this
+    * corpus's p75-p95 live, so both classes appear at every SF).
+    *
+    * Scale shape: grams are ids, not text — each token hashes to 32
+    * bits ([[ColFns.hex32]]) and an n-gram id is the polynomial combine
+    * of its token hashes (fits a long for n<=3: 2^32·131² < 2^47), so
+    * the ONE shuffle carries (doc_id, n, gram_id) longs, never strings.
+    * Count-distinct-ish work is two hash aggregations with map-side
+    * combine; shares divide two exact longs and round(6) on both
+    * engines, and the flag compares the ROUNDED shares so the boolean
+    * can't flip across engines. */
+  val RepTop1Max = 0.12
+  val RepDup2Max = 0.10
+  val RepDup3Max = 0.05
+
+  private def repetitionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = tokenized(spark, dir)
+      .select($"doc_id", transform($"toks", t => ColFns.hex32(t)).as("hs"))
+    val g1 = hs.select($"doc_id", lit(1).as("n"), explode($"hs").as("g"))
+    val g2 = hs.select($"doc_id", lit(2).as("n"),
+      explode(zip_with(
+        slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
+        slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
+        (a, b) => a * lit(FpBase) + b)).as("g"))
+    val g3 = hs.select($"doc_id", lit(3).as("n"),
+      explode(zip_with(
+        zip_with(
+          slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
+          slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
+          (a, b) => a * lit(FpBase) + b),
+        slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
+        (ab, c) => ab * lit(FpBase) + c)).as("g"))
+    val st = g1.unionAll(g2).unionAll(g3)
+      .groupBy($"doc_id", $"n", $"g")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"n")
+      .agg(sum($"tf").as("total"),
+        sum(when($"tf" >= 2, $"tf").otherwise(0L)).as("dup"),
+        max($"tf").as("top"))
+    st.groupBy($"doc_id")
+      .agg(
+        max(when($"n" === 1, $"total")).as("n_tokens"),
+        max(when($"n" === 1, $"top")).as("top1"),
+        max(when($"n" === 2, $"dup")).as("dup2"),
+        max(when($"n" === 2, $"total")).as("tot2"),
+        max(when($"n" === 3, $"dup")).as("dup3"),
+        max(when($"n" === 3, $"total")).as("tot3"))
+      .select($"doc_id", $"n_tokens",
+        round($"top1".cast("double") / $"n_tokens", 6).as("top_tok_share"),
+        coalesce(round($"dup2".cast("double") / $"tot2", 6), lit(0.0))
+          .as("dup_2gram_share"),
+        coalesce(round($"dup3".cast("double") / $"tot3", 6), lit(0.0))
+          .as("dup_3gram_share"))
+      .withColumn("repetitive",
+        $"top_tok_share" > RepTop1Max || $"dup_2gram_share" > RepDup2Max ||
+          $"dup_3gram_share" > RepDup3Max)
+  }
+
+  private val repetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
+       |      FROM w),
+       |g AS (
+       |  SELECT doc_id, 1 AS n, unnest(hs) AS g FROM h
+       |  UNION ALL
+       |  SELECT doc_id, 2, unnest(list_transform(range(1, len(hs)),
+       |    i -> hs[i] * $FpBase + hs[i + 1])) FROM h
+       |  UNION ALL
+       |  SELECT doc_id, 3, unnest(list_transform(range(1, len(hs) - 1),
+       |    i -> (hs[i] * $FpBase + hs[i + 1]) * $FpBase + hs[i + 2])) FROM h),
+       |tf AS (SELECT doc_id, n, g, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+       |st AS (SELECT doc_id, n, sum(tf) AS total,
+       |         sum(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS dup,
+       |         max(tf) AS top
+       |       FROM tf GROUP BY 1, 2),
+       |p AS (SELECT doc_id,
+       |    max(CASE WHEN n = 1 THEN total END)::BIGINT AS n_tokens,
+       |    max(CASE WHEN n = 1 THEN top END) AS top1,
+       |    max(CASE WHEN n = 2 THEN dup END) AS dup2,
+       |    max(CASE WHEN n = 2 THEN total END) AS tot2,
+       |    max(CASE WHEN n = 3 THEN dup END) AS dup3,
+       |    max(CASE WHEN n = 3 THEN total END) AS tot3
+       |  FROM st GROUP BY 1),
+       |r AS (SELECT doc_id, n_tokens,
+       |    round(top1::DOUBLE / n_tokens, 6) AS top_tok_share,
+       |    coalesce(round(dup2::DOUBLE / tot2, 6), 0.0) AS dup_2gram_share,
+       |    coalesce(round(dup3::DOUBLE / tot3, 6), 0.0) AS dup_3gram_share
+       |  FROM p)
+       |SELECT doc_id, n_tokens, top_tok_share, dup_2gram_share,
+       |  dup_3gram_share,
+       |  (top_tok_share > $RepTop1Max OR dup_2gram_share > $RepDup2Max
+       |   OR dup_3gram_share > $RepDup3Max) AS repetitive
+       |FROM r""".stripMargin
+
+  /** PII detection + redaction — the compliance pass every training
+    * corpus runs before release. The source corpus carries no PII (it
+    * is lowercase word soup), so the query SYNTHESIZES it the way the
+    * media codecs synthesize payloads: a deterministic hash branch
+    * appends an email / phone / IP / email+phone / nothing to each
+    * document, built from the SAME integer formulas on both engines —
+    * then the DETECTION AND REDACTION ARE REAL: three RE2-and-Java
+    * compatible regexes count matches and rewrite them to placeholder
+    * tags, and the oracle must reproduce the redacted text bit-for-bit
+    * (md5 proves it). Pure per-row map work: zero shuffles, columns
+    * pruned to (doc_id, text) — the embarrassingly-parallel 100 TB
+    * shape. */
+  val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhoneRe = "\\b555-\\d{3}-\\d{4}\\b"
+  val PiiIpRe = "\\b10\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private def piiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = Tables.documents(spark, dir)
+      .withColumn("br",
+        ColFns.hex32(concat(lit("pii:"), $"doc_id".cast("string"))) % 5)
+      .withColumn("ph",
+        ColFns.hex32(concat(lit("ph:"), $"doc_id".cast("string"))))
+      .withColumn("ip",
+        ColFns.hex32(concat(lit("ip:"), $"doc_id".cast("string"))))
+      .withColumn("email_part",
+        concat(lit(" mail user"), $"doc_id".cast("string"),
+          lit("@example.com")))
+      .withColumn("phone_part",
+        concat(lit(" call 555-"),
+          lpad(($"ph" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((expr("ph div 1000") % 10000).cast("string"), 4, "0")))
+      .withColumn("ip_part",
+        concat(lit(" node 10."), ($"ip" % 256).cast("string"), lit("."),
+          (expr("ip div 256") % 256).cast("string"), lit("."),
+          (expr("ip div 65536") % 256).cast("string")))
+      .withColumn("aug",
+        concat($"text",
+          when($"br" === 0, $"email_part")
+            .when($"br" === 1, $"phone_part")
+            .when($"br" === 2, $"ip_part")
+            .when($"br" === 3, concat($"email_part", $"phone_part"))
+            .otherwise(lit(""))))
+    aug
+      .withColumn("n_emails",
+        size(regexp_extract_all($"aug", lit(PiiEmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all($"aug", lit(PiiPhoneRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all($"aug", lit(PiiIpRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"aug", PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>"))
+      .select($"doc_id",
+        $"n_emails".cast("long").as("n_emails"),
+        $"n_phones".cast("long").as("n_phones"),
+        $"n_ips".cast("long").as("n_ips"),
+        ($"n_emails" + $"n_phones" + $"n_ips").cast("long").as("n_pii"),
+        length($"redacted").cast("long").as("red_len"),
+        md5($"redacted").as("redacted_md5"))
+  }
+
+  private val piiSql: String = {
+    val br = s"(${ColFns.hex32Sql("('pii:' || doc_id::VARCHAR)")} % 5)"
+    val ph = s"(${ColFns.hex32Sql("('ph:' || doc_id::VARCHAR)")})"
+    val ip = s"(${ColFns.hex32Sql("('ip:' || doc_id::VARCHAR)")})"
+    s"""WITH parts AS (
+       |  SELECT doc_id, text, $br AS br,
+       |    ' mail user' || doc_id::VARCHAR || '@example.com' AS email_part,
+       |    ' call 555-' || lpad(($ph % 1000)::VARCHAR, 3, '0') || '-' ||
+       |      lpad((($ph // 1000) % 10000)::VARCHAR, 4, '0') AS phone_part,
+       |    ' node 10.' || ($ip % 256)::VARCHAR || '.' ||
+       |      (($ip // 256) % 256)::VARCHAR || '.' ||
+       |      (($ip // 65536) % 256)::VARCHAR AS ip_part
+       |  FROM documents),
+       |a AS (SELECT doc_id,
+       |    text || CASE br WHEN 0 THEN email_part WHEN 1 THEN phone_part
+       |                    WHEN 2 THEN ip_part
+       |                    WHEN 3 THEN email_part || phone_part
+       |                    ELSE '' END AS aug
+       |  FROM parts),
+       |r AS (SELECT doc_id,
+       |    len(regexp_extract_all(aug, '$PiiEmailRe'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(aug, '$PiiPhoneRe'))::BIGINT AS n_phones,
+       |    len(regexp_extract_all(aug, '$PiiIpRe'))::BIGINT AS n_ips,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(aug, '$PiiEmailRe', '<EMAIL>', 'g'),
+       |        '$PiiPhoneRe', '<PHONE>', 'g'),
+       |      '$PiiIpRe', '<IP>', 'g') AS redacted
+       |  FROM a)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |  (n_emails + n_phones + n_ips)::BIGINT AS n_pii,
+       |  length(redacted)::BIGINT AS red_len,
+       |  md5(redacted) AS redacted_md5
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -334,7 +536,9 @@ object TextAnalysis extends OpModule {
     "text_fingerprint" -> (fingerprintDf(_, _)),
     "text_tfidf" -> (tfidfDf(_, _)),
     "text_vocab_coverage" -> (vocabDf(_, _)),
-    "text_unigram_xent" -> (unigramXentDf(_, _))
+    "text_unigram_xent" -> (unigramXentDf(_, _)),
+    "text_repetition" -> (repetitionDf(_, _)),
+    "text_pii" -> (piiDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +548,8 @@ object TextAnalysis extends OpModule {
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf" -> tfidfSql,
     "text_vocab_coverage" -> vocabSql,
-    "text_unigram_xent" -> unigramXentSql
+    "text_unigram_xent" -> unigramXentSql,
+    "text_repetition" -> repetitionSql,
+    "text_pii" -> piiSql
   )
 }

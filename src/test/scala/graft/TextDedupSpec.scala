@@ -132,6 +132,62 @@ class TextDedupSpec extends SparkSpec {
     assert(x(1L) == x(2L))
   }
 
+  test("repetition: looping text trips the flag, diverse text does not") {
+    val d = writeDocsFixture(Seq(
+      // "spam spam spam ..." — top token owns every occurrence and every
+      // 2-gram/3-gram is a duplicate
+      (1L, Seq.fill(20)("spam").mkString(" "), "en"),
+      // a repeated 3-word loop: dup 2-gram and 3-gram shares near 1
+      (2L, Seq.fill(8)("buy gold now").mkString(" "), "en"),
+      // all-distinct tokens: zero duplicate grams, flag off
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "), "en")))
+    val r = rowsOf(TextAnalysis.queries("text_repetition")(spark, d))
+      .map(m => m("doc_id") -> m).toMap
+    assert(r(1L)("top_tok_share") == 1.0)
+    assert(r(1L)("dup_2gram_share") == 1.0 && r(1L)("dup_3gram_share") == 1.0)
+    assert(r(1L)("repetitive") == true && r(2L)("repetitive") == true)
+    assert(r(2L)("top_tok_share").asInstanceOf[Double] < 0.35)
+    assert(r(2L)("dup_3gram_share").asInstanceOf[Double] > 0.9)
+    assert(r(3L)("dup_2gram_share") == 0.0 && r(3L)("repetitive") == false)
+    // a 2-token doc has no 3-grams: share must be 0, not null/error
+    val tiny = writeDocsFixture(Seq((1L, "only two", "en")))
+    val t = rowsOf(TextAnalysis.queries("text_repetition")(spark, tiny)).head
+    assert(t("dup_3gram_share") == 0.0 && t("n_tokens") == 2L)
+  }
+
+  test("pii: synthesized identifiers are found, counted, and redacted") {
+    val d = writeDocsFixture((1L to 40L).map(i => (i, "plain words here", "en")))
+    val r = rowsOf(TextAnalysis.queries("text_pii")(spark, d))
+      .map(m => m("doc_id") -> m).toMap
+    assert(r.size == 40)
+    // every branch appears over 40 docs, and counts match the branch
+    // formula: email XOR phone XOR ip XOR (email+phone) XOR nothing
+    val totals = r.values.map(_("n_pii").asInstanceOf[Long]).toSeq
+    assert(totals.exists(_ == 0L) && totals.exists(_ == 1L) &&
+      totals.exists(_ == 2L))
+    r.values.foreach { m =>
+      val (e, p, ip) = (m("n_emails").asInstanceOf[Long],
+        m("n_phones").asInstanceOf[Long], m("n_ips").asInstanceOf[Long])
+      assert(Seq((0L,0L,0L),(1L,0L,0L),(0L,1L,0L),(0L,0L,1L),(1L,1L,0L))
+        .contains((e, p, ip)), s"unexpected combo ($e,$p,$ip)")
+    }
+    // redaction really rewrites: every identifier collapses to its
+    // fixed-width placeholder, so red_len is exactly base-text length
+    // plus the surviving prefix + tag per identifier:
+    //   " mail user<i>@example.com" -> " mail <EMAIL>"   (+13)
+    //   " call 555-xxx-xxxx"        -> " call <PHONE>"   (+13)
+    //   " node 10.a.b.c"            -> " node <IP>"      (+10)
+    val base = "plain words here".length
+    r.values.foreach { m =>
+      val expected = base +
+        13 * m("n_emails").asInstanceOf[Long] +
+        13 * m("n_phones").asInstanceOf[Long] +
+        10 * m("n_ips").asInstanceOf[Long]
+      assert(m("red_len") == expected,
+        s"red_len ${m("red_len")} != $expected for $m")
+    }
+  }
+
   test("fingerprint is order-sensitive") {
     val d2 = writeDocsFixture(Seq(
       (1L, "alpha beta gamma", "en"),
