@@ -1150,6 +1150,71 @@ object Similarity extends OpModule {
        |FROM (SELECT * FROM c_ivf UNION ALL SELECT * FROM c_kmeans
        |      UNION ALL SELECT * FROM c_kmeans2 UNION ALL SELECT * FROM c_pq)""".stripMargin
 
+  /** Within-cell cosine threshold for semantic dedup. Within-cluster
+    * pairs on this corpus reach cos ~0.49 (p99 0.33), so 0.30 yields a
+    * small, real drop set at every SF; a production run with true
+    * semantic near-dups sits nearer 0.9 — the dial, not the machinery. */
+  val SemDedupCos = 0.30
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered (the memoized k-means
+    * assignment the ANN ladder already maintains), and pairwise cosine
+    * runs ONLY within a cluster — the paper's core trick, turning the
+    * O(N²) all-pairs comparison into Σ|cell|² with |cell| ≈ N/k. The
+    * keep rule is the greedy min-id representative: a vector is dropped
+    * iff some LOWER-id member of its cell sits within the cosine
+    * threshold (deterministic, order-free, one pass — no iterative
+    * clustering on the pair graph needed, unlike the text-shingle
+    * family's [[Dedup]] label propagation).
+    *
+    * Scale shape: the pair join hashes on `cell` and touches embeddings
+    * only for co-clustered pairs; at 100 TB you raise k to keep cells
+    * bounded (the paper uses k ≈ √N) and the per-cell pairwise stays a
+    * partition-local nested loop. The keep decision compares the
+    * ROUNDED max-prior cosine so the boolean cannot flip across
+    * engines; `max_prior_cos` is null for each cell's first member. */
+  private def semDedupDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
+      .select($"vec_id", $"cell")
+    val m = assign.join(e.select($"vec_id", $"embedding"), Seq("vec_id"))
+    val priors = m.select($"cell", $"vec_id".as("pid"), $"embedding".as("pe"))
+    val worst = m.join(priors, Seq("cell"))
+      .filter($"pid" < $"vec_id")
+      .withColumn("cos",
+        dot($"embedding", $"pe") / (norm($"embedding") * norm($"pe")))
+      .groupBy($"vec_id", $"cell")
+      .agg(round(max($"cos"), 6).as("max_prior_cos"))
+    assign.join(worst, Seq("vec_id", "cell"), "left")
+      .select($"vec_id", $"cell", $"max_prior_cos",
+        ($"max_prior_cos".isNull || $"max_prior_cos" < SemDedupCos)
+          .as("keep"))
+  }
+
+  private lazy val semDedupSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |pairs AS (
+       |  SELECT b.nid AS vec_id, b.cell, a.nid AS pid
+       |  FROM assign2 a JOIN assign2 b
+       |    ON b.cell = a.cell AND a.nid < b.nid),
+       |d AS (SELECT p.vec_id, p.cell, p.pid,
+       |        sum(ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS dt
+       |      FROM pairs p JOIN embeddings ea ON ea.vec_id = p.pid
+       |                   JOIN embeddings eb ON eb.vec_id = p.vec_id,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2, 3),
+       |w AS (SELECT d.vec_id, d.cell,
+       |        round(max(dt / (np.nrm * nv.nrm)), 6) AS max_prior_cos
+       |      FROM d JOIN vn np ON np.vec_id = d.pid
+       |             JOIN vn nv ON nv.vec_id = d.vec_id
+       |      GROUP BY 1, 2)
+       |SELECT a.nid AS vec_id, a.cell, w.max_prior_cos,
+       |  (w.max_prior_cos IS NULL OR w.max_prior_cos < $SemDedupCos) AS keep
+       |FROM assign2 a LEFT JOIN w
+       |  ON w.vec_id = a.nid AND w.cell = a.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -1167,7 +1232,8 @@ object Similarity extends OpModule {
     "ann_pq_topk" -> (pqTopkDf(_, _)),
     "ann_recall_pq" -> (recallPqDf(_, _)),
     "ann_recall_curve" -> (recallCurveDf(_, _)),
-    "emb_centroids" -> (centroidDf(_, _))
+    "emb_centroids" -> (centroidDf(_, _)),
+    "dedup_semantic" -> (semDedupDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1187,6 +1253,7 @@ object Similarity extends OpModule {
     "ann_pq_topk" -> pqTopkSql,
     "ann_recall_pq" -> recallPqSql,
     "ann_recall_curve" -> recallCurveSql,
-    "emb_centroids" -> centroidSql
+    "emb_centroids" -> centroidSql,
+    "dedup_semantic" -> semDedupSql
   )
 }

@@ -122,4 +122,29 @@ class SimilaritySpec extends SparkSpec {
       .map(_("recall").asInstanceOf[Double])
     pq.zip(km).foreach { case (p, k) => assert(p <= k) }
   }
+
+  test("semantic dedup keeps each cell's first member and drops near-dups") {
+    val rows = rowsOf(Similarity.queries("dedup_semantic")(spark, dir))
+      .map(m => m("vec_id").asInstanceOf[Long] -> m).toMap
+    assert(rows.size == 7) // every vector gets a verdict
+    // each cell's minimum vec_id has no prior: kept, null max_prior_cos
+    rows.values.groupBy(_("cell")).foreach { case (_, ms) =>
+      val first = ms.minBy(_("vec_id").asInstanceOf[Long])
+      assert(first("keep") == true && first("max_prior_cos") == null)
+    }
+    // identical vector 1 (dup of 0) and colinear 51 (dup of 50) drop
+    assert(rows(1L)("keep") == false &&
+      rows(1L)("max_prior_cos").asInstanceOf[Double] > 0.999999)
+    assert(rows(51L)("keep") == false)
+    // every dropped vector crossed the threshold; every kept one with a
+    // prior stayed under it
+    rows.values.foreach { m =>
+      (m("keep"), m("max_prior_cos")) match {
+        case (false, c: Double) => assert(c >= Similarity.SemDedupCos)
+        case (true, c: Double) => assert(c < Similarity.SemDedupCos)
+        case (true, null) => ()
+        case other => fail(s"impossible verdict $other")
+      }
+    }
+  }
 }
