@@ -438,6 +438,126 @@ object Pipeline extends OpModule {
        |FROM d WHERE n_copies > 0""".stripMargin
   }
 
+  /** The assembled corpus verdict — every selection gate the engine
+    * implements, composed into ONE per-document decision row: language,
+    * quality threshold, exact-dedup keeper, benchmark holdout, shingle
+    * contamination, near-dup cluster survivorship, and the Gopher
+    * repetition flag. This is the end-to-end proof that the gates
+    * compose (each input is itself a hash-checked query), and the
+    * audit artifact a real pipeline ships: WHY a document was dropped,
+    * not just that it vanished.
+    *
+    * Plan shape: the gate frames are zero-shuffle map work or single
+    * hash aggregations, and every join hashes on doc_id — one shuffle
+    * key end-to-end, no operator sees more than (id, verdict) pairs
+    * after its own aggregation. Memoized: the funnel query aggregates
+    * this exact frame. */
+  private def corpusDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pipeline_corpus:$dir") {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"lang")
+      val quality = TextAnalysis.queries("text_quality")(spark, dir)
+        .select($"doc_id", $"quality")
+      val rep = TextAnalysis.queries("text_repetition")(spark, dir)
+        .select($"doc_id", $"repetitive")
+      val keepers = Tables.documents(spark, dir)
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", lit(true).as("is_keeper"))
+      val contam = contaminationDf(spark, dir)
+        .select($"doc_id", lit(true).as("is_contam"))
+      val nd = keepBestDf(spark, dir).select($"doc_id", $"keep".as("nd_keep"))
+      docs
+        .join(quality, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .select($"doc_id", $"source",
+          ($"lang" === "en").as("lang_ok"),
+          ($"quality" >= 0.5).as("quality_ok"),
+          coalesce($"is_keeper", lit(false)).as("exact_keeper"),
+          ($"doc_id" % BenchMod === 0).as("is_bench"),
+          coalesce($"is_contam", lit(false)).as("contaminated"),
+          coalesce($"nd_keep", lit(true)).as("neardup_keep"),
+          $"repetitive")
+        .withColumn("keep",
+          $"lang_ok" && $"quality_ok" && $"exact_keeper" && !$"is_bench" &&
+            !$"contaminated" && $"neardup_keep" && !$"repetitive")
+    }
+
+  private val corpusSql: String =
+    s"""WITH q AS (${TextAnalysis.oracles("text_quality")}),
+       |rep AS (${TextAnalysis.oracles("text_repetition")}),
+       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |ct AS ($contaminationSql),
+       |nd AS ($keepBestSql),
+       |v AS (SELECT d.doc_id, d.source,
+       |    (d.lang = 'en') AS lang_ok,
+       |    (q.quality >= 0.5) AS quality_ok,
+       |    (k.doc_id IS NOT NULL) AS exact_keeper,
+       |    (d.doc_id % $BenchMod = 0) AS is_bench,
+       |    (ct.doc_id IS NOT NULL) AS contaminated,
+       |    coalesce(nd.keep, true) AS neardup_keep,
+       |    rep.repetitive AS repetitive
+       |  FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  LEFT JOIN k ON k.doc_id = d.doc_id
+       |  LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+       |SELECT doc_id, source, lang_ok, quality_ok, exact_keeper, is_bench,
+       |  contaminated, neardup_keep, repetitive,
+       |  (lang_ok AND quality_ok AND exact_keeper AND NOT is_bench
+       |   AND NOT contaminated AND neardup_keep AND NOT repetitive) AS keep
+       |FROM v""".stripMargin
+
+  /** The funnel data card: sequential attrition through the corpus
+    * gates, in the order a pipeline applies them — one row, computed
+    * over the memoized verdict frame (a single aggregation; each count
+    * is the docs surviving every gate UP TO that column, so adjacent
+    * differences read as "docs lost to this gate"). */
+  private def funnelDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = corpusDf(spark, dir)
+    def surv(cs: Seq[org.apache.spark.sql.Column]) =
+      sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
+    val gates = Seq(
+      "n_lang" -> Seq($"lang_ok"),
+      "n_quality" -> Seq($"lang_ok", $"quality_ok"),
+      "n_exact" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper"),
+      "n_bench" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench"),
+      "n_contam" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench", !$"contaminated"),
+      "n_neardup" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench", !$"contaminated", $"neardup_keep"),
+      "n_keep" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench", !$"contaminated", $"neardup_keep", !$"repetitive"))
+    v.agg(count(lit(1)).as("n_total"),
+      gates.map { case (nm, cs) => surv(cs).as(nm) }: _*)
+  }
+
+  private val funnelSql: String =
+    s"""WITH v AS ($corpusSql)
+       |SELECT count(*) AS n_total,
+       |  sum(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+       |  sum(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_quality,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      AND NOT is_bench THEN 1 ELSE 0 END)::BIGINT AS n_bench,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      AND NOT is_bench AND NOT contaminated
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_contam,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+       |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -448,6 +568,8 @@ object Pipeline extends OpModule {
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
     "pipeline_upsample" -> (upsampleDf(_, _)),
+    "pipeline_corpus" -> (corpusDf(_, _)),
+    "pipeline_funnel" -> (funnelDf(_, _)),
     "dedup_keep_best" -> (keepBestDf(_, _))
   )
 
@@ -461,6 +583,8 @@ object Pipeline extends OpModule {
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,
     "pipeline_upsample" -> upsampleSql,
+    "pipeline_corpus" -> corpusSql,
+    "pipeline_funnel" -> funnelSql,
     "dedup_keep_best" -> keepBestSql
   )
 }

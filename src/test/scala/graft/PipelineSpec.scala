@@ -179,6 +179,34 @@ class PipelineSpec extends SparkSpec {
       rows.map(m => (m("doc_id"), m("copy_idx"))).toSet)
   }
 
+  test("corpus verdicts compose the gates; funnel attrition is monotone") {
+    val v = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
+    assert(v.size == 500) // one verdict per document, none silently dropped
+    // keep is exactly the conjunction of its printed reasons
+    v.foreach { m =>
+      val expect = m("lang_ok") == true && m("quality_ok") == true &&
+        m("exact_keeper") == true && m("is_bench") == false &&
+        m("contaminated") == false && m("neardup_keep") == true &&
+        m("repetitive") == false
+      assert(m("keep") == expect, s"inconsistent verdict $m")
+    }
+    // the first three gates reproduce docs_quality_gate's selection
+    val gate = rowsOf(
+      Pipeline.queries("docs_quality_gate")(spark, sfDir("sf0.01")))
+      .map(_("doc_id")).toSet
+    val firstThree = v.filter(m => m("lang_ok") == true &&
+      m("quality_ok") == true && m("exact_keeper") == true)
+      .map(_("doc_id")).toSet
+    assert(firstThree == gate)
+    // both verdicts occur and the funnel narrows monotonically
+    assert(v.exists(_("keep") == true) && v.exists(_("keep") == false))
+    val f = rowsOf(Pipeline.queries("pipeline_funnel")(spark, sfDir("sf0.01"))).head
+    val seq = Seq("n_total", "n_lang", "n_quality", "n_exact", "n_bench",
+      "n_contam", "n_neardup", "n_keep").map(f(_).asInstanceOf[Long])
+    seq.sliding(2).foreach { case Seq(a, b) => assert(a >= b, seq) }
+    assert(seq.head == 500 && seq.last == v.count(_("keep") == true))
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
