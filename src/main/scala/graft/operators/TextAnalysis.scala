@@ -365,13 +365,17 @@ object TextAnalysis extends OpModule {
           (a, b) => a * lit(FpBase) + b),
         slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
         (ab, c) => ab * lit(FpBase) + c)).as("g"))
-    val st = g1.unionAll(g2).unionAll(g3)
-      .groupBy($"doc_id", $"n", $"g")
-      .agg(count(lit(1)).as("tf"))
-      .groupBy($"doc_id", $"n")
-      .agg(sum($"tf").as("total"),
-        sum(when($"tf" >= 2, $"tf").otherwise(0L)).as("dup"),
-        max($"tf").as("top"))
+    // memoized after BOTH aggregations (3 rows per document): the gram
+    // explode + two shuffles run once per session even though the
+    // corpus-verdict and funnel queries consume this frame again
+    val st = graft.functions.DfMemo.cached(spark, s"rep_stats:$dir")(
+      g1.unionAll(g2).unionAll(g3)
+        .groupBy($"doc_id", $"n", $"g")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id", $"n")
+        .agg(sum($"tf").as("total"),
+          sum(when($"tf" >= 2, $"tf").otherwise(0L)).as("dup"),
+          max($"tf").as("top")))
     st.groupBy($"doc_id")
       .agg(
         max(when($"n" === 1, $"total")).as("n_tokens"),
