@@ -347,10 +347,21 @@ object TextAnalysis extends OpModule {
   val RepDup2Max = 0.10
   val RepDup3Max = 0.05
 
+  /** Per-document token-hash arrays, memoized once per session: the md5
+    * fold behind [[ColFns.hex32]] is by far the most expensive scalar
+    * in the text family, and four queries (repetition, classifier,
+    * bigram LM, and their downstream consumers) all start from exactly
+    * this frame — at 100 TB you hash the corpus once, not per query. */
+  private def hashedTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DfMemo.cached(spark, s"doc_hs:$dir")(
+      tokenized(spark, dir)
+        .select($"doc_id", transform($"toks", t => ColFns.hex32(t)).as("hs")))
+  }
+
   private def repetitionDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = tokenized(spark, dir)
-      .select($"doc_id", transform($"toks", t => ColFns.hex32(t)).as("hs"))
+    val hs = hashedTokens(spark, dir)
     val g1 = hs.select($"doc_id", lit(1).as("n"), explode($"hs").as("g"))
     val g2 = hs.select($"doc_id", lit(2).as("n"),
       explode(zip_with(
@@ -558,8 +569,7 @@ object TextAnalysis extends OpModule {
 
   private def classifierDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    tokenized(spark, dir)
-      .withColumn("hs", transform($"toks", t => ColFns.hex32(t)))
+    hashedTokens(spark, dir)
       .withColumn("bg", zip_with(
         slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
         slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
@@ -611,16 +621,19 @@ object TextAnalysis extends OpModule {
 
   private def bigramXentDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = tokenized(spark, dir)
-      .withColumn("hs", transform($"toks", t => ColFns.hex32(t)))
-    val tf2 = hs
+    val hs = hashedTokens(spark, dir)
+    // memoized: this frame feeds BOTH the count-table side (c2 -> c1,
+    // lq) and the final per-doc join — without the memo Spark plans and
+    // executes the explode + aggregation twice (no cross-join-side
+    // subtree sharing), doubling the query
+    val tf2 = graft.functions.DfMemo.cached(spark, s"bigram_tf2:$dir")(hs
       .select($"doc_id", explode(zip_with(
         slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
         slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
         (a, b) => struct(a.as("ph"), b.as("ch")))).as("p"))
       .select($"doc_id", $"p.ph", $"p.ch")
       .groupBy($"doc_id", $"ph", $"ch")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val c2 = tf2.groupBy($"ph", $"ch").agg(sum($"tf").as("c2"))
     val c1 = c2.groupBy($"ph").agg(sum($"c2").as("c1"))
     val uni = hs.select(explode($"hs").as("h"))
