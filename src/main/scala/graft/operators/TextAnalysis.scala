@@ -124,30 +124,41 @@ object TextAnalysis extends OpModule {
        |FROM s""".stripMargin
   }
 
-  /** Quality score: equal-weight blend of length, lexical diversity,
-    * non-stopword density, and mean token length, clamped to [0,1]. */
-  private def qualityDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Whitespace token array for ANY frame bearing `text` — the same
+    * expression the memoized batch frame uses; exposed for the
+    * streaming ingest path (pure map work, streaming-safe). */
+  private[graft] def tokensCol: Column = tokens
+
+  /** Adds the quality-blend columns to a frame that already carries
+    * `toks`. Shared by the batch query and [[graft.streaming.Streams
+    * .docIngest]] so the streaming verdict is definitionally — not
+    * coincidentally — identical to the batch one. */
+  private[graft] def qualityColumns(df: DataFrame): DataFrame = {
     val en = Langs.head._2
-    tokenized(spark, dir)
-      .withColumn("n_tokens", size($"toks"))
+    df
+      .withColumn("n_tokens", size(col("toks")))
       .withColumn("distinct_ratio",
-        size(array_distinct($"toks")).cast("double") / $"n_tokens")
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
       .withColumn("stop_ratio", langScore(en))
       .withColumn("mean_len",
-        aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / $"n_tokens")
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("n_tokens"))
       .withColumn(
         "quality",
         ColFns.clamp(
-          lit(0.25) * ColFns.clamp($"n_tokens" / lit(100.0), 0.0, 1.0) +
-            lit(0.25) * $"distinct_ratio" +
-            lit(0.25) * (lit(1.0) - $"stop_ratio") +
-            lit(0.25) * ColFns.clamp($"mean_len" / lit(8.0), 0.0, 1.0),
+          lit(0.25) * ColFns.clamp(col("n_tokens") / lit(100.0), 0.0, 1.0) +
+            lit(0.25) * col("distinct_ratio") +
+            lit(0.25) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.25) * ColFns.clamp(col("mean_len") / lit(8.0), 0.0, 1.0),
           0.0, 1.0))
+  }
+
+  /** Quality score: equal-weight blend of length, lexical diversity,
+    * non-stopword density, and mean token length, clamped to [0,1]. */
+  private def qualityDf(spark: SparkSession, dir: String): DataFrame =
+    qualityColumns(tokenized(spark, dir))
       .select("doc_id", "n_tokens", "distinct_ratio", "stop_ratio",
         "mean_len", "quality")
-  }
 
   private val qualitySql: String = {
     val en = Langs.head._2

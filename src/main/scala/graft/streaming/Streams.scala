@@ -578,4 +578,39 @@ object Streams {
       .dropDuplicates("symbol", "ts")
       .select($"symbol", $"ts", $"price")
   }
+
+  /** A raw document row as a streaming ingest source (file stream or
+    * MemoryStream in specs). */
+  case class RawDoc(doc_id: Long, text: String, lang: String, source: String)
+
+  /** Streaming corpus ingestion — the incremental twin of the batch
+    * assembly gates: documents arrive as a stream, exact duplicates drop
+    * on first-seen content hash ACROSS micro-batches (a late copy of an
+    * already-ingested page never re-enters the corpus), and each
+    * survivor carries the language/quality verdict built from the SAME
+    * column expressions as the batch `text_quality`/`docs_quality_gate`
+    * queries — batch ≡ streaming by construction, asserted in the spec.
+    *
+    * State: one content hash per distinct document — the minimal state
+    * exact streaming dedup admits (Spark keeps the dropDuplicates set
+    * in the state store, scaling with DISTINCT corpus size, not stream
+    * length; at 100 TB that is the same cardinality the batch
+    * `dedup_exact` shuffle carries, here amortized over the ingest
+    * lifetime and spillable via RocksDB). A deployment that only needs
+    * within-horizon dedup swaps in `withWatermark` +
+    * `dropDuplicatesWithinWatermark` to bound it; near-dup semantics
+    * route through the batch MinHash/SimHash path instead. */
+  def docIngest(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextAnalysis.qualityColumns(
+      docs
+        .withColumn("content_h", md5($"text"))
+        .dropDuplicates("content_h")
+        .withColumn("toks", graft.operators.TextAnalysis.tokensCol))
+      .withColumn("lang_ok", $"lang" === "en")
+      .withColumn("keep", $"lang_ok" && $"quality" >= 0.5)
+      .select($"doc_id", $"source", $"content_h", $"n_tokens",
+        $"quality", $"lang_ok", $"keep")
+  }
 }

@@ -200,7 +200,15 @@ class PipelineSpec extends SparkSpec {
     assert(firstThree == gate)
     // both verdicts occur and the funnel narrows monotonically
     assert(v.exists(_("keep") == true) && v.exists(_("keep") == false))
-    val f = rowsOf(Pipeline.queries("pipeline_funnel")(spark, sfDir("sf0.01"))).head
+    // plan shape: the verdict join chain never degenerates into a
+    // cartesian/nested-loop product, and the funnel re-reads the
+    // memoized verdict frame instead of re-running any gate
+    val fdf = Pipeline.queries("pipeline_funnel")(spark, sfDir("sf0.01"))
+    val fplan = fdf.queryExecution.executedPlan.toString
+    assert(fplan.contains("ExistingRDD"), "funnel must read the memoized verdicts")
+    assert(!fplan.contains("CartesianProduct") &&
+      !fplan.contains("BroadcastNestedLoopJoin"))
+    val f = rowsOf(fdf).head
     val seq = Seq("n_total", "n_lang", "n_quality", "n_exact", "n_bench",
       "n_contam", "n_neardup", "n_keep").map(f(_).asInstanceOf[Long])
     seq.sliding(2).foreach { case Seq(a, b) => assert(a >= b, seq) }

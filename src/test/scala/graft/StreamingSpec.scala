@@ -622,4 +622,42 @@ class StreamingSpec extends SparkSpec {
       assert(o.bid_wall.isDefined && o.ask_wall.isDefined)
     }
   }
+
+  test("doc ingest stream: cross-batch exact dedup, batch-identical verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.docIngest(input.toDF())
+      .writeStream.format("memory").queryName("docs_ingest_out")
+      .outputMode("append").start()
+    input.addData(
+      Streams.RawDoc(1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+      Streams.RawDoc(2L, "alpha beta", "en", "s1"))
+    q.processAllAvailable()
+    // batch 2: doc 3 repeats doc 1's content (cross-batch dup), 4 is new,
+    // 5 is non-english (ingested but gated out)
+    input.addData(
+      Streams.RawDoc(3L, "the quick brown fox jumps over the lazy dog", "en", "s2"),
+      Streams.RawDoc(4L, "gamma delta epsilon words entirely here now", "en", "s2"),
+      Streams.RawDoc(5L, "der hund und die katze und das haus", "de", "s2"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("docs_ingest_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L)) // 3 deduped across batches
+    assert(out(5L).getAs[Boolean]("lang_ok") == false &&
+      out(5L).getAs[Boolean]("keep") == false)
+    // the streaming verdict is bitwise-identical to the batch quality
+    // query over the same corpus (shared column expressions)
+    val d = writeDocsFixture(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "alpha beta", "en"),
+      (4L, "gamma delta epsilon words entirely here now", "en"),
+      (5L, "der hund und die katze und das haus", "de")))
+    val batch = rowsOf(graft.operators.TextAnalysis.queries("text_quality")(spark, d))
+      .map(m => m("doc_id").asInstanceOf[Long] -> m("quality").asInstanceOf[Double]).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Double]("quality") == batch(id), s"doc $id verdict drifted")
+    }
+  }
 }
