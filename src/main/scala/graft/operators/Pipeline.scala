@@ -558,6 +558,47 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
        |FROM v""".stripMargin
 
+  /** Shard manifest — the integrity artifact a training job validates
+    * before reading a shard: per shard, the document count, the token
+    * total, and an order-independent checksum (the exact integer sum of
+    * the member documents' rolling-hash fingerprints). A reader recomputes
+    * the same three numbers after download and refuses the shard on
+    * mismatch. Attribution rule: a document belongs to the shard its
+    * STARTING sequence lands in (the packing contract — a doc spanning a
+    * shard cut is owned by where it begins).
+    *
+    * Plan: the packed doc frame is memoized (the raw builder stays
+    * un-memoized so SkewSpec can assert its exchange shape); the
+    * |sequences|-sized shard map broadcasts; fingerprints join on
+    * doc_id; ONE aggregation keyed by shard_id with map-side combine. */
+  private def packedMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pack_docs:$dir")(
+      packDf(spark, dir))
+
+  private def manifestDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shardDf(spark, dir).select($"source", $"seq_id", $"shard_id")
+    val fp = TextAnalysis.queries("text_fingerprint")(spark, dir)
+    packedMemo(spark, dir)
+      .join(broadcast(sh), Seq("source", "seq_id"))
+      .join(fp, Seq("doc_id"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"fingerprint").as("fp_checksum"))
+  }
+
+  private val manifestSql: String =
+    s"""WITH m AS ($packSql),
+       |sh AS ($shardSql),
+       |f AS (${TextAnalysis.oracles("text_fingerprint")})
+       |SELECT sh.shard_id, count(*) AS n_docs,
+       |  sum(m.n_tokens)::BIGINT AS n_tokens,
+       |  sum(f.fingerprint)::BIGINT AS fp_checksum
+       |FROM m JOIN sh ON sh.source = m.source AND sh.seq_id = m.seq_id
+       |       JOIN f ON f.doc_id = m.doc_id
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -569,6 +610,7 @@ object Pipeline extends OpModule {
     "pipeline_shard" -> (shardDf(_, _)),
     "pipeline_upsample" -> (upsampleDf(_, _)),
     "pipeline_corpus" -> (corpusDf(_, _)),
+    "pipeline_manifest" -> (manifestDf(_, _)),
     "pipeline_funnel" -> (funnelDf(_, _)),
     "dedup_keep_best" -> (keepBestDf(_, _))
   )
@@ -584,6 +626,7 @@ object Pipeline extends OpModule {
     "pipeline_shard" -> shardSql,
     "pipeline_upsample" -> upsampleSql,
     "pipeline_corpus" -> corpusSql,
+    "pipeline_manifest" -> manifestSql,
     "pipeline_funnel" -> funnelSql,
     "dedup_keep_best" -> keepBestSql
   )

@@ -179,6 +179,22 @@ class PipelineSpec extends SparkSpec {
       rows.map(m => (m("doc_id"), m("copy_idx"))).toSet)
   }
 
+  test("shard manifest reconciles with the packed corpus") {
+    val man = rowsOf(Pipeline.queries("pipeline_manifest")(spark, sfDir("sf0.01")))
+    val packed = rowsOf(Pipeline.queries("pipeline_pack")(spark, sfDir("sf0.01")))
+    val fp = rowsOf(graft.operators.TextAnalysis
+      .queries("text_fingerprint")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id") -> m("fingerprint").asInstanceOf[Long]).toMap
+    // every packed document is attributed to exactly one shard
+    assert(man.map(_("n_docs").asInstanceOf[Long]).sum == packed.size)
+    assert(man.map(_("n_tokens").asInstanceOf[Long]).sum ==
+      packed.map(_("n_tokens").asInstanceOf[Number].longValue).sum)
+    // the checksum is the exact fingerprint sum a reader would recompute
+    assert(man.map(_("fp_checksum").asInstanceOf[Long]).sum ==
+      packed.map(m => fp(m("doc_id"))).sum)
+    assert(man.size > 1, "want multiple shards at sf0.01")
+  }
+
   test("corpus verdicts compose the gates; funnel attrition is monotone") {
     val v = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
     assert(v.size == 500) // one verdict per document, none silently dropped
