@@ -103,7 +103,9 @@ object BatchSink {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
         new java.io.File(f, "_SUCCESS").exists() &&
-        f.getName.stripPrefix("batch_id=").toLong > wm)
+        // defensive parse (like expire's day names): a stray non-numeric
+        // "batch_id=..." artifact must not take every read down
+        f.getName.stripPrefix("batch_id=").toLongOption.exists(_ > wm))
     val live =
       if (liveDirs.isEmpty) None
       else Some(spark.read.parquet(liveDirs.map(_.toString).toIndexedSeq: _*))
@@ -161,7 +163,8 @@ object BatchSink {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
         new java.io.File(f, "_SUCCESS").exists())
-      .map(f => f.getName.stripPrefix("batch_id=").toLong -> f)
+      .flatMap(f =>
+        f.getName.stripPrefix("batch_id=").toLongOption.map(_ -> f))
       .sortBy(_._1)
     if (batchDirs.isEmpty) return
     val cutoff = math.min(batchDirs.last._1 - keep, noFoldAtOrAbove - 1)

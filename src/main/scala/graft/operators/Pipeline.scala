@@ -57,6 +57,22 @@ object Pipeline extends OpModule {
        |WHERE ${ColFns.hex32Sql("(doc_id::VARCHAR || ':' || source)")} % 100
        |      < $RateBase + ${ColFns.hex32Sql("source")} % $RateSpan""".stripMargin
 
+  /** Exact-dedup keeper set (min doc_id per content hash) — the ONE
+    * definition of the exact-dedup identity, shared by the quality gate
+    * and the corpus verdict (SQL twin: [[keepersSqlFrag]]) so the
+    * consumers cannot drift apart if the identity ever changes (e.g.
+    * text normalization before hashing). */
+  private def keepersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select("doc_id")
+  }
+
+  private val keepersSqlFrag: String =
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
   /** Selection = english AND quality >= 0.5 AND exact-dedup keeper.
     * Composes three already-verified frames in one plan: the keeper set
     * is a hash aggregation (map-side combine), the quality/langid frames
@@ -67,10 +83,7 @@ object Pipeline extends OpModule {
       .select($"doc_id", $"lang")
     val quality = TextAnalysis.queries("text_quality")(spark, dir)
       .select($"doc_id", $"quality")
-    val keepers = Tables.documents(spark, dir)
-      .groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select("doc_id")
+    val keepers = keepersDf(spark, dir)
     Tables.documents(spark, dir)
       .select($"doc_id", $"source")
       .join(keepers, Seq("doc_id")) // semi: keeper ids are unique
@@ -83,7 +96,7 @@ object Pipeline extends OpModule {
   private val qualityGateSql: String =
     s"""WITH l AS (${TextAnalysis.oracles("text_langid")}),
        |q AS (${TextAnalysis.oracles("text_quality")}),
-       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |k AS ($keepersSqlFrag)
        |SELECT d.doc_id, d.source, l.lang, q.quality
        |FROM documents d
        |JOIN k ON k.doc_id = d.doc_id
@@ -292,30 +305,55 @@ object Pipeline extends OpModule {
     * runs); the next epoch changes the seed, not the machinery. */
   val ShuffleSeed = "epoch0"
 
+  /** Hash-range granules for the shuffle rank: shuffle_key is uniform in
+    * [0, 2^32), so `key div (2^32/G)` splits each source's rank window
+    * into G bounded pieces; granule boundaries follow the ORDER key, so
+    * base + within-granule rank equals the single-window rank exactly. */
+  val ShuffleGranules = 256L
+  private val ShuffleGranuleSpan = 4294967296L / ShuffleGranules
+
   /** Deterministic training-order shuffle — the step after assembly in
     * every real pipeline: documents take a pseudo-random but REPRODUCIBLE
     * order, seeded-hash-ranked WITHIN each source and round-robin
     * interleaved ACROSS sources (`global_ord = src_ord * n_sources +
     * src_idx`), so any contiguous read of the order sees the mixture's
-    * source balance, not one source's run. Scale shape: the rank window
-    * shuffles once on `source` (the same key `pipeline_pack` uses); the
-    * source-index frame is |sources| rows (window over a few dozen rows,
-    * then broadcast); the GLOBAL order comes from the formula — there is
-    * no global sort or single-partition corpus window anywhere. */
+    * source balance, not one source's run.
+    *
+    * Scale shape: TWO-LEVEL rank, for the same reason `pipeline_pack`
+    * uses two-level prefix sums — a per-source rank window alone puts a
+    * 90%-of-the-corpus source on ONE task. The rank window partitions by
+    * `(source, shuffle_key div (2^32/G))` (bounded, uniform — the key IS
+    * a hash); per-granule counts (a |sources|·G-row frame) take an
+    * exclusive prefix sum and broadcast back; since granules partition
+    * the hash-order monotonically, `base + within` equals the
+    * single-window rank bit-for-bit (asserted against the direct-window
+    * reference on the 90%-skew fixture in SkewSpec — the DuckDB oracle
+    * keeps the simple form). The source-index frame is |sources| rows;
+    * the GLOBAL order comes from the formula — no global sort anywhere. */
   private def shuffleDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
-    val srcIdx = docs.select($"source").distinct()
+    val srcIdx = Tables.documents(spark, dir).select($"source").distinct()
       .withColumn("src_idx",
         (row_number().over(Window.orderBy($"source")) - 1).cast("long"))
       .withColumn("n_src",
         count(lit(1)).over(Window.partitionBy()))
-    docs
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
       .withColumn("shuffle_key",
         ColFns.hex32(concat(lit(s"$ShuffleSeed:"), $"doc_id")))
-      .withColumn("src_ord",
-        (row_number().over(Window.partitionBy($"source")
-          .orderBy($"shuffle_key", $"doc_id")) - 1).cast("long"))
+      .withColumn("sg", expr(s"shuffle_key div $ShuffleGranuleSpan"))
+    val wIn = Window.partitionBy($"source", $"sg")
+      .orderBy($"shuffle_key", $"doc_id")
+    val wBase = Window.partitionBy($"source").orderBy($"sg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy($"source", $"sg")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum($"n").over(wBase), lit(0L)))
+      .select($"source", $"sg", $"base")
+    keyed
+      .withColumn("rw", (row_number().over(wIn) - 1).cast("long"))
+      .join(broadcast(bases), Seq("source", "sg"))
+      .withColumn("src_ord", $"base" + $"rw")
       .join(broadcast(srcIdx), Seq("source"))
       .select($"doc_id", $"source", $"shuffle_key", $"src_ord",
         ($"src_ord" * $"n_src" + $"src_idx").as("global_ord"))
@@ -459,29 +497,33 @@ object Pipeline extends OpModule {
         .select($"doc_id", $"source", $"lang")
       val quality = TextAnalysis.queries("text_quality")(spark, dir)
         .select($"doc_id", $"quality")
+      // repetition joins LEFT: a token-less document (empty/whitespace
+      // text — routine in a web corpus) has no gram stream and no
+      // repetition row, but it MUST still get a verdict row — silently
+      // vanishing from the audit table is the one failure an audit
+      // artifact cannot have. Its repetition evidence is vacuously
+      // false; its null quality gates to false.
       val rep = TextAnalysis.queries("text_repetition")(spark, dir)
         .select($"doc_id", $"repetitive")
-      val keepers = Tables.documents(spark, dir)
-        .groupBy(md5($"text").as("h"))
-        .agg(min($"doc_id").as("doc_id"))
+      val keepers = keepersDf(spark, dir)
         .select($"doc_id", lit(true).as("is_keeper"))
       val contam = contaminationDf(spark, dir)
         .select($"doc_id", lit(true).as("is_contam"))
       val nd = keepBestDf(spark, dir).select($"doc_id", $"keep".as("nd_keep"))
       docs
         .join(quality, Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
         .join(keepers, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .join(nd, Seq("doc_id"), "left")
         .select($"doc_id", $"source",
           ($"lang" === "en").as("lang_ok"),
-          ($"quality" >= 0.5).as("quality_ok"),
+          coalesce($"quality" >= 0.5, lit(false)).as("quality_ok"),
           coalesce($"is_keeper", lit(false)).as("exact_keeper"),
           ($"doc_id" % BenchMod === 0).as("is_bench"),
           coalesce($"is_contam", lit(false)).as("contaminated"),
           coalesce($"nd_keep", lit(true)).as("neardup_keep"),
-          $"repetitive")
+          coalesce($"repetitive", lit(false)).as("repetitive"))
         .withColumn("keep",
           $"lang_ok" && $"quality_ok" && $"exact_keeper" && !$"is_bench" &&
             !$"contaminated" && $"neardup_keep" && !$"repetitive")
@@ -490,20 +532,20 @@ object Pipeline extends OpModule {
   private val corpusSql: String =
     s"""WITH q AS (${TextAnalysis.oracles("text_quality")}),
        |rep AS (${TextAnalysis.oracles("text_repetition")}),
-       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |k AS ($keepersSqlFrag),
        |ct AS ($contaminationSql),
        |nd AS ($keepBestSql),
        |v AS (SELECT d.doc_id, d.source,
        |    (d.lang = 'en') AS lang_ok,
-       |    (q.quality >= 0.5) AS quality_ok,
+       |    coalesce(q.quality >= 0.5, false) AS quality_ok,
        |    (k.doc_id IS NOT NULL) AS exact_keeper,
        |    (d.doc_id % $BenchMod = 0) AS is_bench,
        |    (ct.doc_id IS NOT NULL) AS contaminated,
        |    coalesce(nd.keep, true) AS neardup_keep,
-       |    rep.repetitive AS repetitive
+       |    coalesce(rep.repetitive, false) AS repetitive
        |  FROM documents d
        |  JOIN q ON q.doc_id = d.doc_id
-       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id
        |  LEFT JOIN k ON k.doc_id = d.doc_id
        |  LEFT JOIN ct ON ct.doc_id = d.doc_id
        |  LEFT JOIN nd ON nd.doc_id = d.doc_id)

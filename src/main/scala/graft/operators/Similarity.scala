@@ -729,11 +729,23 @@ object Similarity extends OpModule {
           ($"qnrm" * $"nnrm"), 6).as("ip"))
   }
 
+  /** The ADC stream memoized ONCE at the full probe budget: the
+    * fixed-budget top-k is exactly the `prk <= PqProbes` filter of it
+    * (probe rank restricts which cells are considered; the quantized
+    * score of a surviving (query, candidate) pair is identical at any
+    * budget), so the heaviest chain in the ANN ladder — qres/qc/ADC
+    * joins — executes once per session instead of once for `ann_pq_topk`
+    * and again for `ann_recall_curve`. */
+  private def pqApproxMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pq_approx:$dir")(
+      pqApproxDf(spark, dir, MaxProbeBudget))
+
   private def pqTopkDf(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val short = pqApproxDf(spark, dir, PqProbes)
+    val short = pqApproxMemo(spark, dir)
+      .filter($"prk" <= PqProbes)
       .withColumn("srk", row_number().over(
         Window.partitionBy($"qid").orderBy($"ip".desc, $"nid")))
       .filter($"srk" <= PqShortlist)
@@ -1081,7 +1093,7 @@ object Similarity extends OpModule {
         .select(lit(rung).as("rung"), $"probes", $"hits",
           ($"hits" / $"n").as("recall"))
     }
-    val pruned = pqApproxDf(spark, dir, MaxProbeBudget)
+    val pruned = pqApproxMemo(spark, dir)
       .withColumn("brk", row_number().over(
         Window.partitionBy($"qid", $"prk").orderBy($"ip".desc, $"nid")))
       .filter($"brk" <= PqShortlist)

@@ -57,7 +57,8 @@ object TextAnalysis extends OpModule {
           .as("n_bpe_tokens"),
         size(array_distinct($"toks")).as("n_distinct"),
         aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
-          .cast("double")./(size($"toks")).as("mean_token_len"))
+          .cast("double")./(nullif(size($"toks"), lit(0)))
+          .as("mean_token_len"))
   }
 
   private val tokensSqlQ: String =
@@ -66,7 +67,7 @@ object TextAnalysis extends OpModule {
        |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
        |  len(list_distinct(toks)) AS n_distinct,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
-       |              (a, x) -> a + x)::DOUBLE / len(toks) AS mean_token_len
+       |              (a, x) -> a + x)::DOUBLE / nullif(len(toks), 0) AS mean_token_len
        |FROM w""".stripMargin
 
   // Stopword lists for the language-ID heuristic (n-gram-profile stand-in;
@@ -77,13 +78,15 @@ object TextAnalysis extends OpModule {
     "fr" -> Seq("le", "la", "et", "les", "des", "un"),
     "es" -> Seq("el", "los", "las", "y", "una", "que"))
 
+  // nullif guard: a token-less document scores null (DuckDB's x/0), not
+  // a runtime crash (Spark ANSI division-by-zero) — exercised in specs
   private def langScore(words: Seq[String]): Column =
     size(filter(col("toks"), t => t.isin(words: _*)))
-      .cast("double") / size(col("toks"))
+      .cast("double") / nullif(size(col("toks")), lit(0))
 
   private def langScoreSql(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
-    s"len(list_filter(toks, t -> t IN ($set)))::DOUBLE / len(toks)"
+    s"len(list_filter(toks, t -> t IN ($set)))::DOUBLE / nullif(len(toks), 0)"
   }
 
   /** Language ID: argmax of stopword-hit ratios, 'und' when every score is
@@ -138,11 +141,12 @@ object TextAnalysis extends OpModule {
     df
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("distinct_ratio",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        size(array_distinct(col("toks"))).cast("double") /
+          nullif(col("n_tokens"), lit(0)))
       .withColumn("stop_ratio", langScore(en))
       .withColumn("mean_len",
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / col("n_tokens"))
+          .cast("double") / nullif(col("n_tokens"), lit(0)))
       .withColumn(
         "quality",
         ColFns.clamp(
@@ -166,10 +170,10 @@ object TextAnalysis extends OpModule {
     val mlScore = ColFns.clampSql("mean_len / 8.0", 0.0, 1.0)
     s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |s AS (SELECT doc_id, len(toks) AS n_tokens,
-       |  len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+       |  len(list_distinct(toks))::DOUBLE / nullif(len(toks), 0) AS distinct_ratio,
        |  ${langScoreSql(en)} AS stop_ratio,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
-       |              (a, x) -> a + x)::DOUBLE / len(toks) AS mean_len
+       |              (a, x) -> a + x)::DOUBLE / nullif(len(toks), 0) AS mean_len
        |FROM w)
        |SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, mean_len,
        |  ${ColFns.clampSql(

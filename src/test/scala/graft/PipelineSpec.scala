@@ -195,6 +195,24 @@ class PipelineSpec extends SparkSpec {
     assert(man.size > 1, "want multiple shards at sf0.01")
   }
 
+  test("corpus verdict: token-less documents still get an audit row") {
+    val d = writeDocsFixture(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog runs", "en"),
+      (2L, "   ", "en"), // whitespace-only: no tokens, no gram stream
+      (3L, "", "en")))
+    val v = rowsOf(Pipeline.queries("pipeline_corpus")(spark, d))
+      .map(m => m("doc_id") -> m).toMap
+    // the audit table covers EVERY ingested document — a doc the
+    // repetition/quality gates cannot score must fail visibly, not
+    // vanish from the verdict frame
+    assert(v.keySet == Set(1L, 2L, 3L))
+    Seq(2L, 3L).foreach { id =>
+      assert(v(id)("keep") == false && v(id)("repetitive") == false &&
+        v(id)("quality_ok") == false, s"doc $id: ${v(id)}")
+    }
+    assert(v(1L)("quality_ok") == true)
+  }
+
   test("corpus verdicts compose the gates; funnel attrition is monotone") {
     val v = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
     assert(v.size == 500) // one verdict per document, none silently dropped

@@ -132,4 +132,32 @@ class SkewSpec extends graft.SparkSpec {
       plan.contains("bkt"), s"no granule exchange in:\n$plan")
     assert(!plan.contains("rangepartitioning"))
   }
+
+  test("two-level shuffle rank matches the single-window reference on the 90%-skew corpus") {
+    import spark.implicits._
+    val shuffled = Pipeline.queries("pipeline_shuffle")(spark, skewDir)
+    // the naive reference: one rank window per source (the shape that
+    // serializes the mega source onto a single task)
+    val wRef = Window.partitionBy($"source")
+      .orderBy($"shuffle_key", $"doc_id")
+    val ref = graft.sources.Tables.documents(spark, skewDir)
+      .select($"doc_id", $"source")
+      .withColumn("shuffle_key", graft.functions.ColFns.hex32(
+        concat(lit(s"${Pipeline.ShuffleSeed}:"), $"doc_id")))
+      .withColumn("src_ord", (row_number().over(wRef) - 1).cast("long"))
+      .select($"doc_id", $"src_ord")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = shuffled.select("doc_id", "src_ord")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // the rank window exchanges on (source, granule), never source alone
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source") && plan.contains("sg"),
+      s"no granule exchange in:\n$plan")
+    // the mega source genuinely spans many granules
+    val nGranules = shuffled.filter($"source" === "mega")
+      .select(expr(s"shuffle_key div ${4294967296L / Pipeline.ShuffleGranules}"))
+      .distinct().count()
+    assert(nGranules >= 100, s"only $nGranules shuffle granules")
+  }
 }
