@@ -231,6 +231,25 @@ class AppSpec extends SparkSpec {
     assert(Live.readTrades(spark, out).get.count() == 2)
   }
 
+  test("stray non-numeric batch directories never take the reader or compactor down") {
+    val out = Files.createTempDirectory("graft_stray").toString
+    val b0 = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    Live.commitBatch(b0, out, 0L)
+    // an operator's manual copy: prefix matches, id does not parse, and
+    // it even carries a _SUCCESS marker — the worst case for the filter
+    val stray = new java.io.File(s"$out/trades/batch_id=0_backup")
+    assert(stray.mkdirs())
+    assert(new java.io.File(stray, "_SUCCESS").createNewFile())
+    // read skips it instead of throwing NumberFormatException
+    val seen = Live.readTrades(spark, out).get.collect()
+      .map(_.getAs[Long]("bucket")).toSet
+    assert(seen == Set(2L))
+    // compaction likewise ignores it
+    Live.compactTrades(spark, out, keepBatches = 1)
+    assert(Live.readTrades(spark, out).get.count() == 1)
+  }
+
   test("compaction respects the pending-refresh marker and clamps keepBatches to >= 1") {
     val out = Files.createTempDirectory("graft_pend").toString
     (0 until 6).foreach { i =>
