@@ -641,6 +641,53 @@ object Pipeline extends OpModule {
        |       JOIN f ON f.doc_id = m.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** Curriculum assignment — the ordering step after selection: the
+    * KEPT corpus splits into four quality phases (easy-to-hard
+    * curricula train on high-quality text last or first; the phase
+    * column is the knob) and readers order by `(phase, shuffle_key)`
+    * for a reproducible within-phase shuffle.
+    *
+    * Scale shape: the quartile thresholds are ONE exact-percentile
+    * aggregation over the kept frame (a 1-row broadcast — never an
+    * ntile/rank window over the corpus, which would be a global sort);
+    * the phase label is then a per-row CASE. Quality quantizes to 6 dp
+    * BEFORE both the percentile and the comparison, so the phase
+    * boundary cannot flip between engines. */
+  private def curriculumDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = corpusDf(spark, dir).filter($"keep").select($"doc_id")
+    val q = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", round($"quality", 6).as("quality"))
+    val kq = kept.join(q, Seq("doc_id"))
+    val th = kq.agg(
+      round(expr("percentile(quality, 0.25D)"), 6).as("p25"),
+      round(expr("percentile(quality, 0.5D)"), 6).as("p50"),
+      round(expr("percentile(quality, 0.75D)"), 6).as("p75"))
+    kq.crossJoin(broadcast(th))
+      .select($"doc_id", $"quality",
+        when($"quality" < $"p25", 0)
+          .when($"quality" < $"p50", 1)
+          .when($"quality" < $"p75", 2)
+          .otherwise(3).as("phase"),
+        ColFns.hex32(concat(lit(s"$ShuffleSeed:"), $"doc_id"))
+          .as("shuffle_key"))
+  }
+
+  private val curriculumSql: String =
+    s"""WITH v AS ($corpusSql),
+       |q AS (${TextAnalysis.oracles("text_quality")}),
+       |kq AS (SELECT q.doc_id, round(q.quality, 6) AS quality
+       |       FROM q JOIN v ON v.doc_id = q.doc_id WHERE v.keep),
+       |th AS (SELECT round(quantile_cont(quality, 0.25), 6) AS p25,
+       |              round(quantile_cont(quality, 0.5), 6) AS p50,
+       |              round(quantile_cont(quality, 0.75), 6) AS p75
+       |       FROM kq)
+       |SELECT doc_id, quality,
+       |  CASE WHEN quality < p25 THEN 0 WHEN quality < p50 THEN 1
+       |       WHEN quality < p75 THEN 2 ELSE 3 END AS phase,
+       |  ${ColFns.hex32Sql(s"('$ShuffleSeed:' || doc_id::VARCHAR)")} AS shuffle_key
+       |FROM kq CROSS JOIN th""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -653,6 +700,7 @@ object Pipeline extends OpModule {
     "pipeline_upsample" -> (upsampleDf(_, _)),
     "pipeline_corpus" -> (corpusDf(_, _)),
     "pipeline_manifest" -> (manifestDf(_, _)),
+    "pipeline_curriculum" -> (curriculumDf(_, _)),
     "pipeline_funnel" -> (funnelDf(_, _)),
     "dedup_keep_best" -> (keepBestDf(_, _))
   )
@@ -669,6 +717,7 @@ object Pipeline extends OpModule {
     "pipeline_upsample" -> upsampleSql,
     "pipeline_corpus" -> corpusSql,
     "pipeline_manifest" -> manifestSql,
+    "pipeline_curriculum" -> curriculumSql,
     "pipeline_funnel" -> funnelSql,
     "dedup_keep_best" -> keepBestSql
   )

@@ -179,6 +179,26 @@ class PipelineSpec extends SparkSpec {
       rows.map(m => (m("doc_id"), m("copy_idx"))).toSet)
   }
 
+  test("curriculum phases partition the kept corpus by quality quartile") {
+    val rows = rowsOf(Pipeline.queries("pipeline_curriculum")(spark, sfDir("sf0.01")))
+    val kept = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
+      .filter(_("keep") == true).map(_("doc_id")).toSet
+    // exactly the kept docs get a phase
+    assert(rows.map(_("doc_id")).toSet == kept && rows.nonEmpty)
+    val byPhase = rows.groupBy(_("phase").asInstanceOf[Int])
+    assert(byPhase.keySet == Set(0, 1, 2, 3), s"phases ${byPhase.keySet}")
+    // phase quality ranges are ordered: every doc in phase i scores at
+    // most every doc in phase i+1 (boundary ties land in the upper phase)
+    (0 to 2).foreach { i =>
+      val hi = byPhase(i).map(_("quality").asInstanceOf[Double]).max
+      val lo = byPhase(i + 1).map(_("quality").asInstanceOf[Double]).min
+      assert(hi <= lo, s"phase $i max $hi > phase ${i + 1} min $lo")
+    }
+    // quartiles: no phase holds more than half the corpus (sanity, not
+    // exact counts — thresholds are value-based, ties cluster)
+    byPhase.values.foreach(p => assert(p.size <= rows.size / 2 + 1))
+  }
+
   test("shard manifest reconciles with the packed corpus") {
     val man = rowsOf(Pipeline.queries("pipeline_manifest")(spark, sfDir("sf0.01")))
     val packed = rowsOf(Pipeline.queries("pipeline_pack")(spark, sfDir("sf0.01")))
