@@ -696,6 +696,60 @@ object TextAnalysis extends OpModule {
        |FROM tf2 JOIN lq ON lq.ph = tf2.ph AND lq.ch = tf2.ch
        |GROUP BY 1""".stripMargin
 
+  /** Vocabulary size of the encode step — deliberately SMALLER than the
+    * corpus vocabulary so out-of-vocabulary mass is real and measured
+    * (a tokenizer's id space never covers the tail). */
+  val EncodeVocabK = 16
+
+  /** Corpus encoding — the step that turns text into model input: each
+    * token maps to its frequency-rank id in the top-[[EncodeVocabK]]
+    * vocabulary (id = rank, OOV = 0), and each document reports its id
+    * count, OOV count, and a POSITION-WEIGHTED id checksum
+    * `Σ (pos+1)·id` — order-sensitive, so an encoder that permuted,
+    * dropped, or duplicated one token mismatches, without ever
+    * materializing the id arrays into the result.
+    *
+    * Plan: the vocabulary is ONE hash aggregation + a rank window over
+    * the |vocab|-sized frame (the `text_vocab_coverage` argument), then
+    * broadcasts; the (doc, pos, token) stream left-joins it and
+    * re-aggregates by doc — the shuffle carries ids and positions,
+    * never text twice. At 100 TB a 50k-entry vocabulary is still a
+    * broadcast. */
+  private def encodeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = tokenized(spark, dir)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+      .filter($"rk" <= EncodeVocabK)
+      .select($"tok", $"rk")
+    tokenized(spark, dir)
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ids"),
+        sum(when($"rk".isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(($"pos" + 1) * coalesce($"rk", lit(0L))).as("ids_checksum"))
+  }
+
+  private val encodeSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |c AS (SELECT tok, count(*) AS n
+       |      FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1),
+       |v AS (SELECT tok, rk FROM (
+       |        SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rk
+       |        FROM c)
+       |      WHERE rk <= $EncodeVocabK),
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |        unnest(range(1, len(toks) + 1)) AS pos
+       |      FROM w)
+       |SELECT p.doc_id, count(*) AS n_ids,
+       |  sum(CASE WHEN v.rk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  sum(p.pos * coalesce(v.rk, 0))::BIGINT AS ids_checksum
+       |FROM p LEFT JOIN v USING (tok)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -707,6 +761,7 @@ object TextAnalysis extends OpModule {
     "text_repetition" -> (repetitionDf(_, _)),
     "text_pii" -> (piiDf(_, _)),
     "text_classifier_score" -> (classifierDf(_, _)),
+    "text_encode" -> (encodeDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _))
   )
 
@@ -721,6 +776,7 @@ object TextAnalysis extends OpModule {
     "text_repetition" -> repetitionSql,
     "text_pii" -> piiSql,
     "text_classifier_score" -> classifierSql,
+    "text_encode" -> encodeSql,
     "text_bigram_xent" -> bigramXentSql
   )
 }
