@@ -688,8 +688,33 @@ object Pipeline extends OpModule {
        |  ${ColFns.hex32Sql(s"('$ShuffleSeed:' || doc_id::VARCHAR)")} AS shuffle_key
        |FROM kq CROSS JOIN th""".stripMargin
 
+  /** Documents kept per source by the quota sample. */
+  val QuotaPerSource = 20L
+
+  /** Exact-size quota sampling — the complement of the RATE-based
+    * stratified sample: exactly min(quota, |source|) documents per
+    * source, chosen by seeded-hash order. Rate sampling gives each doc
+    * an independent keep probability (size varies binomially); quota
+    * sampling pins the size exactly — what an eval-set builder or a
+    * fixed-budget annotation pass needs, reproducibly. Built directly
+    * on the two-level shuffle rank ([[shuffleDf]]): `src_ord` IS the
+    * seeded-hash rank within source, so the quota cut is a filter —
+    * inheriting the skew-proof rank plan for free. */
+  private def quotaDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shuffleDf(spark, dir)
+      .filter($"src_ord" < QuotaPerSource)
+      .select($"doc_id", $"source", $"src_ord".as("sample_rank"))
+  }
+
+  private val quotaSql: String =
+    s"""WITH sh AS ($shuffleSql)
+       |SELECT doc_id, source, src_ord AS sample_rank
+       |FROM sh WHERE src_ord < $QuotaPerSource""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
+    "sample_quota" -> (quotaDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
     "docs_length_stats" -> (lengthStatsDf(_, _)),
     "bench_contamination" -> (contaminationDf(_, _)),
@@ -707,6 +732,7 @@ object Pipeline extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
+    "sample_quota" -> quotaSql,
     "docs_quality_gate" -> qualityGateSql,
     "docs_length_stats" -> lengthStatsSql,
     "bench_contamination" -> contaminationSql,

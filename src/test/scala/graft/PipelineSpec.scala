@@ -179,6 +179,22 @@ class PipelineSpec extends SparkSpec {
       rows.map(m => (m("doc_id"), m("copy_idx"))).toSet)
   }
 
+  test("quota sample: exactly min(quota, |source|) docs per source, shuffle-ranked") {
+    val rows = rowsOf(Pipeline.queries("sample_quota")(spark, sfDir("sf0.01")))
+    val bySrc = rows.groupBy(_("source"))
+    assert(bySrc.size == 20) // every source represented
+    bySrc.values.foreach { docs =>
+      assert(docs.size == Pipeline.QuotaPerSource) // sf0.01: 25 docs/source
+      val ranks = docs.map(_("sample_rank").asInstanceOf[Long]).sorted
+      assert(ranks == (0L until Pipeline.QuotaPerSource).toList)
+    }
+    // reproducible and consistent with the training-order shuffle
+    val shuffled = rowsOf(Pipeline.queries("pipeline_shuffle")(spark, sfDir("sf0.01")))
+      .filter(_("src_ord").asInstanceOf[Long] < Pipeline.QuotaPerSource)
+      .map(_("doc_id")).toSet
+    assert(rows.map(_("doc_id")).toSet == shuffled)
+  }
+
   test("curriculum phases partition the kept corpus by quality quartile") {
     val rows = rowsOf(Pipeline.queries("pipeline_curriculum")(spark, sfDir("sf0.01")))
     val kept = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
