@@ -313,10 +313,15 @@ object TextAnalysis extends OpModule {
     * summation-tree noise decides the flip.) */
   private def unigramXentDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = tokenized(spark, dir)
-      .select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("tf"))
+    // memoized: tf feeds the unigram table (twice, via logp and tot) AND
+    // the final per-doc join — without the memo Spark plans the corpus
+    // explode + aggregation three times (same join-side double-plan the
+    // bigram twin guards against)
+    val tf = graft.functions.DfMemo.cached(spark, s"unigram_tf:$dir")(
+      tokenized(spark, dir)
+        .select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf")))
     val uni = tf.groupBy($"tok").agg(sum($"tf").as("c"))
     val tot = uni.agg(sum($"c").as("tot"))
     val logp = uni.crossJoin(broadcast(tot))
@@ -377,26 +382,36 @@ object TextAnalysis extends OpModule {
   private def repetitionDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hs = hashedTokens(spark, dir)
-    val g1 = hs.select($"doc_id", lit(1).as("n"), explode($"hs").as("g"))
+    // gram identity = the TUPLE of 32-bit token hashes, not a folded
+    // scalar: a polynomial combine (h1*131 + h2) is far from injective
+    // over 32-bit inputs, so distinct grams could silently merge and
+    // inflate the dup shares — identically on both engines, where the
+    // oracle gate can never catch it. Tuple keys shuffle three longs
+    // instead of one and collide only if md5 itself collides.
+    val g1 = hs.select($"doc_id", lit(1).as("n"), explode($"hs").as("ga"))
+      .select($"doc_id", $"n", $"ga", lit(-1L).as("gb"), lit(-1L).as("gc"))
     val g2 = hs.select($"doc_id", lit(2).as("n"),
       explode(zip_with(
         slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
         slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
-        (a, b) => a * lit(FpBase) + b)).as("g"))
+        (a, b) => struct(a.as("ga"), b.as("gb")))).as("p"))
+      .select($"doc_id", $"n", $"p.ga", $"p.gb", lit(-1L).as("gc"))
     val g3 = hs.select($"doc_id", lit(3).as("n"),
       explode(zip_with(
         zip_with(
           slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
           slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
-          (a, b) => a * lit(FpBase) + b),
+          (a, b) => struct(a.as("ga"), b.as("gb"))),
         slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
-        (ab, c) => ab * lit(FpBase) + c)).as("g"))
+        (ab, c) => struct(ab.getField("ga").as("ga"),
+          ab.getField("gb").as("gb"), c.as("gc")))).as("p"))
+      .select($"doc_id", $"n", $"p.ga", $"p.gb", $"p.gc")
     // memoized after BOTH aggregations (3 rows per document): the gram
     // explode + two shuffles run once per session even though the
     // corpus-verdict and funnel queries consume this frame again
     val st = graft.functions.DfMemo.cached(spark, s"rep_stats:$dir")(
       g1.unionAll(g2).unionAll(g3)
-        .groupBy($"doc_id", $"n", $"g")
+        .groupBy($"doc_id", $"n", $"ga", $"gb", $"gc")
         .agg(count(lit(1)).as("tf"))
         .groupBy($"doc_id", $"n")
         .agg(sum($"tf").as("total"),
@@ -427,14 +442,17 @@ object TextAnalysis extends OpModule {
        |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
        |      FROM w),
        |g AS (
-       |  SELECT doc_id, 1 AS n, unnest(hs) AS g FROM h
+       |  SELECT doc_id, 1 AS n, unnest(hs) AS ga, -1 AS gb, -1 AS gc FROM h
        |  UNION ALL
-       |  SELECT doc_id, 2, unnest(list_transform(range(1, len(hs)),
-       |    i -> hs[i] * $FpBase + hs[i + 1])) FROM h
+  -- slice ends clamp at 0: a negative end is from-the-back in DuckDB,
+       |  -- so len(hs)-2 = -1 on a 1-token doc would emit a phantom gram
+       |  SELECT doc_id, 2, unnest(hs[1:greatest(len(hs) - 1, 0)]),
+       |    unnest(hs[2:len(hs)]), -1 FROM h
        |  UNION ALL
-       |  SELECT doc_id, 3, unnest(list_transform(range(1, len(hs) - 1),
-       |    i -> (hs[i] * $FpBase + hs[i + 1]) * $FpBase + hs[i + 2])) FROM h),
-       |tf AS (SELECT doc_id, n, g, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+       |  SELECT doc_id, 3, unnest(hs[1:greatest(len(hs) - 2, 0)]),
+       |    unnest(hs[2:greatest(len(hs) - 1, 0)]), unnest(hs[3:len(hs)]) FROM h),
+       |tf AS (SELECT doc_id, n, ga, gb, gc, count(*) AS tf
+       |       FROM g GROUP BY 1, 2, 3, 4, 5),
        |st AS (SELECT doc_id, n, sum(tf) AS total,
        |         sum(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS dup,
        |         max(tf) AS top
