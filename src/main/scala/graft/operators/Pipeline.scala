@@ -712,9 +712,41 @@ object Pipeline extends OpModule {
        |SELECT doc_id, source, src_ord AS sample_rank
        |FROM sh WHERE src_ord < $QuotaPerSource""".stripMargin
 
+  /** Per-source data card — the funnel broken out by provenance: how
+    * many documents each source contributed and how many it lost to
+    * each gate. This is the table a curation review reads to decide
+    * which source to fix or drop. One aggregation over the memoized
+    * verdict frame; output is |sources| rows. */
+  private def sourceCardDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    corpusDf(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        n(!$"exact_keeper").as("n_exact_dups"),
+        n(!$"neardup_keep").as("n_neardup_dups"),
+        n($"contaminated").as("n_contaminated"),
+        n($"repetitive").as("n_repetitive"),
+        n(!$"quality_ok").as("n_low_quality"),
+        n($"keep").as("n_keep"))
+  }
+
+  private val sourceCardSql: String =
+    s"""WITH v AS ($corpusSql)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN NOT exact_keeper THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
+       |  sum(CASE WHEN NOT neardup_keep THEN 1 ELSE 0 END)::BIGINT AS n_neardup_dups,
+       |  sum(CASE WHEN contaminated THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  sum(CASE WHEN repetitive THEN 1 ELSE 0 END)::BIGINT AS n_repetitive,
+       |  sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_low_quality,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+       |FROM v GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
+    "pipeline_source_card" -> (sourceCardDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
     "docs_length_stats" -> (lengthStatsDf(_, _)),
     "bench_contamination" -> (contaminationDf(_, _)),
@@ -733,6 +765,7 @@ object Pipeline extends OpModule {
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
     "sample_quota" -> quotaSql,
+    "pipeline_source_card" -> sourceCardSql,
     "docs_quality_gate" -> qualityGateSql,
     "docs_length_stats" -> lengthStatsSql,
     "bench_contamination" -> contaminationSql,
