@@ -768,6 +768,70 @@ object TextAnalysis extends OpModule {
        |FROM p LEFT JOIN v USING (tok)
        |GROUP BY 1""".stripMargin
 
+  /** A 3-gram is boilerplate when it appears in at least this many
+    * distinct documents. */
+  val BoilerDf = 8L
+
+  /** Cross-document boilerplate share — the C4-style filter the
+    * within-document [[repetitionDf]] cannot express: navigation bars,
+    * cookie banners, and license headers repeat ACROSS pages, not
+    * within one. Per document: the fraction of 3-gram occurrences
+    * whose gram occurs in >= [[BoilerDf]] distinct documents.
+    *
+    * Plan: document frequency per gram is one hash aggregation over
+    * the DISTINCT (doc, gram) stream (tuple keys — same injectivity
+    * argument as the repetition stats); the boilerplate gram set
+    * (vocabulary-sized, high-df only) broadcasts back onto the
+    * occurrence stream; the share divides two exact longs. At 100 TB
+    * the df table is the same scale as the TF-IDF df frame — a
+    * broadcast. */
+  private def boilerplateDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g3 = hashedTokens(spark, dir).select($"doc_id",
+      explode(zip_with(
+        zip_with(
+          slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
+          slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
+          (a, b) => struct(a.as("ga"), b.as("gb"))),
+        slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
+        (ab, c) => struct(ab.getField("ga").as("ga"),
+          ab.getField("gb").as("gb"), c.as("gc")))).as("p"))
+      .select($"doc_id", $"p.ga", $"p.gb", $"p.gc")
+    val boiler = g3.distinct()
+      .groupBy($"ga", $"gb", $"gc")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= BoilerDf)
+      .select($"ga", $"gb", $"gc", lit(true).as("is_boiler"))
+    g3.join(broadcast(boiler), Seq("ga", "gb", "gc"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_3grams"),
+        sum(when($"is_boiler", 1L).otherwise(0L)).as("n_boiler"))
+      .select($"doc_id", $"n_3grams",
+        round($"n_boiler".cast("double") / $"n_3grams", 6)
+          .as("boiler_share"))
+  }
+
+  private val boilerplateSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
+       |      FROM w),
+       |g AS (SELECT doc_id,
+       |        unnest(hs[1:greatest(len(hs) - 2, 0)]) AS ga,
+       |        unnest(hs[2:greatest(len(hs) - 1, 0)]) AS gb,
+       |        unnest(hs[3:len(hs)]) AS gc
+       |      FROM h),
+       |b AS (SELECT ga, gb, gc FROM (
+       |        SELECT ga, gb, gc, count(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, ga, gb, gc FROM g)
+       |        GROUP BY 1, 2, 3)
+       |      WHERE df >= $BoilerDf)
+       |SELECT g.doc_id, count(*) AS n_3grams,
+       |  round(sum(CASE WHEN b.ga IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*), 6) AS boiler_share
+       |FROM g LEFT JOIN b USING (ga, gb, gc)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -780,6 +844,7 @@ object TextAnalysis extends OpModule {
     "text_pii" -> (piiDf(_, _)),
     "text_classifier_score" -> (classifierDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
+    "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _))
   )
 
@@ -795,6 +860,7 @@ object TextAnalysis extends OpModule {
     "text_pii" -> piiSql,
     "text_classifier_score" -> classifierSql,
     "text_encode" -> encodeSql,
+    "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql
   )
 }

@@ -133,6 +133,24 @@ class SkewSpec extends graft.SparkSpec {
     assert(!plan.contains("rangepartitioning"))
   }
 
+  test("boilerplate share flags the cross-doc hot gram, not unique text") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("text_boilerplate")(spark, skewDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_3grams"), r.getAs[Double]("boiler_share"))).toMap
+    // hotOnly docs: 6 tokens -> 4 grams, exactly one ("of the and")
+    // shared across 122 docs — share = 0.25
+    (0L until 120L).foreach { id =>
+      assert(rows(id) == ((4L, 0.25)), s"doc $id: ${rows(id)}")
+    }
+    // mega filler docs: every gram unique to the doc — share 0
+    (2000L until 2010L).foreach { id =>
+      assert(rows(id)._2 == 0.0, s"doc $id: ${rows(id)}")
+    }
+    // the near-dup pair's non-hot grams appear in only 2 docs (< BoilerDf)
+    assert(rows(1000L)._2 == math.rint(1e6 / 7) / 1e6)
+  }
+
   test("the full verdict chain survives the skew corpus") {
     import spark.implicits._
     // every doc gets a verdict even on a corpus whose near-dup graph,
