@@ -379,6 +379,36 @@ object TextAnalysis extends OpModule {
         .select($"doc_id", transform($"toks", t => ColFns.hex32(t)).as("hs")))
   }
 
+  /** The (doc_id, ga, gb, gc) word-3-gram stream over the hashed token
+    * arrays — ONE definition (and one memoized materialization) shared
+    * by the repetition stats' n=3 arm and the boilerplate df build, so
+    * the gram identity and the slice-clamp subtleties cannot drift
+    * between consumers and the explode runs once per session. */
+  private def gram3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DfMemo.cached(spark, s"gram3:$dir")(
+      hashedTokens(spark, dir).select($"doc_id",
+        explode(zip_with(
+          zip_with(
+            slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
+            slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
+            (a, b) => struct(a.as("ga"), b.as("gb"))),
+          slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
+          (ab, c) => struct(ab.getField("ga").as("ga"),
+            ab.getField("gb").as("gb"), c.as("gc")))).as("p"))
+        .select($"doc_id", $"p.ga", $"p.gb", $"p.gc"))
+  }
+
+  /** SQL twin of [[gram3]], given a CTE `h(doc_id, hs)`. Slice ends
+    * clamp at 0: a negative end is from-the-back in DuckDB, so
+    * len(hs)-2 = -1 on a 1-token doc would emit a phantom gram. */
+  private val gram3SqlBody: String =
+    """SELECT doc_id,
+      |        unnest(hs[1:greatest(len(hs) - 2, 0)]) AS ga,
+      |        unnest(hs[2:greatest(len(hs) - 1, 0)]) AS gb,
+      |        unnest(hs[3:len(hs)]) AS gc
+      |      FROM h""".stripMargin
+
   private def repetitionDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hs = hashedTokens(spark, dir)
@@ -396,16 +426,8 @@ object TextAnalysis extends OpModule {
         slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
         (a, b) => struct(a.as("ga"), b.as("gb")))).as("p"))
       .select($"doc_id", $"n", $"p.ga", $"p.gb", lit(-1L).as("gc"))
-    val g3 = hs.select($"doc_id", lit(3).as("n"),
-      explode(zip_with(
-        zip_with(
-          slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
-          slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
-          (a, b) => struct(a.as("ga"), b.as("gb"))),
-        slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
-        (ab, c) => struct(ab.getField("ga").as("ga"),
-          ab.getField("gb").as("gb"), c.as("gc")))).as("p"))
-      .select($"doc_id", $"n", $"p.ga", $"p.gb", $"p.gc")
+    val g3 = gram3(spark, dir)
+      .select($"doc_id", lit(3).as("n"), $"ga", $"gb", $"gc")
     // memoized after BOTH aggregations (3 rows per document): the gram
     // explode + two shuffles run once per session even though the
     // corpus-verdict and funnel queries consume this frame again
@@ -444,13 +466,10 @@ object TextAnalysis extends OpModule {
        |g AS (
        |  SELECT doc_id, 1 AS n, unnest(hs) AS ga, -1 AS gb, -1 AS gc FROM h
        |  UNION ALL
-  -- slice ends clamp at 0: a negative end is from-the-back in DuckDB,
-       |  -- so len(hs)-2 = -1 on a 1-token doc would emit a phantom gram
-       |  SELECT doc_id, 2, unnest(hs[1:greatest(len(hs) - 1, 0)]),
+  SELECT doc_id, 2, unnest(hs[1:greatest(len(hs) - 1, 0)]),
        |    unnest(hs[2:len(hs)]), -1 FROM h
        |  UNION ALL
-       |  SELECT doc_id, 3, unnest(hs[1:greatest(len(hs) - 2, 0)]),
-       |    unnest(hs[2:greatest(len(hs) - 1, 0)]), unnest(hs[3:len(hs)]) FROM h),
+       |  SELECT doc_id, 3, ga, gb, gc FROM ($gram3SqlBody)),
        |tf AS (SELECT doc_id, n, ga, gb, gc, count(*) AS tf
        |       FROM g GROUP BY 1, 2, 3, 4, 5),
        |st AS (SELECT doc_id, n, sum(tf) AS total,
@@ -787,28 +806,28 @@ object TextAnalysis extends OpModule {
     * broadcast. */
   private def boilerplateDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g3 = hashedTokens(spark, dir).select($"doc_id",
-      explode(zip_with(
-        zip_with(
-          slice($"hs", lit(1), greatest(size($"hs") - 2, lit(0))),
-          slice($"hs", lit(2), greatest(size($"hs") - 2, lit(0))),
-          (a, b) => struct(a.as("ga"), b.as("gb"))),
-        slice($"hs", lit(3), greatest(size($"hs") - 2, lit(0))),
-        (ab, c) => struct(ab.getField("ga").as("ga"),
-          ab.getField("gb").as("gb"), c.as("gc")))).as("p"))
-      .select($"doc_id", $"p.ga", $"p.gb", $"p.gc")
+    // the memoized shared stream feeds BOTH sides of the self-join
+    // (df build and probe), so the explode is planned and run once
+    val g3 = gram3(spark, dir)
     val boiler = g3.distinct()
       .groupBy($"ga", $"gb", $"gc")
       .agg(count(lit(1)).as("df"))
       .filter($"df" >= BoilerDf)
       .select($"ga", $"gb", $"gc", lit(true).as("is_boiler"))
-    g3.join(broadcast(boiler), Seq("ga", "gb", "gc"), "left")
+    val stats = g3.join(broadcast(boiler), Seq("ga", "gb", "gc"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_3grams"),
         sum(when($"is_boiler", 1L).otherwise(0L)).as("n_boiler"))
       .select($"doc_id", $"n_3grams",
         round($"n_boiler".cast("double") / $"n_3grams", 6)
           .as("boiler_share"))
+    // completeness: a doc with < 3 tokens has no 3-grams but MUST still
+    // get a row (share 0), not silently vanish from the audit surface
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_3grams", lit(0L)).as("n_3grams"),
+        coalesce($"boiler_share", lit(0.0)).as("boiler_share"))
   }
 
   private val boilerplateSql: String =
@@ -816,21 +835,20 @@ object TextAnalysis extends OpModule {
        |h AS (SELECT doc_id,
        |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
        |      FROM w),
-       |g AS (SELECT doc_id,
-       |        unnest(hs[1:greatest(len(hs) - 2, 0)]) AS ga,
-       |        unnest(hs[2:greatest(len(hs) - 1, 0)]) AS gb,
-       |        unnest(hs[3:len(hs)]) AS gc
-       |      FROM h),
+       |g AS ($gram3SqlBody),
        |b AS (SELECT ga, gb, gc FROM (
        |        SELECT ga, gb, gc, count(*) AS df
        |        FROM (SELECT DISTINCT doc_id, ga, gb, gc FROM g)
        |        GROUP BY 1, 2, 3)
-       |      WHERE df >= $BoilerDf)
-       |SELECT g.doc_id, count(*) AS n_3grams,
-       |  round(sum(CASE WHEN b.ga IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-       |        / count(*), 6) AS boiler_share
-       |FROM g LEFT JOIN b USING (ga, gb, gc)
-       |GROUP BY 1""".stripMargin
+       |      WHERE df >= $BoilerDf),
+       |st AS (SELECT g.doc_id, count(*) AS n_3grams,
+       |    round(sum(CASE WHEN b.ga IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |          / count(*), 6) AS boiler_share
+       |  FROM g LEFT JOIN b USING (ga, gb, gc)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(st.n_3grams, 0)::BIGINT AS n_3grams,
+       |  coalesce(st.boiler_share, 0.0) AS boiler_share
+       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),

@@ -149,6 +149,10 @@ class SkewSpec extends graft.SparkSpec {
     }
     // the near-dup pair's non-hot grams appear in only 2 docs (< BoilerDf)
     assert(rows(1000L)._2 == math.rint(1e6 / 7) / 1e6)
+    // completeness: every corpus document gets a row, including any a
+    // gram stream cannot score
+    assert(rows.size ==
+      graft.sources.Tables.documents(spark, skewDir).count())
   }
 
   test("the full verdict chain survives the skew corpus") {
