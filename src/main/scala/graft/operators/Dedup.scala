@@ -151,6 +151,80 @@ object Dedup extends OpModule {
        | AND x.doc_id < y.doc_id""".stripMargin
   }
 
+  /** MinHash estimation accuracy — the sketch-trust metric, in the same
+    * spirit as the ANN ladder's recall curves: for every LSH candidate
+    * pair, the MinHash ESTIMATE of Jaccard (matching signature
+    * components / k) next to the EXACT Jaccard from the shingle sets,
+    * with the absolute error. The expected estimator std is
+    * sqrt(j(1-j)/k) (~0.17 at k=8, j=0.5) — the number an operator
+    * reads before sizing k for a deployment; this query measures it on
+    * the actual corpus instead of quoting the formula.
+    *
+    * Scale shape: the candidate pair list (memoized, banding-bounded)
+    * broadcasts; exact intersections join the shingle sets only for
+    * paired docs (never all-pairs); the estimate reads two signature
+    * rows per pair. All inputs are exact integers; both shares divide
+    * exact longs and round(6). */
+  private def minhashEstDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashDf(spark, dir)
+    val pairs = minhashPairsDf(spark, dir)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sa = sig.toDF("doc_a" +: (0 until MinhashK).map(i => s"a_mh$i"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until MinhashK).map(i => s"b_mh$i"): _*)
+    val est = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        round(matches.cast("double") / MinhashK, 6).as("est_jaccard"))
+    val sets = shingled(spark, dir).select($"doc_id", $"h").distinct()
+    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sets.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(coalesce($"inter", lit(0L)).cast("double") /
+          ($"na" + $"nb" - coalesce($"inter", lit(0L))), 6))
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard",
+        round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
+  }
+
+  private val minhashEstSql: String = {
+    val matches = (0 until MinhashK)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH pr AS ($minhashPairsSql),
+       |sh2 AS ($shingledSql),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+       |sig2 AS (SELECT doc_id,
+       |${(0 until MinhashK).map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(",\n")}
+       |FROM sh2 GROUP BY doc_id),
+       |e AS (SELECT pr.doc_a, pr.doc_b,
+       |    round(($matches)::DOUBLE / $MinhashK, 6) AS est_jaccard
+       |  FROM pr JOIN sig2 sa ON sa.doc_id = pr.doc_a
+       |          JOIN sig2 sb ON sb.doc_id = pr.doc_b),
+       |iv AS (SELECT pr.doc_a, pr.doc_b, count(*) AS inter
+       |  FROM pr JOIN sets a ON a.doc_id = pr.doc_a
+       |          JOIN sets b ON b.doc_id = pr.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |j AS (SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |    round(coalesce(iv.inter, 0)::DOUBLE /
+       |          (na.n + nb.n - coalesce(iv.inter, 0)), 6) AS jaccard
+       |  FROM e LEFT JOIN iv ON iv.doc_a = e.doc_a AND iv.doc_b = e.doc_b
+       |  JOIN sz na ON na.doc_id = e.doc_a
+       |  JOIN sz nb ON nb.doc_id = e.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard, jaccard,
+       |  round(abs(est_jaccard - jaccard), 6) AS abs_err
+       |FROM j""".stripMargin
+  }
+
   /** Posting lists longer than this are dropped from the pairwise join:
     * a shingle shared by k docs contributes k^2 candidate pairs, so one
     * stopword-gram ("of the and") in a web corpus is a quadratic bomb.
@@ -394,6 +468,7 @@ object Dedup extends OpModule {
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
     "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
+    "dedup_minhash_est" -> (minhashEstDf(_, _)),
     "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
@@ -404,6 +479,7 @@ object Dedup extends OpModule {
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_minhash_est" -> minhashEstSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,

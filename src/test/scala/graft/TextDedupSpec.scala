@@ -77,6 +77,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!clusters.contains(4L))
   }
 
+  test("minhash estimate tracks exact jaccard within sketch tolerance") {
+    // exact dups (1, 2) must estimate AND measure 1.0 with zero error
+    val r = rowsOf(Dedup.queries("dedup_minhash_est")(spark, dir))
+    assert(r.nonEmpty)
+    val dup = r.find(m => m("doc_a") == 1L && m("doc_b") == 2L).get
+    assert(dup("est_jaccard") == 1.0 && dup("jaccard") == 1.0 &&
+      dup("abs_err") == 0.0)
+    // on the sf corpus: every estimate in [0,1], and the mean error sits
+    // inside a few estimator standard deviations (std = sqrt(j(1-j)/8))
+    val sf = rowsOf(Dedup.queries("dedup_minhash_est")(spark, sfDir("sf0.01")))
+    assert(sf.nonEmpty)
+    sf.foreach { m =>
+      val e = m("est_jaccard").asInstanceOf[Double]
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    // candidacy conditions on a matching band (4 equal components), so
+    // the sketch OVER-estimates on candidate pairs — the selection bias
+    // an operator must know about: assert its direction and bound
+    val signedBias = sf.map(m => m("est_jaccard").asInstanceOf[Double] -
+      m("jaccard").asInstanceOf[Double]).sum / sf.size
+    assert(signedBias > 0.0, s"expected positive candidacy bias, got $signedBias")
+    val meanErr = sf.map(_("abs_err").asInstanceOf[Double]).sum / sf.size
+    assert(meanErr < 0.6, s"mean |est - exact| = $meanErr")
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
