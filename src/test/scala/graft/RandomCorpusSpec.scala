@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** Property-style checks over seeded random corpora: the two-level
+  * decompositions (hierarchical packing prefix sums, granule shuffle
+  * rank) must equal their naive single-window references BIT-FOR-BIT on
+  * corpora of arbitrary shape — not just the fixtures. Three seeded
+  * draws with skewed source sizes and doc lengths; deterministic, so a
+  * failure reproduces. */
+class RandomCorpusSpec extends SparkSpec {
+
+  private def randomCorpus(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val nSources = 1 + rnd.nextInt(6)
+    // skewed: source s gets ~4^s weight, so one source dominates
+    val rows = (0 until (50 + rnd.nextInt(250))).map { i =>
+      val src = (0 until nSources)
+        .map(s => s -> math.pow(4.0, s)).maxBy(t => rnd.nextDouble() * t._2)._1
+      val nTok = 1 + rnd.nextInt(40)
+      // sparse, shuffled doc ids exercise granule-boundary arithmetic
+      (i.toLong * (1 + rnd.nextInt(5)), Seq.fill(nTok)("w").mkString(" "),
+        "en", s"src$src")
+    }
+    val dir = Files.createTempDirectory(s"graft_rand$seed").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("two-level packing equals the single window on random skewed corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val dir = randomCorpus(seed)
+      val got = Pipeline.queries("pipeline_pack")(spark, dir)
+        .select("doc_id", "seq_id", "tok_offset")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val toks = graft.operators.TextAnalysis.queries("text_tokens")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+      val wRef = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = graft.sources.Tables.documents(spark, dir)
+        .select($"doc_id", $"source").join(toks, Seq("doc_id"))
+        .withColumn("cum", coalesce(sum($"n_tokens").over(wRef), lit(0L)))
+        .select($"doc_id",
+          expr(s"cum div ${Pipeline.PackBudget}").as("seq_id"),
+          ($"cum" % Pipeline.PackBudget).as("tok_offset"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"packing diverged at seed $seed")
+    }
+  }
+
+  test("two-level shuffle rank equals the single window on random skewed corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val dir = randomCorpus(seed + 100)
+      val got = Pipeline.queries("pipeline_shuffle")(spark, dir)
+        .select("doc_id", "src_ord")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wRef = Window.partitionBy($"source")
+        .orderBy($"shuffle_key", $"doc_id")
+      val want = graft.sources.Tables.documents(spark, dir)
+        .select($"doc_id", $"source")
+        .withColumn("shuffle_key", graft.functions.ColFns.hex32(
+          concat(lit(s"${Pipeline.ShuffleSeed}:"), $"doc_id")))
+        .withColumn("src_ord", (row_number().over(wRef) - 1).cast("long"))
+        .select($"doc_id", $"src_ord")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"shuffle rank diverged at seed $seed")
+    }
+  }
+}
