@@ -21,8 +21,8 @@ class RandomCorpusSpec extends SparkSpec {
       val src = (0 until nSources)
         .map(s => s -> math.pow(4.0, s)).maxBy(t => rnd.nextDouble() * t._2)._1
       val nTok = 1 + rnd.nextInt(40)
-      // sparse, shuffled doc ids exercise granule-boundary arithmetic
-      (i.toLong * (1 + rnd.nextInt(5)), Seq.fill(nTok)("w").mkString(" "),
+      // sparse (but unique) doc ids exercise granule-boundary arithmetic
+      (i.toLong * 5 + rnd.nextInt(5), Seq.fill(nTok)("w").mkString(" "),
         "en", s"src$src")
     }
     val dir = Files.createTempDirectory(s"graft_rand$seed").toString
@@ -52,6 +52,33 @@ class RandomCorpusSpec extends SparkSpec {
           ($"cum" % Pipeline.PackBudget).as("tok_offset"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(got == want, s"packing diverged at seed $seed")
+    }
+  }
+
+  test("the assembly chain reconciles end-to-end on random skewed corpora") {
+    import spark.implicits._
+    (1 to 2).foreach { seed =>
+      val dir = randomCorpus(seed + 200)
+      val packed = rowsOf(Pipeline.queries("pipeline_pack")(spark, dir))
+      val shards = rowsOf(Pipeline.queries("pipeline_shard")(spark, dir))
+      val man = rowsOf(Pipeline.queries("pipeline_manifest")(spark, dir))
+      val fp = rowsOf(graft.operators.TextAnalysis
+        .queries("text_fingerprint")(spark, dir))
+        .map(m => m("doc_id") -> m("fingerprint").asInstanceOf[Long]).toMap
+      // every packed doc lands in exactly one shard; token totals and
+      // fingerprint checksums survive the whole chain
+      assert(shards.map(_("n_docs").asInstanceOf[Long]).sum == packed.size)
+      assert(man.map(_("n_docs").asInstanceOf[Long]).sum == packed.size)
+      assert(man.map(_("n_tokens").asInstanceOf[Long]).sum ==
+        packed.map(_("n_tokens").asInstanceOf[Number].longValue).sum)
+      assert(man.map(_("fp_checksum").asInstanceOf[Long]).sum ==
+        packed.map(m => fp(m("doc_id"))).sum, s"checksum drift at seed $seed")
+      // global sequence numbering: unique and formula-consistent
+      val gseqs = shards.map(_("global_seq").asInstanceOf[Long])
+      assert(gseqs.distinct.size == gseqs.size)
+      val perShard = Pipeline.ShardTokens / Pipeline.PackBudget
+      shards.foreach(r => assert(r("shard_id").asInstanceOf[Long] ==
+        r("global_seq").asInstanceOf[Long] / perShard))
     }
   }
 
