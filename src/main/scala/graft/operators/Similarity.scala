@@ -760,7 +760,10 @@ object Similarity extends OpModule {
       .select("qid", "nid", "cos")
   }
 
-  private def pqChainSqlBody(probes: Int): String =
+  /** The training half of the PQ chain (residuals, seeded codebooks,
+    * one Lloyd refinement, per-vector codes) — shared by the top-k /
+    * recall-curve probes and the distortion metric. */
+  private lazy val pqTrainSqlBody: String =
     s"""xs AS (
        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
@@ -799,7 +802,10 @@ object Similarity extends OpModule {
        |  GROUP BY 1, 2, 3),
        |code AS (SELECT vec_id, s, k FROM d2pq
        |         QUALIFY row_number() OVER (PARTITION BY vec_id, s
-       |           ORDER BY d, k) = 1),
+       |           ORDER BY d, k) = 1)""".stripMargin
+
+  private def pqChainSqlBody(probes: Int): String =
+    s"""$pqTrainSqlBody,
        |probepq AS (SELECT vec_id AS qid, cell, rk AS prk FROM ranked2
        |            WHERE vec_id % $QueryMod = 0 AND rk <= $probes),
        |qxs AS (
@@ -1162,6 +1168,53 @@ object Similarity extends OpModule {
        |FROM (SELECT * FROM c_ivf UNION ALL SELECT * FROM c_kmeans
        |      UNION ALL SELECT * FROM c_kmeans2 UNION ALL SELECT * FROM c_pq)""".stripMargin
 
+  /** PQ distortion — the compression-quality twin of the recall curve:
+    * per refined cell, the mean squared error between each member's
+    * true residual and its PQ reconstruction, normalized per dimension.
+    * Recall says whether the shortlist finds the right neighbors;
+    * distortion says how much signal the codes threw away to get there
+    * (the number that decides subspace count / codebook size before a
+    * deployment re-trains). Per-vector squared error quantizes to 6 dp
+    * before the per-cell average so both engines aggregate identical
+    * inputs. All frames involved are memoized by the ANN ladder. */
+  private def pqDistortionDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val resid = pqRsubDf(spark, dir)
+      .select($"vec_id", struct($"s".as("j"), $"rarr".as("v")).as("jv"))
+      .groupBy($"vec_id")
+      .agg(flatten(transform(array_sort(collect_list($"jv")),
+        x => x.getField("v"))).as("resid"))
+    val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
+      .select($"vec_id", $"cell")
+    resid
+      .join(broadcast(pqReconDf(spark, dir)
+        .withColumnRenamed("nid", "vec_id")), Seq("vec_id"))
+      .select($"vec_id",
+        round(aggregate(
+          zip_with($"resid", $"recon", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v), 6).as("sqerr"))
+      .join(assign, Seq("vec_id"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"sqerr" / Dim), 6).as("mse_per_dim"))
+  }
+
+  private lazy val pqDistortionSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |$pqTrainSqlBody,
+       |rec AS (SELECT c.vec_id, cb.s, cb.j, cb.w
+       |        FROM code c JOIN cb ON cb.s = c.s AND cb.k = c.k),
+       |err AS (SELECT r.vec_id,
+       |    round(sum((r.r - rec.w) * (r.r - rec.w)), 6) AS sqerr
+       |  FROM resid r JOIN rec ON rec.vec_id = r.vec_id
+       |    AND rec.s = r.s AND rec.j = r.j
+       |  GROUP BY 1)
+       |SELECT a.cell, count(*) AS n_vecs,
+       |  round(avg(err.sqerr / $Dim), 6) AS mse_per_dim
+       |FROM err JOIN assign2 a ON a.nid = err.vec_id
+       |GROUP BY 1""".stripMargin
+
   /** Within-cell cosine threshold for semantic dedup. Within-cluster
     * pairs on this corpus reach cos ~0.49 (p99 0.33), so 0.30 yields a
     * small, real drop set at every SF; a production run with true
@@ -1245,7 +1298,8 @@ object Similarity extends OpModule {
     "ann_recall_pq" -> (recallPqDf(_, _)),
     "ann_recall_curve" -> (recallCurveDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _)),
-    "dedup_semantic" -> (semDedupDf(_, _))
+    "dedup_semantic" -> (semDedupDf(_, _)),
+    "ann_pq_distortion" -> (pqDistortionDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1266,6 +1320,7 @@ object Similarity extends OpModule {
     "ann_recall_pq" -> recallPqSql,
     "ann_recall_curve" -> recallCurveSql,
     "emb_centroids" -> centroidSql,
-    "dedup_semantic" -> semDedupSql
+    "dedup_semantic" -> semDedupSql,
+    "ann_pq_distortion" -> pqDistortionSql
   )
 }

@@ -123,6 +123,21 @@ class SimilaritySpec extends SparkSpec {
     pq.zip(km).foreach { case (p, k) => assert(p <= k) }
   }
 
+  test("pq distortion covers every vector with finite per-cell error") {
+    val rows = rowsOf(Similarity.queries("ann_pq_distortion")(spark,
+      sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_("n_vecs").asInstanceOf[Long]).sum == 500L)
+    rows.foreach { m =>
+      val mse = m("mse_per_dim").asInstanceOf[Double]
+      assert(mse >= 0.0 && java.lang.Double.isFinite(mse))
+      // residuals of unit-scale embeddings: a reconstruction that threw
+      // everything away would sit near the raw residual energy (~0.01+
+      // per dim on this corpus); the codes must do materially better
+      assert(mse < 0.05, s"cell ${m("cell")} mse $mse")
+    }
+  }
+
   test("semantic dedup keeps each cell's first member and drops near-dups") {
     val rows = rowsOf(Similarity.queries("dedup_semantic")(spark, dir))
       .map(m => m("vec_id").asInstanceOf[Long] -> m).toMap
