@@ -86,11 +86,26 @@ object Dedup extends OpModule {
        |            FROM documents) w0) w1""".stripMargin
 
   // k=8 universal-hash permutations h_i = (a_i*h + b_i) mod p, constants
-  // sized so a*h < 2^63 (h < 2^32, a < 2^25).
+  // sized so a*h < 2^63 (h < 2^32, a < 2^25). The a_i MUST be
+  // independent draws: an arithmetic family like (2i+1)*C shares the
+  // factor C, so every "permutation" ranks by the SAME g = C*h mod p
+  // scaled by an odd constant — whenever g is small, one shingle wins
+  // the min under all k permutations at once and the k signature
+  // components are near all-or-nothing instead of Binomial(k, j)
+  // (measured: a 0.97-Jaccard pair estimating 0.5). md5-derived draws
+  // restore component independence; both engines inline the same
+  // computed literals.
   val MinhashK = 8
   val MinhashP = 2147483647L
-  val MinhashA: Seq[Long] = (0 until MinhashK).map(i => (2L * i + 1) * 1299709L % MinhashP)
-  val MinhashB: Seq[Long] = (0 until MinhashK).map(i => (i + 1L) * 104729L)
+  private def mh32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+  }
+  val MinhashA: Seq[Long] =
+    (0 until MinhashK).map(i => 1L + mh32(s"mha$i") % ((1L << 25) - 1))
+  val MinhashB: Seq[Long] =
+    (0 until MinhashK).map(i => mh32(s"mhb$i") % (1L << 25))
 
   /** Per-doc MinHash signature: all k minima in one grouped pass. */
   private def minhashDf(spark: SparkSession, dir: String): DataFrame = {
@@ -174,18 +189,24 @@ object Dedup extends OpModule {
       .reduce(_ + _)
     val sa = sig.toDF("doc_a" +: (0 until MinhashK).map(i => s"a_mh$i"): _*)
     val sb = sig.toDF("doc_b" +: (0 until MinhashK).map(i => s"b_mh$i"): _*)
-    val est = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // the pair list is banding-bounded and tiny: broadcast it into the
+    // corpus-sized frames (derived frames have no stats — without the
+    // hint the planner sort-merge-joins the big side)
+    val est = broadcast(pairs).join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         round(matches.cast("double") / MinhashK, 6).as("est_jaccard"))
-    val sets = shingled(spark, dir).select($"doc_id", $"h").distinct()
+    // the distinct shingle-set frame is the SAME frame jaccardDf
+    // memoizes — share the key instead of re-running explode+distinct
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      shingled(spark, dir).select($"doc_id", $"h").distinct())
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
+    val inter = broadcast(pairs)
       .join(sets.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
       .join(sets.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
     est
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",

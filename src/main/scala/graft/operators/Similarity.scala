@@ -642,13 +642,15 @@ object Similarity extends OpModule {
     * codeword-id tie-break). */
   private def pqCodeDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // d (the quantized L2 to the chosen codeword) rides along: the
+    // distortion metric is exactly its per-vector sum
     pqRsubDf(spark, dir)
       .join(broadcast(pqCodebookDf(spark, dir)), Seq("s"))
       .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
       .withColumn("ak", row_number().over(
         Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
       .filter($"ak" === 1)
-      .select($"vec_id", $"s", $"k")
+      .select($"vec_id", $"s", $"k", $"d")
   }
 
   /** Each vector's PQ reconstruction: its 8 codewords concatenated in
@@ -1180,20 +1182,14 @@ object Similarity extends OpModule {
   private def pqDistortionDf(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
-    val resid = pqRsubDf(spark, dir)
-      .select($"vec_id", struct($"s".as("j"), $"rarr".as("v")).as("jv"))
-      .groupBy($"vec_id")
-      .agg(flatten(transform(array_sort(collect_list($"jv")),
-        x => x.getField("v"))).as("resid"))
+    // the per-(vector, subspace) squared distance to the CHOSEN codeword
+    // is already computed by the code assignment — the distortion is its
+    // per-vector sum, no residual/reconstruction arrays rebuilt
     val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
       .select($"vec_id", $"cell")
-    resid
-      .join(broadcast(pqReconDf(spark, dir)
-        .withColumnRenamed("nid", "vec_id")), Seq("vec_id"))
-      .select($"vec_id",
-        round(aggregate(
-          zip_with($"resid", $"recon", (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v), 6).as("sqerr"))
+    pqCodeDf(spark, dir)
+      .groupBy($"vec_id")
+      .agg(sum($"d").as("sqerr"))
       .join(assign, Seq("vec_id"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1203,12 +1199,9 @@ object Similarity extends OpModule {
   private lazy val pqDistortionSql: String =
     s"""WITH $kmeansCellsSqlBody,
        |$pqTrainSqlBody,
-       |rec AS (SELECT c.vec_id, cb.s, cb.j, cb.w
-       |        FROM code c JOIN cb ON cb.s = c.s AND cb.k = c.k),
-       |err AS (SELECT r.vec_id,
-       |    round(sum((r.r - rec.w) * (r.r - rec.w)), 6) AS sqerr
-       |  FROM resid r JOIN rec ON rec.vec_id = r.vec_id
-       |    AND rec.s = r.s AND rec.j = r.j
+       |err AS (SELECT c.vec_id, sum(d2.d) AS sqerr
+       |  FROM code c JOIN d2pq d2
+       |    ON d2.vec_id = c.vec_id AND d2.s = c.s AND d2.k = c.k
        |  GROUP BY 1)
        |SELECT a.cell, count(*) AS n_vecs,
        |  round(avg(err.sqerr / $Dim), 6) AS mse_per_dim

@@ -24,8 +24,13 @@ class TextDedupSpec extends SparkSpec {
     val sig = rowsOf(Dedup.queries("dedup_minhash_sig")(spark, dir))
       .map(m => m("doc_id") -> (0 until Dedup.MinhashK).map(i => m(s"mh$i"))).toMap
     assert(sig(1L) == sig(2L))
+    // docs 1/3 have exact Jaccard 0.4 (4 of 10 shingles); with k=8
+    // INDEPENDENT permutations the matching count is Binomial(8, 0.4) —
+    // assert the unbiased regime (some but not all components match),
+    // not an inflated floor that only held under correlated multipliers
     val shared = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
-    assert(shared >= Dedup.MinhashK / 2, s"only $shared minhashes shared")
+    assert(shared >= 1 && shared < Dedup.MinhashK,
+      s"$shared of ${Dedup.MinhashK} minhashes shared")
     assert(sig(1L) != sig(4L))
   }
 
@@ -92,14 +97,17 @@ class TextDedupSpec extends SparkSpec {
       val e = m("est_jaccard").asInstanceOf[Double]
       assert(e >= 0.0 && e <= 1.0)
     }
-    // candidacy conditions on a matching band (4 equal components), so
-    // the sketch OVER-estimates on candidate pairs — the selection bias
-    // an operator must know about: assert its direction and bound
+    // candidacy conditions on a matching band, so the sketch slightly
+    // OVER-estimates on candidate pairs (measured +0.011 here) — assert
+    // the bias direction and a tight error bound: with INDEPENDENT
+    // permutation multipliers the mean |est - exact| sits near 0.04
+    // (it was 0.40 under the correlated (2i+1)*C family this metric
+    // exposed and the fix removed)
     val signedBias = sf.map(m => m("est_jaccard").asInstanceOf[Double] -
       m("jaccard").asInstanceOf[Double]).sum / sf.size
     assert(signedBias > 0.0, s"expected positive candidacy bias, got $signedBias")
     val meanErr = sf.map(_("abs_err").asInstanceOf[Double]).sum / sf.size
-    assert(meanErr < 0.6, s"mean |est - exact| = $meanErr")
+    assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
   }
 
   test("jaccard: identical docs score 1.0 and rank first") {
