@@ -640,10 +640,12 @@ object Similarity extends OpModule {
 
   /** Per-(vector, subspace) code: nearest refined codeword (quantized L2,
     * codeword-id tie-break). */
-  private def pqCodeDf(spark: SparkSession, dir: String): DataFrame = {
+  private def pqCodeDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pq_code:$dir") {
     import spark.implicits._
     // d (the quantized L2 to the chosen codeword) rides along: the
-    // distortion metric is exactly its per-vector sum
+    // distortion metric is exactly its per-vector sum. Memoized: the
+    // reconstruction table and the distortion metric both consume it
     pqRsubDf(spark, dir)
       .join(broadcast(pqCodebookDf(spark, dir)), Seq("s"))
       .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
