@@ -20,12 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DfMemo {
 
   /** LRU cap per session. Large enough for the widest reuse distance in
-    * the suite (the ANN recall family interleaves brute3 with the
-    * per-rung frames — the PQ rung alone touches kmeans_comp /
-    * kmeans_ranked / pq_resid / pq_cb on top of brute3 and ivf_ranked),
-    * small enough to bound resident cache pressure. */
+    * the suite — the ANN family's concurrently-live set is the widest:
+    * the PQ rung holds ivf_ranked / kmeans_comp / kmeans_ranked /
+    * kmeans2_ranked / multi_sig / pq_rsub / pq_cb / pq_code, and
+    * ann_pq_topk adds pq_recon + pq_approx on top (10 live) before
+    * ann_recall_curve re-reads the earlier rungs. 12 keeps one spare
+    * over that peak so a single new memo key cannot evict a frame whose
+    * rebuild is a full Lloyd iteration; small enough to bound resident
+    * cache pressure. */
   val MaxResident: Int =
-    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "8").toInt
+    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "12").toInt
 
   // Weak keys: a dropped session must not be pinned (with its whole
   // sessionState + persisted plans) for the life of the process.

@@ -107,14 +107,18 @@ object Dedup extends OpModule {
   val MinhashB: Seq[Long] =
     (0 until MinhashK).map(i => mh32(s"mhb$i") % (1L << 25))
 
-  /** Per-doc MinHash signature: all k minima in one grouped pass. */
-  private def minhashDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val mins = (0 until MinhashK).map(i =>
-      min((lit(MinhashA(i)) * $"h" + lit(MinhashB(i))) % lit(MinhashP))
-        .as(s"mh$i"))
-    shingled(spark, dir).groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-  }
+  /** Per-doc MinHash signature: all k minima in one grouped pass.
+    * Memoized: the sig query, the pair generator, and the accuracy
+    * metric (which joins it on BOTH pair sides — Spark would plan the
+    * grouped-minima aggregation once per join side) all share it. */
+  private def minhashDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"minhash_sig:$dir") {
+      import spark.implicits._
+      val mins = (0 until MinhashK).map(i =>
+        min((lit(MinhashA(i)) * $"h" + lit(MinhashB(i))) % lit(MinhashP))
+          .as(s"mh$i"))
+      shingled(spark, dir).groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    }
 
   private val minhashSql: String = {
     val mins = (0 until MinhashK)
@@ -190,9 +194,13 @@ object Dedup extends OpModule {
     val sa = sig.toDF("doc_a" +: (0 until MinhashK).map(i => s"a_mh$i"): _*)
     val sb = sig.toDF("doc_b" +: (0 until MinhashK).map(i => s"b_mh$i"): _*)
     // the pair list is banding-bounded and tiny: broadcast it into the
-    // corpus-sized frames (derived frames have no stats — without the
-    // hint the planner sort-merge-joins the big side)
-    val est = broadcast(pairs).join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // corpus-sized frames. The hint must ride EVERY join against a
+    // corpus-sized frame, not just the first — a hint attaches to one
+    // Join node, and the chained join's left child (the pair-bounded
+    // result, still tiny) is a derived frame with no stats that the
+    // planner would otherwise sort-merge against the big side.
+    val est = broadcast(broadcast(pairs).join(sa, Seq("doc_a")))
+      .join(sb, Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         round(matches.cast("double") / MinhashK, 6).as("est_jaccard"))
     // the distinct shingle-set frame is the SAME frame jaccardDf
@@ -200,14 +208,16 @@ object Dedup extends OpModule {
     val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
       shingled(spark, dir).select($"doc_id", $"h").distinct())
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(pairs)
-      .join(sets.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
+    // same discipline below: the running left side stays pair-bounded
+    // (pairs × shingles-per-doc at worst), so it broadcasts into each
+    // corpus-sized sets/sizes frame rather than shuffling it
+    val inter = broadcast(broadcast(pairs)
+        .join(sets.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a")))
       .join(sets.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
-    est
-      .join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+    broadcast(broadcast(est.join(broadcast(inter), Seq("doc_a", "doc_b"), "left"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a")))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         round(coalesce($"inter", lit(0L)).cast("double") /

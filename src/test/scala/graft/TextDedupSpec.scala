@@ -108,6 +108,14 @@ class TextDedupSpec extends SparkSpec {
     assert(signedBias > 0.0, s"expected positive candidacy bias, got $signedBias")
     val meanErr = sf.map(_("abs_err").asInstanceOf[Double]).sum / sf.size
     assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
+    // plan shape: every join keeps the pair-bounded side broadcast —
+    // a SortMergeJoin here means a corpus-sized frame got shuffled for
+    // a banding-bounded pair list (the hints must ride EVERY chained
+    // join, not just the first)
+    val plan = Dedup.queries("dedup_minhash_est")(spark, sfDir("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected all-broadcast joins in minhash_est:\n$plan")
   }
 
   test("jaccard: identical docs score 1.0 and rank first") {
