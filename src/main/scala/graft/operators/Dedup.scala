@@ -495,6 +495,139 @@ object Dedup extends OpModule {
        |  node = min(r) AS is_canonical
        |FROM reach GROUP BY node""".stripMargin
 
+  // ---- exact substring dedup (duplicated token spans) ----
+  //
+  // The suffix-array-style dedup of "Deduplicating Training Data Makes
+  // Language Models Better" (Lee et al., 2021), re-expressed as a
+  // distributed gram plan: a token span is duplicated when the G-token
+  // rolling gram at its position occurs >= 2 times in the corpus
+  // (occurrence-based like the paper — a within-document repeat counts),
+  // and overlapping duplicated positions merge into maximal spans.
+  // G = 8 whitespace tokens here (the paper uses 50 BPE tokens; the dial
+  // trades span precision against gram-table size — at 100 TB you raise
+  // G, which only SHRINKS every frame below).
+
+  /** Gram window length in tokens. */
+  val SubstrG = 8
+
+  /** Positioned rolling gram hashes: (doc_id, pos, gh) for every
+    * position with G tokens ahead. Built from the memoized token-hash
+    * arrays ([[TextAnalysis.hashedTokens]] — the md5 work is per TOKEN
+    * and shared with the whole text family, never per gram) as
+    * posexplode + (G-1) `lead`s over (doc, pos) and a Horner fold
+    * (acc*B + h) mod M per step — same overflow bound as the document
+    * fingerprint (acc < 2^31, B = 131, h < 2^32). The one shuffle is a
+    * well-distributed (doc_id) key. */
+  private def substrPosDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val hs = TextAnalysis.hashedTokens(spark, dir)
+      .select($"doc_id", posexplode($"hs").as(Seq("pos", "h0")))
+    val withLeads = (1 until SubstrG).foldLeft(hs) { (df, j) =>
+      df.withColumn(s"h$j", lead($"h0", j).over(w))
+    }
+    val gh = (1 until SubstrG).foldLeft(col("h0")) { (acc, j) =>
+      (acc * lit(TextAnalysis.FpBase) + col(s"h$j")) % lit(TextAnalysis.FpMod)
+    }
+    withLeads.filter(col(s"h${SubstrG - 1}").isNotNull)
+      .select($"doc_id", $"pos".cast("long").as("pos"), gh.as("gh"))
+  }
+
+  /** Maximal duplicated spans per document: count occurrences per gram
+    * hash (ONE shuffle on gh — the count window needs no ordering; a
+    * boilerplate-hot gram skews its partition, and the
+    * [[HotShingleCap]]-style guard would be the dial at scale), keep
+    * positions seen >= 2 times, then gaps-and-islands per doc (break
+    * when the gap exceeds G, so islands are disjoint by construction)
+    * — by then only duplicated positions remain, a corpus-attrition
+    * frame, not the corpus. Memoized: the per-doc audit consumes the
+    * same spans. */
+  private def substrSpansDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"substr_spans:$dir") {
+      import spark.implicits._
+      val cnt = Window.partitionBy($"gh")
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      substrPosDf(spark, dir)
+        .withColumn("cnt", count(lit(1)).over(cnt))
+        .filter($"cnt" >= 2)
+        .withColumn("brk",
+          when($"pos" - lag($"pos", 1).over(wd) > SubstrG, 1).otherwise(0))
+        .withColumn("island", sum($"brk").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"island")
+        .agg(
+          min($"pos").as("span_start"),
+          (max($"pos") + lit(SubstrG - 1).cast("long")).as("span_end"),
+          (max($"pos") + lit(SubstrG.toLong) - min($"pos")).as("span_tokens"))
+        .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+    }
+
+  private val substrPosSql: String =
+    s"""SELECT doc_id, i - 1 AS pos,
+       |  list_reduce(list_slice(hs, i, i + ${SubstrG - 1}),
+       |    (a, b) -> (a * ${TextAnalysis.FpBase} + b) % ${TextAnalysis.FpMod}) AS gh
+       |FROM (SELECT doc_id, hs,
+       |        unnest(range(1, greatest(len(hs) - ${SubstrG - 2}, 1))) AS i
+       |      FROM (SELECT doc_id,
+       |              list_transform(${TextAnalysis.tokensSql},
+       |                t -> ${ColFns.hex32Sql("t")}) AS hs
+       |            FROM documents) w0) w1""".stripMargin
+
+  private val substrSpansSql: String =
+    s"""WITH p AS ($substrPosSql),
+       |d AS (SELECT doc_id, pos FROM
+       |        (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS cnt
+       |         FROM p) c
+       |      WHERE cnt >= 2),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                  > $SubstrG THEN 1 ELSE 0 END AS brk
+       |      FROM d),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM g)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${SubstrG - 1} AS span_end,
+       |  max(pos) + $SubstrG - min(pos) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  /** Per-document duplication audit over the spans: every document gets
+    * a verdict row (LEFT JOIN from the token frame — a doc with no
+    * duplicated span must appear with zeros, not vanish), with the
+    * duplicated-token count and ratio the strip step of the paper's
+    * pipeline would act on. Islands are disjoint, so dup_tokens <=
+    * n_tokens and the ratio is a true fraction; the division is
+    * nullif-guarded for empty documents on both engines. */
+  private def substrStatsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = substrSpansDf(spark, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_tokens").as("dup_tokens"))
+    TextAnalysis.hashedTokens(spark, dir)
+      .select($"doc_id", size($"hs").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        round(coalesce($"dup_tokens", lit(0L)).cast("double") /
+          nullif($"n_tokens", lit(0L)), 6).as("dup_ratio"))
+  }
+
+  private val substrStatsSql: String =
+    s"""WITH spans AS ($substrSpansSql),
+       |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+       |              sum(span_tokens) AS dup_tokens
+       |            FROM spans GROUP BY 1),
+       |toks AS (SELECT doc_id,
+       |           len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens
+       |         FROM documents)
+       |SELECT t.doc_id, t.n_tokens,
+       |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  round(coalesce(p.dup_tokens, 0)::DOUBLE / nullif(t.n_tokens, 0), 6)
+       |    AS dup_ratio
+       |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
@@ -503,7 +636,9 @@ object Dedup extends OpModule {
     "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
-    "dedup_simhash" -> (simhashDf(_, _))
+    "dedup_simhash" -> (simhashDf(_, _)),
+    "dedup_substring_spans" -> (substrSpansDf(_, _)),
+    "dedup_substring_stats" -> (substrStatsDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,6 +649,8 @@ object Dedup extends OpModule {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
-    "dedup_simhash" -> simhashSql
+    "dedup_simhash" -> simhashSql,
+    "dedup_substring_spans" -> substrSpansSql,
+    "dedup_substring_stats" -> substrStatsSql
   )
 }

@@ -37,7 +37,7 @@ object TextAnalysis extends OpModule {
     graft.functions.DfMemo.cached(spark, s"doc_toks:$dir")(
       Tables.documents(spark, dir).withColumn("toks", tokens))
 
-  private val tokensSql: String =
+  private[operators] val tokensSql: String =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
   /** BPE-ish subword segmentation (the LLM-token-estimate every training
@@ -372,7 +372,7 @@ object TextAnalysis extends OpModule {
     * in the text family, and four queries (repetition, classifier,
     * bigram LM, and their downstream consumers) all start from exactly
     * this frame — at 100 TB you hash the corpus once, not per query. */
-  private def hashedTokens(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hashedTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DfMemo.cached(spark, s"doc_hs:$dir")(
       tokenized(spark, dir)

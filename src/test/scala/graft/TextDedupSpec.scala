@@ -118,6 +118,44 @@ class TextDedupSpec extends SparkSpec {
       s"expected all-broadcast joins in minhash_est:\n$plan")
   }
 
+  test("substring dedup finds exact duplicated spans and audits every doc") {
+    // docs 1 and 2 are 9-token exact dups: both 8-gram positions (0, 1)
+    // are duplicated, merging into ONE maximal span covering the doc
+    val spans = rowsOf(Dedup.queries("dedup_substring_spans")(spark, dir))
+    assert(spans.map(_("doc_id")).toSet == Set(1L, 2L))
+    spans.foreach { s =>
+      assert(s("span_start") == 0L && s("span_end") == 8L &&
+        s("span_tokens") == 9L)
+    }
+    // the near dup (3) differs at token 7, which every 8-gram of a
+    // 9-token doc covers — no span; 4 and 5 are too short / unrelated
+    val stats = rowsOf(Dedup.queries("dedup_substring_stats")(spark, dir))
+    assert(stats.size == 5, "every document gets an audit row")
+    val byId = stats.map(m => m("doc_id") -> m).toMap
+    assert(byId(1L)("dup_ratio") == 1.0 && byId(2L)("dup_ratio") == 1.0)
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(byId(id)("n_spans") == 0L && byId(id)("dup_ratio") == 0.0,
+        s"doc $id should have no duplicated span")
+    }
+  }
+
+  test("substring dedup counts within-document repeats and splits distant spans") {
+    // one 17-token doc repeating an 8-token phrase at positions 0 and 9:
+    // occurrence-based duplication (Lee et al. semantics) marks both,
+    // and the 9-position gap (> G) keeps them as two disjoint spans
+    val d2 = writeDocsFixture(Seq(
+      (1L, "a b c d e f g h x a b c d e f g h", "en"),
+      (2L, "totally unrelated filler words go here instead now", "en")))
+    val spans = rowsOf(Dedup.queries("dedup_substring_spans")(spark, d2))
+      .sortBy(_("span_start").asInstanceOf[Long])
+    assert(spans.map(m => (m("doc_id"), m("span_start"), m("span_end"))) ==
+      Seq((1L, 0L, 7L), (1L, 9L, 16L)))
+    val stats = rowsOf(Dedup.queries("dedup_substring_stats")(spark, d2))
+    val d1 = stats.find(_("doc_id") == 1L).get
+    assert(d1("n_spans") == 2L && d1("dup_tokens") == 16L)
+    assert(d1("dup_ratio").asInstanceOf[Double] == 0.941176)
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
