@@ -542,24 +542,34 @@ object Dedup extends OpModule {
     * — by then only duplicated positions remain, a corpus-attrition
     * frame, not the corpus. Memoized: the per-doc audit consumes the
     * same spans. */
+  /** Gaps-and-islands merge of a (doc_id, pos) frame of G-gram start
+    * positions into maximal disjoint spans (break when the gap exceeds
+    * G, so consecutive islands cannot overlap). Runs AFTER the
+    * duplicated-position filter — a corpus-attrition frame, not the
+    * corpus. */
+  private def islandSpans(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    df.withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(wd) > SubstrG, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg(
+        min($"pos").as("span_start"),
+        (max($"pos") + lit(SubstrG - 1).cast("long")).as("span_end"),
+        (max($"pos") + lit(SubstrG.toLong) - min($"pos")).as("span_tokens"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+  }
+
   private def substrSpansDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"substr_spans:$dir") {
       import spark.implicits._
       val cnt = Window.partitionBy($"gh")
-      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
-      substrPosDf(spark, dir)
-        .withColumn("cnt", count(lit(1)).over(cnt))
-        .filter($"cnt" >= 2)
-        .withColumn("brk",
-          when($"pos" - lag($"pos", 1).over(wd) > SubstrG, 1).otherwise(0))
-        .withColumn("island", sum($"brk").over(
-          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"doc_id", $"island")
-        .agg(
-          min($"pos").as("span_start"),
-          (max($"pos") + lit(SubstrG - 1).cast("long")).as("span_end"),
-          (max($"pos") + lit(SubstrG.toLong) - min($"pos")).as("span_tokens"))
-        .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+      islandSpans(
+        substrPosDf(spark, dir)
+          .withColumn("cnt", count(lit(1)).over(cnt))
+          .filter($"cnt" >= 2))
     }
 
   private val substrPosSql: String =
@@ -613,6 +623,68 @@ object Dedup extends OpModule {
           nullif($"n_tokens", lit(0L)), 6).as("dup_ratio"))
   }
 
+  /** The strip step the spans feed (the paper's dedup ACTION): a
+    * duplicated gram occurrence is removable unless it is the canonical
+    * (first by (doc_id, pos)) occurrence of its gram — so exactly one
+    * copy of every duplicated substring survives corpus-wide, exact-dup
+    * documents strip to zero while their keeper is untouched, and a
+    * within-document repeat keeps its first occurrence. Removable
+    * positions merge into spans with the same island pass; the output
+    * is the per-document retention audit (every doc gets a row). The
+    * row_number per gram hash rides the SAME (gh) exchange as the
+    * occurrence count; a per-gram sort is bounded by posting-list
+    * length (hot-gram skew shares the HotShingleCap dial). */
+  private def substrStripDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wg = Window.partitionBy($"gh")
+    val wr = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    val removed = islandSpans(
+      substrPosDf(spark, dir)
+        .withColumn("cnt", count(lit(1)).over(wg))
+        .withColumn("rn", row_number().over(wr))
+        .filter($"cnt" >= 2 && $"rn" > 1))
+      .groupBy($"doc_id")
+      .agg(sum($"span_tokens").as("removed_tokens"))
+    TextAnalysis.hashedTokens(spark, dir)
+      .select($"doc_id", size($"hs").cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"removed_tokens", lit(0L)).as("removed_tokens"),
+        ($"n_tokens" - coalesce($"removed_tokens", lit(0L))).as("kept_tokens"),
+        round(($"n_tokens" - coalesce($"removed_tokens", lit(0L))).cast("double") /
+          nullif($"n_tokens", lit(0L)), 6).as("kept_ratio"))
+  }
+
+  private val substrStripSql: String =
+    s"""WITH p AS ($substrPosSql),
+       |r AS (SELECT doc_id, pos FROM
+       |        (SELECT doc_id, pos,
+       |           count(*) OVER (PARTITION BY gh) AS cnt,
+       |           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+       |             AS rn
+       |         FROM p) c
+       |      WHERE cnt >= 2 AND rn > 1),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                  > $SubstrG THEN 1 ELSE 0 END AS brk
+       |      FROM r),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM g),
+       |spans AS (SELECT doc_id, max(pos) + $SubstrG - min(pos) AS span_tokens
+       |          FROM isl GROUP BY doc_id, island),
+       |rm AS (SELECT doc_id, sum(span_tokens) AS removed_tokens
+       |       FROM spans GROUP BY 1),
+       |toks AS (SELECT doc_id,
+       |           len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens
+       |         FROM documents)
+       |SELECT t.doc_id, t.n_tokens,
+       |  coalesce(rm.removed_tokens, 0)::BIGINT AS removed_tokens,
+       |  (t.n_tokens - coalesce(rm.removed_tokens, 0))::BIGINT AS kept_tokens,
+       |  round((t.n_tokens - coalesce(rm.removed_tokens, 0))::DOUBLE
+       |        / nullif(t.n_tokens, 0), 6) AS kept_ratio
+       |FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id""".stripMargin
+
   private val substrStatsSql: String =
     s"""WITH spans AS ($substrSpansSql),
        |per_doc AS (SELECT doc_id, count(*) AS n_spans,
@@ -638,7 +710,8 @@ object Dedup extends OpModule {
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
     "dedup_simhash" -> (simhashDf(_, _)),
     "dedup_substring_spans" -> (substrSpansDf(_, _)),
-    "dedup_substring_stats" -> (substrStatsDf(_, _))
+    "dedup_substring_stats" -> (substrStatsDf(_, _)),
+    "dedup_substring_strip" -> (substrStripDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,6 +724,7 @@ object Dedup extends OpModule {
     "dedup_jaccard_topk" -> jaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_substring_spans" -> substrSpansSql,
-    "dedup_substring_stats" -> substrStatsSql
+    "dedup_substring_stats" -> substrStatsSql,
+    "dedup_substring_strip" -> substrStripSql
   )
 }

@@ -156,6 +156,24 @@ class TextDedupSpec extends SparkSpec {
     assert(d1("dup_ratio").asInstanceOf[Double] == 0.941176)
   }
 
+  test("substring strip keeps exactly one copy of every duplicated span") {
+    // canonical occurrence = first by (doc_id, pos): doc 1 survives
+    // untouched, its exact dup doc 2 strips to zero
+    val strip = rowsOf(Dedup.queries("dedup_substring_strip")(spark, dir))
+    assert(strip.size == 5, "every document gets a retention row")
+    val byId = strip.map(m => m("doc_id") -> m).toMap
+    assert(byId(1L)("kept_ratio") == 1.0 && byId(1L)("removed_tokens") == 0L)
+    assert(byId(2L)("kept_tokens") == 0L && byId(2L)("kept_ratio") == 0.0)
+    Seq(3L, 4L, 5L).foreach(id => assert(byId(id)("kept_ratio") == 1.0))
+    // within-document repeat: the first occurrence survives, the second
+    // (pos 9..16) is stripped — kept 9 of 17
+    val d2 = writeDocsFixture(Seq(
+      (1L, "a b c d e f g h x a b c d e f g h", "en")))
+    val s1 = rowsOf(Dedup.queries("dedup_substring_strip")(spark, d2)).head
+    assert(s1("removed_tokens") == 8L && s1("kept_tokens") == 9L)
+    assert(s1("kept_ratio").asInstanceOf[Double] == 0.529412)
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
