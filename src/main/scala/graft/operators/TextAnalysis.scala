@@ -850,6 +850,82 @@ object TextAnalysis extends OpModule {
        |  coalesce(st.boiler_share, 0.0) AS boiler_share
        |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""".stripMargin
 
+  // ---- KMV distinct-count sketch ----
+  //
+  // Cardinality estimation is the sketch a 100 TB corpus audit reaches
+  // for first (per-source vocabulary size without an exact distinct);
+  // Spark's approx_count_distinct (HLL++) is engine-private, so this is
+  // the k-minimum-values estimator of Bar-Yossef et al. (2002) over the
+  // hex32 hash space — fully deterministic, bit-identical on both
+  // engines, and therefore hash-checkable INCLUDING its measured error.
+
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** Per-source distinct word-3-gram cardinality (the dedup-planning
+    * statistic: how big would this source's shingle table be?): exact
+    * (over the distinct hash set — the estimator's own universe, so
+    * collisions in the 2^32 space cancel out of the comparison), the
+    * KMV estimate (k-1) * 2^32 / h_(k), and the measured relative
+    * error. Unigrams would be pointless here — this synthetic corpus
+    * draws from a ~30-word vocabulary, below k, so the sketch is
+    * exercised on the combinatorial gram space (~1.3k per source).
+    * Scale shape: the distinct collapses map-side before ONE
+    * (source, h) exchange; the per-source rank is a WindowGroupLimit —
+    * each input partition forwards at most k hashes per source to the
+    * final sort, so the sketch side never shuffles the gram table. */
+  private def vocabKmvDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n2 = greatest(size($"hs") - 2, lit(0))
+    val hashes = tokenized(spark, dir)
+      .select($"source", transform($"toks", t => ColFns.hex32(t)).as("hs"))
+      .select($"source", explode(zip_with(
+        zip_with(slice($"hs", lit(1), n2), slice($"hs", lit(2), n2),
+          (a, b) => (a * lit(FpBase) + b) % lit(FpMod)),
+        slice($"hs", lit(3), n2),
+        (ab, c) => (ab * lit(FpBase) + c) % lit(FpMod))).as("h"))
+      .distinct()
+    val exact = hashes.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+    val wr = Window.partitionBy($"source").orderBy($"h")
+    val kmv = hashes
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= KmvK)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("seen"), max($"h").as("kth"))
+      .select($"source",
+        when($"seen" < KmvK, $"seen".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * FpMod) / $"kth")
+          .as("est_raw"))
+    exact.join(kmv, Seq("source"))
+      .select($"source", $"n_exact",
+        round($"est_raw", 4).as("est_distinct"),
+        round(abs($"est_raw" - $"n_exact") /
+          nullif($"n_exact".cast("double"), lit(0.0)), 6).as("rel_err"))
+  }
+
+  private val vocabKmvSql: String =
+    s"""WITH hs AS (SELECT DISTINCT source,
+       |              ((((${ColFns.hex32Sql("ws[i]")} * $FpBase
+       |                  + ${ColFns.hex32Sql("ws[i + 1]")}) % $FpMod) * $FpBase
+       |                + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod) AS h
+       |            FROM (SELECT source, ws,
+       |                    unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+       |                  FROM (SELECT source, $tokensSql AS ws
+       |                        FROM documents) w0) w1),
+       |ex AS (SELECT source, count(*) AS n_exact FROM hs GROUP BY 1),
+       |km AS (SELECT source,
+       |         CASE WHEN count(*) < $KmvK THEN count(*)::DOUBLE
+       |              ELSE ${(KmvK - 1).toDouble} * ${FpMod}.0 / max(h) END
+       |           AS est_raw
+       |       FROM (SELECT source, h,
+       |               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |             FROM hs) r
+       |       WHERE rn <= $KmvK GROUP BY 1)
+       |SELECT ex.source, ex.n_exact, round(km.est_raw, 4) AS est_distinct,
+       |  round(abs(km.est_raw - ex.n_exact)
+       |        / nullif(ex.n_exact::DOUBLE, 0), 6) AS rel_err
+       |FROM ex JOIN km USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -863,7 +939,8 @@ object TextAnalysis extends OpModule {
     "text_classifier_score" -> (classifierDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
-    "text_bigram_xent" -> (bigramXentDf(_, _))
+    "text_bigram_xent" -> (bigramXentDf(_, _)),
+    "text_gram_kmv" -> (vocabKmvDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -879,6 +956,7 @@ object TextAnalysis extends OpModule {
     "text_classifier_score" -> classifierSql,
     "text_encode" -> encodeSql,
     "text_boilerplate" -> boilerplateSql,
-    "text_bigram_xent" -> bigramXentSql
+    "text_bigram_xent" -> bigramXentSql,
+    "text_gram_kmv" -> vocabKmvSql
   )
 }

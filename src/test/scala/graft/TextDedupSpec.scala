@@ -174,6 +174,41 @@ class TextDedupSpec extends SparkSpec {
     assert(s1("kept_ratio").asInstanceOf[Double] == 0.529412)
   }
 
+  test("KMV sketch is exact under k and within estimator error at corpus scale") {
+    // the fixture vocabulary is far below k = 64: the sketch must
+    // degenerate to the exact count with zero error
+    val small = rowsOf(TextAnalysis.queries("text_gram_kmv")(spark, dir))
+    assert(small.nonEmpty)
+    small.foreach { m =>
+      assert(m("est_distinct") == m("n_exact").asInstanceOf[Long].toDouble)
+      assert(m("rel_err") == 0.0)
+    }
+    // at sf0.01 the per-source vocabularies exceed k: the estimate must
+    // land within a few KMV standard errors (se ~ 1/sqrt(k-2) ~ 0.127)
+    val sf = rowsOf(TextAnalysis.queries("text_gram_kmv")(spark, sfDir("sf0.01")))
+    val (est, exact) =
+      sf.partition(_("n_exact").asInstanceOf[Long] > TextAnalysis.KmvK)
+    assert(est.nonEmpty,
+      "sf corpus should have a source that exercises the estimator")
+    // unbiased with se ~ 1/sqrt(k-2) ~ 0.127: the MEAN over 20 sources
+    // must sit well inside it (measured 0.111); any single source can
+    // draw a ~3-sigma tail (src6 measures 0.416), so the per-source
+    // bound is loose
+    val errs = est.map(_("rel_err").asInstanceOf[Double])
+    assert(errs.sum / errs.size < 0.2,
+      s"mean rel_err ${errs.sum / errs.size}")
+    errs.foreach(e => assert(e < 0.6, s"rel_err $e"))
+    // under-k sources (this corpus has a 31-token one) take the exact path
+    exact.foreach(m => assert(m("rel_err") == 0.0))
+    // plan shape: the rank filter must compile to a WindowGroupLimit —
+    // each input partition forwards at most k hashes per source, so the
+    // sketch never shuffles the vocabulary
+    val plan = TextAnalysis.queries("text_gram_kmv")(spark, sfDir("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial top-k in the KMV plan:\n$plan")
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
