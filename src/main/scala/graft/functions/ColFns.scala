@@ -52,6 +52,18 @@ object ColFns {
 
   def sigmoidSql(x: String): String = s"(1.0 / (1.0 + exp(-($x))))"
 
+  /** Driver-side md5-derived 32-bit constant: independent pseudo-random
+    * draws for hash-family parameters (MinHash permutations, count-min
+    * rows), computed once in Scala and inlined as the SAME literal into
+    * both engines' expressions. Arithmetic families like (2i+1)*C are
+    * NOT independent (see Dedup's MinhashA note) — always derive from a
+    * digest. */
+  def md5Const32(seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+  }
+
   /** Deterministic 32-bit string hash both engines can compute: the first 8
     * hex digits of md5, folded positionally. Used as the shingle/token hash
     * for MinHash / SimHash so the DuckDB oracle can reproduce signatures

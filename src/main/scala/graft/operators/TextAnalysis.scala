@@ -926,6 +926,93 @@ object TextAnalysis extends OpModule {
        |        / nullif(ex.n_exact::DOUBLE, 0), 6) AS rel_err
        |FROM ex JOIN km USING (source)""".stripMargin
 
+  // ---- count-min heavy hitters ----
+  //
+  // The second sketch of the audit pair (KMV answers "how many distinct",
+  // count-min answers "how often do the big ones occur"): d independent
+  // row hashes fold every gram occurrence into a d x w counter grid;
+  // a point estimate is the min over its d cells, which can only
+  // OVER-estimate (collision mass is non-negative) — an invariant the
+  // oracle twin makes hash-checkable, measured error included.
+
+  val CmsW = 256
+  val CmsD = 4
+  private val CmsA: Seq[Long] =
+    (0 until CmsD).map(j => 1L + ColFns.md5Const32(s"cmsa$j") % ((1L << 25) - 1))
+  private val CmsB: Seq[Long] =
+    (0 until CmsD).map(j => ColFns.md5Const32(s"cmsb$j") % (1L << 25))
+
+  /** The same Horner gram identity as the KMV sketch. */
+  private def ghCol: Column =
+    ((col("ga") * lit(FpBase) + col("gb")) % lit(FpMod) * lit(FpBase) +
+      col("gc")) % lit(FpMod)
+
+  /** Occurrence counts per gram — ONE hash aggregation over the memoized
+    * gram stream; everything downstream (grid, top-k, probes) works on
+    * this already-reduced frame, never the corpus. */
+  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"gram_counts:$dir") {
+      import spark.implicits._
+      gram3(spark, dir).select(ghCol.as("gh"))
+        .groupBy($"gh").agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Exact top-10 grams (count desc, gh tie-break — identical order both
+    * engines) next to their count-min estimates and the measured
+    * overcount. The d x w grid is a second aggregation OVER THE COUNTS
+    * frame (the union fans out d rows per distinct gram, not per
+    * occurrence); the probe side is 40 rows and broadcasts into the
+    * 1024-cell grid. At 100 TB the grid is the only state a streaming
+    * frequency monitor would keep — this query is its batch oracle. */
+  private def heavyHittersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = gramCounts(spark, dir)
+    val cells = (0 until CmsD).map { j =>
+      counts.select(lit(j).as("row_id"),
+        (((lit(CmsA(j)) * $"gh" + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong))
+          .as("bucket"),
+        $"cnt")
+    }.reduce(_ unionByName _)
+      .groupBy($"row_id", $"bucket").agg(sum($"cnt").as("cell"))
+    val top = counts.orderBy($"cnt".desc, $"gh".asc).limit(10)
+    val probes = top.select($"gh", $"cnt", explode(array(
+      (0 until CmsD).map(j => struct(
+        lit(j).as("row_id"),
+        (((lit(CmsA(j)) * $"gh" + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong))
+          .as("bucket"))): _*)).as("p"))
+      .select($"gh", $"cnt", $"p.row_id", $"p.bucket")
+    broadcast(probes).join(cells, Seq("row_id", "bucket"))
+      .groupBy($"gh", $"cnt")
+      .agg(min($"cell").as("cms_est"))
+      .select($"gh", $"cnt".as("exact_cnt"), $"cms_est",
+        ($"cms_est" - $"cnt").as("overcount"))
+  }
+
+  private val heavyHittersSql: String = {
+    val ghSql =
+      s"""((((${ColFns.hex32Sql("ws[i]")} * $FpBase
+         + ${ColFns.hex32Sql("ws[i + 1]")}) % $FpMod) * $FpBase
+         + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod)""".replace("\n", " ")
+    val cellRows = (0 until CmsD).map { j =>
+      s"SELECT ${j} AS row_id, ((${CmsA(j)} * gh + ${CmsB(j)}) % $FpMod) % $CmsW AS bucket, cnt FROM gc"
+    }.mkString("\nUNION ALL\n")
+    val probeRows = (0 until CmsD).map { j =>
+      s"SELECT gh, cnt, ${j} AS row_id, ((${CmsA(j)} * gh + ${CmsB(j)}) % $FpMod) % $CmsW AS bucket FROM top"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (SELECT $ghSql AS gh
+       |           FROM (SELECT ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+       |                 FROM (SELECT $tokensSql AS ws FROM documents) w0) w1),
+       |gc AS (SELECT gh, count(*) AS cnt FROM g GROUP BY 1),
+       |cells AS (SELECT row_id, bucket, sum(cnt)::BIGINT AS cell
+       |          FROM ($cellRows) cr GROUP BY 1, 2),
+       |top AS (SELECT gh, cnt FROM gc ORDER BY cnt DESC, gh LIMIT 10),
+       |probes AS ($probeRows)
+       |SELECT p.gh, p.cnt AS exact_cnt, min(c.cell) AS cms_est,
+       |  min(c.cell) - p.cnt AS overcount
+       |FROM probes p JOIN cells c USING (row_id, bucket)
+       |GROUP BY p.gh, p.cnt""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
@@ -940,7 +1027,8 @@ object TextAnalysis extends OpModule {
     "text_encode" -> (encodeDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
-    "text_gram_kmv" -> (vocabKmvDf(_, _))
+    "text_gram_kmv" -> (vocabKmvDf(_, _)),
+    "text_heavy_hitters" -> (heavyHittersDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -957,6 +1045,7 @@ object TextAnalysis extends OpModule {
     "text_encode" -> encodeSql,
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,
-    "text_gram_kmv" -> vocabKmvSql
+    "text_gram_kmv" -> vocabKmvSql,
+    "text_heavy_hitters" -> heavyHittersSql
   )
 }

@@ -209,6 +209,38 @@ class TextDedupSpec extends SparkSpec {
       s"expected partial top-k in the KMV plan:\n$plan")
   }
 
+  test("count-min estimates never undercount and find the true heavy hitter") {
+    val hh = rowsOf(TextAnalysis.queries("text_heavy_hitters")(spark, dir))
+    assert(hh.nonEmpty && hh.size <= 10)
+    // CMS invariant: the min-of-cells estimate is exact count + non-negative
+    // collision mass — an undercount is impossible by construction
+    hh.foreach { m =>
+      assert(m("overcount").asInstanceOf[Long] >= 0L)
+      assert(m("cms_est").asInstanceOf[Long] >=
+        m("exact_cnt").asInstanceOf[Long])
+    }
+    // the shared prefix "the quick brown fox jumps over" spans docs
+    // 1, 2 AND the near-dup 3 — its grams top the list at count 3
+    assert(hh.map(_("exact_cnt").asInstanceOf[Long]).max == 3L)
+    // corpus scale: this synthetic gram distribution is FLAT (~25k
+    // distinct grams, top counts ~7), the regime where CMS's relative
+    // error is honest-to-badness large — what the sketch guarantees is
+    // ADDITIVE: overcount <= e*N/w per probe w.h.p. (N = total gram
+    // mass). Assert the measured overcounts against that bound.
+    val sfd = sfDir("sf0.01")
+    val sf = rowsOf(TextAnalysis.queries("text_heavy_hitters")(spark, sfd))
+    assert(sf.size == 10)
+    val n = rowsOf(TextAnalysis.queries("text_tokens")(spark, sfd))
+      .map(m => math.max(m("n_tokens").asInstanceOf[Number].longValue - 2, 0L))
+      .sum
+    val bound = math.E * n / TextAnalysis.CmsW
+    sf.foreach { m =>
+      val over = m("overcount").asInstanceOf[Long]
+      assert(over >= 0L)
+      assert(over <= bound, s"overcount $over exceeds e*N/w = $bound")
+    }
+  }
+
   test("jaccard: identical docs score 1.0 and rank first") {
     val top = rowsOf(Dedup.queries("dedup_jaccard_topk")(spark, dir))
     val first = top.head
