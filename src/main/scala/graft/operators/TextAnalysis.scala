@@ -947,6 +947,26 @@ object TextAnalysis extends OpModule {
     ((col("ga") * lit(FpBase) + col("gb")) % lit(FpMod) * lit(FpBase) +
       col("gc")) % lit(FpMod)
 
+  /** Row-j count-min bucket for a gram-hash column — THE hash family,
+    * shared by the batch grid, the probe side, and the streaming
+    * monitor ([[graft.streaming.Streams.cmsMonitor]]), so their cells
+    * are definitionally colocated. */
+  private[graft] def cmsBucket(j: Int, gh: Column): Column =
+    ((lit(CmsA(j)) * gh + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong)
+
+  /** Per-document array of Horner gram hashes from a token array —
+    * pure map work (streaming-safe), identical to the batch gram
+    * identity. */
+  private[graft] def gramHashArr(toks: Column): Column = {
+    val hs = transform(toks, t => ColFns.hex32(t))
+    val n2 = greatest(size(hs) - 2, lit(0))
+    zip_with(
+      zip_with(slice(hs, lit(1), n2), slice(hs, lit(2), n2),
+        (a, b) => (a * lit(FpBase) + b) % lit(FpMod)),
+      slice(hs, lit(3), n2),
+      (ab, c) => (ab * lit(FpBase) + c) % lit(FpMod))
+  }
+
   /** Occurrence counts per gram — ONE hash aggregation over the memoized
     * gram stream; everything downstream (grid, top-k, probes) works on
     * this already-reduced frame, never the corpus. */
@@ -968,9 +988,7 @@ object TextAnalysis extends OpModule {
     import spark.implicits._
     val counts = gramCounts(spark, dir)
     val cells = (0 until CmsD).map { j =>
-      counts.select(lit(j).as("row_id"),
-        (((lit(CmsA(j)) * $"gh" + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong))
-          .as("bucket"),
+      counts.select(lit(j).as("row_id"), cmsBucket(j, $"gh").as("bucket"),
         $"cnt")
     }.reduce(_ unionByName _)
       .groupBy($"row_id", $"bucket").agg(sum($"cnt").as("cell"))
@@ -978,8 +996,7 @@ object TextAnalysis extends OpModule {
     val probes = top.select($"gh", $"cnt", explode(array(
       (0 until CmsD).map(j => struct(
         lit(j).as("row_id"),
-        (((lit(CmsA(j)) * $"gh" + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong))
-          .as("bucket"))): _*)).as("p"))
+        cmsBucket(j, $"gh").as("bucket"))): _*)).as("p"))
       .select($"gh", $"cnt", $"p.row_id", $"p.bucket")
     broadcast(probes).join(cells, Seq("row_id", "bucket"))
       .groupBy($"gh", $"cnt")

@@ -613,4 +613,30 @@ object Streams {
       .select($"doc_id", $"source", $"content_h", $"n_tokens",
         $"quality", $"lang_ok", $"keep")
   }
+
+  /** Streaming count-min frequency monitor over the document feed: the
+    * live twin of [[graft.operators.TextAnalysis]]'s batch heavy-hitter
+    * query. Per-doc gram hashing is pure map work; the only state is
+    * the running d x w counter grid itself — a bounded (≤ d*w keys)
+    * streaming aggregation that Spark folds incrementally per
+    * micro-batch, which is the entire point of the sketch: frequency
+    * monitoring over an unbounded corpus stream in O(d*w) memory. The
+    * bucket family is [[graft.operators.TextAnalysis.cmsBucket]], so a
+    * point-estimate probe against this grid returns exactly what the
+    * batch query's grid returns over the same corpus (asserted in
+    * StreamingSpec). Run with Complete output (the grid IS the result)
+    * or dump deltas with Update. */
+  def cmsMonitor(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    docs
+      .select(explode(T.gramHashArr(T.tokensCol)).as("gh"))
+      .select(explode(array((0 until T.CmsD).map(j => struct(
+        lit(j).as("row_id"),
+        T.cmsBucket(j, $"gh").as("bucket"))): _*)).as("p"))
+      .select($"p.row_id", $"p.bucket")
+      .groupBy($"row_id", $"bucket")
+      .agg(count(lit(1)).as("cell"))
+  }
 }

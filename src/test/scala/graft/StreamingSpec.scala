@@ -692,4 +692,53 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("quality") == batch(id), s"doc $id verdict drifted")
     }
   }
+
+  test("streaming count-min grid equals the batch grid and serves batch-identical estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      Streams.RawDoc(1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+      Streams.RawDoc(2L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+      Streams.RawDoc(3L, "the quick brown fox jumps over a lazy dog", "en", "s2"),
+      Streams.RawDoc(4L, "der hund und die katze und das haus", "de", "s2"),
+      Streams.RawDoc(5L, "completely different words entirely here now", "en", "s2"))
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.cmsMonitor(input.toDF())
+      .writeStream.format("memory").queryName("cms_grid_out")
+      .outputMode("complete").start()
+    input.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    input.addData(docs(2), docs(3), docs(4))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_grid_out").collect()
+      .map(r => (r.getAs[Int]("row_id"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cell")).toMap
+    // the incrementally-folded grid is identical to one batch pass of
+    // the same transformation over the full corpus
+    val batchGrid = Streams.cmsMonitor(spark.createDataset(docs).toDF())
+      .collect()
+      .map(r => (r.getAs[Int]("row_id"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cell")).toMap
+    assert(streamed == batchGrid)
+    assert(streamed.size <= TextAnalysis.CmsD * TextAnalysis.CmsW,
+      "state is bounded by the grid dimensions")
+    // probing the streamed grid with the batch query's top grams
+    // reproduces the batch estimates exactly (same bucket family)
+    val d = writeDocsFixture(docs.map(r => (r.doc_id, r.text, r.lang)))
+    val hh = TextAnalysis.queries("text_heavy_hitters")(spark, d)
+    val probes = hh.select($"gh", $"cms_est", explode(array(
+      (0 until TextAnalysis.CmsD).map(j => struct(
+        lit(j).as("row_id"),
+        TextAnalysis.cmsBucket(j, $"gh").as("bucket"))): _*)).as("p"))
+      .select($"gh", $"cms_est", $"p.row_id", $"p.bucket").collect()
+    probes.groupBy(r => (r.getAs[Long]("gh"), r.getAs[Long]("cms_est")))
+      .foreach { case ((gh, est), rows) =>
+        val served = rows.map(r =>
+          streamed((r.getAs[Int]("row_id"), r.getAs[Long]("bucket")))).min
+        assert(served == est, s"gram $gh: streamed grid served $served, batch $est")
+      }
+  }
 }
