@@ -40,6 +40,42 @@ class SkewSpec extends graft.SparkSpec {
     dir
   }
 
+  test("substring dedup under a 200-hot boilerplate gram: one survivor, tails untouched") {
+    import spark.implicits._
+    // 200 docs sharing a 12-token boilerplate header + 8 unique tail
+    // tokens: every header gram lands 200 occurrences in ONE gram-hash
+    // partition — the hot-gram skew path of the occurrence-count window
+    val header = "terms of service apply to all content on this site please read"
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    (0 until 200).map(i =>
+      (i.toLong, s"$header u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // grams fully inside the header (positions 0..4) are duplicated
+    // x200; grams spanning header->tail are unique. The island merge
+    // must produce exactly the 12-token header span per doc.
+    val spanRows = rowsOf(Dedup.queries("dedup_substring_spans")(spark, dir))
+    assert(spanRows.size == 200, "one maximal span per document")
+    spanRows.foreach { s =>
+      assert(s("span_start") == 0L && s("span_end") == 11L &&
+        s("span_tokens") == 12L, s"unexpected span $s")
+    }
+    // strip: the canonical (first by doc_id) copy survives untouched;
+    // all 199 others lose exactly the header
+    val strip = rowsOf(Dedup.queries("dedup_substring_strip")(spark, dir))
+    val byId = strip.map(m => m("doc_id").asInstanceOf[Long] -> m).toMap
+    assert(byId(0L)("removed_tokens") == 0L && byId(0L)("kept_tokens") == 20L)
+    (1L until 200L).foreach { id =>
+      assert(byId(id)("removed_tokens") == 12L && byId(id)("kept_tokens") == 8L,
+        s"doc $id: ${byId(id)}")
+    }
+    // corpus-wide: exactly one surviving copy of the boilerplate mass
+    val removed = strip.map(_("removed_tokens").asInstanceOf[Long]).sum
+    assert(removed == 199L * 12L)
+  }
+
   test("hot-shingle cap: the quadratic pair bomb is dropped, real near-dups survive") {
     import spark.implicits._
     val sets = Dedup.shingled(spark, skewDir)
