@@ -376,7 +376,8 @@ object TextAnalysis extends OpModule {
     import spark.implicits._
     graft.functions.DfMemo.cached(spark, s"doc_hs:$dir")(
       tokenized(spark, dir)
-        .select($"doc_id", transform($"toks", t => ColFns.hex32(t)).as("hs")))
+        .select($"doc_id", $"source",
+          transform($"toks", t => ColFns.hex32(t)).as("hs")))
   }
 
   /** The (doc_id, ga, gb, gc) word-3-gram stream over the hashed token
@@ -876,14 +877,8 @@ object TextAnalysis extends OpModule {
     * final sort, so the sketch side never shuffles the gram table. */
   private def vocabKmvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n2 = greatest(size($"hs") - 2, lit(0))
-    val hashes = tokenized(spark, dir)
-      .select($"source", transform($"toks", t => ColFns.hex32(t)).as("hs"))
-      .select($"source", explode(zip_with(
-        zip_with(slice($"hs", lit(1), n2), slice($"hs", lit(2), n2),
-          (a, b) => (a * lit(FpBase) + b) % lit(FpMod)),
-        slice($"hs", lit(3), n2),
-        (ab, c) => (ab * lit(FpBase) + c) % lit(FpMod))).as("h"))
+    val hashes = hashedTokens(spark, dir)
+      .select($"source", explode(gramHashArrFromHashes($"hs")).as("h"))
       .distinct()
     val exact = hashes.groupBy($"source").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"source").orderBy($"h")
@@ -957,8 +952,13 @@ object TextAnalysis extends OpModule {
   /** Per-document array of Horner gram hashes from a token array —
     * pure map work (streaming-safe), identical to the batch gram
     * identity. */
-  private[graft] def gramHashArr(toks: Column): Column = {
-    val hs = transform(toks, t => ColFns.hex32(t))
+  private[graft] def gramHashArr(toks: Column): Column =
+    gramHashArrFromHashes(transform(toks, t => ColFns.hex32(t)))
+
+  /** The Horner combine alone, for callers already holding the memoized
+    * token-hash arrays (the md5 is the dominant scalar cost — never
+    * recompute it per query). */
+  private[graft] def gramHashArrFromHashes(hs: Column): Column = {
     val n2 = greatest(size(hs) - 2, lit(0))
     zip_with(
       zip_with(slice(hs, lit(1), n2), slice(hs, lit(2), n2),
