@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -130,6 +130,95 @@ object Pipeline extends OpModule {
        |WHERE s.doc_id % $BenchMod <> 0
        |GROUP BY 1
        |HAVING count(*) >= $MinOverlap""".stripMargin
+
+  // ---- Bloom-filter decontamination prefilter ----
+  //
+  // The membership sketch completing the audit trio (KMV: how many
+  // distinct; count-min: how often; Bloom: is this one of THEIRS): the
+  // benchmark shingle set folds into an m-bit filter, and the corpus
+  // scan tests each shingle against it — the broadcast-a-few-KB shape
+  // that replaces the benchmark-side join at 100 TB. Deterministic
+  // md5-derived hash rows make the filter, its maybe-verdicts, AND the
+  // measured false-positive mass hash-checkable against the exact join.
+
+  val BloomM = 8192L
+  val BloomK = 3
+  private val BloomA: Seq[Long] = (0 until BloomK).map(j =>
+    1L + ColFns.md5Const32(s"blooma$j") % ((1L << 25) - 1))
+  private val BloomB: Seq[Long] = (0 until BloomK).map(j =>
+    ColFns.md5Const32(s"bloomb$j") % (1L << 25))
+
+  private def bloomPos(j: Int, h: Column): Column =
+    ((lit(BloomA(j)) * h + lit(BloomB(j))) % lit(TextAnalysis.FpMod)) %
+      lit(BloomM)
+
+  /** Per-doc contamination verdicts from the Bloom prefilter next to the
+    * exact join's: n_shingles / n_maybe (all k positions set) /
+    * n_shared (exact), with the no-false-negative guarantee visible as
+    * n_maybe >= n_shared on every row. The set-bit table is <= m rows
+    * and BROADCASTS; the corpus side fans out k positions per distinct
+    * shingle and aggregates back — never a benchmark-side shuffle. The
+    * exact join rides along (this is the measurement query; a
+    * deployment keeps only the bloom side and pays the measured FP
+    * re-check rate). */
+  private def contaminationBloomDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      Dedup.shingled(spark, dir).select($"doc_id", $"h").distinct())
+    val bits = sets.filter($"doc_id" % BenchMod === 0)
+      .select(explode(array((0 until BloomK).map(j =>
+        bloomPos(j, $"h")): _*)).as("pos"))
+      .distinct()
+    val corpus = sets.filter($"doc_id" % BenchMod =!= 0)
+    val maybe = corpus
+      .select($"doc_id", $"h", explode(array((0 until BloomK).map(j =>
+        bloomPos(j, $"h")): _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("khits"))
+      .filter($"khits" === BloomK)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_maybe"))
+    val exact = corpus
+      .join(sets.filter($"doc_id" % BenchMod === 0).select($"h").distinct(),
+        Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(maybe, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_maybe", lit(0L)).as("n_maybe"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        (coalesce($"n_maybe", lit(0L)) >= MinOverlap).as("bloom_flag"),
+        (coalesce($"n_shared", lit(0L)) >= MinOverlap).as("exact_flag"))
+  }
+
+  private val contaminationBloomSql: String = {
+    def posSql(j: Int, h: String) =
+      s"((${BloomA(j)} * $h + ${BloomB(j)}) % ${TextAnalysis.FpMod}) % $BloomM"
+    val bitRows = (0 until BloomK).map(j =>
+      s"SELECT DISTINCT ${posSql(j, "h")} AS pos FROM bench").mkString(" UNION ")
+    val probeRows = (0 until BloomK).map(j =>
+      s"SELECT doc_id, h, ${posSql(j, "h")} AS pos FROM corpus").mkString("\nUNION ALL\n")
+    s"""WITH sh AS (${Dedup.shingledSql}),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM sets WHERE doc_id % $BenchMod = 0),
+       |corpus AS (SELECT doc_id, h FROM sets WHERE doc_id % $BenchMod <> 0),
+       |bits AS ($bitRows),
+       |mb AS (SELECT doc_id, count(*) AS n_maybe FROM
+       |         (SELECT doc_id, h FROM ($probeRows) p
+       |          JOIN bits USING (pos)
+       |          GROUP BY doc_id, h HAVING count(*) = $BloomK) q
+       |       GROUP BY 1),
+       |ex AS (SELECT c.doc_id, count(*) AS n_shared
+       |       FROM corpus c JOIN bench b USING (h) GROUP BY 1),
+       |base AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1)
+       |SELECT base.doc_id, base.n_shingles,
+       |  coalesce(mb.n_maybe, 0)::BIGINT AS n_maybe,
+       |  coalesce(ex.n_shared, 0)::BIGINT AS n_shared,
+       |  coalesce(mb.n_maybe, 0) >= $MinOverlap AS bloom_flag,
+       |  coalesce(ex.n_shared, 0) >= $MinOverlap AS exact_flag
+       |FROM base LEFT JOIN mb ON mb.doc_id = base.doc_id
+       |LEFT JOIN ex ON ex.doc_id = base.doc_id""".stripMargin
+  }
 
   /** Corpus length profile: exact per-language document-length
     * percentiles (the distribution snapshot every pipeline takes before
@@ -750,6 +839,7 @@ object Pipeline extends OpModule {
     "docs_quality_gate" -> (qualityGateDf(_, _)),
     "docs_length_stats" -> (lengthStatsDf(_, _)),
     "bench_contamination" -> (contaminationDf(_, _)),
+    "bench_contamination_bloom" -> (contaminationBloomDf(_, _)),
     "pipeline_pack" -> (packDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
@@ -769,6 +859,7 @@ object Pipeline extends OpModule {
     "docs_quality_gate" -> qualityGateSql,
     "docs_length_stats" -> lengthStatsSql,
     "bench_contamination" -> contaminationSql,
+    "bench_contamination_bloom" -> contaminationBloomSql,
     "pipeline_pack" -> packSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
