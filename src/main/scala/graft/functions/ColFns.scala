@@ -64,6 +64,18 @@ object ColFns {
     d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
   }
 
+  /** Universal-hash bucket ((a*h + b) mod p) mod width — the ONE
+    * definition behind every row-hash family (count-min rows, Bloom
+    * positions); a and b come from [[md5Const32]] draws sized so
+    * a*h < 2^57 never overflows. */
+  def universalBucket(a: Long, b: Long, p: Long, width: Long,
+      h: Column): Column =
+    ((lit(a) * h + lit(b)) % lit(p)) % lit(width)
+
+  def universalBucketSql(a: Long, b: Long, p: Long, width: Long,
+      h: String): String =
+    s"(($a * $h + $b) % $p) % $width"
+
   /** Deterministic 32-bit string hash both engines can compute: the first 8
     * hex digits of md5, folded positionally. Used as the shingle/token hash
     * for MinHash / SimHash so the DuckDB oracle can reproduce signatures

@@ -562,14 +562,27 @@ object Dedup extends OpModule {
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
   }
 
+  /** Positioned grams annotated with the occurrence count AND the
+    * canonical rank (first by (doc_id, pos)) of each gram — both
+    * windows ride ONE (gh) exchange, and the frame is memoized because
+    * spans, stats, and strip all start here (the posexplode + lead
+    * chain + gh shuffle execute once per session, not per query). A
+    * per-gram sort is bounded by posting-list length (hot-gram skew
+    * shares the HotShingleCap dial). */
+  private def substrAnnotated(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"substr_pos:$dir") {
+      import spark.implicits._
+      val wg = Window.partitionBy($"gh")
+      val wr = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+      substrPosDf(spark, dir)
+        .withColumn("cnt", count(lit(1)).over(wg))
+        .withColumn("rn", row_number().over(wr))
+    }
+
   private def substrSpansDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"substr_spans:$dir") {
       import spark.implicits._
-      val cnt = Window.partitionBy($"gh")
-      islandSpans(
-        substrPosDf(spark, dir)
-          .withColumn("cnt", count(lit(1)).over(cnt))
-          .filter($"cnt" >= 2))
+      islandSpans(substrAnnotated(spark, dir).filter($"cnt" >= 2))
     }
 
   private val substrPosSql: String =
@@ -583,12 +596,19 @@ object Dedup extends OpModule {
        |                t -> ${ColFns.hex32Sql("t")}) AS hs
        |            FROM documents) w0) w1""".stripMargin
 
+  /** The annotated-positions CTE body (count + canonical rank over the
+    * gram hash) — ONE definition shared by the spans and strip oracles,
+    * mirroring [[substrAnnotated]]. */
+  private val substrAnnSql: String =
+    s"""p AS ($substrPosSql),
+       |ann AS (SELECT doc_id, pos,
+       |          count(*) OVER (PARTITION BY gh) AS cnt,
+       |          row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+       |        FROM p)""".stripMargin
+
   private val substrSpansSql: String =
-    s"""WITH p AS ($substrPosSql),
-       |d AS (SELECT doc_id, pos FROM
-       |        (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS cnt
-       |         FROM p) c
-       |      WHERE cnt >= 2),
+    s"""WITH $substrAnnSql,
+       |d AS (SELECT doc_id, pos FROM ann WHERE cnt >= 2),
        |g AS (SELECT doc_id, pos,
        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
        |                  > $SubstrG THEN 1 ELSE 0 END AS brk
@@ -625,26 +645,34 @@ object Dedup extends OpModule {
 
   /** The strip step the spans feed (the paper's dedup ACTION): a
     * duplicated gram occurrence is removable unless it is the canonical
-    * (first by (doc_id, pos)) occurrence of its gram — so exactly one
-    * copy of every duplicated substring survives corpus-wide, exact-dup
-    * documents strip to zero while their keeper is untouched, and a
-    * within-document repeat keeps its first occurrence. Removable
-    * positions merge into spans with the same island pass; the output
-    * is the per-document retention audit (every doc gets a row). The
-    * row_number per gram hash rides the SAME (gh) exchange as the
-    * occurrence count; a per-gram sort is bounded by posting-list
-    * length (hot-gram skew shares the HotShingleCap dial). */
+    * (first by (doc_id, pos)) occurrence of its gram. Removal is
+    * computed at TOKEN granularity as the cover of removable extents
+    * MINUS the cover of canonical duplicated extents in the same doc —
+    * without the subtraction, a removable span overlapping a canonical
+    * occurrence would destroy the very copy the strip promises to keep
+    * (e.g. 'a a a a a a a a a a': positions 1-2 are removable but their
+    * span covers tokens 1-7 of the canonical gram at 0). With it, every
+    * duplicated gram's canonical extent survives INTACT, so at least
+    * one copy of every duplicated substring exists after the strip —
+    * exact-dup documents strip to zero while their keeper is untouched,
+    * and a within-document repeat keeps its first occurrence. The
+    * canonical rank rides the same memoized (gh) exchange as the
+    * occurrence count; the token fan-out (xG) runs only over the
+    * duplicated-position attrition frame, and the anti-join keys on
+    * (doc_id, token) — never corpus-sized on either side. */
   private def substrStripDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wg = Window.partitionBy($"gh")
-    val wr = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
-    val removed = islandSpans(
-      substrPosDf(spark, dir)
-        .withColumn("cnt", count(lit(1)).over(wg))
-        .withColumn("rn", row_number().over(wr))
-        .filter($"cnt" >= 2 && $"rn" > 1))
+    val ann = substrAnnotated(spark, dir)
+    def cover(df: DataFrame): DataFrame =
+      df.select($"doc_id",
+        explode(sequence($"pos", $"pos" + lit(SubstrG - 1).cast("long")))
+          .as("t"))
+        .distinct()
+    val removed = cover(ann.filter($"cnt" >= 2 && $"rn" > 1))
+      .join(cover(ann.filter($"cnt" >= 2 && $"rn" === 1)),
+        Seq("doc_id", "t"), "left_anti")
       .groupBy($"doc_id")
-      .agg(sum($"span_tokens").as("removed_tokens"))
+      .agg(count(lit(1)).as("removed_tokens"))
     TextAnalysis.hashedTokens(spark, dir)
       .select($"doc_id", size($"hs").cast("long").as("n_tokens"))
       .join(removed, Seq("doc_id"), "left")
@@ -656,25 +684,18 @@ object Dedup extends OpModule {
   }
 
   private val substrStripSql: String =
-    s"""WITH p AS ($substrPosSql),
-       |r AS (SELECT doc_id, pos FROM
-       |        (SELECT doc_id, pos,
-       |           count(*) OVER (PARTITION BY gh) AS cnt,
-       |           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
-       |             AS rn
-       |         FROM p) c
-       |      WHERE cnt >= 2 AND rn > 1),
-       |g AS (SELECT doc_id, pos,
-       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-       |                  > $SubstrG THEN 1 ELSE 0 END AS brk
-       |      FROM r),
-       |isl AS (SELECT doc_id, pos,
-       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |        FROM g),
-       |spans AS (SELECT doc_id, max(pos) + $SubstrG - min(pos) AS span_tokens
-       |          FROM isl GROUP BY doc_id, island),
-       |rm AS (SELECT doc_id, sum(span_tokens) AS removed_tokens
-       |       FROM spans GROUP BY 1),
+    s"""WITH $substrAnnSql,
+       |rem AS (SELECT DISTINCT doc_id, t FROM
+       |          (SELECT doc_id, unnest(range(pos, pos + $SubstrG)) AS t
+       |           FROM ann WHERE cnt >= 2 AND rn > 1) q1),
+       |prot AS (SELECT DISTINCT doc_id, t FROM
+       |           (SELECT doc_id, unnest(range(pos, pos + $SubstrG)) AS t
+       |            FROM ann WHERE cnt >= 2 AND rn = 1) q2),
+       |rm AS (SELECT doc_id, count(*) AS removed_tokens FROM
+       |         (SELECT doc_id, t FROM rem
+       |          EXCEPT
+       |          SELECT doc_id, t FROM prot) x
+       |       GROUP BY 1),
        |toks AS (SELECT doc_id,
        |           len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens
        |         FROM documents)

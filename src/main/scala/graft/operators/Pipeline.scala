@@ -149,8 +149,7 @@ object Pipeline extends OpModule {
     ColFns.md5Const32(s"bloomb$j") % (1L << 25))
 
   private def bloomPos(j: Int, h: Column): Column =
-    ((lit(BloomA(j)) * h + lit(BloomB(j))) % lit(TextAnalysis.FpMod)) %
-      lit(BloomM)
+    ColFns.universalBucket(BloomA(j), BloomB(j), TextAnalysis.FpMod, BloomM, h)
 
   /** Per-doc contamination verdicts from the Bloom prefilter next to the
     * exact join's: n_shingles / n_maybe (all k positions set) /
@@ -181,10 +180,17 @@ object Pipeline extends OpModule {
       .join(sets.filter($"doc_id" % BenchMod === 0).select($"h").distinct(),
         Seq("h"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-    corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // audit completeness: base the verdicts on the DOCUMENT frame, not
+    // the shingle frame — a doc under 3 tokens has no shingles but must
+    // still get its (vacuously clean) row, like every audit query here
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % BenchMod =!= 0).select($"doc_id")
+      .join(corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles")),
+        Seq("doc_id"), "left")
       .join(maybe, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_shingles",
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
         coalesce($"n_maybe", lit(0L)).as("n_maybe"),
         coalesce($"n_shared", lit(0L)).as("n_shared"),
         (coalesce($"n_maybe", lit(0L)) >= MinOverlap).as("bloom_flag"),
@@ -193,7 +199,7 @@ object Pipeline extends OpModule {
 
   private val contaminationBloomSql: String = {
     def posSql(j: Int, h: String) =
-      s"((${BloomA(j)} * $h + ${BloomB(j)}) % ${TextAnalysis.FpMod}) % $BloomM"
+      ColFns.universalBucketSql(BloomA(j), BloomB(j), TextAnalysis.FpMod, BloomM, h)
     val bitRows = (0 until BloomK).map(j =>
       s"SELECT DISTINCT ${posSql(j, "h")} AS pos FROM bench").mkString(" UNION ")
     val probeRows = (0 until BloomK).map(j =>
@@ -210,13 +216,16 @@ object Pipeline extends OpModule {
        |       GROUP BY 1),
        |ex AS (SELECT c.doc_id, count(*) AS n_shared
        |       FROM corpus c JOIN bench b USING (h) GROUP BY 1),
-       |base AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1)
-       |SELECT base.doc_id, base.n_shingles,
+       |shc AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % $BenchMod <> 0)
+       |SELECT base.doc_id,
+       |  coalesce(shc.n_shingles, 0)::BIGINT AS n_shingles,
        |  coalesce(mb.n_maybe, 0)::BIGINT AS n_maybe,
        |  coalesce(ex.n_shared, 0)::BIGINT AS n_shared,
        |  coalesce(mb.n_maybe, 0) >= $MinOverlap AS bloom_flag,
        |  coalesce(ex.n_shared, 0) >= $MinOverlap AS exact_flag
-       |FROM base LEFT JOIN mb ON mb.doc_id = base.doc_id
+       |FROM base LEFT JOIN shc ON shc.doc_id = base.doc_id
+       |LEFT JOIN mb ON mb.doc_id = base.doc_id
        |LEFT JOIN ex ON ex.doc_id = base.doc_id""".stripMargin
   }
 

@@ -863,6 +863,27 @@ object TextAnalysis extends OpModule {
   /** KMV sketch size. */
   val KmvK = 64
 
+  /** KMV hash universe: M^2 via the composite gram hash below. The
+    * folded Horner hash (universe M = 2^31-1) would saturate n_exact
+    * AND the estimate once distinct grams approach M — i.e. exactly at
+    * the 100 TB design point (10^9+ grams). The composite
+    * (ga mod M) * M + (gb*B + gc mod M) stays in [0, M^2) < 2^63,
+    * keeping both the distinct count and the estimator linear far past
+    * that. */
+  val KmvU: Long = FpMod * FpMod
+
+  /** Composite wide gram hash for cardinality estimation — NOT the
+    * folded [[gramHashArrFromHashes]] identity (see [[KmvU]]). */
+  private def gramHashWideArr(hs: Column): Column = {
+    val n2 = greatest(size(hs) - 2, lit(0))
+    zip_with(
+      zip_with(slice(hs, lit(1), n2), slice(hs, lit(2), n2),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      slice(hs, lit(3), n2),
+      (ab, c) => (ab.getField("a") % lit(FpMod)) * lit(FpMod) +
+        (ab.getField("b") * lit(FpBase) + c) % lit(FpMod))
+  }
+
   /** Per-source distinct word-3-gram cardinality (the dedup-planning
     * statistic: how big would this source's shingle table be?): exact
     * (over the distinct hash set — the estimator's own universe, so
@@ -878,7 +899,7 @@ object TextAnalysis extends OpModule {
   private def vocabKmvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashes = hashedTokens(spark, dir)
-      .select($"source", explode(gramHashArrFromHashes($"hs")).as("h"))
+      .select($"source", explode(gramHashWideArr($"hs")).as("h"))
       .distinct()
     val exact = hashes.groupBy($"source").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"source").orderBy($"h")
@@ -889,7 +910,7 @@ object TextAnalysis extends OpModule {
       .agg(count(lit(1)).as("seen"), max($"h").as("kth"))
       .select($"source",
         when($"seen" < KmvK, $"seen".cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble * FpMod) / $"kth")
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvU).cast("double") / $"kth")
           .as("est_raw"))
     exact.join(kmv, Seq("source"))
       .select($"source", $"n_exact",
@@ -900,9 +921,9 @@ object TextAnalysis extends OpModule {
 
   private val vocabKmvSql: String =
     s"""WITH hs AS (SELECT DISTINCT source,
-       |              ((((${ColFns.hex32Sql("ws[i]")} * $FpBase
-       |                  + ${ColFns.hex32Sql("ws[i + 1]")}) % $FpMod) * $FpBase
-       |                + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod) AS h
+       |              ((${ColFns.hex32Sql("ws[i]")} % $FpMod) * $FpMod
+       |               + (${ColFns.hex32Sql("ws[i + 1]")} * $FpBase
+       |                  + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod) AS h
        |            FROM (SELECT source, ws,
        |                    unnest(range(1, greatest(len(ws) - 1, 1))) AS i
        |                  FROM (SELECT source, $tokensSql AS ws
@@ -910,7 +931,7 @@ object TextAnalysis extends OpModule {
        |ex AS (SELECT source, count(*) AS n_exact FROM hs GROUP BY 1),
        |km AS (SELECT source,
        |         CASE WHEN count(*) < $KmvK THEN count(*)::DOUBLE
-       |              ELSE ${(KmvK - 1).toDouble} * ${FpMod}.0 / max(h) END
+       |              ELSE ${(KmvK - 1).toDouble} * ${KmvU}::DOUBLE / max(h) END
        |           AS est_raw
        |       FROM (SELECT source, h,
        |               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
@@ -947,7 +968,7 @@ object TextAnalysis extends OpModule {
     * monitor ([[graft.streaming.Streams.cmsMonitor]]), so their cells
     * are definitionally colocated. */
   private[graft] def cmsBucket(j: Int, gh: Column): Column =
-    ((lit(CmsA(j)) * gh + lit(CmsB(j))) % lit(FpMod)) % lit(CmsW.toLong)
+    ColFns.universalBucket(CmsA(j), CmsB(j), FpMod, CmsW.toLong, gh)
 
   /** Per-document array of Horner gram hashes from a token array —
     * pure map work (streaming-safe), identical to the batch gram
@@ -1011,10 +1032,10 @@ object TextAnalysis extends OpModule {
          + ${ColFns.hex32Sql("ws[i + 1]")}) % $FpMod) * $FpBase
          + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod)""".replace("\n", " ")
     val cellRows = (0 until CmsD).map { j =>
-      s"SELECT ${j} AS row_id, ((${CmsA(j)} * gh + ${CmsB(j)}) % $FpMod) % $CmsW AS bucket, cnt FROM gc"
+      s"SELECT ${j} AS row_id, ${ColFns.universalBucketSql(CmsA(j), CmsB(j), FpMod, CmsW, "gh")} AS bucket, cnt FROM gc"
     }.mkString("\nUNION ALL\n")
     val probeRows = (0 until CmsD).map { j =>
-      s"SELECT gh, cnt, ${j} AS row_id, ((${CmsA(j)} * gh + ${CmsB(j)}) % $FpMod) % $CmsW AS bucket FROM top"
+      s"SELECT gh, cnt, ${j} AS row_id, ${ColFns.universalBucketSql(CmsA(j), CmsB(j), FpMod, CmsW, "gh")} AS bucket FROM top"
     }.mkString("\nUNION ALL\n")
     s"""WITH g AS (SELECT $ghSql AS gh
        |           FROM (SELECT ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
