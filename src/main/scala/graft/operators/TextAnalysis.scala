@@ -874,7 +874,7 @@ object TextAnalysis extends OpModule {
 
   /** Composite wide gram hash for cardinality estimation — NOT the
     * folded [[gramHashArrFromHashes]] identity (see [[KmvU]]). */
-  private def gramHashWideArr(hs: Column): Column = {
+  private[graft] def gramHashWideArr(hs: Column): Column = {
     val n2 = greatest(size(hs) - 2, lit(0))
     zip_with(
       zip_with(slice(hs, lit(1), n2), slice(hs, lit(2), n2),

@@ -626,6 +626,52 @@ object Streams {
     * batch query's grid returns over the same corpus (asserted in
     * StreamingSpec). Run with Complete output (the grid IS the result)
     * or dump deltas with Update. */
+  /** Bounded KMV state: the k smallest DISTINCT gram hashes seen so
+    * far for one source (sorted ascending). */
+  case class KmvState(mins: Seq[Long])
+
+  case class KmvEstimate(source: String, n_min: Int, kth: Long, est: Double)
+
+  /** Streaming cardinality monitor — the live twin of the batch
+    * `text_gram_kmv` sketch: per-source state is the k smallest
+    * distinct gram hashes (k-minima merge is associative, so the
+    * streamed sketch equals the batch sketch over the same corpus —
+    * asserted in StreamingSpec), per-element work is O(log k) through
+    * a bounded ordered set, and the emitted estimate uses the SAME
+    * [[graft.operators.TextAnalysis.KmvU]] universe formula as the
+    * batch query. The exact distinct count is NOT streamable in
+    * bounded memory — that asymmetry is the sketch's reason to exist. */
+  def kmvMonitor(docs: DataFrame): Dataset[KmvEstimate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    // hoisted primitives: the state closure must not capture the module
+    val k = T.KmvK
+    val u = T.KmvU.toDouble
+    docs
+      .select($"source", explode(T.gramHashWideArr(
+        transform(T.tokensCol, t => graft.functions.ColFns.hex32(t)))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (src, it, state) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          set ++= state.getOption.map(_.mins).getOrElse(Nil)
+          // iterator-bounded fold: O(log k) per element, never
+          // materializing the group
+          it.foreach { case (_, h) =>
+            if (set.size < k) set += h
+            else if (h < set.last && !set.contains(h)) { set += h; set -= set.last }
+          }
+          val mins = set.toSeq
+          state.update(KmvState(mins))
+          val est =
+            if (mins.size < k) mins.size.toDouble
+            else (k - 1).toDouble * u / mins.last
+          KmvEstimate(src, mins.size, if (mins.nonEmpty) mins.last else 0L, est)
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

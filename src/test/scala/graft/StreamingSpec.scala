@@ -693,6 +693,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV estimates equal the batch sketch over the real corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stream the REAL sf0.01 corpus in two chunks: k-minima merge is
+    // associative, so the final streamed sketch must equal the batch
+    // query's exactly
+    val docs = graft.sources.Tables.documents(spark, sfDir("sf0.01"))
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[Streams.RawDoc].collect().toSeq
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.kmvMonitor(input.toDF())
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    val (a, b) = docs.splitAt(docs.size / 2)
+    input.addData(a)
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // update mode: keep the LAST emission per source
+    val streamed = spark.table("kmv_out").collect()
+      .zipWithIndex
+      .groupBy(_._1.getAs[String]("source"))
+      .map { case (s, rows) => s -> rows.maxBy(_._2)._1 }
+    val batch = rowsOf(
+      TextAnalysis.queries("text_gram_kmv")(spark, sfDir("sf0.01")))
+      .map(m => m("source").asInstanceOf[String] -> m).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (src, r) =>
+      assert(r.getAs[Int]("n_min") <= TextAnalysis.KmvK, "state is bounded")
+      val est = r.getAs[Double]("est")
+      val batchEst = batch(src)("est_distinct").asInstanceOf[Double]
+      assert(math.abs(est - batchEst) < 1e-3,
+        s"source $src: streamed $est vs batch $batchEst")
+    }
+  }
+
   test("streaming count-min grid equals the batch grid and serves batch-identical estimates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
