@@ -872,16 +872,39 @@ object TextAnalysis extends OpModule {
     * that. */
   val KmvU: Long = FpMod * FpMod
 
-  /** Composite wide gram hash for cardinality estimation — NOT the
-    * folded [[gramHashArrFromHashes]] identity (see [[KmvU]]). */
+  /** Second Horner base for the wide hash's low word — any constant
+    * coprime-ish to [[FpBase]]; the two folds act as independent hash
+    * functions (standard double hashing). */
+  val FpBase2 = 137L
+
+  /** Composite wide gram hash for cardinality estimation: TWO full
+    * Horner folds of the gram (bases 131 and 137), high * M + low.
+    * Both words mix ALL tokens — a first draft used (first-token % M)
+    * as the high word, and on a 30-word vocabulary every source's
+    * minima landed in the same few high bands: the hash was wide but
+    * not uniform, and the order statistics (hence every KMV estimate)
+    * were garbage. Uniformity of the minima is the entire contract. */
   private[graft] def gramHashWideArr(hs: Column): Column = {
     val n2 = greatest(size(hs) - 2, lit(0))
+    def fold(base: Long)(a: Column, b: Column, c: Column): Column =
+      ((a * lit(base) + b) % lit(FpMod) * lit(base) + c) % lit(FpMod)
     zip_with(
       zip_with(slice(hs, lit(1), n2), slice(hs, lit(2), n2),
         (a, b) => struct(a.as("a"), b.as("b"))),
       slice(hs, lit(3), n2),
-      (ab, c) => (ab.getField("a") % lit(FpMod)) * lit(FpMod) +
-        (ab.getField("b") * lit(FpBase) + c) % lit(FpMod))
+      (ab, c) =>
+        fold(FpBase)(ab.getField("a"), ab.getField("b"), c) * lit(FpMod) +
+          fold(FpBase2)(ab.getField("a"), ab.getField("b"), c))
+  }
+
+  /** The SQL twin of [[gramHashWideArr]] for tokens ws[i], ws[i+1],
+    * ws[i+2]. */
+  private def gramHashWideSql(t1: String, t2: String, t3: String): String = {
+    def fold(base: Long) =
+      s"""(((${ColFns.hex32Sql(t1)} * $base
+         + ${ColFns.hex32Sql(t2)}) % $FpMod) * $base
+         + ${ColFns.hex32Sql(t3)}) % $FpMod""".replace("\n", " ")
+    s"((${fold(FpBase)}) * $FpMod + (${fold(FpBase2)}))"
   }
 
   /** Per-source distinct word-3-gram cardinality (the dedup-planning
@@ -896,11 +919,19 @@ object TextAnalysis extends OpModule {
     * (source, h) exchange; the per-source rank is a WindowGroupLimit —
     * each input partition forwards at most k hashes per source to the
     * final sort, so the sketch side never shuffles the gram table. */
+  /** Distinct (source, wide-gram-hash) pairs — memoized: the KMV
+    * sketch and the pairwise source-overlap matrix both start here. */
+  private def srcGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"src_grams:$dir") {
+      import spark.implicits._
+      hashedTokens(spark, dir)
+        .select($"source", explode(gramHashWideArr($"hs")).as("h"))
+        .distinct()
+    }
+
   private def vocabKmvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = hashedTokens(spark, dir)
-      .select($"source", explode(gramHashWideArr($"hs")).as("h"))
-      .distinct()
+    val hashes = srcGrams(spark, dir)
     val exact = hashes.groupBy($"source").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"source").orderBy($"h")
     val kmv = hashes
@@ -921,9 +952,7 @@ object TextAnalysis extends OpModule {
 
   private val vocabKmvSql: String =
     s"""WITH hs AS (SELECT DISTINCT source,
-       |              ((${ColFns.hex32Sql("ws[i]")} % $FpMod) * $FpMod
-       |               + (${ColFns.hex32Sql("ws[i + 1]")} * $FpBase
-       |                  + ${ColFns.hex32Sql("ws[i + 2]")}) % $FpMod) AS h
+       |              ${gramHashWideSql("ws[i]", "ws[i + 1]", "ws[i + 2]")} AS h
        |            FROM (SELECT source, ws,
        |                    unnest(range(1, greatest(len(ws) - 1, 1))) AS i
        |                  FROM (SELECT source, $tokensSql AS ws
@@ -941,6 +970,94 @@ object TextAnalysis extends OpModule {
        |  round(abs(km.est_raw - ex.n_exact)
        |        / nullif(ex.n_exact::DOUBLE, 0), 6) AS rel_err
        |FROM ex JOIN km USING (source)""".stripMargin
+
+  /** Pairwise source-overlap matrix — the data-mixture analysis every
+    * multi-source corpus needs ("how much of source A is already in
+    * source B?"), computed TWO ways on one output row: the bottom-k
+    * sketch estimate next to the exact inverted-index join, so the
+    * sketch's accuracy is hash-checked per pair. The estimator is the
+    * classic bottom-k one (Broder/Cohen): take the k smallest of the
+    * UNION of the two sketches' minima (valid because any union-minimum
+    * from A is <= A's k-th minimum, hence inside A's sketch), and count
+    * how many lie in BOTH sketches — an unbiased Jaccard estimate with
+    * se ~ sqrt(j(1-j)/k), far better for small intersections than
+    * KMV inclusion-exclusion (whose error scales with the SET sizes,
+    * not the overlap). Scale shape: the sketch side works on |sources|
+    * rows of k-element arrays (broadcast everywhere); only the exact
+    * twin touches the gram table, and a deployment that trusts the
+    * measured error drops it — pairwise source comparison in
+    * O(sources^2 * k) after one pass over the corpus. */
+  private def sourceOverlapDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = srcGrams(spark, dir)
+    val wr = Window.partitionBy($"source").orderBy($"h")
+    val sk = hashes
+      .withColumn("rn", row_number().over(wr)).filter($"rn" <= KmvK)
+      .groupBy($"source")
+      .agg(sort_array(collect_list($"h")).as("mins"))
+    val sizes = hashes.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = hashes.as("x")
+      .join(hashes.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val mergedK = slice(array_sort(array_union($"mins_a", $"mins_b")),
+      lit(1), lit(KmvK))
+    val matches = size(array_intersect(mergedK,
+      array_intersect($"mins_a", $"mins_b")))
+    broadcast(sk.toDF("source_a", "mins_a"))
+      .join(broadcast(sk.toDF("source_b", "mins_b")),
+        col("source_a") < col("source_b"))
+      .withColumn("j_est", round(matches.cast("double") /
+        nullif(size(mergedK), lit(0)), 6))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sizes.toDF("source_a", "na")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "nb")), Seq("source_b"))
+      .withColumn("j_exact",
+        round(coalesce($"inter", lit(0L)).cast("double") /
+          nullif(($"na" + $"nb" - coalesce($"inter", lit(0L))).cast("double"),
+            lit(0.0)), 6))
+      .select($"source_a", $"source_b", $"j_est", $"j_exact",
+        round(abs($"j_est" - $"j_exact"), 6).as("abs_err"))
+  }
+
+  private val sourceOverlapSql: String = {
+    val mergedK =
+      s"list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))), 1, $KmvK)"
+    s"""WITH hs AS (SELECT DISTINCT source,
+       |              ${gramHashWideSql("ws[i]", "ws[i + 1]", "ws[i + 2]")} AS h
+       |            FROM (SELECT source, ws,
+       |                    unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+       |                  FROM (SELECT source, $tokensSql AS ws
+       |                        FROM documents) w0) w1),
+       |sk AS (SELECT source, list(h ORDER BY h) AS mins
+       |       FROM (SELECT source, h,
+       |               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |             FROM hs) r
+       |       WHERE rn <= $KmvK GROUP BY 1),
+       |sz AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+       |iv AS (SELECT x.source AS source_a, y.source AS source_b,
+       |         count(*) AS inter
+       |       FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+       |       GROUP BY 1, 2),
+       |e AS (SELECT a.source AS source_a, b.source AS source_b,
+       |        round(len(list_intersect($mergedK,
+       |                list_intersect(a.mins, b.mins)))::DOUBLE
+       |              / nullif(len($mergedK), 0), 6) AS j_est
+       |      FROM sk a JOIN sk b ON a.source < b.source)
+       |SELECT e.source_a, e.source_b, e.j_est,
+       |  round(coalesce(iv.inter, 0)::DOUBLE
+       |        / nullif((za.n + zb.n - coalesce(iv.inter, 0))::DOUBLE, 0.0), 6)
+       |    AS j_exact,
+       |  round(abs(e.j_est
+       |            - round(coalesce(iv.inter, 0)::DOUBLE
+       |                    / nullif((za.n + zb.n - coalesce(iv.inter, 0))::DOUBLE,
+       |                             0.0), 6)), 6) AS abs_err
+       |FROM e
+       |LEFT JOIN iv ON iv.source_a = e.source_a AND iv.source_b = e.source_b
+       |JOIN sz za ON za.source = e.source_a
+       |JOIN sz zb ON zb.source = e.source_b""".stripMargin
+  }
 
   // ---- count-min heavy hitters ----
   //
@@ -1066,7 +1183,8 @@ object TextAnalysis extends OpModule {
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
     "text_gram_kmv" -> (vocabKmvDf(_, _)),
-    "text_heavy_hitters" -> (heavyHittersDf(_, _))
+    "text_heavy_hitters" -> (heavyHittersDf(_, _)),
+    "text_source_overlap" -> (sourceOverlapDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1084,6 +1202,7 @@ object TextAnalysis extends OpModule {
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,
     "text_gram_kmv" -> vocabKmvSql,
-    "text_heavy_hitters" -> heavyHittersSql
+    "text_heavy_hitters" -> heavyHittersSql,
+    "text_source_overlap" -> sourceOverlapSql
   )
 }

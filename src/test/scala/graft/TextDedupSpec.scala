@@ -241,6 +241,37 @@ class TextDedupSpec extends SparkSpec {
       s"expected partial top-k in the KMV plan:\n$plan")
   }
 
+  test("bottom-k source overlap: exact at the extremes, unbiased at corpus scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // hand fixture: A and B identical gram sets -> jaccard exactly 1;
+    // C disjoint -> exactly 0 against both
+    val d = java.nio.file.Files.createTempDirectory("graft_ovl").toString
+    Seq(
+      (1L, "one two three four five six seven eight nine", "en", "A"),
+      (2L, "one two three four five six seven eight nine", "en", "B"),
+      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen", "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val small = rowsOf(TextAnalysis.queries("text_source_overlap")(spark, d))
+      .map(m => (m("source_a"), m("source_b")) -> m).toMap
+    assert(small(("A", "B"))("j_est") == 1.0 &&
+      small(("A", "B"))("j_exact") == 1.0)
+    Seq(("A", "C"), ("B", "C")).foreach { k =>
+      assert(small(k)("j_est") == 0.0 && small(k)("j_exact") == 0.0)
+    }
+    // corpus scale: 20 sources -> 190 pairs, estimator unbiased with
+    // se ~ sqrt(j(1-j)/k) ~ 0.02 at the measured j ~ 0.027
+    val sf = rowsOf(TextAnalysis.queries("text_source_overlap")(spark, sfDir("sf0.01")))
+    assert(sf.size == 190)
+    val meanErr = sf.map(_("abs_err").asInstanceOf[Double]).sum / sf.size
+    assert(meanErr < 0.05, s"mean |j_est - j_exact| = $meanErr")
+    val bias = sf.map(m => m("j_est").asInstanceOf[Double] -
+      m("j_exact").asInstanceOf[Double]).sum / sf.size
+    assert(math.abs(bias) < 0.02, s"estimator bias $bias")
+  }
+
   test("count-min estimates never undercount and find the true heavy hitter") {
     val hh = rowsOf(TextAnalysis.queries("text_heavy_hitters")(spark, dir))
     assert(hh.nonEmpty && hh.size <= 10)
