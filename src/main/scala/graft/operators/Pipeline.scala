@@ -265,6 +265,107 @@ object Pipeline extends OpModule {
           .mkString(",\n")}
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- histogram quantile sketch ----
+  //
+  // The quantile member of the sketch suite: `docs_length_stats`
+  // documents approx_percentile as its 100 TB dial, but t-digests are
+  // merge-order-dependent and engine-private — this is the portable
+  // alternative a cross-engine pipeline actually uses: a fixed
+  // equi-width histogram (counts merge associatively; the whole sketch
+  // is B longs per group) with linear interpolation inside the covering
+  // bin, measured per-quantile against the exact sort-based percentile
+  // on the same row.
+
+  /** Histogram bins. Error bound: one bin width = (max-min)/B. */
+  val HistB = 64
+
+  /** Per-(lang, quantile) estimate-vs-exact: the histogram CDF is
+    * inverted at target = q*n (first bin whose running count reaches
+    * it, interpolating by the target's position within that bin) and
+    * compared against the exact percentile. Plan: one tiny global
+    * min/max aggregate broadcasts into the scan; ONE (lang, bin)
+    * aggregation builds every group's sketch; the cumulative window
+    * runs over <= B rows per lang. The exact twin rides along — a
+    * deployment keeps the histogram side only. */
+  private def histQuantilesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    val mm = docs.agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+    val width = ($"hi" - $"lo").cast("double") / HistB
+    val binned = docs.crossJoin(broadcast(mm))
+      .withColumn("w", width)
+      .withColumn("bin",
+        when($"w" === 0.0, lit(0L)).otherwise(
+          least(floor(($"n_chars" - $"lo").cast("double") / $"w"),
+            lit(HistB - 1).cast("double")).cast("long")))
+    val hist = binned.groupBy($"lang", $"lo", $"w", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy($"lang").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wc))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"lang")))
+    val qs = LengthPcts.map(q => lit(q)).toArray
+    val est = cum
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(qs: _*)).as("q"))))
+      .withColumn("target", $"q" * $"n")
+      .filter($"cum" >= $"target" && ($"cum" - $"cnt") < $"target")
+      .withColumn("est",
+        when($"w" === 0.0, $"lo".cast("double")).otherwise(
+          $"lo" + $"w" * ($"bin" +
+            ($"target" - ($"cum" - $"cnt")) / $"cnt")))
+      .select($"lang", $"q", round($"est", 6).as("est"))
+    val exact = Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(expr(s"percentile(n_chars, array(${LengthPcts.map(p => s"${p}D").mkString(", ")}))")
+        .as("pcts"))
+      .select(($"lang" +: LengthPcts.zipWithIndex.map { case (p, i) =>
+        round(element_at($"pcts", i + 1), 6).as(s"x${(p * 100).toInt}")
+      }): _*)
+    val exactLong = exact.select($"lang", explode(array(
+      LengthPcts.map(p => struct(
+        lit(p).as("q"), col(s"x${(p * 100).toInt}").as("exact"))): _*)).as("e"))
+      .select($"lang", $"e.q", $"e.exact")
+    est.join(exactLong, Seq("lang", "q"))
+      .select($"lang", $"q", $"est", $"exact",
+        round(abs($"est" - $"exact"), 6).as("abs_err"))
+  }
+
+  private val histQuantilesSql: String = {
+    val qRows = LengthPcts.map(q => s"SELECT ${q}::DOUBLE AS q")
+      .mkString(" UNION ALL ")
+    val exRows = LengthPcts.map(q =>
+      s"SELECT lang, ${q}::DOUBLE AS q, round(quantile_cont(n_chars, $q), 6) AS exact FROM documents GROUP BY lang")
+      .mkString("\nUNION ALL\n")
+    s"""WITH mm AS (SELECT min(n_chars) AS lo,
+       |              (max(n_chars) - min(n_chars))::DOUBLE / $HistB AS w
+       |            FROM documents),
+       |b AS (SELECT d.lang, mm.lo, mm.w,
+       |        CASE WHEN mm.w = 0.0 THEN 0
+       |             ELSE least(floor((d.n_chars - mm.lo)::DOUBLE / mm.w),
+       |                        ${HistB - 1})::BIGINT END AS bin
+       |      FROM documents d, mm),
+       |hist AS (SELECT lang, lo, w, bin, count(*) AS cnt
+       |         FROM b GROUP BY 1, 2, 3, 4),
+       |cum AS (SELECT lang, lo, w, bin, cnt,
+       |          sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+       |                         ROWS UNBOUNDED PRECEDING) AS cum,
+       |          sum(cnt) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |qq AS ($qRows),
+       |est AS (SELECT lang, q,
+       |          round(CASE WHEN w = 0.0 THEN lo::DOUBLE
+       |                ELSE lo + w * (bin + (q * n - (cum - cnt))::DOUBLE / cnt)
+       |                END, 6) AS est
+       |        FROM cum, qq
+       |        WHERE cum >= q * n AND (cum - cnt) < q * n),
+       |ex AS ($exRows)
+       |SELECT est.lang, est.q, est.est, ex.exact,
+       |  round(abs(est.est - ex.exact), 6) AS abs_err
+       |FROM est JOIN ex ON ex.lang = est.lang AND ex.q = est.q""".stripMargin
+  }
+
   /** Tokens per packed training sequence. Sized so a typical source
     * (median doc ~56 tokens) fills several sequences at sf0.01; a real
     * pipeline sets this to the model's context length. */
@@ -849,6 +950,7 @@ object Pipeline extends OpModule {
     "docs_length_stats" -> (lengthStatsDf(_, _)),
     "bench_contamination" -> (contaminationDf(_, _)),
     "bench_contamination_bloom" -> (contaminationBloomDf(_, _)),
+    "docs_length_hist" -> (histQuantilesDf(_, _)),
     "pipeline_pack" -> (packDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
@@ -869,6 +971,7 @@ object Pipeline extends OpModule {
     "docs_length_stats" -> lengthStatsSql,
     "bench_contamination" -> contaminationSql,
     "bench_contamination_bloom" -> contaminationBloomSql,
+    "docs_length_hist" -> histQuantilesSql,
     "pipeline_pack" -> packSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,

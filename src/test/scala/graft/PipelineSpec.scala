@@ -54,6 +54,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile sketch: within-bound estimates, one row per (lang, q)") {
+    val rows = rowsOf(graft.operators.Pipeline.queries("docs_length_hist")(
+      spark, sfDir("sf0.01")))
+    // one estimate per (lang, quantile) — the CDF-inversion filter must
+    // select exactly one covering bin
+    assert(rows.map(m => (m("lang"), m("q"))).distinct.size == rows.size)
+    assert(rows.size == 5 * Pipeline.LengthPcts.size)
+    // measured error bound: the interpolated estimate sits in the covering
+    // bin; quantile_cont's rank convention can land one bin over, so the
+    // honest bound is two global bin widths
+    val docs = graft.sources.Tables.documents(spark, sfDir("sf0.01"))
+    val Seq(lo, hi) = rowsOf(docs.agg(
+      org.apache.spark.sql.functions.min("n_chars").as("lo"),
+      org.apache.spark.sql.functions.max("n_chars").as("hi")))
+      .flatMap(m => Seq(m("lo"), m("hi"))).map(_.asInstanceOf[Number].doubleValue)
+    val w = (hi - lo) / Pipeline.HistB
+    rows.foreach { m =>
+      val err = m("abs_err").asInstanceOf[Double]
+      assert(err <= 2 * w + 1e-6,
+        s"lang=${m("lang")} q=${m("q")} err=$err exceeds 2 bins (${2 * w})")
+    }
+    // estimates are monotone in q within each lang, like true quantiles
+    rows.groupBy(_("lang")).values.foreach { g =>
+      val byQ = g.sortBy(_("q").asInstanceOf[Double])
+        .map(_("est").asInstanceOf[Double])
+      assert(byQ == byQ.sorted, s"non-monotone estimates: $byQ")
+    }
+  }
+
   test("sequence packing: contiguous per-source token stream cut at the budget") {
     val rows = rowsOf(Pipeline.queries("pipeline_pack")(spark, sfDir("sf0.01")))
     assert(rows.size == 500)
