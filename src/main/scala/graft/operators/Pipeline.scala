@@ -279,6 +279,16 @@ object Pipeline extends OpModule {
   /** Histogram bins. Error bound: one bin width = (max-min)/B. */
   val HistB = 64
 
+  /** The shared binning expression — the batch sketch and the streaming
+    * monitor ([[graft.streaming.Streams.histMonitor]]) must place every
+    * value in the same cell or their grids can't merge. Clamps to the
+    * top bin so the range maximum (and any out-of-calibration value on
+    * the streaming side) stays countable. */
+  def histBinCol(nChars: Column, lo: Column, w: Column): Column =
+    when(w === 0.0, lit(0L)).otherwise(
+      least(floor((nChars - lo).cast("double") / w),
+        lit(HistB - 1).cast("double")).cast("long"))
+
   /** Per-(lang, quantile) estimate-vs-exact: the histogram CDF is
     * inverted at target = q*n (first bin whose running count reaches
     * it, interpolating by the target's position within that bin) and
@@ -294,10 +304,7 @@ object Pipeline extends OpModule {
     val width = ($"hi" - $"lo").cast("double") / HistB
     val binned = docs.crossJoin(broadcast(mm))
       .withColumn("w", width)
-      .withColumn("bin",
-        when($"w" === 0.0, lit(0L)).otherwise(
-          least(floor(($"n_chars" - $"lo").cast("double") / $"w"),
-            lit(HistB - 1).cast("double")).cast("long")))
+      .withColumn("bin", histBinCol($"n_chars", $"lo", $"w"))
     val hist = binned.groupBy($"lang", $"lo", $"w", $"bin")
       .agg(count(lit(1)).as("cnt"))
     val wc = Window.partitionBy($"lang").orderBy($"bin")

@@ -672,6 +672,30 @@ object Streams {
       }
   }
 
+  /** Streaming length-histogram monitor — the live twin of the batch
+    * `docs_length_hist` quantile sketch. The bin bounds `(lo, width)`
+    * are calibration parameters: a min/max pre-pass is impossible over
+    * an unbounded feed, so a deployment takes them from a prior batch
+    * run (or a fixed operating envelope) — out-of-range lengths clamp
+    * into the edge bins via the SHARED binning expression
+    * [[graft.operators.Pipeline.histBinCol]], so no value is ever
+    * dropped. Counts merge associatively, which makes the grid a
+    * bounded (≤ langs × B cells) incremental streaming aggregation;
+    * with the batch run's own (min, width) the streamed grid is
+    * IDENTICAL to the batch (lang, bin) histogram and CDF-inversion
+    * over it serves the batch query's exact quantile estimates
+    * (asserted in StreamingSpec). Length is computed from the raw text
+    * — the same quantity as the documents table's `n_chars` column. */
+  def histMonitor(docs: DataFrame, lo: Long, width: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"lang", graft.operators.Pipeline.histBinCol(
+        length($"text").cast("long"), lit(lo), lit(width)).as("bin"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -731,6 +731,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram grid serves the batch quantile estimates exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = graft.sources.Tables.documents(spark, sfDir("sf0.01"))
+    // calibrate (lo, width) the way a deployment does: from a prior
+    // batch pass over the same corpus
+    val mm = docsDf.agg(min($"n_chars"), max($"n_chars")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo).toDouble / Pipeline.HistB
+    val docs = docsDf.select($"doc_id", $"text", $"lang", $"source")
+      .as[Streams.RawDoc].collect().toSeq
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.histMonitor(input.toDF(), lo, width)
+      .writeStream.format("memory").queryName("hist_grid_out")
+      .outputMode("complete").start()
+    val (a, b) = docs.splitAt(docs.size / 2)
+    input.addData(a)
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_grid_out").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("cnt")).toMap
+    // associative counts: the incrementally-folded grid equals one
+    // batch pass of the same transformation
+    val batchGrid = Streams.histMonitor(
+      spark.createDataset(docs).toDF(), lo, width).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed == batchGrid)
+    assert(streamed.size <= 5 * Pipeline.HistB,
+      "state is bounded by langs x bins")
+    // CDF-inversion over the streamed grid reproduces the batch
+    // query's quantile estimates exactly (same bins, same counts)
+    val batchEst = rowsOf(Pipeline.queries("docs_length_hist")(
+      spark, sfDir("sf0.01")))
+      .map(m => (m("lang").asInstanceOf[String],
+        m("q").asInstanceOf[Double]) -> m("est").asInstanceOf[Double]).toMap
+    streamed.keySet.map(_._1).foreach { lang =>
+      val bins = streamed.collect { case ((l, b), c) if l == lang => (b, c) }
+        .toSeq.sortBy(_._1)
+      val n = bins.map(_._2).sum
+      var cum = 0L
+      val cums = bins.map { case (b, c) => cum += c; (b, c, cum) }
+      Pipeline.LengthPcts.foreach { qq =>
+        val target = qq * n
+        val (b, c, cm) = cums.find { case (_, c, cm) =>
+          cm >= target && (cm - c) < target }.get
+        val served = BigDecimal(
+          if (width == 0.0) lo.toDouble
+          else lo + width * (b + (target - (cm - c)) / c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(served == batchEst((lang, qq)),
+          s"$lang q=$qq: streamed grid served $served, batch ${batchEst((lang, qq))}")
+      }
+    }
+  }
+
   test("streaming count-min grid equals the batch grid and serves batch-identical estimates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
