@@ -107,6 +107,32 @@ object Dedup extends OpModule {
   val MinhashB: Seq[Long] =
     (0 until MinhashK).map(i => mh32(s"mhb$i") % (1L << 25))
 
+  /** Per-ROW MinHash signature as one array column: the SAME k
+    * permutations over the SAME word-3-gram shingles as [[minhashDf]],
+    * but computed inside a single row — no explode, no shuffle. The
+    * array-min over a row's shingle multiset equals the grouped min over
+    * its exploded rows, so this yields bitwise the batch signatures
+    * (asserted in StreamingSpec); the streaming LSH monitor uses it
+    * because a stream cannot re-group history per trigger. Docs with
+    * fewer than 3 tokens have no shingle and yield NULL — exactly the
+    * docs the batch path's lead-window filter drops. */
+  private[graft] def sigArrCol(text: Column): Column = {
+    val ws = filter(split(text, "\\s+"), t => t =!= "")
+    val hs = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => ColFns.hex32(concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+    when(size(ws) >= 3,
+      array((0 until MinhashK).map(k =>
+        array_min(transform(hs, h =>
+          (lit(MinhashA(k)) * h + lit(MinhashB(k))) % lit(MinhashP)))): _*))
+  }
+
+  /** The LSH band key of one band of a signature array — the SAME
+    * comma-joined 4-row key the batch pair generator banding uses. */
+  private[graft] def bandKeyCol(sig: Column, band: Int): Column =
+    concat_ws(",", (0 until 4).map(r => element_at(sig, band * 4 + r + 1)): _*)
+
   /** Per-doc MinHash signature: all k minima in one grouped pass.
     * Memoized: the sig query, the pair generator, and the accuracy
     * metric (which joins it on BOTH pair sides — Spark would plan the

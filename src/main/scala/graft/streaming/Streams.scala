@@ -696,6 +696,86 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** One banded-bucket member: a doc and its full MinHash signature
+    * (kept so a later arrival can compute its Jaccard ESTIMATE against
+    * every prior member without any lookup join). */
+  case class LshMember(doc_id: Long, sig: Seq[Long])
+  case class LshState(members: Seq[LshMember])
+
+  /** A streamed near-dup candidate: the pair collided in `band`; `est`
+    * is the MinHash Jaccard estimate (matching components / k) — the
+    * same quantity the batch `dedup_minhash_est` metric computes. */
+  case class NearDupHit(band: Int, doc_a: Long, doc_b: Long, est: Double)
+
+  // public: Spark's generated row codec must construct it (an encoder
+  // over a private class fails janino compilation)
+  case class LshBandRow(band: Int, band_key: String, doc_id: Long,
+      sig: Seq[Long])
+
+  /** Streaming MinHash-LSH near-dup monitor — the live twin of the batch
+    * `dedup_minhash_pairs` candidate generator, completing the streaming
+    * ingest family (exact dedup: [[docIngest]]; near-dup: this). Each
+    * arriving document computes its k=8 signature IN-ROW
+    * ([[graft.operators.Dedup.sigArrCol]] — no shuffle, bitwise the
+    * batch signatures) and lands in its 2 band buckets; per-bucket state
+    * is the member list (doc_id, sig), so a new arrival emits one hit
+    * per prior member it collides with — ACROSS micro-batches, which is
+    * the semantics batch LSH cannot give an ingest pipeline without
+    * re-running over all history. Emitted hits are exactly the batch
+    * banded self-join's per-band pairs over the same corpus (asserted in
+    * StreamingSpec), with the pair's Jaccard estimate attached from the
+    * stored signatures.
+    *
+    * Scale shape: state per (band, band_key) bucket is its membership —
+    * summed over buckets that is O(corpus x bands), the same cardinality
+    * the batch band join's build side carries, amortized over the ingest
+    * lifetime and spillable via RocksDB. Per-arrival work is O(bucket
+    * occupancy), which banding keeps small by construction (a bucket
+    * only grows when its members are near-identical). A replayed doc_id
+    * is ignored (at-least-once upstream stays exactly-once here). The
+    * same pair can hit in both bands — by design (the band is in the
+    * output); pair-level consumers dedup on (doc_a, doc_b). */
+  def lshMonitor(docs: DataFrame): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    val nBands = D.MinhashK / 4
+    val k = D.MinhashK
+    docs
+      .select($"doc_id", D.sigArrCol($"text").as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id", $"sig", explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), D.bandKeyCol($"sig", b).as("band_key"))): _*))
+        .as("bk"))
+      .select($"bk.band", $"bk.band_key", $"doc_id", $"sig")
+      .as[LshBandRow]
+      .groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[LshState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val seen = scala.collection.mutable.Set(members.map(_.doc_id): _*)
+          // deterministic intra-trigger order (the slice is bounded by
+          // this micro-batch's rows for the bucket, never history)
+          val fresh = sortedSlice(it)(_.doc_id)
+          val out = Seq.newBuilder[NearDupHit]
+          fresh.foreach { r =>
+            if (!seen(r.doc_id)) {
+              members.foreach { m =>
+                val matches = (0 until k).count(i => m.sig(i) == r.sig(i))
+                out += NearDupHit(r.band,
+                  math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id),
+                  matches.toDouble / k)
+              }
+              members = members :+ LshMember(r.doc_id, r.sig)
+              seen += r.doc_id
+            }
+          }
+          state.update(LshState(members))
+          out.result().iterator
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

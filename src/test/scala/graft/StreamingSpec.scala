@@ -840,4 +840,67 @@ class StreamingSpec extends SparkSpec {
         assert(served == est, s"gram $gh: streamed grid served $served, batch $est")
       }
   }
+
+  test("streaming LSH monitor emits exactly the batch band-collision pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a real-corpus slice plus two planted dups: 9001 repeats the first
+    // doc verbatim (must collide in BOTH bands, est 1.0), 9002 appends
+    // one token (high-overlap near-dup — collision decided by the same
+    // signatures on both paths, whatever they say)
+    val base = graft.sources.Tables.documents(spark, sfDir("sf0.001"))
+      .orderBy($"doc_id").limit(150)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+    val t0 = base.head._2
+    val rows = base ++ Seq((9001L, t0, "en"), (9002L, t0 + " zzz", "en"))
+    val dir = writeDocsFixture(rows)
+    // batch truth over the same fixture
+    val sig = rowsOf(Dedup.queries("dedup_minhash_sig")(spark, dir))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        (0 until Dedup.MinhashK).map(i => m(s"mh$i").asInstanceOf[Long]))
+      .toMap
+    val batchPairs = rowsOf(Dedup.queries("dedup_minhash_pairs")(spark, dir))
+      .map(m => (m("doc_a").asInstanceOf[Long], m("doc_b").asInstanceOf[Long]))
+      .toSet
+    val ids = sig.keys.toSeq.sorted
+    val expectedHits = (for {
+      b <- 0 until Dedup.MinhashK / 4
+      i <- ids; j <- ids if i < j
+      if (0 until 4).forall(r => sig(i)(b * 4 + r) == sig(j)(b * 4 + r))
+    } yield (b, i, j)).toSet
+    assert(expectedHits.exists { case (_, _, j) => j == 9001L },
+      "fixture must plant at least one collision")
+
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.lshMonitor(input.toDF())
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    // split so the planted dups arrive a micro-batch AFTER their
+    // originals — the cross-batch case batch LSH cannot serve
+    val (first, second) = rows.splitAt(rows.size / 2)
+    input.addData(first.map(r => Streams.RawDoc(r._1, r._2, r._3, "src")))
+    q.processAllAvailable()
+    input.addData(second.map(r => Streams.RawDoc(r._1, r._2, r._3, "src")))
+    q.processAllAvailable()
+    // a replayed doc must not re-emit (at-least-once upstream)
+    input.addData(Streams.RawDoc(9001L, t0, "en", "src"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lsh_out").as[Streams.NearDupHit].collect()
+    assert(streamed.map(h => (h.band, h.doc_a, h.doc_b)).toSet == expectedHits)
+    assert(streamed.length == expectedHits.size,
+      "each (band, pair) hit emits exactly once, replay included")
+    assert(streamed.map(h => (h.doc_a, h.doc_b)).toSet == batchPairs)
+    // the attached estimate is the signature-match fraction — the same
+    // quantity dedup_minhash_est computes from the batch signatures
+    streamed.foreach { h =>
+      val exp = (0 until Dedup.MinhashK)
+        .count(i => sig(h.doc_a)(i) == sig(h.doc_b)(i)).toDouble / Dedup.MinhashK
+      assert(h.est == exp, s"pair (${h.doc_a},${h.doc_b})")
+    }
+    assert(streamed.exists(h =>
+      h.doc_a == base.head._1 && h.doc_b == 9001L && h.est == 1.0))
+  }
 }
