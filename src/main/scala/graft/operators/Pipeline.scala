@@ -918,6 +918,98 @@ object Pipeline extends OpModule {
        |SELECT doc_id, source, src_ord AS sample_rank
        |FROM sh WHERE src_ord < $QuotaPerSource""".stripMargin
 
+  /** Pointers per source for the PPS sample. */
+  val PpsPerSource = 16L
+
+  /** Seed of the PPS sampling order — independent of [[ShuffleSeed]] so
+    * the sample is not a prefix of the training order. */
+  val PpsSeed = "pps0"
+
+  /** Systematic probability-proportional-to-size sampling — the
+    * token-weighted complement of the two document-count samplers: each
+    * source contributes [[PpsPerSource]] picks with per-doc inclusion
+    * probability proportional to its TOKEN count (what a token-budget
+    * audit or loss-spot-check wants: sampling docs uniformly would
+    * under-represent the long documents that dominate the budget).
+    * Classic systematic PPS: lay every doc's token mass end-to-end in
+    * seeded-hash order, drop k equally-spaced pointers (stride = total
+    * div k, offset = stride div 2), and a doc is picked once per pointer
+    * landing in its span — a doc longer than the stride is picked more
+    * than once (`n_hits` keeps the multiplicity; that IS
+    * with-replacement PPS semantics).
+    *
+    * Everything is integer arithmetic (`div`, never doubles), so the
+    * oracle matches bit-for-bit at any cumulative scale — same rationale
+    * as `pipeline_pack`'s seq_id. Scale shape: the token prefix sum runs
+    * two-level over bounded `(source, key-range granule)` windows
+    * exactly like [[shuffleDf]]'s rank (asserted equal to the direct
+    * window on the 90%-skew fixture in SkewSpec); per-source totals are
+    * a |sources|-row broadcast; no global sort. */
+  private def ppsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+      .select($"doc_id", $"n_tokens")
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(toks, Seq("doc_id"))
+      .withColumn("pps_key",
+        ColFns.hex32(concat(lit(s"$PpsSeed:"), $"doc_id")))
+      .withColumn("sg", expr(s"pps_key div $ShuffleGranuleSpan"))
+    val wIn = Window.partitionBy($"source", $"sg")
+      .orderBy($"pps_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.partitionBy($"source").orderBy($"sg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy($"source", $"sg")
+      .agg(sum($"n_tokens").as("bt"))
+      .withColumn("bkt_base", coalesce(sum($"bt").over(wBase), lit(0L)))
+    val totals = bases.groupBy($"source")
+      .agg(sum($"bt").as("w_total"))
+      // degenerate tiny source (fewer tokens than pointers): floor the
+      // stride at 1 so the arithmetic stays defined; every token then
+      // holds at most one pointer
+      .withColumn("pps_s",
+        expr(s"greatest(w_total div $PpsPerSource, 1)"))
+    keyed
+      .withColumn("cum_in", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .join(broadcast(bases.select($"source", $"sg", $"bkt_base")),
+        Seq("source", "sg"))
+      .withColumn("cum_before", $"bkt_base" + $"cum_in")
+      .join(broadcast(totals), Seq("source"))
+      // f(x) = pointers strictly below token position x, clamped to [0, k]
+      .withColumn("f0", expr(s"least($PpsPerSource, greatest(0, " +
+        "(cum_before - pps_s div 2 + pps_s - 1) div pps_s))"))
+      .withColumn("f1", expr(s"least($PpsPerSource, greatest(0, " +
+        "(cum_before + n_tokens - pps_s div 2 + pps_s - 1) div pps_s))"))
+      .withColumn("n_hits", ($"f1" - $"f0").cast("long"))
+      .filter($"n_hits" > 0)
+      .select($"doc_id", $"source", $"n_tokens",
+        $"f0".cast("long").as("first_pick"), $"n_hits")
+  }
+
+  private val ppsSql: String =
+    s"""WITH t AS (${TextAnalysis.oracles("text_tokens")}),
+       |j AS (SELECT d.doc_id, d.source, t.n_tokens,
+       |        ${ColFns.hex32Sql(s"('$PpsSeed:' || d.doc_id::VARCHAR)")} AS pps_key
+       |      FROM documents d JOIN t ON t.doc_id = d.doc_id),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY pps_key, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |          AS cum_before,
+       |        sum(n_tokens) OVER (PARTITION BY source)::BIGINT AS w_total
+       |      FROM j),
+       |p AS (SELECT *, greatest(w_total // $PpsPerSource, 1) AS pps_s FROM c),
+       |h AS (SELECT doc_id, source, n_tokens,
+       |  least($PpsPerSource, greatest(0,
+       |    (cum_before - pps_s // 2 + pps_s - 1) // pps_s)) AS f0,
+       |  least($PpsPerSource, greatest(0,
+       |    (cum_before + n_tokens - pps_s // 2 + pps_s - 1) // pps_s)) AS f1
+       |FROM p)
+       |SELECT doc_id, source, n_tokens, f0::BIGINT AS first_pick,
+       |  (f1 - f0)::BIGINT AS n_hits
+       |FROM h WHERE f1 - f0 > 0""".stripMargin
+
   /** Per-source data card — the funnel broken out by provenance: how
     * many documents each source contributed and how many it lost to
     * each gate. This is the table a curation review reads to decide
@@ -952,6 +1044,7 @@ object Pipeline extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
+    "sample_pps" -> (ppsDf(_, _)),
     "pipeline_source_card" -> (sourceCardDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
     "docs_length_stats" -> (lengthStatsDf(_, _)),
@@ -973,6 +1066,7 @@ object Pipeline extends OpModule {
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
     "sample_quota" -> quotaSql,
+    "sample_pps" -> ppsSql,
     "pipeline_source_card" -> sourceCardSql,
     "docs_quality_gate" -> qualityGateSql,
     "docs_length_stats" -> lengthStatsSql,

@@ -246,4 +246,50 @@ class SkewSpec extends graft.SparkSpec {
       .distinct().count()
     assert(nGranules >= 100, s"only $nGranules shuffle granules")
   }
+
+  test("two-level PPS prefix sum matches the single-window reference on the 90%-skew corpus") {
+    import spark.implicits._
+    val k = Pipeline.PpsPerSource
+    val pps = Pipeline.queries("sample_pps")(spark, skewDir)
+    // the naive reference: one running-sum window per source, then the
+    // same integer pointer arithmetic
+    val toks = TextAnalysis.queries("text_tokens")(spark, skewDir)
+      .select($"doc_id", $"n_tokens")
+    val wRef = Window.partitionBy($"source")
+      .orderBy($"pps_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = graft.sources.Tables.documents(spark, skewDir)
+      .select($"doc_id", $"source")
+      .join(toks, Seq("doc_id"))
+      .withColumn("pps_key", graft.functions.ColFns.hex32(
+        concat(lit(s"${Pipeline.PpsSeed}:"), $"doc_id")))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(wRef), lit(0L)))
+      .withColumn("w_total",
+        sum($"n_tokens").over(Window.partitionBy($"source")))
+      .withColumn("pps_s", expr(s"greatest(w_total div $k, 1)"))
+      .withColumn("f0", expr(s"least($k, greatest(0, " +
+        "(cum_before - pps_s div 2 + pps_s - 1) div pps_s))"))
+      .withColumn("f1", expr(s"least($k, greatest(0, " +
+        "(cum_before + n_tokens - pps_s div 2 + pps_s - 1) div pps_s))"))
+      .filter($"f1" > $"f0")
+      .select($"doc_id", $"f0".cast("long"), ($"f1" - $"f0").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = pps.select($"doc_id", $"first_pick", $"n_hits")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ref)
+    // every source places exactly k pointers (every source here holds
+    // >= k tokens, so no pointer can fall off the end)
+    val bySrc = pps.groupBy($"source").agg(sum($"n_hits").as("picks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == k), s"per-source picks: $bySrc")
+    // token-weighted: within the mega source, picked docs average more
+    // tokens than the source overall (PPS favors long docs)
+    val pickedAvg = pps.filter($"source" === "mega")
+      .agg(avg($"n_tokens")).head().getDouble(0)
+    val allAvg = graft.sources.Tables.documents(spark, skewDir)
+      .filter($"source" === "mega").select($"doc_id")
+      .join(toks, Seq("doc_id")).agg(avg($"n_tokens")).head().getDouble(0)
+    assert(pickedAvg >= allAvg,
+      s"picked avg $pickedAvg < corpus avg $allAvg — not size-weighted")
+  }
 }
