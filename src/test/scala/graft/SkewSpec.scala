@@ -29,8 +29,16 @@ class SkewSpec extends graft.SparkSpec {
     val nearDups = Seq(
       (1000L, s"$Hot alpha beta gamma delta epsilon zeta", "en", "mega"),
       (1001L, s"$Hot alpha beta gamma delta epsilon eta", "en", "small0"))
-    val megaDocs = (2000 until 4700).map(i =>
-      (i.toLong, s"m${i}x m${i}y m${i}z m${i}w", "en", "mega"))
+    // heavy tail: the last 8 mega docs carry 10 000 unique tokens each,
+    // so each one holds > 1/16 of the source's token mass and systematic
+    // PPS (k=16 pointers, stride = mass/16) MUST land >= 1 pointer in
+    // every one — the size-weighting property becomes deterministic
+    val megaDocs = (2000 until 4700).map { i =>
+      val text =
+        if (i >= 4692) (0 until 10000).map(j => s"m${i}t$j").mkString(" ")
+        else s"m${i}x m${i}y m${i}z m${i}w"
+      (i.toLong, text, "en", "mega")
+    }
     val smallDocs = (5000 until 5300).map(i =>
       (i.toLong, s"s${i}x s${i}y s${i}z", "en", s"small${i % 3}"))
     (hotOnly ++ nearDups ++ megaDocs ++ smallDocs)
@@ -282,8 +290,19 @@ class SkewSpec extends graft.SparkSpec {
     val bySrc = pps.groupBy($"source").agg(sum($"n_hits").as("picks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc.values.forall(_ == k), s"per-source picks: $bySrc")
-    // token-weighted: within the mega source, picked docs average more
-    // tokens than the source overall (PPS favors long docs)
+    // size-weighting, now GUARANTEED by the fixture: each of the 8 heavy
+    // docs (10 000 tokens) holds > stride = mass/16 tokens, so systematic
+    // PPS must place >= 1 pointer inside every one of them
+    val megaPicked = pps.filter($"source" === "mega")
+      .select($"doc_id", $"n_tokens".cast("long"), $"n_hits".cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (4692L until 4700L).foreach { id =>
+      assert(megaPicked.contains(id) && megaPicked(id)._2 >= 1L,
+        s"heavy doc $id must be PPS-picked: ${megaPicked.get(id)}")
+    }
+    // and therefore the picked docs' mean length strictly exceeds the
+    // source mean: >= 8 of <= 16 picked docs are 10 000-token docs while
+    // the source averages ~33 tokens/doc
     val pickedAvg = pps.filter($"source" === "mega")
       .agg(avg($"n_tokens")).head().getDouble(0)
     val allAvg = graft.sources.Tables.documents(spark, skewDir)
