@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: dump only these queries (local iteration;
     // the driver always passes exactly two args and gets the full dump)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[verify] no such queries: ${unknown.toSeq.sorted.mkString(", ")}")
     // fixed default, unlike Bench: the correctness dump must reproduce
     // across machines, and float-sum reassociation under a different
     // partition count could cross the oracle's 9-digit rounding
@@ -45,7 +49,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a filtered dump also filters the oracle list — otherwise a
+    // driver-style compare over the partial dump would report every
+    // unselected query as missing engine output
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

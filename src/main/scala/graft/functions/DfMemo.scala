@@ -29,7 +29,9 @@ object DfMemo {
     * rebuild is a full Lloyd iteration; small enough to bound resident
     * cache pressure. */
   val MaxResident: Int =
-    sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP", "12").toInt
+    sys.props.get("graft.memo.cap")
+      .orElse(sys.env.get("SPARK_GRAFT_MEMO_CAP"))
+      .getOrElse("12").toInt
 
   // Weak keys: a dropped session must not be pinned (with its whole
   // sessionState + persisted plans) for the life of the process.

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.OpModule
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the real tokenizer-TRAINING step that
+  * `text_encode`'s frequency-rank vocabulary stands in for: starting
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair across the corpus, [[BpeMergesN]] times, deterministically
+  * (ties broken on the pair key ascending).
+  *
+  * Semantics pinned down so two engines can agree bit-for-bit:
+  *  - the training corpus is the WORD-TYPE table (distinct whitespace
+  *    tokens with occurrence counts) — the classical formulation; merges
+  *    never cross a word boundary, and no end-of-word marker is used;
+  *  - pair counts are the NAIVE adjacent counts (every position i with
+  *    (s_i, s_{i+1}) = (l, r) counts, runs included — "aaa" counts
+  *    (a,a) twice), weighted by word frequency — Sennrich's
+  *    `get_stats`;
+  *  - applying a merge is GREEDY LEFT-TO-RIGHT within each word
+  *    ("aaa" + merge (a,a) -> [aa, a]); the Spark side gets this from a
+  *    sequential array fold, the oracle from the closed form: a match
+  *    position is rewritten iff its offset within its maximal run of
+  *    CONSECUTIVE match positions is even (for l != r runs have length
+  *    1, so every match rewrites — overlap is only possible when
+  *    l == r).
+  *
+  * Scale shape: the corpus is touched ONCE (tokenize -> word-type
+  * counts, one hash aggregation, the same `doc_toks` frame five other
+  * families share); every merge round then runs on the VOCABULARY-sized
+  * frame (|word types|, millions at 100 TB — not corpus-sized), as one
+  * pair-count aggregation plus one argmax `collect` of a single row
+  * (the accumulator-style one-action-per-round shape the dedup cluster
+  * driver established). Encoding against the learned vocabulary
+  * ([[encodeDf]]) is a broadcast join of the final word-type
+  * segmentation back onto the token stream — the merges table itself
+  * is [[BpeMergesN]] rows.
+  */
+object Bpe extends OpModule {
+
+  /** Number of merge rounds. Small enough that the generated oracle SQL
+    * (one CTE level per round) stays tractable; large enough that the
+    * merges chain through multi-character symbols (round 12 merges pairs
+    * built by earlier rounds). */
+  val BpeMergesN = 12
+
+  private case class Merge(rank: Int, l: String, r: String, cnt: Long)
+
+  // per-(session, dir) training result: the merges list plus the final
+  // word-type segmentation (localCheckpointed). Weak in the session for
+  // the same lifecycle reason as DfMemo.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, (Seq[Merge], DataFrame)]]()
+
+  /** Greedy left-to-right application of merge (l, r) to a symbol
+    * array, as a sequential fold: append each symbol unless it extends
+    * the pending pair, in which case the just-appended `l` is replaced
+    * by the merged symbol. A replacement cannot immediately re-merge
+    * (the merged symbol `l+r` is strictly longer than `l`), which is
+    * exactly greedy non-overlapping semantics. */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Run the training loop once per (session, dir): returns the ranked
+    * merges and the final word-type frame `(tok, freq, syms)`. Each
+    * round is one vocabulary-sized aggregation + a one-row argmax
+    * collect; the words frame is re-checkpointed per round so the fold
+    * lineage never stacks [[BpeMergesN]] deep. */
+  private def train(spark: SparkSession, dir: String): (Seq[Merge], DataFrame) = {
+    val tab = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        cache.put(spark, m)
+      }
+      m
+    }
+    tab.synchronized(tab.get(dir)) match {
+      case Some(hit) => hit
+      case None =>
+        import spark.implicits._
+        // word types with frequencies — the ONE corpus-sized pass
+        var words = Tables.documents(spark, dir)
+          .select(explode(filter(split($"text", "\\s+"), t => t =!= ""))
+            .as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .withColumn("syms",
+            transform(sequence(lit(1), length($"tok")),
+              i => $"tok".substr(i, lit(1))))
+          .select($"tok", $"freq", $"syms")
+          .localCheckpoint()
+        val merges = Seq.newBuilder[Merge]
+        var rank = 1
+        while (rank <= BpeMergesN) {
+          // adjacent-pair positions: syms is a materialized array column,
+          // so element_at is a cheap load (no re-derivation — the
+          // generate-pruning pathology needs an expensive array source)
+          val best = words
+            .select($"freq", explode(
+              when(size($"syms") >= 2,
+                transform(sequence(lit(1), size($"syms") - 1),
+                  i => struct(element_at($"syms", i).as("l"),
+                    element_at($"syms", i + 1).as("r"))))
+                .otherwise(array().cast("array<struct<l:string,r:string>>")))
+              .as("p"))
+            .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+            .orderBy($"cnt".desc, $"l", $"r")
+            .limit(1).collect()
+          if (best.isEmpty)
+            throw new IllegalStateException(
+              s"BPE: no pair left at round $rank — corpus fully merged")
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += Merge(rank, l, r, cnt)
+          val next = words
+            .withColumn("syms", mergeFold($"syms", l, r))
+            .localCheckpoint()
+          graft.functions.DfMemo.release(words) // superseded round snapshot
+          words = next
+          rank += 1
+        }
+        val out = (merges.result(), words)
+        tab.synchronized(tab.put(dir, out))
+        out
+    }
+  }
+
+  /** The learned merges table — rank, pair, merged symbol, and the
+    * naive pair count that won the round. */
+  private def mergesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = train(spark, dir)
+    merges.map(m => (m.rank.toLong, m.l, m.r, m.l + m.r, m.cnt))
+      .toDF("merge_rank", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** Documents encoded against the LEARNED vocabulary: each token's
+    * subword count comes from the final trained segmentation (broadcast
+    * — the word-type frame is vocabulary-sized), with a position-
+    * weighted checksum so a dropped/permuted token mismatches. Every
+    * token is in the vocabulary by construction (training corpus =
+    * these documents). */
+  private def encodeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, words) = train(spark, dir)
+    val segs = words.select($"tok", size($"syms").cast("long").as("n_sub"))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(filter(split($"text", "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .join(broadcast(segs), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"n_sub").as("n_subtokens"),
+        sum(($"pos" + 1) * $"n_sub").as("sub_checksum"))
+  }
+
+  // ---- DuckDB oracle: one generated CTE level per merge round ----
+
+  /** CTE levels s0..sN: s0 is the character segmentation of the
+    * word-type table; each level picks the argmax pair (b{t}) and
+    * rewrites via the even-offset-within-run closed form (mm{t}). */
+  private def levelsSql(n: Int): String = {
+    val toks = TextAnalysis.tokensSql
+    val s0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT tok, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT tok, freq,
+         |    list_transform(range(1, length(tok) + 1),
+         |                   i -> substr(tok, i::INT, 1)) AS syms
+         |  FROM w0)""".stripMargin
+    val levels = (1 to n).map { t =>
+      val prev = s"s${t - 1}"
+      s"""b$t AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq)::BIGINT AS cnt
+         |    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |          FROM $prev)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |mm$t AS MATERIALIZED (
+         |  SELECT tok, i,
+         |    (i - min(i) OVER (PARTITION BY tok, i - rn)) % 2 = 0 AS sel
+         |  FROM (SELECT tok, i,
+         |          row_number() OVER (PARTITION BY tok ORDER BY i) AS rn
+         |        FROM (SELECT tok, syms, unnest(range(1, len(syms))) AS i
+         |              FROM $prev) q
+         |        WHERE q.syms[q.i] = (SELECT l FROM b$t)
+         |          AND q.syms[q.i + 1] = (SELECT r FROM b$t))),
+         |s$t AS MATERIALIZED (
+         |  SELECT tok, freq, list(sym ORDER BY j) AS syms FROM (
+         |    SELECT x.tok, x.freq, x.j,
+         |      CASE WHEN coalesce(ma.sel, FALSE)
+         |           THEN (SELECT l || r FROM b$t)
+         |           ELSE x.syms[x.j] END AS sym
+         |    FROM (SELECT tok, freq, syms, unnest(range(1, len(syms) + 1)) AS j
+         |          FROM $prev) x
+         |    LEFT JOIN mm$t ma ON ma.tok = x.tok AND ma.i = x.j
+         |    LEFT JOIN mm$t mp ON mp.tok = x.tok AND mp.i = x.j - 1 AND mp.sel
+         |    WHERE mp.i IS NULL)
+         |  GROUP BY tok, freq)""".stripMargin
+    }
+    (s0 +: levels).mkString(",\n")
+  }
+
+  private lazy val mergesSql: String = {
+    val rows = (1 to BpeMergesN).map(t =>
+      s"SELECT $t::BIGINT AS merge_rank, l AS lft, r AS rgt, " +
+        s"l || r AS merged, cnt AS pair_count FROM b$t")
+    s"""WITH ${levelsSql(BpeMergesN)}
+       |${rows.mkString("", "\nUNION ALL\n", "")}""".stripMargin
+  }
+
+  private lazy val encodeSql: String = {
+    val toks = TextAnalysis.tokensSql
+    s"""WITH ${levelsSql(BpeMergesN)},
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |        unnest(range(0, len(toks))) AS pos
+       |      FROM (SELECT doc_id, $toks AS toks FROM documents))
+       |SELECT p.doc_id, count(*) AS n_tokens,
+       |  sum(len(s.syms))::BIGINT AS n_subtokens,
+       |  sum((p.pos + 1) * len(s.syms))::BIGINT AS sub_checksum
+       |FROM p JOIN s$BpeMergesN s USING (tok)
+       |GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (mergesDf(_, _)),
+    "text_bpe_encode" -> (encodeDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> mergesSql,
+    "text_bpe_encode" -> encodeSql
+  )
+}

@@ -116,16 +116,27 @@ object Dedup extends OpModule {
     * because a stream cannot re-group history per trigger. Docs with
     * fewer than 3 tokens have no shingle and yield NULL — exactly the
     * docs the batch path's lead-window filter drops. */
-  private[graft] def sigArrCol(text: Column): Column = {
-    val ws = filter(split(text, "\\s+"), t => t =!= "")
-    val hs = transform(
-      sequence(lit(0), size(ws) - 3),
-      i => ColFns.hex32(concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-    when(size(ws) >= 3,
-      array((0 until MinhashK).map(k =>
-        array_min(transform(hs, h =>
-          (lit(MinhashA(k)) * h + lit(MinhashB(k))) % lit(MinhashP)))): _*))
+  private[graft] def withSigArr(df: DataFrame, text: Column,
+      out: String): DataFrame = {
+    // the token and shingle-hash arrays materialize as NAMED columns so
+    // split/hex32 run once per row: inlined into the 8 array_min calls,
+    // CollapseProject would re-expand them into the k minima and the
+    // regex would re-run per element_at — the O(words^2) pathology the
+    // batch path's comment (shingledUncached) documents avoiding.
+    // Spark's CollapseProject keeps non-cheap multi-referenced aliases
+    // in their own Project, so the named columns are a real barrier.
+    df.withColumn("_sig_ws", filter(split(text, "\\s+"), t => t =!= ""))
+      .withColumn("_sig_hs", transform(
+        sequence(lit(0), size(col("_sig_ws")) - 3),
+        i => ColFns.hex32(concat_ws(" ",
+          element_at(col("_sig_ws"), i + 1),
+          element_at(col("_sig_ws"), i + 2),
+          element_at(col("_sig_ws"), i + 3)))))
+      .withColumn(out, when(size(col("_sig_ws")) >= 3,
+        array((0 until MinhashK).map(k =>
+          array_min(transform(col("_sig_hs"), h =>
+            (lit(MinhashA(k)) * h + lit(MinhashB(k))) % lit(MinhashP)))): _*)))
+      .drop("_sig_ws", "_sig_hs")
   }
 
   /** The LSH band key of one band of a signature array — the SAME

@@ -544,12 +544,156 @@ object Multimodal extends OpModule {
        |    AS resampled_sum
        |FROM s GROUP BY media_id""".stripMargin
 
+  // ---- PNG rung: a real COMPRESSED container via the JDK's ImageIO ----
+
+  /** Synthesize a real zlib-compressed PNG: pixels from the same essence
+    * formula as the PPM rung (channel value at flat index `i = (y*w+x)*3
+    * + c` is `(seed + i*ByteStep) % 256`), dims from salted hashes,
+    * encoded by `javax.imageio` (DEFLATE + PNG filters — an actual
+    * compressed codec path, unlike the uncompressed containers above).
+    * PNG is LOSSLESS, so decoded pixel facts stay derivable from the
+    * generating formulas and the DuckDB oracle needs no codec. */
+  def synthesizePng(text: String): Array[Byte] = {
+    val seed = hex32Jvm(text)
+    val w = (hex32Jvm(text + "pw") % 24 + 8).toInt
+    val h = (hex32Jvm(text + "ph") % 18 + 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y.toLong * w + x) * 3
+        img.setRGB(x, y,
+          (essenceByte(seed, base) << 16) |
+          (essenceByte(seed, base + 1) << 8) |
+          essenceByte(seed, base + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("PNG: no JDK encoder")
+    out.toByteArray
+  }
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decode a PNG payload: validate the 8-byte signature, inflate and
+    * de-filter via the JDK reader, return the ARGB-free RGB triples in
+    * row-major order. Throws on bad magic or an unreadable stream —
+    * corrupt media fails the job. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length < 8 || !PngMagic.indices.forall(i => bytes(i) == PngMagic(i)))
+      throw new IllegalArgumentException(
+        s"PNG: bad signature (${bytes.take(8).mkString(",")})")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException("PNG: unreadable")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val base = (y * w + x) * 3
+        rgb(base) = ((p >> 16) & 0xff).toByte
+        rgb(base + 1) = ((p >> 8) & 0xff).toByte
+        rgb(base + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** PNG metadata + checksum + resize, every field from the DECODED
+    * compressed container (encode → DEFLATE → parse → inflate →
+    * de-filter → pixels): dims from the parsed IHDR, `essence_sum` the
+    * positionally-weighted checksum of the decoded RGB stream, and the
+    * [[FitPx]] nearest-neighbor resize re-run on those decoded pixels
+    * ([[resizeDf]]'s exact sampling). The oracle recomputes all of it
+    * from the generating formulas — valid BECAUSE the codec is
+    * lossless; a reader that mis-inflates one scanline or misapplies a
+    * PNG filter mismatches the checksum. Payload byte size is NOT
+    * emitted: it is encoder-dependent, the one fact compression makes
+    * oracle-underivable. Same scale shape as every media query:
+    * encode+decode are partition-local, only fixed-width facts leave. */
+  private def pngMetaDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (w, h, rgb) = decodePng(synthesizePng(text))
+        val scale = math.min(1.0, FitPx.toDouble / w)
+        val ow = math.floor(w * scale).toInt
+        val oh = math.floor(h * scale).toInt
+        var rsum = 0L
+        var k = 0
+        var y = 0
+        while (y < oh) {
+          val sy = y.toLong * h / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x.toLong * w / ow
+            val base = ((sy * w + sx) * 3).toInt
+            var c = 0
+            while (c < 3) {
+              rsum += (k + 1).toLong * (rgb(base + c) & 0xff)
+              k += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, (w.toLong * h), essenceSum(rgb),
+          ow.toLong, oh.toLong, rsum)
+      })
+      .toDF("media_id", "width", "height", "n_pixels", "essence_sum",
+        "out_width", "out_height", "resized_sum")
+  }
+
+  private val pngMetaSql: String = {
+    val seed = ColFns.hex32Sql("text")
+    val seedW = ColFns.hex32Sql("(text || 'pw')")
+    val seedH = ColFns.hex32Sql("(text || 'ph')")
+    s"""WITH p AS (SELECT doc_id AS media_id, $seed AS seed,
+       |             $seedW % 24 + 8 AS w, $seedH % 18 + 6 AS h
+       |           FROM documents),
+       |s AS (SELECT media_id,
+       |        sum((i + 1) * ((seed + i * $ByteStep) % 256))::BIGINT AS essence_sum
+       |      FROM (SELECT media_id, seed, unnest(range(0, w * h * 3)) AS i
+       |            FROM p)
+       |      GROUP BY 1),
+       |r AS (SELECT media_id, seed, w, h,
+       |        floor(w * least(1.0, $FitPx.0 / w))::BIGINT AS ow,
+       |        floor(h * least(1.0, $FitPx.0 / w))::BIGINT AS oh
+       |      FROM p),
+       |rs AS (SELECT media_id,
+       |         sum((k + 1) *
+       |           ((seed + (((((k // 3) // ow) * h // oh) * w +
+       |                      ((k // 3) % ow) * w // ow) * 3 + k % 3)
+       |             * $ByteStep) % 256))::BIGINT AS resized_sum
+       |       FROM (SELECT *, unnest(range(0, ow * oh * 3)) AS k FROM r)
+       |       GROUP BY 1)
+       |SELECT p.media_id, p.w::BIGINT AS width, p.h::BIGINT AS height,
+       |  (p.w * p.h)::BIGINT AS n_pixels, s.essence_sum,
+       |  r.ow AS out_width, r.oh AS out_height, rs.resized_sum
+       |FROM p JOIN s USING (media_id) JOIN r USING (media_id)
+       |     JOIN rs USING (media_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (metaDf(_, _)),
     "media_frames" -> (framesDf(_, _)),
     "media_features" -> (featuresDf(_, _)),
     "media_resize" -> (resizeDf(_, _)),
-    "media_resample" -> (resampleDf(_, _))
+    "media_resample" -> (resampleDf(_, _)),
+    "media_png_meta" -> (pngMetaDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -557,6 +701,7 @@ object Multimodal extends OpModule {
     "media_frames" -> framesSql,
     "media_features" -> featuresSql,
     "media_resize" -> resizeSql,
-    "media_resample" -> resampleSql
+    "media_resample" -> resampleSql,
+    "media_png_meta" -> pngMetaSql
   )
 }

@@ -536,7 +536,15 @@ object Pipeline extends OpModule {
     * reference on the 90%-skew fixture in SkewSpec — the DuckDB oracle
     * keeps the simple form). The source-index frame is |sources| rows;
     * the GLOBAL order comes from the formula — no global sort anywhere. */
-  private def shuffleDf(spark: SparkSession, dir: String): DataFrame = {
+  private def shuffleDf(spark: SparkSession, dir: String): DataFrame =
+    // memoized: the two-level rank feeds pipeline_shuffle, sample_quota,
+    // and pipeline_curriculum in one session — one build, not three
+    graft.functions.DfMemo.cached(spark, s"shuffle:$dir")(
+      shuffleDfBuild(spark, dir))
+
+  // pre-memo builder, visible for plan-shape assertions (the memoized
+  // frame is a checkpointed LogicalRDD with no plan left to inspect)
+  private[graft] def shuffleDfBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val srcIdx = Tables.documents(spark, dir).select($"source").distinct()
       .withColumn("src_idx",

@@ -1216,6 +1216,13 @@ object Similarity extends OpModule {
     * semantic near-dups sits nearer 0.9 — the dial, not the machinery. */
   val SemDedupCos = 0.30
 
+  /** A SemDeDup cell is "fat" past this multiple of the balanced share
+    * `n_total / n_cells` — the point where Σ|cell|² stops being ≈ N²/k
+    * and the within-cell pairwise needs a larger k, not a bigger
+    * executor. 4× passes every healthy corpus (observed max ≈ 1.14× at
+    * sf0.01) while a collapsed clustering trips it immediately. */
+  val SemCellFat = 4
+
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are clustered (the memoized k-means
     * assignment the ANN ladder already maintains), and pairwise cosine
@@ -1232,14 +1239,36 @@ object Similarity extends OpModule {
     * bounded (the paper uses k ≈ √N) and the per-cell pairwise stays a
     * partition-local nested loop. The keep decision compares the
     * ROUNDED max-prior cosine so the boolean cannot flip across
-    * engines; `max_prior_cos` is null for each cell's first member. */
+    * engines; `max_prior_cos` is null for each cell's first member.
+    *
+    * Fat-cell guard: the Σ|cell|² bound only holds while cells stay
+    * near-balanced, and nothing in k-means prevents a degenerate cell
+    * from swallowing the corpus (the embedding analog of a hot
+    * shingle). A cell exceeding [[SemCellFat]]× its balanced share
+    * (n_total / n_cells) fails the job LOUDLY via an in-plan
+    * `assert_true` riding the pair join's build side — no extra driver
+    * action; the message says to raise k, the paper's own dial. */
   private def semDedupDf(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
       .select($"vec_id", $"cell")
-    val m = assign.join(e.select($"vec_id", $"embedding"), Seq("vec_id"))
+    val sizes = assign.groupBy($"cell").agg(count(lit(1)).as("cell_n"))
+    val tot = sizes.agg(sum($"cell_n").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    val guard = sizes.crossJoin(broadcast(tot))
+      .withColumn("ok", assert_true(
+        $"cell_n" * $"n_cells" <= lit(SemCellFat.toLong) * $"n_total",
+        concat(lit("dedup_semantic: cell "), $"cell",
+          lit(" holds "), $"cell_n", lit(" of "), $"n_total",
+          lit(" vectors across "), $"n_cells",
+          lit(s" cells (> ${SemCellFat}x the balanced share) — " +
+            "raise k to bound the within-cell pairwise"))))
+      .filter($"ok".isNull)
+      .select($"cell")
+    val m = assign.join(broadcast(guard), Seq("cell"))
+      .join(e.select($"vec_id", $"embedding"), Seq("vec_id"))
     val priors = m.select($"cell", $"vec_id".as("pid"), $"embedding".as("pe"))
     val worst = m.join(priors, Seq("cell"))
       .filter($"pid" < $"vec_id")

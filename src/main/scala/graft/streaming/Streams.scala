@@ -734,15 +734,23 @@ object Streams {
     * only grows when its members are near-identical). A replayed doc_id
     * is ignored (at-least-once upstream stays exactly-once here). The
     * same pair can hit in both bands — by design (the band is in the
-    * output); pair-level consumers dedup on (doc_a, doc_b). */
+    * output); pair-level consumers dedup on (doc_a, doc_b).
+    *
+    * Degenerate-stream guard: a bucket stops admitting members past
+    * [[LshBucketCap]] — a stream of near-identical docs would otherwise
+    * make one bucket do O(n²) work and emit O(n²) hits with unbounded
+    * state (the streaming twin of the batch [[graft.operators.Dedup
+    * .HotShingleCap]] guard). Rows hitting a full bucket emit a single
+    * sentinel hit (doc_b = -1, est = -1) so saturation is VISIBLE in
+    * the output instead of silently dropped. */
   def lshMonitor(docs: DataFrame): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
     val nBands = D.MinhashK / 4
     val k = D.MinhashK
-    docs
-      .select($"doc_id", D.sigArrCol($"text").as("sig"))
+    D.withSigArr(docs, $"text", "sig")
+      .select($"doc_id", $"sig")
       .filter($"sig".isNotNull)
       .select($"doc_id", $"sig", explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), D.bandKeyCol($"sig", b).as("band_key"))): _*))
@@ -761,20 +769,35 @@ object Streams {
           val out = Seq.newBuilder[NearDupHit]
           fresh.foreach { r =>
             if (!seen(r.doc_id)) {
-              members.foreach { m =>
-                val matches = (0 until k).count(i => m.sig(i) == r.sig(i))
-                out += NearDupHit(r.band,
-                  math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id),
-                  matches.toDouble / k)
+              if (members.length >= LshBucketCap) {
+                // saturated bucket: admit nothing, compare nothing —
+                // bounded state and O(cap) per-arrival work; the
+                // sentinel row makes the saturation observable
+                out += NearDupHit(r.band, r.doc_id, -1L, -1.0)
+              } else {
+                members.foreach { m =>
+                  val matches = (0 until k).count(i => m.sig(i) == r.sig(i))
+                  out += NearDupHit(r.band,
+                    math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id),
+                    matches.toDouble / k)
+                }
+                members = members :+ LshMember(r.doc_id, r.sig)
+                seen += r.doc_id
               }
-              members = members :+ LshMember(r.doc_id, r.sig)
-              seen += r.doc_id
             }
           }
           state.update(LshState(members))
           out.result().iterator
       }
   }
+
+  /** Per-bucket membership cap for [[lshMonitor]] — the streaming twin
+    * of the batch hot-shingle guard ([[graft.operators.Dedup
+    * .HotShingleCap]], same dial). A healthy LSH bucket holds a handful
+    * of near-identical docs; one that reaches the cap is a degenerate
+    * near-constant stream, and admitting more members would cost O(n²)
+    * emissions and unbounded state. */
+  val LshBucketCap = 64
 
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -29,6 +29,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG rung: a real compressed container roundtrips the formula pixels") {
+    (0 until 10).foreach { i =>
+      val text = s"png$i"
+      val bytes = Multimodal.synthesizePng(text)
+      // a REAL PNG: 8-byte signature and an IDAT chunk (the DEFLATE
+      // stream) — this rung actually runs a compressed codec
+      assert((bytes(0) & 0xff) == 0x89 &&
+        new String(bytes.slice(1, 4), "US-ASCII") == "PNG")
+      assert(new String(bytes, "ISO-8859-1").contains("IDAT"))
+      val (w, h, rgb) = Multimodal.decodePng(bytes)
+      assert(w == (Multimodal.hex32Jvm(text + "pw") % 24 + 8).toInt)
+      assert(h == (Multimodal.hex32Jvm(text + "ph") % 18 + 6).toInt)
+      // lossless: every decoded channel equals the generating formula
+      val seed = Multimodal.hex32Jvm(text)
+      assert(rgb.length == w * h * 3)
+      rgb.zipWithIndex.foreach { case (b, j) =>
+        assert((b & 0xff) == ((seed + j * Multimodal.ByteStep) % 256).toInt,
+          s"pixel byte $j of $text")
+      }
+    }
+  }
+
+  test("PNG decode fails loudly on a bad signature") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("NOTAPNG..........".getBytes("US-ASCII"))
+    }
+  }
+
   test("decode fails loudly on corrupt containers, never flows bad media on") {
     val img = (0 until 30).map(i =>
         Multimodal.synthesize(s"text$i", s"source$i"))

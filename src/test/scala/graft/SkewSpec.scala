@@ -245,7 +245,10 @@ class SkewSpec extends graft.SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref)
     // the rank window exchanges on (source, granule), never source alone
-    val plan = shuffled.queryExecution.executedPlan.toString
+    // (plan-shape on the PRE-memo builder: the query itself serves a
+    // checkpointed LogicalRDD whose plan is already truncated)
+    val plan = Pipeline.shuffleDfBuild(spark, skewDir)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(source") && plan.contains("sg"),
       s"no granule exchange in:\n$plan")
     // the mega source genuinely spans many granules
@@ -310,5 +313,26 @@ class SkewSpec extends graft.SparkSpec {
       .join(toks, Seq("doc_id")).agg(avg($"n_tokens")).head().getDouble(0)
     assert(pickedAvg >= allAvg,
       s"picked avg $pickedAvg < corpus avg $allAvg — not size-weighted")
+  }
+
+  test("semantic dedup refuses a collapsed clustering (one fat cell)") {
+    import spark.implicits._
+    // 55 of 64 vectors identical -> one k-means cell swallows 86% of
+    // the corpus while 9 singleton cells keep n_cells at 10: the
+    // within-cell pairwise would be Σ|cell|² ≈ N², exactly what the
+    // SemCellFat guard exists to refuse (55 * 10 > 4 * 64)
+    val unit = (i: Int) => (0 until Similarity.Dim)
+      .map(d => if (d == i) 1.0f else 0.0f)
+    val rows = (0 until 55).map(i => (i.toLong, unit(0), 0)) ++
+      (1 to 9).map(i => ((100 + i).toLong, unit(i), i))
+    val dir = writeEmbFixture(rows)
+    val ex = intercept[Throwable] {
+      Similarity.queries("dedup_semantic")(spark, dir).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("raise k"), s"unexpected failure: $msgs")
+    // and the healthy corpus still passes under the same guard
+    assert(Similarity.queries("dedup_semantic")(spark, sfDir()).count() > 0)
   }
 }

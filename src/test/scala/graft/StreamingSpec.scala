@@ -903,4 +903,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(h =>
       h.doc_a == base.head._1 && h.doc_b == 9001L && h.est == 1.0))
   }
+
+  test("LSH monitor bucket cap bounds a degenerate near-constant stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = Streams.LshBucketCap
+    val nBands = graft.operators.Dedup.MinhashK / 4
+    // every doc identical: all land in the SAME bucket per band — the
+    // O(n^2) degenerate case the cap exists for
+    val txt = "alpha beta gamma delta"
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.lshMonitor(input.toDF())
+      .writeStream.format("memory").queryName("lsh_cap_out")
+      .outputMode("append").start()
+    input.addData((1 to cap + 16).map(i =>
+      Streams.RawDoc(i.toLong, txt, "en", "src")))
+    q.processAllAvailable()
+    // a later arrival still hits the saturated bucket, not the members
+    input.addData(Streams.RawDoc(1000L, txt, "en", "src"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("lsh_cap_out").as[Streams.NearDupHit].collect()
+    val (sentinels, normal) = hits.partition(_.doc_b == -1L)
+    // intra-batch order is sorted doc_id: 1..cap admit, the rest saturate
+    assert(normal.forall(h => h.doc_a <= cap && h.doc_b <= cap))
+    assert(normal.length == nBands * cap * (cap - 1) / 2,
+      s"admitted members pair exactly: ${normal.length}")
+    assert(sentinels.map(_.doc_a).toSet == ((cap + 1) to (cap + 16))
+      .map(_.toLong).toSet + 1000L)
+    assert(sentinels.length == nBands * 17, "one sentinel per band per refusal")
+    assert(sentinels.forall(_.est == -1.0))
+  }
 }
