@@ -114,11 +114,59 @@ object BatchSink {
       if (arch.exists() &&
         Option(arch.listFiles()).exists(_.exists(f =>
           f.isDirectory && f.getName.startsWith("day="))))
-        Some(spark.read.parquet(arch.toString).drop("day"))
+        // batch_id is snapshot provenance ([[readAsOf]]), not consumer
+        // schema — dropped here (no-op on pre-provenance archives)
+        Some(spark.read.parquet(arch.toString).drop("day", "batch_id"))
       else None
     (live, archived) match {
       case (Some(l), Some(a)) =>
         Some(l.unionByName(a).dropDuplicates(key))
+      case (l, a) => l.orElse(a)
+    }
+  }
+
+  /** Snapshot read — the table AS OF a batch id: exactly the rows
+    * landed by committed batches with id <= `asOfBatch`. The batch id
+    * is this layout's snapshot handle (the snapshot-id analog of a
+    * transactional table format): compaction preserves per-row batch
+    * ids into the day archive (partition-column inference via
+    * `basePath`, stored as a plain column), so time travel SURVIVES
+    * folding — reading "as of batch 3" returns the same rows before
+    * and after batches 0..4 collapse into day partitions. Retention
+    * ([[expire]]) bounds how far back a snapshot reaches, exactly like
+    * snapshot expiry. Archive rows written before provenance tracking
+    * (null batch_id) predate every snapshot and are included. The
+    * result keeps the `batch_id` column — as-of readers usually want
+    * the provenance. */
+  def readAsOf(spark: SparkSession, liveDir: String, key: Seq[String],
+      asOfBatch: Long): Option[DataFrame] = {
+    healBackups(archiveDir(liveDir), "day=")
+    val liveDirs = Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists() &&
+        f.getName.stripPrefix("batch_id=").toLongOption.exists(_ <= asOfBatch))
+    val live =
+      if (liveDirs.isEmpty) None
+      else Some(spark.read.option("basePath", liveDir)
+        .parquet(liveDirs.map(_.toString).toIndexedSeq: _*)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+    val arch = archiveDir(liveDir)
+    val archived =
+      if (arch.exists() &&
+        Option(arch.listFiles()).exists(_.exists(f =>
+          f.isDirectory && f.getName.startsWith("day="))))
+        Some {
+          val a = spark.read.parquet(arch.toString).drop("day")
+          if (a.columns.contains("batch_id"))
+            a.filter(col("batch_id").isNull || col("batch_id") <= asOfBatch)
+          else a
+        }
+      else None
+    (live, archived) match {
+      case (Some(l), Some(a)) =>
+        Some(l.unionByName(a, allowMissingColumns = true)
+          .dropDuplicates(key))
       case (l, a) => l.orElse(a)
     }
   }
@@ -170,8 +218,14 @@ object BatchSink {
     val cutoff = math.min(batchDirs.last._1 - keep, noFoldAtOrAbove - 1)
     val toFold = batchDirs.filter(_._1 <= cutoff)
     if (toFold.isEmpty) return
-    val batchRows = spark.read
+    // basePath keeps the batch_id partition column: folded rows carry
+    // their landing batch into the archive as snapshot provenance, so
+    // [[readAsOf]] still answers "as of batch N" after the fold
+    val batchRows = spark.read.option("basePath", liveDir)
       .parquet(toFold.map(_._2.toString).toIndexedSeq: _*)
+      // pin the inferred partition type: small ids infer int, larger
+      // infer long — an archive must not mix the two across folds
+      .withColumn("batch_id", col("batch_id").cast("long"))
       .withColumn("day", expr(bucketExpr))
     // touched days: tiny driver-side list (bounded by the fold's time
     // span), used as partition-pruning literals — not a data fetch
@@ -184,7 +238,10 @@ object BatchSink {
         spark.read.parquet(arch.toString)
           .filter(col("day").isin(days.map(Int.box): _*))
       else batchRows.limit(0)
-    val merged = priorArchive.unionByName(batchRows)
+    // allowMissingColumns: a pre-provenance archive (no batch_id
+    // column) unions with null ids — "predates every snapshot"
+    val merged = priorArchive.unionByName(batchRows,
+        allowMissingColumns = true)
       .dropDuplicates(key)
     val live = new java.io.File(liveDir)
     val tmp = new java.io.File(live.getParentFile,

@@ -504,7 +504,7 @@ object Live {
   /** The deterministic event identity: what makes a trades row unique
     * (order_id derives from it). Shared by the orders refresh dedup, the
     * compaction merge, and the union view below. */
-  private val EventKey = Seq("symbol", "bucket", "action", "side")
+  private[graft] val EventKey = Seq("symbol", "bucket", "action", "side")
 
   /** The live trades table for consumers: committed recent micro-batch
     * partitions ∪ the day-keyed archive, exactly-once through every

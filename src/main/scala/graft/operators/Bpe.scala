@@ -164,6 +164,21 @@ object Bpe extends OpModule {
         sum(($"pos" + 1) * $"n_sub").as("sub_checksum"))
   }
 
+  /** The learned vocabulary — every symbol of the final segmentation
+    * with its total occurrence mass (token-weighted) and the number of
+    * distinct word types containing it. This is the artifact a
+    * tokenizer ships: base characters that survived un-merged plus the
+    * [[BpeMergesN]] merged symbols (minus any fully consumed by later
+    * merges). One explode + hash agg over the vocabulary-sized frame. */
+  private def vocabDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, words) = train(spark, dir)
+    words.select($"tok", $"freq", explode($"syms").as("sym"))
+      .groupBy($"sym")
+      .agg(sum($"freq").as("occurrences"),
+        countDistinct($"tok").as("n_word_types"))
+  }
+
   // ---- DuckDB oracle: one generated CTE level per merge round ----
 
   /** CTE levels s0..sN: s0 is the character segmentation of the
@@ -235,13 +250,22 @@ object Bpe extends OpModule {
        |GROUP BY 1""".stripMargin
   }
 
+  private lazy val vocabSql: String =
+    s"""WITH ${levelsSql(BpeMergesN)}
+       |SELECT sym, sum(freq)::BIGINT AS occurrences,
+       |  count(DISTINCT tok)::BIGINT AS n_word_types
+       |FROM (SELECT tok, freq, unnest(syms) AS sym FROM s$BpeMergesN)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (mergesDf(_, _)),
-    "text_bpe_encode" -> (encodeDf(_, _))
+    "text_bpe_encode" -> (encodeDf(_, _)),
+    "text_bpe_vocab" -> (vocabDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> mergesSql,
-    "text_bpe_encode" -> encodeSql
+    "text_bpe_encode" -> encodeSql,
+    "text_bpe_vocab" -> vocabSql
   )
 }

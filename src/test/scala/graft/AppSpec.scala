@@ -182,6 +182,46 @@ class AppSpec extends SparkSpec {
     assert(keysOf(Live.readTrades(spark, out).get) == before)
   }
 
+  test("snapshot reads: as-of-batch time travel survives compaction") {
+    val out = Files.createTempDirectory("graft_asof").toString
+    (0 until 6).foreach { i =>
+      val b = eventDf(Seq(
+        (i * 13L, if (i % 2 == 0) "ENTER" else "EXIT", "LONG", i * 13L,
+          100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+      Live.commitBatch(b, out, i.toLong)
+    }
+    val dir = s"$out/trades"
+    val key = graft.app.Live.EventKey
+    def bucketsAsOf(b: Long): Set[Long] =
+      graft.app.BatchSink.readAsOf(spark, dir, key, b)
+        .map(_.collect().map(_.getAs[Long]("bucket")).toSet)
+        .getOrElse(Set.empty)
+    // pre-compaction: each snapshot sees exactly the batches <= its id
+    assert(bucketsAsOf(2L) == Set(0L, 13L, 26L))
+    assert(bucketsAsOf(5L) == (0 until 6).map(_ * 13L).toSet)
+    assert(bucketsAsOf(-1L).isEmpty)
+    // fold batches 0..3 into the day archive — provenance must survive
+    Live.compactTrades(spark, out, keepBatches = 2)
+    assert(bucketsAsOf(2L) == Set(0L, 13L, 26L),
+      "time travel must survive the fold")
+    assert(bucketsAsOf(3L) == Set(0L, 13L, 26L, 39L))
+    assert(bucketsAsOf(100L) == (0 until 6).map(_ * 13L).toSet)
+    // the snapshot keeps per-row provenance: every row's batch_id is
+    // within the snapshot, archived rows included
+    val snap = graft.app.BatchSink.readAsOf(spark, dir, key, 3L).get
+    assert(snap.columns.contains("batch_id"))
+    assert(snap.collect().forall(_.getAs[Long]("batch_id") <= 3L))
+    // the present-time view is unchanged by provenance tracking: same
+    // rows, no batch_id in the consumer schema
+    val now = Live.readTrades(spark, out).get
+    assert(!now.columns.contains("batch_id"))
+    assert(now.count() == 6)
+    // retention bounds time travel, like snapshot expiry: dropping
+    // day 0 removes its rows from every snapshot
+    assert(graft.app.BatchSink.expire(dir, minDay = 1) == 1)
+    assert(bucketsAsOf(2L) == Set(26L), "expired days leave all snapshots")
+  }
+
   test("archive heal: a compaction crashed between its two renames loses no archived rows") {
     val out = Files.createTempDirectory("graft_archheal").toString
     (0 until 6).foreach { i =>

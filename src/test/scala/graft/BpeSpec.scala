@@ -42,6 +42,85 @@ class BpeSpec extends SparkSpec {
     // positions 0..2 hold aaaa (1 sub each), position 3 the alphabet:
     // 1*1 + 2*1 + 3*1 + 4*7
     assert(e.head("sub_checksum") == 34L)
+    // the learned vocabulary is exactly the surviving symbols
+    val v = rowsOf(Bpe.queries("text_bpe_vocab")(spark, dir))
+      .map(m => m("sym") -> (m("occurrences"), m("n_word_types"))).toMap
+    assert(v == Map(
+      "aaaa" -> (3L, 1L), "z" -> (1L, 1L), "abcdefghijk" -> (1L, 1L),
+      "l" -> (1L, 1L), "m" -> (1L, 1L), "n" -> (1L, 1L),
+      "o" -> (1L, 1L), "p" -> (1L, 1L)))
+  }
+
+  /** Independent plain-Scala BPE (naive counts, greedy rewrite,
+    * lexicographic ties) — no Spark, no SQL; the third implementation
+    * the engine and the oracle must both agree with. */
+  private def refBpe(words: Map[String, Long], n: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var segs = words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    while (out.size < n && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + words(w)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        out += ((l, r, c))
+        segs = segs.map { case (w, syms) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          w -> b.result()
+        }
+      }
+    }
+    (out.toSeq, segs)
+  }
+
+  test("BPE engine matches the independent reference on random run-heavy corpora") {
+    var ran = 0
+    (1 to 3).foreach { seed =>
+      // 3-letter alphabet makes repeated-letter runs and re-merged
+      // symbols common — the overlap arithmetic gets hammered
+      val rnd = new scala.util.Random(1000 + seed)
+      val pool = (0 until 30).map(_ =>
+        (1 to 1 + rnd.nextInt(7)).map(_ => "abc"(rnd.nextInt(3))).mkString)
+        .distinct
+      val docs = (0 until 40).map { i =>
+        val ws = (0 until 3 + rnd.nextInt(10)).map(_ => pool(rnd.nextInt(pool.size)))
+        (i.toLong, ws.mkString(" "), "en")
+      }
+      val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val (refMerges, refSegs) = refBpe(freq, Bpe.BpeMergesN)
+      if (refMerges.size == Bpe.BpeMergesN) { // else the engine throws by design
+        ran += 1
+        val dir = writeDocsFixture(docs)
+        val got = rowsOf(Bpe.queries("text_bpe_merges")(spark, dir))
+          .sortBy(_("merge_rank").asInstanceOf[Long])
+          .map(m => (m("lft").asInstanceOf[String],
+            m("rgt").asInstanceOf[String],
+            m("pair_count").asInstanceOf[Long]))
+        assert(got == refMerges, s"merge sequence diverged at seed $seed")
+        val gotVocab = rowsOf(Bpe.queries("text_bpe_vocab")(spark, dir))
+          .map(m => m("sym") -> (m("occurrences").asInstanceOf[Long],
+            m("n_word_types").asInstanceOf[Long])).toMap
+        val refVocab = refSegs.toSeq
+          .flatMap { case (w, syms) => syms.map(s => (s, w, freq(w))) }
+          .groupBy(_._1)
+          .map { case (s, xs) =>
+            s -> (xs.map(x => x._3).sum, xs.map(_._2).distinct.size.toLong) }
+        assert(gotVocab == refVocab, s"vocab diverged at seed $seed")
+      }
+    }
+    assert(ran >= 2, s"only $ran random corpora sustained all merges")
   }
 
   test("BPE training fails loudly when the corpus exhausts before N merges") {
