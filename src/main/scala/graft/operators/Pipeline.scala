@@ -1049,8 +1049,56 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
        |FROM v GROUP BY 1""".stripMargin
 
+  /** Fixed-window chunking with overlap — the long-document splitter
+    * every context-bounded training run needs (docs longer than the
+    * sequence budget become overlapping windows; the overlap keeps
+    * boundary n-grams learnable). Chunk starts are `k·Stride` for
+    * `k = 0 .. ceil(max(0, n - W) / Stride)`, so every token is covered
+    * and the last window may be short. Each chunk emits its md5 so the
+    * contract proves every chunk's exact content, not just its bounds.
+    * Scale shape: per-row sequence + explode — zero shuffle, and the
+    * fan-out is bounded by n/Stride per document. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  private def chunkDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, s) = (ChunkTokens, ChunkStride)
+    TextAnalysis.tokenized(spark, dir)
+      .withColumn("n", size($"toks"))
+      // `div` (not `/` + cast): truncation ≡ floor here since both
+      // engines clamp the negative n<=W case to 0 via greatest
+      .withColumn("k", explode(sequence(lit(0),
+        expr(s"greatest(0, (n - $w + $s - 1) div $s)"))))
+      .withColumn("chunk", slice($"toks", $"k" * s + 1, lit(w)))
+      .select(
+        $"doc_id",
+        $"k".cast("long").as("chunk_id"),
+        ($"k" * s).cast("long").as("start_tok"),
+        size($"chunk").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_md5"))
+  }
+
+  private val chunkSql: String = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks,
+       |             len(${TextAnalysis.tokensSql}) AS n
+       |           FROM documents),
+       |k AS (SELECT doc_id, toks, n,
+       |        unnest(range(0, 1 + greatest(0, (n - $w + $s - 1) // $s))) AS k
+       |      FROM t),
+       |c AS (SELECT doc_id, k, list_slice(toks, k * $s + 1,
+       |        least(k * $s + $w, n)) AS chunk
+       |      FROM k)
+       |SELECT doc_id, k AS chunk_id, (k * $s)::BIGINT AS start_tok,
+       |  len(chunk)::INT AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
+    "pipeline_chunk" -> (chunkDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
     "sample_pps" -> (ppsDf(_, _)),
     "pipeline_source_card" -> (sourceCardDf(_, _)),
@@ -1073,6 +1121,7 @@ object Pipeline extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
+    "pipeline_chunk" -> chunkSql,
     "sample_quota" -> quotaSql,
     "sample_pps" -> ppsSql,
     "pipeline_source_card" -> sourceCardSql,

@@ -33,7 +33,7 @@ object TextAnalysis extends OpModule {
     * session: five query families (tokens/langid/quality/fingerprint and
     * the Pipeline quality gate) start from the same regex split — at
     * 100 TB you materialize the tokenized frame once, not per consumer. */
-  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def tokenized(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"doc_toks:$dir")(
       Tables.documents(spark, dir).withColumn("toks", tokens))
 
@@ -1168,8 +1168,61 @@ object TextAnalysis extends OpModule {
        |GROUP BY p.gh, p.cnt""".stripMargin
   }
 
+  /** Canonical text normalization (the first stage of every training
+    * pipeline: CCNet normalizes before hashing, C4 before its line
+    * rules): lowercase, strip non-alphanumerics per token, drop tokens
+    * emptied by the strip, and collapse runs of IDENTICAL adjacent
+    * tokens to one (the dup-token cleanup; the corpus has real runs
+    * like "table table table"). Emits the normalized text's md5 so the
+    * contract covers every byte of the result without shipping text
+    * anywhere twice. Pure per-row array expressions — zero shuffle,
+    * the ideal 100 TB shape (scan -> map -> project). */
+  private def normalizeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = filter(
+      transform($"toks", t => regexp_replace(lower(t), "[^a-z0-9]", "")),
+      t => t =!= "")
+    // sequence(1, 0) DESCENDS in Spark (and element_at(_, 0) throws),
+    // so the empty-normalization case short-circuits to an empty array.
+    val collapsed = when(size($"norm") === 0, array().cast("array<string>"))
+      .otherwise(filter(
+        transform(sequence(lit(1), size($"norm")),
+          i => when(i === 1 ||
+            element_at($"norm", i) =!= element_at($"norm", i - 1),
+            element_at($"norm", i))),
+        t => t.isNotNull))
+    tokenized(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("kept", collapsed)
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        size($"kept").as("n_norm_tokens"),
+        (size($"norm") - size($"kept")).as("n_collapsed"),
+        md5(concat_ws(" ", $"kept")).as("norm_md5"))
+  }
+
+  private val normalizeSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks,
+       |        list_filter(list_transform(toks,
+       |          t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')),
+       |          t -> t <> '') AS norm
+       |      FROM w),
+       |c AS (SELECT doc_id, toks, norm,
+       |        list_filter(list_transform(range(1, len(norm) + 1),
+       |          i -> CASE WHEN i = 1 OR norm[i] <> norm[i - 1]
+       |               THEN norm[i] END),
+       |          t -> t IS NOT NULL) AS kept
+       |      FROM n)
+       |SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_norm_tokens,
+       |  len(norm) - len(kept) AS n_collapsed,
+       |  md5(array_to_string(kept, ' ')) AS norm_md5
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
+    "text_normalize" -> (normalizeDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
     "text_quality" -> (qualityDf(_, _)),
     "text_fingerprint" -> (fingerprintDf(_, _)),
@@ -1189,6 +1242,7 @@ object TextAnalysis extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> tokensSqlQ,
+    "text_normalize" -> normalizeSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
