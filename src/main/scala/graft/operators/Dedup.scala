@@ -758,7 +758,92 @@ object Dedup extends OpModule {
        |    AS dup_ratio
        |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
 
+  /** Every 5th doc plays the "new crawl batch"; the rest are the
+    * standing corpus. */
+  val IncrementalDeltaMod = 5L
+
+  /** Incremental (batch-vs-corpus) dedup — the production shape of a
+    * corpus UPDATE: a new crawl batch is screened against the standing
+    * corpus without re-running corpus x corpus work. Each delta doc
+    * gets the union of both dedup criteria: `exact_dup` if its content
+    * hash already exists in the base (the `Streams.docIngest` criterion,
+    * batch form), else `near_dup` if it shares a MinHash LSH band with
+    * any base doc (the [[minhashPairsDf]] banding, restricted to
+    * delta x base), else `novel` — plus the match counts an audit
+    * reads (how many base docs it collided with, by each criterion).
+    *
+    * Scale shape: the delta never joins the base all-pairs — the exact
+    * check shuffles (hash, id) only, and the near check reuses the
+    * memoized signature frame, banding both sides so candidates meet on
+    * (band, key) like every LSH query. At 100 TB the base's band frame
+    * is the pre-built index a deployment would persist (bucketed by
+    * band key); this query IS that lookup expressed relationally. The
+    * signature frame is shared with the full-corpus queries via
+    * [[minhashDf]]'s memo, so running the incremental screen next to
+    * the batch board costs one extra banded join, not a second
+    * signature build. */
+  private def incrementalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("content_hash"))
+    val isDelta = col("doc_id") % IncrementalDeltaMod === 0
+    val delta = docs.filter(isDelta)
+    val baseByHash = docs.filter(!isDelta)
+      .groupBy($"content_hash").agg(count(lit(1)).as("n_exact"))
+    val sig = minhashDf(spark, dir)
+    val bands = (0 until MinhashK / 4).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)
+          .as("band_key"))
+    }.reduce(_ unionByName _)
+    val near = bands.filter(isDelta).as("x")
+      .join(bands.filter(!isDelta).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(countDistinct(col("y.doc_id")).as("n_near"))
+    delta
+      .join(baseByHash, Seq("content_hash"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(coalesce($"n_exact", lit(0L)) > 0, "exact_dup")
+          .when(coalesce($"n_near", lit(0L)) > 0, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_near", lit(0L)).as("n_near"))
+  }
+
+  private val incrementalSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |sig AS (SELECT doc_id,
+       |${(0 until MinhashK).map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(",\n")}
+       |FROM sh GROUP BY doc_id),
+       |docs AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+       |delta AS (SELECT * FROM docs WHERE doc_id % $IncrementalDeltaMod = 0),
+       |ex AS (SELECT content_hash, count(*) AS n_exact FROM docs
+       |       WHERE doc_id % $IncrementalDeltaMod <> 0 GROUP BY 1),
+       |bands AS (${(0 until MinhashK / 4).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")}),
+       |nb AS (SELECT x.doc_id, count(DISTINCT y.doc_id) AS n_near
+       |       FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.band_key = y.band_key
+       |       WHERE x.doc_id % $IncrementalDeltaMod = 0
+       |         AND y.doc_id % $IncrementalDeltaMod <> 0
+       |       GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN coalesce(e.n_exact, 0) > 0 THEN 'exact_dup'
+       |       WHEN coalesce(nb.n_near, 0) > 0 THEN 'near_dup'
+       |       ELSE 'novel' END AS verdict,
+       |  coalesce(e.n_exact, 0)::BIGINT AS n_exact,
+       |  coalesce(nb.n_near, 0)::BIGINT AS n_near
+       |FROM delta d
+       |LEFT JOIN ex e USING (content_hash)
+       |LEFT JOIN nb USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (incrementalDf(_, _)),
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
     "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
@@ -773,6 +858,7 @@ object Dedup extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,

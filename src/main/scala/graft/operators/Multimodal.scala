@@ -544,6 +544,91 @@ object Multimodal extends OpModule {
        |    AS resampled_sum
        |FROM s GROUP BY media_id""".stripMargin
 
+  /** Square-wave correlation periods (samples) — a Walsh-style integer
+    * filterbank standing in for the DFT bins a real feature extractor
+    * would compute: correlation against ±1 square waves needs no
+    * floating-point trig, so both engines agree bit-for-bit (a
+    * float DFT would hash-mismatch on summation order alone). */
+  val CorrPeriods: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** Audio feature extraction over the PARSED PCM stream — the classic
+    * integer time/frequency descriptors a training-data filter reads
+    * (silence/clipping detection, coarse spectral shape): signal energy
+    * and peak amplitude of the CENTERED samples (u16 - 32768), the
+    * zero-crossing count (the cheap pitch/noisiness proxy), and the
+    * [[CorrPeriods]] square-wave correlations (coarse low/high-band
+    * energy split). One partition-local decode per payload, one pass
+    * over the samples, only the 9-long fact row leaves the partition —
+    * the same 100 TB shape as every media query. The oracle recomputes
+    * every feature from the byte-generating formula; a parser that
+    * slipped one byte of PCM alignment flips the sample sign structure
+    * and mismatches everything. */
+  /** One-pass feature fold over decoded PCM bytes (public for the
+    * spec's formula cross-check): energy, zero crossings, peak |c|, and
+    * the [[CorrPeriods]] square-wave correlations of the centered
+    * samples. */
+  def audioFeaturesOf(data: Array[Byte], n: Int): Seq[Long] = {
+    var energy = 0L; var zc = 0L; var peak = 0L
+    val corr = new Array[Long](CorrPeriods.size)
+    var prevNonNeg = true
+    var i = 0
+    while (i < n) {
+      val u16 = (data(2 * i) & 0xff) | ((data(2 * i + 1) & 0xff) << 8)
+      val c = u16 - 32768
+      energy += c.toLong * c
+      if (math.abs(c) > peak) peak = math.abs(c)
+      val nonNeg = c >= 0
+      if (i > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      var b = 0
+      while (b < CorrPeriods.size) {
+        val p = CorrPeriods(b)
+        corr(b) += (if (i % p < p / 2) c.toLong else -c.toLong)
+        b += 1
+      }
+      i += 1
+    }
+    Seq(energy, zc, peak) ++ corr
+  }
+
+  private def audioFeaturesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaDs(spark, dir).mapPartitions(_.flatMap { case (id, payload) =>
+      val d = decode(payload)
+      if (d.kind != "audio") Iterator.empty
+      else {
+        val f = audioFeaturesOf(d.data, d.nSamples.toInt)
+        Iterator.single((id, d.nSamples, f(0), f(1), f(2), f(3), f(4), f(5), f(6)))
+      }
+    }).toDF("media_id", "n_samples", "energy", "zero_crossings", "peak_abs",
+      "corr4", "corr8", "corr16", "corr32")
+  }
+
+  private val audioFeaturesSql: String = {
+    val corrCols = CorrPeriods.map(p =>
+      s"  sum(CASE WHEN k % $p < ${p / 2} THEN c ELSE -c END)::BIGINT AS corr$p")
+      .mkString(",\n")
+    s"""WITH g AS ($genSql),
+       |e AS ($sizedSql),
+       |a AS (SELECT media_id, seed, n_samples FROM e WHERE kind = 'audio'),
+       |s AS (SELECT media_id, n_samples, k,
+       |        (((seed + (2 * k) * $ByteStep) % 256) +
+       |         256 * ((seed + (2 * k + 1) * $ByteStep) % 256)) - 32768 AS c
+       |      FROM (SELECT media_id, seed, n_samples,
+       |              unnest(range(0, n_samples)) AS k FROM a)),
+       |z AS (SELECT media_id, n_samples, k, c,
+       |        CASE WHEN k > 0 AND (c >= 0) <>
+       |               (lag(c) OVER (PARTITION BY media_id ORDER BY k) >= 0)
+       |             THEN 1 ELSE 0 END AS zx
+       |      FROM s)
+       |SELECT media_id, max(n_samples)::BIGINT AS n_samples,
+       |  sum(c * c)::BIGINT AS energy,
+       |  sum(zx)::BIGINT AS zero_crossings,
+       |  max(abs(c))::BIGINT AS peak_abs,
+       |$corrCols
+       |FROM z GROUP BY media_id""".stripMargin
+  }
+
   // ---- PNG rung: a real COMPRESSED container via the JDK's ImageIO ----
 
   /** Synthesize a real zlib-compressed PNG: pixels from the same essence
@@ -693,6 +778,7 @@ object Multimodal extends OpModule {
     "media_features" -> (featuresDf(_, _)),
     "media_resize" -> (resizeDf(_, _)),
     "media_resample" -> (resampleDf(_, _)),
+    "media_audio_features" -> (audioFeaturesDf(_, _)),
     "media_png_meta" -> (pngMetaDf(_, _))
   )
 
@@ -702,6 +788,7 @@ object Multimodal extends OpModule {
     "media_features" -> featuresSql,
     "media_resize" -> resizeSql,
     "media_resample" -> resampleSql,
+    "media_audio_features" -> audioFeaturesSql,
     "media_png_meta" -> pngMetaSql
   )
 }

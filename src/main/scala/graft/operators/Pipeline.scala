@@ -926,6 +926,81 @@ object Pipeline extends OpModule {
        |SELECT doc_id, source, src_ord AS sample_rank
        |FROM sh WHERE src_ord < $QuotaPerSource""".stripMargin
 
+  /** Temperature-mixture budget: total picks = corpus size div this. */
+  val TempSampleDiv = 5L
+  /** Fixed-point basis of the integer temperature weights. */
+  val TempWeightScale = 1000000L
+
+  /** Temperature-scaled source mixing (tau = 1/2) — the sampler that
+    * builds a pretraining MIXTURE rather than a per-source quota or a
+    * proportional sample: each source's share of the total budget is
+    * proportional to n_docs^tau, the standard temperature trick that
+    * up-weights small/rare sources relative to raw proportional
+    * sampling without flattening all the way to uniform (tau -> 0 is
+    * uniform-over-sources, tau = 1 is proportional). tau = 1/2 because
+    * sqrt is the one power both engines compute EXACTLY (IEEE sqrt is
+    * correctly rounded; an arbitrary pow is not, and one ULP would flip
+    * a floor): `weight = floor(sqrt(n_docs * [[TempWeightScale]]))` is
+    * bit-identical integer arithmetic on Spark and DuckDB.
+    *
+    * Budget split: largest-remainder apportionment of `t_total =
+    * max(n_total div [[TempSampleDiv]], 1)` picks over the integer
+    * weights (base `t*w div W`, leftovers to the largest remainders,
+    * source-name tie-break) — exact-size output, no double ratios. Doc
+    * selection reuses [[shuffleDf]]'s seeded two-level rank: `src_ord <
+    * quota` IS a uniform without-replacement draw within each source,
+    * inheriting the skew-proof rank plan. Scale shape: the mixture
+    * table is a |sources|-row frame (its windows run over broadcast
+    * size, documented like `srcIdx`); the pick is a broadcast-join
+    * filter over the memoized rank — no new corpus-wide shuffle. */
+  private def temperatureDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    val quotas = shuffleDf(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        floor(sqrt($"n_docs".cast("double") * TempWeightScale.toDouble))
+          .cast("long"))
+      .withColumn("n_total", sum($"n_docs").over(all))
+      .withColumn("w_total", sum($"weight").over(all))
+      .withColumn("t_total", expr(s"greatest(n_total div $TempSampleDiv, 1)"))
+      .withColumn("q0", expr("t_total * weight div w_total"))
+      .withColumn("rem", expr("(t_total * weight) % w_total"))
+      .withColumn("leftover", $"t_total" - sum($"q0").over(all))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"rem".desc, $"source")).cast("long"))
+      .withColumn("quota",
+        $"q0" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .select($"source", $"n_docs", $"weight", $"quota")
+    shuffleDf(spark, dir)
+      .join(broadcast(quotas), Seq("source"))
+      .filter($"src_ord" < $"quota")
+      .select($"doc_id", $"source", $"src_ord".as("sample_rank"),
+        $"n_docs", $"weight", $"quota")
+  }
+
+  private val temperatureSql: String =
+    s"""WITH sh AS ($shuffleSql),
+       |m AS (SELECT source, count(*) AS n_docs,
+       |        floor(sqrt(count(*) * $TempWeightScale.0))::BIGINT AS weight
+       |      FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS n_total,
+       |          sum(weight)::BIGINT AS w_total FROM m),
+       |q AS (SELECT source, n_docs, weight, w_total,
+       |        greatest(n_total // $TempSampleDiv, 1) AS t_total,
+       |        greatest(n_total // $TempSampleDiv, 1) * weight // w_total AS q0,
+       |        (greatest(n_total // $TempSampleDiv, 1) * weight) % w_total AS rem
+       |      FROM m CROSS JOIN tot),
+       |qq AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+       |         t_total - sum(q0) OVER () AS leftover FROM q),
+       |quotas AS (SELECT source, n_docs, weight,
+       |    (q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+       |  FROM qq)
+       |SELECT sh.doc_id, sh.source, sh.src_ord::BIGINT AS sample_rank,
+       |  q.n_docs::BIGINT AS n_docs, q.weight, q.quota
+       |FROM sh JOIN quotas q ON sh.source = q.source
+       |WHERE sh.src_ord < q.quota""".stripMargin
+
   /** Pointers per source for the PPS sample. */
   val PpsPerSource = 16L
 
@@ -1100,6 +1175,7 @@ object Pipeline extends OpModule {
     "sample_stratified" -> (sampleDf(_, _)),
     "pipeline_chunk" -> (chunkDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
+    "sample_temperature" -> (temperatureDf(_, _)),
     "sample_pps" -> (ppsDf(_, _)),
     "pipeline_source_card" -> (sourceCardDf(_, _)),
     "docs_quality_gate" -> (qualityGateDf(_, _)),
@@ -1123,6 +1199,7 @@ object Pipeline extends OpModule {
     "sample_stratified" -> sampleSql,
     "pipeline_chunk" -> chunkSql,
     "sample_quota" -> quotaSql,
+    "sample_temperature" -> temperatureSql,
     "sample_pps" -> ppsSql,
     "pipeline_source_card" -> sourceCardSql,
     "docs_quality_gate" -> qualityGateSql,

@@ -28,17 +28,30 @@ object Tables {
     * (FIXTURES.md §B): `ts` = event time, `value` = qty/price proxy,
     * `event_type` plays the `isBuyerMaker` role for conditional sums.
     *
-    * The parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; we read nanos as long (legacy conf, session-scoped) and
-    * convert with integer division — `/` would round-trip through double
-    * and lose microsecond precision at 1.7e18 ns.
-    */
+    * The driver has shipped `ts` as TIMESTAMP(NANOS) (which Spark 4
+    * only reads via the nanos-as-long legacy conf) and as plain
+    * TIMESTAMP(MICROS) in different testdata generations, so the read
+    * dispatches on the ACTUAL parquet type and normalizes to one
+    * contract every operator downstream relies on: `ts_us` = integer
+    * epoch microseconds, `ts` = TIMESTAMP at micro precision. The nanos
+    * path converts with integer division — `/` would round-trip through
+    * double and lose microsecond precision at 1.7e18 ns. The NTZ path
+    * casts through the session zone, which every entrypoint pins to UTC
+    * (Verify/Bench/SparkSpec), matching DuckDB's naive-is-UTC
+    * `epoch_us(ts)` on the oracle side. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(p(dir, "events"))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = spark.read.parquet(p(dir, "events"))
+    val withUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts_us",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   /** Buy/sell polarity for conditional-sum operators (delta, CVD):

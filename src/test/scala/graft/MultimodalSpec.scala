@@ -182,4 +182,43 @@ class MultimodalSpec extends SparkSpec {
       assert(f.forall(v => v >= 0.0 && v <= 1.0))
     }
   }
+
+  test("audio features: decode path equals the formula reference, one row per audio doc") {
+    // formula reference: centered samples straight from the generating
+    // bytes, no container round-trip
+    def ref(text: String): Seq[Long] = {
+      val seed = Multimodal.hex32Jvm(text)
+      val n = (Multimodal.hex32Jvm(text + "s") % 256 + 16).toInt
+      def e(i: Long) = ((seed + i * Multimodal.ByteStep) % 256).toInt
+      val cs = (0 until n).map(k => e(2L * k) + 256 * e(2L * k + 1) - 32768)
+      val energy = cs.map(c => c.toLong * c).sum
+      val zc = cs.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      val peak = cs.map(c => math.abs(c).toLong).max
+      val corr = Multimodal.CorrPeriods.map(p =>
+        cs.zipWithIndex.map { case (c, i) =>
+          if (i % p < p / 2) c.toLong else -c.toLong }.sum)
+      Seq(energy, zc.toLong, peak) ++ corr
+    }
+    // audio modality needs hex32(source) % 3 == 1
+    val src = (0 until 20).map(i => s"as$i")
+      .find(s => Multimodal.hex32Jvm(s) % 3 == 1).get
+    (0 until 10).foreach { i =>
+      val text = s"audio-doc-$i"
+      val d = Multimodal.decode(Multimodal.synthesize(text, src))
+      assert(d.kind == "audio")
+      assert(Multimodal.audioFeaturesOf(d.data, d.nSamples.toInt) == ref(text),
+        s"doc $i")
+    }
+    // query surface: one row per audio-modality document, schema pinned
+    val meta = rowsOf(Multimodal.queries("media_meta")(spark, sfDir()))
+      .filter(_("kind") == "audio").map(_("media_id")).toSet
+    val rows = rowsOf(Multimodal.queries("media_audio_features")(spark, sfDir()))
+    assert(rows.map(_("media_id")).toSet == meta)
+    rows.foreach { r =>
+      assert(r("energy").asInstanceOf[Long] > 0L)
+      assert(r("peak_abs").asInstanceOf[Long] <= 32768L)
+      assert(r("zero_crossings").asInstanceOf[Long] <
+        r("n_samples").asInstanceOf[Long])
+    }
+  }
 }

@@ -224,6 +224,63 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_("doc_id")).toSet == shuffled)
   }
 
+  test("temperature mixture: sqrt-weighted quotas, exact total, flatter than proportional") {
+    val rows = rowsOf(Pipeline.queries("sample_temperature")(spark, sfDir("sf0.01")))
+    val bySrc = rows.groupBy(_("source").asInstanceOf[String])
+    // exact-size apportionment: picks sum to max(n_total div 5, 1)
+    val nTotal = graft.sources.Tables.documents(spark, sfDir("sf0.01")).count()
+    assert(rows.size == math.max(nTotal / Pipeline.TempSampleDiv, 1L))
+    bySrc.foreach { case (_, docs) =>
+      // per-source picks match the advertised quota and are the shuffle
+      // rank's prefix (uniform without replacement within source)
+      val quota = docs.head("quota").asInstanceOf[Long]
+      assert(docs.size == quota)
+      assert(docs.map(_("sample_rank").asInstanceOf[Long]).sorted ==
+        (0L until quota).toList)
+    }
+    // integer weights really are floor(sqrt(n * scale))
+    bySrc.values.map(_.head).foreach { r =>
+      val n = r("n_docs").asInstanceOf[Long]
+      assert(r("weight") ==
+        math.floor(math.sqrt(n.toDouble * Pipeline.TempWeightScale)).toLong)
+    }
+    // temperature semantics vs a skewed corpus: on the 90%-skew fixture
+    // the mega source gets LESS than its proportional share and every
+    // small source more (tau = 1/2 flattens), while shares stay ordered
+    // by size (tau > 0 does not invert)
+    val skewRows = rowsOf(Pipeline.queries("sample_temperature")(spark, skewFixtureDir))
+    val skewBySrc = skewRows.groupBy(_("source").asInstanceOf[String])
+      .map { case (s, docs) =>
+        (s, docs.head("n_docs").asInstanceOf[Long], docs.size.toLong)
+      }.toSeq
+    val total = skewRows.size.toLong
+    val nSkew = skewBySrc.map(_._2).sum
+    skewBySrc.foreach { case (_, n, picks) =>
+      val proportional = n.toDouble / nSkew
+      val share = picks.toDouble / total
+      if (proportional > 0.5) assert(share < proportional)
+      else assert(share >= proportional * 0.999)
+    }
+  }
+
+  /** 90%-skew corpus shared with SkewSpec's shape: one mega source. */
+  private lazy val skewFixtureDir: String =
+    writeDocsFixtureWithSources(
+      (0L until 450L).map(i => (i, s"mega doc $i words", "mega")) ++
+        (450L until 500L).map(i => (i, s"tail doc $i", s"tail${i % 5}")))
+
+  private def writeDocsFixtureWithSources(
+      rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("curriculum phases partition the kept corpus by quality quartile") {
     val rows = rowsOf(Pipeline.queries("pipeline_curriculum")(spark, sfDir("sf0.01")))
     val kept = rowsOf(Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))

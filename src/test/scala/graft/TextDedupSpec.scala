@@ -13,6 +13,32 @@ class TextDedupSpec extends SparkSpec {
     (4L, "der hund und die katze und das haus", "de"),
     (5L, "completely different words entirely here now", "en")))
 
+  test("incremental dedup screens a delta batch against the standing corpus") {
+    // delta = doc_id % 5 == 0; base = the rest. Long shared prefixes so
+    // the near-dup case genuinely LSH-band-matches under the real
+    // permutations (jaccard ~0.93 -> both bands match w.h.p., and this
+    // fixture is deterministic).
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six"
+    val d = writeDocsFixture(Seq(
+      (1L, common, "en"),                       // base
+      (2L, common, "en"),                       // base: second exact copy
+      (3L, "unrelated corpus text about nothing in particular at all", "en"),
+      (5L, common, "en"),                       // delta: exact dup (x2 in base)
+      (10L, common + " tail", "en"),            // delta: near dup of 1/2
+      (15L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll", "en"))) // delta: novel
+    val rows = rowsOf(Dedup.queries("dedup_incremental")(spark, d))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r).toMap
+    assert(rows.keySet == Set(5L, 10L, 15L)) // exactly the delta batch
+    assert(rows(5L)("verdict") == "exact_dup")
+    assert(rows(5L)("n_exact") == 2L) // both standing copies counted
+    assert(rows(10L)("verdict") == "near_dup")
+    assert(rows(10L)("n_near").asInstanceOf[Long] >= 2L) // banded to 1 AND 2
+    assert(rows(15L)("verdict") == "novel")
+    assert(rows(15L)("n_exact") == 0L && rows(15L)("n_near") == 0L)
+  }
+
   test("exact dedup groups identical texts and keeps the min doc_id") {
     val g = rowsOf(Dedup.queries("dedup_exact")(spark, dir))
     assert(g.size == 4) // 5 docs, one exact pair
