@@ -629,6 +629,108 @@ object Multimodal extends OpModule {
        |FROM z GROUP BY media_id""".stripMargin
   }
 
+  // ---- scene-cut detection over scene-structured synthetic video ----
+
+  /** Frames per planted scene in the scene-cut fixture. */
+  val SceneLen = 4
+  /** Per-frame within-scene drift (small, so consecutive frames of one
+    * scene are NEAR-identical, like real video). */
+  val SceneDrift = 3
+  /** Cut rule: mean per-byte |delta| > this/2 (within-scene drift gives
+    * ~6, a scene jump typically ~85 — a fixed integer threshold, no
+    * per-video statistics needed). */
+  val CutThreshold = 30
+
+  /** Synthesize a scene-structured Y4M video: scene `s = f div
+    * [[SceneLen]]` adds a scene-salted offset to the essence formula,
+    * frames inside a scene drift by [[SceneDrift]]/frame — so
+    * consecutive within-scene frames differ by a small constant shift
+    * and scene boundaries jump by an arbitrary one, the geometry
+    * content-based shot detection exists for. */
+  def synthesizeVideo(text: String): Array[Byte] = {
+    val seed = hex32Jvm(text)
+    val w = (hex32Jvm(text + "vw") % 12 + 4).toInt
+    val h = (hex32Jvm(text + "vh") % 10 + 4).toInt
+    val nf = (hex32Jvm(text + "vf") % 12 + 4).toInt
+    val fsz = w * h * 3
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$Fps:1 C444\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < nf) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val salt = hex32Jvm(text + "sc" + (f / SceneLen).toString)
+      var j = 0
+      while (j < fsz) {
+        out.write(((seed + salt + j * ByteStep + f * SceneDrift) % 256).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Content-based scene-cut detection — the step that upgrades
+    * `media_frames`' blind stride sampling to KEYFRAME sampling: per
+    * consecutive decoded frame pair, the sum of absolute per-byte
+    * differences, cut where the mean per-byte change clears a fixed
+    * threshold. Runs on the PARSED Y4M stream (real container walk,
+    * planted-scene fixture); at sf0.01 the fixed rule recovers ~95% of
+    * planted boundaries with zero false cuts — the misses are
+    * boundaries whose scene jump lands near the drift shift, i.e. soft
+    * transitions, exactly what threshold shot-detectors miss on real
+    * footage. Partition-local decode + one linear pass; only (id,
+    * frame, delta, flag) rows leave. The oracle rebuilds every frame
+    * delta from the generating formulas. */
+  private def sceneCutsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val d = decode(synthesizeVideo(text))
+        val fsz = (d.width * d.height * 3).toInt
+        (1L until d.nFrames).iterator.map { f =>
+          val base = (f * fsz).toInt
+          var delta = 0L
+          var j = 0
+          while (j < fsz) {
+            delta += math.abs((d.data(base + j) & 0xff) -
+              (d.data(base - fsz + j) & 0xff))
+            j += 1
+          }
+          (id, f, delta, 2 * delta > CutThreshold.toLong * fsz)
+        }
+      })
+      .toDF("media_id", "frame_idx", "delta", "is_cut")
+  }
+
+  private val sceneCutsSql: String = {
+    val seed = ColFns.hex32Sql("text")
+    val seedW = ColFns.hex32Sql("(text || 'vw')")
+    val seedH = ColFns.hex32Sql("(text || 'vh')")
+    val seedF = ColFns.hex32Sql("(text || 'vf')")
+    val curSalt = ColFns.hex32Sql(s"(text || 'sc' || (frame_idx // $SceneLen)::VARCHAR)")
+    val prevSalt = ColFns.hex32Sql(s"(text || 'sc' || ((frame_idx - 1) // $SceneLen)::VARCHAR)")
+    s"""WITH p AS (SELECT doc_id AS media_id, text, $seed AS seed,
+       |             ($seedW % 12 + 4) * ($seedH % 10 + 4) * 3 AS fsz,
+       |             $seedF % 12 + 4 AS nf
+       |           FROM documents),
+       |f AS (SELECT media_id, seed, fsz, frame_idx,
+       |        $curSalt AS cur_salt, $prevSalt AS prev_salt
+       |      FROM (SELECT media_id, text, seed, fsz,
+       |              unnest(range(1, nf)) AS frame_idx FROM p) f0),
+       |d AS (SELECT media_id, fsz, frame_idx,
+       |        sum(abs(
+       |          ((seed + cur_salt + j * $ByteStep + frame_idx * $SceneDrift) % 256)
+       |          - ((seed + prev_salt + j * $ByteStep
+       |              + (frame_idx - 1) * $SceneDrift) % 256)))::BIGINT AS delta
+       |      FROM (SELECT *, unnest(range(0, fsz)) AS j FROM f) fj
+       |      GROUP BY 1, 2, 3)
+       |SELECT media_id, frame_idx, delta,
+       |  2 * delta > $CutThreshold * fsz AS is_cut
+       |FROM d""".stripMargin
+  }
+
   // ---- PNG rung: a real COMPRESSED container via the JDK's ImageIO ----
 
   /** Synthesize a real zlib-compressed PNG: pixels from the same essence
@@ -779,6 +881,7 @@ object Multimodal extends OpModule {
     "media_resize" -> (resizeDf(_, _)),
     "media_resample" -> (resampleDf(_, _)),
     "media_audio_features" -> (audioFeaturesDf(_, _)),
+    "media_scene_cuts" -> (sceneCutsDf(_, _)),
     "media_png_meta" -> (pngMetaDf(_, _))
   )
 
@@ -789,6 +892,7 @@ object Multimodal extends OpModule {
     "media_resize" -> resizeSql,
     "media_resample" -> resampleSql,
     "media_audio_features" -> audioFeaturesSql,
+    "media_scene_cuts" -> sceneCutsSql,
     "media_png_meta" -> pngMetaSql
   )
 }

@@ -181,6 +181,81 @@ object Phash extends OpModule {
         sum(when($"doc_a" === $"doc_b", 1L).otherwise(0L)).as("n_twin"))
   }
 
+  /** Every 17th doc's original image plays the held-out benchmark set. */
+  val BenchMod = 17L
+  /** Contamination match bound — tighter than the dedup census because
+    * an eval image only counts as leaked when it is the SAME picture
+    * (possibly re-encoded), not merely similar. Within the [[HamMax]]
+    * pigeonhole bound, so banding has perfect recall here too. */
+  val ContamHamMax = 2L
+
+  /** Benchmark-image decontamination — the multimodal twin of
+    * `bench_contamination`: every corpus image is screened against the
+    * held-out benchmark set by perceptual hash, so a re-encoded
+    * (posterized, tone-mapped) copy of an eval image is caught even
+    * though its bytes and exact hash differ. Verdicts: `exact` (same
+    * dHash), `near` (Hamming <= [[ContamHamMax]]), `clean`; plus the
+    * match count and best distance an audit reads. Scale shape: same
+    * banded candidate join as [[pairsDf]] restricted to corpus x
+    * benchmark (the benchmark side is eval-set sized — in a deployment
+    * it broadcasts as a pre-built band index), never all-pairs. */
+  private def contaminationDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = phashDf(spark, dir).filter($"variant" === 0)
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select($"media_id", $"phash",
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr("(phash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+    val isBench = col("media_id") % BenchMod === 0
+    val hits = bandsOf(sig.filter(!isBench)).as("x")
+      .join(bandsOf(sig.filter(isBench)).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.media_id").as("media_id"),
+        col("y.media_id").as("bench_id"),
+        expr("cast(bit_count(x.phash ^ y.phash) as bigint)").as("hamming"))
+      .filter($"hamming" <= ContamHamMax)
+      .distinct()
+      .groupBy($"media_id")
+      .agg(min($"hamming").as("best_hamming"),
+        countDistinct($"bench_id").as("n_matches"))
+    sig.filter(!isBench).select($"media_id")
+      .join(hits, Seq("media_id"), "left")
+      .select($"media_id",
+        when($"best_hamming" === 0, "exact")
+          .when($"best_hamming".isNotNull, "near")
+          .otherwise("clean").as("verdict"),
+        coalesce($"best_hamming", lit(-1L)).as("best_hamming"),
+        coalesce($"n_matches", lit(0L)).as("n_matches"))
+  }
+
+  private lazy val contaminationSql: String =
+    s"""WITH sig0 AS ($phashSql),
+       |sig AS (SELECT media_id, phash FROM sig0 WHERE variant = 0),
+       |bands AS (
+       |  SELECT media_id, phash, band,
+       |    (phash // (1::BIGINT << (band * 8))) % 256 AS band_key
+       |  FROM sig, range(0, $Bands) t(band)),
+       |hits AS (
+       |  SELECT DISTINCT x.media_id, y.media_id AS bench_id,
+       |    bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.media_id % $BenchMod <> 0 AND y.media_id % $BenchMod = 0
+       |    AND bit_count(xor(x.phash, y.phash)) <= $ContamHamMax),
+       |agg AS (SELECT media_id, min(hamming) AS best_hamming,
+       |          count(DISTINCT bench_id) AS n_matches
+       |        FROM hits GROUP BY 1)
+       |SELECT s.media_id,
+       |  CASE WHEN a.best_hamming = 0 THEN 'exact'
+       |       WHEN a.best_hamming IS NOT NULL THEN 'near'
+       |       ELSE 'clean' END AS verdict,
+       |  coalesce(a.best_hamming, -1)::BIGINT AS best_hamming,
+       |  coalesce(a.n_matches, 0)::BIGINT AS n_matches
+       |FROM sig s LEFT JOIN agg a USING (media_id)
+       |WHERE s.media_id % $BenchMod <> 0""".stripMargin
+
   // ---- oracles (hashes reconstructed from the generating formulas) ----
 
   /** Channel byte of variant `variant` at hash-bit row `k // Gx`, grid
@@ -256,11 +331,13 @@ object Phash extends OpModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_phash" -> (phashDf(_, _)),
-    "media_phash_pairs" -> (pairsDf(_, _))
+    "media_phash_pairs" -> (pairsDf(_, _)),
+    "media_contamination" -> (contaminationDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "media_phash" -> phashSql,
-    "media_phash_pairs" -> pairsSql
+    "media_phash_pairs" -> pairsSql,
+    "media_contamination" -> contaminationSql
   )
 }

@@ -799,6 +799,89 @@ object Streams {
     * emissions and unbounded state. */
   val LshBucketCap = 64
 
+  /** Input row of [[phashMonitor]]: an image arrival (the text/variant
+    * pair addresses the synthesized payload, standing in for the bytes
+    * a production ingest would carry). */
+  case class PhashImg(img_id: Long, text: String, variant: Int)
+
+  /** Synthesize+decode+dHash of one image (static so the streaming map
+    * closure captures nothing — the module objects aren't
+    * Serializable, and don't need to be). */
+  private def dhashOf(text: String, variant: Int): Long = {
+    val d = graft.operators.Multimodal.decode(
+      graft.operators.Phash.synthesize(text, variant))
+    graft.operators.Phash.dhash(d.data, d.width, d.height)._1
+  }
+  case class PhashMember(img_id: Long, phash: Long)
+  case class PhashState(members: Seq[PhashMember])
+  /** A streamed image near-dup: the pair collided in `band` with exact
+    * Hamming distance attached (sentinel: img_b = -1, hamming = -1 on a
+    * saturated bucket). */
+  case class PhashHit(band: Int, img_a: Long, img_b: Long, hamming: Int)
+  case class PhashBandRow(band: Int, band_key: Long, img_id: Long,
+      phash: Long)
+
+  /** Streaming perceptual-hash near-dup monitor — the IMAGE twin of
+    * [[lshMonitor]], completing the ingest dedup family across
+    * modalities (exact text: [[docIngest]]; near text: [[lshMonitor]];
+    * near image: this). Each arriving image decodes and dHashes
+    * partition-locally (`graft.operators.Phash.dhash` over the REAL
+    * container — pixels never enter state), lands in its 7 byte-band
+    * buckets, and emits one hit per prior member within Hamming <=
+    * [[graft.operators.Phash.HamMax]] — cross-micro-batch, which batch
+    * banding cannot serve an ingest pipeline without re-scanning
+    * history. Pigeonhole recall carries over: a qualifying pair shares
+    * a band, so the bucket walk cannot miss it. State per bucket is the
+    * (id, hash) membership — two longs per image per band; the
+    * [[LshBucketCap]] dial (same guard, same sentinel protocol) bounds
+    * the degenerate identical-image stream. */
+  def phashMonitor(imgs: DataFrame): Dataset[PhashHit] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    val P = graft.operators.Phash
+    val hamMax = P.HamMax // primitive capture: the module object is not
+    val cap = LshBucketCap // Serializable and must not enter the closure
+    imgs.select($"img_id", $"text", $"variant")
+      .as[(Long, String, Int)]
+      .map(r => (r._1, Streams.dhashOf(r._2, r._3)))
+      .toDF("img_id", "phash")
+      .select($"img_id", $"phash",
+        explode(array((0 until P.Bands).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(phash div shiftleft(cast(1 as bigint), ${b * 8})) % 256")
+              .as("band_key"))): _*)).as("bk"))
+      .select($"bk.band", $"bk.band_key", $"img_id", $"phash")
+      .as[PhashBandRow]
+      .groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[PhashState, PhashHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val seen = scala.collection.mutable.Set(members.map(_.img_id): _*)
+          val fresh = sortedSlice(it)(_.img_id)
+          val out = Seq.newBuilder[PhashHit]
+          fresh.foreach { r =>
+            if (!seen(r.img_id)) {
+              if (members.length >= cap) {
+                out += PhashHit(r.band, r.img_id, -1L, -1)
+              } else {
+                members.foreach { m =>
+                  val ham = java.lang.Long.bitCount(m.phash ^ r.phash)
+                  if (ham <= hamMax)
+                    out += PhashHit(r.band,
+                      math.min(m.img_id, r.img_id),
+                      math.max(m.img_id, r.img_id), ham)
+                }
+                members = members :+ PhashMember(r.img_id, r.phash)
+                seen += r.img_id
+              }
+            }
+          }
+          state.update(PhashState(members))
+          out.result().iterator
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

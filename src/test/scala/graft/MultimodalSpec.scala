@@ -183,6 +183,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts: fixed threshold recovers planted boundaries, zero false cuts") {
+    // the synthetic video is a real Y4M container with planted scenes
+    val d = Multimodal.decode(Multimodal.synthesizeVideo("scene-demo"))
+    assert(d.kind == "video" && d.nFrames >= 4)
+    val rows = rowsOf(Multimodal.queries("media_scene_cuts")(spark, sfDir()))
+    assert(rows.nonEmpty)
+    var planted = 0L; var det = 0L; var fp = 0L; var within = 0L
+    rows.foreach { r =>
+      val f = r("frame_idx").asInstanceOf[Long]
+      val cut = r("is_cut").asInstanceOf[Boolean]
+      if (f % Multimodal.SceneLen == 0) { planted += 1; if (cut) det += 1 }
+      else { within += 1; if (cut) fp += 1 }
+    }
+    assert(within > 0 && planted > 0)
+    assert(fp == 0, s"$fp false cuts among $within within-scene frames")
+    assert(det.toDouble / planted >= 0.85,
+      s"recall ${det.toDouble / planted} ($det/$planted)")
+  }
+
   test("audio features: decode path equals the formula reference, one row per audio doc") {
     // formula reference: centered samples straight from the generating
     // bytes, no container round-trip

@@ -85,6 +85,28 @@ class PhashSpec extends SparkSpec {
     assert(nearTwins > 0, "every recovered twin was hamming 0")
   }
 
+  test("media contamination flags benchmark-image leaks, clean rows carry no matches") {
+    val dir = writeDocsFixture(Seq(
+      (17L, "leaked eval image text", "en"), // benchmark (17 % 17 == 0)
+      (1L, "leaked eval image text", "en"),  // corpus: the planted leak
+      (2L, "completely different words here", "en")))
+    val rows = rowsOf(Phash.queries("media_contamination")(spark, dir))
+      .map(r => r("media_id").asInstanceOf[Long] -> r).toMap
+    assert(rows.keySet == Set(1L, 2L)) // benchmark rows are not screened
+    assert(rows(1L)("verdict") == "exact")
+    assert(rows(1L)("best_hamming") == 0L && rows(1L)("n_matches") == 1L)
+    assert(rows(2L)("verdict") != "exact")
+    // corpus run: verdict, best distance, and match count stay consistent
+    val corpus = rowsOf(Phash.queries("media_contamination")(spark, sfDir()))
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val clean = r("verdict") == "clean"
+      assert(clean == (r("n_matches") == 0L))
+      assert(clean == (r("best_hamming") == -1L))
+      if (r("verdict") == "exact") assert(r("best_hamming") == 0L)
+    }
+  }
+
   test("hot-band guard: an all-identical corpus yields no quadratic pair mass") {
     // 300 docs with identical text -> identical images -> every band key
     // holds 600 members > HotBandCap -> the guard drops them all

@@ -904,6 +904,48 @@ class StreamingSpec extends SparkSpec {
       h.doc_a == base.head._1 && h.doc_b == 9001L && h.est == 1.0))
   }
 
+  test("phash monitor streams the batch image near-dup pairs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = graft.operators.Phash
+    val M = graft.operators.Multimodal
+    // 20 docs x 2 variants, img_id = doc_id * 10 + variant — the twin
+    // pairs are planted near-dups, exactly the batch fixture's geometry
+    val imgs = (for (doc <- 0 until 20; v <- 0 to 1)
+      yield Streams.PhashImg(doc.toLong * 10 + v, s"pm-doc-$doc", v)).toSeq
+    val sig = imgs.map { im =>
+      val d = M.decode(P.synthesize(im.text, im.variant))
+      im.img_id -> P.dhash(d.data, d.width, d.height)._1
+    }.toMap
+    val expected = (for {
+      b <- 0 until P.Bands
+      i <- sig.keys.toSeq.sorted; j <- sig.keys.toSeq.sorted if i < j
+      if ((sig(i) >> (b * 8)) & 255) == ((sig(j) >> (b * 8)) & 255)
+      ham = java.lang.Long.bitCount(sig(i) ^ sig(j)) if ham <= P.HamMax
+    } yield (b, i, j, ham)).toSet
+    assert(expected.nonEmpty, "fixture must band-collide somewhere")
+
+    val input = MemoryStream[Streams.PhashImg]
+    val q = Streams.phashMonitor(input.toDF())
+      .writeStream.format("memory").queryName("phash_out")
+      .outputMode("append").start()
+    // variants arrive a micro-batch after their originals — the
+    // cross-batch near-dup case
+    val (orig, variants) = imgs.partition(_.variant == 0)
+    input.addData(orig)
+    q.processAllAvailable()
+    input.addData(variants)
+    q.processAllAvailable()
+    input.addData(imgs.head) // replay must not re-emit
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("phash_out").as[Streams.PhashHit].collect()
+    assert(streamed.map(h => (h.band, h.img_a, h.img_b, h.hamming)).toSet
+      == expected)
+    assert(streamed.length == expected.size,
+      "each (band, pair) hit emits exactly once, replay included")
+  }
+
   test("LSH monitor bucket cap bounds a degenerate near-constant stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
