@@ -202,6 +202,16 @@ class MultimodalSpec extends SparkSpec {
       s"recall ${det.toDouble / planted} ($det/$planted)")
   }
 
+  test("media decode queries plan zero exchanges: pixels never shuffle") {
+    // scene cuts and audio features are pure partition-local decode
+    // passes — an Exchange anywhere means payload bytes moved
+    Seq("media_scene_cuts", "media_audio_features").foreach { q =>
+      val plan = Multimodal.queries(q)(spark, sfDir())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+  }
+
   test("audio features: decode path equals the formula reference, one row per audio doc") {
     // formula reference: centered samples straight from the generating
     // bytes, no container round-trip

@@ -107,6 +107,18 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("pair census plans a banded equi-join, never a cartesian pixel pass") {
+    val plan = Phash.queries("media_phash_pairs")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    // candidates must meet on (band, band_key) — a CartesianProduct or a
+    // BroadcastNestedLoopJoin would mean the banding degenerated to
+    // all-pairs (PLANS.md "media_phash_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in:\n$plan")
+    assert(plan.contains("band"), s"no band key in:\n$plan")
+  }
+
   test("hot-band guard: an all-identical corpus yields no quadratic pair mass") {
     // 300 docs with identical text -> identical images -> every band key
     // holds 600 members > HotBandCap -> the guard drops them all
