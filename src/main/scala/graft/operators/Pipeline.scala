@@ -946,7 +946,12 @@ object Pipeline extends OpModule {
     * Budget split: largest-remainder apportionment of `t_total =
     * max(n_total div [[TempSampleDiv]], 1)` picks over the integer
     * weights (base `t*w div W`, leftovers to the largest remainders,
-    * source-name tie-break) — exact-size output, no double ratios. Doc
+    * source-name tie-break), each quota capped at the source's doc
+    * count — exact-size output (no double ratios) whenever every
+    * source can fill its share, i.e. the output is Σ min(quota,
+    * n_docs); an over-apportioned tiny source delivers everything it
+    * has and the shortfall is visibly NOT redistributed (a real
+    * mixture run re-weights rather than stuffing small sources). Doc
     * selection reuses [[shuffleDf]]'s seeded two-level rank: `src_ord <
     * quota` IS a uniform without-replacement draw within each source,
     * inheriting the skew-proof rank plan. Scale shape: the mixture
@@ -969,8 +974,12 @@ object Pipeline extends OpModule {
       .withColumn("leftover", $"t_total" - sum($"q0").over(all))
       .withColumn("rk",
         row_number().over(Window.orderBy($"rem".desc, $"source")).cast("long"))
-      .withColumn("quota",
-        $"q0" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      // capacity cap: a tiny source cannot deliver more docs than it
+      // has — apportionment never exceeds availability (the un-met
+      // remainder is NOT redistributed: redistribution is iterative and
+      // a real mixture run re-weights, it doesn't stuff small sources)
+      .withColumn("quota", least($"n_docs",
+        $"q0" + when($"rk" <= $"leftover", 1L).otherwise(0L)))
       .select($"source", $"n_docs", $"weight", $"quota")
     shuffleDf(spark, dir)
       .join(broadcast(quotas), Seq("source"))
@@ -994,7 +1003,8 @@ object Pipeline extends OpModule {
        |qq AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
        |         t_total - sum(q0) OVER () AS leftover FROM q),
        |quotas AS (SELECT source, n_docs, weight,
-       |    (q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+       |    least(n_docs,
+       |      q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
        |  FROM qq)
        |SELECT sh.doc_id, sh.source, sh.src_ord::BIGINT AS sample_rank,
        |  q.n_docs::BIGINT AS n_docs, q.weight, q.quota
