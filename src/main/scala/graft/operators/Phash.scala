@@ -256,6 +256,61 @@ object Phash extends OpModule {
        |FROM sig s LEFT JOIN agg a USING (media_id)
        |WHERE s.media_id % $BenchMod <> 0""".stripMargin
 
+  /** Per-document media near-dup survivorship — the corpus-gate view of
+    * the phash census: a document keeps its image slot iff NO smaller
+    * media_id hashes within [[HamMax]] of its variant-0 (corpus) hash.
+    * Same banded candidate join + [[HotBandCap]] guard as [[pairsDf]]
+    * (pigeonhole recall, never all-pairs); min-id is the deterministic
+    * keeper rule, the media twin of the exact-dedup keeper. Output is
+    * one (doc_id, media_keep) row per document — the frame
+    * `pipeline_corpus` joins so an image-duplicate document fails the
+    * corpus verdict instead of slipping past the text gates. */
+  private def mediaKeepDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = phashDf(spark, dir).filter($"variant" === 0)
+    val bands = sig
+      .select($"media_id", $"phash",
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr("(phash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+    val hot = bands.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("occ"))
+      .filter($"occ" > HotBandCap)
+      .select($"band", $"band_key")
+    val ok = bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val dropped = ok.as("x")
+      .join(ok.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("y.media_id") < col("x.media_id"))
+      .filter(expr("cast(bit_count(x.phash ^ y.phash) as bigint)") <= HamMax)
+      .select(col("x.media_id").as("doc_id")).distinct()
+      .withColumn("dup", lit(true))
+    sig.select($"media_id".as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce(!$"dup", lit(true)).as("media_keep"))
+  }
+
+  private lazy val mediaKeepSql: String =
+    s"""WITH sig0 AS ($phashSql),
+       |sig AS (SELECT media_id, phash FROM sig0 WHERE variant = 0),
+       |bands AS (
+       |  SELECT media_id, phash, band,
+       |    (phash // (1::BIGINT << (band * 8))) % 256 AS band_key
+       |  FROM sig, range(0, $Bands) t(band)),
+       |occ AS (SELECT band, band_key, count(*) AS occ
+       |        FROM bands GROUP BY 1, 2),
+       |ok AS (SELECT b.* FROM bands b JOIN occ USING (band, band_key)
+       |       WHERE occ <= $HotBandCap),
+       |dropped AS (
+       |  SELECT DISTINCT x.media_id
+       |  FROM ok x JOIN ok y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND y.media_id < x.media_id
+       |  WHERE bit_count(xor(x.phash, y.phash)) <= $HamMax)
+       |SELECT s.media_id AS doc_id, (d.media_id IS NULL) AS media_keep
+       |FROM sig s LEFT JOIN dropped d USING (media_id)""".stripMargin
+
   // ---- oracles (hashes reconstructed from the generating formulas) ----
 
   /** Channel byte of variant `variant` at hash-bit row `k // Gx`, grid
@@ -332,12 +387,14 @@ object Phash extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_phash" -> (phashDf(_, _)),
     "media_phash_pairs" -> (pairsDf(_, _)),
-    "media_contamination" -> (contaminationDf(_, _))
+    "media_contamination" -> (contaminationDf(_, _)),
+    "media_keep" -> (mediaKeepDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "media_phash" -> phashSql,
     "media_phash_pairs" -> pairsSql,
-    "media_contamination" -> contaminationSql
+    "media_contamination" -> contaminationSql,
+    "media_keep" -> mediaKeepSql
   )
 }

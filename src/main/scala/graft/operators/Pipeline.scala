@@ -693,8 +693,10 @@ object Pipeline extends OpModule {
   /** The assembled corpus verdict — every selection gate the engine
     * implements, composed into ONE per-document decision row: language,
     * quality threshold, exact-dedup keeper, benchmark holdout, shingle
-    * contamination, near-dup cluster survivorship, and the Gopher
-    * repetition flag. This is the end-to-end proof that the gates
+    * contamination, near-dup cluster survivorship, the MEDIA gates
+    * (phash near-dup survivorship and benchmark-image contamination —
+    * so an image-duplicate document cannot pass on its text alone), and
+    * the Gopher repetition flag. This is the end-to-end proof that the gates
     * compose (each input is itself a hash-checked query), and the
     * audit artifact a real pipeline ships: WHY a document was dropped,
     * not just that it vanished.
@@ -724,12 +726,24 @@ object Pipeline extends OpModule {
       val contam = contaminationDf(spark, dir)
         .select($"doc_id", lit(true).as("is_contam"))
       val nd = keepBestDf(spark, dir).select($"doc_id", $"keep".as("nd_keep"))
+      // media gates: the document's image must survive phash near-dup
+      // dedup AND screen clean against the held-out benchmark images —
+      // the two media verdicts join doc_id-keyed like every text gate,
+      // so an image-duplicate doc cannot pass on its text alone. The
+      // contamination frame omits the media-bench docs themselves
+      // (they ARE the eval set); absent rows coalesce to not-contam.
+      val mk = Phash.queries("media_keep")(spark, dir)
+      val mc = Phash.queries("media_contamination")(spark, dir)
+        .select($"media_id".as("doc_id"),
+          ($"verdict" =!= "clean").as("mc_contam"))
       docs
         .join(quality, Seq("doc_id"))
         .join(rep, Seq("doc_id"), "left")
         .join(keepers, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .join(nd, Seq("doc_id"), "left")
+        .join(mk, Seq("doc_id"), "left")
+        .join(mc, Seq("doc_id"), "left")
         .select($"doc_id", $"source",
           ($"lang" === "en").as("lang_ok"),
           coalesce($"quality" >= 0.5, lit(false)).as("quality_ok"),
@@ -737,10 +751,13 @@ object Pipeline extends OpModule {
           ($"doc_id" % BenchMod === 0).as("is_bench"),
           coalesce($"is_contam", lit(false)).as("contaminated"),
           coalesce($"nd_keep", lit(true)).as("neardup_keep"),
+          coalesce($"media_keep", lit(true)).as("media_keep"),
+          coalesce($"mc_contam", lit(false)).as("media_contam"),
           coalesce($"repetitive", lit(false)).as("repetitive"))
         .withColumn("keep",
           $"lang_ok" && $"quality_ok" && $"exact_keeper" && !$"is_bench" &&
-            !$"contaminated" && $"neardup_keep" && !$"repetitive")
+            !$"contaminated" && $"neardup_keep" && $"media_keep" &&
+            !$"media_contam" && !$"repetitive")
     }
 
   private val corpusSql: String =
@@ -749,6 +766,8 @@ object Pipeline extends OpModule {
        |k AS ($keepersSqlFrag),
        |ct AS ($contaminationSql),
        |nd AS ($keepBestSql),
+       |mk AS (${Phash.oracles("media_keep")}),
+       |mc AS (${Phash.oracles("media_contamination")}),
        |v AS (SELECT d.doc_id, d.source,
        |    (d.lang = 'en') AS lang_ok,
        |    coalesce(q.quality >= 0.5, false) AS quality_ok,
@@ -756,17 +775,22 @@ object Pipeline extends OpModule {
        |    (d.doc_id % $BenchMod = 0) AS is_bench,
        |    (ct.doc_id IS NOT NULL) AS contaminated,
        |    coalesce(nd.keep, true) AS neardup_keep,
+       |    coalesce(mk.media_keep, true) AS media_keep,
+       |    coalesce(mc.verdict <> 'clean', false) AS media_contam,
        |    coalesce(rep.repetitive, false) AS repetitive
        |  FROM documents d
        |  JOIN q ON q.doc_id = d.doc_id
        |  LEFT JOIN rep ON rep.doc_id = d.doc_id
        |  LEFT JOIN k ON k.doc_id = d.doc_id
        |  LEFT JOIN ct ON ct.doc_id = d.doc_id
-       |  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |  LEFT JOIN mk ON mk.doc_id = d.doc_id
+       |  LEFT JOIN mc ON mc.media_id = d.doc_id)
        |SELECT doc_id, source, lang_ok, quality_ok, exact_keeper, is_bench,
-       |  contaminated, neardup_keep, repetitive,
+       |  contaminated, neardup_keep, media_keep, media_contam, repetitive,
        |  (lang_ok AND quality_ok AND exact_keeper AND NOT is_bench
-       |   AND NOT contaminated AND neardup_keep AND NOT repetitive) AS keep
+       |   AND NOT contaminated AND neardup_keep AND media_keep
+       |   AND NOT media_contam AND NOT repetitive) AS keep
        |FROM v""".stripMargin
 
   /** The funnel data card: sequential attrition through the corpus
@@ -789,8 +813,14 @@ object Pipeline extends OpModule {
         !$"is_bench", !$"contaminated"),
       "n_neardup" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
         !$"is_bench", !$"contaminated", $"neardup_keep"),
+      "n_media_dup" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep"),
+      "n_media_contam" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
+        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep",
+        !$"media_contam"),
       "n_keep" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated", $"neardup_keep", !$"repetitive"))
+        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep",
+        !$"media_contam", !$"repetitive"))
     v.agg(count(lit(1)).as("n_total"),
       gates.map { case (nm, cs) => surv(cs).as(nm) }: _*)
   }
@@ -811,6 +841,13 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
        |      AND NOT is_bench AND NOT contaminated AND neardup_keep
        |      THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      AND media_keep THEN 1 ELSE 0 END)::BIGINT AS n_media_dup,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      AND media_keep AND NOT media_contam
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_media_contam,
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
        |FROM v""".stripMargin
 
@@ -1118,6 +1155,8 @@ object Pipeline extends OpModule {
         n(!$"exact_keeper").as("n_exact_dups"),
         n(!$"neardup_keep").as("n_neardup_dups"),
         n($"contaminated").as("n_contaminated"),
+        n(!$"media_keep").as("n_media_dups"),
+        n($"media_contam").as("n_media_contaminated"),
         n($"repetitive").as("n_repetitive"),
         n(!$"quality_ok").as("n_low_quality"),
         n($"keep").as("n_keep"))
@@ -1129,6 +1168,8 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN NOT exact_keeper THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
        |  sum(CASE WHEN NOT neardup_keep THEN 1 ELSE 0 END)::BIGINT AS n_neardup_dups,
        |  sum(CASE WHEN contaminated THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  sum(CASE WHEN NOT media_keep THEN 1 ELSE 0 END)::BIGINT AS n_media_dups,
+       |  sum(CASE WHEN media_contam THEN 1 ELSE 0 END)::BIGINT AS n_media_contaminated,
        |  sum(CASE WHEN repetitive THEN 1 ELSE 0 END)::BIGINT AS n_repetitive,
        |  sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_low_quality,
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep

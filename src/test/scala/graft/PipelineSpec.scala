@@ -343,8 +343,21 @@ class PipelineSpec extends SparkSpec {
       val expect = m("lang_ok") == true && m("quality_ok") == true &&
         m("exact_keeper") == true && m("is_bench") == false &&
         m("contaminated") == false && m("neardup_keep") == true &&
+        m("media_keep") == true && m("media_contam") == false &&
         m("repetitive") == false
       assert(m("keep") == expect, s"inconsistent verdict $m")
+    }
+    // the media gate columns are exactly the standalone phash verdicts
+    val mk = rowsOf(graft.operators.Phash
+      .queries("media_keep")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id") -> m("media_keep")).toMap
+    val mc = rowsOf(graft.operators.Phash
+      .queries("media_contamination")(spark, sfDir("sf0.01")))
+      .map(m => m("media_id") -> (m("verdict") != "clean")).toMap
+    v.foreach { m =>
+      assert(m("media_keep") == mk(m("doc_id")), s"media_keep ${m("doc_id")}")
+      assert(m("media_contam") ==
+        mc.getOrElse(m("doc_id"), false), s"media_contam ${m("doc_id")}")
     }
     // the first three gates reproduce docs_quality_gate's selection
     val gate = rowsOf(
@@ -366,7 +379,8 @@ class PipelineSpec extends SparkSpec {
       !fplan.contains("BroadcastNestedLoopJoin"))
     val f = rowsOf(fdf).head
     val seq = Seq("n_total", "n_lang", "n_quality", "n_exact", "n_bench",
-      "n_contam", "n_neardup", "n_keep").map(f(_).asInstanceOf[Long])
+      "n_contam", "n_neardup", "n_media_dup", "n_media_contam",
+      "n_keep").map(f(_).asInstanceOf[Long])
     seq.sliding(2).foreach { case Seq(a, b) => assert(a >= b, seq) }
     assert(seq.head == 500 && seq.last == v.count(_("keep") == true))
   }
