@@ -611,43 +611,55 @@ object Similarity extends OpModule {
     * L2, codeword-id tie-break), codeword = member mean. Data-adaptive
     * and reproducible on both engines. */
   private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"pq_cb:$dir") {
-      import spark.implicits._
-      val rsub = pqRsubDf(spark, dir)
-      val n = Tables.embeddings(spark, dir).count()
-      val step = math.max(n / PqK, 1L)
-      val picks = (0 until PqK).map(k => (k, 1L + k * step))
-      val nrank = Tables.embeddings(spark, dir).select($"vec_id")
-        .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
-      val seeds = picks.toDF("k", "rn")
-        .join(nrank, Seq("rn"))
-        .join(rsub, Seq("vec_id"))
-        .select($"s", $"k", $"rarr".as("warr"))
-      val a1 = rsub.join(broadcast(seeds), Seq("s"))
-        .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
-        .withColumn("ak", row_number().over(
-          Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
-        .filter($"ak" === 1)
-        .select($"vec_id", $"s", $"k")
-      a1.join(rsub, Seq("vec_id", "s"))
-        .select($"s", $"k", posexplode($"rarr").as(Seq("j", "r")))
-        .groupBy($"s", $"k", $"j")
-        .agg(avg($"r").as("w"))
-        .select($"s", $"k", struct($"j", $"w".as("v")).as("jv"))
-        .groupBy($"s", $"k")
-        .agg(subArr(collect_list($"jv")).as("warr"))
-    }
+    graft.functions.DfMemo.cached(spark, s"pq_cb:$dir")(
+      trainCodebookDf(spark, dir, pqRsubDf(spark, dir)))
+
+  /** The seeded-plus-one-Lloyd codebook recipe over an arbitrary
+    * per-(vector, subspace) subvector frame — shared by the residual PQ
+    * rung and the raw-vector baseline the IVFADC comparison trains at
+    * equal code size. */
+  private def trainCodebookDf(spark: SparkSession, dir: String,
+      rsub: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val step = math.max(n / PqK, 1L)
+    val picks = (0 until PqK).map(k => (k, 1L + k * step))
+    val nrank = Tables.embeddings(spark, dir).select($"vec_id")
+      .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
+    val seeds = picks.toDF("k", "rn")
+      .join(nrank, Seq("rn"))
+      .join(rsub, Seq("vec_id"))
+      .select($"s", $"k", $"rarr".as("warr"))
+    val a1 = rsub.join(broadcast(seeds), Seq("s"))
+      .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
+      .withColumn("ak", row_number().over(
+        Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
+      .filter($"ak" === 1)
+      .select($"vec_id", $"s", $"k")
+    a1.join(rsub, Seq("vec_id", "s"))
+      .select($"s", $"k", posexplode($"rarr").as(Seq("j", "r")))
+      .groupBy($"s", $"k", $"j")
+      .agg(avg($"r").as("w"))
+      .select($"s", $"k", struct($"j", $"w".as("v")).as("jv"))
+      .groupBy($"s", $"k")
+      .agg(subArr(collect_list($"jv")).as("warr"))
+  }
 
   /** Per-(vector, subspace) code: nearest refined codeword (quantized L2,
     * codeword-id tie-break). */
   private def pqCodeDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"pq_code:$dir") {
+    graft.functions.DfMemo.cached(spark, s"pq_code:$dir")(
+      assignCodesDf(spark, pqRsubDf(spark, dir), pqCodebookDf(spark, dir)))
+
+  /** Nearest-codeword assignment (quantized L2, codeword-id tie-break)
+    * of a subvector frame against a codebook. `d` (the quantized L2 to
+    * the chosen codeword) rides along: the distortion metric is exactly
+    * its per-vector sum. */
+  private def assignCodesDf(spark: SparkSession, rsub: DataFrame,
+      cb: DataFrame): DataFrame = {
     import spark.implicits._
-    // d (the quantized L2 to the chosen codeword) rides along: the
-    // distortion metric is exactly its per-vector sum. Memoized: the
-    // reconstruction table and the distortion metric both consume it
-    pqRsubDf(spark, dir)
-      .join(broadcast(pqCodebookDf(spark, dir)), Seq("s"))
+    rsub
+      .join(broadcast(cb), Seq("s"))
       .select($"vec_id", $"s", $"k", sqDist($"rarr", $"warr").as("d"))
       .withColumn("ak", row_number().over(
         Window.partitionBy($"vec_id", $"s").orderBy($"d", $"k")))
@@ -879,6 +891,150 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN pq l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  // ---- ANN rung 10: IVFADC — the named IVF + PQ-on-residuals
+  // composition at its production operating point ----
+
+  /** ANN rung 10 (`ann_ivfpq_topk`): code-ONLY ranking — probe the top
+    * [[PqProbes]] refined cells, rank every member by its ADC score
+    * (<q, centroid> + <q-residual, PQ reconstruction>), return the ADC
+    * top-3 with NO exact re-rank. This is the billion-vector operating
+    * point: at 100 TB the original vectors live in cold storage and the
+    * serving tier holds only centroids + codes (64 5-bit codes/vector
+    * here), so the answer must come off the codes alone. The score
+    * column is named `ip` — an ADC approximation, not an exact cosine —
+    * and `ann_recall_ivfpq` measures exactly what skipping the re-rank
+    * costs against the same brute-force truth (the shortlist+re-rank
+    * recall of `ann_recall_pq` is its upper bound, proven in
+    * SimilaritySpec). Entirely derived from the memoized ADC stream —
+    * no new corpus scan. */
+  private def ivfpqTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqApproxMemo(spark, dir)
+      .filter($"prk" <= PqProbes)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ip".desc, $"nid")))
+      .filter($"rk" <= 3)
+      .select($"qid", $"nid", $"ip")
+  }
+
+  private lazy val ivfpqTopkSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |${pqChainSqlBody(PqProbes)}
+       |SELECT qid, nid, ip FROM approx
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY ip DESC, nid) <= 3""".stripMargin
+
+  private def recallIvfpqDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = ivfpqTopkDf(spark, dir)
+      .select($"qid".as("iv_qid"), $"nid".as("iv_nid"))
+    brute3Df(spark, dir)
+      .join(iv, $"qid" === $"iv_qid" && $"nid" === $"iv_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"iv_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private lazy val recallIvfpqSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |iv AS ($ivfpqTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN iv l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
+  /** Per-(vector, subspace) RAW subvectors — the equal-code-size plain
+    * PQ baseline's training input (no centroid subtraction). */
+  private def rawSubDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pqraw_sub:$dir") {
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
+        .select($"vec_id",
+          expr(s"int(i0 div $PqSubDim)").as("s"),
+          struct(expr(s"int(i0 % $PqSubDim)").as("j"),
+            $"x".cast("double").as("v")).as("jv"))
+        .groupBy($"vec_id", $"s")
+        .agg(subArr(collect_list($"jv")).as("rarr"))
+    }
+
+  private def rawCodeDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pqraw_code:$dir") {
+      val rsub = rawSubDf(spark, dir)
+      assignCodesDf(spark, rsub, trainCodebookDf(spark, dir, rsub))
+    }
+
+  /** The measured case for residual encoding (`ann_ivfpq_distortion`):
+    * train the SAME seeded-plus-one-Lloyd recipe at the SAME code size
+    * (m=[[PqSub]], K=[[PqK]]) on raw vectors vs on cell residuals, and
+    * report each variant's corpus-wide quantization MSE per dimension.
+    * Residuals concentrate near zero once the coarse quantizer removes
+    * the cell mean, so the same codeword budget spends itself on a
+    * tighter distribution — the whole reason IVFADC quantizes
+    * `v - centroid(v)` instead of `v`. SimilaritySpec asserts the win
+    * is realized, not assumed. */
+  private def ivfpqDistortionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mse(code: DataFrame, variant: String): DataFrame =
+      code.groupBy($"vec_id").agg(sum($"d").as("sqerr"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg($"sqerr" / Dim), 6).as("mse_per_dim"))
+        .select(lit(variant).as("variant"), $"n_vecs", $"mse_per_dim")
+    mse(pqCodeDf(spark, dir), "ivfpq_residual")
+      .unionByName(mse(rawCodeDf(spark, dir), "pq_raw"))
+  }
+
+  /** Seed-assign/refine/assign chain over an arbitrary subvector CTE
+    * (columns vec_id, s, j, r), CTE names prefixed — the SQL twin of
+    * [[trainCodebookDf]]+[[assignCodesDf]]. Reuses `nrank`/`seedpick`
+    * from [[pqTrainSqlBody]]. */
+  private def codeChainSqlFor(residCte: String, p: String): String =
+    s"""${p}pseeds AS (
+       |  SELECT r.s, sp.k, r.j, r.r AS w
+       |  FROM seedpick sp
+       |  JOIN nrank nr ON nr.rn = sp.rn
+       |  JOIN $residCte r ON r.vec_id = nr.vec_id),
+       |${p}d1 AS (
+       |  SELECT r.vec_id, r.s, ps.k,
+       |    round(sum((r.r - ps.w) * (r.r - ps.w)), 6) AS d
+       |  FROM $residCte r JOIN ${p}pseeds ps ON ps.s = r.s AND ps.j = r.j
+       |  GROUP BY 1, 2, 3),
+       |${p}a1 AS (SELECT vec_id, s, k FROM ${p}d1
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |         ORDER BY d, k) = 1),
+       |${p}cb AS (
+       |  SELECT a1.s, a1.k, r.j, avg(r.r) AS w
+       |  FROM ${p}a1 a1 JOIN $residCte r ON r.vec_id = a1.vec_id AND r.s = a1.s
+       |  GROUP BY 1, 2, 3),
+       |${p}d2 AS (
+       |  SELECT r.vec_id, r.s, c.k,
+       |    round(sum((r.r - c.w) * (r.r - c.w)), 6) AS d
+       |  FROM $residCte r JOIN ${p}cb c ON c.s = r.s AND c.j = r.j
+       |  GROUP BY 1, 2, 3),
+       |${p}code AS (SELECT vec_id, s, k, d FROM ${p}d2
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY d, k) = 1)""".stripMargin
+
+  private lazy val ivfpqDistortionSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |$pqTrainSqlBody,
+       |rawsub AS (SELECT vec_id, (i - 1) // $PqSubDim AS s,
+       |             (i - 1) % $PqSubDim AS j, x AS r FROM xs),
+       |${codeChainSqlFor("rawsub", "rw")},
+       |errres AS (
+       |  SELECT c.vec_id, sum(d2.d) AS sqerr
+       |  FROM code c JOIN d2pq d2
+       |    ON d2.vec_id = c.vec_id AND d2.s = c.s AND d2.k = c.k
+       |  GROUP BY 1),
+       |errraw AS (SELECT vec_id, sum(d) AS sqerr FROM rwcode GROUP BY 1)
+       |SELECT 'ivfpq_residual' AS variant, count(*) AS n_vecs,
+       |  round(avg(sqerr / $Dim), 6) AS mse_per_dim FROM errres
+       |UNION ALL
+       |SELECT 'pq_raw' AS variant, count(*) AS n_vecs,
+       |  round(avg(sqerr / $Dim), 6) AS mse_per_dim FROM errraw""".stripMargin
+
   /** Cosine threshold for embedding near-duplicates. The corpus's max
     * pair cosine is ~0.46, so 0.35 yields a small, non-trivial pair set —
     * on a real near-dup corpus this sits at ~0.9. */
@@ -1107,22 +1263,27 @@ object Similarity extends OpModule {
       .withColumn("brk", row_number().over(
         Window.partitionBy($"qid", $"prk").orderBy($"ip".desc, $"nid")))
       .filter($"brk" <= PqShortlist)
-    val short = pruned
+    val short0 = pruned
       .join(budgets, $"prk" <= $"probes")
       .withColumn("srk", row_number().over(
         Window.partitionBy($"qid", $"probes").orderBy($"ip".desc, $"nid")))
       .filter($"srk" <= PqShortlist)
-      .select($"qid", $"nid", $"probes", lit(1L).as("hit"))
-    val pqCurve = truth.crossJoin(budgets)
-      .join(short, Seq("qid", "nid", "probes"), "left")
-      .groupBy($"probes")
-      .agg(sum(coalesce($"hit", lit(0L))).as("hits"), count(lit(1)).as("n"))
-      .select(lit("pq").as("rung"), $"probes", $"hits",
-        ($"hits" / $"n").as("recall"))
+    def hitCurve(short: DataFrame, rung: String): DataFrame =
+      truth.crossJoin(budgets)
+        .join(short.select($"qid", $"nid", $"probes", lit(1L).as("hit")),
+          Seq("qid", "nid", "probes"), "left")
+        .groupBy($"probes")
+        .agg(sum(coalesce($"hit", lit(0L))).as("hits"), count(lit(1)).as("n"))
+        .select(lit(rung).as("rung"), $"probes", $"hits",
+          ($"hits" / $"n").as("recall"))
+    // the ivfpq (code-only) rung answers straight off the ADC ranking:
+    // recalled at budget p iff the true neighbor is ADC top-3 there —
+    // a free filter of the same per-budget shortlist window
     cellCurve(ivfRankedDf(spark, dir), "ivf")
       .unionByName(cellCurve(kmeansRankedDf(spark, dir), "kmeans"))
       .unionByName(cellCurve(kmeans2RankedDf(spark, dir), "kmeans2"))
-      .unionByName(pqCurve)
+      .unionByName(hitCurve(short0, "pq"))
+      .unionByName(hitCurve(short0.filter($"srk" <= 3), "ivfpq"))
   }
 
   private def cellCurveSqlCte(rankedCte: String, cellCol: String,
@@ -1167,10 +1328,24 @@ object Similarity extends OpModule {
        |  FROM brute3 t CROSS JOIN budgets b
        |  LEFT JOIN shortp s
        |    ON s.qid = t.qid AND s.nid = t.nid AND s.probes = b.probes
+       |  GROUP BY 1, 2),
+       |shortp3 AS (
+       |  SELECT qid, nid, b.probes
+       |  FROM prunedpq p JOIN budgets b ON p.prk <= b.probes
+       |  QUALIFY row_number() OVER (PARTITION BY qid, b.probes
+       |    ORDER BY ip DESC, nid) <= 3),
+       |c_ivfpq AS (
+       |  SELECT 'ivfpq' AS rung, b.probes,
+       |    sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    count(*) AS n
+       |  FROM brute3 t CROSS JOIN budgets b
+       |  LEFT JOIN shortp3 s
+       |    ON s.qid = t.qid AND s.nid = t.nid AND s.probes = b.probes
        |  GROUP BY 1, 2)
        |SELECT rung, probes, hits, hits::DOUBLE / n AS recall
        |FROM (SELECT * FROM c_ivf UNION ALL SELECT * FROM c_kmeans
-       |      UNION ALL SELECT * FROM c_kmeans2 UNION ALL SELECT * FROM c_pq)""".stripMargin
+       |      UNION ALL SELECT * FROM c_kmeans2 UNION ALL SELECT * FROM c_pq
+       |      UNION ALL SELECT * FROM c_ivfpq)""".stripMargin
 
   /** PQ distortion — the compression-quality twin of the recall curve:
     * per refined cell, the mean squared error between each member's
@@ -1323,7 +1498,10 @@ object Similarity extends OpModule {
     "ann_recall_curve" -> (recallCurveDf(_, _)),
     "emb_centroids" -> (centroidDf(_, _)),
     "dedup_semantic" -> (semDedupDf(_, _)),
-    "ann_pq_distortion" -> (pqDistortionDf(_, _))
+    "ann_pq_distortion" -> (pqDistortionDf(_, _)),
+    "ann_ivfpq_topk" -> (ivfpqTopkDf(_, _)),
+    "ann_recall_ivfpq" -> (recallIvfpqDf(_, _)),
+    "ann_ivfpq_distortion" -> (ivfpqDistortionDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1345,6 +1523,9 @@ object Similarity extends OpModule {
     "ann_recall_curve" -> recallCurveSql,
     "emb_centroids" -> centroidSql,
     "dedup_semantic" -> semDedupSql,
-    "ann_pq_distortion" -> pqDistortionSql
+    "ann_pq_distortion" -> pqDistortionSql,
+    "ann_ivfpq_topk" -> ivfpqTopkSql,
+    "ann_recall_ivfpq" -> recallIvfpqSql,
+    "ann_ivfpq_distortion" -> ivfpqDistortionSql
   )
 }

@@ -98,24 +98,32 @@ class SimilaritySpec extends SparkSpec {
   test("recall curve: monotone in probes, cell rungs reach 1.0 at full probing") {
     val rows = rowsOf(Similarity.queries("ann_recall_curve")(spark, sfDir()))
     val byRung = rows.groupBy(_("rung").asInstanceOf[String])
-    assert(byRung.keySet == Set("ivf", "kmeans", "kmeans2", "pq"))
+    assert(byRung.keySet == Set("ivf", "kmeans", "kmeans2", "pq", "ivfpq"))
+    // approximate-score rungs: a wider probe set can evict a true
+    // neighbor from the fixed shortlist (pq) or the ADC top-3 (ivfpq),
+    // so neither monotonicity nor terminal 1.0 holds for them
+    val approxRungs = Set("pq", "ivfpq")
     byRung.foreach { case (rung, rs) =>
       assert(rs.size == Similarity.MaxProbeBudget, rung)
       val curve = rs.sortBy(_("probes").asInstanceOf[Int])
         .map(_("recall").asInstanceOf[Double])
       // widening the probe set can only add candidates, so the
-      // exact-re-rank rungs are non-decreasing in the budget. NOT
-      // asserted for pq: its shortlist is fixed at PqShortlist, so a
-      // newly probed cell's high-quantized-score candidates can evict a
-      // true neighbor — pq recall is genuinely non-monotone in general
-      if (rung != "pq")
+      // exact-re-rank rungs are non-decreasing in the budget
+      if (!approxRungs(rung))
         curve.sliding(2).foreach { case Seq(a, b) => assert(a <= b, rung) }
       assert(curve.head >= 0.0 && curve.last <= 1.0)
       // probing all 10 cells makes the candidate set the whole corpus,
-      // so the exact-re-rank rungs end at perfect recall; pq may sit
-      // below it (shortlist truncation) but not above
-      if (rung != "pq") assert(curve.last == 1.0, rung)
+      // so the exact-re-rank rungs end at perfect recall; the
+      // approximate-score rungs may sit below it but not above
+      if (!approxRungs(rung)) assert(curve.last == 1.0, rung)
     }
+    // the code-only rung can never beat its own re-ranked shortlist:
+    // ivfpq's ADC top-3 is a subset of pq's candidate shortlist
+    val ivfpqC = byRung("ivfpq").sortBy(_("probes").asInstanceOf[Int])
+      .map(_("recall").asInstanceOf[Double])
+    val pqC = byRung("pq").sortBy(_("probes").asInstanceOf[Int])
+      .map(_("recall").asInstanceOf[Double])
+    ivfpqC.zip(pqC).foreach { case (i, p) => assert(i <= p) }
     val pq = byRung("pq").sortBy(_("probes").asInstanceOf[Int])
       .map(_("recall").asInstanceOf[Double])
     val km = byRung("kmeans").sortBy(_("probes").asInstanceOf[Int])
@@ -136,6 +144,32 @@ class SimilaritySpec extends SparkSpec {
       // per dim on this corpus); the codes must do materially better
       assert(mse < 0.05, s"cell ${m("cell")} mse $mse")
     }
+  }
+
+  test("ivfpq: residual codes beat raw codes; code-only recall bounded by re-rank") {
+    // the measured case for residual encoding: same recipe, same code
+    // size (m=8, K=32), raw vectors vs cell residuals — the residual
+    // variant must realize a strictly lower quantization MSE
+    val dist = rowsOf(Similarity.queries("ann_ivfpq_distortion")(spark, sfDir()))
+      .map(m => m("variant").asInstanceOf[String] ->
+        m("mse_per_dim").asInstanceOf[Double]).toMap
+    assert(dist.keySet == Set("ivfpq_residual", "pq_raw"))
+    assert(dist("ivfpq_residual") < dist("pq_raw"),
+      s"residual ${dist("ivfpq_residual")} !< raw ${dist("pq_raw")}")
+    // code-only answers: exactly 3 per query, ranked by the ADC score
+    val topk = rowsOf(Similarity.queries("ann_ivfpq_topk")(spark, sfDir()))
+    topk.groupBy(_("qid")).foreach { case (q, rs) =>
+      assert(rs.size == 3, s"query $q")
+    }
+    // skipping the exact re-rank can only lose recall: per query, the
+    // ADC top-3 is a subset of the re-ranked shortlist's candidate set,
+    // and a true neighbor in the shortlist always survives the re-rank
+    val rIvfpq = rowsOf(Similarity.queries("ann_recall_ivfpq")(spark, sfDir()))
+      .map(m => m("qid") -> m("recall").asInstanceOf[Double]).toMap
+    val rPq = rowsOf(Similarity.queries("ann_recall_pq")(spark, sfDir()))
+      .map(m => m("qid") -> m("recall").asInstanceOf[Double]).toMap
+    assert(rIvfpq.keySet == rPq.keySet)
+    rIvfpq.foreach { case (q, r) => assert(r <= rPq(q), s"query $q") }
   }
 
   test("semantic dedup keeps each cell's first member and drops near-dups") {
