@@ -27,6 +27,22 @@ import graft.state.Fsm.{FsmEvent, FsmIn, PosState, TrendIn, TrendOut, TrendState
   * Sinks: `writeStream.format("parquet")` append for the Trades /
   * Parameters tables; the Daily Summary upsert and alert throttle are
   * `foreachBatch` concerns (demonstrated in the spec).
+  *
+  * State-lifetime policy (the "why NoTimeout" ledger):
+  *  - PER-SYMBOL operators (alert throttle, log forwarder, z-score,
+  *    EMA, position FSM, trend hysteresis, diff, LV ring, fusion) key
+  *    by the trading-symbol universe — an operator-curated, bounded
+  *    key space — and hold O(1)-or-bounded-ring state per key, so
+  *    total state is bounded by construction and `NoTimeout` is
+  *    correct forever; a TTL would only add restart-from-cold
+  *    semantics the reference does not have.
+  *  - CONTENT-KEYED monitors ([[lshMonitor]], [[phashMonitor]],
+  *    [[docIngest]]) key by content-derived hashes whose domain grows
+  *    with distinct corpus; each takes a `retention` dial (state TTL /
+  *    dedup horizon) for unbounded streams, defaulting to full-history
+  *    semantics for bounded-corpus replays. [[kmvMonitor]] /
+  *    [[histMonitor]] / [[cmsMonitor]] carry sketch- or grid-bounded
+  *    state (documented per site).
   */
 object Streams {
 
@@ -125,7 +141,8 @@ object Streams {
     import spark.implicits._
     alerts
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (_: String, it: Iterator[Alert], state: GroupState[ThrottleState]) => {
           // Option, not a Long.MinValue sentinel: ts - MinValue overflows
           var last: Option[Long] = state.getOption.map(_.lastEmitMs)
@@ -168,7 +185,8 @@ object Streams {
     logs
       .filter(r => LevelRank.getOrElse(r.level, -1) >= min)
       .groupByKey(r => if (perSource) r.source else "GLOBAL")
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (_: String, it: Iterator[LogRecord],
             state: GroupState[ThrottleState]) => {
           var last: Option[Long] = state.getOption.map(_.lastEmitMs)
@@ -207,7 +225,8 @@ object Streams {
     import spark.implicits._
     deltas
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (symbol: String, it: Iterator[DeltaRow], state: GroupState[ZState]) => {
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           val out = sortedSlice(it)(_.win_start.getTime).map { d =>
@@ -242,7 +261,8 @@ object Streams {
     val alpha = 2.0 / (span + 1.0)
     trades
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (symbol: String, it: Iterator[Trade], state: GroupState[EmaState]) => {
           var ema = state.getOption.map(_.ema)
           val out = sortedSlice(it)(_.ts.getTime).map { t =>
@@ -270,7 +290,8 @@ object Streams {
     import spark.implicits._
     signals
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (_: String, it: Iterator[FsmIn], state: GroupState[PosState]) => {
           var st = state.getOption.getOrElse(Fsm.initState)
           val evs = sortedSlice(it)(_.bucket).flatMap { i =>
@@ -290,7 +311,8 @@ object Streams {
     import spark.implicits._
     raw
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (_: String, it: Iterator[TrendIn], state: GroupState[TrendState]) => {
           var st = state.getOption.getOrElse(Fsm.trendInit)
           val out = sortedSlice(it)(_.bucket).map { i =>
@@ -325,7 +347,8 @@ object Streams {
     import spark.implicits._
     trades
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (symbol: String, it: Iterator[Trade], state: GroupState[PrevPx]) => {
           var prev: Option[PrevPx] = state.getOption
           val out = sortedSlice(it)(_.ts.getTime).flatMap { t =>
@@ -381,7 +404,8 @@ object Streams {
     import spark.implicits._
     bars
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (symbol: String, it: Iterator[LvBarIn], state: GroupState[LvState]) => {
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           var volRing = state.getOption.map(_.volRing.toVector)
@@ -532,7 +556,8 @@ object Streams {
     import spark.implicits._
     bars
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, // bounded per-symbol key space:
+        GroupStateTimeout.NoTimeout)( // see the state-lifetime ledger above
         (_: String, it: Iterator[Fusion.SigBar],
             state: GroupState[Fusion.FusionState]) => {
           var st = state.getOption.getOrElse(Fusion.init)
@@ -597,16 +622,29 @@ object Streams {
     * length; at 100 TB that is the same cardinality the batch
     * `dedup_exact` shuffle carries, here amortized over the ingest
     * lifetime and spillable via RocksDB). A deployment that only needs
-    * within-horizon dedup swaps in `withWatermark` +
-    * `dropDuplicatesWithinWatermark` to bound it; near-dup semantics
-    * route through the batch MinHash/SimHash path instead. */
-  def docIngest(docs: DataFrame): DataFrame = {
+    * within-horizon dedup passes `retention`: the stream then carries a
+    * processing-time watermark and `dropDuplicatesWithinWatermark`, so
+    * the dedup set holds only the horizon's content hashes — verdicts
+    * for duplicates arriving WITHIN the horizon are identical to the
+    * full-history mode (asserted in StreamingSpec); a copy arriving
+    * after its original expired re-enters, which is the documented
+    * trade a bounded dedup horizon makes. Near-dup semantics route
+    * through the batch MinHash/SimHash path instead. */
+  def docIngest(docs: DataFrame,
+      retention: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val hashed = docs.withColumn("content_h", md5($"text"))
+    val deduped = retention match {
+      case Some(d) => hashed
+        .withColumn("ingest_ts", current_timestamp())
+        .withWatermark("ingest_ts", d)
+        .dropDuplicatesWithinWatermark("content_h")
+        .drop("ingest_ts")
+      case None => hashed.dropDuplicates("content_h")
+    }
     graft.operators.TextAnalysis.qualityColumns(
-      docs
-        .withColumn("content_h", md5($"text"))
-        .dropDuplicates("content_h")
+      deduped
         .withColumn("toks", graft.operators.TextAnalysis.tokensCol))
       .withColumn("lang_ok", $"lang" === "en")
       .withColumn("keep", $"lang_ok" && $"quality" >= 0.5)
@@ -640,7 +678,12 @@ object Streams {
     * a bounded ordered set, and the emitted estimate uses the SAME
     * [[graft.operators.TextAnalysis.KmvU]] universe formula as the
     * batch query. The exact distinct count is NOT streamable in
-    * bounded memory — that asymmetry is the sketch's reason to exist. */
+    * bounded memory — that asymmetry is the sketch's reason to exist.
+    *
+    * NoTimeout is justified by a bounded key space: keys are SOURCES
+    * (an operator-curated universe, not content-derived) and each
+    * key's state is exactly k longs — total state is O(|sources| * k)
+    * forever, no TTL needed. */
   def kmvMonitor(docs: DataFrame): Dataset[KmvEstimate] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -743,12 +786,31 @@ object Streams {
     * .HotShingleCap]] guard). Rows hitting a full bucket emit a single
     * sentinel hit (doc_b = -1, est = -1) so saturation is VISIBLE in
     * the output instead of silently dropped. */
-  def lshMonitor(docs: DataFrame): Dataset[NearDupHit] = {
+  def lshMonitor(docs: DataFrame,
+      retention: Option[String] = None): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
     val nBands = D.MinhashK / 4
     val k = D.MinhashK
+    // retention = the state-TTL dial: the MinHash band-key domain is
+    // unbounded (it grows with distinct content), so on an infinite
+    // stream total state grows forever under NoTimeout even though
+    // LshBucketCap bounds each bucket. With a retention horizon, a
+    // bucket untouched for that long is dropped wholesale (its members
+    // can no longer collide with anything "near" in ingest time) —
+    // verdicts WITHIN the horizon are unchanged, proven in
+    // StreamingSpec. None keeps the full-history semantics for
+    // bounded-corpus replays (the batch-equivalence contract).
+    // Deployment note: pair a retention with a PACED trigger
+    // (Trigger.ProcessingTime) or set
+    // spark.sql.streaming.noDataMicroBatches.enabled=false — under the
+    // default ASAP trigger, ProcessingTimeTimeout makes the engine spin
+    // no-data micro-batches continuously to poll for expiry (and
+    // processAllAvailable never returns).
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     D.withSigArr(docs, $"text", "sig")
       .select($"doc_id", $"sig")
       .filter($"sig".isNotNull)
@@ -759,8 +821,13 @@ object Streams {
       .as[LshBandRow]
       .groupByKey(r => (r.band, r.band_key))
       .flatMapGroupsWithState[LshState, NearDupHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         case (_, it, state) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no arrivals for this bucket: forget it
+            state.remove()
+            Iterator.empty
+          } else {
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val seen = scala.collection.mutable.Set(members.map(_.doc_id): _*)
           // deterministic intra-trigger order (the slice is bounded by
@@ -787,7 +854,9 @@ object Streams {
             }
           }
           state.update(LshState(members))
+          retention.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
   }
 
@@ -835,12 +904,23 @@ object Streams {
     * (id, hash) membership — two longs per image per band; the
     * [[LshBucketCap]] dial (same guard, same sentinel protocol) bounds
     * the degenerate identical-image stream. */
-  def phashMonitor(imgs: DataFrame): Dataset[PhashHit] = {
+  def phashMonitor(imgs: DataFrame,
+      retention: Option[String] = None): Dataset[PhashHit] = {
     val spark = imgs.sparkSession
     import spark.implicits._
     val P = graft.operators.Phash
     val hamMax = P.HamMax // primitive capture: the module object is not
     val cap = LshBucketCap // Serializable and must not enter the closure
+    // TTL dial, same contract (and same paced-trigger deployment note)
+    // as [[lshMonitor]]. Unlike the MinHash band keys, the phash key
+    // domain IS bounded (Bands x 256 = 1792 buckets x cap members), so
+    // NoTimeout state here is bounded by construction — but a
+    // saturated bucket then refuses members forever; retention lets
+    // buckets recycle so the monitor recovers from a historic
+    // degenerate burst.
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     imgs.select($"img_id", $"text", $"variant")
       .as[(Long, String, Int)]
       .map(r => (r._1, Streams.dhashOf(r._2, r._3)))
@@ -854,8 +934,12 @@ object Streams {
       .as[PhashBandRow]
       .groupByKey(r => (r.band, r.band_key))
       .flatMapGroupsWithState[PhashState, PhashHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         case (_, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val seen = scala.collection.mutable.Set(members.map(_.img_id): _*)
           val fresh = sortedSlice(it)(_.img_id)
@@ -878,7 +962,9 @@ object Streams {
             }
           }
           state.update(PhashState(members))
+          retention.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
   }
 

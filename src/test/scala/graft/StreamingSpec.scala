@@ -946,6 +946,125 @@ class StreamingSpec extends SparkSpec {
       "each (band, pair) hit emits exactly once, replay included")
   }
 
+  test("monitor retention: within-horizon verdicts unchanged; idle buckets expire") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ProcessingTimeTimeout + the default ASAP trigger spins no-data
+    // micro-batches to poll expiry (processAllAvailable never returns);
+    // a deployment paces with Trigger.ProcessingTime — tests disable
+    // no-data batches instead, so timeouts sweep on data batches only
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+    // --- 1) a horizon far longer than the replay: output must be
+    // IDENTICAL to full-history (NoTimeout) semantics ---
+    val docs = Seq(
+      Streams.RawDoc(1L, "alpha beta gamma delta epsilon", "en", "s"),
+      Streams.RawDoc(2L, "totally different words entirely here", "en", "s"),
+      Streams.RawDoc(3L, "alpha beta gamma delta epsilon", "en", "s"))
+    def runLsh(retention: Option[String], name: String): Set[(Int, Long, Long)] = {
+      val input = MemoryStream[Streams.RawDoc]
+      val q = Streams.lshMonitor(input.toDF(), retention)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(docs.take(2))
+      q.processAllAvailable()
+      input.addData(docs.drop(2)) // the dup arrives a batch later
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[Streams.NearDupHit].collect()
+        .map(h => (h.band, h.doc_a, h.doc_b)).toSet
+    }
+    val full = runLsh(None, "lsh_ttl_full")
+    val horizon = runLsh(Some("1 hour"), "lsh_ttl_hour")
+    assert(full == horizon, "a live TTL must not change in-horizon verdicts")
+    assert(full.exists { case (_, a, b) => a == 1L && b == 3L },
+      "fixture must collide the planted dup")
+    // --- 2) a tiny horizon: a bucket idle past it is forgotten, so a
+    // late copy of an expired original emits NO hit (and recovers as a
+    // fresh first-seen member) ---
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.lshMonitor(input.toDF(), Some("1 millisecond"))
+      .writeStream.format("memory").queryName("lsh_ttl_tiny")
+      .outputMode("append").start()
+    input.addData(docs.head)
+    q.processAllAvailable()
+    Thread.sleep(100) // let the horizon pass while the bucket sits idle
+    // an unrelated batch triggers the timeout sweep for doc 1's buckets
+    input.addData(docs(1))
+    q.processAllAvailable()
+    input.addData(docs(2)) // same text as expired doc 1
+    q.processAllAvailable()
+    // doc 3 collides with nothing (doc 1's state is gone)...
+    val tiny = spark.table("lsh_ttl_tiny").as[Streams.NearDupHit].collect()
+    assert(!tiny.exists(h => h.doc_a == 1L && h.doc_b == 3L),
+      s"expired bucket must forget its members: $tiny")
+    // ...but was admitted as the bucket's fresh first member: an
+    // immediate same-batch-window copy hits it
+    input.addData(Streams.RawDoc(4L, docs.head.text, "en", "s"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("lsh_ttl_tiny").as[Streams.NearDupHit].collect()
+    assert(after.exists(h => h.doc_a == 3L && h.doc_b == 4L && h.est == 1.0),
+      s"recycled bucket must admit and match fresh members: ${after.toSeq}")
+    } finally spark.conf.set(ndKey, ndPrev)
+  }
+
+  test("doc ingest retention: within-horizon duplicates still drop, verdicts identical") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.RawDoc]
+    val q = Streams.docIngest(input.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("docs_ingest_ttl_out")
+      .outputMode("append").start()
+    input.addData(
+      Streams.RawDoc(1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+      Streams.RawDoc(2L, "alpha beta", "en", "s1"))
+    q.processAllAvailable()
+    input.addData(
+      Streams.RawDoc(3L, "the quick brown fox jumps over the lazy dog", "en", "s2"),
+      Streams.RawDoc(4L, "gamma delta epsilon words entirely here now", "en", "s2"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("docs_ingest_ttl_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the cross-batch dup (3) arrived well inside the hour: dropped,
+    // exactly as the full-history mode drops it
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L).getAs[Boolean]("keep") == true)
+  }
+
+  test("phash monitor retention: long horizon reproduces full-history hits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+    val P = graft.operators.Phash
+    val imgs = (for (doc <- 0 until 6; v <- 0 to 1)
+      yield Streams.PhashImg(doc.toLong * 10 + v, s"pmttl-doc-$doc", v)).toSeq
+    def run(retention: Option[String], name: String): Set[(Int, Long, Long, Int)] = {
+      val input = MemoryStream[Streams.PhashImg]
+      val q = Streams.phashMonitor(input.toDF(), retention)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val (orig, variants) = imgs.partition(_.variant == 0)
+      input.addData(orig)
+      q.processAllAvailable()
+      input.addData(variants)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[Streams.PhashHit].collect()
+        .map(h => (h.band, h.img_a, h.img_b, h.hamming)).toSet
+    }
+    val full = run(None, "phash_ttl_full")
+    val horizon = run(Some("1 hour"), "phash_ttl_hour")
+    assert(full == horizon && full.nonEmpty)
+    } finally spark.conf.set(ndKey, ndPrev)
+  }
+
   test("LSH monitor bucket cap bounds a degenerate near-constant stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
