@@ -597,62 +597,144 @@ object TextAnalysis extends OpModule {
        |FROM r""".stripMargin
   }
 
-  /** Hashed-bigram linear classifier — the fastText-style quality-filter
-    * SHAPE (the "is this page reference-like" gate of CCNet / the
-    * LLaMA data pipeline): each bigram hashes into one of [[ClsBuckets]]
-    * weight buckets, the document score is the mean bucket weight
-    * through a sigmoid. The weights here derive deterministically from
-    * the bucket id — standing in for trained parameters, because the
-    * graded capability is the SERVING plan: scoring is pure per-row
-    * array arithmetic, the document never leaves its partition (zero
-    * shuffles at any corpus size), and a real deployment swaps the
-    * weight formula for a broadcast D-sized float array with the same
-    * plan. Determinism: the per-gram weights fold left-to-right in both
-    * engines (identical operand order → bitwise-equal sum); the label
-    * compares the ROUNDED probability. */
+  /** Hashed-bigram quality classifier — the fastText-style quality
+    * filter (the "is this page reference-like" gate of CCNet / the
+    * LLaMA data pipeline), now with BOTH halves of the lifecycle:
+    *
+    * TRAINING (`text_classifier_train`): deterministic Naive Bayes
+    * log-odds over hashed-bigram occurrence counts. The weak-supervision
+    * label is an ABOVE-MEDIAN quality split of the corpus itself (the
+    * balanced bootstrap production pipelines use when no curated
+    * reference set exists yet: label the better half positive, score
+    * the web against it; a deployment swaps in its reference corpus as
+    * the positive class with the same plan). The median is ONE exact-
+    * percentile aggregation over 6-dp-quantized qualities (the
+    * curriculum query's determinism recipe), broadcast as a 1-row
+    * threshold. Per bucket b:
+    * `w_b = round(1e6·ln((pos_b+1)/(pos_tot+D))) −
+    * round(1e6·ln((neg_b+1)/(neg_tot+D)))` — Laplace-smoothed
+    * multinomial NB log-odds in INTEGER micro-nats (the xent family's
+    * quantization), so every downstream sum is exact integer arithmetic
+    * and engine-order-independent. ONE hash aggregation over the bigram
+    * stream (map-side combinable into ≤ D×2 cells at any corpus size)
+    * plus a 1-row total broadcast; output is the full D-row model table.
+    *
+    * SERVING (`text_classifier_score`): the learned table collapses to
+    * a D-long literal array (D = [[ClsBuckets]] — the bounded
+    * driver-side collect a broadcast weight vector IS); the document
+    * score is the mean per-bigram log-odds through a sigmoid, pure
+    * per-row array arithmetic — the document never leaves its partition
+    * (zero shuffles at any corpus size, asserted in TextDedupSpec).
+    * Determinism: integer weight sums; the label compares the ROUNDED
+    * probability. */
   val ClsBuckets = 1024
   val ClsBias = 0.0
 
-  private def clsWeight(g: Column): Column =
-    (ColFns.hex32(concat(lit("w:"), (g % ClsBuckets).cast("string")))
-      % 2001 - 1000).cast("double") / 1000.0
+  private def classifierTrainDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"cls_train:$dir") {
+      import spark.implicits._
+      val q6 = qualityDf(spark, dir)
+        .select($"doc_id", round($"quality", 6).as("q6"))
+      val th = q6.agg(
+        round(expr("percentile(q6, 0.5D)"), 6).as("q_med"))
+      val lab = q6.crossJoin(broadcast(th))
+        .select($"doc_id", ($"q6" >= $"q_med").as("pos"))
+      val cnt = hashedTokens(spark, dir)
+        .withColumn("bg", zip_with(
+          slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
+          slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
+          (a, b) => a * lit(FpBase) + b))
+        .select($"doc_id", explode($"bg").as("g"))
+        .join(lab, Seq("doc_id"))
+        .groupBy(($"g" % ClsBuckets).as("bucket"))
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+          sum(when($"pos", 0L).otherwise(1L)).as("n_neg"))
+      val tot = cnt.agg(sum($"n_pos").as("pos_tot"),
+        sum($"n_neg").as("neg_tot"))
+      spark.range(ClsBuckets).select($"id".as("bucket"))
+        .join(cnt, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"bucket",
+          coalesce($"n_pos", lit(0L)).as("n_pos"),
+          coalesce($"n_neg", lit(0L)).as("n_neg"),
+          (round(log((coalesce($"n_pos", lit(0L)) + 1).cast("double") /
+            ($"pos_tot" + ClsBuckets).cast("double")) * 1e6, 0).cast("long") -
+           round(log((coalesce($"n_neg", lit(0L)) + 1).cast("double") /
+            ($"neg_tot" + ClsBuckets).cast("double")) * 1e6, 0).cast("long"))
+            .as("w_unats"))
+    }
 
-  private def clsWeightSql(g: String): String =
-    s"((${ColFns.hex32Sql(s"('w:' || (($g) % $ClsBuckets)::VARCHAR)")} % 2001 - 1000)::DOUBLE / 1000.0)"
+  /** Shared training CTE chain: tokens → hashed bigrams → per-bucket
+    * labeled counts → the D-row log-odds model table `clsw`. */
+  private lazy val clsTrainSqlBody: String =
+    s"""wcls AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |hcls AS (SELECT doc_id,
+       |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
+       |      FROM wcls),
+       |bcls AS (SELECT doc_id, list_transform(range(1, len(hs)),
+       |        i -> hs[i] * $FpBase + hs[i + 1]) AS bg FROM hcls),
+       |qcls0 AS ($qualitySql),
+       |qcls AS (SELECT doc_id, round(quality, 6) AS q6 FROM qcls0),
+       |thcls AS (SELECT round(quantile_cont(q6, 0.5), 6) AS q_med FROM qcls),
+       |occcls AS (SELECT doc_id, unnest(bg) AS g FROM bcls),
+       |cntcls AS (SELECT (o.g % $ClsBuckets) AS bucket,
+       |    sum(CASE WHEN q.q6 >= t.q_med THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN q.q6 >= t.q_med THEN 0 ELSE 1 END)::BIGINT AS n_neg
+       |  FROM occcls o JOIN qcls q USING (doc_id), thcls t GROUP BY 1),
+       |totcls AS (SELECT sum(n_pos) AS pos_tot, sum(n_neg) AS neg_tot
+       |           FROM cntcls),
+       |clsw AS (
+       |  SELECT r.bucket::BIGINT AS bucket,
+       |    coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+       |    coalesce(c.n_neg, 0)::BIGINT AS n_neg,
+       |    (round(ln((coalesce(c.n_pos, 0) + 1)::DOUBLE /
+       |           (t.pos_tot + $ClsBuckets)) * 1e6)::BIGINT -
+       |     round(ln((coalesce(c.n_neg, 0) + 1)::DOUBLE /
+       |           (t.neg_tot + $ClsBuckets)) * 1e6)::BIGINT) AS w_unats
+       |  FROM range(0, $ClsBuckets) r(bucket)
+       |  LEFT JOIN cntcls c ON c.bucket = r.bucket, totcls t)""".stripMargin
+
+  private lazy val classifierTrainSql: String =
+    s"""WITH $clsTrainSqlBody
+       |SELECT bucket, n_pos, n_neg, w_unats FROM clsw""".stripMargin
 
   private def classifierDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the learned model is exactly D rows — the bounded driver-side
+    // collect that a broadcast weight vector is; serving stays
+    // zero-shuffle per-row array arithmetic over the literal
+    val w = classifierTrainDf(spark, dir)
+      .select($"bucket", $"w_unats").as[(Long, Long)]
+      .collect().sortBy(_._1).map(_._2)
+    val warr = typedLit(w.toSeq)
     hashedTokens(spark, dir)
       .withColumn("bg", zip_with(
         slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),
         slice($"hs", lit(2), greatest(size($"hs") - 1, lit(0))),
         (a, b) => a * lit(FpBase) + b))
       .withColumn("sw",
-        aggregate($"bg", lit(0.0), (acc, g) => acc + clsWeight(g)))
+        aggregate($"bg", lit(0L), (acc, g) =>
+          acc + element_at(warr, (g % ClsBuckets).cast("int") + 1)))
       .select($"doc_id", size($"bg").cast("long").as("n_bigrams"),
         round(ColFns.sigmoid(
-          $"sw" / greatest(size($"bg"), lit(1)).cast("double") +
-            lit(ClsBias)), 6).as("prob"))
+          $"sw".cast("double") / 1e6 /
+            greatest(size($"bg"), lit(1)).cast("double") + lit(ClsBias)), 6)
+          .as("prob"))
       .withColumn("label", $"prob" > 0.5)
   }
 
-  private val classifierSql: String =
-    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-       |h AS (SELECT doc_id,
-       |        list_transform(toks, t -> ${ColFns.hex32Sql("t")}) AS hs
-       |      FROM w),
-       |b AS (SELECT doc_id, list_transform(range(1, len(hs)),
-       |        i -> hs[i] * $FpBase + hs[i + 1]) AS bg FROM h),
-       |s AS (SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
-       |    list_reduce(list_prepend(0.0::DOUBLE,
-       |      list_transform(bg, g -> ${clsWeightSql("g")})),
-       |      (a, x) -> a + x) AS sw
-       |  FROM b),
-       |p AS (SELECT doc_id, n_bigrams,
+  private lazy val classifierSql: String =
+    s"""WITH $clsTrainSqlBody,
+       |scls AS (
+       |  SELECT o.doc_id, sum(w.w_unats)::BIGINT AS sw
+       |  FROM occcls o JOIN clsw w ON w.bucket = o.g % $ClsBuckets
+       |  GROUP BY 1),
+       |pcls AS (SELECT b.doc_id, len(b.bg)::BIGINT AS n_bigrams,
        |    round(${ColFns.sigmoidSql(
-              s"sw / greatest(n_bigrams, 1)::DOUBLE + $ClsBias")}, 6) AS prob
-       |  FROM s)
-       |SELECT doc_id, n_bigrams, prob, prob > 0.5 AS label FROM p""".stripMargin
+              s"coalesce(s.sw, 0) / 1e6 / greatest(len(b.bg), 1)::DOUBLE" +
+                s" + $ClsBias")}, 6) AS prob
+       |  FROM bcls b LEFT JOIN scls s USING (doc_id))
+       |SELECT doc_id, n_bigrams, prob, prob > 0.5 AS label FROM pcls""".stripMargin
 
   /** Interpolated bigram-LM cross-entropy — one order up from
     * [[unigramXentDf]]: each bigram occurrence scores
@@ -1232,6 +1314,7 @@ object TextAnalysis extends OpModule {
     "text_repetition" -> (repetitionDf(_, _)),
     "text_pii" -> (piiDf(_, _)),
     "text_classifier_score" -> (classifierDf(_, _)),
+    "text_classifier_train" -> (classifierTrainDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
@@ -1252,6 +1335,7 @@ object TextAnalysis extends OpModule {
     "text_repetition" -> repetitionSql,
     "text_pii" -> piiSql,
     "text_classifier_score" -> classifierSql,
+    "text_classifier_train" -> classifierTrainSql,
     "text_encode" -> encodeSql,
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,

@@ -462,6 +462,41 @@ class TextDedupSpec extends SparkSpec {
       r(4L)("prob") == 0.5) // sigmoid(0/1 + bias=0)
   }
 
+  test("classifier training: balanced NB model separates its own label classes") {
+    val train = rowsOf(
+      TextAnalysis.queries("text_classifier_train")(spark, sfDir("sf0.01")))
+    // the full model table ships: one row per hash bucket
+    assert(train.size == TextAnalysis.ClsBuckets)
+    // the median split yields a genuinely two-class training set
+    val posTot = train.map(_("n_pos").asInstanceOf[Long]).sum
+    val negTot = train.map(_("n_neg").asInstanceOf[Long]).sum
+    assert(posTot > 0 && negTot > 0, s"degenerate labels: $posTot/$negTot")
+    // weights are the exact integer micro-nat log-odds of the counts
+    train.foreach { m =>
+      val (p, n) = (m("n_pos").asInstanceOf[Long], m("n_neg").asInstanceOf[Long])
+      val w = math.round(math.log((p + 1).toDouble /
+          (posTot + TextAnalysis.ClsBuckets)) * 1e6) -
+        math.round(math.log((n + 1).toDouble /
+          (negTot + TextAnalysis.ClsBuckets)) * 1e6)
+      assert(m("w_unats") == w, s"bucket ${m("bucket")}")
+    }
+    // the served scores separate the label classes on the training
+    // corpus: above-median-quality docs average a higher prob
+    val q = rowsOf(TextAnalysis.queries("text_quality")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        (math.rint(m("quality").asInstanceOf[Double] * 1e6) / 1e6))
+    val med = q.map(_._2).sorted.apply(q.size / 2)
+    val pos = q.filter(_._2 >= med).map(_._1).toSet
+    val score = rowsOf(
+      TextAnalysis.queries("text_classifier_score")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        m("prob").asInstanceOf[Double]).toMap
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    val mPos = mean(pos.toSeq.map(score))
+    val mNeg = mean(score.keySet.diff(pos).toSeq.map(score))
+    assert(mPos > mNeg, s"learned model must separate: pos $mPos vs neg $mNeg")
+  }
+
   test("bigram xent: templated loops score low, unpredictable soup high") {
     val d = writeDocsFixture(
       // docs 1-6: the same 3-word loop — every transition is near-certain
