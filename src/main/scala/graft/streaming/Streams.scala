@@ -429,6 +429,44 @@ object Streams {
   case class BookLevel(symbol: String, ts: Timestamp, is_bid: Boolean,
       qty: Double, seq: Long)
 
+  /** Watermarked STREAM-STREAM interval join (SURVEY §2.4's
+    * book⋈trade correlation in live mode): each trade pairs with its
+    * symbol's book-level updates from the `lookback` window ending at
+    * the trade — "what did the book do just before this print", the
+    * correlation the batch `join_interval`/as-of family answers over
+    * history, here answered while both sides are still streams.
+    *
+    * Scale shape: Spark co-partitions both streams on the symbol
+    * equi-key and runs a symmetric hash join whose state store holds
+    * only rows still joinable under the watermark + range bound —
+    * per-symbol state is bounded by (watermark + lookback) of traffic,
+    * evicted as the watermark advances, at any stream length. The
+    * range predicate rides IN the join condition (both `b_ts >= t_ts -
+    * lookback` and `b_ts <= t_ts`), which is what lets the engine
+    * derive each side's state retention instead of keeping history
+    * forever. StreamingSpec replays a fixture through micro-batches
+    * and proves the emitted pairs are exactly the batch join of the
+    * same rows. */
+  def tradeBookJoin(trades: Dataset[Trade], books: Dataset[BookLevel],
+      lookback: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val t = trades.withWatermark("ts", watermark)
+      .select($"symbol", $"ts".as("t_ts"), $"price", $"qty".as("t_qty"),
+        $"isBuyerMaker")
+    val b = books.withWatermark("ts", watermark)
+      .select($"symbol".as("b_symbol"), $"ts".as("b_ts"), $"is_bid",
+        $"qty".as("b_qty"), $"seq")
+    t.join(b,
+      $"symbol" === $"b_symbol" &&
+        $"b_ts" >= $"t_ts" - expr(s"INTERVAL $lookback") &&
+        $"b_ts" <= $"t_ts")
+      .select($"symbol", $"t_ts", $"price", $"t_qty", $"isBuyerMaker",
+        $"b_ts", $"is_bid", $"b_qty", $"seq",
+        ($"t_ts".cast("double") - $"b_ts".cast("double")).as("quote_age_s"))
+  }
+
   /** Trades and book updates unified into one wire row, so ONE windowed
     * aggregation (one shuffle on the (window, symbol) key) produces
     * every per-bar signal input — including the book arrays — instead

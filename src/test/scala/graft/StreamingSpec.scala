@@ -946,6 +946,71 @@ class StreamingSpec extends SparkSpec {
       "each (band, pair) hit emits exactly once, replay included")
   }
 
+  test("stream-stream interval join: trades pick up their lookback book updates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // away from epoch 0: the initial watermark sits AT the epoch, and a
+    // row exactly on it trips the state-retention boundary — an edge no
+    // real feed has
+    def ts(s: Long) = new java.sql.Timestamp((86400L + s) * 1000L)
+    // two symbols; book updates at +0/10/25/40/100 s, trades at
+    // +30/45/102 s with a 30 s lookback: the 30 s trade sees 0/10/25,
+    // the 45 s trade sees 25/40, the 102 s trade sees only 100
+    val books = Seq(
+      Streams.BookLevel("S", ts(0), is_bid = true, 5.0, 1L),
+      Streams.BookLevel("S", ts(10), is_bid = false, 7.0, 2L),
+      Streams.BookLevel("S", ts(25), is_bid = true, 9.0, 3L),
+      Streams.BookLevel("S", ts(40), is_bid = false, 11.0, 4L),
+      Streams.BookLevel("S", ts(100), is_bid = true, 13.0, 5L),
+      Streams.BookLevel("T", ts(28), is_bid = true, 99.0, 1L))
+    val trades = Seq(
+      Streams.Trade("S", ts(30), 100.0, 1.0, false),
+      Streams.Trade("S", ts(45), 101.0, 2.0, true),
+      Streams.Trade("S", ts(102), 102.0, 3.0, false),
+      Streams.Trade("T", ts(31), 55.0, 4.0, false))
+    val tIn = MemoryStream[Streams.Trade]
+    val bIn = MemoryStream[Streams.BookLevel]
+    val joined = Streams.tradeBookJoin(tIn.toDS(), bIn.toDS())
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // the join is cross-batch in BOTH directions: early books arrive a
+    // batch before their trades; the 100 s book arrives after the 45 s
+    // trade but before the 102 s trade
+    bIn.addData(books.take(4))
+    q.processAllAvailable()
+    tIn.addData(trades.take(2) :+ trades(3))
+    q.processAllAvailable()
+    bIn.addData(books.drop(4))
+    tIn.addData(trades(2))
+    q.processAllAvailable()
+    // plan shape: a real symmetric-hash stream-stream join with state
+    // eviction, not a buffered nested loop
+    val planOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(planOut)) { q.explain() }
+    assert(planOut.toString.contains("StreamingSymmetricHashJoin"),
+      s"expected a symmetric hash join plan:\n$planOut")
+    q.stop()
+    val streamed = spark.table("ssj_out")
+      .select($"symbol", $"t_ts", $"b_ts", $"seq").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    // batch truth: the identical join over the same rows as static frames
+    val batch = Streams.tradeBookJoin(
+      spark.createDataset(trades), spark.createDataset(books))
+      .select($"symbol", $"t_ts", $"b_ts", $"seq").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the fixture exercises the bound: trade@30 sees exactly 3 book rows,
+    // trade@102 only the late one, and symbols never cross
+    def seqsOf(tMs: Long) = batch.filter(p => p._1 == "S" && p._2 == tMs).map(_._4)
+    assert(seqsOf(ts(30).getTime) == Set(1L, 2L, 3L))
+    assert(seqsOf(ts(45).getTime) == Set(3L, 4L))
+    assert(seqsOf(ts(102).getTime) == Set(5L))
+    assert(batch.filter(_._1 == "T") ==
+      Set(("T", ts(31).getTime, ts(28).getTime, 1L)))
+  }
+
   test("monitor retention: within-horizon verdicts unchanged; idle buckets expire") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
