@@ -31,14 +31,23 @@ import graft.OpModule
   *
   * Scale shape: the corpus is touched ONCE (tokenize -> word-type
   * counts, one hash aggregation, the same `doc_toks` frame five other
-  * families share); every merge round then runs on the VOCABULARY-sized
-  * frame (|word types|, millions at 100 TB — not corpus-sized), as one
-  * pair-count aggregation plus one argmax `collect` of a single row
-  * (the accumulator-style one-action-per-round shape the dedup cluster
-  * driver established). Encoding against the learned vocabulary
-  * ([[encodeDf]]) is a broadcast join of the final word-type
-  * segmentation back onto the token stream — the merges table itself
-  * is [[BpeMergesN]] rows.
+  * families share); training then runs on the VOCABULARY-sized frame
+  * (|word types|, millions at 100 TB — not corpus-sized) with
+  * INCREMENTAL pair-count maintenance: the standing (l, r, cnt) table
+  * is built once, and each round (a) argmaxes it with a one-row
+  * `collect` (the accumulator-style one-action-per-round shape the
+  * dedup cluster driver established), (b) rewrites ONLY the words
+  * containing the winning pair, and (c) applies the exact count delta
+  * (new pairs minus old pairs of the touched words) back onto the
+  * standing table. Per-round explode+shuffle work is proportional to
+  * the TOUCHED subset, not the vocabulary — the fix that makes ~30k
+  * production merges tractable where a per-round full recount is
+  * quadratic. BpeSpec proves incremental ≡ full recount at N=50 on
+  * random corpora, and the DuckDB oracle (a 12-level full recount)
+  * cross-checks every shipped query against the incremental engine.
+  * Encoding against the learned vocabulary ([[encodeDf]]) is a
+  * broadcast join of the final word-type segmentation back onto the
+  * token stream — the merges table itself is [[BpeMergesN]] rows.
   */
 object Bpe extends OpModule {
 
@@ -48,7 +57,7 @@ object Bpe extends OpModule {
     * built by earlier rounds). */
   val BpeMergesN = 12
 
-  private case class Merge(rank: Int, l: String, r: String, cnt: Long)
+  private[graft] case class Merge(rank: Int, l: String, r: String, cnt: Long)
 
   // per-(session, dir) training result: the merges list plus the final
   // word-type segmentation (localCheckpointed). Weak in the session for
@@ -70,11 +79,122 @@ object Bpe extends OpModule {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
-  /** Run the training loop once per (session, dir): returns the ranked
-    * merges and the final word-type frame `(tok, freq, syms)`. Each
-    * round is one vocabulary-sized aggregation + a one-row argmax
-    * collect; the words frame is re-checkpointed per round so the fold
-    * lineage never stacks [[BpeMergesN]] deep. */
+  /** Adjacent-pair structs of a symbol array (naive counts: every
+    * position, runs included). `syms` is always a materialized array
+    * column here, so element_at is a cheap load (no re-derivation — the
+    * generate-pruning pathology needs an expensive array source). */
+  private def pairsCol(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** The training loop over an explicit word-type frame `(tok, freq,
+    * syms)` — both engines of the property proof:
+    *
+    *  - `incremental = true` (the shipped path): maintain the standing
+    *    (l, r, cnt) pair-count table across rounds; each round argmaxes
+    *    it (one-row collect), rewrites only the words CONTAINING the
+    *    winning pair, and folds the exact touched-word count delta back
+    *    in. Per-round shuffle work ∝ touched words.
+    *  - `incremental = false`: the reference full recount (every round
+    *    re-aggregates all pairs from scratch) — quadratic, kept as the
+    *    in-engine reference the property spec compares against.
+    *
+    * `strict = true` throws on pair exhaustion before `n` merges (the
+    * shipped queries' contract); `strict = false` stops early (the
+    * property spec's random corpora may exhaust below its N=50).
+    * Frames are re-checkpointed per round so lineage never stacks. */
+  private[graft] def trainOn(spark: SparkSession, words0: DataFrame, n: Int,
+      incremental: Boolean, strict: Boolean = true): (Seq[Merge], DataFrame) = {
+    import spark.implicits._
+    var words = words0.localCheckpoint()
+    var pc: DataFrame =
+      if (incremental)
+        words.select($"freq", explode(pairsCol($"syms")).as("p"))
+          .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+          .localCheckpoint()
+      else null
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= n && !exhausted) {
+      val best =
+        (if (incremental) pc.filter($"cnt" > 0)
+         else words
+           .select($"freq", explode(pairsCol($"syms")).as("p"))
+           .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt")))
+          .orderBy($"cnt".desc, $"l", $"r")
+          .limit(1).collect()
+      if (best.isEmpty) {
+        if (strict) throw new IllegalStateException(
+          s"BPE: no pair left at round $rank — corpus fully merged")
+        exhausted = true
+      } else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        if (incremental) {
+          // only words containing the winning pair change this round
+          val hasPair = exists(pairsCol($"syms"),
+            p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
+          val touched = words.filter(hasPair)
+          val merged = touched.withColumn("syms", mergeFold($"syms", l, r))
+          // exact delta: new pairs of the rewritten words minus their
+          // old pairs, frequency-weighted — by construction the
+          // standing table stays equal to a full recount
+          val delta = merged
+            .select($"freq".as("d"), explode(pairsCol($"syms")).as("p"))
+            .unionByName(touched
+              .select((-$"freq").as("d"), explode(pairsCol($"syms")).as("p")))
+            .groupBy($"p.l", $"p.r").agg(sum($"d").as("d"))
+          val pcNext = pc.join(delta, Seq("l", "r"), "full_outer")
+            .select($"l", $"r",
+              (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
+            .filter($"cnt" > 0)
+            .localCheckpoint()
+          // union concatenates partition lists — without the coalesce
+          // the frame doubles its partition count every round (2^N task
+          // overhead by round N); fold back to the standing layout
+          val next = words.filter(!hasPair).unionByName(merged)
+            .coalesce(math.max(words.rdd.getNumPartitions, 1))
+            .localCheckpoint()
+          graft.functions.DfMemo.release(pc)
+          graft.functions.DfMemo.release(words)
+          pc = pcNext
+          words = next
+        } else {
+          val next = words
+            .withColumn("syms", mergeFold($"syms", l, r))
+            .localCheckpoint()
+          graft.functions.DfMemo.release(words)
+          words = next
+        }
+        rank += 1
+      }
+    }
+    if (pc != null) graft.functions.DfMemo.release(pc)
+    (merges.result(), words)
+  }
+
+  /** The character-segmented word-type frame of a corpus — the ONE
+    * corpus-sized pass. */
+  private[graft] def wordTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(filter(split($"text", "\\s+"), t => t =!= ""))
+        .as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length($"tok")),
+          i => $"tok".substr(i, lit(1))))
+      .select($"tok", $"freq", $"syms")
+  }
+
+  /** Run (and cache) the shipped incremental training once per
+    * (session, dir): returns the ranked merges and the final word-type
+    * segmentation. */
   private def train(spark: SparkSession, dir: String): (Seq[Merge], DataFrame) = {
     val tab = cache.synchronized {
       var m = cache.get(spark)
@@ -87,48 +207,8 @@ object Bpe extends OpModule {
     tab.synchronized(tab.get(dir)) match {
       case Some(hit) => hit
       case None =>
-        import spark.implicits._
-        // word types with frequencies — the ONE corpus-sized pass
-        var words = Tables.documents(spark, dir)
-          .select(explode(filter(split($"text", "\\s+"), t => t =!= ""))
-            .as("tok"))
-          .groupBy($"tok").agg(count(lit(1)).as("freq"))
-          .withColumn("syms",
-            transform(sequence(lit(1), length($"tok")),
-              i => $"tok".substr(i, lit(1))))
-          .select($"tok", $"freq", $"syms")
-          .localCheckpoint()
-        val merges = Seq.newBuilder[Merge]
-        var rank = 1
-        while (rank <= BpeMergesN) {
-          // adjacent-pair positions: syms is a materialized array column,
-          // so element_at is a cheap load (no re-derivation — the
-          // generate-pruning pathology needs an expensive array source)
-          val best = words
-            .select($"freq", explode(
-              when(size($"syms") >= 2,
-                transform(sequence(lit(1), size($"syms") - 1),
-                  i => struct(element_at($"syms", i).as("l"),
-                    element_at($"syms", i + 1).as("r"))))
-                .otherwise(array().cast("array<struct<l:string,r:string>>")))
-              .as("p"))
-            .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
-            .orderBy($"cnt".desc, $"l", $"r")
-            .limit(1).collect()
-          if (best.isEmpty)
-            throw new IllegalStateException(
-              s"BPE: no pair left at round $rank — corpus fully merged")
-          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          merges += Merge(rank, l, r, cnt)
-          val next = words
-            .withColumn("syms", mergeFold($"syms", l, r))
-            .localCheckpoint()
-          graft.functions.DfMemo.release(words) // superseded round snapshot
-          words = next
-          rank += 1
-        }
-        val out = (merges.result(), words)
+        val out = trainOn(spark, wordTypes(spark, dir), BpeMergesN,
+          incremental = true)
         tab.synchronized(tab.put(dir, out))
         out
     }
