@@ -10,17 +10,25 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * the LRU memo (cap [[graft.functions.DfMemo.MaxResident]]) then bounds
   * resident cache pressure without thrashing inside a family.
   *
-  * Besides per-query seconds, the JSON carries two memory columns so a
-  * cache-pressure artifact shows up AS a memory number instead of
-  * masquerading as a per-query regression:
-  *  - "heap_mb": JVM used heap sampled right after the query finished
+  * Besides the contract's plain "queries" sec map, the line carries a
+  * per-query "detail" map of {sec, gc, heap, peak} so a cache-pressure
+  * artifact shows up AS a memory/GC number instead of masquerading as a
+  * per-query regression:
+  *  - heap: JVM used heap (MB) sampled right after the query finished
   *    (the accumulation curve across the run)
-  *  - "peak_task_mb": max task peakExecutionMemory observed during the
-  *    query (the query's own shuffle/agg working set)
-  *  - "gc_ms": JVM GC time attributed to the query (collector
+  *  - peak: max task peakExecutionMemory (MB) during the query (the
+  *    query's own shuffle/agg working set)
+  *  - gc: JVM GC millis attributed to the query (collector
   *    collectionTime delta across its timed attempts) — a query whose
-  *    seconds are mostly gc_ms is paying for the RUN's accumulated
+  *    seconds are mostly gc is paying for the RUN's accumulated
   *    garbage, not its own plan (the round-5 driver-tail mechanism)
+  *
+  * Field ORDER is the truncation armor: the driver's record store
+  * truncates this line from the FRONT, so everything a reader needs —
+  * the complete per-query detail map, a "slowest" digest, failure and
+  * query counts, and the total — sits at the END of the line; each
+  * detail value is self-contained, so ANY surviving tail segment reads
+  * as complete (query, sec, gc) evidence.
   *
   * Extra env knobs for local iteration (ignored by the driver):
   *  - SPARK_GRAFT_ONLY=a,b,c   run only the named queries
@@ -101,16 +109,18 @@ object Bench {
     // line survives the driver's record-tail truncation
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qsJson = jsonMap(results.map(r => r._1 -> r3(r._2)))
-    val heapJson = jsonMap(results.map(r => r._1 -> r._3))
-    val peakJson = jsonMap(results.map(r => r._1 -> r._4))
-    val gcJson = jsonMap(results.map(r => r._1 -> r._5))
+    // one self-contained object per query: any surviving suffix of the
+    // line still pairs each name with its sec AND gc/heap/peak
+    val detailJson = jsonMap(results.map(r => r._1 ->
+      s"""{"sec":${r3(r._2)},"gc":${r._5},"heap":${r._3},"peak":${r._4}}"""))
+    val slowestJson = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map(r => s"""{"q":"${r._1}","sec":${r3(r._2)},"gc":${r._5}}""")
+      .mkString("[", ",", "]")
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // "queries" sits LAST (+ a duplicate total after it): the round-3/4
-    // records show the driver truncates this line from the FRONT, and the
-    // per-query seconds are the part a reader actually needs to survive
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","heap_mb":$heapJson,"peak_task_mb":$peakJson,"gc_ms":$gcJson,"queries":$qsJson,"total_sec":${r3(total)}}""")
+    // front-truncation armor: detail/slowest/counts/total at the END
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qsJson,"detail":$detailJson,"slowest":$slowestJson,"failed":$failed,"n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }
