@@ -119,6 +119,38 @@ class PhashSpec extends SparkSpec {
     assert(plan.contains("band"), s"no band key in:\n$plan")
   }
 
+  test("media_keep: exact min-id survivorship, banded plan, full coverage") {
+    // every document gets a verdict row — the corpus gate cannot
+    // silently drop anyone
+    val keep = rowsOf(Phash.queries("media_keep")(spark, sfDir()))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        m("media_keep").asInstanceOf[Boolean]).toMap
+    val nDocs = graft.sources.Tables.documents(spark, sfDir()).count()
+    assert(keep.size == nDocs)
+    // keeper rule, checked exhaustively on the exact hashes: a doc is
+    // dropped iff some SMALLER doc_id's variant-0 hash sits within
+    // HamMax (banding recall is pigeonhole-perfect below the bound, and
+    // no band is hot on this corpus)
+    val sig = rowsOf(Phash.queries("media_phash")(spark, sfDir()))
+      .filter(_("variant") == 0L)
+      .map(m => m("media_id").asInstanceOf[Long] ->
+        m("phash").asInstanceOf[Long]).toMap
+    var dropped = 0
+    keep.foreach { case (id, k) =>
+      val expected = !sig.exists { case (j, h) =>
+        j < id && java.lang.Long.bitCount(h ^ sig(id)) <= Phash.HamMax }
+      assert(k == expected, s"doc $id")
+      if (!k) dropped += 1
+    }
+    // the min-id member of every near-dup pair keeps by construction
+    assert(keep.count(_._2) == nDocs - dropped)
+    // plan: candidates meet on (band, band_key) — never all-pairs
+    val plan = Phash.queries("media_keep")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$plan")
+  }
+
   test("hot-band guard: an all-identical corpus yields no quadratic pair mass") {
     // 300 docs with identical text -> identical images -> every band key
     // holds 600 members > HotBandCap -> the guard drops them all

@@ -157,10 +157,18 @@ class SimilaritySpec extends SparkSpec {
     assert(dist("ivfpq_residual") < dist("pq_raw"),
       s"residual ${dist("ivfpq_residual")} !< raw ${dist("pq_raw")}")
     // code-only answers: exactly 3 per query, ranked by the ADC score
-    val topk = rowsOf(Similarity.queries("ann_ivfpq_topk")(spark, sfDir()))
+    val topkDf = Similarity.queries("ann_ivfpq_topk")(spark, sfDir())
+    val topk = rowsOf(topkDf)
     topk.groupBy(_("qid")).foreach { case (q, rs) =>
       assert(rs.size == 3, s"query $q")
     }
+    // plan: the rung is a filter + per-query rank window over the
+    // MEMOIZED ADC stream (Scan ExistingRDD) with a map-side partial
+    // top-k (WindowGroupLimit) — no new corpus scan, no new join
+    val plan = topkDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"must reuse the ADC memo:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"want partial top-k:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs here:\n$plan")
     // skipping the exact re-rank can only lose recall: per query, the
     // ADC top-3 is a subset of the re-ranked shortlist's candidate set,
     // and a true neighbor in the shortlist always survives the re-rank
