@@ -692,11 +692,13 @@ object Pipeline extends OpModule {
 
   /** The assembled corpus verdict — every selection gate the engine
     * implements, composed into ONE per-document decision row: language,
-    * quality threshold, exact-dedup keeper, benchmark holdout, shingle
-    * contamination, near-dup cluster survivorship, the MEDIA gates
-    * (phash near-dup survivorship and benchmark-image contamination —
-    * so an image-duplicate document cannot pass on its text alone), and
-    * the Gopher repetition flag. This is the end-to-end proof that the gates
+    * quality threshold, the LEARNED classifier gate (the trained NB
+    * model's probability — the CCNet-shaped refinement of the
+    * heuristic threshold), exact-dedup keeper, benchmark holdout,
+    * shingle contamination, near-dup cluster survivorship, the MEDIA
+    * gates (phash near-dup survivorship and benchmark-image
+    * contamination — so an image-duplicate document cannot pass on its
+    * text alone), and the Gopher repetition flag. This is the end-to-end proof that the gates
     * compose (each input is itself a hash-checked query), and the
     * audit artifact a real pipeline ships: WHY a document was dropped,
     * not just that it vanished.
@@ -736,6 +738,13 @@ object Pipeline extends OpModule {
       val mc = Phash.queries("media_contamination")(spark, dir)
         .select($"media_id".as("doc_id"),
           ($"verdict" =!= "clean").as("mc_contam"))
+      // the LEARNED classifier gate — the CCNet-shaped refinement of the
+      // heuristic quality threshold: the trained NB model's probability
+      // must also clear 0.5, so a doc that games the surface heuristics
+      // but reads unlike the positive class still drops. Same doc_id-
+      // keyed join; a doc with no bigrams scores exactly 0.5 and fails.
+      val cls = TextAnalysis.queries("text_classifier_score")(spark, dir)
+        .select($"doc_id", ($"prob" > 0.5).as("cls_ok"))
       docs
         .join(quality, Seq("doc_id"))
         .join(rep, Seq("doc_id"), "left")
@@ -744,9 +753,11 @@ object Pipeline extends OpModule {
         .join(nd, Seq("doc_id"), "left")
         .join(mk, Seq("doc_id"), "left")
         .join(mc, Seq("doc_id"), "left")
+        .join(cls, Seq("doc_id"), "left")
         .select($"doc_id", $"source",
           ($"lang" === "en").as("lang_ok"),
           coalesce($"quality" >= 0.5, lit(false)).as("quality_ok"),
+          coalesce($"cls_ok", lit(false)).as("classifier_ok"),
           coalesce($"is_keeper", lit(false)).as("exact_keeper"),
           ($"doc_id" % BenchMod === 0).as("is_bench"),
           coalesce($"is_contam", lit(false)).as("contaminated"),
@@ -755,7 +766,8 @@ object Pipeline extends OpModule {
           coalesce($"mc_contam", lit(false)).as("media_contam"),
           coalesce($"repetitive", lit(false)).as("repetitive"))
         .withColumn("keep",
-          $"lang_ok" && $"quality_ok" && $"exact_keeper" && !$"is_bench" &&
+          $"lang_ok" && $"quality_ok" && $"classifier_ok" &&
+            $"exact_keeper" && !$"is_bench" &&
             !$"contaminated" && $"neardup_keep" && $"media_keep" &&
             !$"media_contam" && !$"repetitive")
     }
@@ -768,9 +780,11 @@ object Pipeline extends OpModule {
        |nd AS ($keepBestSql),
        |mk AS (${Phash.oracles("media_keep")}),
        |mc AS (${Phash.oracles("media_contamination")}),
+       |cls AS (${TextAnalysis.oracles("text_classifier_score")}),
        |v AS (SELECT d.doc_id, d.source,
        |    (d.lang = 'en') AS lang_ok,
        |    coalesce(q.quality >= 0.5, false) AS quality_ok,
+       |    coalesce(cls.prob > 0.5, false) AS classifier_ok,
        |    (k.doc_id IS NOT NULL) AS exact_keeper,
        |    (d.doc_id % $BenchMod = 0) AS is_bench,
        |    (ct.doc_id IS NOT NULL) AS contaminated,
@@ -785,10 +799,13 @@ object Pipeline extends OpModule {
        |  LEFT JOIN ct ON ct.doc_id = d.doc_id
        |  LEFT JOIN nd ON nd.doc_id = d.doc_id
        |  LEFT JOIN mk ON mk.doc_id = d.doc_id
-       |  LEFT JOIN mc ON mc.media_id = d.doc_id)
-       |SELECT doc_id, source, lang_ok, quality_ok, exact_keeper, is_bench,
+       |  LEFT JOIN mc ON mc.media_id = d.doc_id
+       |  LEFT JOIN cls ON cls.doc_id = d.doc_id)
+       |SELECT doc_id, source, lang_ok, quality_ok, classifier_ok,
+       |  exact_keeper, is_bench,
        |  contaminated, neardup_keep, media_keep, media_contam, repetitive,
-       |  (lang_ok AND quality_ok AND exact_keeper AND NOT is_bench
+       |  (lang_ok AND quality_ok AND classifier_ok
+       |   AND exact_keeper AND NOT is_bench
        |   AND NOT contaminated AND neardup_keep AND media_keep
        |   AND NOT media_contam AND NOT repetitive) AS keep
        |FROM v""".stripMargin
@@ -803,24 +820,21 @@ object Pipeline extends OpModule {
     val v = corpusDf(spark, dir)
     def surv(cs: Seq[org.apache.spark.sql.Column]) =
       sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
-    val gates = Seq(
-      "n_lang" -> Seq($"lang_ok"),
-      "n_quality" -> Seq($"lang_ok", $"quality_ok"),
-      "n_exact" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper"),
-      "n_bench" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench"),
-      "n_contam" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated"),
-      "n_neardup" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated", $"neardup_keep"),
-      "n_media_dup" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep"),
-      "n_media_contam" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep",
-        !$"media_contam"),
-      "n_keep" -> Seq($"lang_ok", $"quality_ok", $"exact_keeper",
-        !$"is_bench", !$"contaminated", $"neardup_keep", $"media_keep",
-        !$"media_contam", !$"repetitive"))
+    // each rung prepends its gate to the running conjunction; written
+    // as an incremental fold so rung order IS the gate order
+    val order = Seq(
+      "n_lang" -> $"lang_ok",
+      "n_quality" -> $"quality_ok",
+      "n_classifier" -> $"classifier_ok",
+      "n_exact" -> $"exact_keeper",
+      "n_bench" -> !$"is_bench",
+      "n_contam" -> !$"contaminated",
+      "n_neardup" -> $"neardup_keep",
+      "n_media_dup" -> $"media_keep",
+      "n_media_contam" -> !$"media_contam",
+      "n_keep" -> !$"repetitive")
+    val gates = order.inits.toSeq.reverse.tail
+      .map(pre => pre.last._1 -> pre.map(_._2))
     v.agg(count(lit(1)).as("n_total"),
       gates.map { case (nm, cs) => surv(cs).as(nm) }: _*)
   }
@@ -831,20 +845,28 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang,
        |  sum(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END)::BIGINT
        |    AS n_quality,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_classifier,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      THEN 1 ELSE 0 END)::BIGINT AS n_exact,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      AND NOT is_bench THEN 1 ELSE 0 END)::BIGINT AS n_bench,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      AND NOT is_bench AND NOT contaminated
        |      THEN 1 ELSE 0 END)::BIGINT AS n_contam,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      AND NOT is_bench AND NOT contaminated AND neardup_keep
        |      THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      AND NOT is_bench AND NOT contaminated AND neardup_keep
        |      AND media_keep THEN 1 ELSE 0 END)::BIGINT AS n_media_dup,
-       |  sum(CASE WHEN lang_ok AND quality_ok AND exact_keeper
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
        |      AND NOT is_bench AND NOT contaminated AND neardup_keep
        |      AND media_keep AND NOT media_contam
        |      THEN 1 ELSE 0 END)::BIGINT AS n_media_contam,
@@ -1159,6 +1181,7 @@ object Pipeline extends OpModule {
         n($"media_contam").as("n_media_contaminated"),
         n($"repetitive").as("n_repetitive"),
         n(!$"quality_ok").as("n_low_quality"),
+        n(!$"classifier_ok").as("n_low_classifier"),
         n($"keep").as("n_keep"))
   }
 
@@ -1172,6 +1195,7 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN media_contam THEN 1 ELSE 0 END)::BIGINT AS n_media_contaminated,
        |  sum(CASE WHEN repetitive THEN 1 ELSE 0 END)::BIGINT AS n_repetitive,
        |  sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_low_quality,
+       |  sum(CASE WHEN NOT classifier_ok THEN 1 ELSE 0 END)::BIGINT AS n_low_classifier,
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
        |FROM v GROUP BY 1""".stripMargin
 

@@ -341,6 +341,7 @@ class PipelineSpec extends SparkSpec {
     // keep is exactly the conjunction of its printed reasons
     v.foreach { m =>
       val expect = m("lang_ok") == true && m("quality_ok") == true &&
+        m("classifier_ok") == true &&
         m("exact_keeper") == true && m("is_bench") == false &&
         m("contaminated") == false && m("neardup_keep") == true &&
         m("media_keep") == true && m("media_contam") == false &&
@@ -378,7 +379,8 @@ class PipelineSpec extends SparkSpec {
     assert(!fplan.contains("CartesianProduct") &&
       !fplan.contains("BroadcastNestedLoopJoin"))
     val f = rowsOf(fdf).head
-    val seq = Seq("n_total", "n_lang", "n_quality", "n_exact", "n_bench",
+    val seq = Seq("n_total", "n_lang", "n_quality", "n_classifier",
+      "n_exact", "n_bench",
       "n_contam", "n_neardup", "n_media_dup", "n_media_contam",
       "n_keep").map(f(_).asInstanceOf[Long])
     seq.sliding(2).foreach { case Seq(a, b) => assert(a >= b, seq) }
