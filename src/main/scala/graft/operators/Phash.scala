@@ -199,14 +199,19 @@ object Phash extends OpModule {
     * banded candidate join as [[pairsDf]] restricted to corpus x
     * benchmark (the benchmark side is eval-set sized — in a deployment
     * it broadcasts as a pre-built band index), never all-pairs. */
-  private def contaminationDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sig = phashDf(spark, dir).filter($"variant" === 0)
-    def bandsOf(df: DataFrame): DataFrame = df
-      .select($"media_id", $"phash",
+  /** The 7 byte-band rows of each variant-0 signature — the candidate
+    * key every phash screen joins on. */
+  private def bandsOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"media_id", $"phash",
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("band_key",
         expr("(phash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+  }
+
+  private def contaminationDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = phashDf(spark, dir).filter($"variant" === 0)
     val isBench = col("media_id") % BenchMod === 0
     val hits = bandsOf(sig.filter(!isBench)).as("x")
       .join(bandsOf(sig.filter(isBench)).as("y"),
@@ -255,6 +260,74 @@ object Phash extends OpModule {
        |  coalesce(a.n_matches, 0)::BIGINT AS n_matches
        |FROM sig s LEFT JOIN agg a USING (media_id)
        |WHERE s.media_id % $BenchMod <> 0""".stripMargin
+
+  /** Incremental (batch-vs-corpus) IMAGE dedup — the media twin of
+    * `dedup_incremental` (and the batch form of the streaming
+    * [[graft.streaming.Streams.phashMonitor]]): the delta docs' images
+    * (every [[Dedup.IncrementalDeltaMod]]-th doc, the same "new crawl
+    * batch" split as the text twin) are screened against the standing
+    * corpus without base x base work. Verdicts: `exact_dup` (some base
+    * image has the identical dHash), `near_dup` (within [[HamMax]] of a
+    * base image), `novel` — with the distinct-base match counts an
+    * audit reads. Scale shape: delta and base meet ONLY on (band,
+    * band_key) — the base band frame is the persisted index a
+    * deployment maintains; pigeonhole recall makes the screen exact
+    * within the Hamming bound, and pixels never shuffle (the memoized
+    * signature frame is shared with every other phash query). */
+  private def mediaIncrementalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isDelta = col("media_id") % Dedup.IncrementalDeltaMod === 0
+    val sig = phashDf(spark, dir).filter($"variant" === 0)
+    val hits = bandsOf(sig.filter(isDelta)).as("x")
+      .join(bandsOf(sig.filter(!isDelta)).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.media_id").as("media_id"),
+        col("y.media_id").as("base_id"),
+        expr("cast(bit_count(x.phash ^ y.phash) as bigint)").as("hamming"))
+      .filter($"hamming" <= HamMax)
+      .distinct()
+      .groupBy($"media_id")
+      .agg(countDistinct(when($"hamming" === 0, $"base_id")).as("n_exact"),
+        countDistinct($"base_id").as("n_near"))
+    sig.filter(isDelta).select($"media_id")
+      .join(hits, Seq("media_id"), "left")
+      .select($"media_id",
+        when(coalesce($"n_exact", lit(0L)) > 0, "exact_dup")
+          .when(coalesce($"n_near", lit(0L)) > 0, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_near", lit(0L)).as("n_near"))
+  }
+
+  private lazy val mediaIncrementalSql: String =
+    s"""WITH sig0 AS ($phashSql),
+       |sig AS (SELECT media_id, phash FROM sig0 WHERE variant = 0),
+       |bands AS (
+       |  SELECT media_id, phash, band,
+       |    (phash // (1::BIGINT << (band * 8))) % 256 AS band_key
+       |  FROM sig, range(0, $Bands) t(band)),
+       |hits AS (
+       |  SELECT DISTINCT x.media_id, y.media_id AS base_id,
+       |    bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.media_id % ${Dedup.IncrementalDeltaMod} = 0
+       |    AND y.media_id % ${Dedup.IncrementalDeltaMod} <> 0
+       |    AND bit_count(xor(x.phash, y.phash)) <= $HamMax),
+       |agg AS (
+       |  SELECT media_id,
+       |    count(DISTINCT CASE WHEN hamming = 0 THEN base_id END) AS n_exact,
+       |    count(DISTINCT base_id) AS n_near
+       |  FROM hits GROUP BY 1)
+       |SELECT s.media_id,
+       |  CASE WHEN coalesce(a.n_exact, 0) > 0 THEN 'exact_dup'
+       |       WHEN coalesce(a.n_near, 0) > 0 THEN 'near_dup'
+       |       ELSE 'novel' END AS verdict,
+       |  coalesce(a.n_exact, 0)::BIGINT AS n_exact,
+       |  coalesce(a.n_near, 0)::BIGINT AS n_near
+       |FROM sig s LEFT JOIN agg a USING (media_id)
+       |WHERE s.media_id % ${Dedup.IncrementalDeltaMod} = 0""".stripMargin
 
   /** Per-document media near-dup survivorship — the corpus-gate view of
     * the phash census: a document keeps its image slot iff NO smaller
@@ -388,13 +461,15 @@ object Phash extends OpModule {
     "media_phash" -> (phashDf(_, _)),
     "media_phash_pairs" -> (pairsDf(_, _)),
     "media_contamination" -> (contaminationDf(_, _)),
-    "media_keep" -> (mediaKeepDf(_, _))
+    "media_keep" -> (mediaKeepDf(_, _)),
+    "media_incremental" -> (mediaIncrementalDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "media_phash" -> phashSql,
     "media_phash_pairs" -> pairsSql,
     "media_contamination" -> contaminationSql,
-    "media_keep" -> mediaKeepSql
+    "media_keep" -> mediaKeepSql,
+    "media_incremental" -> mediaIncrementalSql
   )
 }

@@ -151,6 +151,34 @@ class PhashSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$plan")
   }
 
+  test("media_incremental screens the delta against the base, exactly") {
+    val D = graft.operators.Dedup.IncrementalDeltaMod
+    val rows = rowsOf(Phash.queries("media_incremental")(spark, sfDir()))
+      .map(m => m("media_id").asInstanceOf[Long] -> m).toMap
+    val sig = rowsOf(Phash.queries("media_phash")(spark, sfDir()))
+      .filter(_("variant") == 0L)
+      .map(m => m("media_id").asInstanceOf[Long] ->
+        m("phash").asInstanceOf[Long]).toMap
+    // one verdict per delta doc, none silently dropped
+    assert(rows.keySet == sig.keySet.filter(_ % D == 0))
+    // exhaustive cross-check on the exact hashes (pigeonhole recall is
+    // perfect within HamMax, so banding cannot have missed a match)
+    val base = sig.filter(_._1 % D != 0)
+    rows.foreach { case (id, m) =>
+      val nExact = base.count(_._2 == sig(id))
+      val nNear = base.count { case (_, h) =>
+        java.lang.Long.bitCount(h ^ sig(id)) <= Phash.HamMax }
+      assert(m("n_exact") == nExact.toLong, s"doc $id exact")
+      assert(m("n_near") == nNear.toLong, s"doc $id near")
+      val expect = if (nExact > 0) "exact_dup"
+        else if (nNear > 0) "near_dup" else "novel"
+      assert(m("verdict") == expect, s"doc $id verdict")
+    }
+    // the screen is doing real work on this corpus: all three verdicts
+    val vs = rows.values.map(_("verdict")).toSet
+    assert(vs == Set("exact_dup", "near_dup", "novel"), s"got $vs")
+  }
+
   test("hot-band guard: an all-identical corpus yields no quadratic pair mass") {
     // 300 docs with identical text -> identical images -> every band key
     // holds 600 members > HotBandCap -> the guard drops them all
