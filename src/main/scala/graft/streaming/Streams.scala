@@ -467,6 +467,34 @@ object Streams {
         ($"t_ts".cast("double") - $"b_ts".cast("double")).as("quote_age_s"))
   }
 
+  /** Book pressure at the print — the stream-stream join chained into a
+    * SECOND stateful operator: per (symbol, 1-minute window of trade
+    * time), how many prints landed, how much bid-vs-ask book mass their
+    * lookback windows saw, and the mean quote age. This is the chained-
+    * stateful shape (join → windowed agg, both watermarked) that turns
+    * the raw pair stream into an operator a dashboard actually reads;
+    * the spec proves the chain end-to-end equal to the batch pipeline
+    * over the same rows. State stays bounded on both rungs: the join
+    * retains (watermark + lookback) per symbol, the aggregation one row
+    * per open (window, symbol). */
+  def bookPressure(trades: Dataset[Trade], books: Dataset[BookLevel],
+      lookback: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    tradeBookJoin(trades, books, lookback, watermark)
+      .groupBy(window($"t_ts", "1 minute"), $"symbol")
+      .agg(
+        // row count, not countDistinct: distinct aggregates are not
+        // streamable (unbounded per-group state); pair count is exact
+        // on both paths
+        count(lit(1)).as("n_pairs"),
+        sum(when($"is_bid", $"b_qty").otherwise(-$"b_qty")).as("book_bias"),
+        avg($"quote_age_s").as("mean_quote_age_s"))
+      .select($"window.start".as("win_start"), $"symbol", $"n_pairs",
+        $"book_bias", $"mean_quote_age_s")
+  }
+
   /** Trades and book updates unified into one wire row, so ONE windowed
     * aggregation (one shuffle on the (window, symbol) key) produces
     * every per-bar signal input — including the book arrays — instead

@@ -1011,6 +1011,56 @@ class StreamingSpec extends SparkSpec {
       Set(("T", ts(31).getTime, ts(28).getTime, 1L)))
   }
 
+  test("book pressure: join chained into a windowed agg, batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp((86400L + s) * 1000L)
+    val books = Seq(
+      Streams.BookLevel("S", ts(5), is_bid = true, 5.0, 1L),
+      Streams.BookLevel("S", ts(20), is_bid = false, 7.0, 2L),
+      Streams.BookLevel("S", ts(55), is_bid = true, 9.0, 3L),
+      Streams.BookLevel("S", ts(70), is_bid = false, 11.0, 4L))
+    // sentinels on BOTH streams: the join's output watermark is the MIN
+    // of its inputs, and the downstream windowed agg only flushes in
+    // append mode once that joint watermark passes a window's end
+    val trades = Seq(
+      Streams.Trade("S", ts(30), 100.0, 1.0, false),
+      Streams.Trade("S", ts(45), 101.0, 2.0, true),
+      Streams.Trade("S", ts(75), 102.0, 3.0, false),
+      Streams.Trade("S", ts(4000), 1.0, 1.0, false))
+    val booksAll = books :+
+      Streams.BookLevel("S", ts(4000), is_bid = true, 1.0, 5L)
+    val tIn = MemoryStream[Streams.Trade]
+    val bIn = MemoryStream[Streams.BookLevel]
+    val q = Streams.bookPressure(tIn.toDS(), bIn.toDS())
+      .writeStream.format("memory").queryName("bp_out")
+      .outputMode("append").start()
+    bIn.addData(books.take(3))
+    tIn.addData(trades.take(2))
+    q.processAllAvailable()
+    bIn.addData(booksAll.drop(3))
+    tIn.addData(trades.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6,
+        math.rint(r.getDouble(4) * 1e6) / 1e6)
+    // compare the REAL windows (the sentinels' own window stays open
+    // when the query stops, so it is absent from the streamed output)
+    val cutoff = ts(3000).getTime
+    val streamed = spark.table("bp_out").collect().map(key)
+      .filter(_._1 < cutoff).toSet
+    val batch = Streams.bookPressure(
+      spark.createDataset(trades), spark.createDataset(booksAll))
+      .collect().map(key).filter(_._1 < cutoff).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed $streamed != batch $batch")
+    // the fixture exercises both windows: trades at 30/45 s share a
+    // window (3 pairs: books 5,20 + book 20), the 75 s trade sees 55/70
+    assert(batch.map(_._3) == Set(3L, 2L), s"pair counts: $batch")
+  }
+
   test("monitor retention: within-horizon verdicts unchanged; idle buckets expire") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
