@@ -495,6 +495,38 @@ object Streams {
         $"book_bias", $"mean_quote_age_s")
   }
 
+  /** The book AT the print — the STREAMING as-of join: for each trade,
+    * the latest book update of its symbol at or before the trade
+    * (within `lookback`), while both sides are still streams. Batch
+    * as-of (`join_asof`) sorts history; live mode composes the
+    * watermarked interval join with a per-trade `max_by` — the trade's
+    * group closes when the joint watermark passes its timestamp, so
+    * every emitted row has seen ALL its in-bound quotes exactly once.
+    * Inner semantics match the batch twin: a trade with no quote in its
+    * lookback does not emit (the reference's hot path reads "last book
+    * state", which does not exist yet for such a print). `n_quotes`
+    * rides along so an operator can see how much book context each
+    * print actually had. */
+  def bookAtPrint(trades: Dataset[Trade], books: Dataset[BookLevel],
+      lookback: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    tradeBookJoin(trades, books, lookback, watermark)
+      .groupBy($"symbol", $"t_ts", $"price", $"t_qty", $"isBuyerMaker")
+      .agg(
+        // deterministic as-of pick: latest (b_ts, seq) wins — seq breaks
+        // same-millisecond update ties, mirroring the batch side's
+        // sequenced book feed
+        max_by(struct($"b_ts", $"seq", $"is_bid", $"b_qty"),
+          struct($"b_ts", $"seq")).as("bk"),
+        count(lit(1)).as("n_quotes"))
+      .select($"symbol", $"t_ts", $"price", $"t_qty", $"isBuyerMaker",
+        $"bk.b_ts".as("book_ts"), $"bk.seq".as("book_seq"),
+        $"bk.is_bid".as("book_is_bid"), $"bk.b_qty".as("book_qty"),
+        $"n_quotes")
+  }
+
   /** Trades and book updates unified into one wire row, so ONE windowed
     * aggregation (one shuffle on the (window, symbol) key) produces
     * every per-bar signal input — including the book arrays — instead

@@ -1061,6 +1061,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._3) == Set(3L, 2L), s"pair counts: $batch")
   }
 
+  test("book-at-print: streaming as-of picks each trade's latest in-bound quote") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp((86400L + s) * 1000L)
+    val books = Seq(
+      Streams.BookLevel("S", ts(5), is_bid = true, 5.0, 1L),
+      Streams.BookLevel("S", ts(20), is_bid = false, 7.0, 2L),
+      // same-timestamp pair: seq must break the tie deterministically
+      Streams.BookLevel("S", ts(20), is_bid = true, 8.0, 3L),
+      Streams.BookLevel("S", ts(55), is_bid = true, 9.0, 4L),
+      Streams.BookLevel("S", ts(4000), is_bid = true, 1.0, 9L))
+    val trades = Seq(
+      Streams.Trade("S", ts(30), 100.0, 1.0, false),  // sees 5,20,20 -> seq 3
+      Streams.Trade("S", ts(60), 101.0, 2.0, true),   // sees 55 -> seq 4
+      Streams.Trade("S", ts(300), 102.0, 3.0, false), // no quote in bound
+      Streams.Trade("S", ts(4000), 1.0, 1.0, false))  // sentinel
+    val tIn = MemoryStream[Streams.Trade]
+    val bIn = MemoryStream[Streams.BookLevel]
+    val q = Streams.bookAtPrint(tIn.toDS(), bIn.toDS())
+      .writeStream.format("memory").queryName("bap_out")
+      .outputMode("append").start()
+    bIn.addData(books.take(2))
+    tIn.addData(trades.take(1))
+    q.processAllAvailable()
+    // the tying update and later books arrive a batch later — the
+    // trade's group must stay open until the watermark says complete
+    bIn.addData(books.drop(2))
+    tIn.addData(trades.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val cutoff = ts(3000).getTime
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(1).getTime, r.getLong(6), r.getDouble(8), r.getLong(9))
+    val streamed = spark.table("bap_out").collect()
+      .filter(_.getTimestamp(1).getTime < cutoff).map(key).toSet
+    val batch = Streams.bookAtPrint(
+      spark.createDataset(trades), spark.createDataset(books))
+      .collect().filter(_.getTimestamp(1).getTime < cutoff).map(key).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // as-of semantics: trade@30 resolves the ts-20 TIE to seq 3; trade
+    // @60 picks seq 4; trade@300 has no in-bound quote and is absent
+    assert(streamed == Set(
+      (ts(30).getTime, 3L, 8.0, 3L),
+      (ts(60).getTime, 4L, 9.0, 1L)), s"got $streamed")
+  }
+
   test("monitor retention: within-horizon verdicts unchanged; idle buckets expire") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
