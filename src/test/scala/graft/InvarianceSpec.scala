@@ -92,4 +92,32 @@ class InvarianceSpec extends SparkSpec {
       .filter(_("side") != "NONE")
     assert(a.size == b.size)
   }
+
+  test("phash family: every consumer of the signature memo agrees with it") {
+    // five queries share media_phash:<dir>; the survivorship and
+    // incremental screens must be consistent VIEWS of the same hashes,
+    // not artifacts of evaluation order
+    val P = graft.operators.Phash
+    val keep = rowsOf(P.queries("media_keep")(spark, sfDir("sf0.001")))
+      .map(m => m("doc_id").asInstanceOf[Long] ->
+        m("media_keep").asInstanceOf[Boolean]).toMap
+    val inc = rowsOf(P.queries("media_incremental")(spark, sfDir("sf0.001")))
+      .map(m => m("media_id").asInstanceOf[Long] -> m).toMap
+    val sig = rowsOf(P.queries("media_phash")(spark, sfDir("sf0.001")))
+      .filter(_("variant") == 0L)
+      .map(m => m("media_id").asInstanceOf[Long] ->
+        m("phash").asInstanceOf[Long]).toMap
+    // cross-view consistency: a delta doc whose exact base twin has a
+    // SMALLER id cannot survive the min-id keeper — the two screens
+    // must read the same memoized hashes, whatever order they ran in
+    inc.foreach { case (id, m) =>
+      if (m("verdict") == "exact_dup") {
+        val smallerTwin = sig.exists { case (j, h) =>
+          j < id && h == sig(id) }
+        if (smallerTwin)
+          assert(!keep(id), s"delta doc $id kept past a smaller exact twin")
+      }
+    }
+    assert(inc.nonEmpty && keep.nonEmpty)
+  }
 }

@@ -177,6 +177,11 @@ class PhashSpec extends SparkSpec {
     // the screen is doing real work on this corpus: all three verdicts
     val vs = rows.values.map(_("verdict")).toSet
     assert(vs == Set("exact_dup", "near_dup", "novel"), s"got $vs")
+    // plan: delta and base meet on (band, band_key) — never all-pairs
+    val plan = Phash.queries("media_incremental")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$plan")
   }
 
   test("hot-band guard: an all-identical corpus yields no quadratic pair mass") {
