@@ -521,6 +521,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 4)
   }
 
+  test("JSONL ingestion: malformed lines quarantine, valid lines feed docIngest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val lines = Seq(
+      """{"doc_id": 1, "text": "the quick brown fox", "lang": "en", "source": "s1"}""",
+      """{"doc_id": 2, "text": "alpha beta gamma", "lang": "en", "source": "s1"}""",
+      """this is not json at all{{""",
+      """{"doc_id": 3, "lang": "en", "source": "s1"}""", // no text
+      """{"doc_id": 4, "text": "the quick brown fox", "lang": "de", "source": "s2"}""")
+    def writeDrop(name: String, ls: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$srcDir/$name"),
+        ls.mkString("\n").getBytes("UTF-8"))
+    writeDrop("drop1.jsonl", lines.take(3))
+    // streaming: the contract file-watched into the ingest gates — the
+    // quarantine rows never reach them, and doc 4 (a later drop
+    // repeating doc 1's content) dedups CROSS-batch like any arrival
+    val q = Streams.docIngest(
+      graft.sources.Jsonl.docsStream(spark, srcDir).filter($"valid")
+        .select($"doc_id", $"text", $"lang", $"source"))
+      .writeStream.format("memory").queryName("jsonl_ingest_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    writeDrop("drop2.jsonl", lines.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("jsonl_ingest_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // 4 deduped against 1; 3 quarantined
+    assert(out(1L).getAs[Boolean]("keep") == true)
+    // batch read over the full drop: every line routed, nothing fatal
+    val batch = rowsOf(graft.sources.Jsonl.docs(spark, srcDir))
+    assert(batch.size == lines.size)
+    val byErr = batch.groupBy(_("err"))
+    assert(byErr(null).size == 3)
+    assert(byErr("malformed_json").size == 1 &&
+      byErr("malformed_json").head("raw") == lines(2))
+    assert(byErr("missing_required").size == 1 &&
+      byErr("missing_required").head("doc_id") == 3L)
+    // the parse is per-row map work: no exchange anywhere
+    val plan = graft.sources.Jsonl.docs(spark, srcDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"jsonl parse must not shuffle:\n$plan")
+  }
+
   test("backfill-then-stream dedupes the overlap inside the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
