@@ -873,6 +873,70 @@ object Pipeline extends OpModule {
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
        |FROM v""".stripMargin
 
+  /** Delta-batch admission — the INCREMENTAL twin of the corpus
+    * verdict: for each delta doc (the same "new crawl batch" split as
+    * the incremental screens), one row composing everything an
+    * admission decision reads: the language/quality/classifier gates
+    * plus BOTH modality dedup screens against the standing corpus
+    * (`dedup_incremental` text verdict, `media_incremental` image
+    * verdict). `admit` applies the conservative policy — every gate
+    * passes and both screens say `novel`; the verdict columns let an
+    * operator choose a looser one. Every input is an existing
+    * hash-checked query; every join hashes on doc_id — the standing
+    * corpus is touched only through the two banded screens, never
+    * rescanned. */
+  private def deltaAdmitDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.documents(spark, dir)
+      .filter($"doc_id" % Dedup.IncrementalDeltaMod === 0)
+      .select($"doc_id", $"source", $"lang")
+    val q = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", $"quality")
+    val cls = TextAnalysis.queries("text_classifier_score")(spark, dir)
+      .select($"doc_id", $"prob")
+    val inc = Dedup.queries("dedup_incremental")(spark, dir)
+      .select($"doc_id", $"verdict".as("text_verdict"))
+    val minc = Phash.queries("media_incremental")(spark, dir)
+      .select($"media_id".as("doc_id"), $"verdict".as("media_verdict"))
+    delta
+      .join(q, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"), "left")
+      .join(inc, Seq("doc_id"), "left")
+      .join(minc, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        ($"lang" === "en").as("lang_ok"),
+        coalesce($"quality" >= 0.5, lit(false)).as("quality_ok"),
+        coalesce($"prob" > 0.5, lit(false)).as("classifier_ok"),
+        coalesce($"text_verdict", lit("novel")).as("text_verdict"),
+        coalesce($"media_verdict", lit("novel")).as("media_verdict"))
+      .withColumn("admit",
+        $"lang_ok" && $"quality_ok" && $"classifier_ok" &&
+          $"text_verdict" === "novel" && $"media_verdict" === "novel")
+  }
+
+  private lazy val deltaAdmitSql: String =
+    s"""WITH q AS (${TextAnalysis.oracles("text_quality")}),
+       |cls AS (${TextAnalysis.oracles("text_classifier_score")}),
+       |ti AS (${Dedup.oracles("dedup_incremental")}),
+       |mi AS (${Phash.oracles("media_incremental")}),
+       |v AS (SELECT d.doc_id, d.source,
+       |    (d.lang = 'en') AS lang_ok,
+       |    coalesce(q.quality >= 0.5, false) AS quality_ok,
+       |    coalesce(cls.prob > 0.5, false) AS classifier_ok,
+       |    coalesce(ti.verdict, 'novel') AS text_verdict,
+       |    coalesce(mi.verdict, 'novel') AS media_verdict
+       |  FROM documents d
+       |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN cls ON cls.doc_id = d.doc_id
+       |  LEFT JOIN ti ON ti.doc_id = d.doc_id
+       |  LEFT JOIN mi ON mi.media_id = d.doc_id
+       |  WHERE d.doc_id % ${Dedup.IncrementalDeltaMod} = 0)
+       |SELECT doc_id, source, lang_ok, quality_ok, classifier_ok,
+       |  text_verdict, media_verdict,
+       |  (lang_ok AND quality_ok AND classifier_ok
+       |   AND text_verdict = 'novel' AND media_verdict = 'novel') AS admit
+       |FROM v""".stripMargin
+
   /** Shard manifest — the integrity artifact a training job validates
     * before reading a shard: per shard, the document count, the token
     * total, and an order-independent checksum (the exact integer sum of
@@ -1264,6 +1328,7 @@ object Pipeline extends OpModule {
     "pipeline_shard" -> (shardDf(_, _)),
     "pipeline_upsample" -> (upsampleDf(_, _)),
     "pipeline_corpus" -> (corpusDf(_, _)),
+    "pipeline_delta_admit" -> (deltaAdmitDf(_, _)),
     "pipeline_manifest" -> (manifestDf(_, _)),
     "pipeline_curriculum" -> (curriculumDf(_, _)),
     "pipeline_funnel" -> (funnelDf(_, _)),
@@ -1288,6 +1353,7 @@ object Pipeline extends OpModule {
     "pipeline_shard" -> shardSql,
     "pipeline_upsample" -> upsampleSql,
     "pipeline_corpus" -> corpusSql,
+    "pipeline_delta_admit" -> deltaAdmitSql,
     "pipeline_manifest" -> manifestSql,
     "pipeline_curriculum" -> curriculumSql,
     "pipeline_funnel" -> funnelSql,

@@ -387,6 +387,37 @@ class PipelineSpec extends SparkSpec {
     assert(seq.head == 500 && seq.last == v.count(_("keep") == true))
   }
 
+  test("delta admission composes the gates with both incremental screens") {
+    val rows = rowsOf(
+      Pipeline.queries("pipeline_delta_admit")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id").asInstanceOf[Long] -> m).toMap
+    val D = graft.operators.Dedup.IncrementalDeltaMod
+    // one admission row per delta doc
+    assert(rows.nonEmpty && rows.keySet.forall(_ % D == 0))
+    assert(rows.size * D >= 500) // the whole delta split is covered
+    // admit is exactly the printed conjunction
+    rows.values.foreach { m =>
+      val expect = m("lang_ok") == true && m("quality_ok") == true &&
+        m("classifier_ok") == true &&
+        m("text_verdict") == "novel" && m("media_verdict") == "novel"
+      assert(m("admit") == expect, s"inconsistent admission $m")
+    }
+    // the verdict columns ARE the standalone screens' verdicts
+    val ti = rowsOf(graft.operators.Dedup
+      .queries("dedup_incremental")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id") -> m("verdict")).toMap
+    val mi = rowsOf(graft.operators.Phash
+      .queries("media_incremental")(spark, sfDir("sf0.01")))
+      .map(m => m("media_id") -> m("verdict")).toMap
+    rows.foreach { case (id, m) =>
+      assert(m("text_verdict") == ti(id) && m("media_verdict") == mi(id),
+        s"screen drift for doc $id")
+    }
+    // both decisions occur on the real corpus
+    assert(rows.values.exists(_("admit") == true) &&
+      rows.values.exists(_("admit") == false))
+  }
+
   test("contamination flags exactly the docs sharing enough benchmark shingles") {
     val rows = rowsOf(
       Pipeline.queries("bench_contamination")(spark, sfDir("sf0.01")))
