@@ -278,8 +278,18 @@ object Phash extends OpModule {
     import spark.implicits._
     val isDelta = col("media_id") % Dedup.IncrementalDeltaMod === 0
     val sig = phashDf(spark, dir).filter($"variant" === 0)
-    val hits = bandsOf(sig.filter(isDelta)).as("x")
-      .join(bandsOf(sig.filter(!isDelta)).as("y"),
+    // same degenerate-corpus guard as the census: a band key saturated
+    // past HotBandCap is dropped from BOTH sides before the join, so a
+    // near-constant image corpus cannot make the screen quadratic (the
+    // affected delta docs read 'novel' — the documented recall trade)
+    val bands = bandsOf(sig)
+    val hot = bands.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("occ"))
+      .filter($"occ" > HotBandCap)
+      .select($"band", $"band_key")
+    val ok = bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val hits = ok.filter(isDelta).as("x")
+      .join(ok.filter(!isDelta).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key"))
       .select(col("x.media_id").as("media_id"),
@@ -307,10 +317,14 @@ object Phash extends OpModule {
        |  SELECT media_id, phash, band,
        |    (phash // (1::BIGINT << (band * 8))) % 256 AS band_key
        |  FROM sig, range(0, $Bands) t(band)),
+       |occ AS (SELECT band, band_key, count(*) AS occ
+       |        FROM bands GROUP BY 1, 2),
+       |ok AS (SELECT b.* FROM bands b JOIN occ USING (band, band_key)
+       |       WHERE occ <= $HotBandCap),
        |hits AS (
        |  SELECT DISTINCT x.media_id, y.media_id AS base_id,
        |    bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
-       |  FROM bands x JOIN bands y
+       |  FROM ok x JOIN ok y
        |    ON x.band = y.band AND x.band_key = y.band_key
        |  WHERE x.media_id % ${Dedup.IncrementalDeltaMod} = 0
        |    AND y.media_id % ${Dedup.IncrementalDeltaMod} <> 0
@@ -341,11 +355,7 @@ object Phash extends OpModule {
   private def mediaKeepDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = phashDf(spark, dir).filter($"variant" === 0)
-    val bands = sig
-      .select($"media_id", $"phash",
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
-      .withColumn("band_key",
-        expr("(phash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+    val bands = bandsOf(sig)
     val hot = bands.groupBy($"band", $"band_key")
       .agg(count(lit(1)).as("occ"))
       .filter($"occ" > HotBandCap)

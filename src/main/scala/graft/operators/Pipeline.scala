@@ -760,6 +760,12 @@ object Pipeline extends OpModule {
           coalesce($"cls_ok", lit(false)).as("classifier_ok"),
           coalesce($"is_keeper", lit(false)).as("exact_keeper"),
           ($"doc_id" % BenchMod === 0).as("is_bench"),
+          // the media eval set is its own holdout: a doc whose IMAGE is
+          // a benchmark image must not train, exactly like the text
+          // holdout — without this gate the eval images themselves ship
+          // in the kept corpus (their contamination rows are absent by
+          // construction: they ARE the reference set)
+          ($"doc_id" % Phash.BenchMod === 0).as("media_bench"),
           coalesce($"is_contam", lit(false)).as("contaminated"),
           coalesce($"nd_keep", lit(true)).as("neardup_keep"),
           coalesce($"media_keep", lit(true)).as("media_keep"),
@@ -767,7 +773,7 @@ object Pipeline extends OpModule {
           coalesce($"repetitive", lit(false)).as("repetitive"))
         .withColumn("keep",
           $"lang_ok" && $"quality_ok" && $"classifier_ok" &&
-            $"exact_keeper" && !$"is_bench" &&
+            $"exact_keeper" && !$"is_bench" && !$"media_bench" &&
             !$"contaminated" && $"neardup_keep" && $"media_keep" &&
             !$"media_contam" && !$"repetitive")
     }
@@ -787,6 +793,7 @@ object Pipeline extends OpModule {
        |    coalesce(cls.prob > 0.5, false) AS classifier_ok,
        |    (k.doc_id IS NOT NULL) AS exact_keeper,
        |    (d.doc_id % $BenchMod = 0) AS is_bench,
+       |    (d.doc_id % ${Phash.BenchMod} = 0) AS media_bench,
        |    (ct.doc_id IS NOT NULL) AS contaminated,
        |    coalesce(nd.keep, true) AS neardup_keep,
        |    coalesce(mk.media_keep, true) AS media_keep,
@@ -802,10 +809,10 @@ object Pipeline extends OpModule {
        |  LEFT JOIN mc ON mc.media_id = d.doc_id
        |  LEFT JOIN cls ON cls.doc_id = d.doc_id)
        |SELECT doc_id, source, lang_ok, quality_ok, classifier_ok,
-       |  exact_keeper, is_bench,
+       |  exact_keeper, is_bench, media_bench,
        |  contaminated, neardup_keep, media_keep, media_contam, repetitive,
        |  (lang_ok AND quality_ok AND classifier_ok
-       |   AND exact_keeper AND NOT is_bench
+       |   AND exact_keeper AND NOT is_bench AND NOT media_bench
        |   AND NOT contaminated AND neardup_keep AND media_keep
        |   AND NOT media_contam AND NOT repetitive) AS keep
        |FROM v""".stripMargin
@@ -828,6 +835,7 @@ object Pipeline extends OpModule {
       "n_classifier" -> $"classifier_ok",
       "n_exact" -> $"exact_keeper",
       "n_bench" -> !$"is_bench",
+      "n_media_bench" -> !$"media_bench",
       "n_contam" -> !$"contaminated",
       "n_neardup" -> $"neardup_keep",
       "n_media_dup" -> $"media_keep",
@@ -855,19 +863,26 @@ object Pipeline extends OpModule {
        |      AND NOT is_bench THEN 1 ELSE 0 END)::BIGINT AS n_bench,
        |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
        |      AND exact_keeper
-       |      AND NOT is_bench AND NOT contaminated
+       |      AND NOT is_bench AND NOT media_bench
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_media_bench,
+       |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
+       |      AND exact_keeper
+       |      AND NOT is_bench AND NOT media_bench AND NOT contaminated
        |      THEN 1 ELSE 0 END)::BIGINT AS n_contam,
        |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
        |      AND exact_keeper
-       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      AND NOT is_bench AND NOT media_bench AND NOT contaminated
+       |      AND neardup_keep
        |      THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
        |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
        |      AND exact_keeper
-       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      AND NOT is_bench AND NOT media_bench AND NOT contaminated
+       |      AND neardup_keep
        |      AND media_keep THEN 1 ELSE 0 END)::BIGINT AS n_media_dup,
        |  sum(CASE WHEN lang_ok AND quality_ok AND classifier_ok
        |      AND exact_keeper
-       |      AND NOT is_bench AND NOT contaminated AND neardup_keep
+       |      AND NOT is_bench AND NOT media_bench AND NOT contaminated
+       |      AND neardup_keep
        |      AND media_keep AND NOT media_contam
        |      THEN 1 ELSE 0 END)::BIGINT AS n_media_contam,
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
@@ -876,15 +891,18 @@ object Pipeline extends OpModule {
   /** Delta-batch admission — the INCREMENTAL twin of the corpus
     * verdict: for each delta doc (the same "new crawl batch" split as
     * the incremental screens), one row composing everything an
-    * admission decision reads: the language/quality/classifier gates
-    * plus BOTH modality dedup screens against the standing corpus
+    * admission decision reads: the language/quality/classifier gates,
+    * BOTH benchmark holdouts (text and media eval membership), BOTH
+    * contamination screens (benchmark shingles, benchmark images), and
+    * BOTH modality dedup screens against the standing corpus
     * (`dedup_incremental` text verdict, `media_incremental` image
-    * verdict). `admit` applies the conservative policy — every gate
-    * passes and both screens say `novel`; the verdict columns let an
-    * operator choose a looser one. Every input is an existing
-    * hash-checked query; every join hashes on doc_id — the standing
-    * corpus is touched only through the two banded screens, never
-    * rescanned. */
+    * verdict) — so the incremental path cannot admit a document the
+    * batch corpus verdict would reject at any gate. `admit` applies
+    * the conservative policy — every gate passes and both dedup
+    * screens say `novel`; the verdict columns let an operator choose a
+    * looser one. Every input is an existing hash-checked query; every
+    * join hashes on doc_id — the standing corpus is touched only
+    * through the banded screens, never rescanned. */
   private def deltaAdmitDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val delta = Tables.documents(spark, dir)
@@ -894,6 +912,11 @@ object Pipeline extends OpModule {
       .select($"doc_id", $"quality")
     val cls = TextAnalysis.queries("text_classifier_score")(spark, dir)
       .select($"doc_id", $"prob")
+    val ct = contaminationDf(spark, dir)
+      .select($"doc_id", lit(true).as("is_contam"))
+    val mc = Phash.queries("media_contamination")(spark, dir)
+      .select($"media_id".as("doc_id"),
+        ($"verdict" =!= "clean").as("mc_contam"))
     val inc = Dedup.queries("dedup_incremental")(spark, dir)
       .select($"doc_id", $"verdict".as("text_verdict"))
     val minc = Phash.queries("media_incremental")(spark, dir)
@@ -901,39 +924,58 @@ object Pipeline extends OpModule {
     delta
       .join(q, Seq("doc_id"), "left")
       .join(cls, Seq("doc_id"), "left")
+      .join(ct, Seq("doc_id"), "left")
+      .join(mc, Seq("doc_id"), "left")
       .join(inc, Seq("doc_id"), "left")
       .join(minc, Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         ($"lang" === "en").as("lang_ok"),
         coalesce($"quality" >= 0.5, lit(false)).as("quality_ok"),
         coalesce($"prob" > 0.5, lit(false)).as("classifier_ok"),
+        ($"doc_id" % BenchMod === 0).as("is_bench"),
+        ($"doc_id" % Phash.BenchMod === 0).as("media_bench"),
+        coalesce($"is_contam", lit(false)).as("contaminated"),
+        coalesce($"mc_contam", lit(false)).as("media_contam"),
         coalesce($"text_verdict", lit("novel")).as("text_verdict"),
         coalesce($"media_verdict", lit("novel")).as("media_verdict"))
       .withColumn("admit",
         $"lang_ok" && $"quality_ok" && $"classifier_ok" &&
+          !$"is_bench" && !$"media_bench" &&
+          !$"contaminated" && !$"media_contam" &&
           $"text_verdict" === "novel" && $"media_verdict" === "novel")
   }
 
   private lazy val deltaAdmitSql: String =
     s"""WITH q AS (${TextAnalysis.oracles("text_quality")}),
        |cls AS (${TextAnalysis.oracles("text_classifier_score")}),
+       |ct AS ($contaminationSql),
+       |mc AS (${Phash.oracles("media_contamination")}),
        |ti AS (${Dedup.oracles("dedup_incremental")}),
        |mi AS (${Phash.oracles("media_incremental")}),
        |v AS (SELECT d.doc_id, d.source,
        |    (d.lang = 'en') AS lang_ok,
        |    coalesce(q.quality >= 0.5, false) AS quality_ok,
        |    coalesce(cls.prob > 0.5, false) AS classifier_ok,
+       |    (d.doc_id % $BenchMod = 0) AS is_bench,
+       |    (d.doc_id % ${Phash.BenchMod} = 0) AS media_bench,
+       |    (ct.doc_id IS NOT NULL) AS contaminated,
+       |    coalesce(mc.verdict <> 'clean', false) AS media_contam,
        |    coalesce(ti.verdict, 'novel') AS text_verdict,
        |    coalesce(mi.verdict, 'novel') AS media_verdict
        |  FROM documents d
        |  LEFT JOIN q ON q.doc_id = d.doc_id
        |  LEFT JOIN cls ON cls.doc_id = d.doc_id
+       |  LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |  LEFT JOIN mc ON mc.media_id = d.doc_id
        |  LEFT JOIN ti ON ti.doc_id = d.doc_id
        |  LEFT JOIN mi ON mi.media_id = d.doc_id
        |  WHERE d.doc_id % ${Dedup.IncrementalDeltaMod} = 0)
        |SELECT doc_id, source, lang_ok, quality_ok, classifier_ok,
+       |  is_bench, media_bench, contaminated, media_contam,
        |  text_verdict, media_verdict,
        |  (lang_ok AND quality_ok AND classifier_ok
+       |   AND NOT is_bench AND NOT media_bench
+       |   AND NOT contaminated AND NOT media_contam
        |   AND text_verdict = 'novel' AND media_verdict = 'novel') AS admit
        |FROM v""".stripMargin
 

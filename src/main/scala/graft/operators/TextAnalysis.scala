@@ -698,15 +698,41 @@ object TextAnalysis extends OpModule {
     s"""WITH $clsTrainSqlBody
        |SELECT bucket, n_pos, n_neg, w_unats FROM clsw""".stripMargin
 
+  // the collected weight VECTOR, cached per (session, dir): DataFrame
+  // construction (including explain-only paths) must not re-run the
+  // training collect every time a query composing the classifier is
+  // built — the array is collected once and reused as a literal
+  private val clsWeightCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, Seq[Long]]]()
+
+  private def clsWeights(spark: SparkSession, dir: String): Seq[Long] = {
+    val tab = clsWeightCache.synchronized {
+      var m = clsWeightCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        clsWeightCache.put(spark, m)
+      }
+      m
+    }
+    tab.synchronized(tab.get(dir)) match {
+      case Some(w) => w
+      case None =>
+        import spark.implicits._
+        // the learned model is exactly D rows — the bounded driver-side
+        // collect that a broadcast weight vector is
+        val w = classifierTrainDf(spark, dir)
+          .select($"bucket", $"w_unats").as[(Long, Long)]
+          .collect().sortBy(_._1).map(_._2).toSeq
+        tab.synchronized(tab.put(dir, w))
+        w
+    }
+  }
+
   private def classifierDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the learned model is exactly D rows — the bounded driver-side
-    // collect that a broadcast weight vector is; serving stays
-    // zero-shuffle per-row array arithmetic over the literal
-    val w = classifierTrainDf(spark, dir)
-      .select($"bucket", $"w_unats").as[(Long, Long)]
-      .collect().sortBy(_._1).map(_._2)
-    val warr = typedLit(w.toSeq)
+    // serving stays zero-shuffle per-row array arithmetic over the
+    // cached literal weight vector
+    val warr = typedLit(clsWeights(spark, dir))
     hashedTokens(spark, dir)
       .withColumn("bg", zip_with(
         slice($"hs", lit(1), greatest(size($"hs") - 1, lit(0))),

@@ -37,12 +37,21 @@ object Jsonl {
     import spark.implicits._
     lines
       .select($"value", from_json($"value", schema).as("j"))
-      .select($"value", $"j.doc_id", $"j.text", $"j.lang", $"j.source")
+      // from_json PERMISSIVE-nulls the fields on BOTH unparseable input
+      // and valid JSON missing the contract fields, so the
+      // wire-corruption vs schema-drift split (the whole point of the
+      // err class) needs its own probe: try_parse_json is null exactly
+      // when the line is not JSON. ALL four fields are required for
+      // validity: a null lang/source would turn downstream gate
+      // booleans (lang === "en") into NULLs that vanish from both the
+      // keep and the reject branch of an ingest filter.
       .withColumn("err",
-        when($"doc_id".isNull && $"text".isNull && $"lang".isNull &&
-          $"source".isNull, "malformed_json")
-          .when($"doc_id".isNull || $"text".isNull, "missing_required")
+        when(expr("try_parse_json(value)").isNull, "malformed_json")
+          .when($"j.doc_id".isNull || $"j.text".isNull ||
+            $"j.lang".isNull || $"j.source".isNull, "missing_required")
           .otherwise(lit(null).cast("string")))
+      .select($"value", $"j.doc_id", $"j.text", $"j.lang", $"j.source",
+        $"err")
       .withColumn("valid", $"err".isNull)
       // the quarantine keeps the raw line; valid rows drop it (no point
       // carrying the serialized form of data we already parsed)

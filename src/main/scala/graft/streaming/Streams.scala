@@ -46,6 +46,20 @@ import graft.state.Fsm.{FsmEvent, FsmIn, PosState, TrendIn, TrendOut, TrendState
   */
 object Streams {
 
+  /** The retention dial's one deployment footgun, surfaced at build
+    * time instead of as a silent CPU burn: ProcessingTimeTimeout under
+    * the default ASAP trigger makes the engine spin no-data
+    * micro-batches polling for expiry (and test harnesses calling
+    * processAllAvailable never return). */
+  private def warnAsapRetention(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+        .forall(_ == "true"))
+      org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams").warn(
+        "monitor retention with no-data micro-batches enabled: pair with " +
+          "Trigger.ProcessingTime or set " +
+          "spark.sql.streaming.noDataMicroBatches.enabled=false, or the " +
+          "default ASAP trigger spins empty batches polling state expiry")
+
   /** Event-time-sort ONLY the trigger's slice, in place. In a
     * `flatMapGroupsWithState` body the iterator holds this micro-batch's
     * rows for the key — never the group's history (that lives in the
@@ -906,6 +920,7 @@ object Streams {
     // default ASAP trigger, ProcessingTimeTimeout makes the engine spin
     // no-data micro-batches continuously to poll for expiry (and
     // processAllAvailable never returns).
+    retention.foreach(_ => warnAsapRetention(spark))
     val timeoutConf =
       if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -1016,6 +1031,7 @@ object Streams {
     // saturated bucket then refuses members forever; retention lets
     // buckets recycle so the monitor recovers from a historic
     // degenerate burst.
+    retention.foreach(_ => warnAsapRetention(spark))
     val timeoutConf =
       if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout

@@ -343,6 +343,7 @@ class PipelineSpec extends SparkSpec {
       val expect = m("lang_ok") == true && m("quality_ok") == true &&
         m("classifier_ok") == true &&
         m("exact_keeper") == true && m("is_bench") == false &&
+        m("media_bench") == false &&
         m("contaminated") == false && m("neardup_keep") == true &&
         m("media_keep") == true && m("media_contam") == false &&
         m("repetitive") == false
@@ -380,7 +381,7 @@ class PipelineSpec extends SparkSpec {
       !fplan.contains("BroadcastNestedLoopJoin"))
     val f = rowsOf(fdf).head
     val seq = Seq("n_total", "n_lang", "n_quality", "n_classifier",
-      "n_exact", "n_bench",
+      "n_exact", "n_bench", "n_media_bench",
       "n_contam", "n_neardup", "n_media_dup", "n_media_contam",
       "n_keep").map(f(_).asInstanceOf[Long])
     seq.sliding(2).foreach { case Seq(a, b) => assert(a >= b, seq) }
@@ -395,12 +396,29 @@ class PipelineSpec extends SparkSpec {
     // one admission row per delta doc
     assert(rows.nonEmpty && rows.keySet.forall(_ % D == 0))
     assert(rows.size * D >= 500) // the whole delta split is covered
-    // admit is exactly the printed conjunction
+    // admit is exactly the printed conjunction — including the holdout
+    // and contamination gates the batch verdict applies
     rows.values.foreach { m =>
       val expect = m("lang_ok") == true && m("quality_ok") == true &&
         m("classifier_ok") == true &&
+        m("is_bench") == false && m("media_bench") == false &&
+        m("contaminated") == false && m("media_contam") == false &&
         m("text_verdict") == "novel" && m("media_verdict") == "novel"
       assert(m("admit") == expect, s"inconsistent admission $m")
+    }
+    // the incremental path cannot admit a doc the batch verdict rejects
+    // at a shared gate: every admitted delta doc passes the SAME
+    // lang/quality/classifier/holdout/contamination columns there
+    val corpus = rowsOf(
+      Pipeline.queries("pipeline_corpus")(spark, sfDir("sf0.01")))
+      .map(m => m("doc_id").asInstanceOf[Long] -> m).toMap
+    rows.values.filter(_("admit") == true).foreach { m =>
+      val c = corpus(m("doc_id").asInstanceOf[Long])
+      Seq("lang_ok", "quality_ok", "classifier_ok").foreach(g =>
+        assert(c(g) == true, s"admitted doc fails corpus $g: $m"))
+      Seq("is_bench", "media_bench", "contaminated", "media_contam")
+        .foreach(g => assert(c(g) == false,
+          s"admitted doc fails corpus $g: $m"))
     }
     // the verdict columns ARE the standalone screens' verdicts
     val ti = rowsOf(graft.operators.Dedup

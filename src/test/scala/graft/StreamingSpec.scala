@@ -531,7 +531,9 @@ class StreamingSpec extends SparkSpec {
       """{"doc_id": 2, "text": "alpha beta gamma", "lang": "en", "source": "s1"}""",
       """this is not json at all{{""",
       """{"doc_id": 3, "lang": "en", "source": "s1"}""", // no text
-      """{"doc_id": 4, "text": "the quick brown fox", "lang": "de", "source": "s2"}""")
+      """{"doc_id": 4, "text": "the quick brown fox", "lang": "de", "source": "s2"}""",
+      """{}""", // valid JSON, zero contract fields: schema drift, NOT corruption
+      """{"doc_id": 5, "text": "words here now", "source": "s2"}""") // no lang
     def writeDrop(name: String, ls: Seq[String]): Unit =
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$srcDir/$name"),
@@ -558,10 +560,13 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == lines.size)
     val byErr = batch.groupBy(_("err"))
     assert(byErr(null).size == 3)
+    // err distinguishes wire corruption from schema drift: an empty or
+    // field-free object is valid JSON and must NOT read as malformed
     assert(byErr("malformed_json").size == 1 &&
       byErr("malformed_json").head("raw") == lines(2))
-    assert(byErr("missing_required").size == 1 &&
-      byErr("missing_required").head("doc_id") == 3L)
+    assert(byErr("missing_required").size == 3)
+    assert(byErr("missing_required").map(_("raw")).toSet ==
+      Set(lines(3), lines(5), lines(6)))
     // the parse is per-row map work: no exchange anywhere
     val plan = graft.sources.Jsonl.docs(spark, srcDir)
       .queryExecution.executedPlan.toString
