@@ -573,6 +573,39 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"jsonl parse must not shuffle:\n$plan")
   }
 
+  test("JSONL parse is total: random garbage never throws, every line routes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_fuzz").toString
+    val rnd = new scala.util.Random(4242)
+    val chars = """{}[]"':,\0aZ9 \n\té"""
+    def garbage() = (0 until rnd.nextInt(40))
+      .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    val lines = (0 until 200).map { i =>
+      rnd.nextInt(4) match {
+        case 0 => s"""{"doc_id": $i, "text": "t $i", "lang": "en", "source": "s"}"""
+        case 1 => garbage()
+        case 2 => s"""{"doc_id": $i}"""
+        case _ => s"""[1, 2, $i]""" // valid JSON, wrong shape
+      }
+    }.filter(_.nonEmpty)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/fuzz.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val rows = rowsOf(graft.sources.Jsonl.docs(spark, base))
+    // total: one routed row per line, no exception, no silent drop
+    assert(rows.size == lines.size)
+    rows.foreach { m =>
+      val valid = m("valid") == true
+      assert(valid == (m("err") == null), s"flag/err disagree: $m")
+      if (valid)
+        assert(m("doc_id") != null && m("text") != null &&
+          m("lang") != null && m("source") != null, s"invalid valid row $m")
+      else assert(m("raw") != null, s"quarantine row lost its payload: $m")
+    }
+    assert(rows.count(_("valid") == true) ==
+      lines.count(_.contains("\"lang\"")))
+  }
+
   test("backfill-then-stream dedupes the overlap inside the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
