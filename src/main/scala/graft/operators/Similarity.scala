@@ -945,6 +945,163 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN iv l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  // ---- ANN rung 11: matryoshka prefix truncation — the DIMENSION
+  // dial, orthogonal to the probe dial (IVF) and the code dial (PQ) ----
+
+  /** Prefix width of the shipped truncation rung. */
+  val TruncDim = 16
+
+  /** Stage-1 shortlist size per query. 20 >= the re-rank k of 3 by a
+    * wide margin, so recall losses come only from the prefix ranking —
+    * the quantity [[truncCurveDf]] prices. */
+  val TruncShortlist = 20
+
+  /** Prefix widths the tuning curve sweeps; the full width [[Dim]] is
+    * the built-in recall-1.0 anchor (prefix ranking == exact ranking). */
+  val TruncDims = Seq(8, 16, 32, 64)
+
+  /** Stage-1 of the truncation rung: per-query top-[[TruncShortlist]]
+    * by PREFIX-d cosine (matryoshka-representation search, Kusupati et
+    * al. 2022, arXiv:2205.13147 — embedding prefixes of MRL-trained
+    * models are usable sub-embeddings; this synthetic corpus stands in
+    * for one). Prefix cosines are quantized to 6 dp before ranking
+    * (ties then break on nid) so the shortlist boundary cannot flip on
+    * engine summation order — the same guard as the IVF cell ranks.
+    *
+    * Scale shape: at 100 TB the d-dim prefix is ITS OWN stored column,
+    * so stage 1 scans d/[[Dim]] of the vector bytes (1/4 at d=16) with
+    * the same broadcast-queries/one-corpus-scan plan as `knn_brute`,
+    * and stage 2 fetches full vectors for only Q x [[TruncShortlist]]
+    * survivors — the fetch-the-tail pattern every two-stage retrieval
+    * system runs. */
+  private def truncShortDf(spark: SparkSession, dir: String,
+      d: Int): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" % QueryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val (pq, pn) = (slice($"qe", 1, d), slice($"ne", 1, d))
+    broadcast(q)
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
+        $"nid" =!= $"qid")
+      .withColumn("pcos",
+        round(dot(pq, pn) / (sqrt(dot(pq, pq)) * sqrt(dot(pn, pn))), 6))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"pcos".desc, $"nid")))
+      .filter($"prk" <= TruncShortlist)
+  }
+
+  /** ANN rung 11 (`ann_trunc_topk`): exact-cosine re-rank of the
+    * [[TruncDim]]-prefix shortlist, top-3 per query — same output
+    * contract as every re-ranked rung. */
+  private def truncTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    truncShortDf(spark, dir, TruncDim)
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rk" <= 3)
+      .select("qid", "nid", "cos")
+  }
+
+  /** The prefix-d shortlist as SQL CTEs `pd$d` / `pnorm$d` / `short$d`
+    * (the oracle twin of [[truncShortDf]]). */
+  private def truncShortSqlCtes(d: Int): String =
+    s"""pd$d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q, embeddings e, range(1, ${d + 1}) t(i)
+       |      WHERE e.vec_id <> qid GROUP BY 1, 2),
+       |pnorm$d AS (SELECT vec_id,
+       |      sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${d + 1}) t(i) GROUP BY 1),
+       |short$d AS (SELECT qid, nid FROM (
+       |      SELECT qid, nid, round(dt / (nq.nrm * nn.nrm), 6) AS pcos
+       |      FROM pd$d JOIN pnorm$d nq ON nq.vec_id = qid
+       |                JOIN pnorm$d nn ON nn.vec_id = nid)
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY pcos DESC, nid) <= $TruncShortlist)""".stripMargin
+
+  private lazy val truncTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |${truncShortSqlCtes(TruncDim)},
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d2 AS (SELECT s.qid, s.nid, ${dotSql("q.qe", "e.embedding")} AS dt
+       |      FROM short$TruncDim s JOIN q ON q.qid = s.qid
+       |           JOIN embeddings e ON e.vec_id = s.nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c2 AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d2 JOIN n nq ON nq.vec_id = qid
+       |              JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c2
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private def recallTruncDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tr = truncTopkDf(spark, dir)
+      .select($"qid".as("tr_qid"), $"nid".as("tr_nid"))
+    brute3Df(spark, dir)
+      .join(tr, $"qid" === $"tr_qid" && $"nid" === $"tr_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"tr_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private lazy val recallTruncSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |tr AS ($truncTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN tr l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
+  /** The matryoshka tuning curve (`ann_trunc_curve`): recall@3 of the
+    * shortlist+exact-re-rank path at every prefix width in
+    * [[TruncDims]] — the dimension-budget twin of `ann_recall_curve`'s
+    * probe sweep. Shortlist membership IS final recall for a true
+    * top-3 neighbor (at most two candidates can out-rank it in the
+    * exact re-rank — the same argument as the cell-geometry curves),
+    * so each width is one anti-joined aggregate of the truth against
+    * that width's shortlist; the full-width row anchors at 1.0 by
+    * construction. */
+  private def truncCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = brute3Df(spark, dir)
+    TruncDims.map { d =>
+      val s = truncShortDf(spark, dir, d)
+        .select($"qid".as("s_qid"), $"nid".as("s_nid"))
+      truth
+        .join(s, $"qid" === $"s_qid" && $"nid" === $"s_nid", "left")
+        .agg(sum(when($"s_nid".isNotNull, 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("n"))
+        .select(lit(d).as("prefix_dim"), $"hits", $"n",
+          ($"hits" / $"n").as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val truncCurveSql: String = {
+    val rows = TruncDims.map { d =>
+      s"""SELECT $d AS prefix_dim,
+         |  sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |  count(*) AS n
+         |FROM brute3 t LEFT JOIN short$d s
+         |  ON s.qid = t.qid AND s.nid = t.nid""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |${TruncDims.map(truncShortSqlCtes).mkString(",\n")},
+       |brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3)
+       |SELECT prefix_dim, hits, n, hits::DOUBLE / n AS recall
+       |FROM (${rows.mkString("(", ") UNION ALL (", ")")})""".stripMargin
+  }
+
   /** Per-(vector, subspace) RAW subvectors — the equal-code-size plain
     * PQ baseline's training input (no centroid subtraction). */
   private def rawSubDf(spark: SparkSession, dir: String): DataFrame =
@@ -1501,7 +1658,10 @@ object Similarity extends OpModule {
     "ann_pq_distortion" -> (pqDistortionDf(_, _)),
     "ann_ivfpq_topk" -> (ivfpqTopkDf(_, _)),
     "ann_recall_ivfpq" -> (recallIvfpqDf(_, _)),
-    "ann_ivfpq_distortion" -> (ivfpqDistortionDf(_, _))
+    "ann_ivfpq_distortion" -> (ivfpqDistortionDf(_, _)),
+    "ann_trunc_topk" -> (truncTopkDf(_, _)),
+    "ann_recall_trunc" -> (recallTruncDf(_, _)),
+    "ann_trunc_curve" -> (truncCurveDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1526,6 +1686,9 @@ object Similarity extends OpModule {
     "ann_pq_distortion" -> pqDistortionSql,
     "ann_ivfpq_topk" -> ivfpqTopkSql,
     "ann_recall_ivfpq" -> recallIvfpqSql,
-    "ann_ivfpq_distortion" -> ivfpqDistortionSql
+    "ann_ivfpq_distortion" -> ivfpqDistortionSql,
+    "ann_trunc_topk" -> truncTopkSql,
+    "ann_recall_trunc" -> recallTruncSql,
+    "ann_trunc_curve" -> truncCurveSql
   )
 }

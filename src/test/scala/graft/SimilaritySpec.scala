@@ -180,6 +180,40 @@ class SimilaritySpec extends SparkSpec {
     rIvfpq.foreach { case (q, r) => assert(r <= rPq(q), s"query $q") }
   }
 
+  test("matryoshka truncation: prefix shortlist + exact re-rank; curve anchors at 1.0") {
+    // constructed space: all signal lives in dims 0-2, inside every
+    // prefix — the 16-dim rung must reproduce the exact ranking
+    val t0 = rowsOf(Similarity.queries("ann_trunc_topk")(spark, dir))
+    t0.groupBy(_("qid")).foreach { case (q, rs) =>
+      assert(rs.size == 3, s"query $q")
+    }
+    val q0 = t0.filter(_("qid") == 0L)
+      .map(m => m("nid").asInstanceOf[Long] ->
+        m("cos").asInstanceOf[Double]).toMap
+    assert(math.abs(q0(1L) - 1.0) < 1e-12) // identical vector survives
+    assert(q0.contains(2L)) // cos 1/sqrt(2) neighbor survives
+    // real corpus: exactly 3 re-ranked answers per query
+    rowsOf(Similarity.queries("ann_trunc_topk")(spark, sfDir()))
+      .groupBy(_("qid")).foreach { case (q, rs) =>
+        assert(rs.size == 3, s"query $q")
+      }
+    // the curve sweeps every width; the full-width row is the built-in
+    // exactness anchor (prefix ranking == exact ranking at d = Dim)
+    val curve = rowsOf(Similarity.queries("ann_trunc_curve")(spark, sfDir()))
+    val byD = curve.map(m => m("prefix_dim").asInstanceOf[Int] -> m).toMap
+    assert(byD.keySet == Similarity.TruncDims.toSet)
+    assert(byD(Similarity.Dim)("recall").asInstanceOf[Double] == 1.0)
+    curve.foreach { m =>
+      val r = m("recall").asInstanceOf[Double]
+      assert(r >= 0.0 && r <= 1.0)
+    }
+    // shortlist membership IS final recall at the shipped width: the
+    // per-query recall rows must sum to the curve's d=16 hit count
+    val hits16 = rowsOf(Similarity.queries("ann_recall_trunc")(spark, sfDir()))
+      .map(_("hits").asInstanceOf[Long]).sum
+    assert(hits16 == byD(Similarity.TruncDim)("hits").asInstanceOf[Long])
+  }
+
   test("semantic dedup keeps each cell's first member and drops near-dups") {
     val rows = rowsOf(Similarity.queries("dedup_semantic")(spark, dir))
       .map(m => m("vec_id").asInstanceOf[Long] -> m).toMap
