@@ -477,6 +477,103 @@ object Pipeline extends OpModule {
        |  round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share
        |FROM g""".stripMargin
 
+  /** Clamp of the per-source loss ratio — the bounded-update dial every
+    * reweighting scheme carries so one pathological domain cannot eat
+    * the budget. */
+  val ReweightMaxBoost = 2.0
+  /** Fixed-point basis of the integer reweighting weights. At a true
+    * 100 TB corpus (t_total ~1e13 tokens) this dial must shrink so
+    * `t_total * weight` stays inside a long — the apportionment shape
+    * is unchanged, only the basis moves (same note as the temperature
+    * sampler's scale). */
+  val ReweightScale = 1000L
+
+  /** Loss-aware mixture reweighting (`pipeline_mixture_reweight`) — the
+    * DoReMi-flavored step (Xie et al. 2023, arXiv:2305.10429; CCNet's
+    * per-domain perplexity buckets are the same instinct) between the
+    * mixture data card and shard writing: re-apportion the corpus's
+    * total token budget toward HIGH-LOSS (hard) domains, bounded. Per
+    * source, the mean unigram cross-entropy comes from the EXACT
+    * integer micro-nat sums ([[TextAnalysis.unigramXentInt]] — the
+    * per-source re-aggregation of (n_tokens, s) stays exact where
+    * re-averaging per-doc doubles would not); the multiplier is the
+    * source-vs-corpus loss ratio clamped to [1/[[ReweightMaxBoost]],
+    * [[ReweightMaxBoost]]]; and the new per-source token budgets are a
+    * largest-remainder apportionment of the UNCHANGED total over
+    * integer fixed-point weights `floor(n_tokens · mult ·
+    * [[ReweightScale]])` — reweighting, not resizing, so Σ budget =
+    * Σ n_tokens exactly (asserted in spec). A budget above a source's
+    * own token count means fractional extra epochs for that source
+    * (exactly `pipeline_upsample`'s job downstream).
+    *
+    * Determinism: every input to every double is an exact integer, so
+    * both engines produce bit-identical quotients/products (IEEE
+    * correctly-rounded ops on identical operands); floor and the
+    * apportionment then run on identical values — no rounding step
+    * anywhere, same rationale as the xent score itself. Scale shape:
+    * ONE corpus-sized integer aggregation (shared memoized tf frame),
+    * then every window runs over the |sources|-row frame. */
+  private def mixtureReweightDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    val per = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(TextAnalysis.unigramXentInt(spark, dir), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"s").as("s"))
+    per
+      .withColumn("t_total", sum($"n_tokens").over(all))
+      .withColumn("s_total", sum($"s").over(all))
+      .withColumn("xent",
+        (-$"s").cast("double") / ($"n_tokens" * lit(1000000L)))
+      .withColumn("xent_all",
+        (-$"s_total").cast("double") / ($"t_total" * lit(1000000L)))
+      .withColumn("mult",
+        least(greatest($"xent" / $"xent_all", lit(1.0 / ReweightMaxBoost)),
+          lit(ReweightMaxBoost)))
+      .withColumn("weight",
+        floor($"n_tokens" * $"mult" * lit(ReweightScale.toDouble))
+          .cast("long"))
+      .withColumn("w_total", sum($"weight").over(all))
+      .withColumn("q0", expr("t_total * weight div w_total"))
+      .withColumn("rem", expr("(t_total * weight) % w_total"))
+      .withColumn("leftover", $"t_total" - sum($"q0").over(all))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"rem".desc, $"source")).cast("long"))
+      .select($"source", $"n_docs", $"n_tokens", $"xent", $"mult",
+        ($"q0" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("token_budget"))
+  }
+
+  private val mixtureReweightSql: String =
+    s"""WITH xi AS (${TextAnalysis.unigramXentIntSql}),
+       |per AS (SELECT d.source, count(*) AS n_docs,
+       |          sum(xi.n_tokens)::BIGINT AS n_tokens,
+       |          sum(xi.s)::BIGINT AS s
+       |        FROM documents d JOIN xi ON xi.doc_id = d.doc_id
+       |        GROUP BY 1),
+       |tt AS (SELECT sum(n_tokens)::BIGINT AS t_total,
+       |          sum(s)::BIGINT AS s_total FROM per),
+       |m AS (SELECT source, n_docs, n_tokens, t_total,
+       |        (-s)::DOUBLE / (n_tokens * 1000000) AS xent,
+       |        least(greatest(
+       |          ((-s)::DOUBLE / (n_tokens * 1000000))
+       |            / ((-s_total)::DOUBLE / (t_total * 1000000)),
+       |          ${1.0 / ReweightMaxBoost}), $ReweightMaxBoost) AS mult
+       |      FROM per CROSS JOIN tt),
+       |w AS (SELECT *, floor(n_tokens * mult * $ReweightScale)::BIGINT AS weight
+       |      FROM m),
+       |q AS (SELECT *, sum(weight) OVER () AS w_total FROM w),
+       |q2 AS (SELECT *, t_total * weight // w_total AS q0,
+       |         (t_total * weight) % w_total AS rem FROM q),
+       |q3 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+       |         t_total - sum(q0) OVER () AS leftover FROM q2)
+       |SELECT source, n_docs, n_tokens, xent, mult,
+       |  (q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+       |    AS token_budget
+       |FROM q3""".stripMargin
+
   /** Duplicate-cluster RESOLUTION by quality — the keep-best step a real
     * dedup pipeline runs after clustering: within each connected
     * component of the near-dup graph, keep the highest-quality member
@@ -505,6 +602,99 @@ object Pipeline extends OpModule {
        |    ORDER BY round(q.quality, 6) DESC, c.doc_id) AS rk
        |FROM c JOIN q ON q.doc_id = c.doc_id)
        |SELECT doc_id, canon, quality, rk = 1 AS keep FROM r""".stripMargin
+
+  /** Split percentages: hash buckets [0, 90) -> train, [90, 95) -> val,
+    * the rest -> test. */
+  val SplitTrainPct = 90L
+  val SplitValPct = 5L
+
+  /** The deterministic split decision for a key: md5-derived bucket in
+    * [0, 100), then the percentage fences. Keyed by the CLUSTER canon
+    * for the shipped split (and by doc_id for the naive baseline the
+    * leakage audit prices). */
+  private def splitOf(key: Column): Column = {
+    val b = ColFns.hex32(key.cast("string")) % 100L
+    when(b < SplitTrainPct, "train")
+      .when(b < SplitTrainPct + SplitValPct, "val")
+      .otherwise("test")
+  }
+
+  private def splitOfSql(key: String): String =
+    s"""CASE WHEN ${ColFns.hex32Sql(s"($key)::VARCHAR")} % 100 < $SplitTrainPct THEN 'train'
+       |     WHEN ${ColFns.hex32Sql(s"($key)::VARCHAR")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** Cluster-aware train/val/test assignment (`pipeline_split`) — the
+    * step between dedup and shard writing that a naive per-document
+    * hash split gets WRONG: near-duplicate documents must land in the
+    * SAME split, or the eval set leaks paraphrases of training rows and
+    * the held-out loss lies. The split key is therefore the near-dup
+    * CLUSTER canon (connected components of the MinHash-LSH pair graph,
+    * reused memoized), so every member of a component moves together;
+    * singleton documents are their own canon. Deterministic md5 bucket
+    * -> auditable, re-runnable, and embarrassingly parallel after the
+    * one doc_id-keyed join against the converged labels (the same join
+    * shape as `dedup_keep_best`; cluster state is vocabulary-small next
+    * to the corpus at any scale). */
+  private def splitAssignDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = Dedup.queries("dedup_clusters")(spark, dir)
+      .select($"doc_id", $"canon")
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce($"canon", $"doc_id"))
+      .select($"doc_id", $"canon", splitOf($"canon").as("split"),
+        splitOf($"doc_id").as("naive_split"))
+  }
+
+  private val splitSql: String =
+    s"""WITH c AS (${Dedup.oracles("dedup_clusters")}),
+       |a AS (SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS canon
+       |      FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, canon,
+       |  ${splitOfSql("canon")} AS split,
+       |  ${splitOfSql("doc_id")} AS naive_split
+       |FROM a""".stripMargin
+
+  /** The leakage audit (`pipeline_split_leakage`): for every near-dup
+    * pair, does the pair straddle two splits? Under the cluster-keyed
+    * policy the answer is zero BY CONSTRUCTION (both ends share a
+    * canon); under the naive doc_id-keyed policy the expected straddle
+    * rate is the cross-split collision mass — this two-row frame is the
+    * evidence a data auditor asks for. One broadcast-sized join of the
+    * pair list against the assignment frame; pairs are the banded
+    * LSH output, never all-pairs. */
+  private def splitLeakageDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asg = splitAssignDf(spark, dir)
+    val a = asg.select($"doc_id".as("doc_a"), $"split".as("ca"),
+      $"naive_split".as("na"))
+    val b = asg.select($"doc_id".as("doc_b"), $"split".as("cb"),
+      $"naive_split".as("nb"))
+    val joined = Dedup.queries("dedup_minhash_pairs")(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"ca" =!= $"cb", 1L).otherwise(0L)).as("leak_cluster"),
+        sum(when($"na" =!= $"nb", 1L).otherwise(0L)).as("leak_naive"))
+    joined.select(lit("cluster").as("policy"), $"n_pairs",
+        $"leak_cluster".as("n_leaked"))
+      .unionByName(joined.select(lit("naive").as("policy"), $"n_pairs",
+        $"leak_naive".as("n_leaked")))
+  }
+
+  private val splitLeakageSql: String =
+    s"""WITH s AS ($splitSql),
+       |p AS (${Dedup.oracles("dedup_minhash_pairs")}),
+       |j AS (SELECT count(*) AS n_pairs,
+       |  sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)::BIGINT AS leak_cluster,
+       |  sum(CASE WHEN sa.naive_split <> sb.naive_split THEN 1 ELSE 0 END)::BIGINT AS leak_naive
+       |FROM p JOIN s sa ON sa.doc_id = p.doc_a
+       |       JOIN s sb ON sb.doc_id = p.doc_b)
+       |SELECT 'cluster' AS policy, n_pairs, leak_cluster AS n_leaked FROM j
+       |UNION ALL
+       |SELECT 'naive' AS policy, n_pairs, leak_naive AS n_leaked FROM j""".stripMargin
 
   /** Epoch seed of the deterministic training-order shuffle: re-running
     * with the same seed reproduces the exact order (auditable training
@@ -1371,6 +1561,9 @@ object Pipeline extends OpModule {
     "pipeline_upsample" -> (upsampleDf(_, _)),
     "pipeline_corpus" -> (corpusDf(_, _)),
     "pipeline_delta_admit" -> (deltaAdmitDf(_, _)),
+    "pipeline_split" -> (splitAssignDf(_, _)),
+    "pipeline_mixture_reweight" -> (mixtureReweightDf(_, _)),
+    "pipeline_split_leakage" -> (splitLeakageDf(_, _)),
     "pipeline_manifest" -> (manifestDf(_, _)),
     "pipeline_curriculum" -> (curriculumDf(_, _)),
     "pipeline_funnel" -> (funnelDf(_, _)),
@@ -1396,6 +1589,9 @@ object Pipeline extends OpModule {
     "pipeline_upsample" -> upsampleSql,
     "pipeline_corpus" -> corpusSql,
     "pipeline_delta_admit" -> deltaAdmitSql,
+    "pipeline_split" -> splitSql,
+    "pipeline_mixture_reweight" -> mixtureReweightSql,
+    "pipeline_split_leakage" -> splitLeakageSql,
     "pipeline_manifest" -> manifestSql,
     "pipeline_curriculum" -> curriculumSql,
     "pipeline_funnel" -> funnelSql,

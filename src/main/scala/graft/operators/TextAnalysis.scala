@@ -311,7 +311,14 @@ object TextAnalysis extends OpModule {
     * quotient is a multiple of 1/(n_tokens·1e6) and lands precisely on
     * a rounding half-boundary for ~1/n_tokens of documents, where
     * summation-tree noise decides the flip.) */
-  private def unigramXentDf(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc EXACT integer xent stats `(doc_id, n_tokens, s)` with
+    * `s = Σ tf·lq` (micro-nat weighted sum): the shared core of the
+    * per-doc score below and `pipeline_mixture_reweight`'s per-source
+    * aggregate — a downstream consumer that re-aggregates the INTEGER
+    * sums stays exact at any grouping, which a re-aggregation of the
+    * per-doc double quotients would not. */
+  private[operators] def unigramXentInt(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     // memoized: tf feeds the unigram table (twice, via logp and tot) AND
     // the final per-doc join — without the memo Spark plans the corpus
@@ -331,11 +338,19 @@ object TextAnalysis extends OpModule {
     tf.join(broadcast(logp), Seq("tok"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_tokens"), sum($"tf" * $"lq").as("s"))
+  }
+
+  private def unigramXentDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramXentInt(spark, dir)
       .select($"doc_id", $"n_tokens",
         ((-$"s").cast("double") / ($"n_tokens" * lit(1000000L))).as("xent"))
   }
 
-  private val unigramXentSql: String =
+  /** SQL twin of [[unigramXentInt]] — the tf/uni/tot/lp chain plus the
+    * integer per-doc aggregate, as a self-contained statement usable
+    * inside a consumer's `WITH x AS (...)`. */
+  private[operators] val unigramXentIntSql: String =
     s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
        |uni AS (SELECT tok, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
@@ -343,9 +358,15 @@ object TextAnalysis extends OpModule {
        |lp AS (SELECT tok, round(ln(c::DOUBLE / tot) * 1e6)::BIGINT AS lq
        |       FROM uni CROSS JOIN tot)
        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
-       |  (-sum(tf.tf * lp.lq))::DOUBLE / (sum(tf.tf) * 1000000) AS xent
+       |  sum(tf.tf * lp.lq)::BIGINT AS s
        |FROM tf JOIN lp USING (tok)
        |GROUP BY 1""".stripMargin
+
+  private val unigramXentSql: String =
+    s"""WITH xi AS ($unigramXentIntSql)
+       |SELECT doc_id, n_tokens,
+       |  (-s)::DOUBLE / (n_tokens * 1000000) AS xent
+       |FROM xi""".stripMargin
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the filter
     * family every web-scale pipeline runs): per document, the share of

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Pipeline
+import graft.operators.{Dedup, Pipeline}
 
 /** Training-set assembly semantics: deterministic sampling, the composed
   * quality gate, and benchmark-contamination detection. */
@@ -475,5 +475,69 @@ class PipelineSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       s"expected the bloom bit table broadcast:\n$plan")
+  }
+
+  test("mixture reweighting: bounded loss multipliers, budget conserved exactly") {
+    val rows = rowsOf(
+      Pipeline.queries("pipeline_mixture_reweight")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    // reweighting, not resizing: the apportionment hands back the exact
+    // corpus total
+    val tTotal = rows.map(_("n_tokens").asInstanceOf[Long]).sum
+    val budget = rows.map(_("token_budget").asInstanceOf[Long]).sum
+    assert(budget == tTotal, s"budget $budget != corpus $tTotal")
+    // corpus mean xent from the same exact integers the query used
+    val xentAll = rows.map(m => m("xent").asInstanceOf[Double] *
+      m("n_tokens").asInstanceOf[Long]).sum / tTotal
+    rows.foreach { m =>
+      val mult = m("mult").asInstanceOf[Double]
+      assert(mult >= 1.0 / Pipeline.ReweightMaxBoost - 1e-12 &&
+        mult <= Pipeline.ReweightMaxBoost + 1e-12, s"mult $mult out of clamp")
+      // direction: harder-than-average sources move up, easier move down
+      val x = m("xent").asInstanceOf[Double]
+      if (mult > 1.0 + 1e-9) assert(x > xentAll)
+      if (mult < 1.0 - 1e-9) assert(x < xentAll)
+      assert(m("token_budget").asInstanceOf[Long] >= 0L)
+    }
+    // at least one source actually moves in each direction on this
+    // corpus (the operator is exercised, not an identity)
+    assert(rows.exists(_("mult").asInstanceOf[Double] > 1.0))
+    assert(rows.exists(_("mult").asInstanceOf[Double] < 1.0))
+  }
+
+  test("cluster-aware split: components move together, cluster leakage is zero") {
+    val dir = sfDir("sf0.01")
+    val asg = rowsOf(Pipeline.queries("pipeline_split")(spark, dir))
+    assert(asg.size == 500) // every document gets a verdict
+    val splits = Set("train", "val", "test")
+    asg.foreach { m =>
+      assert(splits.contains(m("split").asInstanceOf[String]))
+      assert(splits.contains(m("naive_split").asInstanceOf[String]))
+    }
+    // the split property that justifies the operator: every member of a
+    // near-dup component shares its canon's split
+    asg.groupBy(_("canon")).foreach { case (c, ms) =>
+      assert(ms.map(_("split")).toSet.size == 1, s"canon $c straddles splits")
+    }
+    // singletons: canon == doc_id, so the two policies agree
+    asg.filter(m => m("canon") == m("doc_id")).foreach { m =>
+      assert(m("split") == m("naive_split"))
+    }
+    // determinism: re-running assigns the identical splits
+    val again = rowsOf(Pipeline.queries("pipeline_split")(spark, dir))
+    assert(asg.map(m => m("doc_id") -> m("split")).toMap ==
+      again.map(m => m("doc_id") -> m("split")).toMap)
+    // the audit: zero leaked pairs under the cluster policy BY
+    // CONSTRUCTION; the naive policy is bounded by the pair count
+    val leak = rowsOf(Pipeline.queries("pipeline_split_leakage")(spark, dir))
+      .map(m => m("policy").asInstanceOf[String] -> m).toMap
+    assert(leak.keySet == Set("cluster", "naive"))
+    assert(leak("cluster")("n_leaked") == 0L)
+    val nPairs = rowsOf(
+      Dedup.queries("dedup_minhash_pairs")(spark, dir)).size.toLong
+    assert(leak("cluster")("n_pairs") == nPairs)
+    assert(leak("naive")("n_pairs") == nPairs)
+    val nl = leak("naive")("n_leaked").asInstanceOf[Long]
+    assert(nl >= 0L && nl <= nPairs)
   }
 }
