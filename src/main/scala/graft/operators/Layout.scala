@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.OpModule
+
+/** Data-layout and skew-diagnostic operators — the table-LAYOUT half of
+  * the 100 TB story. Everything else in this engine assumes the scan
+  * layer can skip data it does not need; this family builds the skipping
+  * index and proves it skips.
+  *
+  *  - `layout_zorder`: Z-order (Morton) clustering of the event stream on
+  *    (time, entity) with per-granule min/max statistics — the skipping
+  *    index a lakehouse table format keeps per file. The Z-value
+  *    interleaves 4+4 bits of the two dimensions' range-buckets, so rows
+  *    close in BOTH dimensions land in the same granule and every
+  *    granule's bounding box is tight in both.
+  *  - `layout_prune`: the payoff measurement. For a 2-D box predicate
+  *    (middle quarter of each dimension, ~1/16 of rows) it counts the
+  *    granules whose [min,max] boxes intersect the box under (a) the
+  *    Z-order layout and (b) a plain time-sorted layout. Time-sort can
+  *    only skip on time (~1/4 of granules survive); Z-order skips on both
+  *    (~1/16 + boundary) — LayoutSpec asserts the strict win and that
+  *    skipped granules contain no qualifying row (pruning is sound).
+  *  - `diag_partition_stats`: rows/keys per hash partition for the
+  *    engine's partitioning of `user_id` into 32 buckets — the balance
+  *    audit run before committing a partitioning key at scale.
+  *  - `diag_heavy_hitters`: exact per-key census with a salt-candidate
+  *    flag (share > [[HotFactor]]× the 1/[[Partitions]] fair share) — the
+  *    diagnostic that decides when `agg_salted`'s two-phase plan is
+  *    needed. The fixture plants a deterministic 50%-hot key (the driver
+  *    data is uniform by construction), same trick as the phash family's
+  *    planted near-duplicates.
+  *
+  * Scale shape: granule ranks are TWO-LEVEL (rank within a bounded
+  * Z-cell / time-bucket partition + broadcast exclusive prefix sum of
+  * per-cell counts), the same machinery as `pipeline_shuffle` — no
+  * single-partition window anywhere on the engine side; the oracle keeps
+  * the simple global-window form. The min/max scalar frame is a 1-row
+  * broadcast. A production write would range-partition by Z-value and
+  * write one file per granule; the granule-stats frame here IS that
+  * write's footer metadata.
+  */
+object Layout extends OpModule {
+
+  /** Bits per dimension in the Z-value (4+4 → 256 cells). */
+  val ZBits = 4
+
+  /** Rows per layout granule (the stand-in for one file's row count). */
+  val GranuleRows = 64L
+
+  /** Hash-partition count diagnosed by `diag_partition_stats`. */
+  val Partitions = 32
+
+  /** A key is a salt candidate above HotFactor× its fair share. */
+  val HotFactor = 4
+
+  private val ZSide = 1 << ZBits // 16 buckets per dimension
+
+  /** Range bucket in [0, 16): ((v - lo) * 16) intdiv (hi - lo + 1).
+    * Pure integer arithmetic — identical in both engines; `d` is the
+    * integer-division operator (`div` Spark, `//` DuckDB). */
+  private def bucketExpr(v: String, lo: String, hi: String, d: String) =
+    s"((($v) - ($lo)) * $ZSide) $d (($hi) - ($lo) + 1)"
+
+  /** Morton interleave of two [0,16) buckets: x takes even bit lanes,
+    * y odd. Same generated formula on both sides. */
+  private def zExpr(xb: String, yb: String, d: String): String =
+    (0 until ZBits).map { i =>
+      s"((($xb) $d ${1 << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((($yb) $d ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Events with range-stats, both dimensions' buckets and the Z-value
+    * attached; shared by both layout queries (memoized). The min/max
+    * frame is one row, broadcast — the only pre-pass a real layout job
+    * needs before its range-partitioned write. */
+  private[graft] def zvalDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"layout_zval:$dir") {
+      import spark.implicits._
+      val stats = Tables.events(spark, dir).agg(
+        min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
+        min($"user_id").as("ulo"), max($"user_id").as("uhi"))
+      Tables.events(spark, dir)
+        .select($"event_id", $"ts_us", $"user_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("xb", expr(bucketExpr("ts_us", "tlo", "thi", "div")))
+        .withColumn("yb", expr(bucketExpr("user_id", "ulo", "uhi", "div")))
+        .withColumn("zval", expr(zExpr("xb", "yb", "div")))
+    }
+
+  /** Two-level global rank → fixed-width granule id. `cell` must be
+    * BOUNDED (≤ a few hundred distinct values) and MONOTONE in the order
+    * prefix, so per-cell rank + the cell's exclusive prefix-sum base
+    * equals the single-window global rank exactly (the
+    * `pipeline_shuffle` argument; asserted in LayoutSpec). */
+  private[graft] def granuleByRank(df: DataFrame, cell: Column, tie: Column*): DataFrame = {
+    val withCell = df.withColumn("cell", cell)
+    val wIn = Window.partitionBy(col("cell")).orderBy(tie: _*)
+    val wBase = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withCell.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(wBase), lit(0L)))
+      .select(col("cell"), col("base"))
+    withCell
+      .withColumn("rw", (row_number().over(wIn) - 1).cast("long"))
+      .join(broadcast(bases), Seq("cell"))
+      .withColumn("granule", expr(s"(base + rw) div $GranuleRows"))
+      .drop("cell", "rw", "base")
+  }
+
+  private def granuleStats(df: DataFrame): DataFrame =
+    df.groupBy(col("granule")).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("ts_us")).as("ts_lo"), max(col("ts_us")).as("ts_hi"),
+      min(col("user_id")).as("uid_lo"), max(col("user_id")).as("uid_hi"))
+
+  /** Z-order granule stats — the skipping index itself. */
+  private def zorderDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    granuleStats(granuleByRank(zvalDf(spark, dir), $"zval", $"event_id"))
+      .select(col("granule"), col("n_rows"), col("ts_lo"), col("ts_hi"),
+        col("uid_lo"), col("uid_hi"))
+  }
+
+  // Oracle keeps the single-window form (row_number over the full order);
+  // LayoutSpec proves the two-level engine rank matches it bit-for-bit.
+  private def zvalSqlBody: String =
+    s"""st AS (SELECT min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi,
+       |             min(user_id) AS ulo, max(user_id) AS uhi FROM events),
+       |zb AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |         ${bucketExpr("epoch_us(ts)", "tlo", "thi", "//")} AS xb,
+       |         ${bucketExpr("user_id", "ulo", "uhi", "//")} AS yb
+       |       FROM events, st),
+       |z AS (SELECT *, ${zExpr("xb", "yb", "//")} AS zval FROM zb)""".stripMargin
+
+  private val zorderSql: String =
+    s"""WITH $zvalSqlBody,
+       |g AS (SELECT *, (row_number() OVER (ORDER BY zval, event_id) - 1)
+       |                // $GranuleRows AS granule FROM z)
+       |SELECT granule, count(*) AS n_rows,
+       |  min(ts_us) AS ts_lo, max(ts_us) AS ts_hi,
+       |  min(user_id) AS uid_lo, max(user_id) AS uid_hi
+       |FROM g GROUP BY 1""".stripMargin
+
+  /** The box predicate both sides prune against: the middle quarter of
+    * each dimension, half-open — selects ~1/16 of the rows. */
+  private def boxSql(d: String): (String, String, String, String) = (
+    s"tlo + ((thi - tlo + 1) $d 4)", s"tlo + ((thi - tlo + 1) $d 2)",
+    s"ulo + ((uhi - ulo + 1) $d 4)", s"ulo + ((uhi - ulo + 1) $d 2)")
+
+  /** Granule-pruning comparison: Z-order vs time-sorted layout against
+    * the same 2-D box predicate. `rows_selected` is layout-independent
+    * (same rows either way) and is carried on both rows so each row is a
+    * self-contained audit line. */
+  private def pruneDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = zvalDf(spark, dir)
+    val (qtl, qth, qul, quh) = boxSql("div")
+    def audit(layout: String, g: DataFrame): DataFrame = {
+      val withBox = g
+        .withColumn("scan",
+          !(col("ts_hi") < expr(qtl) || col("ts_lo") >= expr(qth) ||
+            col("uid_hi") < expr(qul) || col("uid_lo") >= expr(quh)))
+      withBox.agg(
+        count(lit(1)).as("granules_total"),
+        sum(when(col("scan"), 1L).otherwise(0L)).as("granules_scanned"))
+        .withColumn("layout", lit(layout))
+    }
+    val sel = base
+      .filter($"ts_us" >= expr(qtl) && $"ts_us" < expr(qth) &&
+        $"user_id" >= expr(qul) && $"user_id" < expr(quh))
+      .agg(count(lit(1)).as("rows_selected"))
+    // stats carry (tlo..uhi) per granule via min/max? No — re-attach the
+    // 1-row scalar frame so the box bounds are in scope for the audit.
+    val stats = base.select($"tlo", $"thi", $"ulo", $"uhi").limit(1)
+    val zg = granuleStats(granuleByRank(base, $"zval", $"event_id"))
+      .crossJoin(broadcast(stats))
+    val tcell = expr(s"((ts_us - tlo) * 256) div (thi - tlo + 1)")
+    val lg = granuleStats(granuleByRank(base, tcell, $"ts_us", $"event_id"))
+      .crossJoin(broadcast(stats))
+    audit("zorder", zg).unionByName(audit("time_sorted", lg))
+      .crossJoin(broadcast(sel))
+      .select($"layout", $"granules_total", $"granules_scanned",
+        $"rows_selected")
+  }
+
+  private val pruneSql: String = {
+    val (qtl, qth, qul, quh) = boxSql("//")
+    s"""WITH $zvalSqlBody,
+       |gz AS (SELECT *, (row_number() OVER (ORDER BY zval, event_id) - 1)
+       |                 // $GranuleRows AS granule FROM z),
+       |gl AS (SELECT *, (row_number() OVER (ORDER BY ts_us, event_id) - 1)
+       |                 // $GranuleRows AS granule FROM z),
+       |sz AS (SELECT granule, min(ts_us) AS ts_lo, max(ts_us) AS ts_hi,
+       |              min(user_id) AS uid_lo, max(user_id) AS uid_hi
+       |       FROM gz GROUP BY 1),
+       |sl AS (SELECT granule, min(ts_us) AS ts_lo, max(ts_us) AS ts_hi,
+       |              min(user_id) AS uid_lo, max(user_id) AS uid_hi
+       |       FROM gl GROUP BY 1),
+       |sel AS (SELECT count(*) AS rows_selected FROM z, st
+       |        WHERE ts_us >= $qtl AND ts_us < $qth
+       |          AND user_id >= $qul AND user_id < $quh),
+       |az AS (SELECT 'zorder' AS layout, count(*) AS granules_total,
+       |         sum(CASE WHEN NOT (ts_hi < $qtl OR ts_lo >= $qth OR
+       |                            uid_hi < $qul OR uid_lo >= $quh)
+       |             THEN 1 ELSE 0 END)::BIGINT AS granules_scanned
+       |       FROM sz, st),
+       |al AS (SELECT 'time_sorted' AS layout, count(*) AS granules_total,
+       |         sum(CASE WHEN NOT (ts_hi < $qtl OR ts_lo >= $qth OR
+       |                            uid_hi < $qul OR uid_lo >= $quh)
+       |             THEN 1 ELSE 0 END)::BIGINT AS granules_scanned
+       |       FROM sl, st)
+       |SELECT layout, granules_total, granules_scanned, rows_selected
+       |FROM (SELECT * FROM az UNION ALL SELECT * FROM al), sel""".stripMargin
+  }
+
+  /** Multiplicative-hash mix for the partition diagnostic: Knuth's
+    * 2654435761, middle bits taken so the low-bit permutation of a
+    * small-modulus product does not masquerade as mixing. */
+  private def pidExpr(d: String) =
+    s"((user_id * 2654435761) $d 65536) % $Partitions"
+
+  /** Rows and distinct keys per hash partition — the pre-flight balance
+    * check for a partitioning key. `balance` = n_rows / fair share;
+    * 1.0 everywhere means the key partitions evenly at [[Partitions]]
+    * reducers (exact-integer inputs, so the rounded double matches). */
+  private def partitionStatsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tot = Tables.events(spark, dir).agg(count(lit(1)).as("total"))
+    Tables.events(spark, dir)
+      .withColumn("pid", expr(pidExpr("div")))
+      .groupBy($"pid")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_keys"))
+      .crossJoin(broadcast(tot))
+      .withColumn("balance",
+        round($"n_rows" * Partitions / $"total".cast("double"), 6))
+      .select($"pid", $"n_rows", $"n_keys", $"balance")
+  }
+
+  private val partitionStatsSql: String =
+    s"""WITH t AS (SELECT count(*) AS total FROM events)
+       |SELECT ${pidExpr("//")} AS pid, count(*) AS n_rows,
+       |  count(DISTINCT user_id) AS n_keys,
+       |  round(count(*) * $Partitions / t.total::DOUBLE, 6) AS balance
+       |FROM events, t GROUP BY 1, t.total""".stripMargin
+
+  /** The planted-skew key: 'hot' on half the rows, eight cold keys on
+    * the rest — deterministic from event_id, mirroring a real feed where
+    * one instrument dominates. */
+  private def skewKeySql: String =
+    "CASE WHEN event_id % 16 < 8 THEN 'hot' " +
+      "ELSE concat('k', event_id % 16) END"
+
+  /** Exact heavy-hitter census with the salting decision attached:
+    * a key whose share exceeds [[HotFactor]]/[[Partitions]] concentrates
+    * >HotFactor× a reducer's fair share on one task — route it through
+    * `agg_salted`'s two-phase plan. Integer cross-multiplication keeps
+    * the flag exact. */
+  private def heavyHittersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tot = Tables.events(spark, dir).agg(count(lit(1)).as("total"))
+    Tables.events(spark, dir)
+      .withColumn("skew_key", expr(skewKeySql))
+      .groupBy($"skew_key")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round($"n_events" / $"total".cast("double"), 6))
+      .withColumn("salt_candidate",
+        $"n_events" * Partitions > $"total" * HotFactor)
+      .select($"skew_key", $"n_events", $"share", $"salt_candidate")
+  }
+
+  private val heavyHittersSql: String =
+    s"""WITH t AS (SELECT count(*) AS total FROM events)
+       |SELECT $skewKeySql AS skew_key, count(*) AS n_events,
+       |  round(count(*) / t.total::DOUBLE, 6) AS share,
+       |  count(*) * $Partitions > t.total * $HotFactor AS salt_candidate
+       |FROM events, t GROUP BY 1, t.total""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (zorderDf(_, _)),
+    "layout_prune" -> (pruneDf(_, _)),
+    "diag_partition_stats" -> (partitionStatsDf(_, _)),
+    "diag_heavy_hitters" -> (heavyHittersDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "layout_zorder" -> zorderSql,
+    "layout_prune" -> pruneSql,
+    "diag_partition_stats" -> partitionStatsSql,
+    "diag_heavy_hitters" -> heavyHittersSql
+  )
+}

@@ -70,6 +70,43 @@ object TextAnalysis extends OpModule {
        |              (a, x) -> a + x)::DOUBLE / nullif(len(toks), 0) AS mean_token_len
        |FROM w""".stripMargin
 
+  /** Tokenizer fertility per language — the statistic that decides token
+    * budgets and sampling temperatures across languages in a multilingual
+    * mixture: subword tokens per whitespace word (`fertility`) and
+    * characters per subword token (`chars_per_token`). High-fertility
+    * languages consume more of a fixed token budget per word, so mixture
+    * weights set in DOCUMENTS over-train low-fertility languages unless
+    * corrected by exactly these ratios. One aggregation over the memoized
+    * tokenized frame; ratio-of-sums (corpus-level), not mean-of-ratios. */
+  private def fertilityDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks")).as("n_words"),
+        sum(size(regexp_extract_all($"text", lit(BpePattern), lit(0))))
+          .as("n_subwords"),
+        sum(length($"text")).as("n_chars"))
+      .withColumn("fertility",
+        round($"n_subwords" / nullif($"n_words", lit(0)).cast("double"), 6))
+      .withColumn("chars_per_token",
+        round($"n_chars" / nullif($"n_subwords", lit(0)).cast("double"), 6))
+  }
+
+  private val fertilitySql: String =
+    s"""WITH w AS (SELECT lang, text, $tokensSql AS toks FROM documents),
+       |a AS (SELECT lang, count(*) AS n_docs,
+       |        sum(len(toks))::BIGINT AS n_words,
+       |        sum(len(regexp_extract_all(text, '$BpePattern')))::BIGINT
+       |          AS n_subwords,
+       |        sum(length(text))::BIGINT AS n_chars
+       |      FROM w GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_subwords, n_chars,
+       |  round(n_subwords / nullif(n_words, 0)::DOUBLE, 6) AS fertility,
+       |  round(n_chars / nullif(n_subwords, 0)::DOUBLE, 6) AS chars_per_token
+       |FROM a""".stripMargin
+
   // Stopword lists for the language-ID heuristic (n-gram-profile stand-in;
   // the capability is "classify language from surface statistics").
   val Langs: Seq[(String, Seq[String])] = Seq(
@@ -1367,7 +1404,8 @@ object TextAnalysis extends OpModule {
     "text_bigram_xent" -> (bigramXentDf(_, _)),
     "text_gram_kmv" -> (vocabKmvDf(_, _)),
     "text_heavy_hitters" -> (heavyHittersDf(_, _)),
-    "text_source_overlap" -> (sourceOverlapDf(_, _))
+    "text_source_overlap" -> (sourceOverlapDf(_, _)),
+    "text_fertility" -> (fertilityDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1388,6 +1426,7 @@ object TextAnalysis extends OpModule {
     "text_bigram_xent" -> bigramXentSql,
     "text_gram_kmv" -> vocabKmvSql,
     "text_heavy_hitters" -> heavyHittersSql,
-    "text_source_overlap" -> sourceOverlapSql
+    "text_source_overlap" -> sourceOverlapSql,
+    "text_fertility" -> fertilitySql
   )
 }

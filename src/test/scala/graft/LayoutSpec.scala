@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Data-layout family: Z-order clustering, granule pruning, partition
+  * diagnostics, and the bucketed co-located join. */
+class LayoutSpec extends SparkSpec {
+
+  private val dir = sfDir() // sf0.001
+
+  test("zorder two-level granule rank equals the single-window rank") {
+    import spark.implicits._
+    val base = Layout.zvalDf(spark, dir)
+    val twoLevel = Layout.granuleByRank(base, $"zval", $"event_id")
+      .select($"event_id", $"granule")
+    val direct = base
+      .withColumn("granule",
+        expr(s"(row_number() OVER (ORDER BY zval, event_id) - 1) div ${Layout.GranuleRows}"))
+      .select($"event_id", col("granule").as("g2"))
+    val joined = twoLevel.join(direct, "event_id")
+    assert(joined.filter($"granule" =!= $"g2").count() === 0)
+  }
+
+  test("layout_zorder: granule stats are true bounds and partition the table") {
+    import spark.implicits._
+    val stats = SparkEntry.queries("layout_zorder")(spark, dir)
+    val total = graft.sources.Tables.events(spark, dir).count()
+    val agg = stats.agg(sum($"n_rows"), max($"n_rows"), count(lit(1))).head()
+    assert(agg.getLong(0) === total)
+    assert(agg.getLong(1) <= Layout.GranuleRows)
+    // bounds are true bounds: re-derive membership and check containment
+    val membered = Layout.granuleByRank(
+      Layout.zvalDf(spark, dir), $"zval", $"event_id")
+    val violated = membered.join(stats, "granule")
+      .filter($"ts_us" < $"ts_lo" || $"ts_us" > $"ts_hi" ||
+        $"user_id" < $"uid_lo" || $"user_id" > $"uid_hi")
+    assert(violated.count() === 0)
+  }
+
+  test("layout_prune: zorder skips strictly more granules than time-sort " +
+    "and both layouts select the same rows") {
+    import spark.implicits._
+    val rows = rowsOf(SparkEntry.queries("layout_prune")(spark, dir))
+    assert(rows.size === 2)
+    val byLayout = rows.map(r => r("layout") -> r).toMap
+    val z = byLayout("zorder")
+    val t = byLayout("time_sorted")
+    assert(z("rows_selected") === t("rows_selected"))
+    assert(z("granules_total") === t("granules_total"))
+    assert(z("granules_scanned").asInstanceOf[Long] <
+      t("granules_scanned").asInstanceOf[Long])
+    // scanned granules can hold every selected row (soundness floor):
+    // selected rows / granule capacity <= granules scanned
+    val sel = z("rows_selected").asInstanceOf[Long]
+    assert(z("granules_scanned").asInstanceOf[Long] * Layout.GranuleRows >= sel)
+  }
+
+  test("diag_heavy_hitters flags the planted hot key and only it") {
+    val rows = rowsOf(SparkEntry.queries("diag_heavy_hitters")(spark, dir))
+    val hot = rows.filter(_("salt_candidate").asInstanceOf[Boolean])
+    assert(hot.map(_("skew_key")) === Seq("hot"))
+    val share = hot.head("share").asInstanceOf[Double]
+    assert(share >= 0.5 && share < 0.51) // 1000 % 16 != 0 at sf0.001
+    assert(rows.size === 9) // hot + k8..k15
+  }
+
+  test("diag_partition_stats: the multiplicative mix balances user_id " +
+    "across all 32 partitions") {
+    // fixture with keys >> partitions: 320 users x 10 rows, so the
+    // diagnostic's balanced-case face is checkable (the sf data has only
+    // ~15 users at sf0.001 — there the SAME query correctly reports <=15
+    // occupied partitions, the real decision it exists to surface)
+    val fix = writeEventsFixture((0 until 3200).map { i =>
+      (i.toLong, 1700000000000000000L + i * 1000000000L, (i % 320).toLong,
+        "click", 1.0)
+    })
+    val rows = rowsOf(SparkEntry.queries("diag_partition_stats")(spark, fix))
+    assert(rows.map(_("n_rows").asInstanceOf[Long]).sum === 3200L)
+    assert(rows.size === 32) // every partition occupied
+    // mid-bit mix spreads sequential keys 7..13 per bucket -> balance
+    // within [0.7, 1.3] of fair share on this fixture
+    assert(rows.forall { r =>
+      val b = r("balance").asInstanceOf[Double]; b >= 0.69 && b <= 1.31
+    })
+    // and on the sf data the key-starved face: no partition can hold
+    // more than one of the ~15 distinct users
+    val sf = rowsOf(SparkEntry.queries("diag_partition_stats")(spark, dir))
+    assert(sf.size <= 32)
+    assert(sf.map(_("n_keys").asInstanceOf[Long]).sum ===
+      graft.sources.Tables.events(spark, dir)
+        .select("user_id").distinct().count())
+  }
+
+  test("bucketed tables co-locate: the orderkey join plans with zero shuffle") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the one-time layout write: 8 buckets, sorted within each, so the
+      // join below needs neither Exchange nor Sort at read time
+      graft.sources.Tables.orders(spark, dir)
+        .write.mode("overwrite").option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      graft.sources.Tables.lineitem(spark, dir)
+        .write.mode("overwrite").option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle:\n${plan.treeString}")
+      assert(smj.nonEmpty)
+      // and it computes the same join as the unbucketed plan
+      val expected = graft.sources.Tables.orders(spark, dir)
+        .join(graft.sources.Tables.lineitem(spark, dir),
+          $"o_orderkey" === $"l_orderkey").count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      graft.functions.Fs.deleteRecursively(new java.io.File(wh))
+    }
+  }
+
+  test("text_fertility: every language has fertility >= 1 and consistent sums") {
+    val rows = rowsOf(SparkEntry.queries("text_fertility")(spark, dir))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r("fertility").asInstanceOf[Double] >= 1.0,
+        s"subword count below word count for ${r("lang")}")
+      assert(r("n_chars").asInstanceOf[Long] >=
+        r("n_subwords").asInstanceOf[Long])
+    }
+    val langs = graft.sources.Tables.documents(spark, dir)
+      .select("lang").distinct().count()
+    assert(rows.size.toLong === langs)
+  }
+}
