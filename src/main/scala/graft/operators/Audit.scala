@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.OpModule
+
+/** Table-service operators: schema-integrity auditing and optimizer
+  * statistics collection — the jobs a warehouse runs ON its tables
+  * between queries, completing the operations story next to the layout
+  * family ([[Layout]]).
+  *
+  *  - `audit_integrity`: one audit frame over the star schema — primary
+  *    key uniqueness, foreign-key orphans, domain ranges, null
+  *    constraints — each row a (check, n_checked, n_violations) audit
+  *    line. The driver data is clean by construction, so the zeros ARE
+  *    the assertion; AuditSpec plants a duplicate key, an orphan row and
+  *    a range violation in a fixture and proves every check fires.
+  *  - `stats_columns`: per-column NDV / null count / min / max over
+  *    lineitem's numeric columns — the statistics a cost-based optimizer
+  *    feeds on (join reorder, broadcast decisions). NDV here is exact
+  *    (DuckDB-matchable); at 100 TB the same plan swaps the exact
+  *    count-distinct for the KMV estimator this engine already ships
+  *    (`text_gram_kmv`), trading a bounded error for one streaming pass.
+  *
+  * Scale shape: per-table checks COMBINE into one aggregation per table
+  * (one scan each, map-side combined, 1-row outputs unioned), and the
+  * FK-orphan checks are key-projected anti-joins — the referenced side
+  * reduces to its distinct key column before shuffling, so the join
+  * carries keys, never rows. `stats_columns` is ONE aggregation whose
+  * multi-NDV plan Spark executes via Expand (d rows per input row, one
+  * per distinct-aggregate) — the documented cost of single-pass multi-NDV,
+  * still one scan and one shuffle of key-only data.
+  */
+object Audit extends OpModule {
+
+  /** Sanity window for event timestamps: [2020, 2031) in epoch micros. */
+  val TsLoUs = 1577836800000000L
+  val TsHiUs = 1924992000000000L
+
+  /** The star-schema integrity audit. */
+  private def integrityDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-table combined aggregations: one scan per table
+    val orders = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("pk_dup"))
+      .select(explode(array(
+        struct(lit("orders_pk_unique").as("check"), $"n".as("n_checked"),
+          $"pk_dup".as("n_violations")))).as("r"))
+    val li = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L))
+        .as("qty_range"),
+      sum(when($"l_extendedprice" < 0, 1L).otherwise(0L)).as("price_neg"),
+      sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("fk_null"))
+      .select(explode(array(
+        struct(lit("lineitem_qty_in_1_50").as("check"), $"n".as("n_checked"),
+          $"qty_range".as("n_violations")),
+        struct(lit("lineitem_price_nonneg").as("check"), $"n".as("n_checked"),
+          $"price_neg".as("n_violations")),
+        struct(lit("lineitem_orderkey_notnull").as("check"),
+          $"n".as("n_checked"), $"fk_null".as("n_violations")))).as("r"))
+    val ev = Tables.events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when($"user_id".isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when($"ts_us" < TsLoUs || $"ts_us" >= TsHiUs, 1L).otherwise(0L))
+        .as("ts_range"))
+      .select(explode(array(
+        struct(lit("events_user_notnull").as("check"), $"n".as("n_checked"),
+          $"null_user".as("n_violations")),
+        struct(lit("events_ts_in_window").as("check"), $"n".as("n_checked"),
+          $"ts_range".as("n_violations")))).as("r"))
+    // FK orphans: anti-join against the referenced table's DISTINCT keys
+    // (the key projection is what shuffles, never the full row)
+    val liN = Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+    val liOrphan = Tables.lineitem(spark, dir).select($"l_orderkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey").distinct(),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(broadcast(liN))
+      .select(explode(array(
+        struct(lit("lineitem_orderkey_fk").as("check"), $"n".as("n_checked"),
+          $"v".as("n_violations")))).as("r"))
+    val ordN = Tables.orders(spark, dir).agg(count(lit(1)).as("n"))
+    val ordOrphan = Tables.orders(spark, dir).select($"o_custkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey").distinct(),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(broadcast(ordN))
+      .select(explode(array(
+        struct(lit("orders_custkey_fk").as("check"), $"n".as("n_checked"),
+          $"v".as("n_violations")))).as("r"))
+    Seq(orders, li, ev, liOrphan, ordOrphan)
+      .reduce(_ unionByName _)
+      .select($"r.check", $"r.n_checked", $"r.n_violations")
+  }
+
+  private val integritySql: String =
+    s"""SELECT 'orders_pk_unique' AS "check", count(*) AS n_checked,
+       |  (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations
+       |FROM orders
+       |UNION ALL
+       |SELECT 'lineitem_qty_in_1_50', count(*),
+       |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'lineitem_price_nonneg', count(*),
+       |  sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'lineitem_orderkey_notnull', count(*),
+       |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'events_user_notnull', count(*),
+       |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |FROM events
+       |UNION ALL
+       |SELECT 'events_ts_in_window', count(*),
+       |  sum(CASE WHEN epoch_us(ts) < $TsLoUs OR epoch_us(ts) >= $TsHiUs
+       |      THEN 1 ELSE 0 END)::BIGINT
+       |FROM events
+       |UNION ALL
+       |SELECT 'lineitem_orderkey_fk', (SELECT count(*) FROM lineitem),
+       |  (SELECT count(*) FROM lineitem l
+       |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+       |                     WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+       |UNION ALL
+       |SELECT 'orders_custkey_fk', (SELECT count(*) FROM orders),
+       |  (SELECT count(*) FROM orders o
+       |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+       |                     WHERE c.c_custkey = o.o_custkey))::BIGINT""".stripMargin
+
+  /** Numeric lineitem columns profiled by `stats_columns`. */
+  val StatCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
+
+  /** Optimizer statistics: exact NDV + null count + min/max per column,
+    * single-pass. */
+  private def statsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aggs = StatCols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}__ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(StatCols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}__ndv").as("ndv"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__min").as("vmin"), col(s"${c}__max").as("vmax"))
+      }: _*)).as("r"))
+      .select($"r.column", $"r.ndv", $"r.n_nulls", $"r.vmin", $"r.vmax")
+  }
+
+  private val statsSql: String =
+    StatCols.map { c =>
+      s"""SELECT '$c' AS "column", count(DISTINCT $c) AS ndv,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |  min($c)::DOUBLE AS vmin, max($c)::DOUBLE AS vmax
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_integrity" -> (integrityDf(_, _)),
+    "stats_columns" -> (statsDf(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "audit_integrity" -> integritySql,
+    "stats_columns" -> statsSql
+  )
+}

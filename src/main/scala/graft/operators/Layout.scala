@@ -218,6 +218,43 @@ object Layout extends OpModule {
        |FROM (SELECT * FROM az UNION ALL SELECT * FROM al), sel""".stripMargin
   }
 
+  /** Compaction target: small granules merge until ~4 source granules
+    * per output file (the OPTIMIZE step of a lakehouse table). */
+  val CompactTargetRows = 4 * GranuleRows
+
+  /** Compaction plan — the third step of the layout lifecycle (write →
+    * prune → compact). Greedy cut of the zval-ordered granule stream at
+    * every [[CompactTargetRows]] cumulative rows: adjacent-in-Z granules
+    * merge, so output files keep tight bounding boxes and the skipping
+    * index survives compaction. THE PLAN RUNS ON METADATA ONLY — the
+    * input is the granule-stats frame (157 rows at sf0.01), never the
+    * data, exactly like a real table service deciding which files to
+    * rewrite; the single ordered window is over that metadata frame.
+    * `compact_group` is the output-file id; `is_underfull` marks inputs
+    * below the target that exist only to be merged. */
+  private def compactionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"granule")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    zorderDf(spark, dir)
+      .withColumn("cum_before", coalesce(sum($"n_rows").over(w), lit(0L)))
+      .withColumn("compact_group", expr(s"cum_before div $CompactTargetRows"))
+      .withColumn("is_underfull", $"n_rows" < CompactTargetRows)
+      .select($"granule", $"n_rows", $"compact_group", $"is_underfull")
+  }
+
+  private val compactionSql: String =
+    s"""WITH g AS ($zorderSql),
+       |c AS (SELECT granule, n_rows,
+       |        coalesce(sum(n_rows) OVER (ORDER BY granule
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before
+       |      FROM g)
+       |SELECT granule, n_rows,
+       |  (cum_before // $CompactTargetRows)::BIGINT AS compact_group,
+       |  n_rows < $CompactTargetRows AS is_underfull
+       |FROM c""".stripMargin
+
   /** Multiplicative-hash mix for the partition diagnostic: Knuth's
     * 2654435761, middle bits taken so the low-bit permutation of a
     * small-modulus product does not masquerade as mixing. */
@@ -285,6 +322,7 @@ object Layout extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderDf(_, _)),
     "layout_prune" -> (pruneDf(_, _)),
+    "layout_compaction" -> (compactionDf(_, _)),
     "diag_partition_stats" -> (partitionStatsDf(_, _)),
     "diag_heavy_hitters" -> (heavyHittersDf(_, _))
   )
@@ -292,6 +330,7 @@ object Layout extends OpModule {
   val oracles: Map[String, String] = Map(
     "layout_zorder" -> zorderSql,
     "layout_prune" -> pruneSql,
+    "layout_compaction" -> compactionSql,
     "diag_partition_stats" -> partitionStatsSql,
     "diag_heavy_hitters" -> heavyHittersSql
   )

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Table-service family: integrity audit + optimizer statistics. */
+class AuditSpec extends SparkSpec {
+
+  private val dir = sfDir() // sf0.001
+
+  test("audit_integrity: the driver star schema is clean — zeros are the audit") {
+    val rows = rowsOf(SparkEntry.queries("audit_integrity")(spark, dir))
+    assert(rows.size === 8)
+    rows.foreach { r =>
+      assert(r("n_violations") === 0L, s"unexpected violations in ${r("check")}")
+      assert(r("n_checked").asInstanceOf[Long] > 0L)
+    }
+  }
+
+  test("audit_integrity: every check fires on planted violations") {
+    import spark.implicits._
+    val fix = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    Seq((1L, 10L), (2L, 10L), (2L, 99L)) // dup key 2; custkey 99 orphaned
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$fix/orders.parquet")
+    Seq(10L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$fix/customer.parquet")
+    // qty 60 out of range; price -1; null orderkey; orderkey 5 orphaned
+    // (the null key is BOTH a notnull violation and, by SQL anti-join
+    // semantics, an fk orphan — never equal to any referenced key)
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = true),
+      StructField("l_quantity", DoubleType, nullable = false),
+      StructField("l_extendedprice", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(java.lang.Long.valueOf(1L), 5.0, 100.0),
+        Row(java.lang.Long.valueOf(2L), 60.0, 10.0),
+        Row(java.lang.Long.valueOf(5L), 10.0, -1.0),
+        Row(null, 3.0, 1.0)),
+      liSchema)
+      .write.mode("overwrite").parquet(s"$fix/lineitem.parquet")
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false), // nanos convention
+      StructField("user_id", LongType, nullable = true),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 1700000000000000000L, java.lang.Long.valueOf(7L), "click", 1.0, "{}"),
+        Row(2L, 1700000001000000000L, null, "view", 1.0, "{}"),
+        Row(3L, 1500000000000000000L, java.lang.Long.valueOf(8L), "click", 1.0, "{}")), // 2017: out of window
+      evSchema)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+
+    val got = rowsOf(SparkEntry.queries("audit_integrity")(spark, fix))
+      .map(r => r("check") -> r("n_violations")).toMap
+    assert(got("orders_pk_unique") === 1L)
+    assert(got("orders_custkey_fk") === 1L)
+    assert(got("lineitem_qty_in_1_50") === 1L)
+    assert(got("lineitem_price_nonneg") === 1L)
+    assert(got("lineitem_orderkey_notnull") === 1L)
+    assert(got("lineitem_orderkey_fk") === 2L) // orphan 5 + the null key
+    assert(got("events_user_notnull") === 1L)
+    assert(got("events_ts_in_window") === 1L)
+    graft.functions.Fs.deleteRecursively(new java.io.File(fix))
+  }
+
+  test("stats_columns: one pass yields exact ndv/nulls/min/max per column") {
+    import spark.implicits._
+    val rows = rowsOf(SparkEntry.queries("stats_columns")(spark, dir))
+    assert(rows.map(_("column")).toSet ===
+      graft.operators.Audit.StatCols.toSet)
+    rows.foreach { r =>
+      assert(r("ndv").asInstanceOf[Long] > 0L)
+      assert(r("n_nulls") === 0L)
+      assert(r("vmin").asInstanceOf[Double] <= r("vmax").asInstanceOf[Double])
+    }
+    // spot-check one column against a direct computation
+    val q = rows.find(_("column") == "l_quantity").get
+    val direct = graft.sources.Tables.lineitem(spark, dir)
+      .agg(countDistinct($"l_quantity"), min($"l_quantity"), max($"l_quantity"))
+      .head()
+    assert(q("ndv") === direct.getLong(0))
+    assert(q("vmin") === direct.getDouble(1))
+    assert(q("vmax") === direct.getDouble(2))
+  }
+}

@@ -136,6 +136,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("layout_compaction: groups are contiguous in Z, preserve rows, " +
+    "and reach the target fill") {
+    import spark.implicits._
+    val plan = SparkEntry.queries("layout_compaction")(spark, dir)
+    val rows = rowsOf(plan.orderBy($"granule"))
+    val total = graft.sources.Tables.events(spark, dir).count()
+    assert(rows.map(_("n_rows").asInstanceOf[Long]).sum === total)
+    // groups are monotone over the zval-ordered granule stream: merging
+    // only adjacent granules keeps output bounding boxes tight
+    val groups = rows.map(_("compact_group").asInstanceOf[Long])
+    assert(groups === groups.sorted)
+    // every output file except the last reaches the target fill within
+    // one source granule's slack (greedy cut on cumulative rows)
+    val totals = rows.groupBy(_("compact_group").asInstanceOf[Long])
+      .view.mapValues(_.map(_("n_rows").asInstanceOf[Long]).sum).toMap
+    val last = totals.keys.max
+    totals.filter(_._1 != last).values.foreach { t =>
+      assert(t > Layout.CompactTargetRows - Layout.GranuleRows &&
+        t < Layout.CompactTargetRows + Layout.GranuleRows)
+    }
+  }
+
+  test("z-bucket partitioned write: a box predicate prunes partitions " +
+    "at the Spark scan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_zwrite").toString
+    try {
+      // the layout write: coarse z-bucket (zval div 16 -> 16 dirs) as the
+      // partition column — Catalyst's own directory pruning then serves
+      // the same skipping the granule-stats frame models
+      Layout.zvalDf(spark, dir)
+        .withColumn("zbucket", expr("zval div 16"))
+        .write.mode("overwrite").partitionBy("zbucket")
+        .parquet(s"$out/events_z")
+      val read = spark.read.parquet(s"$out/events_z")
+      // predicate on the bucket: only matching directories are scanned
+      val q = read.filter($"zbucket" === 3 || $"zbucket" === 7)
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty)
+      assert(scan.head.relation.partitionSchema.fieldNames.contains("zbucket"))
+      val parts = scan.head.selectedPartitions.partitionCount
+      assert(parts === 2, s"expected 2 of 16 partitions scanned, got $parts")
+      // and the pruned read returns exactly the rows of those buckets
+      val expected = Layout.zvalDf(spark, dir)
+        .filter(expr("zval div 16 = 3 OR zval div 16 = 7")).count()
+      assert(q.count() === expected)
+    } finally {
+      graft.functions.Fs.deleteRecursively(new java.io.File(out))
+    }
+  }
+
   test("text_fertility: every language has fertility >= 1 and consistent sums") {
     val rows = rowsOf(SparkEntry.queries("text_fertility")(spark, dir))
     assert(rows.nonEmpty)
