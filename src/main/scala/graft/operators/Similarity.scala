@@ -1102,6 +1102,135 @@ object Similarity extends OpModule {
        |FROM (${rows.mkString("(", ") UNION ALL (", ")")})""".stripMargin
   }
 
+  // ---- filtered (metadata-constrained) search: the pre-filter vs
+  // post-filter strategy pair every production vector store exposes ----
+
+  /** Global shortlist depth for the post-filter strategy. */
+  val FilterShortlist = 20
+
+  /** `ann_filtered_topk` — PRE-filter exact search: top-3 among corpus
+    * vectors sharing the query's label. The filter becomes the JOIN KEY
+    * (broadcast queries equi-join the corpus on label), so each query
+    * scans only its label's shard — the partition-by-tenant shape
+    * filtered vector search takes at 100 TB, where the label is the
+    * table's partition column and the scan prunes to matching partitions
+    * (the `layout_*` machinery). Cosines quantize to 6 dp before ranking
+    * (the truncation rung's guard) so the top-3 boundary cannot flip on
+    * engine summation order. Memoized: it is also the truth frame for
+    * `ann_filtered_recall`. */
+  private def filteredTopkDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"ann_filtered:$dir") {
+      graft.GraftExtensions.register(spark)
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter($"vec_id" % QueryMod === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".as("qlabel"))
+      broadcast(q)
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("ne"),
+          $"label".as("nlabel")),
+          col("nlabel") === col("qlabel") && col("nid") =!= col("qid"))
+        .withColumn("cos",
+          round(dot($"qe", $"ne") / (norm($"qe") * norm($"ne")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+        .filter($"rk" <= 3)
+        .select($"qid", $"nid", $"cos")
+    }
+
+  private lazy val filteredTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |n AS (SELECT vec_id,
+       |        sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q JOIN embeddings e
+       |        ON e.label = q.qlabel AND e.vec_id <> q.qid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, round(dt / (nq.nrm * nn.nrm), 6) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  /** Label-carrying global shortlist (top-[[FilterShortlist]] UNfiltered
+    * neighbors per query) — the post-filter strategy's stage 1, shared
+    * with nothing else so memoized on its own key. Quantized ranking as
+    * above: the rank-20 boundary is where engine ulps would bite. */
+  private def bruteDeepDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"brute_deep:$dir") {
+      graft.GraftExtensions.register(spark)
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter($"vec_id" % QueryMod === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".as("qlabel"))
+      broadcast(q)
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("ne"),
+          $"label".as("nlabel")),
+          col("nid") =!= col("qid"))
+        .withColumn("cos",
+          round(dot($"qe", $"ne") / (norm($"qe") * norm($"ne")), 6))
+        .withColumn("grk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+        .filter($"grk" <= FilterShortlist)
+        .select($"qid", $"qlabel", $"nid", $"nlabel", $"cos")
+    }
+
+  /** `ann_filtered_recall` — what POST-filtering costs: keep the
+    * label-matching survivors of the global top-[[FilterShortlist]],
+    * take their top-3, score against the pre-filter truth. With ~10
+    * labels a global top-20 holds only ~2 same-label vectors in
+    * expectation, so recall collapses well below 1.0 (SimilaritySpec
+    * asserts the gap) — the measured argument for pushing the filter
+    * INTO the search (pre-filter / filter-aware probing) instead of
+    * applying it after, exactly the decision this metric exists to
+    * inform at scale. */
+  private def filteredRecallDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val post = bruteDeepDf(spark, dir)
+      .filter($"nlabel" === $"qlabel")
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"prk" <= 3)
+      .select($"qid".as("p_qid"), $"nid".as("p_nid"))
+    filteredTopkDf(spark, dir)
+      .join(post, $"qid" === $"p_qid" && $"nid" === $"p_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"p_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private lazy val filteredRecallSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |n AS (SELECT vec_id,
+       |        sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |dall AS (SELECT qid, qlabel, e.vec_id AS nid, e.label AS nlabel,
+       |        ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q JOIN embeddings e ON e.vec_id <> q.qid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2, 3, 4),
+       |deep AS (SELECT qid, qlabel, nid, nlabel,
+       |        round(dt / (nq.nrm * nn.nrm), 6) AS cos
+       |      FROM dall JOIN n nq ON nq.vec_id = qid
+       |                JOIN n nn ON nn.vec_id = nid
+       |      QUALIFY row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(dt / (nq.nrm * nn.nrm), 6) DESC, nid)
+       |        <= $FilterShortlist),
+       |post AS (SELECT qid, nid FROM deep WHERE nlabel = qlabel
+       |      QUALIFY row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, nid) <= 3),
+       |truth AS ($filteredTopkSql)
+       |SELECT t.qid, count(p.nid) AS hits,
+       |  count(p.nid)::DOUBLE / 3.0 AS recall
+       |FROM truth t LEFT JOIN post p ON p.qid = t.qid AND p.nid = t.nid
+       |GROUP BY t.qid""".stripMargin
+
   /** Per-(vector, subspace) RAW subvectors — the equal-code-size plain
     * PQ baseline's training input (no centroid subtraction). */
   private def rawSubDf(spark: SparkSession, dir: String): DataFrame =
@@ -1659,6 +1788,8 @@ object Similarity extends OpModule {
     "ann_ivfpq_topk" -> (ivfpqTopkDf(_, _)),
     "ann_recall_ivfpq" -> (recallIvfpqDf(_, _)),
     "ann_ivfpq_distortion" -> (ivfpqDistortionDf(_, _)),
+    "ann_filtered_topk" -> (filteredTopkDf(_, _)),
+    "ann_filtered_recall" -> (filteredRecallDf(_, _)),
     "ann_trunc_topk" -> (truncTopkDf(_, _)),
     "ann_recall_trunc" -> (recallTruncDf(_, _)),
     "ann_trunc_curve" -> (truncCurveDf(_, _))
@@ -1689,6 +1820,8 @@ object Similarity extends OpModule {
     "ann_ivfpq_distortion" -> ivfpqDistortionSql,
     "ann_trunc_topk" -> truncTopkSql,
     "ann_recall_trunc" -> recallTruncSql,
-    "ann_trunc_curve" -> truncCurveSql
+    "ann_trunc_curve" -> truncCurveSql,
+    "ann_filtered_topk" -> filteredTopkSql,
+    "ann_filtered_recall" -> filteredRecallSql
   )
 }

@@ -214,6 +214,33 @@ class SimilaritySpec extends SparkSpec {
     assert(hits16 == byD(Similarity.TruncDim)("hits").asInstanceOf[Long])
   }
 
+  test("filtered search: pre-filter stays in-label and complete; " +
+    "post-filter recall collapses") {
+    import spark.implicits._
+    val dir = sfDir("sf0.01")
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label")
+    val topk = SparkEntry.queries("ann_filtered_topk")(spark, dir)
+    // every neighbor shares its query's label (the filter is honored)
+    val crossLabel = topk
+      .join(labels.select($"vec_id".as("qid"), $"label".as("ql")), "qid")
+      .join(labels.select($"vec_id".as("nid"), $"label".as("nl")), "nid")
+      .filter($"ql" =!= $"nl")
+    assert(crossLabel.count() === 0)
+    // and every query finds a full top-3 (all labels have >3 members)
+    val perQ = topk.groupBy($"qid").count().select($"count").distinct()
+    assert(rowsOf(perQ).map(_("count")) === Seq(3L))
+    // the post-filter strategy loses real recall on this selective
+    // filter (~10 labels, global top-20 shortlist): strictly below 0.95
+    // mean, strictly above zero (it is not a strawman)
+    val rec = rowsOf(SparkEntry.queries("ann_filtered_recall")(spark, dir))
+      .map(_("recall").asInstanceOf[Double])
+    val mean = rec.sum / rec.size
+    assert(mean > 0.05 && mean < 0.95,
+      s"post-filter mean recall $mean outside the expected collapse band")
+    rec.foreach(r => assert(r >= 0.0 && r <= 1.0))
+  }
+
   test("semantic dedup keeps each cell's first member and drops near-dups") {
     val rows = rowsOf(Similarity.queries("dedup_semantic")(spark, dir))
       .map(m => m("vec_id").asInstanceOf[Long] -> m).toMap
