@@ -446,6 +446,114 @@ object Pipeline extends OpModule {
        |  (cum_before % $PackBudget)::BIGINT AS tok_offset
        |FROM c""".stripMargin
 
+  /** The no-split packing fold's row types ([[packGreedyDf]]). */
+  private[operators] case class PackDoc(doc_id: Long, source: String,
+    n_tokens: Long)
+  private[operators] case class PackedDoc(doc_id: Long, source: String,
+    n_tokens: Long, seq_id: Long, tok_offset: Long)
+
+  /** Greedy NO-SPLIT packing (`pipeline_pack_greedy`) — the other
+    * pretraining layout: documents never span sequence boundaries
+    * (T5/FIM-style packing, where cross-document attention is masked or
+    * avoided entirely). Greedy first-fit in doc_id order per source: a
+    * document that does not fit the open sequence's remaining budget
+    * closes it and opens the next; an oversized document (> budget,
+    * none in the sf corpora — the spec plants one) takes a sequence of
+    * its own, never an empty one. Unlike the concat-and-chunk
+    * `pipeline_pack`, the boundary depends on HISTORY (a reset running
+    * sum has no prefix-sum closed form), so this is a sequential fold —
+    * the `flatMapSortedGroups` machinery the position FSM uses: one
+    * stream per source, shuffle-sort-ordered, O(1) state, spill-safe at
+    * any source size. The DuckDB oracle replays the same transition as
+    * a per-source recursive CTE (the FSM oracle pattern). Parallelism
+    * is per-source — the packing unit real pipelines shard by. */
+  private def packGreedyDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pack_greedy:$dir") {
+      import spark.implicits._
+      val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source")
+        .join(toks, Seq("doc_id"))
+        .select($"doc_id", $"source", $"n_tokens")
+        .as[PackDoc]
+        .groupByKey(_.source)
+        .flatMapSortedGroups(col("doc_id")) {
+          (src: String, it: Iterator[PackDoc]) =>
+            var seq = 0L
+            var fill = 0L
+            it.map { d =>
+              if (fill > 0 && fill + d.n_tokens > PackBudget) {
+                seq += 1; fill = 0L
+              }
+              val off = fill
+              fill += d.n_tokens
+              PackedDoc(d.doc_id, src, d.n_tokens, seq, off)
+            }
+        }
+        .toDF()
+    }
+
+  private val packGreedySql: String =
+    s"""WITH RECURSIVE pinp AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, t.n_tokens,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+       |  FROM documents d
+       |  JOIN (${TextAnalysis.oracles("text_tokens")}) t
+       |    ON t.doc_id = d.doc_id),
+       |pk AS (
+       |  SELECT source, 0::BIGINT AS rn, 0::BIGINT AS seq_id,
+       |    0::BIGINT AS fill, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n_tokens,
+       |    CAST(NULL AS BIGINT) AS tok_offset
+       |  FROM (SELECT DISTINCT source FROM pinp)
+       |  UNION ALL
+       |  SELECT i.source, i.rn,
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |         THEN p.seq_id + 1 ELSE p.seq_id END,
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |         THEN i.n_tokens ELSE p.fill + i.n_tokens END,
+       |    i.doc_id, i.n_tokens,
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |         THEN 0::BIGINT ELSE p.fill END
+       |  FROM pk p JOIN pinp i ON i.source = p.source AND i.rn = p.rn + 1)
+       |SELECT doc_id, source, n_tokens, seq_id, tok_offset
+       |FROM pk WHERE rn > 0""".stripMargin
+
+  /** Packing-efficiency audit (`pipeline_pack_waste`): per source, the
+    * padding the no-split layout pays for its clean attention boundaries
+    * — closed sequences padded to [[PackBudget]], oversized ones counted
+    * at their own length (capacity = max(budget, fill)). The number a
+    * pipeline weighs against `pipeline_pack`'s zero waste when choosing
+    * a layout. One aggregation over the packed frame. */
+  private def packWasteDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packGreedyDf(spark, dir)
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("nd"), sum($"n_tokens").as("fill"))
+      .groupBy($"source")
+      .agg(
+        sum($"nd").as("n_docs"),
+        count(lit(1)).as("n_seqs"),
+        sum($"fill").as("n_tokens"),
+        sum(greatest(lit(PackBudget) - $"fill", lit(0L))).as("padding"),
+        sum(greatest(lit(PackBudget), $"fill")).as("capacity"))
+      .withColumn("fill_pct",
+        round($"n_tokens" / $"capacity".cast("double"), 6))
+  }
+
+  private val packWasteSql: String =
+    s"""WITH g AS ($packGreedySql),
+       |s AS (SELECT source, seq_id, count(*) AS nd, sum(n_tokens) AS fill
+       |      FROM g GROUP BY 1, 2)
+       |SELECT source, sum(nd)::BIGINT AS n_docs, count(*) AS n_seqs,
+       |  sum(fill)::BIGINT AS n_tokens,
+       |  sum(greatest($PackBudget - fill, 0))::BIGINT AS padding,
+       |  sum(greatest($PackBudget, fill))::BIGINT AS capacity,
+       |  round(sum(fill) / sum(greatest($PackBudget, fill))::DOUBLE, 6)
+       |    AS fill_pct
+       |FROM s GROUP BY 1""".stripMargin
+
   /** Mixture accounting — the data card every training run publishes:
     * per (source, language) document and token counts and each cell's
     * share of the total token budget. The share window runs over the
@@ -1555,6 +1663,8 @@ object Pipeline extends OpModule {
     "bench_contamination_bloom" -> (contaminationBloomDf(_, _)),
     "docs_length_hist" -> (histQuantilesDf(_, _)),
     "pipeline_pack" -> (packDf(_, _)),
+    "pipeline_pack_greedy" -> (packGreedyDf(_, _)),
+    "pipeline_pack_waste" -> (packWasteDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
@@ -1583,6 +1693,8 @@ object Pipeline extends OpModule {
     "bench_contamination_bloom" -> contaminationBloomSql,
     "docs_length_hist" -> histQuantilesSql,
     "pipeline_pack" -> packSql,
+    "pipeline_pack_greedy" -> packGreedySql,
+    "pipeline_pack_waste" -> packWasteSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,

@@ -103,6 +103,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("greedy no-split packing: docs never span, greedy boundary is tight, " +
+    "waste reconciles") {
+    val rows = rowsOf(Pipeline.queries("pipeline_pack_greedy")(spark, sfDir("sf0.01")))
+    assert(rows.size == 500)
+    rows.groupBy(_("source")).values.foreach { docs =>
+      val ordered = docs.sortBy(_("doc_id").asInstanceOf[Long])
+      var seq = 0L; var fill = 0L
+      ordered.foreach { m =>
+        val n = m("n_tokens").asInstanceOf[Number].longValue
+        // replay the greedy rule independently: boundary exactly where
+        // the next doc stops fitting, never earlier, never later
+        if (fill > 0 && fill + n > Pipeline.PackBudget) { seq += 1; fill = 0 }
+        assert(m("seq_id") == seq && m("tok_offset") == fill,
+          s"doc ${m("doc_id")} deviates from greedy first-fit")
+        fill += n
+        // the no-split contract: a doc fits its sequence or owns it
+        val off = m("tok_offset").asInstanceOf[Long]
+        assert(off + n <= Pipeline.PackBudget || off == 0L)
+      }
+    }
+    val waste = rowsOf(Pipeline.queries("pipeline_pack_waste")(spark, sfDir("sf0.01")))
+    waste.foreach { w =>
+      assert(w("n_tokens").asInstanceOf[Long] +
+        w("padding").asInstanceOf[Long] === w("capacity").asInstanceOf[Long])
+      val f = w("fill_pct").asInstanceOf[Double]
+      assert(f > 0.0 && f <= 1.0)
+    }
+    assert(waste.map(_("n_docs").asInstanceOf[Long]).sum === 500L)
+  }
+
+  test("greedy no-split packing: an oversized doc takes its own sequence, " +
+    "never an empty one") {
+    // 300 words > the 256 budget; neighbors pack around it
+    val d = writeDocsFixture(Seq(
+      (1L, "a b c", "en"),
+      (2L, Seq.fill(300)("w").mkString(" "), "en"),
+      (3L, "d e", "en"),
+      (4L, "f g h", "en")))
+    val rows = rowsOf(Pipeline.queries("pipeline_pack_greedy")(spark, d))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("seq_id").asInstanceOf[Long], r("tok_offset").asInstanceOf[Long])).toMap
+    assert(rows(1L) === ((0L, 0L)))   // opens seq 0
+    assert(rows(2L) === ((1L, 0L)))   // oversized: own sequence, offset 0
+    assert(rows(3L) === ((2L, 0L)))   // must reopen: seq 1 is over budget
+    assert(rows(4L) === ((2L, 2L)))   // packs behind doc 3
+  }
+
   test("mixture accounting: token shares partition the corpus") {
     val rows = rowsOf(Pipeline.queries("pipeline_mixture")(spark, sfDir("sf0.01")))
     assert(rows.nonEmpty)
