@@ -101,4 +101,67 @@ class RandomCorpusSpec extends SparkSpec {
       assert(got == want, s"shuffle rank diverged at seed $seed")
     }
   }
+
+  test("greedy no-split packing equals a driver-side replay on random corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      // longer docs than the base corpus so oversized (> PackBudget)
+      // documents occur and the own-sequence branch is exercised
+      val rnd = new scala.util.Random(seed + 500)
+      val rows = (0 until (80 + rnd.nextInt(120))).map { i =>
+        val nTok = 1 + rnd.nextInt(400) // up to 400 > the 256 budget
+        (i.toLong * 3 + rnd.nextInt(3),
+          Seq.fill(nTok)("w").mkString(" "), "en", s"src${rnd.nextInt(4)}")
+      }
+      val dir = Files.createTempDirectory(s"graft_gp$seed").toString
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = Pipeline.queries("pipeline_pack_greedy")(spark, dir)
+        .select("doc_id", "seq_id", "tok_offset")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // driver-side greedy replay over the same (source, doc_id) order
+      val docs = graft.operators.TextAnalysis.queries("text_tokens")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+        .join(graft.sources.Tables.documents(spark, dir)
+          .select($"doc_id", $"source"), Seq("doc_id"))
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("doc_id"),
+          r.getAs[Number]("n_tokens").longValue)) // size() is IntegerType
+      val want = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+        var seq = 0L; var fill = 0L
+        ds.sortBy(_._2).toSeq.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > Pipeline.PackBudget) { seq += 1; fill = 0 }
+          val off = fill; fill += n
+          id -> ((seq, off))
+        }
+      }.toMap
+      assert(got == want, s"greedy packing diverged at seed $seed")
+    }
+  }
+
+  test("layout two-level granule rank equals the single window on random events") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 900)
+      val n = 200 + rnd.nextInt(600)
+      val fix = writeEventsFixture((0 until n).map { i =>
+        (i.toLong,
+          1700000000000000000L + math.abs(rnd.nextLong() % 2000000000000L) * 1000L,
+          rnd.nextInt(1 + rnd.nextInt(300)).toLong,
+          "click", 1.0)
+      })
+      val base = graft.operators.Layout.zvalDf(spark, fix)
+      val got = graft.operators.Layout
+        .granuleByRank(base, $"zval", $"event_id")
+        .select("event_id", "granule")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = base
+        .withColumn("granule", expr(
+          s"(row_number() OVER (ORDER BY zval, event_id) - 1) div ${graft.operators.Layout.GranuleRows}"))
+        .select("event_id", "granule")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"granule rank diverged at seed $seed")
+    }
+  }
 }
