@@ -255,6 +255,118 @@ object Layout extends OpModule {
        |  n_rows < $CompactTargetRows AS is_underfull
        |FROM c""".stripMargin
 
+  /** Delta share for the incremental-append audit: every
+    * [[DeltaMod]]-th event plays the "new batch" (the
+    * `dedup_incremental` convention). */
+  val DeltaMod = 5L
+
+  /** Incremental append (`layout_incremental`) — the fourth layout
+    * lifecycle step: route a delta batch into the STANDING Z-order
+    * layout and report, per granule, how many rows land there and
+    * whether its bounding box must widen (stale-box granules prune
+    * worse until the next OPTIMIZE — exactly the stats-drift a
+    * lakehouse append causes). The standing index is built from the
+    * BASE rows only; delta rows are bucketed with the BASE min/max
+    * transform (clamped to [0,15] — new data outside the old value
+    * range must still route somewhere) and routed to the first granule
+    * whose Z-range still covers their Z-value (ties at granule
+    * boundaries break low; values past the last granule append to it).
+    * The routing join is delta × a BROADCAST granule-bounds frame (157
+    * rows) — metadata-sized, like every other index decision here. */
+  private def incrementalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts_us", $"user_id")
+    val base = ev.filter($"event_id" % DeltaMod =!= 0)
+    val delta = ev.filter($"event_id" % DeltaMod === 0)
+    val stats = base.agg(
+      min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
+      min($"user_id").as("ulo"), max($"user_id").as("uhi"))
+    def zOf(df: DataFrame, clamp: Boolean): DataFrame = {
+      val bx = bucketExpr("ts_us", "tlo", "thi", "div")
+      val by = bucketExpr("user_id", "ulo", "uhi", "div")
+      val (cx, cy) =
+        if (clamp) (s"least(${ZSide - 1}, greatest(0, $bx))",
+          s"least(${ZSide - 1}, greatest(0, $by))")
+        else (bx, by)
+      df.crossJoin(broadcast(stats))
+        .withColumn("xb", expr(cx)).withColumn("yb", expr(cy))
+        .withColumn("zval", expr(zExpr("xb", "yb", "div")))
+    }
+    val gran = granuleByRank(zOf(base, clamp = false), $"zval", $"event_id")
+    val gstats = gran.groupBy($"granule").agg(
+      count(lit(1)).as("n_base"),
+      min($"zval").as("zlo"), max($"zval").as("zhi"),
+      min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
+      min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"))
+    val lastG = gstats.agg(max($"granule").as("last_g"))
+    val routed = zOf(delta, clamp = true)
+      .select($"event_id", $"ts_us".as("d_ts"), $"user_id".as("d_uid"),
+        $"zval".as("d_z"))
+      .join(broadcast(gstats.select($"granule".as("rg"), $"zhi")),
+        $"zhi" >= $"d_z", "left")
+      .groupBy($"event_id", $"d_ts", $"d_uid")
+      .agg(min($"rg").as("route_g"))
+      .crossJoin(broadcast(lastG))
+      .withColumn("g", coalesce($"route_g", $"last_g"))
+    // widening: any routed row outside the granule's standing box
+    val audit = routed
+      .join(gstats, $"g" === $"granule")
+      .groupBy($"granule")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when($"d_ts" < $"ts_lo" || $"d_ts" > $"ts_hi" ||
+          $"d_uid" < $"uid_lo" || $"d_uid" > $"uid_hi", 1L)
+          .otherwise(0L)).as("n_widen"))
+    gstats.select($"granule", $"n_base")
+      .join(audit, Seq("granule"), "left")
+      .select($"granule", $"n_base",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_widen", lit(0L)).as("n_widen"),
+        (coalesce($"n_widen", lit(0L)) > 0).as("box_widened"))
+  }
+
+  private val incrementalSql: String = {
+    val bx = bucketExpr("epoch_us(ts)", "tlo", "thi", "//")
+    val by = bucketExpr("user_id", "ulo", "uhi", "//")
+    val cbx = s"least(${ZSide - 1}, greatest(0, $bx))"
+    val cby = s"least(${ZSide - 1}, greatest(0, $by))"
+    s"""WITH st AS (SELECT min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi,
+       |             min(user_id) AS ulo, max(user_id) AS uhi
+       |            FROM events WHERE event_id % $DeltaMod <> 0),
+       |bz AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |         $bx AS xb, $by AS yb
+       |       FROM events, st WHERE event_id % $DeltaMod <> 0),
+       |bzz AS (SELECT *, ${zExpr("xb", "yb", "//")} AS zval FROM bz),
+       |g AS (SELECT *, (row_number() OVER (ORDER BY zval, event_id) - 1)
+       |               // $GranuleRows AS granule FROM bzz),
+       |gs AS (SELECT granule, count(*) AS n_base,
+       |         min(zval) AS zlo, max(zval) AS zhi,
+       |         min(ts_us) AS ts_lo, max(ts_us) AS ts_hi,
+       |         min(user_id) AS uid_lo, max(user_id) AS uid_hi
+       |       FROM g GROUP BY 1),
+       |lg AS (SELECT max(granule) AS last_g FROM gs),
+       |dz AS (SELECT event_id, epoch_us(ts) AS d_ts, user_id AS d_uid,
+       |         $cbx AS xb, $cby AS yb
+       |       FROM events, st WHERE event_id % $DeltaMod = 0),
+       |dzz AS (SELECT *, ${zExpr("xb", "yb", "//")} AS d_z FROM dz),
+       |routed AS (
+       |  SELECT d.event_id, d.d_ts, d.d_uid,
+       |    coalesce(min(s.granule), max(lg.last_g)) AS g
+       |  FROM dzz d LEFT JOIN gs s ON s.zhi >= d.d_z, lg
+       |  GROUP BY 1, 2, 3),
+       |audit AS (
+       |  SELECT r.g AS granule, count(*) AS n_new,
+       |    sum(CASE WHEN r.d_ts < s.ts_lo OR r.d_ts > s.ts_hi OR
+       |                  r.d_uid < s.uid_lo OR r.d_uid > s.uid_hi
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_widen
+       |  FROM routed r JOIN gs s ON s.granule = r.g GROUP BY 1)
+       |SELECT gs.granule, gs.n_base,
+       |  coalesce(a.n_new, 0)::BIGINT AS n_new,
+       |  coalesce(a.n_widen, 0)::BIGINT AS n_widen,
+       |  coalesce(a.n_widen, 0) > 0 AS box_widened
+       |FROM gs LEFT JOIN audit a ON a.granule = gs.granule""".stripMargin
+  }
+
   /** Multiplicative-hash mix for the partition diagnostic: Knuth's
     * 2654435761, middle bits taken so the low-bit permutation of a
     * small-modulus product does not masquerade as mixing. */
@@ -323,6 +435,7 @@ object Layout extends OpModule {
     "layout_zorder" -> (zorderDf(_, _)),
     "layout_prune" -> (pruneDf(_, _)),
     "layout_compaction" -> (compactionDf(_, _)),
+    "layout_incremental" -> (incrementalDf(_, _)),
     "diag_partition_stats" -> (partitionStatsDf(_, _)),
     "diag_heavy_hitters" -> (heavyHittersDf(_, _))
   )
@@ -331,6 +444,7 @@ object Layout extends OpModule {
     "layout_zorder" -> zorderSql,
     "layout_prune" -> pruneSql,
     "layout_compaction" -> compactionSql,
+    "layout_incremental" -> incrementalSql,
     "diag_partition_stats" -> partitionStatsSql,
     "diag_heavy_hitters" -> heavyHittersSql
   )

@@ -731,6 +731,116 @@ object Multimodal extends OpModule {
        |FROM d""".stripMargin
   }
 
+  // ---- video copy detection: frame fingerprints + sequence overlap ----
+
+  /** Every [[VidTrimMod]]-th document also has a TRIMMED re-upload of
+    * its clip (first frame dropped) — the clipped-repost case video
+    * dedup exists for; the copy's id is the original's plus
+    * [[VidTrimOffset]]. */
+  val VidTrimMod = 4L
+  val VidTrimOffset = 1000000L
+
+  /** Positional weight period for the frame fingerprint. */
+  val VidFpW = 97L
+
+  /** Per-frame positionally-weighted fingerprints for every video in
+    * the corpus INCLUDING the planted trimmed copies. Decode is
+    * partition-local (pixels never shuffle — only (vid, fp) longs
+    * leave); the fingerprint is an exact content address, so identical
+    * frames match across clips regardless of position (the trim shifts
+    * every frame index by one — an index-bound signature would miss
+    * it). */
+  private def videoFpDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"video_fp:$dir") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val d = decode(synthesizeVideo(text))
+          val fsz = (d.width * d.height * 3).toInt
+          def fp(f: Int): Long = {
+            var s = 0L; var j = 0
+            while (j < fsz) {
+              s += (d.data(f * fsz + j) & 0xff).toLong * ((j % VidFpW) + 1)
+              j += 1
+            }
+            s
+          }
+          val nf = d.nFrames.toInt
+          val orig = (0 until nf).iterator.map(f => (id, f.toLong, fp(f)))
+          val trim =
+            if (id % VidTrimMod == 0)
+              (1 until nf).iterator.map(f =>
+                (id + VidTrimOffset, (f - 1).toLong, fp(f)))
+            else Iterator.empty
+          orig ++ trim
+        })
+        .toDF("vid", "frame_pos", "fp")
+    }
+
+  /** `media_video_fp` — video copy detection: clips sharing at least
+    * two frame fingerprints, with the overlap stats and the majority
+    * verdict (`is_dup` when the shared frames cover most of the smaller
+    * clip). The pair census is an EQUI-JOIN on the fingerprint — the
+    * inverted-index shape of every dedup family here: candidate pairs
+    * exist only where a frame actually matches, never all-pairs. Catches
+    * both planted duplicate classes: trimmed re-uploads (all of the
+    * copy's frames match) and identical-text clips (exact dups). */
+  private def videoPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = videoFpDf(spark, dir).select($"vid", $"fp").distinct()
+    val sizes = frames.groupBy($"vid").agg(count(lit(1)).as("nf"))
+    frames.select($"vid".as("vid_a"), $"fp")
+      .join(frames.select($"vid".as("vid_b"), $"fp"), Seq("fp"))
+      .filter($"vid_a" < $"vid_b")
+      .groupBy($"vid_a", $"vid_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .join(broadcast(sizes.select($"vid".as("vid_a"), $"nf".as("n_a"))),
+        Seq("vid_a"))
+      .join(broadcast(sizes.select($"vid".as("vid_b"), $"nf".as("n_b"))),
+        Seq("vid_b"))
+      .withColumn("is_dup", $"n_shared" * 2 > least($"n_a", $"n_b"))
+      .select($"vid_a", $"vid_b", $"n_shared", $"n_a", $"n_b", $"is_dup")
+  }
+
+  private val videoPairsSql: String = {
+    val seed = ColFns.hex32Sql("text")
+    val seedW = ColFns.hex32Sql("(text || 'vw')")
+    val seedH = ColFns.hex32Sql("(text || 'vh')")
+    val seedF = ColFns.hex32Sql("(text || 'vf')")
+    val salt = ColFns.hex32Sql(s"(text || 'sc' || (frame_idx // $SceneLen)::VARCHAR)")
+    s"""WITH p AS (SELECT doc_id, text, $seed AS seed,
+       |             ($seedW % 12 + 4) * ($seedH % 10 + 4) * 3 AS fsz,
+       |             $seedF % 12 + 4 AS nf
+       |           FROM documents),
+       |fr AS (SELECT doc_id, seed, fsz, frame_idx, $salt AS salt
+       |       FROM (SELECT doc_id, text, seed, fsz,
+       |               unnest(range(0, nf)) AS frame_idx FROM p) f0),
+       |fps AS (SELECT doc_id, frame_idx,
+       |          sum(((j % $VidFpW) + 1) *
+       |              ((seed + salt + j * $ByteStep
+       |                + frame_idx * $SceneDrift) % 256))::BIGINT AS fp
+       |        FROM (SELECT *, unnest(range(0, fsz)) AS j FROM fr) fj
+       |        GROUP BY 1, 2),
+       |vids AS (SELECT doc_id AS vid, fp FROM fps
+       |         UNION ALL
+       |         SELECT doc_id + $VidTrimOffset, fp FROM fps
+       |         WHERE doc_id % $VidTrimMod = 0 AND frame_idx >= 1),
+       |frames AS (SELECT DISTINCT vid, fp FROM vids),
+       |sizes AS (SELECT vid, count(*) AS nf FROM frames GROUP BY 1),
+       |pairs AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+       |            count(*) AS n_shared
+       |          FROM frames a JOIN frames b
+       |            ON b.fp = a.fp AND a.vid < b.vid
+       |          GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT p.vid_a, p.vid_b, p.n_shared, sa.nf AS n_a, sb.nf AS n_b,
+       |  p.n_shared * 2 > least(sa.nf, sb.nf) AS is_dup
+       |FROM pairs p JOIN sizes sa ON sa.vid = p.vid_a
+       |             JOIN sizes sb ON sb.vid = p.vid_b""".stripMargin
+  }
+
   // ---- PNG rung: a real COMPRESSED container via the JDK's ImageIO ----
 
   /** Synthesize a real zlib-compressed PNG: pixels from the same essence
@@ -882,6 +992,7 @@ object Multimodal extends OpModule {
     "media_resample" -> (resampleDf(_, _)),
     "media_audio_features" -> (audioFeaturesDf(_, _)),
     "media_scene_cuts" -> (sceneCutsDf(_, _)),
+    "media_video_fp" -> (videoPairsDf(_, _)),
     "media_png_meta" -> (pngMetaDf(_, _))
   )
 
@@ -893,6 +1004,7 @@ object Multimodal extends OpModule {
     "media_resample" -> resampleSql,
     "media_audio_features" -> audioFeaturesSql,
     "media_scene_cuts" -> sceneCutsSql,
+    "media_video_fp" -> videoPairsSql,
     "media_png_meta" -> pngMetaSql
   )
 }

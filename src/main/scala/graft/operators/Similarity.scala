@@ -1102,6 +1102,38 @@ object Similarity extends OpModule {
        |FROM (${rows.mkString("(", ") UNION ALL (", ")")})""".stripMargin
   }
 
+  /** `ann_cell_stats` — the coarse quantizer's occupancy audit: members
+    * per refined cell, each cell's balance against the fair share, and
+    * the hot flag (>2× fair). The IVF twin of `diag_partition_stats`:
+    * probe cost is proportional to probed-cell size, so a fat cell is a
+    * latency outlier and a starved one wastes a probe — this frame is
+    * what decides k, re-training, or cell splitting before a 100 TB
+    * index build. One aggregation over the memoized refined assignment
+    * (no new corpus scan); the totals frame is 1 row, broadcast. */
+  private def cellStatsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assign = kmeansRankedDf(spark, dir).filter($"rk" === 1)
+      .select($"vec_id", $"cell")
+    val tot = assign.agg(count(lit(1)).as("total"),
+      countDistinct($"cell").as("k"))
+    assign.groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(tot))
+      .withColumn("balance",
+        round($"n_members" * $"k" / $"total".cast("double"), 6))
+      .withColumn("hot", $"n_members" * $"k" > $"total" * 2)
+      .select($"cell", $"n_members", $"balance", $"hot")
+  }
+
+  private lazy val cellStatsSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |t AS (SELECT count(*) AS total, count(DISTINCT cell) AS k
+       |      FROM assign2)
+       |SELECT a.cell, count(*) AS n_members,
+       |  round(count(*) * t.k / t.total::DOUBLE, 6) AS balance,
+       |  count(*) * t.k > t.total * 2 AS hot
+       |FROM assign2 a, t GROUP BY 1, t.k, t.total""".stripMargin
+
   // ---- filtered (metadata-constrained) search: the pre-filter vs
   // post-filter strategy pair every production vector store exposes ----
 
@@ -1788,6 +1820,7 @@ object Similarity extends OpModule {
     "ann_ivfpq_topk" -> (ivfpqTopkDf(_, _)),
     "ann_recall_ivfpq" -> (recallIvfpqDf(_, _)),
     "ann_ivfpq_distortion" -> (ivfpqDistortionDf(_, _)),
+    "ann_cell_stats" -> (cellStatsDf(_, _)),
     "ann_filtered_topk" -> (filteredTopkDf(_, _)),
     "ann_filtered_recall" -> (filteredRecallDf(_, _)),
     "ann_trunc_topk" -> (truncTopkDf(_, _)),
@@ -1821,6 +1854,7 @@ object Similarity extends OpModule {
     "ann_trunc_topk" -> truncTopkSql,
     "ann_recall_trunc" -> recallTruncSql,
     "ann_trunc_curve" -> truncCurveSql,
+    "ann_cell_stats" -> cellStatsSql,
     "ann_filtered_topk" -> filteredTopkSql,
     "ann_filtered_recall" -> filteredRecallSql
   )

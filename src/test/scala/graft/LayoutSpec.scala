@@ -189,6 +189,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("layout_incremental: every delta row routes once; widening " +
+    "reconciles with the boxes") {
+    import spark.implicits._
+    val rows = rowsOf(SparkEntry.queries("layout_incremental")(spark, dir))
+    val ev = graft.sources.Tables.events(spark, dir)
+    val nDelta = ev.filter($"event_id" % Layout.DeltaMod === 0).count()
+    val nBase = ev.filter($"event_id" % Layout.DeltaMod =!= 0).count()
+    assert(rows.map(_("n_new").asInstanceOf[Long]).sum === nDelta)
+    assert(rows.map(_("n_base").asInstanceOf[Long]).sum === nBase)
+    rows.foreach { r =>
+      assert(r("box_widened") ===
+        (r("n_widen").asInstanceOf[Long] > 0L))
+      assert(r("n_widen").asInstanceOf[Long] <=
+        r("n_new").asInstanceOf[Long])
+    }
+    // the standing layout still partitions the base exactly
+    assert(rows.map(_("n_base").asInstanceOf[Long]).max <=
+      Layout.GranuleRows)
+  }
+
   test("text_fertility: every language has fertility >= 1 and consistent sums") {
     val rows = rowsOf(SparkEntry.queries("text_fertility")(spark, dir))
     assert(rows.nonEmpty)

@@ -214,6 +214,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits16 == byD(Similarity.TruncDim)("hits").asInstanceOf[Long])
   }
 
+  test("cell stats: the refined quantizer's occupancy covers the corpus " +
+    "and stays balanced here") {
+    val dir = sfDir("sf0.01")
+    val rows = rowsOf(SparkEntry.queries("ann_cell_stats")(spark, dir))
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_("n_members").asInstanceOf[Long]).sum === n)
+    // the synthetic corpus is label-balanced, so one Lloyd round keeps
+    // cells near fair share and the hot flag must NOT fire — the audit's
+    // healthy-index face (the skew face is diag_heavy_hitters' job)
+    rows.foreach { r =>
+      val b = r("balance").asInstanceOf[Double]
+      assert(b > 0.5 && b < 2.0)
+      assert(r("hot") === false)
+    }
+  }
+
   test("filtered search: pre-filter stays in-label and complete; " +
     "post-filter recall collapses") {
     import spark.implicits._
