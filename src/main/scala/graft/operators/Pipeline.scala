@@ -131,6 +131,75 @@ object Pipeline extends OpModule {
        |GROUP BY 1
        |HAVING count(*) >= $MinOverlap""".stripMargin
 
+  /** Shingle widths swept by the sensitivity curve. */
+  val ContamCurveNs: Seq[Int] = Seq(2, 3, 4, 5)
+
+  /** Decontamination sensitivity curve (`bench_contamination_curve`):
+    * how many training docs the shingle screen flags at each width
+    * n ∈ [[ContamCurveNs]] — the tuning table behind the n=3 choice
+    * every decontamination pipeline hard-codes. Short shingles
+    * over-flag (common phrases), long ones under-flag (any paraphrase
+    * breaks the run); the curve prices that trade. Monotone
+    * non-increasing in n (any two distinct n-grams contain ≥2 distinct
+    * (n-1)-grams, so a doc flagged at n is flagged at n-1 — asserted in
+    * the spec). ALL widths come from ONE lead-window pass: the token
+    * stream is walked once with leads t1..t4 and each width is a
+    * projection of that frame — at 100 TB you never re-scan the corpus
+    * per candidate width. */
+  private def contamCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxN = ContamCurveNs.max
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(filter(split($"text", "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .select(($"doc_id" +: $"tok" +:
+        (1 until maxN).map(k => lead($"tok", k).over(w).as(s"t$k"))): _*)
+    ContamCurveNs.map { n =>
+      val parts = $"tok" +: (1 until n).map(k => col(s"t$k"))
+      val sets = leads
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select($"doc_id",
+          ColFns.hex32(concat_ws(" ", parts: _*)).as("h"))
+        .distinct()
+      val bench = sets.filter($"doc_id" % BenchMod === 0)
+        .select($"h").distinct()
+      sets.filter($"doc_id" % BenchMod =!= 0)
+        .join(bench, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= MinOverlap)
+        .agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum($"n_shared"), lit(0L)).as("total_shared"))
+        .select(lit(n).as("shingle_n"), $"n_contaminated", $"total_shared")
+    }.reduce(_ unionByName _)
+  }
+
+  private val contamCurveSql: String = {
+    val rows = ContamCurveNs.map { n =>
+      val gram = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+      s"""(WITH sh AS (
+         |  SELECT doc_id, ${ColFns.hex32Sql(s"($gram)")} AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(1, greatest(len(ws) - ${n - 2}, 1))) AS i
+         |        FROM (SELECT doc_id,
+         |                list_filter(regexp_split_to_array(text, '\\s+'),
+         |                            t -> t <> '') AS ws
+         |              FROM documents) w0) w1),
+         |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM sets WHERE doc_id % $BenchMod = 0),
+         |c AS (SELECT s.doc_id, count(*) AS n_shared
+         |      FROM sets s JOIN bench b ON b.h = s.h
+         |      WHERE s.doc_id % $BenchMod <> 0
+         |      GROUP BY 1 HAVING count(*) >= $MinOverlap)
+         |SELECT $n AS shingle_n, count(*) AS n_contaminated,
+         |  coalesce(sum(n_shared), 0)::BIGINT AS total_shared
+         |FROM c)""".stripMargin
+    }
+    rows.mkString("\nUNION ALL\n")
+  }
+
   // ---- Bloom-filter decontamination prefilter ----
   //
   // The membership sketch completing the audit trio (KMV: how many
@@ -1663,6 +1732,7 @@ object Pipeline extends OpModule {
     "bench_contamination_bloom" -> (contaminationBloomDf(_, _)),
     "docs_length_hist" -> (histQuantilesDf(_, _)),
     "pipeline_pack" -> (packDf(_, _)),
+    "bench_contamination_curve" -> (contamCurveDf(_, _)),
     "pipeline_pack_greedy" -> (packGreedyDf(_, _)),
     "pipeline_pack_waste" -> (packWasteDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
@@ -1693,6 +1763,7 @@ object Pipeline extends OpModule {
     "bench_contamination_bloom" -> contaminationBloomSql,
     "docs_length_hist" -> histQuantilesSql,
     "pipeline_pack" -> packSql,
+    "bench_contamination_curve" -> contamCurveSql,
     "pipeline_pack_greedy" -> packGreedySql,
     "pipeline_pack_waste" -> packWasteSql,
     "pipeline_mixture" -> mixtureSql,

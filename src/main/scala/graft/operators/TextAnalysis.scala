@@ -820,6 +820,56 @@ object TextAnalysis extends OpModule {
        |  FROM bcls b LEFT JOIN scls s USING (doc_id))
        |SELECT doc_id, n_bigrams, prob, prob > 0.5 AS label FROM pcls""".stripMargin
 
+  /** Classifier calibration (`text_classifier_calibration`): predicted-
+    * probability deciles vs the TRAINING criterion (above-median
+    * heuristic quality) — the eval every learned quality filter needs
+    * before its scores gate a corpus: if `frac_above` does not rise
+    * with the decile, the model ranks junk above prose and the gate
+    * threshold is meaningless. Per decile: doc count, the exact
+    * integer micro-quality sum (mean = sum_uq/n_docs/1e6 — an integer
+    * column instead of a rounded double mean, so engine summation
+    * order cannot touch the compare), the above-median count, and the
+    * above-median fraction. One join of two already-computed per-doc
+    * frames + one aggregation; the median threshold is the training
+    * pass's own 1-row broadcast. */
+  private def classifierCalibrationDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q6 = qualityDf(spark, dir)
+      .select($"doc_id", round($"quality", 6).as("q6"))
+    val th = q6.agg(round(expr("percentile(q6, 0.5D)"), 6).as("q_med"))
+    classifierDf(spark, dir).select($"doc_id", $"prob")
+      .join(q6, Seq("doc_id"))
+      .crossJoin(broadcast(th))
+      .withColumn("decile", least(lit(9), floor($"prob" * 10)).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round($"q6" * 1e6, 0).cast("long")).as("sum_uq"),
+        sum(when($"q6" >= $"q_med", 1L).otherwise(0L)).as("n_above_median"))
+      .withColumn("frac_above",
+        round($"n_above_median" / $"n_docs".cast("double"), 6))
+  }
+
+  private lazy val classifierCalibrationSql: String =
+    s"""WITH $clsTrainSqlBody,
+       |scls AS (
+       |  SELECT o.doc_id, sum(w.w_unats)::BIGINT AS sw
+       |  FROM occcls o JOIN clsw w ON w.bucket = o.g % $ClsBuckets
+       |  GROUP BY 1),
+       |pcls AS (SELECT b.doc_id,
+       |    round(${ColFns.sigmoidSql(
+              s"coalesce(s.sw, 0) / 1e6 / greatest(len(b.bg), 1)::DOUBLE" +
+                s" + $ClsBias")}, 6) AS prob
+       |  FROM bcls b LEFT JOIN scls s USING (doc_id))
+       |SELECT least(9, floor(p.prob * 10))::BIGINT AS decile,
+       |  count(*) AS n_docs,
+       |  sum(CAST(round(q.q6 * 1e6, 0) AS BIGINT))::BIGINT AS sum_uq,
+       |  sum(CASE WHEN q.q6 >= t.q_med THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_above_median,
+       |  round(sum(CASE WHEN q.q6 >= t.q_med THEN 1 ELSE 0 END)
+       |        / count(*)::DOUBLE, 6) AS frac_above
+       |FROM pcls p JOIN qcls q USING (doc_id), thcls t
+       |GROUP BY 1, t.q_med""".stripMargin
+
   /** Interpolated bigram-LM cross-entropy — one order up from
     * [[unigramXentDf]]: each bigram occurrence scores
     * `ln(λ·c(prev,w)/c(prev·) + (1-λ)·c(w)/total)` with Jelinek-Mercer
@@ -1399,6 +1449,7 @@ object TextAnalysis extends OpModule {
     "text_pii" -> (piiDf(_, _)),
     "text_classifier_score" -> (classifierDf(_, _)),
     "text_classifier_train" -> (classifierTrainDf(_, _)),
+    "text_classifier_calibration" -> (classifierCalibrationDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
@@ -1421,6 +1472,7 @@ object TextAnalysis extends OpModule {
     "text_pii" -> piiSql,
     "text_classifier_score" -> classifierSql,
     "text_classifier_train" -> classifierTrainSql,
+    "text_classifier_calibration" -> classifierCalibrationSql,
     "text_encode" -> encodeSql,
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,

@@ -103,6 +103,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contamination curve: monotone in shingle width, n=3 row matches " +
+    "the shipped screen") {
+    val rows = rowsOf(Pipeline.queries("bench_contamination_curve")(
+      spark, sfDir("sf0.01"))).sortBy(_("shingle_n").asInstanceOf[Int])
+    assert(rows.map(_("shingle_n")) === Pipeline.ContamCurveNs)
+    // stricter shingles can only flag fewer docs
+    val counts = rows.map(_("n_contaminated").asInstanceOf[Long])
+    assert(counts === counts.sorted.reverse)
+    // cross-view: the curve's n=3 point IS bench_contamination's verdict
+    val n3 = rows.find(_("shingle_n") == 3).get
+    val screen = rowsOf(Pipeline.queries("bench_contamination")(
+      spark, sfDir("sf0.01")))
+    assert(n3("n_contaminated") === screen.size.toLong)
+    assert(n3("total_shared") ===
+      screen.map(_("n_shared").asInstanceOf[Long]).sum)
+    // and the curve discriminates on this corpus: bigrams over-flag,
+    // the shipped width flags a strict subset
+    assert(counts.head > counts(1))
+  }
+
   test("greedy no-split packing: docs never span, greedy boundary is tight, " +
     "waste reconciles") {
     val rows = rowsOf(Pipeline.queries("pipeline_pack_greedy")(spark, sfDir("sf0.01")))

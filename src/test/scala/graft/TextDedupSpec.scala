@@ -497,6 +497,28 @@ class TextDedupSpec extends SparkSpec {
     assert(mPos > mNeg, s"learned model must separate: pos $mPos vs neg $mNeg")
   }
 
+  test("classifier calibration: above-median fraction rises with the " +
+    "probability decile") {
+    val rows = rowsOf(TextAnalysis.queries("text_classifier_calibration")(
+      spark, sfDir("sf0.01"))).sortBy(_("decile").asInstanceOf[Long])
+    assert(rows.nonEmpty)
+    // accounting: the deciles partition the corpus
+    assert(rows.map(_("n_docs").asInstanceOf[Long]).sum === 500L)
+    rows.foreach { r =>
+      val f = r("frac_above").asInstanceOf[Double]
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r("n_above_median").asInstanceOf[Long] <=
+        r("n_docs").asInstanceOf[Long])
+    }
+    // calibration direction: the fraction of training-positive docs is
+    // monotone in the decile — a flat or inverted curve would mean the
+    // learned gate ranks junk above prose
+    val fracs = rows.map(_("frac_above").asInstanceOf[Double])
+    assert(fracs === fracs.sorted, s"calibration inverted: $fracs")
+    assert(fracs.last > fracs.head + 0.3,
+      "the learned scores must discriminate the label classes")
+  }
+
   test("bigram xent: templated loops score low, unpredictable soup high") {
     val d = writeDocsFixture(
       // docs 1-6: the same 3-word loop — every transition is near-certain
