@@ -297,7 +297,76 @@ object Relational extends OpModule {
       |  count(*) AS n, sum(value) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Languages pivoted to columns — fixed list so the output schema is
+    * static (an open-ended `.pivot(col)` would scan once just to learn
+    * the columns; at scale you always pass the value list). */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Cross-tab / PIVOT (`pivot_source_lang`): documents counted per
+    * source with one column per language — Spark's `.pivot` with an
+    * explicit value list compiles to ONE hash aggregation whose
+    * aggregate expressions are per-language conditional counts (no
+    * second pass, no shuffle beyond the groupBy); the oracle writes the
+    * same conditional aggregation longhand. */
+  private def pivotDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      // pivot leaves absent cells null; the oracle's counts are 0
+      .select($"source" +: PivotLangs.map(l =>
+        coalesce(col(l), lit(0L)).as(l)): _*)
+  }
+
+  private val pivotSql: String = {
+    val cols = PivotLangs.map(l =>
+      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS $l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cols
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  /** Set-operator family completion (`set_ops`): INTERSECT / EXCEPT /
+    * UNION over the purchase-users and error-users sets, folded to one
+    * summary row per operator. Spark plans INTERSECT as a left-semi and
+    * EXCEPT as a left-anti over the deduplicated sides — the same
+    * bounded join shapes as `join_semi`/`join_anti`, exercised through
+    * the set-operator API the reference's SQL surface exposes. */
+  private def setOpsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def users(t: String) = Tables.events(spark, dir)
+      .filter($"event_type" === t).select($"user_id").distinct()
+    val buy = users("purchase")
+    val err = users("error")
+    Seq(
+      ("intersect", buy.intersect(err)),
+      ("except", buy.except(err)),
+      ("union", buy.union(err).distinct())
+    ).map { case (op, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(op).as("op"), $"n_users")
+    }.reduce(_ unionByName _)
+  }
+
+  private val setOpsSql: String =
+    s"""WITH buy AS (SELECT DISTINCT user_id FROM events
+       |            WHERE event_type = 'purchase'),
+       |err AS (SELECT DISTINCT user_id FROM events
+       |        WHERE event_type = 'error')
+       |SELECT 'intersect' AS op,
+       |  (SELECT count(*) FROM (SELECT * FROM buy INTERSECT SELECT * FROM err))
+       |    AS n_users
+       |UNION ALL
+       |SELECT 'except',
+       |  (SELECT count(*) FROM (SELECT * FROM buy EXCEPT SELECT * FROM err))
+       |UNION ALL
+       |SELECT 'union',
+       |  (SELECT count(*) FROM (SELECT * FROM buy UNION SELECT * FROM err))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_source_lang" -> (pivotDf(_, _)),
+    "set_ops" -> (setOpsDf(_, _)),
     "q1_pricing" -> (q1Df(_, _)),
     "q3_topk" -> (q3Df(_, _)),
     "q5_region_revenue" -> (q5Df(_, _)),
@@ -312,6 +381,8 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "pivot_source_lang" -> pivotSql,
+    "set_ops" -> setOpsSql,
     "q1_pricing" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

@@ -96,4 +96,50 @@ class RelationalSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"filter not pushed:\n$plan")
   }
+
+  test("pivot: language columns partition every source's documents") {
+    val rows = rowsOf(Relational.queries("pivot_source_lang")(spark, dir))
+    val total = Tables.documents(spark, dir).count()
+    val cells = rows.map(r => Relational.PivotLangs
+      .map(l => r(l).asInstanceOf[Long]).sum).sum
+    assert(cells === total, "pivot cells must partition the corpus")
+    assert(rows.map(_("source")).distinct.size === rows.size)
+  }
+
+  test("set ops: inclusion-exclusion holds over the user sets") {
+    import spark.implicits._
+    val m = rowsOf(Relational.queries("set_ops")(spark, dir))
+      .map(r => r("op") -> r("n_users").asInstanceOf[Long]).toMap
+    val buy = Tables.events(spark, dir).filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    val err = Tables.events(spark, dir).filter($"event_type" === "error")
+      .select($"user_id").distinct().count()
+    assert(m("union") === buy + err - m("intersect"))
+    assert(m("except") === buy - m("intersect"))
+    assert(m("intersect") <= math.min(buy, err))
+  }
+
+  test("schema evolution: mergeSchema unions parquet generations, " +
+    "old files read null for new columns") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // generation 1: (doc_id, text); generation 2 adds a quality column
+    Seq((1L, "old row")).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/docs/g=1")
+    Seq((2L, "new row", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir2/docs/g=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir2/docs")
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "g"))
+    val byId = rowsOf(merged).map(r =>
+      r("doc_id").asInstanceOf[Long] -> r).toMap
+    assert(byId(1L)("quality") == null) // old generation: padded null
+    assert(byId(2L)("quality") == 0.9)
+    // and WITHOUT mergeSchema the read keeps one generation's schema —
+    // the default a reader must not rely on across schema drift
+    val plain = spark.read.parquet(s"$dir2/docs")
+    assert(plain.columns.toSet.subsetOf(
+      Set("doc_id", "text", "quality", "g")))
+    graft.functions.Fs.deleteRecursively(new java.io.File(dir2))
+  }
 }
