@@ -124,7 +124,35 @@ object Keyed extends OpModule {
       |  max(value) AS max_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Rank-statistics windows (`window_ranks`) — the §2.6 functions not
+    * yet exercised: percent_rank / cume_dist / ntile(4) per event_type,
+    * ordered by (value, event_id) so the order is TOTAL and every rank
+    * statistic is engine-deterministic (ntile splits ties by position —
+    * an order with duplicates would let the engines disagree on which
+    * row lands in which quartile). Rank windows partition by the key,
+    * so the plan parallelizes per key like every other keyed window
+    * here. percent_rank and cume_dist are exact rationals of integer
+    * rank counts — identical doubles on both engines. */
+  private def windowRanksDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+  }
+
+  private val windowRanksSql: String =
+    """SELECT event_id, event_type, value,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  ntile(4) OVER w::BIGINT AS tile
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ranks" -> (windowRanksDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
     "order_success_rate" -> (successRateDf(_, _)),
@@ -132,6 +160,7 @@ object Keyed extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_ranks" -> windowRanksSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
     "order_success_rate" -> successRateSql,

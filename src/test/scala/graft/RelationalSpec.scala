@@ -119,6 +119,22 @@ class RelationalSpec extends SparkSpec {
     assert(m("intersect") <= math.min(buy, err))
   }
 
+  test("window ranks: quartiles balance within one row, rank stats " +
+    "bound correctly per key") {
+    val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))
+    rows.groupBy(_("event_type")).values.foreach { grp =>
+      val tiles = grp.groupBy(_("tile").asInstanceOf[Long])
+        .view.mapValues(_.size).toMap
+      assert(tiles.keySet === Set(1L, 2L, 3L, 4L))
+      assert(tiles.values.max - tiles.values.min <= 1,
+        "ntile must balance quartiles within one row")
+      val prs = grp.map(_("pr").asInstanceOf[Double])
+      val cds = grp.map(_("cd").asInstanceOf[Double])
+      assert(prs.min === 0.0 && prs.max === 1.0)
+      assert(cds.max === 1.0 && cds.min > 0.0)
+    }
+  }
+
   test("schema evolution: mergeSchema unions parquet generations, " +
     "old files read null for new columns") {
     import spark.implicits._
