@@ -260,6 +260,44 @@ object Layout extends OpModule {
     * `dedup_incremental` convention). */
   val DeltaMod = 5L
 
+  /** Clamped bucket expressions over LITERAL base stats — the routing
+    * transform a streaming append monitor ships to executors (the
+    * standing index's min/max are frozen numbers by the time deltas
+    * arrive). Same formula as the batch delta path. */
+  private[graft] def clampedBucketExprs(tlo: Long, thi: Long,
+      ulo: Long, uhi: Long): (String, String) = {
+    val bx = bucketExpr("ts_us", tlo.toString, thi.toString, "div")
+    val by = bucketExpr("user_id", ulo.toString, uhi.toString, "div")
+    (s"least(${ZSide - 1}, greatest(0, $bx))",
+      s"least(${ZSide - 1}, greatest(0, $by))")
+  }
+
+  /** Z-value from already-computed `xb`/`yb` columns. */
+  private[graft] def zFromBuckets: String = zExpr("xb", "yb", "div")
+
+  /** The standing index a delta batch routes against: per-granule
+    * (zlo, zhi, box) built from the BASE rows — the frame a layout
+    * monitor broadcasts. */
+  private[graft] def standingGstats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts_us", $"user_id")
+    val base = ev.filter($"event_id" % DeltaMod =!= 0)
+    val stats = base.agg(
+      min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
+      min($"user_id").as("ulo"), max($"user_id").as("uhi"))
+    val z = base.crossJoin(broadcast(stats))
+      .withColumn("xb", expr(bucketExpr("ts_us", "tlo", "thi", "div")))
+      .withColumn("yb", expr(bucketExpr("user_id", "ulo", "uhi", "div")))
+      .withColumn("zval", expr(zExpr("xb", "yb", "div")))
+    granuleByRank(z, $"zval", $"event_id")
+      .groupBy($"granule").agg(
+        count(lit(1)).as("n_base"),
+        min($"zval").as("zlo"), max($"zval").as("zhi"),
+        min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
+        min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"))
+  }
+
   /** Incremental append (`layout_incremental`) — the fourth layout
     * lifecycle step: route a delta batch into the STANDING Z-order
     * layout and report, per granule, how many rows land there and
@@ -282,25 +320,18 @@ object Layout extends OpModule {
     val stats = base.agg(
       min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
       min($"user_id").as("ulo"), max($"user_id").as("uhi"))
-    def zOf(df: DataFrame, clamp: Boolean): DataFrame = {
+    def zOf(df: DataFrame): DataFrame = {
       val bx = bucketExpr("ts_us", "tlo", "thi", "div")
       val by = bucketExpr("user_id", "ulo", "uhi", "div")
-      val (cx, cy) =
-        if (clamp) (s"least(${ZSide - 1}, greatest(0, $bx))",
-          s"least(${ZSide - 1}, greatest(0, $by))")
-        else (bx, by)
+      val (cx, cy) = (s"least(${ZSide - 1}, greatest(0, $bx))",
+        s"least(${ZSide - 1}, greatest(0, $by))")
       df.crossJoin(broadcast(stats))
         .withColumn("xb", expr(cx)).withColumn("yb", expr(cy))
         .withColumn("zval", expr(zExpr("xb", "yb", "div")))
     }
-    val gran = granuleByRank(zOf(base, clamp = false), $"zval", $"event_id")
-    val gstats = gran.groupBy($"granule").agg(
-      count(lit(1)).as("n_base"),
-      min($"zval").as("zlo"), max($"zval").as("zhi"),
-      min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
-      min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"))
+    val gstats = standingGstats(spark, dir)
     val lastG = gstats.agg(max($"granule").as("last_g"))
-    val routed = zOf(delta, clamp = true)
+    val routed = zOf(delta)
       .select($"event_id", $"ts_us".as("d_ts"), $"user_id".as("d_uid"),
         $"zval".as("d_z"))
       .join(broadcast(gstats.select($"granule".as("rg"), $"zhi")),

@@ -270,6 +270,27 @@ object Relational extends OpModule {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE — rollup's sibling: ALL grouping combinations including the
+    * cross-margins rollup omits (the (·, linestatus) slice). One Expand
+    * + hash aggregation, like rollup. */
+  private def cubeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"revenue", $"n_items")
+  }
+
+  private val cubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -376,6 +397,7 @@ object Relational extends OpModule {
     "join_interval" -> (intervalDf(_, _)),
     "topk_per_group" -> (topkDf(_, _)),
     "agg_rollup" -> (rollupDf(_, _)),
+    "agg_cube" -> (cubeDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -392,6 +414,7 @@ object Relational extends OpModule {
     "join_interval" -> intervalSql,
     "topk_per_group" -> topkSql,
     "agg_rollup" -> rollupSql,
+    "agg_cube" -> cubeSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

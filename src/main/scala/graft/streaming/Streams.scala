@@ -1082,6 +1082,71 @@ object Streams {
       }
   }
 
+  case class GranuleAppendState(nNew: Long, nWiden: Long)
+  case class GranuleAppend(granule: Long, n_new: Long, n_widen: Long,
+    box_widened: Boolean)
+
+  /** One standing-index entry the layout monitor routes against. */
+  case class GranuleBox(granule: Long, zhi: Long, tsLo: Long, tsHi: Long,
+    uidLo: Long, uidHi: Long)
+
+  /** Streaming append audit — the live twin of batch
+    * `layout_incremental`: delta events route into the STANDING Z-order
+    * layout as they arrive, and per granule the monitor carries running
+    * (n_new, n_widen) counts, emitting the updated audit row on every
+    * batch that touches the granule. The standing index is FROZEN
+    * metadata by the time deltas stream (granule zhi bounds + boxes +
+    * the base min/max for the bucket transform), shipped to executors
+    * as literals/closure — a real deployment broadcasts the same
+    * ~file-count-sized frame. Routing = lower-bound binary search over
+    * the nondecreasing zhi array (same verdict as the batch
+    * `min(granule) where zhi >= z`, values past the end append to the
+    * last granule). State is O(1) per granule and the KEY SPACE IS
+    * BOUNDED by the standing index's granule count, so NoTimeout is
+    * safe by the bounded-key-space ledger (§"State-lifetime policy").
+    * StreamingSpec replays the delta batch and asserts the final rows
+    * equal the batch audit exactly. */
+  def layoutMonitor(events: DataFrame, tlo: Long, thi: Long,
+      ulo: Long, uhi: Long, index: Seq[GranuleBox]): Dataset[GranuleAppend] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val L = graft.operators.Layout
+    val (cx, cy) = L.clampedBucketExprs(tlo, thi, ulo, uhi)
+    // hoisted, sorted routing tables (the closure must stay small)
+    val sorted = index.sortBy(_.granule).toArray
+    val zhis = sorted.map(_.zhi)
+    val boxes = sorted.map(b => (b.tsLo, b.tsHi, b.uidLo, b.uidHi))
+    val granIds = sorted.map(_.granule)
+    events
+      .select($"event_id", $"ts_us", $"user_id")
+      .withColumn("xb", expr(cx)).withColumn("yb", expr(cy))
+      .withColumn("zval", expr(L.zFromBuckets))
+      .select($"ts_us", $"user_id", $"zval")
+      .as[(Long, Long, Long)]
+      .map { case (ts, uid, z) =>
+        // lower bound: first granule whose zhi covers z; past-the-end
+        // appends to the last granule (the batch coalesce)
+        var lo = 0; var hi = zhis.length - 1
+        if (z > zhis(hi)) lo = hi
+        else while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (zhis(mid) >= z) hi = mid else lo = mid + 1
+        }
+        val (tsLo, tsHi, uidLo, uidHi) = boxes(lo)
+        val widen = ts < tsLo || ts > tsHi || uid < uidLo || uid > uidHi
+        (granIds(lo), if (widen) 1L else 0L)
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[GranuleAppendState, GranuleAppend](
+        GroupStateTimeout.NoTimeout) { (g, it, state) =>
+        var n = state.getOption.map(_.nNew).getOrElse(0L)
+        var w = state.getOption.map(_.nWiden).getOrElse(0L)
+        it.foreach { case (_, widen) => n += 1; w += widen }
+        state.update(GranuleAppendState(n, w))
+        GranuleAppend(g, n, w, w > 0)
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

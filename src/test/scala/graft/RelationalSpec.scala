@@ -119,6 +119,25 @@ class RelationalSpec extends SparkSpec {
     assert(m("intersect") <= math.min(buy, err))
   }
 
+  test("cube supersets rollup with the cross-margin slices") {
+    def keyed(name: String) =
+      rowsOf(Relational.queries(name)(spark, dir)).map(r =>
+        (r("rf"), r("ls")) -> (r("n_items").asInstanceOf[Long],
+          r("revenue").asInstanceOf[Double])).toMap
+    val cube = keyed("agg_cube")
+    val roll = keyed("agg_rollup")
+    roll.foreach { case (k, (n, rev)) =>
+      val (cn, crev) = cube(k)
+      assert(cn === n)
+      // same cells via two independent aggregations: counts exact,
+      // revenue within float-summation tolerance
+      assert(math.abs(crev - rev) <= math.abs(rev) * 1e-9)
+    }
+    // the slices rollup cannot express: (ALL, linestatus)
+    assert(cube.keys.exists { case (rf, ls) => rf == "ALL" && ls != "ALL" })
+    assert(cube.size > roll.size)
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))

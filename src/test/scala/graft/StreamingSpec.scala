@@ -1385,4 +1385,54 @@ class StreamingSpec extends SparkSpec {
     assert(sentinels.length == nBands * 17, "one sentinel per band per refusal")
     assert(sentinels.forall(_.est == -1.0))
   }
+
+  test("streaming layout append audit replays the batch incremental audit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val L = graft.operators.Layout
+    val dir = sfDir() // sf0.001
+    // the standing index, built batch-side and frozen (file-count-sized)
+    val index = L.standingGstats(spark, dir).collect().toSeq.map(r =>
+      Streams.GranuleBox(r.getAs[Long]("granule"), r.getAs[Long]("zhi"),
+        r.getAs[Long]("ts_lo"), r.getAs[Long]("ts_hi"),
+        r.getAs[Long]("uid_lo"), r.getAs[Long]("uid_hi")))
+    val base = graft.sources.Tables.events(spark, dir)
+      .filter($"event_id" % L.DeltaMod =!= 0)
+    val st = base.agg(
+      org.apache.spark.sql.functions.min($"ts_us"),
+      org.apache.spark.sql.functions.max($"ts_us"),
+      org.apache.spark.sql.functions.min($"user_id"),
+      org.apache.spark.sql.functions.max($"user_id")).head()
+    val deltas = graft.sources.Tables.events(spark, dir)
+      .filter($"event_id" % L.DeltaMod === 0)
+      .select($"event_id", $"ts_us", $"user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Streams.layoutMonitor(
+      input.toDF().toDF("event_id", "ts_us", "user_id"),
+      st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), index)
+      .writeStream.format("memory").queryName("layout_mon")
+      .outputMode("update").start()
+    // two triggers: counts must accumulate across the boundary
+    input.addData(deltas.take(deltas.size / 2))
+    q.processAllAvailable()
+    input.addData(deltas.drop(deltas.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("layout_mon").as[Streams.GranuleAppend]
+      .collect().groupBy(_.granule)
+      .map { case (g, rows) => g -> rows.maxBy(_.n_new) } // last emission
+    val batch = rowsOf(SparkEntry.queries("layout_incremental")(spark, dir))
+      .filter(_("n_new").asInstanceOf[Long] > 0L)
+      .map(r => r("granule").asInstanceOf[Long] ->
+        (r("n_new").asInstanceOf[Long], r("n_widen").asInstanceOf[Long]))
+      .toMap
+    assert(streamed.keySet === batch.keySet,
+      "the stream must route every delta to the batch path's granule")
+    batch.foreach { case (g, (n, w)) =>
+      val s = streamed(g)
+      assert(s.n_new === n && s.n_widen === w && s.box_widened === (w > 0),
+        s"granule $g: streamed (${s.n_new},${s.n_widen}) vs batch ($n,$w)")
+    }
+  }
 }
