@@ -1797,6 +1797,54 @@ object Similarity extends OpModule {
        |FROM assign2 a LEFT JOIN w
        |  ON w.vec_id = a.nid AND w.cell = a.cell""".stripMargin
 
+  /** Fraction of each cell pruned by `emb_prune`, in integer percent —
+    * floor(cell_n * pct / 100) rows drop, exact on both engines. */
+  val PrunePct = 20
+
+  /** Prototypicality data pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486 "Beyond neural scaling laws"): in the
+    * abundant-data regime, the examples EASIEST for the model — the
+    * most prototypical members of each embedding cluster — contribute
+    * the least marginal signal, so the keep rule drops the
+    * [[PrunePct]]% of each k-means cell CLOSEST to its centroid and
+    * keeps the hard tail. The dual of [[semDedupDf]]: SemDeDup removes
+    * pairwise near-duplicates; this removes cluster-typical mass even
+    * when no two members are close.
+    *
+    * Plan shape: the memoized k-means assignment already carries the
+    * rounded cosine-to-centroid (`cos_c` at rk=1), so pruning is ONE
+    * window over (cell) — no embedding is re-read and nothing but
+    * (vec_id, cell, cos) shuffles. At 100 TB the window partitions by
+    * cell (≈ N/k rows each, the same balance the [[SemCellFat]] guard
+    * enforces) and the prune count is integer arithmetic on the cell
+    * size — no global sort, no collect. Determinism: ordering is on the
+    * ROUNDED cosine with vec_id tiebreak, so ranks cannot flip between
+    * engines. */
+  private def embPruneDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = kmeansRankedDf(spark, dir).filter($"rk" === 1)
+      .select($"vec_id", $"cell", $"cos_c")
+    val w = Window.partitionBy($"cell").orderBy($"cos_c".desc, $"vec_id")
+    a.withColumn("proto_rk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy($"cell")))
+      .withColumn("keep",
+        $"proto_rk" > expr(s"(cell_n * $PrunePct) div 100"))
+      .select($"vec_id", $"cell", $"cos_c".as("cos_centroid"),
+        $"proto_rk", $"keep")
+  }
+
+  private lazy val embPruneSql: String =
+    s"""WITH $kmeansCellsSqlBody,
+       |p AS (
+       |  SELECT vec_id, cell, cos_c,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY cos_c DESC, vec_id) AS proto_rk,
+       |    count(*) OVER (PARTITION BY cell) AS cell_n
+       |  FROM ranked2 WHERE rk = 1)
+       |SELECT vec_id, cell, cos_c AS cos_centroid, proto_rk,
+       |  proto_rk > ((cell_n * $PrunePct) // 100) AS keep
+       |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -1825,7 +1873,8 @@ object Similarity extends OpModule {
     "ann_filtered_recall" -> (filteredRecallDf(_, _)),
     "ann_trunc_topk" -> (truncTopkDf(_, _)),
     "ann_recall_trunc" -> (recallTruncDf(_, _)),
-    "ann_trunc_curve" -> (truncCurveDf(_, _))
+    "ann_trunc_curve" -> (truncCurveDf(_, _)),
+    "emb_prune" -> (embPruneDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1856,6 +1905,7 @@ object Similarity extends OpModule {
     "ann_trunc_curve" -> truncCurveSql,
     "ann_cell_stats" -> cellStatsSql,
     "ann_filtered_topk" -> filteredTopkSql,
-    "ann_filtered_recall" -> filteredRecallSql
+    "ann_filtered_recall" -> filteredRecallSql,
+    "emb_prune" -> embPruneSql
   )
 }

@@ -281,4 +281,35 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("prototype pruning drops the floor(20%) most-central of each cell " +
+    "and keeps the hard tail") {
+    val rows = rowsOf(Similarity.queries("emb_prune")(spark, sfDir()))
+    val byCell = rows.groupBy(_("cell"))
+    assert(byCell.nonEmpty)
+    var pruned = 0
+    byCell.values.foreach { ms =>
+      val n = ms.size
+      val dropped = ms.filterNot(_("keep").asInstanceOf[Boolean])
+      assert(dropped.size === n * Similarity.PrunePct / 100,
+        s"prune count must be floor($n * ${Similarity.PrunePct}%)")
+      // pruned = the PREFIX of the prototypicality ranking: every
+      // dropped cosine >= every kept cosine (ranks are contiguous)
+      if (dropped.nonEmpty) {
+        val maxDroppedRk = dropped.map(_("proto_rk").asInstanceOf[Int]).max
+        val minKeptRk = ms.filter(_("keep").asInstanceOf[Boolean])
+          .map(_("proto_rk").asInstanceOf[Int]).min
+        assert(maxDroppedRk < minKeptRk)
+        val minDroppedCos = dropped
+          .map(_("cos_centroid").asInstanceOf[Double]).min
+        val maxKeptCos = ms.filter(_("keep").asInstanceOf[Boolean])
+          .map(_("cos_centroid").asInstanceOf[Double]).max
+        assert(minDroppedCos >= maxKeptCos - 1e-9)
+      }
+      pruned += dropped.size
+    }
+    assert(pruned > 0, "sf0.001 cells are large enough to prune from")
+    // every vector gets exactly one verdict
+    assert(rows.map(_("vec_id")).distinct.size === rows.size)
+  }
 }
