@@ -1845,6 +1845,85 @@ object Similarity extends OpModule {
        |  proto_rk > ((cell_n * $PrunePct) // 100) AS keep
        |FROM p""".stripMargin
 
+  /** Delta-batch convention for the vector corpus: `vec_id % 5 == 0`
+    * rows arrive AFTER the index was trained (the [[graft.operators.Layout.DeltaMod]]
+    * convention carried to embeddings). */
+  val VecDeltaMod = 5
+
+  /** Per-label mean centroids trained on the BASE corpus only — the
+    * standing IVF index a delta batch routes against. */
+  private def baseCompDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"ivf_base_comp:$dir") {
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .filter($"vec_id" % VecDeltaMod =!= 0)
+        .select($"label".as("cell"), posexplode($"embedding").as(Seq("i0", "x")))
+        .groupBy($"cell", ($"i0" + 1).as("i"))
+        .agg(avg($"x".cast("double")).as("c"))
+    }
+
+  /** IVF index upkeep under appends (`ann_ivf_append`): new vectors are
+    * routed into the STANDING index — centroids trained on the base
+    * corpus only, frozen before the delta arrived — and the audit
+    * reports, per cell, occupancy growth and cosine drift: `n_new`
+    * arrivals vs `n_base` standing members, integer `growth_pct`, and
+    * the rounded mean cosine-to-centroid of each population. Rising
+    * occupancy skew or a `cos_new` falling away from `cos_base` is the
+    * re-train signal (centroids went stale for the new distribution) —
+    * the vector-index face of the incremental family
+    * (`dedup_incremental`, `media_incremental`, `layout_incremental`).
+    *
+    * Scale shape: routing joins deltas against the BROADCAST centroid
+    * table (k x Dim doubles) — delta x centroids, never delta x base;
+    * the audit is two aggregations over (vec_id, cell, cos) rows. The
+    * reference pattern is FAISS's IndexIVF `add` vs `train` split
+    * (github.com/facebookresearch/faiss, public), re-expressed as a
+    * declarative plan. */
+  private def ivfAppendDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = rankAgainst(spark, dir, baseCompDf(spark, dir))
+      .filter($"rk" === 1)
+    val base = a.filter($"vec_id" % VecDeltaMod =!= 0).groupBy($"cell")
+      .agg(count(lit(1)).as("n_base"), round(avg($"cos_c"), 6).as("cos_base"))
+    val fresh = a.filter($"vec_id" % VecDeltaMod === 0).groupBy($"cell")
+      .agg(count(lit(1)).as("n_new"), round(avg($"cos_c"), 6).as("cos_new"))
+    base.join(fresh, Seq("cell"), "left")
+      .select($"cell", $"n_base",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        expr("(coalesce(n_new, 0) * 100) div n_base").as("growth_pct"),
+        $"cos_base", $"cos_new")
+  }
+
+  private lazy val ivfAppendSql: String =
+    s"""WITH bcomp AS (
+       |  SELECT label AS cell, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  WHERE vec_id % $VecDeltaMod <> 0 GROUP BY 1, 2),
+       |bcn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM bcomp GROUP BY 1),
+       |vn AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |       FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |cc AS (
+       |  SELECT e.vec_id, bcomp.cell,
+       |    round(sum(e.embedding[bcomp.i]::DOUBLE * bcomp.c) / (max(vn.nrm) * max(bcn.cnorm)), 6) AS cos_c
+       |  FROM embeddings e
+       |  JOIN bcomp ON true
+       |  JOIN bcn ON bcn.cell = bcomp.cell
+       |  JOIN vn ON vn.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |a AS (
+       |  SELECT vec_id, cell, cos_c,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cell) AS rk
+       |  FROM cc),
+       |b AS (SELECT cell, count(*) AS n_base, round(avg(cos_c), 6) AS cos_base
+       |      FROM a WHERE rk = 1 AND vec_id % $VecDeltaMod <> 0 GROUP BY 1),
+       |d AS (SELECT cell, count(*) AS n_new, round(avg(cos_c), 6) AS cos_new
+       |      FROM a WHERE rk = 1 AND vec_id % $VecDeltaMod = 0 GROUP BY 1)
+       |SELECT b.cell, b.n_base, coalesce(d.n_new, 0) AS n_new,
+       |  (coalesce(d.n_new, 0) * 100) // b.n_base AS growth_pct,
+       |  b.cos_base, d.cos_new
+       |FROM b LEFT JOIN d USING (cell)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -1874,7 +1953,8 @@ object Similarity extends OpModule {
     "ann_trunc_topk" -> (truncTopkDf(_, _)),
     "ann_recall_trunc" -> (recallTruncDf(_, _)),
     "ann_trunc_curve" -> (truncCurveDf(_, _)),
-    "emb_prune" -> (embPruneDf(_, _))
+    "emb_prune" -> (embPruneDf(_, _)),
+    "ann_ivf_append" -> (ivfAppendDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1906,6 +1986,7 @@ object Similarity extends OpModule {
     "ann_cell_stats" -> cellStatsSql,
     "ann_filtered_topk" -> filteredTopkSql,
     "ann_filtered_recall" -> filteredRecallSql,
-    "emb_prune" -> embPruneSql
+    "emb_prune" -> embPruneSql,
+    "ann_ivf_append" -> ivfAppendSql
   )
 }

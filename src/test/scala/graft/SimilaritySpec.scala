@@ -312,4 +312,33 @@ class SimilaritySpec extends SparkSpec {
     // every vector gets exactly one verdict
     assert(rows.map(_("vec_id")).distinct.size === rows.size)
   }
+
+  test("ivf append routes every delta into the standing index and " +
+    "audits occupancy growth") {
+    import spark.implicits._
+    val d = sfDir()
+    val rows = rowsOf(Similarity.queries("ann_ivf_append")(spark, d))
+    val e = graft.sources.Tables.embeddings(spark, d)
+    val nDelta = e.filter($"vec_id" % Similarity.VecDeltaMod === 0).count()
+    val nBase = e.count() - nDelta
+    assert(rows.map(_("n_new").asInstanceOf[Long]).sum === nDelta,
+      "every delta vector lands in exactly one standing cell")
+    assert(rows.map(_("n_base").asInstanceOf[Long]).sum === nBase,
+      "every base vector is a member of exactly one standing cell")
+    rows.foreach { r =>
+      val (nb, nn) = (r("n_base").asInstanceOf[Long],
+        r("n_new").asInstanceOf[Long])
+      assert(r("growth_pct").asInstanceOf[Long] === nn * 100 / nb)
+      if (nn == 0) assert(r("cos_new") == null)
+      else {
+        val c = r("cos_new").asInstanceOf[Double]
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+    // deltas are an interleaved 1-in-5 slice of the same distribution,
+    // so corpus-level growth is ~25% of the base population
+    val g = rows.map(_("n_new").asInstanceOf[Long]).sum * 100 /
+      rows.map(_("n_base").asInstanceOf[Long]).sum
+    assert(g >= 20 && g <= 30, s"corpus growth $g% out of the 1/4 band")
+  }
 }
