@@ -291,6 +291,71 @@ object Relational extends OpModule {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Bucket count for the co-located join — 8 here so sf0.001 buckets
+    * stay non-trivial; a 100 TB deployment dials this to O(1024) so each
+    * bucket file stays executor-sized. */
+  val BucketN = 8
+
+  private def bucketedName(t: String, dir: String): String =
+    "g_b_" + t + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** One-time bucketed layout write (idempotent per session via the
+    * catalog check; `overwrite` heals any stale directory from a prior
+    * run). `repartition` on the bucket key before the write aligns task
+    * partitioning with the bucket hash so each bucket lands in one file
+    * — the layout where the read side needs neither Exchange nor Sort. */
+  private def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val on = bucketedName("orders", dir)
+    val ln = bucketedName("lineitem", dir)
+    if (!spark.catalog.tableExists(on)) {
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority")
+        .repartition(BucketN, $"o_orderkey")
+        .write.mode("overwrite")
+        .option("path", s"target/bucketed/$on")
+        .bucketBy(BucketN, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(on)
+    }
+    if (!spark.catalog.tableExists(ln)) {
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .repartition(BucketN, $"l_orderkey")
+        .write.mode("overwrite")
+        .option("path", s"target/bucketed/$ln")
+        .bucketBy(BucketN, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(ln)
+    }
+    (on, ln)
+  }
+
+  /** Bucketed co-located join (`join_bucketed`): both sides are written
+    * bucketed + sorted on the join key, so the fact-fact join reads
+    * co-partitioned files and the SortMergeJoin runs with ZERO Exchange
+    * under it — the one shuffle left in the plan is the 5-group
+    * priority aggregate. This is THE technique for the repeated
+    * fact-fact join at 100 TB: pay one layout write, then every
+    * subsequent join of these tables skips its shuffle entirely
+    * (RelationalSpec asserts the exchange count on this exact builder).
+    * Orders⋈lineitem here is the stand-in for the reference's repeated
+    * trades⋈decisions correlation (strategy.py's per-cycle join). */
+  private[graft] def bucketedJoinDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (on, ln) = ensureBucketed(spark, dir)
+    spark.table(on).join(spark.table(ln), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select($"o_orderpriority".as("priority"), $"revenue", $"n_items")
+  }
+
+  private val bucketedJoinSql: String =
+    """SELECT o_orderpriority AS priority,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -398,6 +463,7 @@ object Relational extends OpModule {
     "topk_per_group" -> (topkDf(_, _)),
     "agg_rollup" -> (rollupDf(_, _)),
     "agg_cube" -> (cubeDf(_, _)),
+    "join_bucketed" -> (bucketedJoinDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -415,6 +481,7 @@ object Relational extends OpModule {
     "topk_per_group" -> topkSql,
     "agg_rollup" -> rollupSql,
     "agg_cube" -> cubeSql,
+    "join_bucketed" -> bucketedJoinSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

@@ -138,6 +138,43 @@ class RelationalSpec extends SparkSpec {
     assert(cube.size > roll.size)
   }
 
+  test("bucketed join plans zero exchanges under the SortMergeJoin") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.bucketedJoinDf(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${plan.treeString}")
+      // the join reads co-bucketed files: no shuffle below it
+      val below = smj.head.collect { case s: ShuffleExchangeExec => s }
+      assert(below.isEmpty,
+        s"bucketed join must not shuffle its inputs:\n${plan.treeString}")
+      // the whole plan keeps exactly one exchange — the 5-group agg
+      val all = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(all.size === 1, s"one exchange expected:\n${plan.treeString}")
+      // and the answer equals the unbucketed twin's
+      val expected = rowsOf(
+        graft.sources.Tables.orders(spark, dir)
+          .join(graft.sources.Tables.lineitem(spark, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items")))
+        .map(r => r("o_orderpriority") -> r("n_items")).toMap
+      rowsOf(df).foreach { r =>
+        assert(r("n_items") === expected(r("priority")))
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))
