@@ -623,6 +623,49 @@ object Pipeline extends OpModule {
        |    AS fill_pct
        |FROM s GROUP BY 1""".stripMargin
 
+  /** Length-bucketed batching audit (`pipeline_length_buckets`) — the
+    * THIRD batching layout next to concat-and-chunk (`pipeline_pack`,
+    * zero waste, split docs) and no-split greedy packing
+    * (`pipeline_pack_greedy`, measured padding, clean boundaries):
+    * every document pads to the smallest power-of-two width that holds
+    * it, the layout seq2seq loaders call bucketing. Per bucket width
+    * the audit reports docs, real tokens, padded capacity and the
+    * integer waste percentage — the third column of the layout
+    * trade-off table.
+    *
+    * Determinism: the bucket is the min of an 18-row broadcast
+    * power-of-two table filtered to `>= n_tokens` — integer arithmetic
+    * end to end, no floating log2 whose boundary rounding could differ
+    * between engines. Plan: one broadcast range-join + two hash
+    * aggregations; nothing but (doc_id, n_tokens) ever shuffles. */
+  private def lengthBucketsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+      .select($"doc_id", $"n_tokens")
+    val powers = (0 until 18).map(1L << _).toDF("bucket_w")
+    toks.join(broadcast(powers), $"bucket_w" >= $"n_tokens")
+      .groupBy($"doc_id", $"n_tokens").agg(min($"bucket_w").as("bucket_w"))
+      .groupBy($"bucket_w")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .withColumn("padded_tokens", $"bucket_w" * $"n_docs")
+      .withColumn("waste_pct",
+        expr("((padded_tokens - sum_tokens) * 100) div padded_tokens"))
+  }
+
+  private val lengthBucketsSql: String =
+    s"""WITH t AS (${TextAnalysis.oracles("text_tokens")}),
+       |p AS (SELECT (1::BIGINT << i) AS bucket_w FROM range(0, 18) r(i)),
+       |b AS (SELECT doc_id, n_tokens, min(bucket_w) AS bucket_w
+       |      FROM t JOIN p ON bucket_w >= n_tokens GROUP BY 1, 2),
+       |g AS (SELECT bucket_w, count(*) AS n_docs,
+       |        sum(n_tokens)::BIGINT AS sum_tokens
+       |      FROM b GROUP BY 1)
+       |SELECT bucket_w, n_docs, sum_tokens,
+       |  bucket_w * n_docs AS padded_tokens,
+       |  ((bucket_w * n_docs - sum_tokens) * 100) // (bucket_w * n_docs)
+       |    AS waste_pct
+       |FROM g""".stripMargin
+
   /** Mixture accounting — the data card every training run publishes:
     * per (source, language) document and token counts and each cell's
     * share of the total token budget. The share window runs over the
@@ -1735,6 +1778,7 @@ object Pipeline extends OpModule {
     "bench_contamination_curve" -> (contamCurveDf(_, _)),
     "pipeline_pack_greedy" -> (packGreedyDf(_, _)),
     "pipeline_pack_waste" -> (packWasteDf(_, _)),
+    "pipeline_length_buckets" -> (lengthBucketsDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
@@ -1766,6 +1810,7 @@ object Pipeline extends OpModule {
     "bench_contamination_curve" -> contamCurveSql,
     "pipeline_pack_greedy" -> packGreedySql,
     "pipeline_pack_waste" -> packWasteSql,
+    "pipeline_length_buckets" -> lengthBucketsSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,

@@ -607,4 +607,36 @@ class PipelineSpec extends SparkSpec {
     val nl = leak("naive")("n_leaked").asInstanceOf[Long]
     assert(nl >= 0L && nl <= nPairs)
   }
+
+  test("length buckets: minimal power-of-two widths, exact waste accounting") {
+    import org.apache.spark.sql.functions.col
+    val d = sfDir()
+    val rows = rowsOf(Pipeline.queries("pipeline_length_buckets")(spark, d))
+    // every width is a power of two
+    rows.foreach { r =>
+      val w = r("bucket_w").asInstanceOf[Long]
+      assert((w & (w - 1)) == 0L && w > 0L, s"$w is not a power of two")
+    }
+    // the audit covers every document exactly once
+    val lens = rowsOf(graft.operators.TextAnalysis
+      .queries("text_tokens")(spark, d).select(col("n_tokens")))
+      .map(_("n_tokens").asInstanceOf[Number].longValue)
+    assert(rows.map(_("n_docs").asInstanceOf[Long]).sum === lens.size.toLong)
+    assert(rows.map(_("sum_tokens").asInstanceOf[Long]).sum === lens.sum)
+    // recompute the bucket assignment independently: histogram matches
+    def bucketOf(n: Long): Long = {
+      var w = 1L; while (w < n) w <<= 1; w
+    }
+    val expect = lens.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r("bucket_w").asInstanceOf[Long] ->
+      r("n_docs").asInstanceOf[Long]).toMap === expect)
+    // waste arithmetic: integer floor of (padded - real) / padded
+    rows.foreach { r =>
+      val padded = r("padded_tokens").asInstanceOf[Long]
+      assert(padded === r("bucket_w").asInstanceOf[Long] *
+        r("n_docs").asInstanceOf[Long])
+      assert(r("waste_pct").asInstanceOf[Long] ===
+        (padded - r("sum_tokens").asInstanceOf[Long]) * 100 / padded)
+    }
+  }
 }
