@@ -1852,7 +1852,7 @@ object Similarity extends OpModule {
 
   /** Per-label mean centroids trained on the BASE corpus only — the
     * standing IVF index a delta batch routes against. */
-  private def baseCompDf(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseCompDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"ivf_base_comp:$dir") {
       import spark.implicits._
       Tables.embeddings(spark, dir)

@@ -1147,6 +1147,60 @@ object Streams {
       }
   }
 
+  case class CellOccState(nNew: Long, sumCos: Double)
+  case class CellOcc(cell: Int, n_new: Long, mean_cos_new: Double)
+
+  /** Streaming vector-index ingestion monitor — the live twin of batch
+    * `ann_ivf_append`: vectors route into the STANDING IVF index as
+    * they arrive (centroids trained on the base corpus, frozen and
+    * shipped in the closure — a real deployment broadcasts the same
+    * k x Dim doubles), and per cell the monitor carries running
+    * (n_new, Σcos) occupancy state, emitting the updated audit row on
+    * every batch that touches the cell. Assignment replicates the batch
+    * ranking bit for bit: cosine against each centroid is rounded
+    * HALF_UP to 6 decimals (the `round(_, 6)` the batch ranker applies
+    * before its window) and ties break toward the smaller cell id, so
+    * the streamed occupancy counts equal `ann_ivf_append`'s `n_new`
+    * exactly (StreamingSpec replays the delta batch and asserts it).
+    * State is O(1) per cell and the KEY SPACE IS BOUNDED by the index's
+    * cell count, so NoTimeout is safe by the bounded-key-space ledger
+    * (§"State-lifetime policy"). */
+  def vecMonitor(vecs: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): Dataset[CellOcc] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.sortBy(_._1).toArray
+    val cnorms = cents.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum) }
+    vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (_, emb) =>
+        val vn = math.sqrt(emb.map(x => x.toDouble * x).sum)
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var k = 0
+        while (k < cents.length) {
+          val c = cents(k)._2
+          var dt = 0.0
+          var i = 0
+          while (i < c.length) { dt += emb(i).toDouble * c(i); i += 1 }
+          val cos = BigDecimal(dt / (vn * cnorms(k)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos > bestCos) { bestCos = cos; best = cents(k)._1 }
+          k += 1
+        }
+        (best, bestCos)
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[CellOccState, CellOcc](
+        GroupStateTimeout.NoTimeout) { (cell, it, state) =>
+        var n = state.getOption.map(_.nNew).getOrElse(0L)
+        var s = state.getOption.map(_.sumCos).getOrElse(0.0)
+        it.foreach { case (_, cos) => n += 1; s += cos }
+        state.update(CellOccState(n, s))
+        CellOcc(cell, n, s / n)
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1435,4 +1435,51 @@ class StreamingSpec extends SparkSpec {
         s"granule $g: streamed (${s.n_new},${s.n_widen}) vs batch ($n,$w)")
     }
   }
+
+  test("streaming vector-ingest monitor replays the batch ivf append audit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir() // sf0.001
+    // the standing index: base-trained centroids, frozen (k x Dim)
+    val cents = graft.operators.Similarity.baseCompDf(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Int]("cell"))
+      .map { case (cell, rows) =>
+        val c = new Array[Double](rows.length)
+        rows.foreach(r => c(r.getAs[Number]("i").intValue - 1) = r.getAs[Double]("c"))
+        (cell, c)
+      }.toSeq
+    val deltas = graft.sources.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % graft.operators.Similarity.VecDeltaMod === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.vecMonitor(
+      input.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("vec_mon")
+      .outputMode("update").start()
+    input.addData(deltas.take(deltas.size / 2))
+    q.processAllAvailable()
+    input.addData(deltas.drop(deltas.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vec_mon").as[Streams.CellOcc]
+      .collect().groupBy(_.cell)
+      .map { case (c, rows) => c -> rows.maxBy(_.n_new) }
+    val batch = rowsOf(SparkEntry.queries("ann_ivf_append")(spark, dir))
+      .filter(_("n_new").asInstanceOf[Long] > 0L)
+      .map(r => r("cell").asInstanceOf[Int] ->
+        (r("n_new").asInstanceOf[Long],
+          r("cos_new").asInstanceOf[Double])).toMap
+    assert(streamed.keySet === batch.keySet,
+      "the stream must route every delta to the batch path's cell")
+    batch.foreach { case (c, (n, cos)) =>
+      val s = streamed(c)
+      assert(s.n_new === n, s"cell $c: streamed ${s.n_new} vs batch $n")
+      // batch averages the same rounded cosines; only summation order
+      // differs, so the means agree to float tolerance
+      assert(math.abs(s.mean_cos_new - cos) < 1e-6,
+        s"cell $c: streamed mean ${s.mean_cos_new} vs batch $cos")
+    }
+  }
 }
