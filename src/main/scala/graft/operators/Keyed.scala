@@ -151,8 +151,111 @@ object Keyed extends OpModule {
       |FROM events
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
 
+  /** Funnel step sequence and completion window (24 h in micros). */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+  val FunnelWindowUs = 86400000000L
+  val DayUs = 86400000000L
+
+  /** Event funnel (`events_funnel`) — the product-analytics sequence
+    * query: how many users complete signup → view → click → purchase,
+    * each step within [[FunnelWindowUs]] of the PREVIOUS step's first
+    * completion. Step k's frame is (user, first-completion-time); step
+    * k+1 filters its event type to the window after that time and takes
+    * the per-user min — so each step is one key-projected join (events
+    * of one type ⋈ the survivor set, shuffling only (user, ts)) plus a
+    * map-side-combined min. Conversion is integer percent of the step-1
+    * population. The per-step survivor frames shrink monotonically, so
+    * at 100 TB the chain stays events-of-one-type x survivors — never
+    * events x events. */
+  private def funnelDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
+    var cur = ev.filter($"event_type" === FunnelSteps.head)
+      .groupBy($"user_id").agg(min($"ts_us").as("t"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit(FunnelSteps.head).as("event_type"),
+          $"n_users"))
+    FunnelSteps.tail.zipWithIndex.foreach { case (et, i) =>
+      cur = ev.filter($"event_type" === et)
+        .join(cur.select($"user_id", $"t".as("tp")), Seq("user_id"))
+        .filter($"ts_us" > $"tp" && $"ts_us" <= $"tp" + FunnelWindowUs)
+        .groupBy($"user_id").agg(min($"ts_us").as("t"))
+      counts += cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("step"), lit(et).as("event_type"), $"n_users")
+    }
+    val all = counts.reduce(_ unionByName _)
+    val base = all.filter($"step" === 1).select($"n_users".as("n0"))
+    all.crossJoin(broadcast(base))
+      .select($"step", $"event_type", $"n_users",
+        expr("(n_users * 100) div n0").as("conv_pct"))
+  }
+
+  private val funnelSql: String = {
+    val steps = FunnelSteps.zipWithIndex.map { case (et, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+           |  WHERE event_type = '$et' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(ts_us) AS t
+           |  FROM e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$et' AND ts_us > s$i.t
+           |    AND ts_us <= s$i.t + $FunnelWindowUs GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = FunnelSteps.zipWithIndex.map { case (et, i) =>
+      s"SELECT ${i + 1}::BIGINT AS step, '$et' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |$steps,
+       |c AS ($unions)
+       |SELECT step, event_type, n_users,
+       |  (n_users * 100) // (SELECT n_users FROM c WHERE step = 1)
+       |    AS conv_pct
+       |FROM c""".stripMargin
+  }
+
+  /** Cohort retention (`events_retention`) — users cohorted by their
+    * first-active day; each (cohort_day, age) cell counts users active
+    * `age` days after joining, with integer retained percent against
+    * the cohort size. Plan: one per-user min (map-side combined), one
+    * (user, day) distinct, one broadcast join of the day-count-sized
+    * cohort-size frame — output is |days|² cells regardless of corpus
+    * size, so nothing here grows with 100 TB except the two
+    * key-projected aggregations. */
+  private def retentionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val coh = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val size = coh.groupBy($"cohort_day").agg(count(lit(1)).as("n_cohort"))
+    days.join(coh, Seq("user_id"))
+      .withColumn("age", $"day" - $"cohort_day")
+      .groupBy($"cohort_day", $"age")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(size), Seq("cohort_day"))
+      .select($"cohort_day", $"age", $"n_active", $"n_cohort",
+        expr("(n_active * 100) div n_cohort").as("retained_pct"))
+  }
+
+  private val retentionSql: String =
+    s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+       |  FROM events),
+       |coh AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+       |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM coh GROUP BY 1),
+       |a AS (SELECT coh.cohort_day, d.day - coh.cohort_day AS age,
+       |        count(*) AS n_active
+       |      FROM d JOIN coh USING (user_id) GROUP BY 1, 2)
+       |SELECT a.cohort_day, a.age, a.n_active, sz.n_cohort,
+       |  (a.n_active * 100) // sz.n_cohort AS retained_pct
+       |FROM a JOIN sz USING (cohort_day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_ranks" -> (windowRanksDf(_, _)),
+    "events_funnel" -> (funnelDf(_, _)),
+    "events_retention" -> (retentionDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
     "order_success_rate" -> (successRateDf(_, _)),
@@ -161,6 +264,8 @@ object Keyed extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "window_ranks" -> windowRanksSql,
+    "events_funnel" -> funnelSql,
+    "events_retention" -> retentionSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
     "order_success_rate" -> successRateSql,

@@ -175,6 +175,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("funnel attrition is monotone and retention cohorts are complete") {
+    val f = rowsOf(graft.operators.Keyed.queries("events_funnel")(spark, dir))
+      .sortBy(_("step").asInstanceOf[Long])
+    assert(f.map(_("event_type")) ===
+      graft.operators.Keyed.FunnelSteps)
+    // step-to-step survivor counts never grow; step 1 converts 100%
+    val ns = f.map(_("n_users").asInstanceOf[Long])
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+    assert(f.head("conv_pct") === 100L)
+    f.foreach(r => assert(r("conv_pct").asInstanceOf[Long] ===
+      r("n_users").asInstanceOf[Long] * 100 / ns.head))
+
+    val rws = rowsOf(
+      graft.operators.Keyed.queries("events_retention")(spark, dir))
+    // age-0 cells retain the whole cohort by construction
+    rws.filter(_("age") == 0L).foreach { r =>
+      assert(r("n_active") === r("n_cohort"))
+      assert(r("retained_pct") === 100L)
+    }
+    rws.foreach { r =>
+      assert(r("age").asInstanceOf[Long] >= 0L)
+      assert(r("n_active").asInstanceOf[Long] <=
+        r("n_cohort").asInstanceOf[Long])
+    }
+    // cohort sizes partition the user population
+    val users = rowsOf(Tables.events(spark, dir)
+      .select(countDistinct(col("user_id")).as("n"))).head("n")
+    assert(rws.filter(_("age") == 0L)
+      .map(_("n_cohort").asInstanceOf[Long]).sum === users)
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))
