@@ -164,13 +164,51 @@ object Audit extends OpModule {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Minimum distinct users for a release cell to publish (k-anonymity
+    * k). */
+  val KAnon = 5L
+  val HourUs = 3600000000L
+
+  /** k-anonymous release gate (`events_k_anon`): the aggregate-release
+    * hygiene step a data platform runs before publishing usage
+    * reports. Cells keyed by the quasi-identifier (event_type, hour)
+    * publish their counts only when at least [[KAnon]] distinct users
+    * stand behind them; thinner cells stay listed but SUPPRESSED
+    * (published counts null), so a reader can see the grid without
+    * being able to single out a user. One hash aggregation — the
+    * distinct-user count is the only extra Expand — and the verdict is
+    * a pure projection; nothing about the plan changes at 100 TB. */
+  private def kAnonDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", expr(s"ts_us div $HourUs").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"event_type", $"hour",
+        ($"n_users" >= KAnon).as("released"),
+        when($"n_users" >= KAnon, $"n_events").as("n_events_pub"),
+        when($"n_users" >= KAnon, $"n_users").as("n_users_pub"))
+  }
+
+  private val kAnonSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+       |    count(*) AS n_events, count(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, hour, n_users >= $KAnon AS released,
+       |  CASE WHEN n_users >= $KAnon THEN n_events END AS n_events_pub,
+       |  CASE WHEN n_users >= $KAnon THEN n_users END AS n_users_pub
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_integrity" -> (integrityDf(_, _)),
-    "stats_columns" -> (statsDf(_, _))
+    "stats_columns" -> (statsDf(_, _)),
+    "events_k_anon" -> (kAnonDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "audit_integrity" -> integritySql,
-    "stats_columns" -> statsSql
+    "stats_columns" -> statsSql,
+    "events_k_anon" -> kAnonSql
   )
 }

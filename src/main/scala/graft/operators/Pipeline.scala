@@ -623,6 +623,65 @@ object Pipeline extends OpModule {
        |    AS fill_pct
        |FROM s GROUP BY 1""".stripMargin
 
+  /** Buckets for the epoch-decorrelation audit and the per-epoch
+    * bucket span over hex32's 2^32 key space. */
+  val EpochBuckets = 256L
+  val EpochBucketSpan: Long = (1L << 32) / EpochBuckets
+  val Epochs = 3
+
+  /** Multi-epoch reshuffle audit (`pipeline_epochs`): each training
+    * epoch orders the corpus by its own seeded hash
+    * (`hex32("epoch<e>:" + doc_id)` — epoch 0 IS `pipeline_shuffle`'s
+    * order), and this audit proves consecutive epochs are genuinely
+    * decorrelated: docs are placed into [[EpochBuckets]] coarse
+    * position buckets per epoch and each epoch pair reports the mean
+    * absolute bucket displacement (≈ B/3 for independent uniform
+    * placements) and the integer percentage of docs that stayed in the
+    * same bucket (≈ 100/B). A stale or reused seed shows up as
+    * displacement 0 / same-bucket 100 immediately.
+    *
+    * Plan: pure per-row hashing — no sort, no window, no join; three
+    * one-row aggregates over a narrow projection. The bucket transform
+    * stands in for the full rank on purpose: it measures the same
+    * decorrelation without materializing a global permutation. */
+  private def epochsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bucket = key >> 24: exact integer arithmetic (hex32 < 2^32 and
+    // the span is 2^24, so the shift IS the oracle's `// span`)
+    val b = (0 until Epochs).foldLeft(
+      Tables.documents(spark, dir).select($"doc_id")) { (df, e) =>
+      df.withColumn(s"b$e",
+        shiftright(ColFns.hex32(concat(lit(s"epoch$e:"), $"doc_id")), 24))
+    }
+    val pairs = for {
+      ea <- 0 until Epochs; eb <- ea + 1 until Epochs
+    } yield b.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(abs(col(s"b$ea") - col(s"b$eb"))), 6).as("mean_abs_disp"),
+      sum(when(col(s"b$ea") === col(s"b$eb"), 1L).otherwise(0L)).as("same"))
+      .select(lit(ea.toLong).as("epoch_a"), lit(eb.toLong).as("epoch_b"),
+        $"n_docs", $"mean_abs_disp",
+        expr("(same * 100) div n_docs").as("pct_same_bucket"))
+    pairs.reduce(_ unionByName _)
+  }
+
+  private val epochsSql: String = {
+    val cols = (0 until Epochs).map(e =>
+      s"${ColFns.hex32Sql(s"('epoch$e:' || doc_id::VARCHAR)")} // $EpochBucketSpan AS b$e")
+      .mkString(", ")
+    val pairs = for {
+      ea <- 0 until Epochs; eb <- ea + 1 until Epochs
+    } yield
+      s"""SELECT $ea::BIGINT AS epoch_a, $eb::BIGINT AS epoch_b,
+         |  count(*) AS n_docs,
+         |  round(avg(abs(b$ea - b$eb)), 6) AS mean_abs_disp,
+         |  (sum(CASE WHEN b$ea = b$eb THEN 1 ELSE 0 END) * 100) // count(*)
+         |    AS pct_same_bucket
+         |FROM k""".stripMargin
+    s"""WITH k AS (SELECT doc_id, $cols FROM documents)
+       |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Length-bucketed batching audit (`pipeline_length_buckets`) — the
     * THIRD batching layout next to concat-and-chunk (`pipeline_pack`,
     * zero waste, split docs) and no-split greedy packing
@@ -1779,6 +1838,7 @@ object Pipeline extends OpModule {
     "pipeline_pack_greedy" -> (packGreedyDf(_, _)),
     "pipeline_pack_waste" -> (packWasteDf(_, _)),
     "pipeline_length_buckets" -> (lengthBucketsDf(_, _)),
+    "pipeline_epochs" -> (epochsDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
@@ -1811,6 +1871,7 @@ object Pipeline extends OpModule {
     "pipeline_pack_greedy" -> packGreedySql,
     "pipeline_pack_waste" -> packWasteSql,
     "pipeline_length_buckets" -> lengthBucketsSql,
+    "pipeline_epochs" -> epochsSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,

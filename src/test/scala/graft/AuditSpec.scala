@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
+import graft.operators.Audit
 
 /** Table-service family: integrity audit + optimizer statistics. */
 class AuditSpec extends SparkSpec {
@@ -87,5 +88,33 @@ class AuditSpec extends SparkSpec {
     assert(q("ndv") === direct.getLong(0))
     assert(q("vmin") === direct.getDouble(1))
     assert(q("vmax") === direct.getDouble(2))
+  }
+
+  test("k-anon release gate publishes only cells with k distinct users") {
+    val dir = sfDir()
+    val rows = rowsOf(Audit.queries("events_k_anon")(spark, dir))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r("released").asInstanceOf[Boolean]) {
+        assert(r("n_users_pub").asInstanceOf[Long] >= Audit.KAnon)
+        assert(r("n_events_pub").asInstanceOf[Long] >=
+          r("n_users_pub").asInstanceOf[Long])
+      } else {
+        assert(r("n_users_pub") == null && r("n_events_pub") == null,
+          "suppressed cells must publish no counts")
+      }
+    }
+    // the grid is complete: published event mass never exceeds the
+    // total, and every (type, hour) with events has a verdict row
+    val total = rowsOf(graft.sources.Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n"))).head("n").asInstanceOf[Long]
+    val pub = rows.flatMap(r => Option(r("n_events_pub"))
+      .map(_.asInstanceOf[Long])).sum
+    assert(pub <= total)
+    val cells = rowsOf(graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"ts_us div ${Audit.HourUs}").as("hour"))
+      .agg(count(lit(1)).as("n"))).size
+    assert(rows.size === cells)
   }
 }

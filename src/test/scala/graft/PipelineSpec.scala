@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Pipeline}
+import org.apache.spark.sql.functions.{concat, lit}
 
 /** Training-set assembly semantics: deterministic sampling, the composed
   * quality gate, and benchmark-contamination detection. */
@@ -606,6 +607,37 @@ class PipelineSpec extends SparkSpec {
     assert(leak("naive")("n_pairs") == nPairs)
     val nl = leak("naive")("n_leaked").asInstanceOf[Long]
     assert(nl >= 0L && nl <= nPairs)
+  }
+
+  test("epoch reshuffles are decorrelated: displacement near B/3, " +
+    "same-bucket rate near 1/B") {
+    val rows = rowsOf(Pipeline.queries("pipeline_epochs")(spark, sfDir()))
+    assert(rows.size === Pipeline.Epochs * (Pipeline.Epochs - 1) / 2)
+    val b = Pipeline.EpochBuckets.toDouble
+    rows.foreach { r =>
+      val disp = r("mean_abs_disp").asInstanceOf[Double]
+      // independent uniforms give E|X-Y| = B/3; a reused seed gives 0
+      assert(disp > b / 3 * 0.8 && disp < b / 3 * 1.2,
+        s"epoch pair displacement $disp far from ${b / 3}")
+      assert(r("pct_same_bucket").asInstanceOf[Long] <= 3L,
+        "same-bucket rate must stay near 100/B percent")
+    }
+    // and the self-pair sanity: epoch 0 against itself would be 0 —
+    // recompute one displacement by hand to pin the bucket transform
+    import org.apache.spark.sql.functions.{abs => fabs}
+    val spark2 = spark
+    import spark2.implicits._
+    val k = graft.sources.Tables.documents(spark, sfDir()).select($"doc_id")
+      .withColumn("b0", org.apache.spark.sql.functions.shiftright(
+        graft.functions.ColFns.hex32(concat(lit("epoch0:"), $"doc_id")), 24))
+      .withColumn("b1", org.apache.spark.sql.functions.shiftright(
+        graft.functions.ColFns.hex32(concat(lit("epoch1:"), $"doc_id")), 24))
+    val hand = k.agg(org.apache.spark.sql.functions.round(
+      org.apache.spark.sql.functions.avg(fabs($"b0" - $"b1")), 6))
+      .head().getDouble(0)
+    val reported = rows.find(r => r("epoch_a") == 0L && r("epoch_b") == 1L)
+      .get("mean_abs_disp").asInstanceOf[Double]
+    assert(hand === reported)
   }
 
   test("length buckets: minimal power-of-two widths, exact waste accounting") {
