@@ -356,6 +356,38 @@ object Relational extends OpModule {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Promotion revenue share per ship-year (the TPC-H Q14 shape, over
+    * the public spec): lineitem ⋈ broadcast(part) with a conditional
+    * aggregate — the canonical fact ⋈ tiny-dim plan where the dim side
+    * NEVER shuffles (a 100 TB lineitem joins a broadcast part table in
+    * map-side work only; `q3_topk` proves the same for customer). Share
+    * is rounded 6 so engine summation trees cannot leak through the
+    * ratio. */
+  private def promoShareDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .groupBy(year($"l_shipdate").cast("long").as("yr"))
+      .agg(sum(when($"p_type" === "PROMO", rev).otherwise(0.0))
+        .as("promo_rev"),
+        sum(rev).as("total_rev"))
+      .withColumn("promo_share", round($"promo_rev" / $"total_rev", 6))
+  }
+
+  private val promoShareSql: String =
+    """SELECT year(l_shipdate)::BIGINT AS yr,
+      |  sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    AS promo_rev,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS total_rev,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+      |      sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -464,6 +496,7 @@ object Relational extends OpModule {
     "agg_rollup" -> (rollupDf(_, _)),
     "agg_cube" -> (cubeDf(_, _)),
     "join_bucketed" -> (bucketedJoinDf(_, _)),
+    "q14_promo_share" -> (promoShareDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -482,6 +515,7 @@ object Relational extends OpModule {
     "agg_rollup" -> rollupSql,
     "agg_cube" -> cubeSql,
     "join_bucketed" -> bucketedJoinSql,
+    "q14_promo_share" -> promoShareSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

@@ -1924,6 +1924,79 @@ object Similarity extends OpModule {
        |  b.cos_base, d.cos_new
        |FROM b LEFT JOIN d USING (cell)""".stripMargin
 
+  /** The staleness price (`ann_recall_stale`): recall@3 of the
+    * APPEND-ONLY index — probing the base-trained centroids of
+    * [[ivfAppendDf]] without any re-train after the delta arrived —
+    * against the shared brute-force ground truth over the FULL corpus.
+    * Read next to `ann_recall_ivf` (centroids refreshed over
+    * everything), the delta is the measured cost of deferring index
+    * maintenance, the dial `ann_ivf_append`'s drift audit decides. Same
+    * probe width, same memoized ground truth, so the two curves differ
+    * only in centroid freshness. */
+  private def staleRankedDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"stale_ranked:$dir")(
+      rankAgainst(spark, dir, baseCompDf(spark, dir)))
+
+  private def recallStaleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = cellTopk(spark, dir, staleRankedDf(spark, dir))
+      .select($"qid".as("st_qid"), $"nid".as("st_nid"))
+    brute3Df(spark, dir)
+      .join(st, $"qid" === $"st_qid" && $"nid" === $"st_nid", "left")
+      .groupBy($"qid")
+      .agg(count($"st_nid").as("hits"))
+      .withColumn("recall", $"hits" / lit(3.0))
+  }
+
+  private lazy val staleTopkSql: String =
+    s"""WITH bcomp AS (
+       |  SELECT label AS cell, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  WHERE vec_id % $VecDeltaMod <> 0 GROUP BY 1, 2),
+       |bcn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM bcomp GROUP BY 1),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |scc AS (
+       |  SELECT e.vec_id, bcomp.cell,
+       |    round(sum(e.embedding[bcomp.i]::DOUBLE * bcomp.c) / (max(n.nrm) * max(bcn.cnorm)), 6) AS cos_c
+       |  FROM embeddings e
+       |  JOIN bcomp ON true
+       |  JOIN bcn ON bcn.cell = bcomp.cell
+       |  JOIN n ON n.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |sranked AS (
+       |  SELECT vec_id, cell, cos_c,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cell) AS rk
+       |  FROM scc),
+       |sassign AS (SELECT vec_id AS nid, cell FROM sranked WHERE rk = 1),
+       |sprobe AS (SELECT vec_id AS qid, cell FROM sranked
+       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.qid, a.nid FROM sprobe p JOIN sassign a USING (cell)
+       |  WHERE a.nid <> p.qid),
+       |d AS (SELECT qid, nid,
+       |        sum(eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE) AS dt
+       |      FROM cand JOIN embeddings eq ON eq.vec_id = qid
+       |                JOIN embeddings en ON en.vec_id = nid,
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid)
+       |SELECT qid, nid, cos FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 3""".stripMargin
+
+  private lazy val recallStaleSql: String =
+    s"""WITH brute AS ($knnSql),
+       |brute3 AS (SELECT qid, nid FROM brute
+       |           QUALIFY row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) <= 3),
+       |st AS ($staleTopkSql)
+       |SELECT b.qid, count(l.nid) AS hits, count(l.nid)::DOUBLE / 3.0 AS recall
+       |FROM brute3 b LEFT JOIN st l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -1954,7 +2027,8 @@ object Similarity extends OpModule {
     "ann_recall_trunc" -> (recallTruncDf(_, _)),
     "ann_trunc_curve" -> (truncCurveDf(_, _)),
     "emb_prune" -> (embPruneDf(_, _)),
-    "ann_ivf_append" -> (ivfAppendDf(_, _))
+    "ann_ivf_append" -> (ivfAppendDf(_, _)),
+    "ann_recall_stale" -> (recallStaleDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1987,6 +2061,7 @@ object Similarity extends OpModule {
     "ann_filtered_topk" -> filteredTopkSql,
     "ann_filtered_recall" -> filteredRecallSql,
     "emb_prune" -> embPruneSql,
-    "ann_ivf_append" -> ivfAppendSql
+    "ann_ivf_append" -> ivfAppendSql,
+    "ann_recall_stale" -> recallStaleSql
   )
 }

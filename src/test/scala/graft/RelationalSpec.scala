@@ -175,6 +175,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("promo share: dim side broadcasts, ratios bracket, one year " +
+    "cross-checked") {
+    val df = Relational.queries("q14_promo_share")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"part must broadcast:\n$plan")
+    val rows = rowsOf(df)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, t) = (r("promo_rev").asInstanceOf[Double],
+        r("total_rev").asInstanceOf[Double])
+      assert(p >= 0.0 && p <= t)
+      val s = r("promo_share").asInstanceOf[Double]
+      assert(s >= 0.0 && s <= 1.0)
+      assert(math.abs(s - p / t) < 1e-6)
+    }
+    // direct cross-check of one year's totals
+    val yr = rows.head("yr").asInstanceOf[Long]
+    val direct = rowsOf(Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === yr)
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("t"))).head("t").asInstanceOf[Double]
+    assert(math.abs(
+      rows.head("total_rev").asInstanceOf[Double] - direct) < 1e-6 * direct)
+  }
+
   test("funnel attrition is monotone and retention cohorts are complete") {
     val f = rowsOf(graft.operators.Keyed.queries("events_funnel")(spark, dir))
       .sortBy(_("step").asInstanceOf[Long])

@@ -341,4 +341,21 @@ class SimilaritySpec extends SparkSpec {
       rows.map(_("n_base").asInstanceOf[Long]).sum
     assert(g >= 20 && g <= 30, s"corpus growth $g% out of the 1/4 band")
   }
+
+  test("stale-index recall covers every query and stays a sane rung") {
+    val d = sfDir()
+    val stale = rowsOf(Similarity.queries("ann_recall_stale")(spark, d))
+      .map(r => r("qid").asInstanceOf[Long] ->
+        r("recall").asInstanceOf[Double]).toMap
+    val fresh = rowsOf(Similarity.queries("ann_recall_ivf")(spark, d))
+      .map(r => r("qid").asInstanceOf[Long] ->
+        r("recall").asInstanceOf[Double]).toMap
+    assert(stale.keySet === fresh.keySet,
+      "both curves measure the same query set")
+    stale.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // probing a coarse quantizer still finds most true neighbors even
+    // with centroids trained before 1/5 of the corpus arrived
+    val mean = stale.values.sum / stale.size
+    assert(mean > 0.3, s"stale mean recall $mean collapsed")
+  }
 }
