@@ -291,6 +291,30 @@ object Relational extends OpModule {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** GROUPING SETS — the third member of the subtotal family: ONLY the
+    * two one-dimension margins, no detail cells and no grand total —
+    * the shape neither rollup nor cube can express (both always carry
+    * the detail level). Same single Expand + hash aggregation plan. */
+  private def groupingSetsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"revenue", $"n_items")
+  }
+
+  private val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
   /** Bucket count for the co-located join — 8 here so sf0.001 buckets
     * stay non-trivial; a 100 TB deployment dials this to O(1024) so each
     * bucket file stays executor-sized. */
@@ -497,6 +521,7 @@ object Relational extends OpModule {
     "agg_cube" -> (cubeDf(_, _)),
     "join_bucketed" -> (bucketedJoinDf(_, _)),
     "q14_promo_share" -> (promoShareDf(_, _)),
+    "agg_grouping_sets" -> (groupingSetsDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -516,6 +541,7 @@ object Relational extends OpModule {
     "agg_cube" -> cubeSql,
     "join_bucketed" -> bucketedJoinSql,
     "q14_promo_share" -> promoShareSql,
+    "agg_grouping_sets" -> groupingSetsSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

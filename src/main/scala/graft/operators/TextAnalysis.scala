@@ -1436,10 +1436,38 @@ object TextAnalysis extends OpModule {
        |  md5(array_to_string(kept, ' ')) AS norm_md5
        |FROM c""".stripMargin
 
+  /** Language-ID confusion matrix (`text_langid_confusion`) — the
+    * evaluate step of the langid lifecycle (the sibling of
+    * `text_classifier_calibration` for the quality classifier): the
+    * n-gram predictor's verdicts cross-tabulated against the corpus's
+    * labeled language, with each cell's integer share of its TRUE-lang
+    * row. The diagonal is per-language recall; off-diagonal mass says
+    * which language pairs the word lists confuse — what you fix before
+    * trusting the `lang` gate in `pipeline_corpus`. Plan: one hash
+    * aggregation over the langid frame, then a window over the
+    * |langs|² cell frame (a few dozen rows — partition size is
+    * independent of corpus scale). */
+  private def langidConfusionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    langidDf(spark, dir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_pct", expr(
+        "(n_docs * 100) div (sum(n_docs) OVER (PARTITION BY lang))"))
+  }
+
+  private lazy val langidConfusionSql: String =
+    s"""WITH l AS ($langidSql)
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |  ((count(*) * 100) // (sum(count(*)) OVER (PARTITION BY lang)))::BIGINT
+       |    AS row_pct
+       |FROM l GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokensDf(_, _)),
     "text_normalize" -> (normalizeDf(_, _)),
     "text_langid" -> (langidDf(_, _)),
+    "text_langid_confusion" -> (langidConfusionDf(_, _)),
     "text_quality" -> (qualityDf(_, _)),
     "text_fingerprint" -> (fingerprintDf(_, _)),
     "text_tfidf" -> (tfidfDf(_, _)),
@@ -1463,6 +1491,7 @@ object TextAnalysis extends OpModule {
     "text_tokens" -> tokensSqlQ,
     "text_normalize" -> normalizeSql,
     "text_langid" -> langidSql,
+    "text_langid_confusion" -> langidConfusionSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf" -> tfidfSql,

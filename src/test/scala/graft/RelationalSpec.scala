@@ -233,6 +233,29 @@ class RelationalSpec extends SparkSpec {
       .map(_("n_cohort").asInstanceOf[Long]).sum === users)
   }
 
+  test("grouping sets carry only the two margins, matching cube's") {
+    def keyed(name: String) =
+      rowsOf(Relational.queries(name)(spark, dir)).map(r =>
+        (r("rf"), r("ls")) -> (r("n_items").asInstanceOf[Long],
+          r("revenue").asInstanceOf[Double])).toMap
+    val gs = keyed("agg_grouping_sets")
+    val cube = keyed("agg_cube")
+    // only margin cells: exactly one side is ALL in every row
+    gs.keys.foreach { case (rf, ls) =>
+      assert((rf == "ALL") != (ls == "ALL"),
+        s"($rf, $ls) is not a one-dimension margin")
+    }
+    // every margin equals cube's same cell (two independent plans)
+    gs.foreach { case (k, (n, rev)) =>
+      val (cn, crev) = cube(k)
+      assert(cn === n)
+      assert(math.abs(crev - rev) <= math.abs(rev) * 1e-9)
+    }
+    // and the margins are complete: same count as cube's margin cells
+    assert(gs.size === cube.keys.count { case (rf, ls) =>
+      (rf == "ALL") != (ls == "ALL") })
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))

@@ -630,4 +630,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(h#"),
       s"shingle-hash window found (df scored by window again?):\n$plan")
   }
+
+  test("langid confusion matrix reconciles with the per-doc verdicts") {
+    val d = sfDir()
+    val cells = rowsOf(
+      TextAnalysis.queries("text_langid_confusion")(spark, d))
+    val docs = rowsOf(TextAnalysis.queries("text_langid")(spark, d))
+    // cell mass partitions the corpus
+    assert(cells.map(_("n_docs").asInstanceOf[Long]).sum === docs.size.toLong)
+    // the diagonal is exactly the match=true population per language
+    val diag = cells.filter(c => c("lang") == c("pred_lang"))
+      .map(c => c("lang") -> c("n_docs").asInstanceOf[Long]).toMap
+    val matched = docs.filter(_("match").asInstanceOf[Boolean])
+      .groupBy(_("lang")).view.mapValues(_.size.toLong).toMap
+    assert(diag === matched)
+    // row percentages: floor shares, never exceeding 100 per row
+    cells.groupBy(_("lang")).values.foreach { row =>
+      val tot = row.map(_("n_docs").asInstanceOf[Long]).sum
+      row.foreach { c =>
+        assert(c("row_pct").asInstanceOf[Long] ===
+          c("n_docs").asInstanceOf[Long] * 100 / tot)
+      }
+      assert(row.map(_("row_pct").asInstanceOf[Long]).sum <= 100L)
+    }
+  }
 }
