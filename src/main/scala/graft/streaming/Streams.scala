@@ -1201,6 +1201,64 @@ object Streams {
       }
   }
 
+  case class FunnelState(stage: Int, tLast: Long)
+  case class FunnelProgress(user_id: Long, stage: Long, event_type: String,
+    ts_us: Long)
+
+  /** Streaming funnel monitor — the live twin of batch `events_funnel`:
+    * per user, an FSM carrying (stage completed, first-completion time)
+    * advances whenever the NEXT step's event type arrives inside the
+    * completion window after the previous step, and each advance emits
+    * a progress row — real-time conversion counting instead of the
+    * batch cross-tab. Within a batch, events replay in (ts, event_type)
+    * order, which reproduces the batch "min qualifying timestamp"
+    * semantics exactly (the first qualifying arrival IS the min when
+    * processed in time order); StreamingSpec replays the corpus across
+    * a trigger boundary and asserts the per-step completion counts
+    * equal `events_funnel`'s.
+    *
+    * State is TWO fields per user. The key space is the user
+    * population — unbounded on an infinite stream — so the monitor
+    * takes the same `retention` TTL dial as the ingest monitors: a
+    * user idle past the horizon is dropped (their funnel could only
+    * re-enter the window via a fresh signup anyway); None keeps
+    * full-history semantics for bounded replays. */
+  def funnelMonitor(events: DataFrame,
+      retention: Option[String] = None): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = graft.operators.Keyed.FunnelSteps
+    val win = graft.operators.Keyed.FunnelWindowUs
+    retention.foreach(_ => warnAsapRetention(spark))
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select($"user_id", $"event_type", $"ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), timeoutConf) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L))
+            val out = scala.collection.mutable.ArrayBuffer[FunnelProgress]()
+            it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, et, ts) =>
+              if (st.stage < steps.length && et == steps(st.stage) &&
+                (st.stage == 0 || (ts > st.tLast && ts <= st.tLast + win))) {
+                st = FunnelState(st.stage + 1, ts)
+                out += FunnelProgress(uid, st.stage.toLong, et, ts)
+              }
+            }
+            state.update(st)
+            retention.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

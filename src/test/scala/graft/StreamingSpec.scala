@@ -1482,4 +1482,37 @@ class StreamingSpec extends SparkSpec {
         s"cell $c: streamed mean ${s.mean_cos_new} vs batch $cos")
     }
   }
+
+  test("streaming funnel monitor replays the batch conversion counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir() // sf0.001
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streams.funnelMonitor(
+      input.toDF().toDF("user_id", "event_type", "ts_us"))
+      .writeStream.format("memory").queryName("funnel_mon")
+      .outputMode("append").start()
+    // time-ordered replay across a trigger boundary: cross-batch FSM
+    // state must carry each user's stage forward
+    input.addData(ev.take(ev.size / 2))
+    q.processAllAvailable()
+    input.addData(ev.drop(ev.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val prog = spark.table("funnel_mon").as[Streams.FunnelProgress].collect()
+    // one emission per (user, stage): the FSM never advances twice
+    assert(prog.map(p => (p.user_id, p.stage)).distinct.length ===
+      prog.length)
+    val batch = rowsOf(SparkEntry.queries("events_funnel")(spark, dir))
+      .map(r => r("step").asInstanceOf[Long] ->
+        r("n_users").asInstanceOf[Long]).toMap
+    batch.foreach { case (step, n) =>
+      val streamed = prog.count(_.stage == step).toLong
+      assert(streamed === n,
+        s"step $step: streamed $streamed completions vs batch $n")
+    }
+  }
 }
