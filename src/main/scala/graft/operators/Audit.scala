@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.OpModule
@@ -200,15 +201,125 @@ object Audit extends OpModule {
        |  CASE WHEN n_users >= $KAnon THEN n_users END AS n_users_pub
        |FROM g""".stripMargin
 
+  /** KMV sketch size and hash-space size for the NDV sketch. */
+  val KmvColK = 256
+  val KmvColU: Long = 1L << 32
+  /** High-cardinality key columns — where NDV sketching actually
+    * matters (exact count-distinct of a key column is the expensive
+    * stats job at 100 TB). Integer-typed on purpose: their string
+    * form is engine-identical, so the hash domain is too. */
+  val KmvCols: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** The sketch swap `stats_columns` documents (`stats_columns_kmv`):
+    * per key column, the KMV bottom-k NDV estimate next to the exact
+    * count and the measured relative error — the one-pass bounded-state
+    * replacement for exact count-distinct at 100 TB (same estimator as
+    * `text_gram_kmv`, (k-1)·U/kth-min over the hashed value space).
+    * The sketch is deterministic, so the estimate AND its error are
+    * hash-checked, not just bounded. Plan: per-column distinct of
+    * 32-bit hashes (map-side combined), a bottom-k window per column
+    * (k rows survive per column), and a 3-row join. */
+  private def statsKmvDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val hashes = KmvCols.map { c =>
+      li.select(lit(c).as("column"),
+        graft.functions.ColFns.hex32(col(c).cast("string")).as("h"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val exact = KmvCols.map { c =>
+      li.agg(countDistinct(col(c)).as("n_exact"))
+        .select(lit(c).as("column"), $"n_exact")
+    }.reduce(_ unionByName _)
+    val wr = Window.partitionBy($"column").orderBy($"h")
+    val kmv = hashes
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= KmvColK)
+      .groupBy($"column")
+      .agg(count(lit(1)).as("seen"), max($"h").as("kth"))
+      .select($"column",
+        when($"seen" < KmvColK, $"seen".cast("double"))
+          .otherwise(lit((KmvColK - 1).toDouble) *
+            lit(KmvColU).cast("double") / $"kth")
+          .as("est_raw"))
+    exact.join(kmv, Seq("column"))
+      .select($"column", $"n_exact",
+        round($"est_raw", 4).as("est_ndv"),
+        round(abs($"est_raw" - $"n_exact") /
+          nullif($"n_exact".cast("double"), lit(0.0)), 6).as("rel_err"))
+  }
+
+  private lazy val statsKmvSql: String = {
+    val hs = KmvCols.map(c =>
+      s"""SELECT DISTINCT '$c' AS "column",
+         |  ${graft.functions.ColFns.hex32Sql(s"$c::VARCHAR")} AS h
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    val ex = KmvCols.map(c =>
+      s"""SELECT '$c' AS "column", count(DISTINCT $c) AS n_exact
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH hs AS ($hs),
+       |ex AS ($ex),
+       |km AS (SELECT "column",
+       |         CASE WHEN count(*) < $KmvColK THEN count(*)::DOUBLE
+       |              ELSE ${(KmvColK - 1).toDouble} * ${KmvColU}::DOUBLE / max(h) END
+       |           AS est_raw
+       |       FROM (SELECT "column", h,
+       |               row_number() OVER (PARTITION BY "column" ORDER BY h) AS rn
+       |             FROM hs) r
+       |       WHERE rn <= $KmvColK GROUP BY 1)
+       |SELECT ex."column", ex.n_exact, round(km.est_raw, 4) AS est_ndv,
+       |  round(abs(km.est_raw - ex.n_exact)
+       |        / nullif(ex.n_exact::DOUBLE, 0), 6) AS rel_err
+       |FROM ex JOIN km USING ("column")""".stripMargin
+  }
+
+  /** Column-pair correlations for the optimizer (`stats_corr`):
+    * Pearson r over the numeric lineitem pairs a cost model would use
+    * to spot redundant predicates (price tracks quantity; discount is
+    * independent of both). ONE aggregation computes every pair —
+    * map-side-combined moment sums — and the row-per-pair shape comes
+    * from the same explode-of-structs trick as `audit_integrity`. */
+  private def corrDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"))
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        pairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"c_${a}_$b") }: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"c_${a}_$b").as("corr_r"), $"n".as("n_rows"))
+      }: _*)).as("r"))
+      .select($"r.col_a", $"r.col_b", $"r.corr_r", $"r.n_rows")
+  }
+
+  private val corrSql: String =
+    Seq(("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax")).map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(corr($a, $b), 6) AS corr_r, count(*) AS n_rows
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_integrity" -> (integrityDf(_, _)),
     "stats_columns" -> (statsDf(_, _)),
-    "events_k_anon" -> (kAnonDf(_, _))
+    "events_k_anon" -> (kAnonDf(_, _)),
+    "stats_columns_kmv" -> (statsKmvDf(_, _)),
+    "stats_corr" -> (corrDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "audit_integrity" -> integritySql,
     "stats_columns" -> statsSql,
-    "events_k_anon" -> kAnonSql
+    "events_k_anon" -> kAnonSql,
+    "stats_columns_kmv" -> statsKmvSql,
+    "stats_corr" -> corrSql
   )
 }

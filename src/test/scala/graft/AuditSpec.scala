@@ -90,6 +90,42 @@ class AuditSpec extends SparkSpec {
     assert(q("vmax") === direct.getDouble(2))
   }
 
+  test("kmv ndv sketch: sub-k columns exact, estimates inside the " +
+    "k-bound error") {
+    val rows = rowsOf(Audit.queries("stats_columns_kmv")(spark, sfDir()))
+    assert(rows.map(_("column")).toSet === Audit.KmvCols.toSet)
+    rows.foreach { r =>
+      val exact = r("n_exact").asInstanceOf[Long]
+      val est = r("est_ndv").asInstanceOf[Double]
+      val err = r("rel_err").asInstanceOf[Double]
+      assert(math.abs(err - math.abs(est - exact) / exact) < 1e-4)
+      if (exact < Audit.KmvColK)
+        assert(est === exact.toDouble, "below k the sketch IS the count")
+      else
+        // KMV stderr ≈ 1/sqrt(k-2); 3 sigma with k=256 is ~0.19
+        assert(err < 3.0 / math.sqrt(Audit.KmvColK - 2.0),
+          s"${r("column")} error $err outside 3 sigma")
+    }
+  }
+
+  test("corr stats: bounded coefficients over the full table, one " +
+    "pair cross-checked") {
+    import spark.implicits._
+    val rows = rowsOf(Audit.queries("stats_corr")(spark, sfDir()))
+    assert(rows.size === 4)
+    val n = graft.sources.Tables.lineitem(spark, sfDir()).count()
+    rows.foreach { r =>
+      assert(r("n_rows") === n)
+      val c = r("corr_r").asInstanceOf[Double]
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    val direct = graft.sources.Tables.lineitem(spark, sfDir())
+      .agg(corr($"l_quantity", $"l_extendedprice")).head().getDouble(0)
+    val got = rows.find(r => r("col_a") == "l_quantity" &&
+      r("col_b") == "l_extendedprice").get("corr_r").asInstanceOf[Double]
+    assert(math.abs(got - direct) < 1e-6)
+  }
+
   test("k-anon release gate publishes only cells with k distinct users") {
     val dir = sfDir()
     val rows = rowsOf(Audit.queries("events_k_anon")(spark, dir))
