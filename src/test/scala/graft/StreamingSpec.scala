@@ -1483,6 +1483,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnel monitor retention: within-horizon progress identical") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+      val ev = graft.sources.Tables.events(spark, sfDir())
+        .select($"user_id", $"event_type", $"ts_us")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+      def run(retention: Option[String], name: String): Set[(Long, Long)] = {
+        val input = MemoryStream[(Long, String, Long)]
+        val q = Streams.funnelMonitor(
+          input.toDF().toDF("user_id", "event_type", "ts_us"), retention)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        input.addData(ev.take(ev.size / 2))
+        q.processAllAvailable()
+        input.addData(ev.drop(ev.size / 2))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).as[Streams.FunnelProgress].collect()
+          .map(p => (p.user_id, p.stage)).toSet
+      }
+      val full = run(None, "funnel_ttl_full")
+      val horizon = run(Some("1 hour"), "funnel_ttl_hour")
+      assert(full == horizon && full.nonEmpty)
+    } finally spark.conf.set(ndKey, ndPrev)
+  }
+
   test("streaming funnel monitor replays the batch conversion counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
