@@ -1004,6 +1004,61 @@ object TextAnalysis extends OpModule {
        |FROM p LEFT JOIN v USING (tok)
        |GROUP BY 1""".stripMargin
 
+  /** Vocabulary drift under corpus appends (`text_vocab_drift`) — the
+    * tokenizer-health face of the incremental family: the standing
+    * vocabulary is the top-[[EncodeVocabK]] tokens of the BASE corpus
+    * only (the `doc_id % 5` delta convention of `dedup_incremental`),
+    * and both populations are encoded against it. A delta OOV rate
+    * rising above the base's means the new crawl drifted away from the
+    * tokenizer's training distribution — the re-train signal, exactly
+    * parallel to `ann_ivf_append`'s centroid-staleness audit for the
+    * vector index. Rates are integer basis points so the drift compare
+    * is engine-exact. Plan: one token-type aggregation over the base,
+    * the vocab broadcast back over everything — delta never joins
+    * base rows. */
+  private def vocabDriftDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokenized(spark, dir)
+      .withColumn("population",
+        when($"doc_id" % Dedup.IncrementalDeltaMod === 0, "delta")
+          .otherwise("base"))
+    val vocab = toks.filter($"population" === "base")
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+      .filter($"rk" <= EncodeVocabK)
+      .select($"tok")
+    toks.select($"population", $"doc_id", explode($"toks").as("tok"))
+      .join(broadcast(vocab.withColumn("known", lit(1L))), Seq("tok"), "left")
+      .groupBy($"population")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(n_oov * 10000) div n_tokens"))
+  }
+
+  private lazy val vocabDriftSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks,
+       |             CASE WHEN doc_id % ${Dedup.IncrementalDeltaMod} = 0
+       |                  THEN 'delta' ELSE 'base' END AS population
+       |           FROM documents),
+       |c AS (SELECT tok, count(*) AS n
+       |      FROM (SELECT unnest(toks) AS tok FROM w
+       |            WHERE population = 'base') GROUP BY 1),
+       |v AS (SELECT tok FROM (
+       |        SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rk
+       |        FROM c)
+       |      WHERE rk <= $EncodeVocabK),
+       |p AS (SELECT population, doc_id, unnest(toks) AS tok FROM w)
+       |SELECT population, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_tokens,
+       |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  ((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000)
+       |    // count(*))::BIGINT AS oov_bp
+       |FROM p LEFT JOIN v USING (tok)
+       |GROUP BY 1""".stripMargin
+
   /** A 3-gram is boilerplate when it appears in at least this many
     * distinct documents. */
   val BoilerDf = 8L
@@ -1479,6 +1534,7 @@ object TextAnalysis extends OpModule {
     "text_classifier_train" -> (classifierTrainDf(_, _)),
     "text_classifier_calibration" -> (classifierCalibrationDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
+    "text_vocab_drift" -> (vocabDriftDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
     "text_gram_kmv" -> (vocabKmvDf(_, _)),
@@ -1503,6 +1559,7 @@ object TextAnalysis extends OpModule {
     "text_classifier_train" -> classifierTrainSql,
     "text_classifier_calibration" -> classifierCalibrationSql,
     "text_encode" -> encodeSql,
+    "text_vocab_drift" -> vocabDriftSql,
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,
     "text_gram_kmv" -> vocabKmvSql,

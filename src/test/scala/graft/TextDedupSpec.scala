@@ -631,6 +631,25 @@ class TextDedupSpec extends SparkSpec {
       s"shingle-hash window found (df scored by window again?):\n$plan")
   }
 
+  test("vocab drift: populations partition the corpus, rates are exact " +
+    "floors") {
+    val d = sfDir()
+    val rows = rowsOf(TextAnalysis.queries("text_vocab_drift")(spark, d))
+      .map(r => r("population").asInstanceOf[String] -> r).toMap
+    assert(rows.keySet === Set("base", "delta"))
+    val nDocs = rowsOf(graft.sources.Tables.documents(spark, d)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")))
+      .head("n").asInstanceOf[Long]
+    assert(rows.values.map(_("n_docs").asInstanceOf[Long]).sum === nDocs)
+    rows.values.foreach { r =>
+      val (oov, tot) = (r("n_oov").asInstanceOf[Long],
+        r("n_tokens").asInstanceOf[Long])
+      assert(oov >= 0 && oov <= tot)
+      assert(r("oov_bp").asInstanceOf[Long] === oov * 10000 / tot)
+    }
+  }
+
   test("langid confusion matrix reconciles with the per-doc verdicts") {
     val d = sfDir()
     val cells = rowsOf(
