@@ -1881,7 +1881,10 @@ object Similarity extends OpModule {
     * declarative plan. */
   private def ivfAppendDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val a = rankAgainst(spark, dir, baseCompDf(spark, dir))
+    // the memoized stale ranking (shared with ann_recall_stale): without
+    // it the base/fresh sides of the outer join below each rebuild the
+    // full rank-against-centroids subtree
+    val a = staleRankedDf(spark, dir)
       .filter($"rk" === 1)
     val base = a.filter($"vec_id" % VecDeltaMod =!= 0).groupBy($"cell")
       .agg(count(lit(1)).as("n_base"), round(avg($"cos_c"), 6).as("cos_base"))
