@@ -357,6 +357,131 @@ object Dedup extends OpModule {
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
 
+  /** Band configurations for the LSH dial audit, all over the same
+    * [[MinhashK]] = 8 signature components: (bands, rows_per_band). */
+  val LshCurveConfigs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  /** The LSH banding dial, priced (`dedup_lsh_curve`) — the sibling of
+    * `ann_trunc_curve` and `bench_contamination_curve` for the MinHash
+    * family: the SAME 8 signature components banded four ways, from
+    * all-8-must-match (1x8: high precision, low recall) to
+    * any-1-matches (8x1: the permissive end). Per config: candidate
+    * pair count, how many candidates are TRUE high-Jaccard pairs, and
+    * integer precision/recall against the exact J >= 1/2 ground truth
+    * from the inverted index. Because bands are consecutive component
+    * runs, a coarser config's full-band match implies matches of its
+    * sub-bands in every finer config — candidate sets NEST, so recall
+    * is provably monotone along the curve (spec-asserted).
+    *
+    * Engine-exact: J >= 1/2 is decided in integer arithmetic
+    * (3*inter >= na+nb, no double compare), counts are exact, shares
+    * are integer-percent floors. Scale shape: ground truth reuses the
+    * hot-capped postings join (never all-pairs); each config's
+    * candidates come from the banding self-join; every verdict frame is
+    * 1 row. */
+  private def lshTruthDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"lsh_truth:$dir") {
+      import spark.implicits._
+      val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+        shingled(spark, dir).select($"doc_id", $"h").distinct())
+      val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val hot = sets.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > HotShingleCap)
+        .select($"h")
+      val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
+      postings.as("a")
+        .join(postings.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+        .filter(lit(3) * $"inter" >= $"na" + $"nb")
+        .select($"doc_a", $"doc_b")
+    }
+
+  private def lshCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashDf(spark, dir)
+    val truth = lshTruthDf(spark, dir)
+    val truthN = truth.agg(count(lit(1)).as("n_true_total"))
+    LshCurveConfigs.map { case (b, r) =>
+      val bands = (0 until b).map { j =>
+        sig.select($"doc_id", lit(j).as("band"),
+          concat_ws(",", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+            .as("band_key"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_true")))
+        .crossJoin(truthN)
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_candidates", $"n_true", $"n_true_total",
+          expr("(n_true * 100) div nullif(n_candidates, 0)")
+            .as("precision_pct"),
+          expr("(n_true * 100) div nullif(n_true_total, 0)")
+            .as("recall_pct"))
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val lshCurveSql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(",\n")
+    val configs = LshCurveConfigs.map { case (b, r) =>
+      val bandRows = (0 until b).map { j =>
+        val key = (0 until r).map(i => s"mh${j * r + i}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $j AS band, $key AS band_key FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT ${b}::BIGINT AS n_bands, ${r}::BIGINT AS rows_per_band,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT x.doc_id, y.doc_id FROM ($bandRows) x
+         |     JOIN ($bandRows) y ON x.band = y.band
+         |       AND x.band_key = y.band_key AND x.doc_id < y.doc_id))
+         |    AS n_candidates,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |     FROM ($bandRows) x
+         |     JOIN ($bandRows) y ON x.band = y.band
+         |       AND x.band_key = y.band_key AND x.doc_id < y.doc_id) c
+         |   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |    AS n_true,
+         |  (SELECT count(*) FROM truth) AS n_true_total""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingledSql),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+       |postings AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sets) p
+       |  WHERE df <= $HotShingleCap),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |    FROM postings a JOIN postings b
+       |      ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE 3 * inter >= sa.n + sb.n),
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       |FROM sh GROUP BY doc_id),
+       |curve AS ($configs)
+       |SELECT n_bands, rows_per_band, n_candidates, n_true, n_true_total,
+       |  ((n_true * 100) // nullif(n_candidates, 0))::BIGINT AS precision_pct,
+       |  ((n_true * 100) // nullif(n_true_total, 0))::BIGINT AS recall_pct
+       |FROM curve""".stripMargin
+  }
+
   /** 32-bit SimHash: frequency-weighted sign sum per bit position.
     * Memoized: the pair generator consumes the signatures twice (both
     * sides of its band self-join). */
@@ -851,6 +976,7 @@ object Dedup extends OpModule {
     "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
+    "dedup_lsh_curve" -> (lshCurveDf(_, _)),
     "dedup_simhash" -> (simhashDf(_, _)),
     "dedup_substring_spans" -> (substrSpansDf(_, _)),
     "dedup_substring_stats" -> (substrStatsDf(_, _)),
@@ -866,6 +992,7 @@ object Dedup extends OpModule {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
+    "dedup_lsh_curve" -> lshCurveSql,
     "dedup_simhash" -> simhashSql,
     "dedup_substring_spans" -> substrSpansSql,
     "dedup_substring_stats" -> substrStatsSql,

@@ -673,4 +673,32 @@ class TextDedupSpec extends SparkSpec {
       assert(row.map(_("row_pct").asInstanceOf[Long]).sum <= 100L)
     }
   }
+
+  test("lsh curve: candidate sets nest along the dial, shipped config " +
+    "matches the pair generator") {
+    val d = sfDir()
+    val rows = rowsOf(Dedup.queries("dedup_lsh_curve")(spark, d))
+      .sortBy(_("n_bands").asInstanceOf[Long])
+    assert(rows.map(r => (r("n_bands"), r("rows_per_band"))) ===
+      Dedup.LshCurveConfigs.map { case (b, r) => (b.toLong, r.toLong) })
+    // consecutive-run bands nest: finer configs can only add candidates
+    val cands = rows.map(_("n_candidates").asInstanceOf[Long])
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
+    val hits = rows.map(_("n_true").asInstanceOf[Long])
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
+      "recall must be monotone along the nesting")
+    rows.foreach { r =>
+      val (c, t, tot) = (r("n_candidates").asInstanceOf[Long],
+        r("n_true").asInstanceOf[Long],
+        r("n_true_total").asInstanceOf[Long])
+      assert(t <= c && t <= tot)
+      if (c > 0) assert(r("precision_pct") === t * 100 / c)
+      if (tot > 0) assert(r("recall_pct") === t * 100 / tot)
+    }
+    // the (2,4) point IS the shipped pair generator
+    val shipped = rowsOf(
+      Dedup.queries("dedup_minhash_pairs")(spark, d)).size.toLong
+    assert(rows.find(_("n_bands") == 2L)
+      .get("n_candidates") === shipped)
+  }
 }
