@@ -252,10 +252,45 @@ object Keyed extends OpModule {
        |  (a.n_active * 100) // sz.n_cohort AS retained_pct
        |FROM a JOIN sz USING (cohort_day)""".stripMargin
 
+  /** Event-type transition matrix (`events_markov`) — the first-order
+    * Markov census behind "what do users do next": per user, events
+    * order by time (event_id tiebreak) and each adjacent (prev → cur)
+    * step counts once; cells carry the integer percent of their
+    * prev-row mass (the empirical transition probability, floored).
+    * The sequence-model complement of `events_funnel`'s fixed path.
+    * Plan: ONE lag window partitioned by user — each partition is one
+    * user's (already narrow) event stream — then a |types|² hash
+    * aggregation and a window over that tiny cell frame. */
+  private def markovDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("cur"))
+      .agg(count(lit(1)).as("n_steps"))
+      .withColumn("row_pct", expr(
+        "(n_steps * 100) div (sum(n_steps) OVER (PARTITION BY prev))"))
+  }
+
+  private val markovSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT prev, event_type AS cur, count(*) AS n_steps,
+      |  ((count(*) * 100) // (sum(count(*)) OVER (PARTITION BY prev)))::BIGINT
+      |    AS row_pct
+      |FROM s WHERE prev IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_ranks" -> (windowRanksDf(_, _)),
     "events_funnel" -> (funnelDf(_, _)),
     "events_retention" -> (retentionDf(_, _)),
+    "events_markov" -> (markovDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
     "order_success_rate" -> (successRateDf(_, _)),
@@ -266,6 +301,7 @@ object Keyed extends OpModule {
     "window_ranks" -> windowRanksSql,
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
+    "events_markov" -> markovSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
     "order_success_rate" -> successRateSql,

@@ -256,6 +256,26 @@ class RelationalSpec extends SparkSpec {
       (rf == "ALL") != (ls == "ALL") })
   }
 
+  test("markov transitions: cells partition the step stream, row " +
+    "percents floor exactly") {
+    val rows = rowsOf(graft.operators.Keyed.queries("events_markov")(spark, dir))
+    // 5 event types: the matrix has at most 25 cells and the step count
+    // is events minus one per user
+    assert(rows.size <= 25)
+    val ev = rowsOf(Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+    val steps = ev.map(_("n").asInstanceOf[Long] - 1).sum
+    assert(rows.map(_("n_steps").asInstanceOf[Long]).sum === steps)
+    rows.groupBy(_("prev")).values.foreach { row =>
+      val tot = row.map(_("n_steps").asInstanceOf[Long]).sum
+      row.foreach { c =>
+        assert(c("row_pct").asInstanceOf[Long] ===
+          c("n_steps").asInstanceOf[Long] * 100 / tot)
+      }
+      assert(row.map(_("row_pct").asInstanceOf[Long]).sum <= 100L)
+    }
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))
