@@ -1059,6 +1059,65 @@ object TextAnalysis extends OpModule {
        |FROM p LEFT JOIN v USING (tok)
        |GROUP BY 1""".stripMargin
 
+  /** How many top frequency ranks the Zipf fit uses. */
+  val ZipfTopR = 100
+
+  /** Zipf-law fit (`text_zipf`) — the corpus-health statistic: token
+    * frequencies ranked, the top [[ZipfTopR]] (rank, freq) points fit
+    * by closed-form least squares in log-log space. A natural corpus
+    * sits near slope -1; machine-generated or template-heavy text bends
+    * the slope visibly, so this is the one-row drift check a pipeline
+    * runs per crawl drop next to `text_vocab_drift`. Plan: one
+    * token-frequency aggregation (map-side combined), a rank window
+    * over the type table bounded to the top ranks, and a 1-row moment
+    * aggregation — nothing scales with corpus size except the first
+    * hash aggregation. */
+  private def zipfDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokenized(spark, dir)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val top = tf
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+      .filter($"rk" <= ZipfTopR)
+      .select(log($"rk".cast("double")).as("x"),
+        log($"n".cast("double")).as("y"))
+    val types = tf.agg(count(lit(1)).as("n_types"))
+    top.agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+      .crossJoin(broadcast(types))
+      .select($"n_types",
+        round(($"m" * $"sxy" - $"sx" * $"sy") /
+          ($"m" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"m" * $"sxy" - $"sx" * $"sy") /
+          ($"m" * $"sxx" - $"sx" * $"sx") * $"sx") / $"m", 6).as("intercept"),
+        round(pow($"m" * $"sxy" - $"sx" * $"sy", 2.0) /
+          (($"m" * $"sxx" - $"sx" * $"sx") *
+            ($"m" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
+
+  private lazy val zipfSql: String =
+    s"""WITH w AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tf AS (SELECT tok, count(*) AS n
+       |       FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1),
+       |top AS (SELECT ln(rk::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM (
+       |          SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+       |          FROM tf)
+       |        WHERE rk <= $ZipfTopR),
+       |ty AS (SELECT count(*) AS n_types FROM tf),
+       |mo AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |       FROM top)
+       |SELECT ty.n_types,
+       |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+       |    AS intercept,
+       |  round(pow(m * sxy - sx * sy, 2) /
+       |    ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+       |FROM mo, ty""".stripMargin
+
   /** A 3-gram is boilerplate when it appears in at least this many
     * distinct documents. */
   val BoilerDf = 8L
@@ -1535,6 +1594,7 @@ object TextAnalysis extends OpModule {
     "text_classifier_calibration" -> (classifierCalibrationDf(_, _)),
     "text_encode" -> (encodeDf(_, _)),
     "text_vocab_drift" -> (vocabDriftDf(_, _)),
+    "text_zipf" -> (zipfDf(_, _)),
     "text_boilerplate" -> (boilerplateDf(_, _)),
     "text_bigram_xent" -> (bigramXentDf(_, _)),
     "text_gram_kmv" -> (vocabKmvDf(_, _)),
@@ -1560,6 +1620,7 @@ object TextAnalysis extends OpModule {
     "text_classifier_calibration" -> classifierCalibrationSql,
     "text_encode" -> encodeSql,
     "text_vocab_drift" -> vocabDriftSql,
+    "text_zipf" -> zipfSql,
     "text_boilerplate" -> boilerplateSql,
     "text_bigram_xent" -> bigramXentSql,
     "text_gram_kmv" -> vocabKmvSql,

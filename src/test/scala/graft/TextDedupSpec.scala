@@ -674,6 +674,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("zipf fit: closed-form regression matches a driver-side recompute") {
+    val d = sfDir()
+    val row = rowsOf(TextAnalysis.queries("text_zipf")(spark, d)).head
+    val r2 = row("r2").asInstanceOf[Double]
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // recompute the fit from raw token counts
+    import org.apache.spark.sql.functions.{explode, col, count, lit}
+    val tokCol = TextAnalysis.queries("text_tokens")(spark, d)
+    val freqs = rowsOf(graft.sources.Tables.documents(spark, d)
+      .select(explode(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n")))
+      .map(m => m("tok").asInstanceOf[String] -> m("n").asInstanceOf[Long])
+    assert(row("n_types") === freqs.size.toLong)
+    val pts = freqs.sortBy { case (t, n) => (-n, t) }
+      .take(TextAnalysis.ZipfTopR).zipWithIndex
+      .map { case ((_, n), i) => (math.log(i + 1.0), math.log(n.toDouble)) }
+    val m = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(row("slope").asInstanceOf[Double] - slope) < 1e-4,
+      s"fit ${row("slope")} vs recompute $slope")
+    // a frequency-ranked curve can only slope down
+    assert(slope <= 0.0)
+  }
+
   test("lsh curve: candidate sets nest along the dial, shipped config " +
     "matches the pair generator") {
     val d = sfDir()
