@@ -222,15 +222,19 @@ object Audit extends OpModule {
   private def statsKmvDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val hashes = KmvCols.map { c =>
-      li.select(lit(c).as("column"),
-        graft.functions.ColFns.hex32(col(c).cast("string")).as("h"))
-        .distinct()
-    }.reduce(_ unionByName _)
-    val exact = KmvCols.map { c =>
-      li.agg(countDistinct(col(c)).as("n_exact"))
-        .select(lit(c).as("column"), $"n_exact")
-    }.reduce(_ unionByName _)
+    // ONE scan: explode the columns into (column, value) rows, distinct
+    // once, and derive BOTH the exact NDV (a count of the distinct
+    // frame) and the hash stream (hex32 over distinct values only, not
+    // per input row) from the same shuffled frame — versus the naive
+    // 3 distincts + 3 countDistinct aggregations = 6 table passes
+    val vals = li.select(explode(array(KmvCols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+        .as("cv"))
+      .select($"cv.column", $"cv.v")
+      .distinct()
+    val hashes = vals.select($"column",
+      graft.functions.ColFns.hex32($"v").as("h"))
+    val exact = vals.groupBy($"column").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"column").orderBy($"h")
     val kmv = hashes
       .withColumn("rn", row_number().over(wr))
