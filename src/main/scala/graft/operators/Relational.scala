@@ -412,6 +412,34 @@ object Relational extends OpModule {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
 
+  /** Large-volume orders (the TPC-H Q18 shape, public spec): aggregate
+    * lineitem per order, HAVING-filter on the aggregate, join the
+    * survivor keys back to orders, top-20 without a global sort. The
+    * aggregate-then-filter side collapses to (orderkey, sum) rows
+    * BEFORE the join — the survivor frame broadcasts — and quantities
+    * are integral doubles so the HAVING boundary and the ordering are
+    * engine-exact. */
+  private def bigOrdersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 150.0)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"sum_qty")
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  private val bigOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum_qty > 150.0
+      |) ON o_orderkey = l_orderkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -522,6 +550,7 @@ object Relational extends OpModule {
     "join_bucketed" -> (bucketedJoinDf(_, _)),
     "q14_promo_share" -> (promoShareDf(_, _)),
     "agg_grouping_sets" -> (groupingSetsDf(_, _)),
+    "q18_big_orders" -> (bigOrdersDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -542,6 +571,7 @@ object Relational extends OpModule {
     "join_bucketed" -> bucketedJoinSql,
     "q14_promo_share" -> promoShareSql,
     "agg_grouping_sets" -> groupingSetsSql,
+    "q18_big_orders" -> bigOrdersSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

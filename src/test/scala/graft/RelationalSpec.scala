@@ -256,6 +256,25 @@ class RelationalSpec extends SparkSpec {
       (rf == "ALL") != (ls == "ALL") })
   }
 
+  test("big orders: top-k plans TakeOrdered, every row passes the " +
+    "HAVING bound") {
+    val df = Relational.queries("q18_big_orders")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    val rows = rowsOf(df)
+    assert(rows.size <= 20 && rows.nonEmpty)
+    val qs = rows.map(_("sum_qty").asInstanceOf[Double])
+    assert(qs.forall(_ > 150.0))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, "desc order")
+    // cross-check one order's aggregate
+    val k = rows.head("o_orderkey").asInstanceOf[Long]
+    val direct = rowsOf(Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") === k)
+      .agg(sum(col("l_quantity")).as("s"))).head("s")
+    assert(direct === rows.head("sum_qty"))
+  }
+
   test("markov transitions: cells partition the step stream, row " +
     "percents floor exactly") {
     val rows = rowsOf(graft.operators.Keyed.queries("events_markov")(spark, dir))
