@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -440,6 +440,56 @@ object Relational extends OpModule {
       |ORDER BY sum_qty DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** RFM segmentation (`customer_rfm`) — the classic warehouse
+    * customer-scoring job: recency (days since last order vs the
+    * corpus's latest), frequency, monetary, each quintiled WITHIN the
+    * customer's market segment (so the ntile windows partition by
+    * segment and stay dimension-bounded — no single global sort).
+    * Monetary rounds to cents before ordering so double-summation
+    * trees cannot flip a quintile boundary between engines; all tile
+    * orders tiebreak on the key. Plan: one orders aggregation, one
+    * broadcast dim join, three windows over the same
+    * segment-partitioned frame. */
+  private def rfmDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(unix_micros($"o_orderdate".cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("monetary"))
+    val mx = per.agg(max($"last_us").as("mx"))
+    val seg = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days", expr(s"(mx - last_us) div $DayUs"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+    def tile(order: Seq[Column]) = ntile(5).over(
+      Window.partitionBy($"c_mktsegment").orderBy(order: _*)).cast("long")
+    seg.select($"c_custkey", $"c_mktsegment", $"recency_days",
+      $"n_orders", $"monetary",
+      tile(Seq($"recency_days", $"c_custkey")).as("r_tile"),
+      tile(Seq($"n_orders".desc, $"c_custkey")).as("f_tile"),
+      tile(Seq($"monetary".desc, $"c_custkey")).as("m_tile"))
+  }
+
+  private val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+      |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS monetary
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(last_us) AS mx FROM per)
+      |SELECT c_custkey, c_mktsegment,
+      |  (mx - last_us) // 86400000000 AS recency_days,
+      |  n_orders, monetary,
+      |  ntile(5) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY (mx - last_us) // 86400000000, c_custkey)::BIGINT AS r_tile,
+      |  ntile(5) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY n_orders DESC, c_custkey)::BIGINT AS f_tile,
+      |  ntile(5) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY monetary DESC, c_custkey)::BIGINT AS m_tile
+      |FROM per, mx JOIN customer ON c_custkey = o_custkey""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -551,6 +601,7 @@ object Relational extends OpModule {
     "q14_promo_share" -> (promoShareDf(_, _)),
     "agg_grouping_sets" -> (groupingSetsDf(_, _)),
     "q18_big_orders" -> (bigOrdersDf(_, _)),
+    "customer_rfm" -> (rfmDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -572,6 +623,7 @@ object Relational extends OpModule {
     "q14_promo_share" -> promoShareSql,
     "agg_grouping_sets" -> groupingSetsSql,
     "q18_big_orders" -> bigOrdersSql,
+    "customer_rfm" -> rfmSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

@@ -256,6 +256,31 @@ class RelationalSpec extends SparkSpec {
       (rf == "ALL") != (ls == "ALL") })
   }
 
+  test("rfm: quintiles balance within each segment, ranks align with " +
+    "raw metrics") {
+    val rows = rowsOf(Relational.queries("customer_rfm")(spark, dir))
+    assert(rows.nonEmpty)
+    rows.groupBy(_("c_mktsegment")).values.foreach { seg =>
+      val n = seg.size
+      // ntile balance: bucket sizes differ by at most one
+      Seq("r_tile", "f_tile", "m_tile").foreach { t =>
+        val sizes = seg.groupBy(_(t)).values.map(_.size)
+        assert(sizes.max - sizes.min <= 1, s"$t unbalanced: $sizes")
+        assert(seg.forall(r => (1L to 5L).contains(r(t).asInstanceOf[Long])))
+      }
+      // tile 1 of monetary holds the segment's richest customer
+      val best = seg.maxBy(r => (r("monetary").asInstanceOf[Double],
+        -r("c_custkey").asInstanceOf[Long]))
+      assert(best("m_tile") === 1L)
+      // recency tile 1 contains the most recent buyer (recency 0 exists
+      // only for whoever placed the corpus's last order's segment)
+      val mostRecent = seg.minBy(r => (r("recency_days").asInstanceOf[Long],
+        r("c_custkey").asInstanceOf[Long]))
+      assert(mostRecent("r_tile") === 1L)
+      assert(n === seg.map(_("c_custkey")).distinct.size)
+    }
+  }
+
   test("big orders: top-k plans TakeOrdered, every row passes the " +
     "HAVING bound") {
     val df = Relational.queries("q18_big_orders")(spark, dir)
