@@ -286,11 +286,48 @@ object Keyed extends OpModule {
       |FROM s WHERE prev IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** DAU / WAU / stickiness (`events_dau_wau`): distinct daily actives,
+    * distinct trailing-7-day actives, and the integer stickiness
+    * percent (DAU*100 div WAU) per day. A trailing distinct-count is
+    * not window-decomposable, so WAU joins the (user, day) distinct
+    * frame onto each of its 7 covered report days — the frame is
+    * users x active-days (already reduced), so the 7x fan-out is linear
+    * in that reduced size, never in raw events. */
+  private def dauWauDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val offsets = spark.range(0, 7).select($"id".as("off"))
+    val wau = ud.crossJoin(broadcast(offsets))
+      .select($"user_id", ($"day" + $"off").as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    // report only days with activity (inner join keeps the grid honest:
+    // wau rows past the last active day are window run-out)
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        expr("(dau * 100) div wau").as("stickiness_pct"))
+  }
+
+  private val dauWauSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+       |  FROM events),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+       |wau AS (SELECT day, count(*) AS wau FROM (
+       |    SELECT DISTINCT user_id, ud.day + off AS day
+       |    FROM ud, range(0, 7) r(off)) w
+       |  GROUP BY 1)
+       |SELECT day, dau, wau, (dau * 100) // wau AS stickiness_pct
+       |FROM dau JOIN wau USING (day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_ranks" -> (windowRanksDf(_, _)),
     "events_funnel" -> (funnelDf(_, _)),
     "events_retention" -> (retentionDf(_, _)),
     "events_markov" -> (markovDf(_, _)),
+    "events_dau_wau" -> (dauWauDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
     "order_success_rate" -> (successRateDf(_, _)),
@@ -302,6 +339,7 @@ object Keyed extends OpModule {
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
     "events_markov" -> markovSql,
+    "events_dau_wau" -> dauWauSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
     "order_success_rate" -> successRateSql,

@@ -2000,6 +2000,45 @@ object Similarity extends OpModule {
        |FROM brute3 b LEFT JOIN st l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid""".stripMargin
 
+  /** Thresholds (in micro-cos units / 1e6) for the SemDeDup dial. */
+  val SemCurveThresholds: Seq[Double] = Seq(0.20, 0.30, 0.40, 0.60)
+
+  /** The SemDeDup threshold dial, priced (`dedup_semantic_curve`):
+    * `dedup_semantic`'s per-vector max-prior-cosine replayed at four
+    * thresholds — the number of vectors dropped at each, monotone
+    * decreasing in the threshold by construction (a drop at 0.4 is a
+    * drop at 0.3), with the shipped [[SemDedupCos]] = 0.30 row equal to
+    * the shipped query's verdict (spec-asserted). One pass over the
+    * within-cell pair worst-cosines, four 1-row counts — the dial costs
+    * nothing extra because the expensive pairwise frame is shared. */
+  private def semCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val verdicts = semDedupDf(spark, dir)
+      .select($"vec_id", $"max_prior_cos")
+    val tot = verdicts.agg(count(lit(1)).as("n_vecs"))
+    SemCurveThresholds.map { t =>
+      verdicts
+        .agg(sum(when($"max_prior_cos" >= t, 1L).otherwise(0L))
+          .as("n_dropped"))
+        .crossJoin(broadcast(tot))
+        .select(round(lit(t), 2).as("threshold"), $"n_dropped", $"n_vecs",
+          expr("(n_dropped * 100) div n_vecs").as("drop_pct"))
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val semCurveSql: String = {
+    val rows = SemCurveThresholds.map(t =>
+      s"""SELECT $t AS threshold,
+         |  sum(CASE WHEN max_prior_cos >= $t THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_dropped,
+         |  count(*) AS n_vecs,
+         |  ((sum(CASE WHEN max_prior_cos >= $t THEN 1 ELSE 0 END) * 100)
+         |    // count(*))::BIGINT AS drop_pct
+         |FROM v""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, max_prior_cos FROM ($semDedupSql))
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
@@ -2031,7 +2070,8 @@ object Similarity extends OpModule {
     "ann_trunc_curve" -> (truncCurveDf(_, _)),
     "emb_prune" -> (embPruneDf(_, _)),
     "ann_ivf_append" -> (ivfAppendDf(_, _)),
-    "ann_recall_stale" -> (recallStaleDf(_, _))
+    "ann_recall_stale" -> (recallStaleDf(_, _)),
+    "dedup_semantic_curve" -> (semCurveDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2065,6 +2105,7 @@ object Similarity extends OpModule {
     "ann_filtered_recall" -> filteredRecallSql,
     "emb_prune" -> embPruneSql,
     "ann_ivf_append" -> ivfAppendSql,
-    "ann_recall_stale" -> recallStaleSql
+    "ann_recall_stale" -> recallStaleSql,
+    "dedup_semantic_curve" -> semCurveSql
   )
 }

@@ -300,6 +300,26 @@ class RelationalSpec extends SparkSpec {
     assert(direct === rows.head("sum_qty"))
   }
 
+  test("dau/wau: weekly actives bound daily, stickiness floors exactly") {
+    val rows = rowsOf(graft.operators.Keyed.queries("events_dau_wau")(spark, dir))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r("day").asInstanceOf[Long] -> r).toMap
+    rows.foreach { r =>
+      val (dau, wau) = (r("dau").asInstanceOf[Long], r("wau").asInstanceOf[Long])
+      assert(dau >= 1L && wau >= dau,
+        "a day's actives are inside its trailing week")
+      assert(r("stickiness_pct").asInstanceOf[Long] === dau * 100 / wau)
+    }
+    // cross-check one day's WAU with a direct distinct count
+    val d0 = byDay.keys.max
+    val direct = rowsOf(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"ts_us div ${graft.operators.Keyed.DayUs}").as("day"))
+      .filter(col("day") >= d0 - 6 && col("day") <= d0)
+      .agg(countDistinct(col("user_id")).as("n"))).head("n")
+    assert(byDay(d0)("wau") === direct)
+  }
+
   test("markov transitions: cells partition the step stream, row " +
     "percents floor exactly") {
     val rows = rowsOf(graft.operators.Keyed.queries("events_markov")(spark, dir))

@@ -342,6 +342,28 @@ class SimilaritySpec extends SparkSpec {
     assert(g >= 20 && g <= 30, s"corpus growth $g% out of the 1/4 band")
   }
 
+  test("semantic dedup curve: drops decrease in the threshold, shipped " +
+    "point matches the verdict query") {
+    val d = sfDir()
+    val rows = rowsOf(Similarity.queries("dedup_semantic_curve")(spark, d))
+      .sortBy(_("threshold").asInstanceOf[Double])
+    assert(rows.map(_("threshold").asInstanceOf[Double]) ===
+      Similarity.SemCurveThresholds)
+    val drops = rows.map(_("n_dropped").asInstanceOf[Long])
+    assert(drops.zip(drops.tail).forall { case (a, b) => b <= a },
+      "raising the cosine bar can only drop fewer")
+    val shippedDrops = rowsOf(
+      Similarity.queries("dedup_semantic")(spark, d))
+      .count(_("keep") == false).toLong
+    assert(rows.find(_("threshold") == Similarity.SemDedupCos)
+      .get("n_dropped") === shippedDrops)
+    rows.foreach { r =>
+      assert(r("drop_pct").asInstanceOf[Long] ===
+        r("n_dropped").asInstanceOf[Long] * 100 /
+          r("n_vecs").asInstanceOf[Long])
+    }
+  }
+
   test("stale-index recall covers every query and stays a sane rung") {
     val d = sfDir()
     val stale = rowsOf(Similarity.queries("ann_recall_stale")(spark, d))
