@@ -537,33 +537,42 @@ object Pipeline extends OpModule {
     * a per-source recursive CTE (the FSM oracle pattern). Parallelism
     * is per-source — the packing unit real pipelines shard by. */
   private def packGreedyDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"pack_greedy:$dir") {
-      import spark.implicits._
-      val toks = TextAnalysis.queries("text_tokens")(spark, dir)
-        .select($"doc_id", $"n_tokens")
-      Tables.documents(spark, dir)
-        .select($"doc_id", $"source")
-        .join(toks, Seq("doc_id"))
-        .select($"doc_id", $"source", $"n_tokens")
-        .as[PackDoc]
-        .groupByKey(_.source)
-        .flatMapSortedGroups(col("doc_id")) {
-          (src: String, it: Iterator[PackDoc]) =>
-            var seq = 0L
-            var fill = 0L
-            it.map { d =>
-              if (fill > 0 && fill + d.n_tokens > PackBudget) {
-                seq += 1; fill = 0L
-              }
-              val off = fill
-              fill += d.n_tokens
-              PackedDoc(d.doc_id, src, d.n_tokens, seq, off)
-            }
-        }
-        .toDF()
-    }
+    graft.functions.DfMemo.cached(spark, s"pack_greedy:$dir")(
+      packGreedyAt(spark, dir, PackBudget))
 
-  private val packGreedySql: String =
+  /** The greedy no-split fold at an arbitrary budget — shared by the
+    * shipped [[PackBudget]] layout and the budget dial
+    * (`pipeline_pack_curve`). */
+  private def packGreedyAt(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.queries("text_tokens")(spark, dir)
+      .select($"doc_id", $"n_tokens")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(toks, Seq("doc_id"))
+      .select($"doc_id", $"source", $"n_tokens")
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapSortedGroups(col("doc_id")) {
+        (src: String, it: Iterator[PackDoc]) =>
+          var seq = 0L
+          var fill = 0L
+          it.map { d =>
+            if (fill > 0 && fill + d.n_tokens > budget) {
+              seq += 1; fill = 0L
+            }
+            val off = fill
+            fill += d.n_tokens
+            PackedDoc(d.doc_id, src, d.n_tokens, seq, off)
+          }
+      }
+      .toDF()
+  }
+
+  private val packGreedySql: String = packGreedySqlAt(PackBudget)
+
+  private def packGreedySqlAt(budget: Long): String =
     s"""WITH RECURSIVE pinp AS MATERIALIZED (
        |  SELECT d.doc_id, d.source, t.n_tokens,
        |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
@@ -578,12 +587,12 @@ object Pipeline extends OpModule {
        |  FROM (SELECT DISTINCT source FROM pinp)
        |  UNION ALL
        |  SELECT i.source, i.rn,
-       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $budget
        |         THEN p.seq_id + 1 ELSE p.seq_id END,
-       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $budget
        |         THEN i.n_tokens ELSE p.fill + i.n_tokens END,
        |    i.doc_id, i.n_tokens,
-       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $PackBudget
+       |    CASE WHEN p.fill > 0 AND p.fill + i.n_tokens > $budget
        |         THEN 0::BIGINT ELSE p.fill END
        |  FROM pk p JOIN pinp i ON i.source = p.source AND i.rn = p.rn + 1)
        |SELECT doc_id, source, n_tokens, seq_id, tok_offset
@@ -724,6 +733,45 @@ object Pipeline extends OpModule {
        |  ((bucket_w * n_docs - sum_tokens) * 100) // (bucket_w * n_docs)
        |    AS waste_pct
        |FROM g""".stripMargin
+
+  /** Budgets for the sequence-length dial. */
+  val PackCurveBudgets: Seq[Long] = Seq(128L, 256L, 512L)
+
+  /** The sequence-length dial (`pipeline_pack_curve`): the no-split
+    * greedy layout replayed at three budgets, each summarized to one
+    * corpus row (sequences, real tokens, padding, capacity, fill
+    * fraction). Longer sequences amortize boundaries but pad more per
+    * closed sequence; the curve prices that trade so the 256 the
+    * shipped layout uses is a measured choice, not a default. The
+    * shipped budget's row reconciles exactly with
+    * `pipeline_pack_waste`'s per-source audit (spec-asserted). */
+  private def packCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    PackCurveBudgets.map { b =>
+      packGreedyAt(spark, dir, b)
+        .groupBy($"source", $"seq_id")
+        .agg(sum($"n_tokens").as("fill"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum($"fill").as("n_tokens"),
+          sum(greatest(lit(b) - $"fill", lit(0L))).as("padding"),
+          sum(greatest(lit(b), $"fill")).as("capacity"))
+        .select(lit(b).as("budget"), $"n_seqs", $"n_tokens", $"padding",
+          $"capacity",
+          round($"n_tokens" / $"capacity".cast("double"), 6).as("fill_pct"))
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val packCurveSql: String =
+    PackCurveBudgets.map { b =>
+      s"""SELECT ${b}::BIGINT AS budget, count(*) AS n_seqs,
+         |  sum(fill)::BIGINT AS n_tokens,
+         |  sum(greatest($b - fill, 0))::BIGINT AS padding,
+         |  sum(greatest($b, fill))::BIGINT AS capacity,
+         |  round(sum(fill) / sum(greatest($b, fill))::DOUBLE, 6) AS fill_pct
+         |FROM (
+         |  SELECT source, seq_id, sum(n_tokens) AS fill
+         |  FROM (${packGreedySqlAt(b)}) g GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** Mixture accounting — the data card every training run publishes:
     * per (source, language) document and token counts and each cell's
@@ -1839,6 +1887,7 @@ object Pipeline extends OpModule {
     "pipeline_pack_waste" -> (packWasteDf(_, _)),
     "pipeline_length_buckets" -> (lengthBucketsDf(_, _)),
     "pipeline_epochs" -> (epochsDf(_, _)),
+    "pipeline_pack_curve" -> (packCurveDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
@@ -1872,6 +1921,7 @@ object Pipeline extends OpModule {
     "pipeline_pack_waste" -> packWasteSql,
     "pipeline_length_buckets" -> lengthBucketsSql,
     "pipeline_epochs" -> epochsSql,
+    "pipeline_pack_curve" -> packCurveSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,

@@ -609,6 +609,34 @@ class PipelineSpec extends SparkSpec {
     assert(nl >= 0L && nl <= nPairs)
   }
 
+  test("pack curve: token mass invariant, sequences shrink with budget, " +
+    "shipped point reconciles with the waste audit") {
+    val d = sfDir("sf0.01")
+    val rows = rowsOf(Pipeline.queries("pipeline_pack_curve")(spark, d))
+      .sortBy(_("budget").asInstanceOf[Long])
+    assert(rows.map(_("budget")) === Pipeline.PackCurveBudgets)
+    // the same corpus packs at every budget
+    assert(rows.map(_("n_tokens").asInstanceOf[Long]).distinct.size === 1)
+    val seqs = rows.map(_("n_seqs").asInstanceOf[Long])
+    assert(seqs.zip(seqs.tail).forall { case (a, b) => b <= a },
+      "a bigger budget can only close fewer sequences")
+    rows.foreach { r =>
+      assert(r("n_tokens").asInstanceOf[Long] +
+        r("padding").asInstanceOf[Long] === r("capacity").asInstanceOf[Long])
+      val f = r("fill_pct").asInstanceOf[Double]
+      assert(f > 0.0 && f <= 1.0)
+    }
+    // the shipped budget's corpus totals equal the per-source audit's
+    val shipped = rows.find(_("budget") == Pipeline.PackBudget).get
+    val waste = rowsOf(Pipeline.queries("pipeline_pack_waste")(spark, d))
+    assert(shipped("n_seqs") ===
+      waste.map(_("n_seqs").asInstanceOf[Long]).sum)
+    assert(shipped("padding") ===
+      waste.map(_("padding").asInstanceOf[Long]).sum)
+    assert(shipped("capacity") ===
+      waste.map(_("capacity").asInstanceOf[Long]).sum)
+  }
+
   test("epoch reshuffles are decorrelated: displacement near B/3, " +
     "same-bucket rate near 1/B") {
     val rows = rowsOf(Pipeline.queries("pipeline_epochs")(spark, sfDir()))
