@@ -1513,6 +1513,45 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(ndKey, ndPrev)
   }
 
+  test("funnel FSM state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_funckpt").toString
+    val (srcDir, outDir) = (s"$base/src", s"$base/out")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    def startQuery() = Streams.funnelMonitor(
+      spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val H = graft.operators.Keyed.FunnelWindowUs / 24 // one hour
+    Seq((7L, "signup", 1000L), (7L, "view", 1000L + H))
+      .toDF("user_id", "event_type", "ts_us")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // stage 2 + its completion time live only in the state store
+    // after restart: the click advances to stage 3 ONLY if the FSM
+    // recovered (a fresh FSM at stage 0 would demand a signup first)
+    Seq((7L, "click", 1000L + 2 * H))
+      .toDF("user_id", "event_type", "ts_us")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val prog = spark.read.parquet(outDir).as[Streams.FunnelProgress]
+      .collect().sortBy(_.stage)
+    assert(prog.map(p => (p.stage, p.event_type)).toSeq ===
+      Seq((1L, "signup"), (2L, "view"), (3L, "click")),
+      s"funnel state lost or duplicated across restart: ${prog.toSeq}")
+  }
+
   test("streaming funnel monitor replays the batch conversion counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
