@@ -2,8 +2,10 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Pipeline
+import graft.streaming.Streams
 
 /** Property-style checks over seeded random corpora: the two-level
   * decompositions (hierarchical packing prefix sums, granule shuffle
@@ -162,6 +164,49 @@ class RandomCorpusSpec extends SparkSpec {
         .select("event_id", "granule")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"granule rank diverged at seed $seed")
+    }
+  }
+
+  test("streaming funnel equals the batch funnel on random event streams") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val types = graft.operators.Keyed.FunnelSteps ++ Seq("error", "noise")
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 1700)
+      val n = 300 + rnd.nextInt(500)
+      // timestamps cluster inside a few days so the 24 h completion
+      // window genuinely gates some users and passes others
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          1700000000000000000L +
+            math.abs(rnd.nextLong() % (5L * 86400L * 1000000L)) * 1000L,
+          rnd.nextInt(25).toLong,
+          types(rnd.nextInt(types.size)), 1.0)
+      }
+      val fix = writeEventsFixture(rows)
+      val batch = rowsOf(graft.operators.Keyed
+        .queries("events_funnel")(spark, fix))
+        .map(r => r("step").asInstanceOf[Long] ->
+          r("n_users").asInstanceOf[Long]).toMap
+      val deltas = graft.sources.Tables.events(spark, fix)
+        .select($"user_id", $"event_type", $"ts_us")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+      val input = MemoryStream[(Long, String, Long)]
+      val name = s"funnel_rand_$seed"
+      val q = Streams.funnelMonitor(
+        input.toDF().toDF("user_id", "event_type", "ts_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(deltas.take(deltas.size / 3))
+      q.processAllAvailable()
+      input.addData(deltas.drop(deltas.size / 3))
+      q.processAllAvailable()
+      q.stop()
+      val prog = spark.table(name).as[Streams.FunnelProgress].collect()
+      batch.foreach { case (step, nu) =>
+        assert(prog.count(_.stage == step).toLong === nu,
+          s"seed $seed step $step: stream vs batch diverged")
+      }
     }
   }
 }
