@@ -120,4 +120,31 @@ class InvarianceSpec extends SparkSpec {
     }
     assert(inc.nonEmpty && keep.nonEmpty)
   }
+
+  test("integer-exact analytics are invariant to the shuffle partition count") {
+    // partition-count independence IS the distributed-correctness
+    // property: a plan whose answer moves when the cluster width changes
+    // is wrong at every width. Integer-surface queries only — a double
+    // aggregate may legitimately wobble in its last ulp with summation
+    // order (which is why those queries quantize for the oracle).
+    val qs = Seq("events_funnel", "events_dau_wau", "events_k_anon",
+      "pipeline_length_buckets", "dedup_lsh_curve")
+    def snap(): Map[String, Set[Map[String, Any]]] =
+      qs.map(q => q ->
+        rowsOf(SparkEntry.queries(q)(spark, sfDir())).map(_.filter {
+          case (_, _: java.lang.Double) => false
+          case _ => true
+        }).toSet).toMap
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val base = snap()
+    conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val narrow = snap()
+      qs.foreach { q =>
+        assert(narrow(q) === base(q), s"$q moved with the partition count")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    assert(base.values.forall(_.nonEmpty))
+  }
 }
