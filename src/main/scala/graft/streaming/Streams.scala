@@ -43,6 +43,12 @@ import graft.state.Fsm.{FsmEvent, FsmIn, PosState, TrendIn, TrendOut, TrendState
   *    semantics for bounded-corpus replays. [[kmvMonitor]] /
   *    [[histMonitor]] / [[cmsMonitor]] carry sketch- or grid-bounded
   *    state (documented per site).
+  *  - INDEX-KEYED monitors ([[layoutMonitor]], [[vecMonitor]]) key by
+  *    the standing index's granule/cell ids — a bounded, index-sized
+  *    key space with O(1) state per key, the first bullet's argument.
+  *  - ENTITY-KEYED monitors ([[funnelMonitor]]) key by user — bounded
+  *    per key but population-unbounded, so they take the same
+  *    `retention` dial as the content-keyed family.
   */
 object Streams {
 
