@@ -167,6 +167,23 @@ class RandomCorpusSpec extends SparkSpec {
     }
   }
 
+  test("an empty corpus yields empty-or-sentinel results, never a throw") {
+    val dir = writeDocsFixture(Seq.empty)
+    // the document-driven analytics: each must evaluate cleanly on a
+    // zero-row corpus (null-guarded divisions, empty windows, empty
+    // sketches) — the first crawl drop of a new pipeline IS this case
+    Seq("text_zipf", "text_vocab_drift", "pipeline_length_buckets",
+      "dedup_lsh_curve", "text_langid_confusion", "pipeline_epochs")
+      .foreach { q =>
+        val rows = rowsOf(SparkEntry.queries(q)(spark, dir))
+        // no verdict row may claim coverage of documents that don't exist
+        rows.foreach { r =>
+          r.get("n_docs").foreach(n =>
+            assert(n == null || n.asInstanceOf[Long] == 0L, s"$q: $r"))
+        }
+      }
+  }
+
   test("streaming funnel equals the batch funnel on random event streams") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
