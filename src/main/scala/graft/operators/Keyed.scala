@@ -169,23 +169,12 @@ object Keyed extends OpModule {
     * events x events. */
   private def funnelDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id", $"event_type", $"ts_us")
-    var cur = ev.filter($"event_type" === FunnelSteps.head)
-      .groupBy($"user_id").agg(min($"ts_us").as("t"))
-    val counts = scala.collection.mutable.ArrayBuffer(
-      cur.agg(count(lit(1)).as("n_users"))
-        .select(lit(1L).as("step"), lit(FunnelSteps.head).as("event_type"),
-          $"n_users"))
-    FunnelSteps.tail.zipWithIndex.foreach { case (et, i) =>
-      cur = ev.filter($"event_type" === et)
-        .join(cur.select($"user_id", $"t".as("tp")), Seq("user_id"))
-        .filter($"ts_us" > $"tp" && $"ts_us" <= $"tp" + FunnelWindowUs)
-        .groupBy($"user_id").agg(min($"ts_us").as("t"))
-      counts += cur.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 2L).as("step"), lit(et).as("event_type"), $"n_users")
-    }
-    val all = counts.reduce(_ unionByName _)
+    val all = funnelStepsAt(spark, dir, FunnelWindowUs).zipWithIndex.map {
+      case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"),
+            lit(FunnelSteps(i)).as("event_type"), $"n_users")
+    }.reduce(_ unionByName _)
     val base = all.filter($"step" === 1).select($"n_users".as("n0"))
     all.crossJoin(broadcast(base))
       .select($"step", $"event_type", $"n_users",
@@ -251,6 +240,72 @@ object Keyed extends OpModule {
        |SELECT a.cohort_day, a.age, a.n_active, sz.n_cohort,
        |  (a.n_active * 100) // sz.n_cohort AS retained_pct
        |FROM a JOIN sz USING (cohort_day)""".stripMargin
+
+  /** Completion windows for the funnel dial (micros): 1 h, 24 h, 7 d. */
+  val FunnelCurveWindows: Seq[Long] =
+    Seq(3600000000L, 86400000000L, 7L * 86400000000L)
+
+  /** Step-k builder shared by the shipped funnel and its window dial. */
+  private def funnelStepsAt(spark: SparkSession, dir: String,
+      windowUs: Long): Seq[DataFrame] = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
+    var cur = ev.filter($"event_type" === FunnelSteps.head)
+      .groupBy($"user_id").agg(min($"ts_us").as("t"))
+    val out = scala.collection.mutable.ArrayBuffer(cur)
+    FunnelSteps.tail.foreach { et =>
+      cur = ev.filter($"event_type" === et)
+        .join(cur.select($"user_id", $"t".as("tp")), Seq("user_id"))
+        .filter($"ts_us" > $"tp" && $"ts_us" <= $"tp" + windowUs)
+        .groupBy($"user_id").agg(min($"ts_us").as("t"))
+      out += cur
+    }
+    out.toSeq
+  }
+
+  /** The funnel's completion-window dial (`events_funnel_curve`): the
+    * same step sequence replayed at 1 h / 24 h / 7 d windows. Widening
+    * the window can only admit more completions at every step (each
+    * survivor set is a superset — spec-asserted monotone in BOTH
+    * directions of the grid), so the curve shows how much "conversion"
+    * is really just patience. Same shrinking-survivor-join plan per
+    * window. */
+  private def funnelCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    FunnelCurveWindows.map { w =>
+      funnelStepsAt(spark, dir, w).zipWithIndex.map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(w).as("window_us"), lit(i + 1L).as("step"),
+            lit(FunnelSteps(i)).as("event_type"), $"n_users")
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  private val funnelCurveSql: String = {
+    def stepsAt(w: Long): String = FunnelSteps.zipWithIndex.map {
+      case (et, i) =>
+        if (i == 0)
+          s"""s${w}_1 AS (SELECT user_id, min(ts_us) AS t FROM e
+             |  WHERE event_type = '$et' GROUP BY 1)""".stripMargin
+        else
+          s"""s${w}_${i + 1} AS (SELECT e.user_id, min(ts_us) AS t
+             |  FROM e JOIN s${w}_$i USING (user_id)
+             |  WHERE event_type = '$et' AND ts_us > s${w}_$i.t
+             |    AND ts_us <= s${w}_$i.t + $w GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val ctes = FunnelCurveWindows.map(stepsAt).mkString(",\n")
+    val unions = (for {
+      w <- FunnelCurveWindows
+      (et, i) <- FunnelSteps.zipWithIndex
+    } yield s"SELECT ${w}::BIGINT AS window_us, ${i + 1}::BIGINT AS step, " +
+      s"'$et' AS event_type, count(*) AS n_users FROM s${w}_${i + 1}")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |$ctes
+       |$unions""".stripMargin
+  }
 
   /** Event-type transition matrix (`events_markov`) — the first-order
     * Markov census behind "what do users do next": per user, events
@@ -328,6 +383,7 @@ object Keyed extends OpModule {
     "events_retention" -> (retentionDf(_, _)),
     "events_markov" -> (markovDf(_, _)),
     "events_dau_wau" -> (dauWauDf(_, _)),
+    "events_funnel_curve" -> (funnelCurveDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
     "order_rate_limit" -> (rateLimitDf(_, _)),
     "order_success_rate" -> (successRateDf(_, _)),
@@ -340,6 +396,7 @@ object Keyed extends OpModule {
     "events_retention" -> retentionSql,
     "events_markov" -> markovSql,
     "events_dau_wau" -> dauWauSql,
+    "events_funnel_curve" -> funnelCurveSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,
     "order_rate_limit" -> rateLimitSql,
     "order_success_rate" -> successRateSql,

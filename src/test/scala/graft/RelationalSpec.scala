@@ -300,6 +300,34 @@ class RelationalSpec extends SparkSpec {
     assert(direct === rows.head("sum_qty"))
   }
 
+  test("funnel window dial: monotone in both grid directions, shipped " +
+    "column equals events_funnel") {
+    val K = graft.operators.Keyed
+    val rows = rowsOf(K.queries("events_funnel_curve")(spark, dir))
+    val grid = rows.map(r => (r("window_us").asInstanceOf[Long],
+      r("step").asInstanceOf[Long]) -> r("n_users").asInstanceOf[Long]).toMap
+    assert(grid.size === K.FunnelCurveWindows.size * K.FunnelSteps.size)
+    // down a column: attrition (counts never grow with the step)
+    K.FunnelCurveWindows.foreach { w =>
+      (1 until K.FunnelSteps.size).foreach { s =>
+        assert(grid((w, s + 1L)) <= grid((w, s.toLong)))
+      }
+    }
+    // across a row: patience (a wider window only admits more)
+    K.FunnelCurveWindows.zip(K.FunnelCurveWindows.tail).foreach {
+      case (w1, w2) => (1 to K.FunnelSteps.size).foreach { s =>
+        assert(grid((w1, s.toLong)) <= grid((w2, s.toLong)))
+      }
+    }
+    // the shipped 24 h column IS events_funnel
+    val shipped = rowsOf(K.queries("events_funnel")(spark, dir))
+      .map(r => r("step").asInstanceOf[Long] ->
+        r("n_users").asInstanceOf[Long]).toMap
+    shipped.foreach { case (s, n) =>
+      assert(grid((K.FunnelWindowUs, s)) === n)
+    }
+  }
+
   test("dau/wau: weekly actives bound daily, stickiness floors exactly") {
     val rows = rowsOf(graft.operators.Keyed.queries("events_dau_wau")(spark, dir))
     assert(rows.nonEmpty)
