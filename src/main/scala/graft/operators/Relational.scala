@@ -490,6 +490,43 @@ object Relational extends OpModule {
       |    ORDER BY monetary DESC, c_custkey)::BIGINT AS m_tile
       |FROM per, mx JOIN customer ON c_custkey = o_custkey""".stripMargin
 
+  /** Monthly revenue trend with year-over-year growth
+    * (`orders_monthly`): the standard reporting series — revenue per
+    * calendar month, the same month last year via `lag(12)` over the
+    * ALREADY-AGGREGATED series, and integer-basis-point growth. The
+    * ordered window runs over |months| rows (the single-partition
+    * window the planner warns about holds ~84 rows at any corpus
+    * size), so the only data-sized work is one hash aggregation.
+    * Revenue rounds to cents before the ratio so the growth integer
+    * cannot wobble with summation order. */
+  private def monthlyDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"ym")
+    Tables.orders(spark, dir)
+      .groupBy((year($"o_orderdate") * 100 +
+        month($"o_orderdate")).cast("long").as("ym"))
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("revenue_prev_year", lag($"revenue", 12).over(w))
+      // floor of a double both engines compute identically (same ops,
+      // same order) — not an integer cast, whose double rounding rule
+      // differs between engines
+      .withColumn("yoy_bp", floor(
+        ($"revenue" - $"revenue_prev_year") * 10000.0 /
+          $"revenue_prev_year").cast("long"))
+  }
+
+  private val monthlySql: String =
+    """WITH m AS (
+      |  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym,
+      |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT ym, revenue, n_orders,
+      |  lag(revenue, 12) OVER (ORDER BY ym) AS revenue_prev_year,
+      |  floor((revenue - lag(revenue, 12) OVER (ORDER BY ym)) * 10000.0
+      |    / lag(revenue, 12) OVER (ORDER BY ym))::BIGINT AS yoy_bp
+      |FROM m""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -602,6 +639,7 @@ object Relational extends OpModule {
     "agg_grouping_sets" -> (groupingSetsDf(_, _)),
     "q18_big_orders" -> (bigOrdersDf(_, _)),
     "customer_rfm" -> (rfmDf(_, _)),
+    "orders_monthly" -> (monthlyDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -624,6 +662,7 @@ object Relational extends OpModule {
     "agg_grouping_sets" -> groupingSetsSql,
     "q18_big_orders" -> bigOrdersSql,
     "customer_rfm" -> rfmSql,
+    "orders_monthly" -> monthlySql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

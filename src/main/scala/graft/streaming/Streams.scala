@@ -1153,6 +1153,52 @@ object Streams {
       }
   }
 
+  case class MarkovState(lastType: String)
+  case class MarkovStep(user_id: Long, prev: String, cur: String,
+    ts_us: Long)
+
+  /** Streaming transition extractor — the live twin of batch
+    * `events_markov`: per user, state is ONE field (the last event
+    * type), and each arrival emits its (prev → cur) step; downstream, a
+    * running aggregation over the emitted steps serves the live
+    * transition matrix. Within a batch, events replay in (ts, event_id
+    * implicit input) order via the same sort the funnel monitor uses,
+    * so the emitted step multiset equals the batch lag-window's exactly
+    * (StreamingSpec asserts count-for-count equality). Entity-keyed
+    * like [[funnelMonitor]]: same `retention` dial, same bounded-state
+    * argument per key. */
+  def markovMonitor(events: DataFrame,
+      retention: Option[String] = None): Dataset[MarkovStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    retention.foreach(_ => warnAsapRetention(spark))
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MarkovState, MarkovStep](
+        OutputMode.Append(), timeoutConf) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.map(_.lastType).orNull
+            val out = scala.collection.mutable.ArrayBuffer[MarkovStep]()
+            it.toSeq.sortBy(e => (e._4, e._2)).foreach {
+              case (_, _, et, ts) =>
+                if (last != null) out += MarkovStep(uid, last, et, ts)
+                last = et
+            }
+            state.update(MarkovState(last))
+            retention.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   case class CellOccState(nNew: Long, sumCos: Double)
   case class CellOcc(cell: Int, n_new: Long, mean_cos_new: Double)
 

@@ -328,6 +328,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("monthly trend: lag-12 aligns calendar months, growth floors " +
+    "the cents-exact ratio") {
+    val rows = rowsOf(Relational.queries("orders_monthly")(spark, dir))
+      .sortBy(_("ym").asInstanceOf[Long])
+    assert(rows.nonEmpty)
+    val byYm = rows.map(r => r("ym").asInstanceOf[Long] -> r).toMap
+    rows.foreach { r =>
+      val ym = r("ym").asInstanceOf[Long]
+      val prevYm = ym - 100 // same month, previous year
+      (Option(r("revenue_prev_year")), byYm.get(prevYm)) match {
+        case (Some(p), Some(prev)) =>
+          assert(p === prev("revenue"), s"lag-12 misaligned at $ym")
+          val expect = math.floor(
+            (r("revenue").asInstanceOf[Double] - p.asInstanceOf[Double]) *
+              10000.0 / p.asInstanceOf[Double]).toLong
+          assert(r("yoy_bp") === expect)
+        case (None, None) => assert(r("yoy_bp") == null)
+        case (got, want) =>
+          // lag(12) counts ROWS: with a complete month grid these match;
+          // a gap month would break row-lag alignment — assert the grid
+          // is complete so the semantic is honest
+          fail(s"month grid gap at $ym: lag saw $got, calendar says $want")
+      }
+    }
+    // the series covers a contiguous month grid
+    val yms = rows.map(_("ym").asInstanceOf[Long])
+    yms.zip(yms.tail).foreach { case (a, b) =>
+      assert(b == a + 1 || (b == a + 89 && a % 100 == 12),
+        s"month gap between $a and $b")
+    }
+  }
+
   test("dau/wau: weekly actives bound daily, stickiness floors exactly") {
     val rows = rowsOf(graft.operators.Keyed.queries("events_dau_wau")(spark, dir))
     assert(rows.nonEmpty)

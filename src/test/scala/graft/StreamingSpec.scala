@@ -1513,6 +1513,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(ndKey, ndPrev)
   }
 
+  test("streaming markov steps equal the batch lag-window transitions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(e => (e._4, e._2))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = Streams.markovMonitor(
+      input.toDF().toDF("user_id", "event_id", "event_type", "ts_us"))
+      .writeStream.format("memory").queryName("markov_mon")
+      .outputMode("append").start()
+    // the last-type state must bridge the trigger boundary
+    input.addData(ev.take(ev.size / 2))
+    q.processAllAvailable()
+    input.addData(ev.drop(ev.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("markov_mon").as[Streams.MarkovStep]
+      .collect().groupBy(s => (s.prev, s.cur))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = rowsOf(SparkEntry.queries("events_markov")(spark, dir))
+      .map(r => (r("prev").asInstanceOf[String],
+        r("cur").asInstanceOf[String]) ->
+        r("n_steps").asInstanceOf[Long]).toMap
+    assert(streamed === batch,
+      "streamed transition census must equal the batch matrix")
+  }
+
   test("funnel FSM state survives a query restart from the checkpoint") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_funckpt").toString
