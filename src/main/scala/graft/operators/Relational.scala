@@ -527,6 +527,48 @@ object Relational extends OpModule {
       |    / lag(revenue, 12) OVER (ORDER BY ym))::BIGINT AS yoy_bp
       |FROM m""".stripMargin
 
+  /** Supplier revenue concentration (`supplier_hhi`): per-supplier
+    * revenue share and the Herfindahl–Hirschman index (Σ share², the
+    * public antitrust-screening statistic) — the supply-risk number a
+    * procurement report leads with. Shares divide cents-rounded
+    * revenue by the cents-rounded total so both engines divide the
+    * same doubles; the HHI row rides every supplier row (a broadcast
+    * 1-row cross join), keeping the output one self-contained frame.
+    * Plan: one lineitem aggregation keyed by suppkey, a broadcast join
+    * to supplier (names), one tiny re-aggregation for the index. */
+  private def supplierHhiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+    val tot = per.agg(round(sum($"revenue"), 2).as("total"))
+    val shares = per.crossJoin(broadcast(tot))
+      .withColumn("share", $"revenue" / $"total")
+    val hhi = shares.agg(round(sum($"share" * $"share"), 6).as("hhi"),
+      count(lit(1)).as("n_suppliers"))
+    shares
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .crossJoin(broadcast(hhi))
+      .select($"l_suppkey".as("suppkey"), $"s_name", $"revenue",
+        round($"share", 6).as("share"), $"hhi", $"n_suppliers")
+  }
+
+  private val supplierHhiSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT round(sum(revenue), 2) AS total FROM per),
+      |sh AS (SELECT l_suppkey, revenue, revenue / total AS share
+      |       FROM per, tot),
+      |h AS (SELECT round(sum(share * share), 6) AS hhi,
+      |        count(*) AS n_suppliers FROM sh)
+      |SELECT l_suppkey AS suppkey, s_name, revenue,
+      |  round(share, 6) AS share, hhi, n_suppliers
+      |FROM sh JOIN supplier ON s_suppkey = l_suppkey, h""".stripMargin
+
   /** Distinct projection (SURVEY §2.8 has one union/distinct surface). */
   private def distinctDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -640,6 +682,7 @@ object Relational extends OpModule {
     "q18_big_orders" -> (bigOrdersDf(_, _)),
     "customer_rfm" -> (rfmDf(_, _)),
     "orders_monthly" -> (monthlyDf(_, _)),
+    "supplier_hhi" -> (supplierHhiDf(_, _)),
     "distinct_proj" -> (distinctDf(_, _)),
     "json_extract_agg" -> (jsonDf(_, _))
   )
@@ -663,6 +706,7 @@ object Relational extends OpModule {
     "q18_big_orders" -> bigOrdersSql,
     "customer_rfm" -> rfmSql,
     "orders_monthly" -> monthlySql,
+    "supplier_hhi" -> supplierHhiSql,
     "distinct_proj" -> distinctSql,
     "json_extract_agg" -> jsonSql
   )

@@ -328,6 +328,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("supplier hhi: shares sum to one, index sits in the n-supplier " +
+    "bounds") {
+    val rows = rowsOf(Relational.queries("supplier_hhi")(spark, dir))
+    assert(rows.nonEmpty)
+    val n = rows.head("n_suppliers").asInstanceOf[Long]
+    assert(rows.size.toLong === n)
+    assert(rows.map(_("suppkey")).distinct.size === rows.size)
+    val shareSum = rows.map(_("share").asInstanceOf[Double]).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val hhi = rows.head("hhi").asInstanceOf[Double]
+    // HHI of n participants lies in [1/n (perfectly even), 1 (monopoly)]
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+    // recompute from the published shares
+    val direct = rows.map(r => math.pow(r("share").asInstanceOf[Double], 2)).sum
+    assert(math.abs(hhi - direct) < 1e-4)
+  }
+
   test("monthly trend: lag-12 aligns calendar months, growth floors " +
     "the cents-exact ratio") {
     val rows = rowsOf(Relational.queries("orders_monthly")(spark, dir))
