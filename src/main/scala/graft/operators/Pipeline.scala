@@ -104,6 +104,56 @@ object Pipeline extends OpModule {
        |JOIN q ON q.doc_id = d.doc_id
        |WHERE l.lang = 'en' AND q.quality >= 0.5""".stripMargin
 
+  /** Thresholds for the quality-gate dial. */
+  val QualityCurveThresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
+  /** The quality-gate dial (`docs_quality_curve`): the selection
+    * replayed at five quality thresholds — per threshold, how many docs
+    * pass on quality alone and how many survive the FULL composed gate
+    * (english + exact-dedup keeper + quality). Monotone decreasing in
+    * the threshold by construction; the shipped 0.5 row's gate count
+    * equals `docs_quality_gate`'s size (spec-asserted). One scan builds
+    * the joined verdict frame; each threshold is a 1-row conditional
+    * count over it. */
+  private def qualityCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", $"quality")
+    val lang = TextAnalysis.queries("text_langid")(spark, dir)
+      .select($"doc_id", $"lang")
+    val gated = Tables.documents(spark, dir).select($"doc_id")
+      .join(keepersDf(spark, dir), Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+    QualityCurveThresholds.map { t =>
+      q.agg(sum(when($"quality" >= t, 1L).otherwise(0L))
+        .as("n_pass_quality"))
+        .crossJoin(gated.agg(
+          sum(when($"lang" === "en" && $"quality" >= t, 1L).otherwise(0L))
+            .as("n_pass_gate")))
+        .select(round(lit(t), 2).as("threshold"),
+          $"n_pass_quality", $"n_pass_gate")
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val qualityCurveSql: String = {
+    val rows = QualityCurveThresholds.map(t =>
+      s"""SELECT $t AS threshold,
+         |  (SELECT sum(CASE WHEN quality >= $t THEN 1 ELSE 0 END)::BIGINT
+         |   FROM q) AS n_pass_quality,
+         |  (SELECT sum(CASE WHEN l.lang = 'en' AND q.quality >= $t
+         |              THEN 1 ELSE 0 END)::BIGINT
+         |   FROM documents d
+         |   JOIN k ON k.doc_id = d.doc_id
+         |   JOIN l ON l.doc_id = d.doc_id
+         |   JOIN q ON q.doc_id = d.doc_id) AS n_pass_gate""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH l AS (${TextAnalysis.oracles("text_langid")}),
+       |q AS (${TextAnalysis.oracles("text_quality")}),
+       |k AS ($keepersSqlFrag)
+       |$rows""".stripMargin
+  }
+
   /** Contaminated training docs: >= MinOverlap distinct 3-gram shingles
     * shared with any benchmark document. Reuses the memoized shingle
     * index; the join hashes on the shingle, so work is proportional to
@@ -1888,6 +1938,7 @@ object Pipeline extends OpModule {
     "pipeline_length_buckets" -> (lengthBucketsDf(_, _)),
     "pipeline_epochs" -> (epochsDf(_, _)),
     "pipeline_pack_curve" -> (packCurveDf(_, _)),
+    "docs_quality_curve" -> (qualityCurveDf(_, _)),
     "pipeline_mixture" -> (mixtureDf(_, _)),
     "pipeline_shuffle" -> (shuffleDf(_, _)),
     "pipeline_shard" -> (shardDf(_, _)),
@@ -1922,6 +1973,7 @@ object Pipeline extends OpModule {
     "pipeline_length_buckets" -> lengthBucketsSql,
     "pipeline_epochs" -> epochsSql,
     "pipeline_pack_curve" -> packCurveSql,
+    "docs_quality_curve" -> qualityCurveSql,
     "pipeline_mixture" -> mixtureSql,
     "pipeline_shuffle" -> shuffleSql,
     "pipeline_shard" -> shardSql,

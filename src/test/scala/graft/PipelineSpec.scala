@@ -609,6 +609,25 @@ class PipelineSpec extends SparkSpec {
     assert(nl >= 0L && nl <= nPairs)
   }
 
+  test("quality curve: monotone in the threshold, shipped point equals " +
+    "the gate") {
+    val d = sfDir("sf0.01")
+    val rows = rowsOf(Pipeline.queries("docs_quality_curve")(spark, d))
+      .sortBy(_("threshold").asInstanceOf[Double])
+    assert(rows.map(_("threshold").asInstanceOf[Double]) ===
+      Pipeline.QualityCurveThresholds)
+    Seq("n_pass_quality", "n_pass_gate").foreach { c =>
+      val xs = rows.map(_(c).asInstanceOf[Long])
+      assert(xs.zip(xs.tail).forall { case (a, b) => b <= a },
+        s"$c must fall as the bar rises")
+    }
+    rows.foreach(r => assert(r("n_pass_gate").asInstanceOf[Long] <=
+      r("n_pass_quality").asInstanceOf[Long]))
+    val shipped = rows.find(_("threshold") == 0.5).get
+    val gate = rowsOf(Pipeline.queries("docs_quality_gate")(spark, d))
+    assert(shipped("n_pass_gate") === gate.size.toLong)
+  }
+
   test("pack curve: token mass invariant, sequences shrink with budget, " +
     "shipped point reconciles with the waste audit") {
     val d = sfDir("sf0.01")
