@@ -297,17 +297,103 @@ object Stateful extends OpModule {
        |SELECT bucket, raw, confirmed, 'SYM' AS symbol
        |FROM t WHERE bucket IS NOT NULL""".stripMargin
 
+  /** Confirmation counts for the hysteresis dial — k=1 and k=2 are the
+    * reference's own HTF/LTF settings (data_manager.py:1047-1067,
+    * 1155-1170); 3 and 4 extend the curve. */
+  val HystCurveKs: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** The hysteresis dial (`trend_hysteresis_curve`): the k-confirmation
+    * trend FSM replayed at four confirmation counts, each summarized to
+    * (flips, lagging buckets). Raising k trades whipsaw (flips fall)
+    * for lag (confirmed diverges from raw longer) — the exact trade the
+    * reference tunes between its HTF and LTF settings, priced on data.
+    * Uniform semantics across k: a flip needs k CONSECUTIVE divergent
+    * readings, so k=1 flips immediately (the HTF behavior). The k=2
+    * column's flip count equals the shipped `trend_hysteresis` run's
+    * (spec-asserted). */
+  private def trendCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inp = Bars.emaDf(spark, dir)
+      .withColumn("raw",
+        when($"close" > $"ema" * 1.02, "UPTREND")
+          .when($"close" < $"ema" * 0.98, "DOWNTREND")
+          .otherwise("RANGEBOUND"))
+      .select($"bucket", $"raw")
+      .withColumn("symbol", lit("SYM"))
+      .as[TrendIn]
+    HystCurveKs.map { k =>
+      val run = inp.groupByKey(_.symbol)
+        .flatMapSortedGroups(col("bucket"))(
+          (_: String, it: Iterator[TrendIn]) => Fsm.trendRunK(it, k))
+        .toDF()
+      val w = Window.partitionBy($"symbol").orderBy($"bucket")
+      run.withColumn("prev", lag($"confirmed", 1).over(w))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when($"prev".isNotNull && $"prev" =!= $"confirmed", 1L)
+            .otherwise(0L)).as("n_flips"),
+          sum(when($"confirmed" =!= $"raw", 1L).otherwise(0L))
+            .as("n_lagging"))
+        .select(lit(k.toLong).as("k"), $"n_buckets", $"n_flips",
+          $"n_lagging")
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val trendCurveSql: String =
+    HystCurveKs.map { k =>
+      s"""SELECT ${k}::BIGINT AS k, count(*) AS n_buckets,
+         |  sum(CASE WHEN prev IS NOT NULL AND prev <> confirmed
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_flips,
+         |  sum(CASE WHEN confirmed <> raw THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_lagging
+         |FROM (
+         |  SELECT confirmed, raw,
+         |    lag(confirmed) OVER (ORDER BY rn) AS prev
+         |  FROM (
+         |    WITH RECURSIVE b AS MATERIALIZED (${Bars.emaSql}),
+         |    inp AS MATERIALIZED (SELECT bucket,
+         |        CASE WHEN close > ema * 1.02 THEN 'UPTREND'
+         |             WHEN close < ema * 0.98 THEN 'DOWNTREND'
+         |             ELSE 'RANGEBOUND' END AS raw,
+         |        row_number() OVER (ORDER BY bucket) AS rn
+         |      FROM b),
+         |    t AS (
+         |      SELECT 0::BIGINT AS rn, 'RANGEBOUND' AS confirmed,
+         |        CAST(NULL AS VARCHAR) AS pending, 0 AS cnt,
+         |        CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS VARCHAR) AS raw
+         |      UNION ALL
+         |      SELECT i.rn,
+         |        CASE WHEN i.raw = t.confirmed THEN t.confirmed
+         |             WHEN t.pending = i.raw AND t.cnt + 1 >= $k THEN i.raw
+         |             WHEN 1 >= $k THEN i.raw
+         |             ELSE t.confirmed END,
+         |        CASE WHEN i.raw = t.confirmed THEN NULL
+         |             WHEN t.pending = i.raw AND t.cnt + 1 >= $k THEN NULL
+         |             WHEN 1 >= $k THEN NULL
+         |             WHEN t.pending = i.raw THEN t.pending
+         |             ELSE i.raw END,
+         |        CASE WHEN i.raw = t.confirmed THEN 0
+         |             WHEN t.pending = i.raw AND t.cnt + 1 >= $k THEN 0
+         |             WHEN 1 >= $k THEN 0
+         |             WHEN t.pending = i.raw THEN t.cnt + 1
+         |             ELSE 1 END,
+         |        i.bucket, i.raw
+         |      FROM t JOIN inp i ON i.rn = t.rn + 1)
+         |    SELECT rn, confirmed, raw FROM t WHERE bucket IS NOT NULL))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),
     "fsm_daily_summary" -> (dailyDf(_, _)),
     "fsm_cum_pnl" -> (cumPnlDf(_, _)),
-    "trend_hysteresis" -> (trendDf(_, _))
+    "trend_hysteresis" -> (trendDf(_, _)),
+    "trend_hysteresis_curve" -> (trendCurveDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "fsm_position_events" -> eventsSql,
     "fsm_daily_summary" -> dailySql,
     "fsm_cum_pnl" -> cumPnlSql,
-    "trend_hysteresis" -> trendSql
+    "trend_hysteresis" -> trendSql,
+    "trend_hysteresis_curve" -> trendCurveSql
   )
 }

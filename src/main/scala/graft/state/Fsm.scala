@@ -126,19 +126,29 @@ object Fsm {
   val trendInit: TrendState = TrendState("RANGEBOUND", None, 0)
 
   /** A raw reading equal to the confirmed trend clears any pending flip;
-    * a repeated new reading flips once seen k times in a row. */
-  def trendStep(st: TrendState, raw: String): TrendState =
+    * a repeated new reading flips once seen k times in a row. The
+    * confirmation count is the reference's own dial (HTF k=1, LTF k=2 —
+    * data_manager.py:1047-1067, 1155-1170), so the step is parameterized
+    * and [[trendStep]] pins the shipped [[HysteresisK]]. */
+  def trendStepK(st: TrendState, raw: String, k: Int): TrendState =
     if (raw == st.confirmed) st.copy(pending = None, count = 0)
     else if (st.pending.contains(raw)) {
-      if (st.count + 1 >= HysteresisK) TrendState(raw, None, 0)
+      if (st.count + 1 >= k) TrendState(raw, None, 0)
       else st.copy(count = st.count + 1)
-    } else st.copy(pending = Some(raw), count = 1)
+    } else if (k <= 1) TrendState(raw, None, 0)
+    else st.copy(pending = Some(raw), count = 1)
 
-  def trendRun(rows: Iterator[TrendIn]): Iterator[TrendOut] = {
+  def trendStep(st: TrendState, raw: String): TrendState =
+    trendStepK(st, raw, HysteresisK)
+
+  def trendRunK(rows: Iterator[TrendIn], k: Int): Iterator[TrendOut] = {
     var st = trendInit
     rows.map { i =>
-      st = trendStep(st, i.raw)
+      st = trendStepK(st, i.raw, k)
       TrendOut(i.bucket, i.raw, st.confirmed, i.symbol)
     }
   }
+
+  def trendRun(rows: Iterator[TrendIn]): Iterator[TrendOut] =
+    trendRunK(rows, HysteresisK)
 }

@@ -138,4 +138,30 @@ class ScoresStatefulSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("hysteresis dial: flips fall and lag rises with k; k=2 matches " +
+    "the shipped run") {
+    val dir = sfDir()
+    val rows = rowsOf(Stateful.queries("trend_hysteresis_curve")(spark, dir))
+      .sortBy(_("k").asInstanceOf[Long])
+    assert(rows.map(_("k")) === Stateful.HystCurveKs.map(_.toLong))
+    assert(rows.map(_("n_buckets").asInstanceOf[Long]).distinct.size === 1)
+    val flips = rows.map(_("n_flips").asInstanceOf[Long])
+    assert(flips.zip(flips.tail).forall { case (a, b) => b <= a },
+      "more confirmations can only flip less")
+    val lag = rows.map(_("n_lagging").asInstanceOf[Long])
+    // k=1 flips immediately: confirmed tracks raw exactly; any k>=2
+    // pays real lag. (Lag is NOT strictly monotone in k: an FSM stuck
+    // on an older trend can coincide with raw MORE often than a
+    // faster one — 215 vs 214 at sf0.001's k=3/k=4 — so the honest
+    // assertions are the endpoint and positivity, not the ordering.)
+    assert(lag.head === 0L)
+    assert(lag.tail.forall(_ > 0L))
+    // the k=2 point IS the shipped FSM: recount its flips
+    val shipped = rowsOf(Stateful.queries("trend_hysteresis")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+      .map(_("confirmed").asInstanceOf[String])
+    val shippedFlips = shipped.zip(shipped.tail).count { case (a, b) => a != b }
+    assert(rows.find(_("k") == 2L).get("n_flips") === shippedFlips.toLong)
+  }
 }
