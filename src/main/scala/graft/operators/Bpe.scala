@@ -34,17 +34,20 @@ import graft.OpModule
   * families share); training then runs on the VOCABULARY-sized frame
   * (|word types|, millions at 100 TB — not corpus-sized) with
   * INCREMENTAL pair-count maintenance: the standing (l, r, cnt) table
-  * is built once, and each round (a) argmaxes it with a one-row
-  * `collect` (the accumulator-style one-action-per-round shape the
-  * dedup cluster driver established), (b) rewrites ONLY the words
-  * containing the winning pair, and (c) applies the exact count delta
-  * (new pairs minus old pairs of the touched words) back onto the
-  * standing table. Per-round explode+shuffle work is proportional to
-  * the TOUCHED subset, not the vocabulary — the fix that makes ~30k
-  * production merges tractable where a per-round full recount is
-  * quadratic. BpeSpec proves incremental ≡ full recount at N=50 on
-  * random corpora, and the DuckDB oracle (a 12-level full recount)
-  * cross-checks every shipped query against the incremental engine.
+  * is built once, and each round (a) argmaxes it IN-PLAN — a 1-row
+  * checkpointed frame crossJoin-broadcast into the rewrite, so the
+  * winning pair's value never visits the driver inside the loop —
+  * (b) rewrites ONLY the words containing the winning pair, and
+  * (c) applies the exact count delta (new pairs minus old pairs of
+  * the touched words) back onto the standing table. Per-round
+  * explode+shuffle work is proportional to the TOUCHED subset, not
+  * the vocabulary — the fix that makes ~30k production merges
+  * tractable where a per-round full recount is quadratic; the driver
+  * keeps only loop control (a per-round existence boolean) and
+  * collects the n-row merges table once after the loop. BpeSpec
+  * proves incremental ≡ full recount at N=200 on random corpora, and
+  * the DuckDB oracle (a 12-level full recount) cross-checks every
+  * shipped query against the incremental engine.
   * Encoding against the learned vocabulary ([[encodeDf]]) is a
   * broadcast join of the final word-type segmentation back onto the
   * token stream — the merges table itself is [[BpeMergesN]] rows.
@@ -70,13 +73,15 @@ object Bpe extends OpModule {
     * the pending pair, in which case the just-appended `l` is replaced
     * by the merged symbol. A replacement cannot immediately re-merge
     * (the merged symbol `l+r` is strictly longer than `l`), which is
-    * exactly greedy non-overlapping semantics. */
-  private def mergeFold(syms: Column, l: String, r: String): Column =
+    * exactly greedy non-overlapping semantics. `l`/`r` are COLUMNS so
+    * the winning pair can come off the crossJoined 1-row argmax frame
+    * — the value never has to visit the driver. */
+  private def mergeFold(syms: Column, l: Column, r: Column): Column =
     aggregate(syms,
       array().cast("array<string>"),
       (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
           .otherwise(concat(acc, array(x))))
 
   /** Adjacent-pair structs of a symbol array (naive counts: every
@@ -116,7 +121,15 @@ object Bpe extends OpModule {
           .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
           .localCheckpoint()
       else null
-    val merges = Seq.newBuilder[Merge]
+    // Each round's argmax stays IN the plan: a 1-row checkpointed frame
+    // crossJoin-broadcast into the rewrite, so the winning pair's VALUE
+    // never round-trips through the driver inside the loop (at a
+    // 1000-executor scale the collect was a per-round driver
+    // synchronization on data, not just on control flow). The only
+    // driver-side signal per round is the boolean "a pair still exists"
+    // (loop control); the merges table itself is collected ONCE after
+    // the loop, n rows.
+    val bests = Seq.newBuilder[DataFrame]
     var rank = 1
     var exhausted = false
     while (rank <= n && !exhausted) {
@@ -126,21 +139,23 @@ object Bpe extends OpModule {
            .select($"freq", explode(pairsCol($"syms")).as("p"))
            .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt")))
           .orderBy($"cnt".desc, $"l", $"r")
-          .limit(1).collect()
-      if (best.isEmpty) {
+          .limit(1)
+          .select($"l".as("_bl"), $"r".as("_br"), $"cnt".as("_bc"))
+          .localCheckpoint()
+      if (best.count() == 0L) {
         if (strict) throw new IllegalStateException(
           s"BPE: no pair left at round $rank — corpus fully merged")
         exhausted = true
       } else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += Merge(rank, l, r, cnt)
+        bests += best
+        val wb = words.crossJoin(broadcast(best))
         if (incremental) {
           // only words containing the winning pair change this round
           val hasPair = exists(pairsCol($"syms"),
-            p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
-          val touched = words.filter(hasPair)
-          val merged = touched.withColumn("syms", mergeFold($"syms", l, r))
+            p => p.getField("l") === $"_bl" && p.getField("r") === $"_br")
+          val touched = wb.filter(hasPair)
+          val merged = touched
+            .withColumn("syms", mergeFold($"syms", $"_bl", $"_br"))
           // exact delta: new pairs of the rewritten words minus their
           // old pairs, frequency-weighted — by construction the
           // standing table stays equal to a full recount
@@ -157,7 +172,8 @@ object Bpe extends OpModule {
           // union concatenates partition lists — without the coalesce
           // the frame doubles its partition count every round (2^N task
           // overhead by round N); fold back to the standing layout
-          val next = words.filter(!hasPair).unionByName(merged)
+          val next = wb.filter(!hasPair).drop("_bl", "_br", "_bc")
+            .unionByName(merged.drop("_bl", "_br", "_bc"))
             .coalesce(math.max(words.rdd.getNumPartitions, 1))
             .localCheckpoint()
           graft.functions.DfMemo.release(pc)
@@ -165,8 +181,10 @@ object Bpe extends OpModule {
           pc = pcNext
           words = next
         } else {
-          val next = words
-            .withColumn("syms", mergeFold($"syms", l, r))
+          // mergeFold is the identity on words lacking the pair
+          val next = wb
+            .withColumn("syms", mergeFold($"syms", $"_bl", $"_br"))
+            .drop("_bl", "_br", "_bc")
             .localCheckpoint()
           graft.functions.DfMemo.release(words)
           words = next
@@ -175,7 +193,20 @@ object Bpe extends OpModule {
       }
     }
     if (pc != null) graft.functions.DfMemo.release(pc)
-    (merges.result(), words)
+    val bestFrames = bests.result()
+    val merges: Seq[Merge] =
+      if (bestFrames.isEmpty) Seq.empty
+      else bestFrames.zipWithIndex
+        .map { case (df, i) =>
+          df.withColumn("merge_rank", lit((i + 1).toLong)) }
+        .reduce(_ unionByName _).orderBy($"merge_rank")
+        .collect()
+        .map(row => Merge(row.getAs[Long]("merge_rank").toInt,
+          row.getAs[String]("_bl"), row.getAs[String]("_br"),
+          row.getAs[Long]("_bc")))
+        .toSeq
+    bestFrames.foreach(graft.functions.DfMemo.release)
+    (merges, words)
   }
 
   /** The character-segmented word-type frame of a corpus — the ONE

@@ -734,7 +734,7 @@ object Pipeline extends OpModule {
       s"""SELECT $ea::BIGINT AS epoch_a, $eb::BIGINT AS epoch_b,
          |  count(*) AS n_docs,
          |  round(avg(abs(b$ea - b$eb)), 6) AS mean_abs_disp,
-         |  (sum(CASE WHEN b$ea = b$eb THEN 1 ELSE 0 END) * 100) // count(*)
+         |  ((sum(CASE WHEN b$ea = b$eb THEN 1 ELSE 0 END) * 100) // count(*))::BIGINT
          |    AS pct_same_bucket
          |FROM k""".stripMargin
     s"""WITH k AS (SELECT doc_id, $cols FROM documents)
@@ -1229,10 +1229,17 @@ object Pipeline extends OpModule {
 
   private def upsampleDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // w_basis depends only on `source` (|sources| ~ handful): derive it
+    // once per DISTINCT source and broadcast-join, so the per-row path
+    // pays ONE md5 (the copy decision), not two — at 100 TB this is
+    // exactly the real weight-table join a deployment does anyway.
+    val weights = broadcast(
+      Tables.documents(spark, dir).select($"source").distinct()
+        .withColumn("w_basis",
+          lit(50) + ColFns.hex32(concat($"source", lit("w"))) % UpWeightSpan))
     Tables.documents(spark, dir)
       .select($"doc_id", $"source")
-      .withColumn("w_basis",
-        lit(50) + ColFns.hex32(concat($"source", lit("w"))) % UpWeightSpan)
+      .join(weights, "source")
       .withColumn("extra",
         (ColFns.hex32(concat(lit("up:"), $"doc_id")) % 100 <
           $"w_basis" % 100).cast("int"))

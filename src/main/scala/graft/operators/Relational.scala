@@ -368,14 +368,14 @@ object Relational extends OpModule {
     val (on, ln) = ensureBucketed(spark, dir)
     spark.table(on).join(spark.table(ln), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .select($"o_orderpriority".as("priority"), $"revenue", $"n_items")
   }
 
   private val bucketedJoinSql: String =
     """SELECT o_orderpriority AS priority,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
       |  count(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
@@ -492,22 +492,24 @@ object Relational extends OpModule {
 
   /** Monthly revenue trend with year-over-year growth
     * (`orders_monthly`): the standard reporting series — revenue per
-    * calendar month, the same month last year via `lag(12)` over the
-    * ALREADY-AGGREGATED series, and integer-basis-point growth. The
-    * ordered window runs over |months| rows (the single-partition
-    * window the planner warns about holds ~84 rows at any corpus
-    * size), so the only data-sized work is one hash aggregation.
-    * Revenue rounds to cents before the ratio so the growth integer
-    * cannot wobble with summation order. */
+    * calendar month, the same month last year via a self-join on
+    * `ym - 100` (NOT `lag(12)`, which silently pairs a month with
+    * whatever row sat 12 positions back when a calendar month has no
+    * orders), and integer-basis-point growth. The self-join runs over
+    * the ALREADY-AGGREGATED series (~84 rows at any corpus size, so
+    * the small side broadcasts); the only data-sized work is one hash
+    * aggregation. Revenue rounds to cents before the ratio so the
+    * growth integer cannot wobble with summation order. */
   private def monthlyDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"ym")
-    Tables.orders(spark, dir)
+    val m = Tables.orders(spark, dir)
       .groupBy((year($"o_orderdate") * 100 +
         month($"o_orderdate")).cast("long").as("ym"))
       .agg(round(sum($"o_totalprice"), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
-      .withColumn("revenue_prev_year", lag($"revenue", 12).over(w))
+    val prev = m.select($"ym".as("ym_p"), $"revenue".as("revenue_prev_year"))
+    m.join(broadcast(prev), $"ym_p" === $"ym" - 100, "left")
+      .drop("ym_p")
       // floor of a double both engines compute identically (same ops,
       // same order) — not an integer cast, whose double rounding rule
       // differs between engines
@@ -521,11 +523,10 @@ object Relational extends OpModule {
       |  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym,
       |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
       |  FROM orders GROUP BY 1)
-      |SELECT ym, revenue, n_orders,
-      |  lag(revenue, 12) OVER (ORDER BY ym) AS revenue_prev_year,
-      |  floor((revenue - lag(revenue, 12) OVER (ORDER BY ym)) * 10000.0
-      |    / lag(revenue, 12) OVER (ORDER BY ym))::BIGINT AS yoy_bp
-      |FROM m""".stripMargin
+      |SELECT m.ym, m.revenue, m.n_orders,
+      |  p.revenue AS revenue_prev_year,
+      |  floor((m.revenue - p.revenue) * 10000.0 / p.revenue)::BIGINT AS yoy_bp
+      |FROM m LEFT JOIN m p ON p.ym = m.ym - 100""".stripMargin
 
   /** Supplier revenue concentration (`supplier_hhi`): per-supplier
     * revenue share and the Herfindahl–Hirschman index (Σ share², the

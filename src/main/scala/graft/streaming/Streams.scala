@@ -1114,6 +1114,10 @@ object Streams {
     * equal the batch audit exactly. */
   def layoutMonitor(events: DataFrame, tlo: Long, thi: Long,
       ulo: Long, uhi: Long, index: Seq[GranuleBox]): Dataset[GranuleAppend] = {
+    require(index.nonEmpty,
+      "layoutMonitor needs a standing index: routing is a binary " +
+        "search over its granule bounds, so an empty index has no " +
+        "target granule for any row")
     val spark = events.sparkSession
     import spark.implicits._
     val L = graft.operators.Layout

@@ -123,28 +123,31 @@ class BpeSpec extends SparkSpec {
     assert(ran >= 2, s"only $ran random corpora sustained all merges")
   }
 
-  test("incremental pair-count training equals a full recount at N=50") {
+  test("incremental pair-count training equals a full recount at N=200") {
     import org.apache.spark.sql.DataFrame
     val seed = 7001
     val rnd = new scala.util.Random(seed)
-    val pool = (0 until 30).map(_ =>
-      (1 to 1 + rnd.nextInt(8)).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    // a pool wide/long enough that ≥200 merge rounds exist before the
+    // corpus fully merges (each round shrinks the summed word-type
+    // symbol count by at least one)
+    val pool = (0 until 90).map(_ =>
+      (1 to 3 + rnd.nextInt(10)).map(_ => "abcdef"(rnd.nextInt(6))).mkString)
       .distinct
-    val docs = (0 until 40).map { i =>
+    val docs = (0 until 60).map { i =>
       (i.toLong,
         (0 until 4 + rnd.nextInt(10)).map(_ => pool(rnd.nextInt(pool.size)))
           .mkString(" "), "en")
     }
     val dir = writeDocsFixture(docs)
     // the shipped incremental engine vs the in-engine full recount,
-    // far past the oracle horizon (50 rounds vs BpeMergesN = 12):
+    // far past the oracle horizon (200 rounds vs BpeMergesN = 12):
     // identical merge sequences, counts, and final segmentations
-    val (mi, wi) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 50,
+    val (mi, wi) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 200,
       incremental = true, strict = false)
-    val (mr, wr) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 50,
+    val (mr, wr) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 200,
       incremental = false, strict = false)
     assert(mi == mr, s"seed $seed: merge sequences diverged")
-    assert(mi.size >= 20, s"seed $seed: want a deep chain, got ${mi.size}")
+    assert(mi.size >= 200, s"seed $seed: want a deep chain, got ${mi.size}")
     def segs(df: DataFrame) = {
       import spark.implicits._
       df.select($"tok", $"syms").as[(String, Seq[String])].collect().toMap
