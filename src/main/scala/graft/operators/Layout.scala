@@ -156,15 +156,37 @@ object Layout extends OpModule {
     * the same 2-D box predicate. `rows_selected` is layout-independent
     * (same rows either way) and is carried on both rows so each row is a
     * self-contained audit line. */
+  /** Per-granule scan verdict against the standard middle-quarter box:
+    * the stats frame (which must carry the crossJoined tlo..uhi scalar
+    * bounds) gains a `scan` flag — false iff the granule's bounding box
+    * provably misses the predicate. Shared by the `layout_prune` audit
+    * and the executed-compaction lifecycle spec. */
+  private[graft] def boxScanDf(g: DataFrame): DataFrame = {
+    val (qtl, qth, qul, quh) = boxSql("div")
+    g.withColumn("scan",
+      !(col("ts_hi") < expr(qtl) || col("ts_lo") >= expr(qth) ||
+        col("uid_hi") < expr(qul) || col("uid_lo") >= expr(quh)))
+  }
+
+  /** The standard box predicate over ROWS (same bounds as [[boxScanDf]]);
+    * rows must carry tlo..uhi. */
+  private[graft] def boxRowPred: Column = {
+    val (qtl, qth, qul, quh) = boxSql("div")
+    col("ts_us") >= expr(qtl) && col("ts_us") < expr(qth) &&
+      col("user_id") >= expr(qul) && col("user_id") < expr(quh)
+  }
+
+  /** Granule-stats of a ranked row frame — metadata out of data; shared
+    * by the layout queries and the lifecycle spec. */
+  private[graft] def granuleStatsOf(df: DataFrame): DataFrame =
+    granuleStats(df)
+
   private def pruneDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = zvalDf(spark, dir)
     val (qtl, qth, qul, quh) = boxSql("div")
     def audit(layout: String, g: DataFrame): DataFrame = {
-      val withBox = g
-        .withColumn("scan",
-          !(col("ts_hi") < expr(qtl) || col("ts_lo") >= expr(qth) ||
-            col("uid_hi") < expr(qul) || col("uid_lo") >= expr(quh)))
+      val withBox = boxScanDf(g)
       withBox.agg(
         count(lit(1)).as("granules_total"),
         sum(when(col("scan"), 1L).otherwise(0L)).as("granules_scanned"))

@@ -158,6 +158,82 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("executed compaction closes the lifecycle: append-degraded pruning " +
+    "is restored by the metadata-planned z-rewrite") {
+    import spark.implicits._
+    // sf0.01: enough granules (~196) that scan fractions are stable —
+    // at sf0.001's ~20 granules the box geometry dominates the signal
+    val base = Layout.zvalDf(spark, sfDir("sf0.01"))
+    def statsOf(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy($"granule").agg(
+        count(lit(1)).as("n_rows"),
+        min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
+        min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"),
+        first($"tlo").as("tlo"), first($"thi").as("thi"),
+        first($"ulo").as("ulo"), first($"uhi").as("uhi"))
+    def pruneFraction(stats: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Layout.boxScanDf(stats)
+        .agg(count(lit(1)), sum(when($"scan", 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def assertSound(rows: org.apache.spark.sql.DataFrame,
+        stats: org.apache.spark.sql.DataFrame): Unit = {
+      val missed = rows.filter(Layout.boxRowPred)
+        .join(Layout.boxScanDf(stats).select($"granule", $"scan"), "granule")
+        .filter(!$"scan").count()
+      assert(missed === 0L, "a selected row lives in an unscanned granule")
+    }
+    // WRITE: the standing 80% is z-ordered; a 20% delta arrived later in
+    // event order (the natural append path) as its own granules
+    val standing = Layout.granuleByRank(
+      base.filter($"event_id" % 5 =!= 0), $"zval", $"event_id")
+    val offset = standing.agg(max($"granule")).head().getLong(0) + 1L
+    val delta = Layout.granuleByRank(
+      base.filter($"event_id" % 5 === 0), lit(0L), $"event_id")
+      .withColumn("granule", $"granule" + offset)
+    val written = standing.unionByName(delta).localCheckpoint()
+    val fragStats = statsOf(written).localCheckpoint()
+    // PRUNE: arrival-ordered delta granules span the whole user domain,
+    // so they are unskippable — the degraded state OPTIMIZE exists for
+    val (nFrag, sFrag) = pruneFraction(fragStats)
+    assertSound(written, fragStats)
+    // (arrival order correlates with ts, so a delta granule can still
+    // skip on the TIME face of the box — but its user_id box is the whole
+    // domain, so its scan fraction is far worse than the z-granules')
+    val scanByKind = Layout.boxScanDf(fragStats)
+      .groupBy(($"granule" >= offset).as("is_delta"))
+      .agg((sum(when($"scan", 1.0).otherwise(0.0)) / count(lit(1)))
+        .as("frac"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scanByKind(true) > scanByKind(false),
+      s"arrival granules should prune worse than z-granules: $scanByKind")
+    // OPTIMIZE (planned on METADATA only): flag granules whose user_id
+    // box spans more than half the domain relative to a z-granule's —
+    // computable from the stats frame alone, like a table service
+    // picking files to rewrite
+    val rewriteIds = Layout.boxScanDf(fragStats)
+      .filter(($"uid_hi" - $"uid_lo") * 2L > ($"uhi" - $"ulo"))
+      .select($"granule").localCheckpoint()
+    val nRewrite = rewriteIds.count()
+    assert(nRewrite > 0L, "the planner should flag the append granules")
+    // EXECUTE: re-granule ONLY the flagged granules' rows in z-order and
+    // re-emit their stats; untouched granules keep their stats rows
+    val rewritten = Layout.granuleByRank(
+      written.join(rewriteIds, Seq("granule")).drop("granule"),
+      $"zval", $"event_id")
+      .withColumn("granule", $"granule" + 2L * offset)
+    val kept = written.join(rewriteIds, Seq("granule"), "left_anti")
+    val after = kept.unionByName(rewritten).localCheckpoint()
+    val afterStats = statsOf(after).localCheckpoint()
+    // RE-PRUNE: strictly better scan fraction, rows conserved, still sound
+    val (nAfter, sAfter) = pruneFraction(afterStats)
+    assertSound(after, afterStats)
+    assert(after.count() === written.count(), "the rewrite must conserve rows")
+    assert(sAfter.toDouble / nAfter < sFrag.toDouble / nFrag,
+      s"optimize must improve pruning: $sFrag/$nFrag -> $sAfter/$nAfter")
+    info(s"prune fraction: $sFrag/$nFrag fragmented -> $sAfter/$nAfter optimized")
+  }
+
   test("z-bucket partitioned write: a box predicate prunes partitions " +
     "at the Spark scan") {
     import spark.implicits._

@@ -48,6 +48,71 @@ class MultiSymSpec extends SparkSpec {
     }
   }
 
+  test("keyed FSM at 1000 symbols: one shuffle, balanced partitions, every key folds") {
+    import spark.implicits._
+    import graft.state.Fsm
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nSym = 1000
+    val nBuckets = 240
+    // deterministic synthetic signal frame: every symbol enters on the
+    // 8-bucket cycle and the close path walks through its TP bracket, so
+    // every symbol produces a full ENTER/EXIT event history
+    val ins = spark.range(nSym.toLong * nBuckets).select(
+      concat(lit("S"), col("id") % nSym).as("symbol"),
+      expr(s"id div $nSym").as("bucket"))
+      .withColumn("close",
+        lit(100.0) + (col("bucket") % 10).cast("double"))
+      .withColumn("high", col("close") + 3.0)
+      .withColumn("low", col("close") - 3.0)
+      .withColumn("side",
+        when(col("bucket") % 8 === 0, "LONG").otherwise("NONE"))
+      .withColumn("total_long", lit(0.8))
+      .withColumn("total_short", lit(0.1))
+      .withColumn("trail_arm", lit(false))
+      .select($"bucket", $"close", $"high", $"low", $"side",
+        $"total_long", $"total_short", $"trail_arm", $"symbol")
+      .as[Fsm.FsmIn]
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val folded = ins.groupByKey(_.symbol)
+        .flatMapSortedGroups(col("bucket"))(
+          (_: String, it: Iterator[Fsm.FsmIn]) => Fsm.run(it))
+        .toDF()
+      // the whole pipeline pays exactly ONE exchange: the hash
+      // partitioning on symbol that feeds the sorted group fold
+      val plan = folded.queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1,
+        s"keyed fold must shuffle exactly once:\n${plan.treeString}")
+      val t0 = System.nanoTime()
+      val perPartition = folded.rdd
+        .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+        .collect()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      // no skew collapse: 1000 hash-distributed keys spread across every
+      // shuffle partition, none carrying more than 2x the mean
+      val nonEmpty = perPartition.filter(_ > 0)
+      assert(nonEmpty.length == perPartition.length,
+        s"empty shuffle partitions: ${perPartition.mkString(",")}")
+      val mean = perPartition.sum.toDouble / perPartition.length
+      assert(perPartition.max <= 2.0 * mean,
+        s"skewed fold partitions: ${perPartition.mkString(",")}")
+      // every symbol folded: each produces its own event history, and
+      // within the 240-bucket run each cycles ENTER->EXIT repeatedly
+      val perSym = folded.groupBy("symbol").count()
+      assert(perSym.count() == nSym)
+      val (minEv, maxEv) = (perSym.agg(min("count"), max("count"))
+        .head() match { case r => (r.getLong(0), r.getLong(1)) })
+      assert(minEv == maxEv && minEv >= 50,
+        s"identical per-symbol series must fold identically: $minEv..$maxEv")
+      info(f"1000-symbol fold: ${perPartition.sum} events in $wallSec%.2f s " +
+        s"across ${perPartition.length} partitions " +
+        s"(rows ${perPartition.min}..${perPartition.max})")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("one symbol's slice through the keyed fold equals a single-symbol run") {
     import spark.implicits._
     import graft.state.Fsm
