@@ -277,6 +277,97 @@ object Audit extends OpModule {
        |FROM ex JOIN km USING ("column")""".stripMargin
   }
 
+  /** Delta share for incremental stats: every 5th orderkey plays the
+    * "append batch" (the engine-wide DeltaMod convention). */
+  val StatsDeltaMod = 5L
+
+  /** Incremental sketch maintenance (`stats_incremental`) — the table
+    * service's answer to "a batch appended; are the column stats
+    * stale?": KMV sketches are MERGEABLE (bottom-k of the union of two
+    * bottom-k sets IS the bottom-k of the union — the kth-smallest of
+    * A∪B lives in bottomK(A)∪bottomK(B)), so maintaining NDV under
+    * append costs sketch(delta) + a ≤2k-row merge, never a re-scan of
+    * the standing table. Per key column the query ships the estimate
+    * from the merged (base⊕delta) sketch next to a from-scratch
+    * full-table sketch and asserts their EQUALITY in-row — the merge
+    * identity is data-checked, not just believed. Everything is
+    * deterministic (the same hex32 hash space as `stats_columns_kmv`),
+    * so the oracle replays it exactly. Plan: the base/delta/full
+    * distinct-hash frames all derive from ONE exploded scan; sketches
+    * are per-column bottom-k windows over k rows of state.
+    * The same maintenance pattern as `ann_ivf_append` (vector index)
+    * and `text_vocab_drift` (tokenizer): delta-only work against
+    * broadcast standing state. */
+  private def statsIncrementalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val tagged = li.select(explode(array(KmvCols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"),
+          (col("l_orderkey") % StatsDeltaMod === 0).as("is_delta"))): _*))
+        .as("cv"))
+      .select($"cv.column", $"cv.v", $"cv.is_delta")
+    // distinct hashes per (column, side): a value seen in both sides
+    // keeps both tags so base and delta sketches are each complete
+    val hashes = tagged.distinct()
+      .select($"column", $"is_delta",
+        graft.functions.ColFns.hex32($"v").as("h"))
+    def bottomK(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"column").orderBy($"h")
+      df.withColumn("rn", row_number().over(w)).filter($"rn" <= KmvColK)
+        .select($"column", $"h")
+    }
+    def estimate(sketch: DataFrame, as: String): DataFrame =
+      sketch.groupBy($"column")
+        .agg(count(lit(1)).as("seen"), max($"h").as("kth"))
+        .select($"column",
+          when($"seen" < KmvColK, $"seen".cast("double"))
+            .otherwise(lit((KmvColK - 1).toDouble) *
+              lit(KmvColU).cast("double") / $"kth").as(as),
+          $"kth".as(s"kth_$as"))
+    val skBase = bottomK(hashes.filter(!$"is_delta"))
+    val skDelta = bottomK(hashes.filter($"is_delta"))
+    // the maintenance step: merge = bottom-k over ≤2k sketch rows
+    val skMerged = bottomK(skBase.unionByName(skDelta).distinct())
+    val skFull = bottomK(hashes.select($"column", $"h").distinct())
+    estimate(skMerged, "est_merged")
+      .join(estimate(skFull, "est_full"), Seq("column"))
+      .select($"column",
+        round($"est_merged", 4).as("est_merged"),
+        round($"est_full", 4).as("est_full"),
+        ($"kth_est_merged" === $"kth_est_full").as("merged_equals_full"))
+  }
+
+  private lazy val statsIncrementalSql: String = {
+    val hs = KmvCols.map(c =>
+      s"""SELECT DISTINCT '$c' AS "column",
+         |  l_orderkey % $StatsDeltaMod = 0 AS is_delta,
+         |  ${graft.functions.ColFns.hex32Sql(s"$c::VARCHAR")} AS h
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    def bk(src: String) =
+      s"""SELECT "column", h FROM (
+         |  SELECT "column", h,
+         |    row_number() OVER (PARTITION BY "column" ORDER BY h) AS rn
+         |  FROM $src) q WHERE rn <= $KmvColK"""
+    def est(src: String, as: String) =
+      s"""SELECT "column",
+         |  CASE WHEN count(*) < $KmvColK THEN count(*)::DOUBLE
+         |       ELSE ${(KmvColK - 1).toDouble} * ${KmvColU}::DOUBLE / max(h)
+         |  END AS $as, max(h) AS kth_$as
+         |FROM $src GROUP BY 1"""
+    s"""WITH hs AS MATERIALIZED ($hs),
+       |skb AS (${bk("(SELECT \"column\", h FROM hs WHERE NOT is_delta) b")}),
+       |skd AS (${bk("(SELECT \"column\", h FROM hs WHERE is_delta) d")}),
+       |skm AS (${bk(
+           "(SELECT DISTINCT \"column\", h FROM (SELECT * FROM skb UNION ALL SELECT * FROM skd)) m")}),
+       |skf AS (${bk("(SELECT DISTINCT \"column\", h FROM hs) f")}),
+       |em AS (${est("skm", "est_merged")}),
+       |ef AS (${est("skf", "est_full")})
+       |SELECT em."column", round(em.est_merged, 4) AS est_merged,
+       |  round(ef.est_full, 4) AS est_full,
+       |  em.kth_est_merged = ef.kth_est_full AS merged_equals_full
+       |FROM em JOIN ef USING ("column")""".stripMargin
+  }
+
   /** Column-pair correlations for the optimizer (`stats_corr`):
     * Pearson r over the numeric lineitem pairs a cost model would use
     * to spot redundant predicates (price tracks quantity; discount is
@@ -316,6 +407,7 @@ object Audit extends OpModule {
     "stats_columns" -> (statsDf(_, _)),
     "events_k_anon" -> (kAnonDf(_, _)),
     "stats_columns_kmv" -> (statsKmvDf(_, _)),
+    "stats_incremental" -> (statsIncrementalDf(_, _)),
     "stats_corr" -> (corrDf(_, _))
   )
 
@@ -324,6 +416,7 @@ object Audit extends OpModule {
     "stats_columns" -> statsSql,
     "events_k_anon" -> kAnonSql,
     "stats_columns_kmv" -> statsKmvSql,
+    "stats_incremental" -> statsIncrementalSql,
     "stats_corr" -> corrSql
   )
 }

@@ -453,8 +453,9 @@ object Layout extends OpModule {
 
   /** The planted-skew key: 'hot' on half the rows, eight cold keys on
     * the rest — deterministic from event_id, mirroring a real feed where
-    * one instrument dominates. */
-  private def skewKeySql: String =
+    * one instrument dominates. Shared with `join_salted`, which is the
+    * JOIN-side rescue for the skew this key plants. */
+  private[graft] def skewKeySql: String =
     "CASE WHEN event_id % 16 < 8 THEN 'hot' " +
       "ELSE concat('k', event_id % 16) END"
 

@@ -1926,9 +1926,74 @@ object Pipeline extends OpModule {
        |FROM c""".stripMargin
   }
 
+  /** Release-diff residue dials: doc_id % [[ReleaseMod]] picks which
+    * docs are removed / added / revised between corpus releases. */
+  val ReleaseMod = 17L
+
+  /** Corpus release diff (`pipeline_release_diff`) — the governance
+    * step between two published corpus versions: which documents were
+    * added, removed, or revised, and how much text mass moved, per
+    * source. Release v1 drops the docs "added later" (doc_id %
+    * [[ReleaseMod]] = 3), v2 drops the "removed" residue (= 0) and
+    * revises the = 6 residue (an appended edit marker) — both derived
+    * deterministically so the oracle replays them. The diff itself is
+    * a full-outer join of the two releases' (doc_id, checksum, length)
+    * MANIFEST projections — at 100 TB this is `pipeline_manifest`'s
+    * metadata, so diffing releases costs manifest-sized work, never a
+    * corpus re-read — classified added/removed/changed/unchanged by
+    * null-side and checksum, then one aggregation to the per-(source,
+    * status) data-card row with the signed character-mass delta. */
+  private def releaseDiffDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val v1 = docs.filter($"doc_id" % ReleaseMod =!= 3L)
+    val v2 = docs.filter($"doc_id" % ReleaseMod =!= 0L)
+      .withColumn("text",
+        when($"doc_id" % ReleaseMod === 6L, concat($"text", lit(" [rev2]")))
+          .otherwise($"text"))
+    def manifest(v: DataFrame, tag: String): DataFrame =
+      v.select($"doc_id", $"source".as(s"source_$tag"),
+        md5($"text").as(s"cks_$tag"),
+        length($"text").cast("long").as(s"len_$tag"))
+    manifest(v1, "a").join(manifest(v2, "b"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"cks_b".isNull, "removed")
+          .when($"cks_a".isNull, "added")
+          .when($"cks_a" =!= $"cks_b", "changed")
+          .otherwise("unchanged"))
+      .groupBy(coalesce($"source_a", $"source_b").as("source"), $"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"len_b", lit(0L)) - coalesce($"len_a", lit(0L)))
+          .as("char_delta"))
+  }
+
+  private val releaseDiffSql: String =
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents
+       |            WHERE doc_id % $ReleaseMod != 3),
+       |v2 AS (SELECT doc_id, source,
+       |         CASE WHEN doc_id % $ReleaseMod = 6 THEN text || ' [rev2]'
+       |              ELSE text END AS text
+       |       FROM documents WHERE doc_id % $ReleaseMod != 0),
+       |m1 AS (SELECT doc_id, source, md5(text) AS cks,
+       |         length(text)::BIGINT AS len FROM v1),
+       |m2 AS (SELECT doc_id, source, md5(text) AS cks,
+       |         length(text)::BIGINT AS len FROM v2),
+       |d AS (SELECT coalesce(m1.source, m2.source) AS source,
+       |        CASE WHEN m2.cks IS NULL THEN 'removed'
+       |             WHEN m1.cks IS NULL THEN 'added'
+       |             WHEN m1.cks != m2.cks THEN 'changed'
+       |             ELSE 'unchanged' END AS status,
+       |        coalesce(m2.len, 0) - coalesce(m1.len, 0) AS delta
+       |      FROM m1 FULL OUTER JOIN m2 USING (doc_id))
+       |SELECT source, status, count(*) AS n_docs,
+       |  sum(delta)::BIGINT AS char_delta
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "pipeline_chunk" -> (chunkDf(_, _)),
+    "pipeline_release_diff" -> (releaseDiffDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
     "sample_temperature" -> (temperatureDf(_, _)),
     "sample_pps" -> (ppsDf(_, _)),
@@ -1964,6 +2029,7 @@ object Pipeline extends OpModule {
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleSql,
     "pipeline_chunk" -> chunkSql,
+    "pipeline_release_diff" -> releaseDiffSql,
     "sample_quota" -> quotaSql,
     "sample_temperature" -> temperatureSql,
     "sample_pps" -> ppsSql,

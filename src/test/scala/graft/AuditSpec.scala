@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
-import graft.operators.Audit
+import graft.operators.{Audit, Pipeline}
 
 /** Table-service family: integrity audit + optimizer statistics. */
 class AuditSpec extends SparkSpec {
@@ -152,5 +152,48 @@ class AuditSpec extends SparkSpec {
         expr(s"ts_us div ${Audit.HourUs}").as("hour"))
       .agg(count(lit(1)).as("n"))).size
     assert(rows.size === cells)
+  }
+
+  test("stats_incremental: the base⊕delta sketch merge equals the full recompute") {
+    val rows = rowsOf(SparkEntry.queries("stats_incremental")(spark, dir))
+    assert(rows.map(_("column")).toSet ===
+      Set("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      // the mergeability identity holds on real data, per column: the
+      // kth-minimum of the merged sketch IS the full table's, so the
+      // estimates agree exactly — maintenance under append never needs
+      // the standing table re-scanned
+      assert(r("merged_equals_full").asInstanceOf[Boolean],
+        s"${r("column")}: merged sketch diverged from full recompute")
+      assert(r("est_merged") === r("est_full"))
+    }
+  }
+
+  test("pipeline_release_diff: statuses partition both releases, deltas signed right") {
+    import spark.implicits._
+    val rows = rowsOf(SparkEntry.queries("pipeline_release_diff")(spark, dir))
+    val byStatus = rows.groupBy(_("status").asInstanceOf[String])
+      .view.mapValues(_.map(_("n_docs").asInstanceOf[Long]).sum).toMap
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .select(($"doc_id" % Pipeline.ReleaseMod).as("r"))
+      .groupBy($"r").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the residue dials say exactly which docs land where
+    assert(byStatus("removed") === ids(0L))
+    assert(byStatus("added") === ids(3L))
+    assert(byStatus("changed") === ids(6L))
+    assert(byStatus("unchanged") ===
+      ids.filterKeys(k => k != 0L && k != 3L && k != 6L).values.sum)
+    // mass deltas: removed strictly negative, added strictly positive,
+    // changed positive (the revision appends), unchanged exactly zero
+    rows.foreach { r =>
+      val d = r("char_delta").asInstanceOf[Long]
+      r("status") match {
+        case "removed" => assert(d < 0L)
+        case "added" => assert(d > 0L)
+        case "changed" => assert(d > 0L)
+        case _ => assert(d === 0L)
+      }
+    }
   }
 }

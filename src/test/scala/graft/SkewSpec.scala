@@ -335,4 +335,51 @@ class SkewSpec extends graft.SparkSpec {
     // and the healthy corpus still passes under the same guard
     assert(Similarity.queries("dedup_semantic")(spark, sfDir()).count() > 0)
   }
+
+  test("salted join: SMJ keyed on (key, salt), hot key spread R ways, plain-join answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dir = sfDir("sf0.001")
+    // the fact⋈dim join runs as a sort-merge join whose keys include the
+    // salt — NOT a broadcast that would funnel the hot key to one task
+    // (AQE off so the executed plan is inspectable pre-adaptation)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df =
+      try {
+        val d = Keyed.queries("join_salted")(spark, dir)
+        val plan = d.queryExecution.executedPlan
+        val smjs = plan.collect { case j: SortMergeJoinExec => j }
+        assert(smjs.nonEmpty,
+          s"expected a sort-merge join:\n${plan.treeString}")
+        assert(smjs.exists(j =>
+          j.leftKeys.exists(_.toString.contains("salt"))),
+          s"the SMJ must be keyed on the salt:\n${plan.treeString}")
+        d
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the hot key's fact rows carry all SaltBuckets salts (uniform
+    // event_id residues), cold keys exactly one — the R-way spread
+    val spread = graft.sources.Tables.events(spark, dir)
+      .withColumn("skew_key", expr(Layout.skewKeySql))
+      .withColumn("salt",
+        when($"skew_key" === "hot",
+          expr(s"(event_id div 16) % ${Keyed.SaltBuckets}"))
+          .otherwise(lit(0L)))
+      .groupBy($"skew_key").agg(countDistinct($"salt").as("n_salts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spread("hot") === Keyed.SaltBuckets.toLong)
+    assert(spread.filterKeys(_ != "hot").values.forall(_ === 1L))
+    // and the salted answer IS the plain join's
+    val dim = Seq(("hot", 1.5) +: (8 to 15).map(i =>
+      (s"k$i", 0.5 + (i - 8) * 0.25)): _*).toDF("skew_key", "weight")
+    val plain = graft.sources.Tables.events(spark, dir)
+      .withColumn("skew_key", expr(Layout.skewKeySql))
+      .join(dim, "skew_key")
+      .groupBy($"skew_key")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round($"value" * $"weight" * 10000.0).cast("long")) / 10000.0)
+          .as("weighted_volume"))
+    assert(df.collect().map(_.toSeq.toVector).toSet ===
+      plain.collect().map(_.toSeq.toVector).toSet)
+  }
 }
