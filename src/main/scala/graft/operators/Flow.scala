@@ -254,12 +254,60 @@ object Flow {
        |FROM h
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Regular-grid resampling with forward fill (`flow_resample`) — the
+    * irregular→regular transform every charting/feature layer needs:
+    * per event_type, the COMPLETE hourly bucket grid from the series'
+    * first to last observation, the last-by-event_id value in each
+    * observed bucket, and gaps forward-filled from the most recent
+    * observation with an `is_gap` audit flag. Plan: one hash agg to the
+    * observed (type, bucket) frame, a per-type 2-row min/max agg whose
+    * `sequence` EXPLODES THE GRID (grid size = time span / bucket, data
+    * independent), a left join back, and a per-type ordered
+    * last(ignoreNulls) window — everything partitions by event_type,
+    * nothing global. The fill carries the exact stored double (no
+    * arithmetic), so both engines agree bit-for-bit. */
+  private def resampleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.events(spark, dir)
+      .groupBy($"event_type", expr(s"ts_us div $HourUs").as("bucket"))
+      .agg(max_by($"value", $"event_id").as("v_obs"))
+    val grid = obs.groupBy($"event_type")
+      .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi")).as("bucket"))
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "bucket"), "left")
+      .withColumn("value", last($"v_obs", ignoreNulls = true).over(w))
+      .select($"event_type", $"bucket", $"value",
+        $"v_obs".isNull.as("is_gap"))
+  }
+
+  private val resampleSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type, epoch_us(ts) // $HourUs AS bucket,
+       |    arg_max(value, event_id) AS v_obs
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(range(lo, hi + 1)) AS bucket
+       |  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+       |        FROM obs GROUP BY 1)),
+       |j AS (SELECT g.event_type, g.bucket, o.v_obs
+       |      FROM grid g LEFT JOIN obs o USING (event_type, bucket))
+       |SELECT event_type, bucket,
+       |  last_value(v_obs IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       |  v_obs IS NULL AS is_gap
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_delta" -> (deltaDf(_, _)),
     "flow_zscore" -> (zscoreDf(_, _)),
     "flow_cvd" -> (cvdDf(_, _)),
     "flow_lv" -> (lvDf(_, _)),
-    "flow_volrate" -> (volRateDf(_, _))
+    "flow_volrate" -> (volRateDf(_, _)),
+    "flow_resample" -> (resampleDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +315,7 @@ object Flow {
     "flow_zscore" -> zscoreSql,
     "flow_cvd" -> cvdSql,
     "flow_lv" -> lvSql,
-    "flow_volrate" -> volRateSql
+    "flow_volrate" -> volRateSql,
+    "flow_resample" -> resampleSql
   )
 }

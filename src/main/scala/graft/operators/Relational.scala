@@ -197,6 +197,66 @@ object Relational extends OpModule {
       |ASOF JOIN f ON o.o_custkey = f.k AND o.o_orderdate >= f.fts
       |WHERE o.o_orderstatus = 'O'""".stripMargin
 
+  /** Max staleness for the tolerance-bounded as-of join, in days. */
+  val AsofTolDays = 365
+
+  /** Tolerance-bounded as-of join (`join_asof_tol`) — the variant every
+    * time-series library pairs with plain as-of (pandas `merge_asof
+    * tolerance=`, kdb `wj` windows): a match older than [[AsofTolDays]]
+    * is STALE and reports as no-match, and the join is LEFT — every
+    * probe row survives with a `matched` verdict. Same single-shuffle
+    * union + last(ignoreNulls) plan as `join_asof` (the tolerance is a
+    * post-carry projection, free at any scale); the oracle cross-checks
+    * with DuckDB's native ASOF LEFT JOIN plus the staleness screen. At
+    * 100 TB this is the book⋈trade correlation with a "quote too old to
+    * trust" guard — the live twin is `Streams.bookAtPrint`'s watermark.
+    */
+  private def asofTolDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val left = o.filter($"o_orderstatus" === "O")
+      .select($"o_custkey".as("k"), $"o_orderdate".as("ts"),
+        $"o_orderkey", lit(1).as("side"),
+        lit(null).cast("double").as("r_price"),
+        lit(null).cast("timestamp").as("r_ts"))
+    val right = o.filter($"o_orderstatus" === "F")
+      .groupBy($"o_custkey".as("k"), $"o_orderdate".as("ts"))
+      .agg(max_by($"o_totalprice", $"o_orderkey").as("price"))
+      .select($"k", $"ts", lit(null).cast("long").as("o_orderkey"),
+        lit(0).as("side"), $"price".as("r_price"), $"ts".as("r_ts"))
+    val w = Window.partitionBy($"k").orderBy($"ts", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("last_price", last($"r_price", ignoreNulls = true).over(w))
+      .withColumn("last_ts", last($"r_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .withColumn("matched", $"last_ts".isNotNull &&
+        datediff($"ts", $"last_ts") <= AsofTolDays)
+      .select($"o_orderkey", $"k".as("o_custkey"), $"ts".as("o_orderdate"),
+        when($"matched", $"last_ts").as("prev_f_date"),
+        when($"matched", $"last_price").as("prev_f_price"),
+        $"matched")
+  }
+
+  private val asofTolSql: String =
+    s"""WITH f AS (
+       |  SELECT o_custkey AS k, o_orderdate AS fts,
+       |         arg_max(o_totalprice, o_orderkey) AS price
+       |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+       |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       |  CASE WHEN f.fts IS NOT NULL
+       |        AND date_diff('day', f.fts, o.o_orderdate) <= $AsofTolDays
+       |       THEN f.fts END AS prev_f_date,
+       |  CASE WHEN f.fts IS NOT NULL
+       |        AND date_diff('day', f.fts, o.o_orderdate) <= $AsofTolDays
+       |       THEN f.price END AS prev_f_price,
+       |  f.fts IS NOT NULL
+       |    AND date_diff('day', f.fts, o.o_orderdate) <= $AsofTolDays
+       |    AS matched
+       |FROM orders o
+       |ASOF LEFT JOIN f ON o.o_custkey = f.k AND o.o_orderdate >= f.fts
+       |WHERE o.o_orderstatus = 'O'""".stripMargin
+
   /** Interval join: finalized orders within the 90 days before each open
     * order of the same customer (equi-key + range predicate). */
   private def intervalDf(spark: SparkSession, dir: String): DataFrame = {
@@ -673,6 +733,7 @@ object Relational extends OpModule {
     "join_semi" -> (semiDf(_, _)),
     "join_anti" -> (antiDf(_, _)),
     "join_asof" -> (asofDf(_, _)),
+    "join_asof_tol" -> (asofTolDf(_, _)),
     "join_interval" -> (intervalDf(_, _)),
     "topk_per_group" -> (topkDf(_, _)),
     "agg_rollup" -> (rollupDf(_, _)),
@@ -697,6 +758,7 @@ object Relational extends OpModule {
     "join_semi" -> semiSql,
     "join_anti" -> antiSql,
     "join_asof" -> asofSql,
+    "join_asof_tol" -> asofTolSql,
     "join_interval" -> intervalSql,
     "topk_per_group" -> topkSql,
     "agg_rollup" -> rollupSql,

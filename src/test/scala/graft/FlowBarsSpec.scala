@@ -102,4 +102,38 @@ class FlowBarsSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(event_id"),
       s"unpartitioned raw-event window found:\n$plan")
   }
+
+  test("flow_resample: complete per-type hourly grid, gaps filled from the last observation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = sfDir()
+    val rs = Flow.queries("flow_resample")(spark, dir).cache()
+    // grid completeness: per type, exactly (hi - lo + 1) buckets, each once
+    val obs = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", expr(s"ts_us div ${Flow.HourUs}").as("bucket"))
+      .agg(max_by($"value", $"event_id").as("v"))
+    val spans = obs.groupBy($"event_type")
+      .agg((max($"bucket") - min($"bucket") + 1).as("span"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = rs.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === spans)
+    assert(rs.select($"event_type", $"bucket").distinct().count() === rs.count())
+    // the fill never leaves a hole and gap rows carry the PRIOR value:
+    // re-derive each gap's forward-filled expectation independently
+    assert(rs.filter($"value".isNull).count() === 0L)
+    assert(rs.filter($"is_gap").count() > 0L, "fixture should have gaps")
+    val wrong = rs.as("g").filter($"g.is_gap")
+      .join(obs.as("o"), $"g.event_type" === $"o.event_type" &&
+        $"o.bucket" < $"g.bucket")
+      .groupBy($"g.event_type", $"g.bucket", $"g.value")
+      .agg(max_by($"o.v", $"o.bucket").as("expect"))
+      .filter($"value" =!= $"expect")
+    assert(wrong.count() === 0L, "a gap row was not filled from the last observation")
+    // observed rows carry their own value
+    val own = rs.filter(!$"is_gap").join(obs, Seq("event_type", "bucket"))
+      .filter($"value" =!= $"v")
+    assert(own.count() === 0L)
+    rs.unpersist()
+  }
 }

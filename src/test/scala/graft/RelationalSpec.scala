@@ -456,4 +456,31 @@ class RelationalSpec extends SparkSpec {
       Set("doc_id", "text", "quality", "g")))
     graft.functions.Fs.deleteRecursively(new java.io.File(dir2))
   }
+
+  test("join_asof_tol: left-complete, stale matches nulled, fresh matches agree with join_asof") {
+    import spark.implicits._
+    val asof = SparkEntry.queries("join_asof")(spark, dir)
+    val tol = SparkEntry.queries("join_asof_tol")(spark, dir).cache()
+    // LEFT semantics: every open order survives, matched or not
+    val nOpen = graft.sources.Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "O").count()
+    assert(tol.count() === nOpen)
+    // unmatched rows expose nothing
+    assert(tol.filter(!$"matched")
+      .filter($"prev_f_date".isNotNull || $"prev_f_price".isNotNull)
+      .count() === 0L)
+    // a matched row IS the plain as-of row (the tolerance only removes);
+    // and every plain as-of match within tolerance survives here
+    val joined = tol.filter($"matched").as("t")
+      .join(asof.as("a"), Seq("o_orderkey"))
+    assert(joined.filter($"t.prev_f_date" =!= $"a.prev_f_date" ||
+      $"t.prev_f_price" =!= $"a.prev_f_price").count() === 0L)
+    val freshPlain = asof
+      .filter(datediff($"o_orderdate", $"prev_f_date") <=
+        graft.operators.Relational.AsofTolDays).count()
+    assert(tol.filter($"matched").count() === freshPlain)
+    assert(tol.filter(!$"matched").count() > 0L,
+      "fixture should contain stale/absent matches")
+    tol.unpersist()
+  }
 }
