@@ -277,6 +277,123 @@ object Layout extends OpModule {
        |  n_rows < $CompactTargetRows AS is_underfull
        |FROM c""".stripMargin
 
+  // ---- per-granule Bloom skipping index ----
+
+  /** Bloom bits per granule / hash count / probe residue. m=1024 over
+    * ≤64 distinct keys × k=3 gives ~0.7% false-positive rate per
+    * granule. */
+  val LbM = 1024L
+  val LbK = 3
+  val LbProbeMod = 31L
+  private val LbP = 2147483647L // 2^31-1, prime > any user_id
+  private val LbA: Seq[Long] = (0 until LbK).map(j =>
+    1L + graft.functions.ColFns.md5Const32(s"lbla$j") % (LbP - 1))
+  private val LbB: Seq[Long] = (0 until LbK).map(j =>
+    graft.functions.ColFns.md5Const32(s"lblb$j") % LbP)
+  private def lbPos(j: Int, u: Column): Column =
+    graft.functions.ColFns.universalBucket(LbA(j), LbB(j), LbP, LbM, u)
+  private def lbPosSql(j: Int, u: String): String =
+    graft.functions.ColFns.universalBucketSql(LbA(j), LbB(j), LbP, LbM, u)
+
+  /** Per-granule BLOOM skipping index priced against min/max
+    * (`layout_bloom_prune`): a point predicate `user_id = X` is the
+    * lookup min/max zone maps handle WORST — any granule whose uid
+    * range STRADDLES X scans even when X never occurs in it — and
+    * exactly what a per-granule Bloom filter (Parquet bloom /
+    * Delta-style) exists for. Per granule, k=[[LbK]] universal-hash
+    * positions of each distinct member key set bits in an
+    * [[LbM]]-wide table (the bits frame is granule-count × set-bits
+    * METADATA, broadcastable like the stats frame); a probe scans a
+    * granule only when all k of its positions are set AND the min/max
+    * box admits it (a real reader consults both indexes). For every
+    * [[LbProbeMod]]-residue probe key the audit row carries the
+    * zone-map scan count, the bloom∧zone count, the true occurrence
+    * count, and `n_missed` — true granules the index skipped — which
+    * the Bloom no-false-negative guarantee pins to 0 (hash-checked,
+    * and LayoutSpec asserts it with the FP win). All arithmetic is
+    * integer/universal hashing, so the oracle replays bit-for-bit. */
+  private def bloomPruneDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = granuleByRank(zvalDf(spark, dir), $"zval", $"event_id")
+    val member = ranked.select($"granule", $"user_id").distinct()
+    val stats = granuleStats(ranked)
+    val bits = member.select($"granule",
+      explode(array((0 until LbK).map(j => lbPos(j, $"user_id")): _*))
+        .as("pos")).distinct()
+    val probes = member.select($"user_id").distinct()
+      .filter($"user_id" % LbProbeMod === 0)
+    val probePos = probes.select($"user_id",
+      explode(array((0 until LbK).map(j =>
+        struct(lit(j).as("j"), lbPos(j, $"user_id").as("pos"))): _*))
+        .as("jp"))
+      .select($"user_id", $"jp.j", $"jp.pos")
+    val bloomHit = probePos.join(bits, Seq("pos"))
+      .groupBy($"user_id", $"granule")
+      .agg(countDistinct($"j").as("kj")).filter($"kj" === LbK)
+      .select($"user_id", $"granule")
+    val mmHit = broadcast(probes).crossJoin(stats)
+      .filter($"user_id" >= $"uid_lo" && $"user_id" <= $"uid_hi")
+      .select($"user_id", $"granule")
+    val scanned = bloomHit.intersect(mmHit)
+    val tru = member.join(broadcast(probes), Seq("user_id"))
+      .select($"user_id", $"granule")
+    val total = stats.agg(count(lit(1)).as("granules_total"))
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy($"user_id").agg(count(lit(1)).as(as))
+    probes.crossJoin(broadcast(total))
+      .join(cnt(mmHit, "scanned_minmax"), Seq("user_id"), "left")
+      .join(cnt(scanned, "scanned_bloom"), Seq("user_id"), "left")
+      .join(cnt(tru, "n_true"), Seq("user_id"), "left")
+      .join(cnt(tru.join(scanned, Seq("user_id", "granule"), "left_anti"),
+        "n_missed"), Seq("user_id"), "left")
+      .select($"user_id", $"granules_total",
+        coalesce($"scanned_minmax", lit(0L)).as("scanned_minmax"),
+        coalesce($"scanned_bloom", lit(0L)).as("scanned_bloom"),
+        coalesce($"n_true", lit(0L)).as("n_true"),
+        coalesce($"n_missed", lit(0L)).as("n_missed"))
+  }
+
+  private val bloomPruneSql: String = {
+    val bitRows = (0 until LbK).map(j =>
+      s"SELECT granule, ${lbPosSql(j, "user_id")} AS pos FROM member")
+      .mkString("\nUNION ALL\n")
+    val probeRows = (0 until LbK).map(j =>
+      s"SELECT user_id, $j AS j, ${lbPosSql(j, "user_id")} AS pos FROM probes")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $zvalSqlBody,
+       |g AS (SELECT *, (row_number() OVER (ORDER BY zval, event_id) - 1)
+       |                // $GranuleRows AS granule FROM z),
+       |member AS (SELECT DISTINCT granule, user_id FROM g),
+       |stats AS (SELECT granule, min(user_id) AS uid_lo,
+       |            max(user_id) AS uid_hi FROM g GROUP BY 1),
+       |bits AS (SELECT DISTINCT granule, pos FROM ($bitRows)),
+       |probes AS (SELECT DISTINCT user_id FROM member
+       |           WHERE user_id % $LbProbeMod = 0),
+       |pp AS ($probeRows),
+       |bh AS (SELECT pp.user_id, b.granule FROM pp
+       |       JOIN bits b USING (pos)
+       |       GROUP BY 1, 2 HAVING count(DISTINCT pp.j) = $LbK),
+       |mm AS (SELECT p.user_id, s.granule FROM probes p, stats s
+       |       WHERE p.user_id BETWEEN s.uid_lo AND s.uid_hi),
+       |sc AS (SELECT user_id, granule FROM bh
+       |       INTERSECT SELECT user_id, granule FROM mm),
+       |tru AS (SELECT m.user_id, m.granule FROM member m
+       |        JOIN probes USING (user_id)),
+       |tot AS (SELECT count(*) AS granules_total FROM stats)
+       |SELECT p.user_id, tot.granules_total,
+       |  (SELECT count(*) FROM mm WHERE mm.user_id = p.user_id)
+       |    AS scanned_minmax,
+       |  (SELECT count(*) FROM sc WHERE sc.user_id = p.user_id)
+       |    AS scanned_bloom,
+       |  (SELECT count(*) FROM tru WHERE tru.user_id = p.user_id)
+       |    AS n_true,
+       |  (SELECT count(*) FROM tru t WHERE t.user_id = p.user_id
+       |     AND NOT EXISTS (SELECT 1 FROM sc
+       |       WHERE sc.user_id = t.user_id AND sc.granule = t.granule))
+       |    AS n_missed
+       |FROM probes p, tot""".stripMargin
+  }
+
   /** Delta share for the incremental-append audit: every
     * [[DeltaMod]]-th event plays the "new batch" (the
     * `dedup_incremental` convention). */
@@ -490,6 +607,7 @@ object Layout extends OpModule {
     "layout_prune" -> (pruneDf(_, _)),
     "layout_compaction" -> (compactionDf(_, _)),
     "layout_incremental" -> (incrementalDf(_, _)),
+    "layout_bloom_prune" -> (bloomPruneDf(_, _)),
     "diag_partition_stats" -> (partitionStatsDf(_, _)),
     "diag_heavy_hitters" -> (heavyHittersDf(_, _))
   )
@@ -499,6 +617,7 @@ object Layout extends OpModule {
     "layout_prune" -> pruneSql,
     "layout_compaction" -> compactionSql,
     "layout_incremental" -> incrementalSql,
+    "layout_bloom_prune" -> bloomPruneSql,
     "diag_partition_stats" -> partitionStatsSql,
     "diag_heavy_hitters" -> heavyHittersSql
   )

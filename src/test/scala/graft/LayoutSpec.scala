@@ -285,6 +285,33 @@ class LayoutSpec extends SparkSpec {
       Layout.GranuleRows)
   }
 
+  test("layout_bloom_prune: no false negatives, bloom never scans more than the zone map") {
+    // sf0.01: enough granules/probes for the aggregate win to be strict
+    val rows = rowsOf(
+      SparkEntry.queries("layout_bloom_prune")(spark, sfDir("sf0.01")))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mm, bl, tr, miss) = (
+        r("scanned_minmax").asInstanceOf[Long],
+        r("scanned_bloom").asInstanceOf[Long],
+        r("n_true").asInstanceOf[Long],
+        r("n_missed").asInstanceOf[Long])
+      // the Bloom guarantee: every granule truly containing the probe
+      // is scanned (a skipped true granule would DROP ROWS at read time)
+      assert(miss === 0L, s"probe ${r("user_id")} skipped $miss true granules")
+      assert(bl >= tr, "bloom∧zone must cover every true granule")
+      // the index composes: bloom∧zone can only SHRINK the zone-map scan
+      assert(bl <= mm, "bloom must never scan beyond the zone map")
+      assert(tr > 0L, "every probe key occurs somewhere")
+    }
+    // across the probe set the bloom strictly beats the zone map — the
+    // point of paying for the extra index on a point-lookup workload
+    val totalMm = rows.map(_("scanned_minmax").asInstanceOf[Long]).sum
+    val totalBl = rows.map(_("scanned_bloom").asInstanceOf[Long]).sum
+    assert(totalBl < totalMm,
+      s"expected a strict aggregate win: bloom $totalBl vs zone $totalMm")
+  }
+
   test("text_fertility: every language has fertility >= 1 and consistent sums") {
     val rows = rowsOf(SparkEntry.queries("text_fertility")(spark, dir))
     assert(rows.nonEmpty)
