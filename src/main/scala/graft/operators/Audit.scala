@@ -368,6 +368,36 @@ object Audit extends OpModule {
        |FROM em JOIN ef USING ("column")""".stripMargin
   }
 
+  /** The quantile grid for `agg_quantiles`. */
+  val QuantilePs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Grouped EXACT quantiles (`agg_quantiles`): per return flag, the
+    * p50/p90/p99 of the line price — the reporting statistic every
+    * engine must serve and the §2.5 aggregation family's only
+    * order-statistic member (everything else is algebraic). Exact
+    * linear-interpolation quantiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — same estimator) over the grouped multiset;
+    * round-6 guards the interpolation arithmetic's last ulp. At 100 TB
+    * the exact form costs a per-group sort — `docs_length_hist`'s
+    * mergeable histogram sketch is the documented swap, exactly like
+    * `stats_columns` vs `stats_columns_kmv`. */
+  private def quantilesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        QuantilePs.map(p =>
+          round(percentile($"l_extendedprice", lit(p)), 6)
+            .as(s"p${(p * 100).toInt}")): _*)
+  }
+
+  private val quantilesSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${QuantilePs.map(p =>
+            s"round(quantile_cont(l_extendedprice, $p), 6) AS p${(p * 100).toInt}")
+            .mkString(",\n  ")}
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Column-pair correlations for the optimizer (`stats_corr`):
     * Pearson r over the numeric lineitem pairs a cost model would use
     * to spot redundant predicates (price tracks quantity; discount is
@@ -408,6 +438,7 @@ object Audit extends OpModule {
     "events_k_anon" -> (kAnonDf(_, _)),
     "stats_columns_kmv" -> (statsKmvDf(_, _)),
     "stats_incremental" -> (statsIncrementalDf(_, _)),
+    "agg_quantiles" -> (quantilesDf(_, _)),
     "stats_corr" -> (corrDf(_, _))
   )
 
@@ -417,6 +448,7 @@ object Audit extends OpModule {
     "events_k_anon" -> kAnonSql,
     "stats_columns_kmv" -> statsKmvSql,
     "stats_incremental" -> statsIncrementalSql,
+    "agg_quantiles" -> quantilesSql,
     "stats_corr" -> corrSql
   )
 }

@@ -301,7 +301,38 @@ object Flow {
        |  v_obs IS NULL AS is_gap
        |FROM j""".stripMargin
 
+  /** Trailing time-RANGE window (`flow_range_window`) — the §2.6 frame
+    * kind every other window here does NOT use: `RANGE BETWEEN 1 hour
+    * PRECEDING` is VALUE-based, so the frame holds however many rows
+    * fell in the trailing hour (irregular arrival-friendly — a ROWS
+    * frame would silently change meaning with event rate). Per event:
+    * the trailing-hour event count and a round-6 trailing mean per
+    * type. Partitioned by event_type like every keyed window; the range
+    * key is the integer ts_us so both engines bound the frame
+    * identically. */
+  private def rangeWindowDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts_us")
+      .rangeBetween(-(HourUs - 1), 0)
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"ts_us", $"value")
+      .withColumn("n_trail_1h", count(lit(1)).over(w))
+      .withColumn("mean_trail_1h", round(avg($"value").over(w), 6))
+      .select($"event_id", $"event_type", $"n_trail_1h", $"mean_trail_1h")
+  }
+
+  private val rangeWindowSql: String =
+    s"""SELECT event_id, event_type,
+       |  count(*) OVER w AS n_trail_1h,
+       |  round(avg(value) OVER w, 6) AS mean_trail_1h
+       |FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+       |      FROM events) e
+       |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+       |             RANGE BETWEEN ${HourUs - 1} PRECEDING AND CURRENT ROW)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_range_window" -> (rangeWindowDf(_, _)),
     "flow_delta" -> (deltaDf(_, _)),
     "flow_zscore" -> (zscoreDf(_, _)),
     "flow_cvd" -> (cvdDf(_, _)),
@@ -316,6 +347,7 @@ object Flow {
     "flow_cvd" -> cvdSql,
     "flow_lv" -> lvSql,
     "flow_volrate" -> volRateSql,
-    "flow_resample" -> resampleSql
+    "flow_resample" -> resampleSql,
+    "flow_range_window" -> rangeWindowSql
   )
 }

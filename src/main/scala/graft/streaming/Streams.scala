@@ -1203,6 +1203,64 @@ object Streams {
       }
   }
 
+  case class ResampleState(openBucket: Long, openValue: Double)
+  case class ResampleRow(event_type: String, bucket: Long, value: Double,
+    is_gap: Boolean)
+
+  /** Streaming regular-grid resampler — the live twin of batch
+    * `flow_resample`: per event_type the monitor carries the OPEN
+    * hourly bucket (still accumulating; a bucket may straddle any
+    * number of triggers) and its last-by-(ts, event_id) value; a
+    * strictly later observation CLOSES the open bucket — emitting its
+    * observed row plus one forward-filled `is_gap` row per silent
+    * bucket in between — and opens the new one. Emit-on-close is what
+    * Append output mode requires (an open bucket's value can still
+    * change, and appended rows cannot be retracted), the same
+    * bucket-finalization contract as any streaming bar builder; the
+    * emitted stream is the complete grid short of the still-open last
+    * bucket per key, which the batch query reports and the stream
+    * closes on its next observation. State is O(1) per type under the
+    * bounded event-type key space (ledger §"State-lifetime policy");
+    * ordered ingest is assumed like every monitor here. StreamingSpec
+    * replays the events table across trigger boundaries that SPLIT
+    * buckets mid-accumulation and asserts row-set equality with
+    * `flow_resample` minus each key's final (still-open) row. */
+  def resampleMonitor(events: DataFrame): Dataset[ResampleRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val H = graft.operators.Flow.HourUs
+    events.select($"event_type", $"event_id", $"ts_us", $"value")
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ResampleState, ResampleRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, it, state) =>
+          val sorted = it.toSeq.sortBy(e => (e._3, e._2))
+          // last-by-(ts, event_id) value per observed bucket, ascending
+          val perBucket = scala.collection.mutable.LinkedHashMap[Long, Double]()
+          sorted.foreach { case (_, _, ts, v) => perBucket(ts / H) = v }
+          val out = scala.collection.mutable.ArrayBuffer[ResampleRow]()
+          var st = state.getOption.orNull
+          perBucket.toSeq.sortBy(_._1).foreach { case (b, v) =>
+            if (st == null) st = ResampleState(b, v)
+            else if (b == st.openBucket) st = ResampleState(b, v)
+            else {
+              // close the open bucket, fill the silence, open the new one
+              out += ResampleRow(etype, st.openBucket, st.openValue,
+                is_gap = false)
+              var g = st.openBucket + 1
+              while (g < b) {
+                out += ResampleRow(etype, g, st.openValue, is_gap = true)
+                g += 1
+              }
+              st = ResampleState(b, v)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class CellOccState(nNew: Long, sumCos: Double)
   case class CellOcc(cell: Int, n_new: Long, mean_cos_new: Double)
 

@@ -1513,6 +1513,42 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(ndKey, ndPrev)
   }
 
+  test("streaming resample emits the complete grid, equal to batch flow_resample") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"ts_us", $"value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+      .sortBy(e => (e._3, e._2))
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val q = Streams.resampleMonitor(
+      input.toDF().toDF("event_type", "event_id", "ts_us", "value"))
+      .writeStream.format("memory").queryName("resample_mon")
+      .outputMode("append").start()
+    // three triggers so gaps bridge trigger boundaries and the carried
+    // (lastBucket, lastValue) state does real work
+    ev.grouped(math.max(1, ev.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("resample_mon").as[Streams.ResampleRow]
+      .collect().map(r => (r.event_type, r.bucket, r.value, r.is_gap)).toSet
+    // emit-on-close: the stream withholds each key's final bucket (still
+    // open when the data ends); the batch grid reports it
+    val batchRows = rowsOf(SparkEntry.queries("flow_resample")(spark, dir))
+      .map(r => (r("event_type").asInstanceOf[String],
+        r("bucket").asInstanceOf[Long],
+        r("value").asInstanceOf[Double],
+        r("is_gap").asInstanceOf[Boolean]))
+    val lastPerType = batchRows.groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val batch = batchRows.filter(r => r._2 != lastPerType(r._1)).toSet
+    assert(streamed === batch,
+      "streamed grid must equal the batch resample minus the open buckets")
+  }
+
   test("streaming markov steps equal the batch lag-window transitions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
