@@ -588,6 +588,100 @@ object Relational extends OpModule {
       |  floor((m.revenue - p.revenue) * 10000.0 / p.revenue)::BIGINT AS yoy_bp
       |FROM m LEFT JOIN m p ON p.ym = m.ym - 100""".stripMargin
 
+  /** Small-quantity-order revenue (`q17_small_qty`, the TPC-H Q17
+    * shape over the public spec): revenue lost to orders below 20% of a
+    * part's average order quantity, for one brand — the canonical
+    * CORRELATED SCALAR AGGREGATE, decorrelated Spark-first: the
+    * per-part threshold is its own aggregation joined back (never a
+    * per-row subquery execution), and both the threshold-building scan
+    * and the probe scan push the brand filter through the broadcast
+    * part join, so each side reads only the brand's slice. Revenue
+    * rounds to cents per the house convention. The oracle keeps the
+    * textbook correlated-subquery form, so the two formulations
+    * cross-check. */
+  private def q17Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val brandParts = broadcast(Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#4").select($"p_partkey"))
+    val brandLines = li.join(brandParts, $"l_partkey" === $"p_partkey")
+    val thresholds = brandLines.groupBy($"l_partkey")
+      .agg((avg($"l_quantity") * 0.2).as("qty_cut"))
+    brandLines.join(thresholds, Seq("l_partkey"))
+      .filter($"l_quantity" < $"qty_cut")
+      .agg(round(sum($"l_extendedprice"), 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17Sql: String =
+    """SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Revenue concentration curve (`orders_pareto`): per market segment,
+    * how many of its customers carry 80% of its revenue — the Pareto
+    * question every account-management report opens with, and
+    * `supplier_hhi`'s cumulative-curve complement. Customers rank by
+    * cents-rounded revenue (ties on custkey) inside their segment; the
+    * running share is a rank window over the ALREADY-AGGREGATED
+    * per-customer frame (|customers| rows, partitioned by segment —
+    * data-sized work is the one orders aggregation). Integer
+    * cross-multiplication (`cum * 100 >= total * 80`) keeps the 80%
+    * cut exact on both engines. */
+  private def paretoDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("rev"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+    // integer cents make the cumulative compare exact
+    val cents = per.select($"c_mktsegment",
+      round($"rev" * 100).cast("long").as("rc"), $"o_custkey")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"rc".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cents.groupBy($"c_mktsegment")
+      .agg(sum($"rc").as("total"), count(lit(1)).as("n_customers"))
+    cents
+      .withColumn("cum", sum($"rc").over(w))
+      .join(tot, Seq("c_mktsegment"))
+      .filter($"cum" * 100 < $"total" * 80)
+      .groupBy($"c_mktsegment")
+      .agg((count(lit(1)) + 1).as("n_top80"),
+        first($"n_customers").as("n_customers"))
+      .select($"c_mktsegment", $"n_customers", $"n_top80",
+        expr("(n_top80 * 1000) div n_customers").as("top80_permille"))
+  }
+
+  private val paretoSql: String =
+    """WITH per AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    round(sum(o_totalprice), 2) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |c AS (SELECT c_mktsegment, o_custkey,
+      |        round(rev * 100)::BIGINT AS rc FROM per),
+      |t AS (SELECT c_mktsegment, sum(rc)::BIGINT AS total,
+      |        count(*) AS n_customers FROM c GROUP BY 1),
+      |r AS (SELECT c.c_mktsegment, rc,
+      |        sum(rc) OVER (PARTITION BY c.c_mktsegment
+      |          ORDER BY rc DESC, o_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |          AS cum,
+      |        t.total, t.n_customers
+      |      FROM c JOIN t USING (c_mktsegment))
+      |SELECT c_mktsegment, n_customers,
+      |  (count(*) + 1)::BIGINT AS n_top80,
+      |  (((count(*) + 1) * 1000) // n_customers)::BIGINT AS top80_permille
+      |FROM r WHERE cum * 100 < total * 80
+      |GROUP BY 1, 2""".stripMargin
+
   /** Supplier revenue concentration (`supplier_hhi`): per-supplier
     * revenue share and the Herfindahl–Hirschman index (Σ share², the
     * public antitrust-screening statistic) — the supply-risk number a
@@ -734,6 +828,8 @@ object Relational extends OpModule {
     "join_anti" -> (antiDf(_, _)),
     "join_asof" -> (asofDf(_, _)),
     "join_asof_tol" -> (asofTolDf(_, _)),
+    "q17_small_qty" -> (q17Df(_, _)),
+    "orders_pareto" -> (paretoDf(_, _)),
     "join_interval" -> (intervalDf(_, _)),
     "topk_per_group" -> (topkDf(_, _)),
     "agg_rollup" -> (rollupDf(_, _)),
@@ -759,6 +855,8 @@ object Relational extends OpModule {
     "join_anti" -> antiSql,
     "join_asof" -> asofSql,
     "join_asof_tol" -> asofTolSql,
+    "q17_small_qty" -> q17Sql,
+    "orders_pareto" -> paretoSql,
     "join_interval" -> intervalSql,
     "topk_per_group" -> topkSql,
     "agg_rollup" -> rollupSql,
