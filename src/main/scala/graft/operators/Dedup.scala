@@ -967,7 +967,53 @@ object Dedup extends OpModule {
        |LEFT JOIN ex e USING (content_hash)
        |LEFT JOIN nb USING (doc_id)""".stripMargin
 
+  /** Prefix width for the edit-distance verification rung. */
+  val EditPrefixChars = 64
+
+  /** Edit-distance verification of LSH candidates (`dedup_edit_verify`)
+    * — the exactness rung between banded candidacy and the shingle
+    * Jaccard: per candidate pair, the Levenshtein distance over the
+    * two documents' [[EditPrefixChars]]-char prefixes and its
+    * normalized similarity, with a `verified` verdict at 0.8. Bounded
+    * prefixes keep the O(len²) DP constant-cost per pair — the
+    * standard production compromise — and the pair list is the SAME
+    * memoized banded frame every other dedup rung consumes, so at
+    * 100 TB this is |candidates| × O(1), never all-pairs. Spark's
+    * `levenshtein` and DuckDB's agree by definition (unit-cost DP), so
+    * the verdicts hash-check. */
+  private def editVerifyDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prefixes = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, EditPrefixChars).as("prefix"))
+    minhashPairsDf(spark, dir)
+      .join(prefixes.select($"doc_id".as("doc_a"), $"prefix".as("pa")),
+        Seq("doc_a"))
+      .join(prefixes.select($"doc_id".as("doc_b"), $"prefix".as("pb")),
+        Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein($"pa", $"pb").cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        $"edit_dist" / greatest(length($"pa"), length($"pb"))
+          .cast("double"), 6))
+      .select($"doc_a", $"doc_b", $"edit_dist", $"edit_sim",
+        ($"edit_sim" >= 0.8).as("verified"))
+  }
+
+  private val editVerifySql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+       |p AS (SELECT doc_id, substr(text, 1, $EditPrefixChars) AS prefix
+       |      FROM documents)
+       |SELECT doc_a, doc_b,
+       |  levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist,
+       |  round(1.0 - levenshtein(a.prefix, b.prefix)::DOUBLE
+       |    / greatest(length(a.prefix), length(b.prefix)), 6) AS edit_sim,
+       |  round(1.0 - levenshtein(a.prefix, b.prefix)::DOUBLE
+       |    / greatest(length(a.prefix), length(b.prefix)), 6) >= 0.8
+       |    AS verified
+       |FROM pairs JOIN p a ON a.doc_id = doc_a
+       |JOIN p b ON b.doc_id = doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_verify" -> (editVerifyDf(_, _)),
     "dedup_incremental" -> (incrementalDf(_, _)),
     "dedup_exact" -> (exactDf(_, _)),
     "dedup_minhash_sig" -> (minhashDf(_, _)),
@@ -984,6 +1030,7 @@ object Dedup extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_verify" -> editVerifySql,
     "dedup_incremental" -> incrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSql,

@@ -682,6 +682,38 @@ object Relational extends OpModule {
       |FROM r WHERE cum * 100 < total * 80
       |GROUP BY 1, 2""".stripMargin
 
+  /** Ordered array aggregation (`order_line_array`): per order, its
+    * line quantities as a LINENUMBER-ORDERED array — the collect-and-
+    * keep-order shape a document/feature assembler uses — probed with
+    * array functions (element_at head/tail, a position-weighted
+    * `aggregate` fold) so the ORDER inside the array is what the hash
+    * checks, not just the multiset. One hash aggregation; arrays are
+    * per-group (≤7 lines per order), never corpus-sized. */
+  private def lineArrayDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sort_array(collect_list(struct($"l_linenumber", $"l_quantity")))
+          .as("arr"))
+      .select($"l_orderkey", $"n_items",
+        element_at($"arr", 1).getField("l_quantity").as("first_qty"),
+        element_at($"arr", -1).getField("l_quantity").as("last_qty"),
+        aggregate($"arr", lit(0L), (acc, x) =>
+          acc + (x.getField("l_quantity") * x.getField("l_linenumber"))
+            .cast("long")).as("qty_checksum"))
+  }
+
+  // the synthetic data does NOT keep l_linenumber unique per order, so
+  // the list order tie-breaks on quantity — the same lexicographic
+  // (linenumber, quantity) order the engine's struct sort uses
+  private val lineArraySql: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  (list(l_quantity ORDER BY l_linenumber, l_quantity))[1] AS first_qty,
+      |  (list(l_quantity ORDER BY l_linenumber, l_quantity))[-1] AS last_qty,
+      |  sum((l_quantity * l_linenumber)::BIGINT)::BIGINT AS qty_checksum
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Supplier revenue concentration (`supplier_hhi`): per-supplier
     * revenue share and the Herfindahl–Hirschman index (Σ share², the
     * public antitrust-screening statistic) — the supply-risk number a
@@ -830,6 +862,7 @@ object Relational extends OpModule {
     "join_asof_tol" -> (asofTolDf(_, _)),
     "q17_small_qty" -> (q17Df(_, _)),
     "orders_pareto" -> (paretoDf(_, _)),
+    "order_line_array" -> (lineArrayDf(_, _)),
     "join_interval" -> (intervalDf(_, _)),
     "topk_per_group" -> (topkDf(_, _)),
     "agg_rollup" -> (rollupDf(_, _)),
@@ -857,6 +890,7 @@ object Relational extends OpModule {
     "join_asof_tol" -> asofTolSql,
     "q17_small_qty" -> q17Sql,
     "orders_pareto" -> paretoSql,
+    "order_line_array" -> lineArraySql,
     "join_interval" -> intervalSql,
     "topk_per_group" -> topkSql,
     "agg_rollup" -> rollupSql,
