@@ -173,7 +173,8 @@ class RandomCorpusSpec extends SparkSpec {
     // zero-row corpus (null-guarded divisions, empty windows, empty
     // sketches) — the first crawl drop of a new pipeline IS this case
     Seq("text_zipf", "text_vocab_drift", "pipeline_length_buckets",
-      "dedup_lsh_curve", "text_langid_confusion", "pipeline_epochs")
+      "dedup_lsh_curve", "text_langid_confusion", "pipeline_epochs",
+      "pipeline_release_diff", "dedup_edit_verify")
       .foreach { q =>
         val rows = rowsOf(SparkEntry.queries(q)(spark, dir))
         // no verdict row may claim coverage of documents that don't exist
@@ -182,6 +183,30 @@ class RandomCorpusSpec extends SparkSpec {
             assert(n == null || n.asInstanceOf[Long] == 0L, s"$q: $r"))
         }
       }
+  }
+
+  test("Spark levenshtein equals the reference DP on random string pairs") {
+    import spark.implicits._
+    // the edit-verify rung leans on both engines agreeing on the
+    // unit-cost DP; pin the Spark side against a from-scratch reference
+    def ref(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(4242)
+    def word() = (0 until rnd.nextInt(24))
+      .map(_ => "abcde"(rnd.nextInt(5))).mkString
+    val pairs = (0 until 200).map(_ => (word(), word()))
+    val got = pairs.toDF("a", "b")
+      .select(levenshtein($"a", $"b").as("d")).as[Int].collect()
+    pairs.zip(got).foreach { case ((a, b), d) =>
+      assert(d === ref(a, b), s"levenshtein('$a','$b')")
+    }
   }
 
   test("streaming funnel equals the batch funnel on random event streams") {
