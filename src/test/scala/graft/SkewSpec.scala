@@ -336,6 +336,64 @@ class SkewSpec extends graft.SparkSpec {
     assert(Similarity.queries("dedup_semantic")(spark, sfDir()).count() > 0)
   }
 
+  test("AQE skew join splits the hot partition at runtime — the no-rewrite rescue") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // join_salted rewrites the query; AQE's skew-join handles the same
+    // hot key WITHOUT a rewrite by splitting the oversized shuffle
+    // partition at runtime and replicating the matching build side —
+    // the knob a 1000-executor job reaches for first
+    val dir = sfDir("sf0.01")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512b")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 16 partitions over 9 keys: the hot key stands alone in its
+    // reducer instead of sharing one with cold keys (4 partitions put
+    // ~3 keys per reducer and the hot one barely clears the median)
+    conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val fact = graft.sources.Tables.events(spark, dir)
+        .withColumn("skew_key", expr(Layout.skewKeySql))
+        .select($"skew_key", $"event_id", $"value")
+      val dim = Seq(("hot", 1.5) +: (8 to 15).map(i =>
+        (s"k$i", 0.5 + (i - 8) * 0.25)): _*).toDF("skew_key", "weight")
+        .repartition(4) // a real (non-broadcastable) relation shape
+      val joined = fact.join(dim.hint("merge"), Seq("skew_key"))
+      // execute THIS QueryExecution (count() would plan a fresh one and
+      // leave joined's adaptive plan un-finalized)
+      val n = joined.collect().length.toLong
+      assert(n === graft.sources.Tables.events(spark, dir).count())
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // QueryStageExec nodes do not expose their plans as children, so
+      // a structural collect cannot descend — the finalized tree string
+      // carries the (skew=true) marker instead
+      assert(finalPlan.treeString.contains("SortMergeJoin(skew=true)"),
+        s"AQE should mark the join skew-handled:\n${finalPlan.treeString}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join: SMJ keyed on (key, salt), hot key spread R ways, plain-join answer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
