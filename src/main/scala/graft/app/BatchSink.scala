@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   * lakehouse runs; a transactional table format would subsume it. */
 object BatchSink {
 
+  /** Thrown when a writer discovers it has been fenced by a newer
+    * writer's lease — its output must stop advancing immediately. */
+  final class ConcurrentWriterException(msg: String)
+    extends RuntimeException(msg)
+
+  /** A writer's fencing token for one live table: commits made through
+    * [[commitFenced]] are refused once a newer lease exists. */
+  final case class WriterLease(liveDir: String, epoch: Long)
+
   private def batchDir(liveDir: String, batchId: Long) =
     new java.io.File(s"$liveDir/batch_id=$batchId")
 
@@ -68,6 +77,65 @@ object BatchSink {
     * crash is replaced wholesale when the batch replays. */
   def commit(df: DataFrame, liveDir: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(batchDir(liveDir, batchId).toString)
+
+  // ---- writer fencing (the single-writer contract, enforced) ----
+
+  private def epochFile(liveDir: String) =
+    new java.io.File(liveDir, "_writer_epoch")
+
+  /** The table's current writer epoch; 0 before any lease exists.
+    * One long in `liveDir/_writer_epoch`, written via write-aside +
+    * atomic rename (never partially visible). */
+  def currentEpoch(liveDir: String): Long = {
+    val f = epochFile(liveDir)
+    if (!f.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLongOption.getOrElse(0L)
+  }
+
+  /** Acquire the table's writer lease by bumping the epoch — the
+    * fencing-token pattern: acquiring FENCES every earlier lease, whose
+    * [[commitFenced]] calls then refuse with
+    * [[ConcurrentWriterException]] instead of interleaving output. A
+    * stream restart naturally acquires a fresh lease, fencing any
+    * zombie of the previous run still holding the old one. This
+    * DETECTS the second writer rather than serializing it (a
+    * transactional table format's job); the contract stays one LIVE
+    * writer, now enforced instead of assumed. */
+  def acquireWriter(liveDir: String): WriterLease = {
+    val dir = new java.io.File(liveDir)
+    java.nio.file.Files.createDirectories(dir.toPath)
+    val next = currentEpoch(liveDir) + 1
+    val tmp = new java.io.File(dir, "._writer_epoch_tmp")
+    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, epochFile(liveDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    WriterLease(liveDir, next)
+  }
+
+  /** Throw iff a newer lease has fenced this one. */
+  def checkLease(lease: WriterLease): Unit = {
+    val cur = currentEpoch(lease.liveDir)
+    if (cur != lease.epoch)
+      throw new ConcurrentWriterException(
+        s"writer epoch ${lease.epoch} fenced by $cur at ${lease.liveDir} — " +
+          "a newer writer holds this table; this writer must stop")
+  }
+
+  /** [[commit]] under a lease: refuse BEFORE touching the table when
+    * fenced (the stale writer never overwrites a partition the new
+    * writer may own), and re-check AFTER the write — if fencing raced
+    * the write, the batch directory is harmless (overwrite-into-own-dir
+    * keeps replays idempotent, and the new writer replays the id from
+    * its own checkpoint) but this writer must stop advancing, so the
+    * post-check still throws. No committed batch is lost (the new
+    * writer's commits are untouched) and none is double-applied (ids
+    * key directories; the replay guard is id-based). */
+  def commitFenced(df: DataFrame, lease: WriterLease, batchId: Long): Unit = {
+    checkLease(lease)
+    commit(df, lease.liveDir, batchId)
+    checkLease(lease)
+  }
 
   /** Restore rename-aside-swapped partition directories whose swap
     * crashed between its two renames (partition missing, the dot-backup

@@ -118,7 +118,10 @@ object Live {
     * `writeStream` parquet append — which accreted unbounded small files
     * at the reference's 20 Hz cadence with no retention story. */
   private def sinkQuery(out: DataFrame, outDir: String, table: String,
-      ckptDir: String): StreamingQuery =
+      ckptDir: String): StreamingQuery = {
+    // one lease per stream start: a restart fences any zombie writer
+    // of the previous run still committing into this table
+    val lease = BatchSink.acquireWriter(s"$outDir/$table")
     out.writeStream
       .option("checkpointLocation", s"$ckptDir/$table")
       .outputMode("append")
@@ -130,11 +133,12 @@ object Live {
           // commit is skipped as a replay
           val rows = df.count()
           if (rows > 0 && !BatchSink.alreadyCommitted(s"$outDir/$table", batchId))
-            BatchSink.commit(df, s"$outDir/$table", batchId)
+            BatchSink.commitFenced(df, lease, batchId)
         } finally df.unpersist()
         ()
       }
       .start()
+  }
 
   /** The live table for consumers (committed recent ∪ archive). */
   def readSink(spark: SparkSession, outDir: String,
@@ -591,6 +595,8 @@ object Live {
       ckptDir: String): StreamingQuery = {
     // heal a crash that predates this restart before any new batch lands
     healPending(spark, outDir)
+    // fence any zombie writer of a previous run (see sinkQuery)
+    val lease = BatchSink.acquireWriter(s"$outDir/trades")
     Streams.positionEvents(signalSource(spark, signalsDir))
       .writeStream
       .option("checkpointLocation", s"$ckptDir/trades")
@@ -605,10 +611,13 @@ object Live {
           // replay — only the side effects below are guarded
           val rows = df.count()
           if (rows > 0 && !alreadyCommitted(spark, outDir, batchId)) {
+            // refuse BEFORE the marker when fenced: a stale writer must
+            // not even re-arm the pending-refresh heal path
+            BatchSink.checkLease(lease)
             // marker BEFORE the append: a crash anywhere up to the
             // marker delete re-runs the (idempotent) refreshes
             markPending(outDir, batchId)
-            commitBatch(df, outDir, batchId)
+            BatchSink.commitFenced(df, lease, batchId)
             refreshDailySummary(spark, outDir,
               df.filter(col("action") === "EXIT"), batchId)
             refreshOrders(spark, outDir, df, batchId)

@@ -314,10 +314,17 @@ object Audit extends OpModule {
     // Memoized — four sketches (base, delta, merged, full) read this
     // frame, and without the checkpoint each re-executes the
     // scan+explode+distinct+md5 subtree (measured 3.3 s → ~1 s at sf0.1)
+    // the OUTER distinct is post-hash on (column, is_delta, h) — the
+    // oracle's canon: a 32-bit collision between two distinct values on
+    // the same side must collapse to ONE sketch row on both engines,
+    // or the colliding h inflates `seen` and shifts the kth value only
+    // on the Spark side (at sf0.1's ~150k distinct orderkeys a
+    // collision somewhere is likely)
     val hashes = graft.functions.DfMemo.cached(spark, s"stats_inc_h:$dir")(
       tagged.distinct()
         .select($"column", $"is_delta",
-          graft.functions.ColFns.hex32($"v").as("h")))
+          graft.functions.ColFns.hex32($"v").as("h"))
+        .distinct())
     def bottomK(df: DataFrame): DataFrame = {
       val w = Window.partitionBy($"column").orderBy($"h")
       df.withColumn("rn", row_number().over(w)).filter($"rn" <= KmvColK)

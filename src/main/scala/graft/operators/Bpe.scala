@@ -33,21 +33,24 @@ import graft.OpModule
   * counts, one hash aggregation, the same `doc_toks` frame five other
   * families share); training then runs on the VOCABULARY-sized frame
   * (|word types|, millions at 100 TB — not corpus-sized) with
-  * INCREMENTAL pair-count maintenance: the standing (l, r, cnt) table
-  * is built once, and each round (a) argmaxes it IN-PLAN — a 1-row
-  * checkpointed frame crossJoin-broadcast into the rewrite, so the
-  * winning pair's value never visits the driver inside the loop —
-  * (b) rewrites ONLY the words containing the winning pair, and
-  * (c) applies the exact count delta (new pairs minus old pairs of
-  * the touched words) back onto the standing table. Per-round
-  * explode+shuffle work is proportional to the TOUCHED subset, not
-  * the vocabulary — the fix that makes ~30k production merges
-  * tractable where a per-round full recount is quadratic; the driver
-  * keeps only loop control (a per-round existence boolean) and
-  * collects the n-row merges table once after the loop. BpeSpec
-  * proves incremental ≡ full recount at N=200 on random corpora, and
-  * the DuckDB oracle (a 12-level full recount) cross-checks every
-  * shipped query against the incremental engine.
+  * INCREMENTAL pair-count maintenance AND BATCHED rounds: the standing
+  * (l, r, cnt) table is built once, and each round (a) accepts a
+  * compatible batch of up to [[trainOn]]'s `batchK` top pairs whose
+  * one-pass application is provably identical to one-merge-at-a-time
+  * training ([[acceptBatch]] — non-chaining, output-disjoint, count-
+  * dominant), (b) rewrites ONLY the words containing an accepted
+  * pair, and (c) applies the exact count delta (new pairs minus old
+  * pairs of the touched words) back onto the standing table. Per-round
+  * explode+shuffle work is proportional to the TOUCHED subset, not the
+  * vocabulary, and a production ~30k-merge vocabulary costs ~N/k
+  * Spark jobs, not N — the two fixes that beat the quadratic
+  * recount-every-round formulation. The per-round driver traffic is
+  * the ≤ batchK candidate rows (bounded; a per-round sync is loop
+  * control and exists in any formulation — batching amortizes it).
+  * BpeSpec proves incremental ≡ full recount AND batched ≡ sequential
+  * at N=200 on random corpora, and the DuckDB oracle (a 12-level full
+  * recount) cross-checks every shipped query against the incremental
+  * batched engine.
   * Encoding against the learned vocabulary ([[encodeDf]]) is a
   * broadcast join of the final word-type segmentation back onto the
   * token stream — the merges table itself is [[BpeMergesN]] rows.
@@ -68,20 +71,27 @@ object Bpe extends OpModule {
   private val cache = new java.util.WeakHashMap[
     SparkSession, scala.collection.mutable.Map[String, (Seq[Merge], DataFrame)]]()
 
-  /** Greedy left-to-right application of merge (l, r) to a symbol
-    * array, as a sequential fold: append each symbol unless it extends
-    * the pending pair, in which case the just-appended `l` is replaced
-    * by the merged symbol. A replacement cannot immediately re-merge
-    * (the merged symbol `l+r` is strictly longer than `l`), which is
-    * exactly greedy non-overlapping semantics. `l`/`r` are COLUMNS so
-    * the winning pair can come off the crossJoined 1-row argmax frame
-    * — the value never has to visit the driver. */
-  private def mergeFold(syms: Column, l: Column, r: Column): Column =
+  /** Greedy left-to-right application of a BATCH of mutually
+    * independent merges to a symbol array, as a sequential fold: append
+    * each symbol unless (last, x) is one of the accepted pairs, in
+    * which case the just-appended left symbol is replaced by the merged
+    * symbol. `accepted` is a literal `array<struct<l,r>>` shipped in
+    * the plan (k rows, broadcast by value). Batch-compatibility
+    * ([[acceptBatch]]) guarantees matches of DISTINCT accepted pairs
+    * never overlap and no accepted pair consumes another's output
+    * symbol, so one fold pass equals applying the accepted merges
+    * sequentially in rank order; within a single pair's own run
+    * ("aaa" + (a,a)) the fold is greedy non-overlapping exactly as
+    * sequential BPE (a replacement cannot immediately re-merge — the
+    * merged symbol is excluded as an accepted left side). */
+  private def mergeFold(syms: Column, accepted: Column): Column =
     aggregate(syms,
       array().cast("array<string>"),
       (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
-          concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        when(size(acc) > 0 && array_contains(accepted,
+            struct(element_at(acc, -1).as("l"), x.as("r"))),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
           .otherwise(concat(acc, array(x))))
 
   /** Adjacent-pair structs of a symbol array (naive counts: every
@@ -95,24 +105,93 @@ object Bpe extends OpModule {
           element_at(syms, i + 1).as("r"))))
       .otherwise(array().cast("array<struct<l:string,r:string>>"))
 
+  /** One round's candidate pair (standing naive count attached). */
+  private[graft] case class Cand(l: String, r: String, cnt: Long)
+
+  /** Batch acceptance (the SentencePiece-style trick that makes a
+    * production vocabulary N/k jobs instead of N): from the standing
+    * pair table's top-`fetched` candidates, sorted by (cnt DESC, l, r),
+    * accept the longest PREFIX of pairwise-compatible pairs whose
+    * sequential application is PROVABLY identical to one-at-a-time
+    * training. Two accepted pairs p, q must not
+    *
+    *  - chain (`p.r == q.l` or `q.r == p.l`): applying one would
+    *    destroy occurrences of the other, changing its count;
+    *  - consume each other's output (`q.l` or `q.r` string-equal to
+    *    `p.l + p.r`, either direction): the earlier merge would CREATE
+    *    occurrences of the later pair.
+    *
+    * The scan STOPS at the first conflicting candidate (never skips —
+    * a skipped chained pair might still be sequential's next argmax
+    * after its count drops), and the accepted prefix is then truncated
+    * to counts STRICTLY ABOVE the stop bound: every pair chaining with
+    * an accepted one ranks at/after the stop (else it would have been
+    * accepted — contradiction with pairwise compatibility), so every
+    * pair a batch merge can create — (x, m) bounded by standing
+    * cnt(x, p.l), (m, y) by cnt(p.r, y), (m, m') by cnt(p.r, q.l),
+    * all chaining pairs — counts at most the stop bound and can never
+    * outrank an accepted pair at its sequential turn. Unaccepted
+    * independent pairs rank at/after the last accepted (sorted prefix)
+    * and old counts never increase, so each accepted pair IS the
+    * argmax sequential training would pick at its rank. When all
+    * `fetched` candidates are compatible but the table may hold more
+    * rows (`mayHaveMore`), the last fetched count becomes the stop
+    * bound (unseen pairs rank at/under it). The head candidate is the
+    * exact standing argmax and is always safe, so acceptance never
+    * returns empty on non-empty input. */
+  private[graft] def acceptBatch(cands: Seq[Cand],
+      mayHaveMore: Boolean): Seq[Cand] = {
+    val acc = scala.collection.mutable.ArrayBuffer[Cand]()
+    var stop: Option[Long] = None
+    val it = cands.iterator
+    while (it.hasNext && stop.isEmpty) {
+      val c = it.next()
+      val conflict = acc.exists { p =>
+        p.r == c.l || c.r == p.l ||
+          c.l == p.l + p.r || c.r == p.l + p.r ||
+          p.l == c.l + c.r || p.r == c.l + c.r
+      }
+      if (conflict) stop = Some(c.cnt) else acc += c
+    }
+    if (stop.isEmpty && mayHaveMore && cands.nonEmpty)
+      stop = Some(cands.last.cnt)
+    val kept = stop match {
+      case Some(s) => acc.takeWhile(_.cnt > s).toSeq
+      case None => acc.toSeq
+    }
+    if (kept.isEmpty) cands.take(1) else kept
+  }
+
   /** The training loop over an explicit word-type frame `(tok, freq,
-    * syms)` — both engines of the property proof:
+    * syms)` — both engines of the property proofs:
     *
     *  - `incremental = true` (the shipped path): maintain the standing
-    *    (l, r, cnt) pair-count table across rounds; each round argmaxes
-    *    it (one-row collect), rewrites only the words CONTAINING the
-    *    winning pair, and folds the exact touched-word count delta back
-    *    in. Per-round shuffle work ∝ touched words.
+    *    (l, r, cnt) pair-count table across rounds; each round accepts
+    *    a compatible BATCH of top pairs ([[acceptBatch]]), rewrites
+    *    only the words CONTAINING an accepted pair, and folds the exact
+    *    touched-word count delta back in. Per-round shuffle work ∝
+    *    touched words; rounds ≈ n / batch size.
     *  - `incremental = false`: the reference full recount (every round
     *    re-aggregates all pairs from scratch) — quadratic, kept as the
     *    in-engine reference the property spec compares against.
+    *  - `batchK = 1` degenerates to strictly one-merge-per-round
+    *    training — the reference engine for the batched ≡ sequential
+    *    property (BpeSpec).
     *
-    * `strict = true` throws on pair exhaustion before `n` merges (the
-    * shipped queries' contract); `strict = false` stops early (the
-    * property spec's random corpora may exhaust below its N=50).
-    * Frames are re-checkpointed per round so lineage never stacks. */
+    * Per round the driver collects the ≤ batchK candidate rows (a
+    * BOUNDED collect — the acceptance scan is inherently sequential
+    * over a handful of rows, and a per-round driver sync already exists
+    * as loop control; batching amortizes it k-fold, which is the real
+    * scale lever — the round-8 in-plan argmax kept one pinned 1-row
+    * checkpoint per round plus an n-way union, strictly worse at
+    * production merge counts) and ships the accepted pairs back as a
+    * LITERAL struct array in the rewrite plan. `strict = true` throws
+    * on pair exhaustion before `n` merges (the shipped queries'
+    * contract); `strict = false` stops early. Frames are
+    * re-checkpointed per round so lineage never stacks. */
   private[graft] def trainOn(spark: SparkSession, words0: DataFrame, n: Int,
-      incremental: Boolean, strict: Boolean = true): (Seq[Merge], DataFrame) = {
+      incremental: Boolean, strict: Boolean = true,
+      batchK: Int = 64): (Seq[Merge], DataFrame) = {
     import spark.implicits._
     var words = words0.localCheckpoint()
     var pc: DataFrame =
@@ -121,41 +200,38 @@ object Bpe extends OpModule {
           .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
           .localCheckpoint()
       else null
-    // Each round's argmax stays IN the plan: a 1-row checkpointed frame
-    // crossJoin-broadcast into the rewrite, so the winning pair's VALUE
-    // never round-trips through the driver inside the loop (at a
-    // 1000-executor scale the collect was a per-round driver
-    // synchronization on data, not just on control flow). The only
-    // driver-side signal per round is the boolean "a pair still exists"
-    // (loop control); the merges table itself is collected ONCE after
-    // the loop, n rows.
-    val bests = Seq.newBuilder[DataFrame]
+    val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= n && !exhausted) {
-      val best =
+      val fetch = math.min(batchK, n - rank + 1)
+      val cands =
         (if (incremental) pc.filter($"cnt" > 0)
          else words
            .select($"freq", explode(pairsCol($"syms")).as("p"))
            .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt")))
           .orderBy($"cnt".desc, $"l", $"r")
-          .limit(1)
-          .select($"l".as("_bl"), $"r".as("_br"), $"cnt".as("_bc"))
-          .localCheckpoint()
-      if (best.count() == 0L) {
+          .limit(fetch)
+          .collect()
+          .map(r => Cand(r.getAs[String]("l"), r.getAs[String]("r"),
+            r.getAs[Long]("cnt")))
+          .toSeq
+      if (cands.isEmpty) {
         if (strict) throw new IllegalStateException(
           s"BPE: no pair left at round $rank — corpus fully merged")
         exhausted = true
       } else {
-        bests += best
-        val wb = words.crossJoin(broadcast(best))
+        val accepted = acceptBatch(cands, mayHaveMore = cands.size == fetch)
+        merges ++= accepted.zipWithIndex.map { case (c, i) =>
+          Merge(rank + i, c.l, c.r, c.cnt) }
+        val accLit = array(accepted.map(c =>
+          struct(lit(c.l).as("l"), lit(c.r).as("r"))): _*)
         if (incremental) {
-          // only words containing the winning pair change this round
-          val hasPair = exists(pairsCol($"syms"),
-            p => p.getField("l") === $"_bl" && p.getField("r") === $"_br")
-          val touched = wb.filter(hasPair)
+          // only words containing an accepted pair change this round
+          val hasPair = arrays_overlap(pairsCol($"syms"), accLit)
+          val touched = words.filter(hasPair)
           val merged = touched
-            .withColumn("syms", mergeFold($"syms", $"_bl", $"_br"))
+            .withColumn("syms", mergeFold($"syms", accLit))
           // exact delta: new pairs of the rewritten words minus their
           // old pairs, frequency-weighted — by construction the
           // standing table stays equal to a full recount
@@ -172,8 +248,8 @@ object Bpe extends OpModule {
           // union concatenates partition lists — without the coalesce
           // the frame doubles its partition count every round (2^N task
           // overhead by round N); fold back to the standing layout
-          val next = wb.filter(!hasPair).drop("_bl", "_br", "_bc")
-            .unionByName(merged.drop("_bl", "_br", "_bc"))
+          val next = words.filter(!hasPair)
+            .unionByName(merged)
             .coalesce(math.max(words.rdd.getNumPartitions, 1))
             .localCheckpoint()
           graft.functions.DfMemo.release(pc)
@@ -181,32 +257,18 @@ object Bpe extends OpModule {
           pc = pcNext
           words = next
         } else {
-          // mergeFold is the identity on words lacking the pair
-          val next = wb
-            .withColumn("syms", mergeFold($"syms", $"_bl", $"_br"))
-            .drop("_bl", "_br", "_bc")
+          // mergeFold is the identity on words lacking an accepted pair
+          val next = words
+            .withColumn("syms", mergeFold($"syms", accLit))
             .localCheckpoint()
           graft.functions.DfMemo.release(words)
           words = next
         }
-        rank += 1
+        rank += accepted.size
       }
     }
     if (pc != null) graft.functions.DfMemo.release(pc)
-    val bestFrames = bests.result()
-    val merges: Seq[Merge] =
-      if (bestFrames.isEmpty) Seq.empty
-      else bestFrames.zipWithIndex
-        .map { case (df, i) =>
-          df.withColumn("merge_rank", lit((i + 1).toLong)) }
-        .reduce(_ unionByName _).orderBy($"merge_rank")
-        .collect()
-        .map(row => Merge(row.getAs[Long]("merge_rank").toInt,
-          row.getAs[String]("_bl"), row.getAs[String]("_br"),
-          row.getAs[Long]("_bc")))
-        .toSeq
-    bestFrames.foreach(graft.functions.DfMemo.release)
-    (merges, words)
+    (merges.result(), words)
   }
 
   /** The character-segmented word-type frame of a corpus — the ONE

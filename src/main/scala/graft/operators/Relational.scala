@@ -648,12 +648,19 @@ object Relational extends OpModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cents.groupBy($"c_mktsegment")
       .agg(sum($"rc").as("total"), count(lit(1)).as("n_customers"))
+    // n_top80 = FIRST rank whose running share crosses 80% — min over
+    // the crossing rows, not count(pre-crossing)+1: the count form
+    // leaves ZERO rows (segment vanishes) when the top customer alone
+    // carries >=80%, where the min form correctly reports n_top80 = 1.
+    // cum is non-decreasing so both agree everywhere else.
+    val wRank = Window.partitionBy($"c_mktsegment")
+      .orderBy($"rc".desc, $"o_custkey")
     cents
+      .withColumn("rn", row_number().over(wRank))
       .withColumn("cum", sum($"rc").over(w))
       .join(tot, Seq("c_mktsegment"))
-      .filter($"cum" * 100 < $"total" * 80)
       .groupBy($"c_mktsegment")
-      .agg((count(lit(1)) + 1).as("n_top80"),
+      .agg(min(when($"cum" * 100 >= $"total" * 80, $"rn")).as("n_top80"),
         first($"n_customers").as("n_customers"))
       .select($"c_mktsegment", $"n_customers", $"n_top80",
         expr("(n_top80 * 1000) div n_customers").as("top80_permille"))
@@ -670,6 +677,8 @@ object Relational extends OpModule {
       |t AS (SELECT c_mktsegment, sum(rc)::BIGINT AS total,
       |        count(*) AS n_customers FROM c GROUP BY 1),
       |r AS (SELECT c.c_mktsegment, rc,
+      |        row_number() OVER (PARTITION BY c.c_mktsegment
+      |          ORDER BY rc DESC, o_custkey) AS rn,
       |        sum(rc) OVER (PARTITION BY c.c_mktsegment
       |          ORDER BY rc DESC, o_custkey
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
@@ -677,10 +686,11 @@ object Relational extends OpModule {
       |        t.total, t.n_customers
       |      FROM c JOIN t USING (c_mktsegment))
       |SELECT c_mktsegment, n_customers,
-      |  (count(*) + 1)::BIGINT AS n_top80,
-      |  (((count(*) + 1) * 1000) // n_customers)::BIGINT AS top80_permille
-      |FROM r WHERE cum * 100 < total * 80
-      |GROUP BY 1, 2""".stripMargin
+      |  min(CASE WHEN cum * 100 >= total * 80 THEN rn END)::BIGINT
+      |    AS n_top80,
+      |  ((min(CASE WHEN cum * 100 >= total * 80 THEN rn END) * 1000)
+      |    // n_customers)::BIGINT AS top80_permille
+      |FROM r GROUP BY 1, 2""".stripMargin
 
   /** Ordered array aggregation (`order_line_array`): per order, its
     * line quantities as a LINENUMBER-ORDERED array — the collect-and-

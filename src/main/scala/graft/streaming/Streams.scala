@@ -1203,14 +1203,18 @@ object Streams {
       }
   }
 
-  case class ResampleState(openBucket: Long, openValue: Double)
+  case class ResampleState(openBucket: Long, openValue: Double,
+    openId: Long)
   case class ResampleRow(event_type: String, bucket: Long, value: Double,
     is_gap: Boolean)
 
   /** Streaming regular-grid resampler — the live twin of batch
     * `flow_resample`: per event_type the monitor carries the OPEN
     * hourly bucket (still accumulating; a bucket may straddle any
-    * number of triggers) and its last-by-(ts, event_id) value; a
+    * number of triggers) and its max-by-event_id value — the IDENTICAL
+    * tie-break batch `flow_resample` uses (`max_by(value, event_id)`),
+    * so the twins agree even on feeds where id order and ts order
+    * diverge within a bucket; a
     * strictly later observation CLOSES the open bucket — emitting its
     * observed row plus one forward-filled `is_gap` row per silent
     * bucket in between — and opens the new one. Emit-on-close is what
@@ -1235,16 +1239,22 @@ object Streams {
       .flatMapGroupsWithState[ResampleState, ResampleRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (etype, it, state) =>
-          val sorted = it.toSeq.sortBy(e => (e._3, e._2))
-          // last-by-(ts, event_id) value per observed bucket, ascending
-          val perBucket = scala.collection.mutable.LinkedHashMap[Long, Double]()
-          sorted.foreach { case (_, _, ts, v) => perBucket(ts / H) = v }
+          // max-by-event_id value per observed bucket — the SAME
+          // tie-break as batch `max_by(value, event_id)`, deliberately
+          // ignoring ts within a bucket (the monitor carries openId so
+          // the rule also holds when one bucket straddles triggers)
+          val perBucket = scala.collection.mutable.Map[Long, (Long, Double)]()
+          it.foreach { case (_, id, ts, v) =>
+            val b = ts / H
+            if (!perBucket.get(b).exists(_._1 >= id)) perBucket(b) = (id, v)
+          }
           val out = scala.collection.mutable.ArrayBuffer[ResampleRow]()
           var st = state.getOption.orNull
-          perBucket.toSeq.sortBy(_._1).foreach { case (b, v) =>
-            if (st == null) st = ResampleState(b, v)
-            else if (b == st.openBucket) st = ResampleState(b, v)
-            else {
+          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v)) =>
+            if (st == null) st = ResampleState(b, v, id)
+            else if (b == st.openBucket) {
+              if (id > st.openId) st = ResampleState(b, v, id)
+            } else {
               // close the open bucket, fill the silence, open the new one
               out += ResampleRow(etype, st.openBucket, st.openValue,
                 is_gap = false)
@@ -1253,7 +1263,7 @@ object Streams {
                 out += ResampleRow(etype, g, st.openValue, is_gap = true)
                 g += 1
               }
-              st = ResampleState(b, v)
+              st = ResampleState(b, v, id)
             }
           }
           if (st != null) state.update(st)

@@ -57,6 +57,49 @@ class AppSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/orders").count() == 1)
   }
 
+  test("two-writer fencing: a second writer fences the first; no batch lost or double-applied") {
+    import graft.app.BatchSink
+    val out = Files.createTempDirectory("graft_fence").toString
+    val dir = s"$out/trades"
+    val key = Seq("bucket", "symbol")
+    val rowsA0 = eventDf(Seq(
+      (2L, "EXIT", "LONG", 1L, 100.0, Some(104.0), Some(4.0), Some("TP_HIT"), "SYM")))
+    val rowsB0 = eventDf(Seq(
+      (30L, "EXIT", "SHORT", 29L, 50.0, Some(48.0), Some(2.0), Some("TP_HIT"), "SYM")))
+    val rowsA1 = eventDf(Seq(
+      (40L, "EXIT", "LONG", 39L, 70.0, Some(71.0), Some(1.0), Some("TP_HIT"), "SYM")))
+    // writer A holds the lease and lands batch 0
+    val leaseA = BatchSink.acquireWriter(dir)
+    BatchSink.commitFenced(rowsA0, leaseA, 0L)
+    assert(BatchSink.alreadyCommitted(dir, 0L))
+    // writer B acquires: FENCES A (a restart or a mistakenly-launched
+    // duplicate job), then lands its own batch 1
+    val leaseB = BatchSink.acquireWriter(dir)
+    BatchSink.commitFenced(rowsB0, leaseB, 1L)
+    // the interleaved commit: stale A tries to land batch 2 — refused
+    // BEFORE touching the table
+    val ex = intercept[BatchSink.ConcurrentWriterException] {
+      BatchSink.commitFenced(rowsA1, leaseA, 2L)
+    }
+    assert(ex.getMessage.contains("fenced"))
+    assert(!BatchSink.alreadyCommitted(dir, 2L),
+      "the fenced writer's refused batch must not look committed")
+    // stale A must not overwrite a batch the live writer owns either
+    intercept[BatchSink.ConcurrentWriterException] {
+      BatchSink.commitFenced(rowsA1, leaseA, 1L)
+    }
+    // no committed batch lost, none double-applied: exactly A's batch 0
+    // and B's batch 1 survive, each once
+    val table = BatchSink.read(spark, dir, key).get.collect()
+    assert(table.length == 2)
+    assert(table.map(_.getAs[Long]("bucket")).toSet == Set(2L, 30L))
+    // the epoch survives compaction and read paths untouched
+    assert(BatchSink.currentEpoch(dir) == leaseB.epoch)
+    // B keeps writing under its live lease
+    BatchSink.commitFenced(rowsA1, leaseB, 2L)
+    assert(BatchSink.read(spark, dir, key).get.count() == 3)
+  }
+
   test("derived-table refresh never touches the trades table (per-batch work is O(batch))") {
     val out = Files.createTempDirectory("graft_nobase").toString
     // NO trades table exists in this outDir: the refreshes must still

@@ -155,6 +155,38 @@ class BpeSpec extends SparkSpec {
     assert(segs(wi) == segs(wr), s"seed $seed: segmentations diverged")
   }
 
+  test("batched training equals strictly-sequential training at N=200") {
+    import org.apache.spark.sql.DataFrame
+    def segs(df: DataFrame) = {
+      import spark.implicits._
+      df.select($"tok", $"syms").as[(String, Seq[String])].collect().toMap
+    }
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(8000 + seed)
+      val pool = (0 until 90).map(_ =>
+        (1 to 3 + rnd.nextInt(10)).map(_ => "abcdef"(rnd.nextInt(6))).mkString)
+        .distinct
+      val docs = (0 until 60).map { i =>
+        (i.toLong,
+          (0 until 4 + rnd.nextInt(10)).map(_ => pool(rnd.nextInt(pool.size)))
+            .mkString(" "), "en")
+      }
+      val dir = writeDocsFixture(docs)
+      // batchK=64 (the shipped default) vs batchK=1 (one merge per
+      // round — the definitionally-sequential reference): identical
+      // merge sequences, counts, and final segmentations, proving the
+      // acceptBatch compatibility rules preserve exact BPE semantics
+      // while cutting the job count ~k-fold
+      val (mb, wb) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 200,
+        incremental = true, strict = false)
+      val (ms, ws) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 200,
+        incremental = true, strict = false, batchK = 1)
+      assert(mb == ms, s"seed $seed: batched merge sequence diverged")
+      assert(mb.size >= 200, s"seed $seed: want a deep chain, got ${mb.size}")
+      assert(segs(wb) == segs(ws), s"seed $seed: segmentations diverged")
+    }
+  }
+
   test("BPE training fails loudly when the corpus exhausts before N merges") {
     val dir = writeDocsFixture(Seq((1L, "ab ab", "en")))
     val ex = intercept[IllegalStateException] {

@@ -368,9 +368,14 @@ class SkewSpec extends graft.SparkSpec {
     // ~3 keys per reducer and the hot one barely clears the median)
     conf.set("spark.sql.shuffle.partitions", "16")
     try {
+      // AQE splits a skewed reducer partition by MAP-INDEX ranges — a
+      // single-file sf0.01 scan yields ONE map task, and one mapper is
+      // unsplittable, so OptimizeSkewedJoin can never fire regardless
+      // of conf. Give the fact side >=2 map tasks first.
       val fact = graft.sources.Tables.events(spark, dir)
         .withColumn("skew_key", expr(Layout.skewKeySql))
         .select($"skew_key", $"event_id", $"value")
+        .repartition(8)
       val dim = Seq(("hot", 1.5) +: (8 to 15).map(i =>
         (s"k$i", 0.5 + (i - 8) * 0.25)): _*).toDF("skew_key", "weight")
         .repartition(4) // a real (non-broadcastable) relation shape

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Derive a ~sf1 testdata slice from sf0.1 by 10x replication (driver-side
+tooling, like verify_local.py — not engine code).
+
+Usage: python3 tools/scale_up.py [srcDir] [dstDir] [replicas]
+Defaults: /root/testdata/sf0.1 /tmp/sf1_derived 10
+
+Replication is NOT a blind copy — each replica is perturbed so derived data
+keeps the original's statistical shape without manufacturing pathologies the
+real sf1 would not have:
+  - fact keys shift per replica (orderkey/custkey/doc_id/vec_id/event_id
+    spaces stay disjoint), so key cardinalities scale with volume;
+  - documents rotate their word order per replica (breaks nearly every
+    shingle), so the near-dup detectors don't see a synthetic 10-way
+    duplicate of the whole corpus — candidate-pair volume scales linearly
+    like a real corpus, not quadratically like a copy;
+  - embeddings get a small deterministic per-replica offset, keeping the
+    cluster structure while making vectors distinct;
+  - event timestamps jitter a few ms per replica so time-ordered windows
+    keep a deterministic order (no 10-deep exact-timestamp ties);
+  - dimension tables (region/nation/supplier/part) copy through unscaled,
+    exactly like TPC-H's fixed-size dims.
+"""
+import sys, os, shutil
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_derived"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+def write(table, per_replica_sql):
+    parts = [per_replica_sql.format(k=k, src=f"'{src}/{table}.parquet'")
+             for k in range(R)]
+    q = "COPY (" + "\nUNION ALL\n".join(parts) + \
+        f") TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+    con.execute(q)
+    n = con.execute(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+write("events", """
+  SELECT event_id + {k} * 10000000 AS event_id,
+         ts + INTERVAL ({k} * 7) MILLISECOND AS ts,
+         user_id + {k} * 1000000 AS user_id,
+         event_type, value, props
+  FROM {src}""")
+
+write("documents", """
+  SELECT doc_id + {k} * 1000000 AS doc_id,
+         CASE WHEN {k} = 0 THEN text
+              ELSE array_to_string(list_concat(
+                toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
+                toks[: (({k} * 7) % GREATEST(len(toks), 1))]), ' ')
+         END AS text,
+         lang, source,
+         CASE WHEN {k} = 0 THEN n_chars
+              ELSE length(array_to_string(list_concat(
+                toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
+                toks[: (({k} * 7) % GREATEST(len(toks), 1))]), ' '))::BIGINT
+         END AS n_chars
+  FROM (SELECT *, string_split(text, ' ') AS toks FROM {src})""")
+
+write("embeddings", """
+  SELECT vec_id + {k} * 1000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> (embedding[i] + (({k} * 31 + i * 7) % 13 - 6) * 0.003)::FLOAT
+         )::FLOAT[] AS embedding,
+         label
+  FROM {src}""")
+
+write("orders", """
+  SELECT o_orderkey + {k} * 10000000 AS o_orderkey,
+         o_custkey + {k} * 1000000 AS o_custkey,
+         o_orderstatus, o_totalprice,
+         o_orderdate + INTERVAL ({k} * 7) MILLISECOND AS o_orderdate,
+         o_orderpriority
+  FROM {src}""")
+
+write("lineitem", """
+  SELECT l_orderkey + {k} * 10000000 AS l_orderkey,
+         l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate + INTERVAL ({k} * 7) MILLISECOND AS l_shipdate
+  FROM {src}""")
+
+write("customer", """
+  SELECT c_custkey + {k} * 1000000 AS c_custkey,
+         c_name || '_r{k}' AS c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM {src}""")
+
+for dim in ["region", "nation", "supplier", "part"]:
+    shutil.copyfile(f"{src}/{dim}.parquet", f"{dst}/{dim}.parquet")
+    print(f"{dim}: copied")
+
+print(f"done -> {dst}")
