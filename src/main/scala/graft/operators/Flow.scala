@@ -306,26 +306,35 @@ object Flow {
     * PRECEDING` is VALUE-based, so the frame holds however many rows
     * fell in the trailing hour (irregular arrival-friendly — a ROWS
     * frame would silently change meaning with event rate). Per event:
-    * the trailing-hour event count and a round-6 trailing mean per
-    * type. Partitioned by event_type like every keyed window; the range
-    * key is the integer ts_us so both engines bound the frame
-    * identically. */
+    * the trailing-hour event count and the trailing mean per type.
+    * Partitioned by event_type like every keyed window; the range key
+    * is the integer ts_us so both engines bound the frame identically.
+    * The mean goes through EXACT integer cents (`value` has 2-decimal
+    * provenance): a round-6 of a windowed double avg flipped its last
+    * digit at sf0.1 when one frame's sum landed on a half-boundary and
+    * the engines' summation trees differed by an ulp — an
+    * order-independent integer sum divided by the count is the same
+    * double bit-for-bit on both engines, no quantization boundary at
+    * all. */
   private def rangeWindowDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"ts_us")
       .rangeBetween(-(HourUs - 1), 0)
     Tables.events(spark, dir)
-      .select($"event_id", $"event_type", $"ts_us", $"value")
+      .select($"event_id", $"event_type", $"ts_us",
+        round($"value" * 100).cast("long").as("cents"))
       .withColumn("n_trail_1h", count(lit(1)).over(w))
-      .withColumn("mean_trail_1h", round(avg($"value").over(w), 6))
+      .withColumn("mean_trail_1h",
+        sum($"cents").over(w) / $"n_trail_1h" / 100.0)
       .select($"event_id", $"event_type", $"n_trail_1h", $"mean_trail_1h")
   }
 
   private val rangeWindowSql: String =
     s"""SELECT event_id, event_type,
        |  count(*) OVER w AS n_trail_1h,
-       |  round(avg(value) OVER w, 6) AS mean_trail_1h
-       |FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+       |  sum(cents) OVER w / (count(*) OVER w) / 100.0 AS mean_trail_1h
+       |FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+       |        round(value * 100)::BIGINT AS cents
        |      FROM events) e
        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
        |             RANGE BETWEEN ${HourUs - 1} PRECEDING AND CURRENT ROW)

@@ -221,6 +221,31 @@ object Similarity extends OpModule {
   private def multiWSql(t: String, b: String, i: String): String =
     s"(${ColFns.hex32Sql(s"($t)::VARCHAR || '_' || ($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
 
+  /** Occupancy target for the multi-table signature: bucket WIDTH grows
+    * with the corpus so a table's 2^bits buckets hold ~[[EmbBucketTarget]]
+    * vectors each on average. With FIXED bits the banded self-join is
+    * secretly quadratic — 10× vectors in the same 2^6 buckets is 100×
+    * the candidate pairs (measured: `dedup_embedding` 0.45 s → 24× at a
+    * derived sf1; see PLANS.md §Scaling point) — exactly the hot-shingle
+    * trap [[Dedup.HotShingleCap]] guards in text space. Bits are chosen
+    * by EXACT INTEGER logic (smallest b in [6,16] with 2^b · target ≥ n,
+    * so no float-log boundary can disagree between engines); at the
+    * oracle gates (sf0.01: 200, sf0.1: 2 000 vectors) this stays at the
+    * historical 6 bits, and the derived sf1 (20 000) moves to 9 —
+    * per-bucket occupancy, and with it candidate-pair volume per vector,
+    * is then scale-invariant: the 100 TB story is "bits = log2(n/64)",
+    * not "hope the buckets stay thin". The n it keys on is ONE bounded
+    * driver-side count (a scalar, same category as the partition-pruning
+    * literals). More bits also means fewer candidates per query — the
+    * standard LSH recall/cost dial, measured by `ann_recall_multi`. */
+  val EmbBucketTarget = 64
+  val LshBitsMin = 6
+  val LshBitsMax = 16
+
+  private[graft] def adaptiveBits(n: Long): Int =
+    (LshBitsMin to LshBitsMax)
+      .find(b => (1L << b) * EmbBucketTarget >= n).getOrElse(LshBitsMax)
+
   /** Per-(vector, table) bucket ids. Persisted: the signature frame feeds
     * both sides of the candidate self-joins in `ann_multi_topk` and
     * `dedup_embedding` (and the recall pass re-derives them). */
@@ -230,16 +255,19 @@ object Similarity extends OpModule {
 
   private def multiSigUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one bounded driver-side scalar: the corpus size that picks the
+    // signature width (deterministic per dir, so the memo key holds)
+    val bits = adaptiveBits(Tables.embeddings(spark, dir).count())
     // planes flattened to T*B rows; posexplode index decomposes back
     val planes = array((0 until LshTables).flatMap(t =>
-      (0 until LshBits).map(b =>
+      (0 until bits).map(b =>
         array((1 to Dim).map(i => lit(multiWeight(t, b, i))): _*))): _*)
     Tables.embeddings(spark, dir)
       .withColumn("planes", planes)
       .select($"vec_id", $"embedding",
         posexplode($"planes").as(Seq("idx", "w")))
-      .withColumn("t", expr(s"idx div $LshBits"))
-      .withColumn("b", expr(s"idx % $LshBits"))
+      .withColumn("t", expr(s"idx div $bits"))
+      .withColumn("b", expr(s"idx % $bits"))
       .withColumn("proj",
         aggregate(zip_with($"embedding", $"w",
           (x, wi) => x.cast("double") * wi),
@@ -256,8 +284,14 @@ object Similarity extends OpModule {
        |  FROM (
        |    SELECT vec_id, t, b,
        |      sum(embedding[i]::DOUBLE * ${multiWSql("t", "b", "i")}) AS proj
-       |    FROM embeddings, range(0, $LshTables) tt(t),
-       |         range(0, $LshBits) tb(b), range(1, ${Dim + 1}) ti(i)
+       |    FROM embeddings,
+       |         (SELECT coalesce(min(bb), $LshBitsMax)::INT AS nbits
+       |          FROM range($LshBitsMin, ${LshBitsMax + 1}) rb(bb)
+       |          WHERE (1::BIGINT << bb) * $EmbBucketTarget >=
+       |                (SELECT count(*) FROM embeddings)) pb,
+       |         range(0, $LshTables) tt(t),
+       |         range(0, $LshBitsMax) tb(b), range(1, ${Dim + 1}) ti(i)
+       |    WHERE b < pb.nbits
        |    GROUP BY 1, 2, 3) p
        |  GROUP BY 1, 2""".stripMargin
 

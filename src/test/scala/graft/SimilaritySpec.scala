@@ -380,4 +380,25 @@ class SimilaritySpec extends SparkSpec {
     val mean = stale.values.sum / stale.size
     assert(mean > 0.3, s"stale mean recall $mean collapsed")
   }
+
+  test("multi-LSH signature width is occupancy-adaptive with exact integer boundaries") {
+    // smallest b in [6,16] with 2^b * 64 >= n — integer logic, so the
+    // engine and the oracle SQL (the same min-over-range) can never
+    // disagree at a power-of-two boundary the way float log2 could
+    assert(Similarity.adaptiveBits(0L) == 6)
+    assert(Similarity.adaptiveBits(200L) == 6)    // sf0.01 gate: unchanged
+    assert(Similarity.adaptiveBits(2000L) == 6)   // sf0.1 gate: unchanged
+    assert(Similarity.adaptiveBits(4096L) == 6)   // 2^6 * 64 exactly
+    assert(Similarity.adaptiveBits(4097L) == 7)
+    assert(Similarity.adaptiveBits(20000L) == 9)  // derived sf1
+    assert(Similarity.adaptiveBits(100000000L) == 16) // clamped at the cap
+    // per-bucket occupancy n / 2^bits stays within [target/2, target]
+    // across the unclamped range — the invariant that keeps the banded
+    // self-join's candidate volume per vector scale-free
+    Seq(10000L, 100000L, 1000000L, 4000000L).foreach { n =>
+      val occ = n.toDouble / (1L << Similarity.adaptiveBits(n))
+      assert(occ <= Similarity.EmbBucketTarget, s"n=$n occupancy $occ")
+      assert(occ > Similarity.EmbBucketTarget / 2.0, s"n=$n over-split: $occ")
+    }
+  }
 }

@@ -62,10 +62,17 @@ write("documents", """
          END AS n_chars
   FROM (SELECT *, string_split(text, ' ') AS toks FROM {src})""")
 
+# dimension ROTATION per replica (not just a small offset): an offset keeps
+# each replica a near-duplicate of its siblings, handing the near-dup
+# detectors a synthetic 10-way duplicate of the whole corpus (quadratic
+# candidate-pair blowup a real sf1 would not have); rotating the dimension
+# order preserves norms and the value distribution while making replicas
+# mutually dissimilar, like genuinely new vectors
 write("embeddings", """
   SELECT vec_id + {k} * 1000000 AS vec_id,
          list_transform(range(1, len(embedding) + 1),
-           i -> (embedding[i] + (({k} * 31 + i * 7) % 13 - 6) * 0.003)::FLOAT
+           i -> (embedding[1 + ((i - 1 + {k} * 5) % len(embedding))]
+                 + (({k} * 31 + i * 7) % 13 - 6) * 0.003)::FLOAT
          )::FLOAT[] AS embedding,
          label
   FROM {src}""")
