@@ -24,7 +24,7 @@ import graft.OpModule
   *    each shingle's posting list is short in real corpora; a hot-shingle
   *    cap (stopword-gram blacklisting) would be the skew guard at scale.
   *  - SimHash: per (doc, bit) conditional sum over token hashes, then one
-  *    re-group per doc folding the 32 sign bits into a signature.
+  *    re-group per doc folding the 56 sign bits into a signature.
   *
   * Token/shingle hashing uses `ColFns.hex32` (md5-derived) so the DuckDB
   * oracle reproduces every signature bit-for-bit — Spark's murmur `hash()`
@@ -482,7 +482,23 @@ object Dedup extends OpModule {
        |FROM curve""".stripMargin
   }
 
-  /** 32-bit SimHash: frequency-weighted sign sum per bit position.
+  /** Signature width. 56 bits (not 32): the banded pair join's bucket
+    * space per band is 2^(bits/bands), and with the original 32-bit/
+    * 4-band layout that was a FIXED 256 buckets — 10× the docs meant
+    * ~100× the band collisions (measured 30× wall at the derived sf1),
+    * the same fixed-bucket-space trap the multi-LSH signature had. At
+    * 56 bits each band indexes 2^14 = 16 384 buckets, pushing the
+    * quadratic knee out 64×, while staying clear of the sign bit under
+    * every BIGINT shift either engine does. The Hamming-radius
+    * pigeonhole below is width-independent. */
+  val SimhashBits = 56
+  // lazy: SimhashBands is declared further down, past the signature
+  // builder it parameterizes
+  private lazy val SimhashBandBits = SimhashBits / SimhashBands // 14
+
+  /** 56-bit SimHash: frequency-weighted sign sum per bit position of a
+    * 56-bit token hash (hex32 of the token for the low 32, a salted
+    * hex32 for the high 24 — identical composition on both engines).
     * Memoized: the pair generator consumes the signatures twice (both
     * sides of its band self-join). */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
@@ -494,8 +510,11 @@ object Dedup extends OpModule {
     Tables.documents(spark, dir)
       .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= ""))
       .select($"doc_id", explode($"toks").as("tok"))
-      .withColumn("h", ColFns.hex32($"tok"))
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("h",
+        ColFns.hex32($"tok") +
+          (ColFns.hex32(concat(lit("s_"), $"tok")) % 16777216L) * 4294967296L)
+      .select($"doc_id", $"h",
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
       .groupBy($"doc_id", $"b")
       .agg(sum(when(expr("(h div shiftleft(cast(1 as bigint), int(b))) % 2") === 1, 1)
         .otherwise(-1)).as("s"))
@@ -510,25 +529,29 @@ object Dedup extends OpModule {
        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
        |                                    t -> t <> '')) AS tok
        |  FROM documents),
-       |h AS (SELECT doc_id, ${ColFns.hex32Sql("tok")} AS h FROM tk),
+       |h AS (SELECT doc_id,
+       |        ${ColFns.hex32Sql("tok")} +
+       |          (${ColFns.hex32Sql("'s_' || tok")} % 16777216) * 4294967296
+       |          AS h
+       |      FROM tk),
        |bits AS (
        |  SELECT doc_id, b,
        |    sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM h, range(0, 32) t(b) GROUP BY 1, 2)
+       |  FROM h, range(0, $SimhashBits) t(b) GROUP BY 1, 2)
        |SELECT doc_id,
        |  sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
        |FROM bits GROUP BY 1""".stripMargin
 
   /** Max Hamming distance for a SimHash near-dup pair. With 4 bands of
-    * 8 bits, any pair within distance 3 shares at least one identical
+    * 14 bits, any pair within distance 3 shares at least one identical
     * band (pigeonhole), so the banded equi-join below has PERFECT recall
     * at this threshold — unlike MinHash banding's probabilistic recall.
     * One band collision on unrelated docs costs one cheap bit_count. */
   val SimhashHamMax = 3
   val SimhashBands = 4
 
-  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
-    * candidates share any band (equi-join on (band, byte) — never
+  /** SimHash near-dup pairs: band the 56-bit signature into 4 14-bit
+    * keys, candidates share any band (equi-join on (band, key) — never
     * all-pairs), then the exact Hamming check via one XOR + popcount.
     * The alternative pair generator to MinHash LSH: cheaper signatures
     * (one int vs k minima), exact distance semantics, at the cost of a
@@ -539,7 +562,8 @@ object Dedup extends OpModule {
     val bands = sig.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_key",
-        expr("(simhash div shiftleft(cast(1 as bigint), int(band * 8))) % 256"))
+        expr(s"(simhash div shiftleft(cast(1 as bigint), int(band * $SimhashBandBits)))" +
+          s" % ${1 << SimhashBandBits}"))
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -558,7 +582,7 @@ object Dedup extends OpModule {
     s"""WITH sig AS ($simhashSql),
        |bands AS (
        |  SELECT doc_id, simhash, b AS band,
-       |    (simhash // (1::BIGINT << (b * 8))) % 256 AS band_key
+       |    (simhash // (1::BIGINT << (b * $SimhashBandBits))) % ${1 << SimhashBandBits} AS band_key
        |  FROM sig, range(0, $SimhashBands) t(b))
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  bit_count(xor(x.simhash, y.simhash)) AS hamming

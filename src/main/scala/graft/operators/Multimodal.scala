@@ -743,6 +743,11 @@ object Multimodal extends OpModule {
   /** Positional weight period for the frame fingerprint. */
   val VidFpW = 97L
 
+  /** Max clips a frame fingerprint may appear in before the pair
+    * generator treats it as uninformative (black/intro frames) and
+    * drops it — the video analog of [[Dedup.HotShingleCap]]. */
+  val HotFpCap = 64L
+
   /** Per-frame positionally-weighted fingerprints for every video in
     * the corpus INCLUDING the planted trimmed copies. Decode is
     * partition-local (pixels never shuffle — only (vid, fp) longs
@@ -791,8 +796,19 @@ object Multimodal extends OpModule {
     import spark.implicits._
     val frames = videoFpDf(spark, dir).select($"vid", $"fp").distinct()
     val sizes = frames.groupBy($"vid").agg(count(lit(1)).as("nf"))
-    frames.select($"vid".as("vid_a"), $"fp")
-      .join(frames.select($"vid".as("vid_b"), $"fp"), Seq("fp"))
+    // hot-fingerprint guard — [[Dedup.HotShingleCap]]'s video analog: a
+    // fingerprint appearing in more than HotFpCap clips is an
+    // uninformative frame (the black/intro/title-card frame every real
+    // corpus has), and joining through it is the quadratic posting-list
+    // bomb. Drop hot fps from pair generation (broadcast anti-join);
+    // clip sizes stay PRE-cap so the majority verdict keeps its
+    // denominator. Sharing only uninformative frames is not evidence of
+    // a copy — the accepted production semantics.
+    val hot = frames.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > HotFpCap).select($"fp")
+    val postings = frames.join(broadcast(hot), Seq("fp"), "left_anti")
+    postings.select($"vid".as("vid_a"), $"fp")
+      .join(postings.select($"vid".as("vid_b"), $"fp"), Seq("fp"))
       .filter($"vid_a" < $"vid_b")
       .groupBy($"vid_a", $"vid_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -830,9 +846,13 @@ object Multimodal extends OpModule {
        |         WHERE doc_id % $VidTrimMod = 0 AND frame_idx >= 1),
        |frames AS (SELECT DISTINCT vid, fp FROM vids),
        |sizes AS (SELECT vid, count(*) AS nf FROM frames GROUP BY 1),
+       |hot AS (SELECT fp FROM frames GROUP BY fp
+       |        HAVING count(*) > $HotFpCap),
+       |postings AS (SELECT vid, fp FROM frames
+       |             WHERE fp NOT IN (SELECT fp FROM hot)),
        |pairs AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
        |            count(*) AS n_shared
-       |          FROM frames a JOIN frames b
+       |          FROM postings a JOIN postings b
        |            ON b.fp = a.fp AND a.vid < b.vid
        |          GROUP BY 1, 2 HAVING count(*) >= 2)
        |SELECT p.vid_a, p.vid_b, p.n_shared, sa.nf AS n_a, sb.nf AS n_b,

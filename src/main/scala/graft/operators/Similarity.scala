@@ -35,7 +35,26 @@ object Similarity extends OpModule {
 
   val Dim = 64 // embeddings are fixed 64-dim (FIXTURES.md §B)
   val TopK = 5
-  val QueryMod = 25 // vec_id % 25 == 0 -> 1-in-25 vectors are queries
+  val QueryMod = 25 // 1-in-25 vectors below the panel cap are queries
+
+  /** FIXED evaluation panel: queries are `vec_id % QueryMod == 0 AND
+    * vec_id < QueryMod * QueryPanelIds` — at most [[QueryPanelIds]]
+    * queries no matter how big the corpus. With the unbounded 1-in-25
+    * rule the whole recall-evaluation family was secretly quadratic
+    * (queries grow WITH the corpus, so brute ground truth and every
+    * probed-rung scan cost O(n^2/25): measured `ann_trunc_topk` 113x
+    * and `knn_brute` 51x for 10x vectors at the derived sf1). A real
+    * deployment evaluates recall on a fixed query panel; with one, the
+    * family is linear in corpus size. The cap lands above both oracle
+    * gates' id ranges (sf0.01: 200 ids, sf0.1: 2000 ids), so gate
+    * results are bit-identical to the unbounded rule. */
+  val QueryPanelIds = 80
+
+  private[graft] def isQueryCol(c: Column): Column =
+    c % QueryMod === 0 && c < QueryMod * QueryPanelIds
+
+  private[graft] def isQuerySql(col: String = "vec_id"): String =
+    s"$col % $QueryMod = 0 AND $col < ${QueryMod * QueryPanelIds}"
   val LshBits = 6
 
   /** Native codegen kernel (ArrayDotExpr, registered as vec_dot):
@@ -60,7 +79,7 @@ object Similarity extends OpModule {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter($"vec_id" % QueryMod === 0)
+    val q = e.filter(isQueryCol($"vec_id"))
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val pairs = broadcast(q)
       .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
@@ -75,7 +94,7 @@ object Similarity extends OpModule {
 
   private val knnSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
-       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |           FROM embeddings WHERE ${isQuerySql()}),
        |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
        |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
@@ -142,7 +161,7 @@ object Similarity extends OpModule {
     val e = Tables.embeddings(spark, dir)
     val sig = lshSigDf(spark, dir)
     val withSig = e.join(sig, Seq("vec_id"))
-    val q = withSig.filter($"vec_id" % QueryMod === 0)
+    val q = withSig.filter(isQueryCol($"vec_id"))
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
     val cand = withSig
       .select($"vec_id".as("nid"), $"embedding".as("ne"), $"bucket")
@@ -168,7 +187,7 @@ object Similarity extends OpModule {
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, s.bucket
        |      FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
-       |      WHERE e.vec_id % $QueryMod = 0),
+       |      WHERE ${isQuerySql("e.vec_id")}),
        |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
        |      FROM q JOIN sig s ON s.bucket = q.bucket
        |             JOIN embeddings e ON e.vec_id = s.vec_id,
@@ -301,7 +320,7 @@ object Similarity extends OpModule {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val sig = multiSigDf(spark, dir)
-    val q = sig.filter($"vec_id" % QueryMod === 0)
+    val q = sig.filter(isQueryCol($"vec_id"))
       .select($"vec_id".as("qid"), $"t", $"bucket")
     val cand = q.join(sig.select($"vec_id".as("nid"), $"t", $"bucket"),
         Seq("t", "bucket"))
@@ -322,7 +341,7 @@ object Similarity extends OpModule {
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
        |  FROM sig q JOIN sig c ON c.t = q.t AND c.bucket = q.bucket
-       |  WHERE q.vec_id % $QueryMod = 0 AND c.vec_id <> q.vec_id),
+       |  WHERE ${isQuerySql("q.vec_id")} AND c.vec_id <> q.vec_id),
        |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
        |d AS (SELECT qid, nid,
@@ -472,7 +491,7 @@ object Similarity extends OpModule {
     val assign = ranked.filter($"rk" === 1)
       .select($"vec_id".as("nid"), $"cell")
     val probe = ranked
-      .filter($"vec_id" % QueryMod === 0 && $"rk" <= IvfProbes)
+      .filter(isQueryCol($"vec_id") && $"rk" <= IvfProbes)
       .select($"vec_id".as("qid"), $"cell")
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     probe.join(assign, Seq("cell"))
@@ -570,7 +589,7 @@ object Similarity extends OpModule {
        |  FROM cc),
        |assign AS (SELECT vec_id AS nid, label FROM ranked WHERE rk = 1),
        |probe AS (SELECT vec_id AS qid, label FROM ranked
-       |          WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes)""".stripMargin
+       |          WHERE ${isQuerySql()} AND rk <= $IvfProbes)""".stripMargin
 
   private val ivfTopkSql: String =
     s"""WITH $ivfCellsSqlBody,
@@ -741,7 +760,7 @@ object Similarity extends OpModule {
     val ranked = kmeansRankedDf(spark, dir)
     val comp = kmeansCompDf(spark, dir)
     val probe = ranked
-      .filter($"vec_id" % QueryMod === 0 && $"rk" <= probes)
+      .filter(isQueryCol($"vec_id") && $"rk" <= probes)
       .select($"vec_id".as("qid"), $"cell", $"rk".as("prk"))
     val assign = ranked.filter($"rk" === 1)
       .select($"vec_id".as("nid"), $"cell")
@@ -857,7 +876,7 @@ object Similarity extends OpModule {
   private def pqChainSqlBody(probes: Int): String =
     s"""$pqTrainSqlBody,
        |probepq AS (SELECT vec_id AS qid, cell, rk AS prk FROM ranked2
-       |            WHERE vec_id % $QueryMod = 0 AND rk <= $probes),
+       |            WHERE ${isQuerySql()} AND rk <= $probes),
        |qxs AS (
        |  SELECT p.qid, p.cell, xs.i, xs.x, comp2.c
        |  FROM probepq p
@@ -1013,7 +1032,7 @@ object Similarity extends OpModule {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter($"vec_id" % QueryMod === 0)
+    val q = e.filter(isQueryCol($"vec_id"))
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val (pq, pn) = (slice($"qe", 1, d), slice($"ne", 1, d))
     broadcast(q)
@@ -1057,7 +1076,7 @@ object Similarity extends OpModule {
 
   private lazy val truncTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
-       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |           FROM embeddings WHERE ${isQuerySql()}),
        |${truncShortSqlCtes(TruncDim)},
        |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
@@ -1126,7 +1145,7 @@ object Similarity extends OpModule {
          |  ON s.qid = t.qid AND s.nid = t.nid""".stripMargin
     }
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
-       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |           FROM embeddings WHERE ${isQuerySql()}),
        |${TruncDims.map(truncShortSqlCtes).mkString(",\n")},
        |brute AS ($knnSql),
        |brute3 AS (SELECT qid, nid FROM brute
@@ -1189,7 +1208,7 @@ object Similarity extends OpModule {
       graft.GraftExtensions.register(spark)
       import spark.implicits._
       val e = Tables.embeddings(spark, dir)
-      val q = e.filter($"vec_id" % QueryMod === 0)
+      val q = e.filter(isQueryCol($"vec_id"))
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           $"label".as("qlabel"))
       broadcast(q)
@@ -1206,7 +1225,7 @@ object Similarity extends OpModule {
 
   private lazy val filteredTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |           FROM embeddings WHERE ${isQuerySql()}),
        |n AS (SELECT vec_id,
        |        sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
@@ -1231,7 +1250,7 @@ object Similarity extends OpModule {
       graft.GraftExtensions.register(spark)
       import spark.implicits._
       val e = Tables.embeddings(spark, dir)
-      val q = e.filter($"vec_id" % QueryMod === 0)
+      val q = e.filter(isQueryCol($"vec_id"))
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           $"label".as("qlabel"))
       broadcast(q)
@@ -1272,7 +1291,7 @@ object Similarity extends OpModule {
 
   private lazy val filteredRecallSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |           FROM embeddings WHERE ${isQuerySql()}),
        |n AS (SELECT vec_id,
        |        sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
        |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
@@ -1482,7 +1501,7 @@ object Similarity extends OpModule {
   private val kmeansTopkSql: String =
     s"""WITH $kmeansCellsSqlBody,
        |probe2 AS (SELECT vec_id AS qid, cell FROM ranked2
-       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |           WHERE ${isQuerySql()} AND rk <= $IvfProbes),
        |cand2 AS (
        |  SELECT p.qid, a.nid FROM probe2 p JOIN assign2 a USING (cell)
        |  WHERE a.nid <> p.qid),
@@ -1501,7 +1520,7 @@ object Similarity extends OpModule {
   private lazy val kmeans2TopkSql: String =
     s"""WITH $kmeans2CellsSqlBody,
        |probe3 AS (SELECT vec_id AS qid, cell FROM ranked3
-       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |           WHERE ${isQuerySql()} AND rk <= $IvfProbes),
        |cand3 AS (
        |  SELECT p.qid, a.nid FROM probe3 p JOIN assign3 a USING (cell)
        |  WHERE a.nid <> p.qid),
@@ -1600,7 +1619,7 @@ object Similarity extends OpModule {
     def cellCurve(ranked: DataFrame, rung: String): DataFrame = {
       val cellOf = ranked.filter($"rk" === 1)
         .select($"vec_id".as("nid"), $"cell")
-      val prk = ranked.filter($"vec_id" % QueryMod === 0)
+      val prk = ranked.filter(isQueryCol($"vec_id"))
         .select($"vec_id".as("qid"), $"cell", $"rk".as("prk"))
       truth.join(cellOf, Seq("nid"))
         .join(prk, Seq("qid", "cell"))
@@ -1648,7 +1667,7 @@ object Similarity extends OpModule {
        |  JOIN (SELECT vec_id AS nid, $cellCol AS cc FROM $rankedCte
        |        WHERE rk = 1) a ON a.nid = t.nid
        |  JOIN (SELECT vec_id AS qid, $cellCol AS cc, rk FROM $rankedCte
-       |        WHERE vec_id % $QueryMod = 0) pr
+       |        WHERE ${isQuerySql()}) pr
        |    ON pr.qid = t.qid AND pr.cc = a.cc
        |  CROSS JOIN budgets b
        |  GROUP BY 1, 2)""".stripMargin
@@ -2008,7 +2027,7 @@ object Similarity extends OpModule {
        |  FROM scc),
        |sassign AS (SELECT vec_id AS nid, cell FROM sranked WHERE rk = 1),
        |sprobe AS (SELECT vec_id AS qid, cell FROM sranked
-       |           WHERE vec_id % $QueryMod = 0 AND rk <= $IvfProbes),
+       |           WHERE ${isQuerySql()} AND rk <= $IvfProbes),
        |cand AS (
        |  SELECT p.qid, a.nid FROM sprobe p JOIN sassign a USING (cell)
        |  WHERE a.nid <> p.qid),

@@ -119,7 +119,7 @@ object Sq8 extends OpModule {
       .crossJoin(broadcast(statsRowDf(spark, dir)))
     val corpus = e.select($"vec_id".as("nid"),
       deqCol(codesCol($"embedding")).as("ne"))
-    val q = e.filter($"vec_id" % QueryMod === 0)
+    val q = e.filter(Similarity.isQueryCol($"vec_id"))
       .select($"vec_id".as("qid"),
         transform($"embedding", _.cast("double")).as("qe"))
     val dot: (Column, Column) => Column = call_function("vec_dot", _, _)
@@ -192,7 +192,7 @@ object Sq8 extends OpModule {
        |deq AS (SELECT vec_id, d, ((q + 0.5) * rng) / 256 + mn AS xh FROM c),
        |nn AS (SELECT vec_id, sqrt(sum(xh * xh)) AS nrm FROM deq GROUP BY 1),
        |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |       WHERE vec_id % $QueryMod = 0),
+       |       WHERE ${Similarity.isQuerySql()}),
        |qn AS (SELECT qid, sqrt(sum(qe[i]::DOUBLE * qe[i]::DOUBLE)) AS nrm
        |       FROM qv, range(1, ${Dim + 1}) t(i) GROUP BY 1),
        |dt AS (SELECT q.qid, n.vec_id AS nid, sum(q.qe[n.d]::DOUBLE * n.xh) AS dt

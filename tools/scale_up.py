@@ -48,7 +48,7 @@ write("events", """
   FROM {src}""")
 
 write("documents", """
-  SELECT doc_id + {k} * 1000000 AS doc_id,
+  SELECT doc_id + {k} * 10000000 AS doc_id,
          CASE WHEN {k} = 0 THEN text
               ELSE array_to_string(list_concat(
                 toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
