@@ -293,6 +293,58 @@ object Dedup extends OpModule {
        |FROM j""".stripMargin
   }
 
+  /** Asymmetric shingle CONTAINMENT over the LSH candidate pairs
+    * (`dedup_containment`): |S(a)∩S(b)| / |S(a)| and / |S(b)| as exact
+    * permille integers — the quote/inclusion detector Jaccard misses.
+    * A short document quoted inside a long one has low Jaccard (the
+    * union is long-sized) but containment ≈ 1 on the short side; dedup
+    * policies that strip contained docs key on THIS number (Lee et al.
+    * 2021 use suffix overlap; set containment is the shingle-level
+    * analog). Scale shape identical to `dedup_minhash_est`: the
+    * banding-bounded pair list broadcasts into the shingle-set frame,
+    * intersections are computed only for paired docs, and the permille
+    * ratios are integer division — no doubles anywhere. */
+  private def containmentDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairsDf(spark, dir)
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      shingled(spark, dir).select($"doc_id", $"h").distinct())
+    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // same broadcast discipline as minhashEstDf: the running left side
+    // stays pair-bounded, so it broadcasts into each corpus-sized frame
+    val inter = broadcast(broadcast(pairs)
+        .join(sets.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a")))
+      .join(sets.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+    broadcast(broadcast(
+        pairs.join(broadcast(inter), Seq("doc_a", "doc_b"), "left"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a")))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
+        expr("(inter * 1000) div na").as("con_a_permille"),
+        expr("(inter * 1000) div nb").as("con_b_permille"))
+  }
+
+  private val containmentSql: String =
+    s"""WITH pr AS ($minhashPairsSql),
+       |sh2 AS ($shingledSql),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+       |iv AS (SELECT pr.doc_a, pr.doc_b, count(*) AS inter
+       |  FROM pr JOIN sets a ON a.doc_id = pr.doc_a
+       |          JOIN sets b ON b.doc_id = pr.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT pr.doc_a, pr.doc_b, coalesce(iv.inter, 0) AS inter,
+       |  na.n AS na, nb.n AS nb,
+       |  ((coalesce(iv.inter, 0) * 1000) // na.n)::BIGINT AS con_a_permille,
+       |  ((coalesce(iv.inter, 0) * 1000) // nb.n)::BIGINT AS con_b_permille
+       |FROM pr
+       |LEFT JOIN iv ON iv.doc_a = pr.doc_a AND iv.doc_b = pr.doc_b
+       |JOIN sz na ON na.doc_id = pr.doc_a
+       |JOIN sz nb ON nb.doc_id = pr.doc_b""".stripMargin
+
   /** Posting lists longer than this are dropped from the pairwise join:
     * a shingle shared by k docs contributes k^2 candidate pairs, so one
     * stopword-gram ("of the and") in a web corpus is a quadratic bomb.
@@ -1043,6 +1095,7 @@ object Dedup extends OpModule {
     "dedup_minhash_sig" -> (minhashDf(_, _)),
     "dedup_minhash_pairs" -> (minhashPairsDf(_, _)),
     "dedup_minhash_est" -> (minhashEstDf(_, _)),
+    "dedup_containment" -> (containmentDf(_, _)),
     "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
@@ -1060,6 +1113,7 @@ object Dedup extends OpModule {
     "dedup_minhash_sig" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_est" -> minhashEstSql,
+    "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,

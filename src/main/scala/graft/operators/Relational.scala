@@ -860,7 +860,193 @@ object Relational extends OpModule {
        |SELECT 'union',
        |  (SELECT count(*) FROM (SELECT * FROM buy UNION SELECT * FROM err))""".stripMargin
 
+  /** Top supplier by windowed revenue (`q15_top_supplier`, the TPC-H
+    * Q15 shape over the public spec): revenue per supplier over one
+    * shipdate quarter, keep the supplier(s) achieving the MAX — the
+    * canonical MAX-OVER-VIEW decorrelation. Spark-first: the scalar max
+    * is a 1-row aggregate broadcast back over the per-supplier frame
+    * (never a per-row subquery), and the max-equality compares EXACT
+    * integer cents so engine summation-tree ulps cannot split or merge
+    * the argmax set. Data-sized work is one filtered lineitem
+    * aggregation keyed by suppkey; everything after is
+    * |suppliers|-sized. The oracle keeps the textbook scalar-subquery
+    * view form, so the two formulations cross-check. */
+  private def q15Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("total_revenue"))
+      .withColumn("rc", round($"total_revenue" * 100).cast("long"))
+    val mx = rev.agg(max($"rc").as("rc_max"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"rc" === $"rc_max")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey".as("suppkey"), $"s_name", $"total_revenue")
+  }
+
+  private val q15Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1),
+      |c AS (SELECT l_suppkey, total_revenue,
+      |        round(total_revenue * 100)::BIGINT AS rc FROM r)
+      |SELECT s_suppkey AS suppkey, s_name, total_revenue
+      |FROM c JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rc = (SELECT max(rc) FROM c)""".stripMargin
+
+  /** Days after the order date a shipment counts as late for
+    * [[q21Df]] (the synthetic schema has no commit/receipt dates, so
+    * lateness is ship-vs-order). */
+  val LateDays = 60
+
+  /** Sole-late supplier (`q21_sole_late`, the TPC-H Q21 shape
+    * re-anchored on the columns this schema has): for finished orders
+    * involving ≥2 suppliers, count per supplier the late lines
+    * (shipped > [[LateDays]] after the order date) on orders where that
+    * supplier was the ONLY late one — the canonical DOUBLE-CORRELATED
+    * EXISTS / NOT EXISTS, the textbook hard decorrelation case.
+    * Spark-first it is one keyed aggregation plus one window, no
+    * subqueries at all: per (order, supplier) late-line counts, then
+    * the per-order supplier count and late-supplier count as UNORDERED
+    * windows over that already-reduced frame (never a second lineitem
+    * scan or a self-join); a row qualifies iff its order has
+    * n_supp > 1 and n_late_supp == 1 and it is the late one. Both
+    * EXISTS collapse into counts the plan computes once — one
+    * data-sized shuffle keyed by (orderkey, suppkey), then a
+    * reduced-frame exchange on orderkey, then one by suppkey.
+    * The oracle keeps the textbook correlated form. */
+  private def q21Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+    val perSupp = lines.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when(
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $LateDays DAY"),
+        1L).otherwise(0L)).as("n_late"))
+    val w = Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when($"n_late" > 0, 1L).otherwise(0L)).over(w))
+      .filter($"n_late" > 0 && $"n_supp" > 1 && $"n_late_supp" === 1)
+      .groupBy($"l_suppkey")
+      .agg(sum($"n_late").as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+      .select($"s_name", $"numwait")
+  }
+
+  private val q21Sql: String =
+    s"""SELECT s_name, count(*)::BIGINT AS numwait
+       |FROM supplier
+       |JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL $LateDays DAY
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_shipdate > o_orderdate + INTERVAL $LateDays DAY)
+       |GROUP BY 1
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 20""".stripMargin
+
+  /** Idle rich customers per nation (`q22_idle_capital`, the TPC-H Q22
+    * shape — nation standing in for the phone-prefix country code this
+    * schema lacks): customers whose balance beats the positive-balance
+    * average AND who placed no order since 2000, grouped by nation —
+    * the canonical SCALAR-SUBQUERY THRESHOLD + ANTI-JOIN combination.
+    * The threshold compares by integer cross-multiplication
+    * (cents · n_pos > total_pos_cents), so the average never
+    * materializes as a double and engine summation order cannot move
+    * customers across the cut. The anti-join shuffles on custkey (both
+    * sides keyed); the threshold is a broadcast 1-row frame. */
+  private def q22Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val thr = cust.filter($"c_acctbal" > 0)
+      .agg(sum(round($"c_acctbal" * 100).cast("long")).as("pos_cents"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(round($"c_acctbal" * 100).cast("long") * $"n_pos" > $"pos_cents")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum($"c_acctbal"), 2).as("total_acctbal"))
+  }
+
+  private val q22Sql: String =
+    """SELECT n_name, count(*) AS n_custs,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |WHERE round(c_acctbal * 100)::BIGINT *
+      |    (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      |  > (SELECT sum(round(c_acctbal * 100)::BIGINT)
+      |     FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
+  /** Distribution window functions (`window_dist`): per-nation customer
+    * balance quartiles (`ntile`), `percent_rank`, and `cume_dist` —
+    * the SQL window-distribution family completing §2.6 beyond ranks
+    * and frames. The order key is (balance DESC, custkey), fully
+    * unique, so rank == row_number and both engines' percent_rank /
+    * cume_dist divide the SAME exactly-representable integers —
+    * bit-identical doubles with no rounding needed. One shuffle on the
+    * partition key; at corpus scale the per-nation partitions are the
+    * natural ~1/25 slices. */
+  private def windowDistDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
+  private val windowDistSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> (q15Df(_, _)),
+    "q21_sole_late" -> (q21Df(_, _)),
+    "q22_idle_capital" -> (q22Df(_, _)),
+    "window_dist" -> (windowDistDf(_, _)),
     "pivot_source_lang" -> (pivotDf(_, _)),
     "set_ops" -> (setOpsDf(_, _)),
     "q1_pricing" -> (q1Df(_, _)),
@@ -889,6 +1075,10 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" -> q15Sql,
+    "q21_sole_late" -> q21Sql,
+    "q22_idle_capital" -> q22Sql,
+    "window_dist" -> windowDistSql,
     "pivot_source_lang" -> pivotSql,
     "set_ops" -> setOpsSql,
     "q1_pricing" -> q1Sql,

@@ -483,4 +483,113 @@ class RelationalSpec extends SparkSpec {
       "fixture should contain stale/absent matches")
     tol.unpersist()
   }
+
+  test("q15_top_supplier: argmax set equals an independent per-supplier recompute") {
+    import spark.implicits._
+    val top = rowsOf(Relational.queries("q15_top_supplier")(spark, dir))
+    assert(top.nonEmpty)
+    // independent recompute: per-supplier cents revenue over the window
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 100)
+        .cast("long").as("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = rev.values.max
+    val expect = rev.filter(_._2 == mx).keySet
+    assert(top.map(_("suppkey").asInstanceOf[Long]).toSet == expect)
+    top.foreach { m =>
+      assert(math.round(m("total_revenue").asInstanceOf[Double] * 100) == mx)
+    }
+  }
+
+  test("q21_sole_late: decorrelated plan equals Spark SQL's own correlated EXISTS form") {
+    // the textbook double-correlated EXISTS/NOT-EXISTS, planned by
+    // Catalyst's own subquery decorrelation — cross-checks our manual
+    // two-aggregation formulation through a THIRD engine path (DuckDB
+    // being the second)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("v_supplier")
+    val sqlForm = spark.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM v_supplier
+         |JOIN v_lineitem l1 ON l1.l_suppkey = s_suppkey
+         |JOIN v_orders ON o_orderkey = l1.l_orderkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l1.l_shipdate > o_orderdate + INTERVAL ${Relational.LateDays} DAY
+         |  AND EXISTS (
+         |    SELECT 1 FROM v_lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM v_lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_shipdate > o_orderdate + INTERVAL ${Relational.LateDays} DAY)
+         |GROUP BY 1
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ours = rowsOf(Relational.queries("q21_sole_late")(spark, dir))
+      .map(m => (m("s_name").asInstanceOf[String],
+        m("numwait").asInstanceOf[Long]))
+    assert(ours.nonEmpty)
+    assert(ours.toSet == sqlForm.toSet)
+  }
+
+  test("q22_idle_capital: integer threshold matches the textbook scalar-subquery form") {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    val sqlForm = spark.sql(
+      """SELECT n_name, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM v_customer JOIN v_nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM v_orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ours = rowsOf(Relational.queries("q22_idle_capital")(spark, dir))
+      .map(m => (m("n_name").asInstanceOf[String],
+        m("n_custs").asInstanceOf[Long])).toMap
+    assert(ours.nonEmpty)
+    // the double-avg textbook threshold and our integer cross-multiplied
+    // threshold agree unless a balance lands within an ulp of the
+    // average — impossible for this fixture's cent-grained balances
+    assert(ours == sqlForm)
+  }
+
+  test("window_dist: quartiles balanced, pct_rank/cume exact and monotone per nation") {
+    val rows = rowsOf(Relational.queries("window_dist")(spark, dir))
+    assert(rows.nonEmpty)
+    rows.groupBy(_("c_nationkey")).foreach { case (_, grp) =>
+      val n = grp.size
+      // ntile: bucket sizes differ by at most 1 and are ordered
+      val sizes = grp.groupBy(_("quartile").asInstanceOf[Int])
+        .view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)))
+      if (n >= 4) {
+        assert(sizes.values.max - sizes.values.min <= 1)
+        // earlier buckets are never smaller than later ones
+        val ordered = (1 to 4).map(sizes(_))
+        assert(ordered == ordered.sortBy(-_))
+      }
+      // with the unique (acctbal DESC, custkey) order, rank == row
+      // number, so pct_rank = (rn-1)/(n-1) and cume = rn/n exactly
+      val sorted = grp.sortBy(m => (-m("c_acctbal").asInstanceOf[Double],
+        m("c_custkey").asInstanceOf[Long]))
+      sorted.zipWithIndex.foreach { case (m, i) =>
+        val pr = m("pct_rank").asInstanceOf[Double]
+        val cd = m("cume").asInstanceOf[Double]
+        if (n > 1) assert(pr == i.toDouble / (n - 1))
+        assert(cd == (i + 1).toDouble / n)
+      }
+    }
+  }
 }

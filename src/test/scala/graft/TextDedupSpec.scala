@@ -144,6 +144,43 @@ class TextDedupSpec extends SparkSpec {
       s"expected all-broadcast joins in minhash_est:\n$plan")
   }
 
+  test("containment: full inclusion scores 1000 permille on the contained side") {
+    // identical docs: inter == na == nb, containment 1000 both ways
+    val r = rowsOf(Dedup.queries("dedup_containment")(spark, dir))
+    assert(r.nonEmpty)
+    val dup = r.find(m => m("doc_a") == 1L && m("doc_b") == 2L).get
+    assert(dup("con_a_permille") == 1000L && dup("con_b_permille") == 1000L)
+    assert(dup("inter") == dup("na") && dup("inter") == dup("nb"))
+    // a short doc quoted verbatim inside a longer one: asymmetric —
+    // near-1000 on the short side, well below on the long side. The
+    // quote prefix makes the long doc's minima coincide with the short
+    // doc's on most permutations, so the pair is an LSH candidate with
+    // these (deterministic) hash constants.
+    val d2 = writeDocsFixture(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta more talk", "en")))
+    val r2 = rowsOf(Dedup.queries("dedup_containment")(spark, d2))
+    val q = r2.find(m => m("doc_a") == 1L && m("doc_b") == 2L)
+    assert(q.nonEmpty, s"quote pair should be an LSH candidate: $r2")
+    val m = q.get
+    assert(m("con_a_permille") == 1000L,
+      s"short side fully contained: $m")
+    assert(m("con_b_permille").asInstanceOf[Long] < 1000L,
+      s"long side only partially covered: $m")
+    // invariants on the sf corpus: inter bounded by both set sizes,
+    // permilles consistent with the integer definition
+    val sf = rowsOf(Dedup.queries("dedup_containment")(spark, sfDir("sf0.01")))
+    assert(sf.nonEmpty)
+    sf.foreach { m =>
+      val (i, na, nb) = (m("inter").asInstanceOf[Long],
+        m("na").asInstanceOf[Long], m("nb").asInstanceOf[Long])
+      assert(i <= math.min(na, nb))
+      assert(m("con_a_permille") == i * 1000 / na)
+      assert(m("con_b_permille") == i * 1000 / nb)
+    }
+    graft.functions.Fs.deleteRecursively(new java.io.File(d2))
+  }
+
   test("substring dedup finds exact duplicated spans and audits every doc") {
     // docs 1 and 2 are 9-token exact dups: both 8-gram positions (0, 1)
     // are duplicated, merging into ONE maximal span covering the doc
