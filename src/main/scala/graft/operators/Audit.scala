@@ -412,6 +412,63 @@ object Audit extends OpModule {
             .mkString(",\n  ")}
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** MAD outlier multiplier: 3 scaled sigmas (1.4826·MAD estimates σ
+    * under normality — the standard robust-z convention). */
+  val MadK = 3.0 * 1.4826
+
+  /** Robust outlier census (`events_mad_outliers`): per event type the
+    * median, the Median Absolute Deviation, and how many events fall
+    * outside median ± 3·1.4826·MAD — the robust z-score screen that,
+    * unlike `flow_zscore`'s moment-based z, a single extreme value
+    * cannot drag (median/MAD have a 50% breakdown point; mean/σ have
+    * 0%). The data-quality gate an ingest pipeline runs BEFORE
+    * trusting moment-based stats. Exact grouped medians via the same
+    * sort-based `percentile` as `agg_quantiles` (same documented
+    * 100 TB sketch swap); the per-type median/MAD frames are
+    * group-count-sized and broadcast back; the outlier threshold
+    * multiplies identical doubles on both engines, so the census is
+    * exact, not ulp-lucky. */
+  private def madOutliersDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs($"value" - $"med"))
+    val st = dev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), first($"med").as("med"),
+        percentile($"adev", lit(0.5)).as("mad"))
+    val out = dev
+      .join(broadcast(st.select($"event_type", $"mad")), Seq("event_type"))
+      .filter($"adev" > lit(MadK) * $"mad")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_out"))
+    st.join(out, Seq("event_type"), "left")
+      .select($"event_type", $"n", round($"med", 6).as("med"),
+        round($"mad", 6).as("mad"),
+        coalesce($"n_out", lit(0L)).as("n_outliers"))
+  }
+
+  private val madOutliersSql: String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |dev AS (
+       |  SELECT e.event_type, value, med, abs(value - med) AS adev
+       |  FROM events e JOIN med USING (event_type)),
+       |st AS (
+       |  SELECT event_type, count(*) AS n, any_value(med) AS med,
+       |    quantile_cont(adev, 0.5) AS mad
+       |  FROM dev GROUP BY 1),
+       |o AS (
+       |  SELECT d.event_type, count(*) AS n_out
+       |  FROM dev d JOIN st USING (event_type)
+       |  WHERE d.adev > $MadK * st.mad
+       |  GROUP BY 1)
+       |SELECT st.event_type, st.n, round(st.med, 6) AS med,
+       |  round(st.mad, 6) AS mad,
+       |  coalesce(o.n_out, 0)::BIGINT AS n_outliers
+       |FROM st LEFT JOIN o USING (event_type)""".stripMargin
+
   /** Column-pair correlations for the optimizer (`stats_corr`):
     * Pearson r over the numeric lineitem pairs a cost model would use
     * to spot redundant predicates (price tracks quantity; discount is
@@ -453,6 +510,7 @@ object Audit extends OpModule {
     "stats_columns_kmv" -> (statsKmvDf(_, _)),
     "stats_incremental" -> (statsIncrementalDf(_, _)),
     "agg_quantiles" -> (quantilesDf(_, _)),
+    "events_mad_outliers" -> (madOutliersDf(_, _)),
     "stats_corr" -> (corrDf(_, _))
   )
 
@@ -463,6 +521,7 @@ object Audit extends OpModule {
     "stats_columns_kmv" -> statsKmvSql,
     "stats_incremental" -> statsIncrementalSql,
     "agg_quantiles" -> quantilesSql,
+    "events_mad_outliers" -> madOutliersSql,
     "stats_corr" -> corrSql
   )
 }

@@ -1042,7 +1042,68 @@ object Relational extends OpModule {
       |WINDOW w AS (PARTITION BY c_nationkey
       |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
 
+  /** Minimum co-occurrence count for a [[basketDf]] pair to surface. */
+  val BasketMinSupport = 2
+
+  /** Market-basket co-occurrence (`basket_pairs`): part pairs ordered
+    * together, with support and LIFT (observed co-rate over the rate
+    * independence predicts) — the frequent-itemset/association-rule
+    * primitive, which is also exactly the co-occurrence shape a
+    * training-data pipeline uses for token/domain co-occurrence stats.
+    * Scale shape: the pair self-join is keyed by orderkey and an order
+    * has ≤ a dozen distinct parts, so pairs-per-order is bounded and
+    * the join output is linear in orders — the quadratic term rides
+    * the BASKET size, not the corpus (contrast the shingle posting
+    * lists, which need `HotShingleCap`). Per-part counts are
+    * dimension-sized and broadcast; the orders total is a 1-row cross
+    * join; lift divides exactly-representable longs, rounded 6 on both
+    * engines. Top-50 by (support, part_a, part_b) is a
+    * TakeOrderedAndProject, never a full sort. */
+  private def basketDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val cnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val tot = items.agg(countDistinct($"l_orderkey").as("n_orders"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= BasketMinSupport)
+      .join(broadcast(cnt.select($"l_partkey".as("part_a"),
+        $"cnt".as("cnt_a"))), Seq("part_a"))
+      .join(broadcast(cnt.select($"l_partkey".as("part_b"),
+        $"cnt".as("cnt_b"))), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        round($"support" * $"n_orders" / ($"cnt_a" * $"cnt_b"), 6))
+      .orderBy($"support".desc, $"part_a", $"part_b")
+      .limit(50)
+      .select($"part_a", $"part_b", $"support", $"cnt_a", $"cnt_b", $"lift")
+  }
+
+  private val basketSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cnt AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+       |pr AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS support
+       |  FROM items a JOIN items b
+       |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+       |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       |  round(support * n_orders / (ca.cnt * cb.cnt), 6) AS lift
+       |FROM pr JOIN cnt ca ON ca.l_partkey = part_a
+       |        JOIN cnt cb ON cb.l_partkey = part_b, tot
+       |ORDER BY support DESC, part_a, part_b
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> (basketDf(_, _)),
     "q15_top_supplier" -> (q15Df(_, _)),
     "q21_sole_late" -> (q21Df(_, _)),
     "q22_idle_capital" -> (q22Df(_, _)),
@@ -1075,6 +1136,7 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" -> basketSql,
     "q15_top_supplier" -> q15Sql,
     "q21_sole_late" -> q21Sql,
     "q22_idle_capital" -> q22Sql,

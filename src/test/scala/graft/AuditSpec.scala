@@ -154,6 +154,31 @@ class AuditSpec extends SparkSpec {
     assert(rows.size === cells)
   }
 
+  test("events_mad_outliers: hand-computed median/MAD census; robust to the outlier itself") {
+    // values 1..9 plus one wild 100: median 5.5, adev median (MAD) 2.5,
+    // threshold 3·1.4826·2.5 = 11.1195 — only the 100 (adev 94.5) trips
+    val fix = writeEventsFixture((1 to 9).map { i =>
+      (i.toLong, i * 1000000000L, i.toLong, "click", i.toDouble)
+    } :+ (10L, 10000000000L, 10L, "click", 100.0))
+    val r = rowsOf(Audit.queries("events_mad_outliers")(spark, fix))
+    assert(r.size === 1)
+    val m = r.head
+    assert(m("n") === 10L)
+    assert(m("med") === 5.5)
+    assert(m("mad") === 2.5)
+    assert(m("n_outliers") === 1L)
+    // corpus invariants: MAD nonneg, outliers a strict minority per type
+    val sf = rowsOf(Audit.queries("events_mad_outliers")(spark, dir))
+    assert(sf.nonEmpty)
+    sf.foreach { m =>
+      assert(m("mad").asInstanceOf[Double] >= 0.0)
+      val (n, o) = (m("n").asInstanceOf[Long],
+        m("n_outliers").asInstanceOf[Long])
+      assert(o >= 0L && o * 2 < n)
+    }
+    graft.functions.Fs.deleteRecursively(new java.io.File(fix))
+  }
+
   test("stats_incremental: the base⊕delta sketch merge equals the full recompute") {
     val rows = rowsOf(SparkEntry.queries("stats_incremental")(spark, dir))
     assert(rows.map(_("column")).toSet ===

@@ -565,6 +565,38 @@ class RelationalSpec extends SparkSpec {
     assert(ours == sqlForm)
   }
 
+  test("basket_pairs: support recomputes exactly; lift consistent with the margins") {
+    import spark.implicits._
+    val rows = rowsOf(Relational.queries("basket_pairs")(spark, dir))
+    assert(rows.nonEmpty && rows.size <= 50)
+    // ordered by support desc
+    val sups = rows.map(_("support").asInstanceOf[Long])
+    assert(sups == sups.sorted.reverse)
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = items.select($"l_orderkey").distinct().count()
+    val cnts = items.groupBy($"l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recompute of the top pair's support via two semi-joins
+    val top = rows.head
+    val (pa, pb) = (top("part_a").asInstanceOf[Long],
+      top("part_b").asInstanceOf[Long])
+    val withA = items.filter($"l_partkey" === pa).select($"l_orderkey")
+    val withB = items.filter($"l_partkey" === pb).select($"l_orderkey")
+    assert(withA.join(withB, Seq("l_orderkey")).count() ==
+      top("support").asInstanceOf[Long])
+    rows.foreach { m =>
+      val (s, ca, cb) = (m("support").asInstanceOf[Long],
+        m("cnt_a").asInstanceOf[Long], m("cnt_b").asInstanceOf[Long])
+      assert(s >= Relational.BasketMinSupport && s <= math.min(ca, cb))
+      assert(ca == cnts(m("part_a").asInstanceOf[Long]))
+      assert(cb == cnts(m("part_b").asInstanceOf[Long]))
+      val lift = BigDecimal(s.toDouble * nOrders / (ca.toDouble * cb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(m("lift") == lift)
+    }
+  }
+
   test("window_dist: quartiles balanced, pct_rank/cume exact and monotone per nation") {
     val rows = rowsOf(Relational.queries("window_dist")(spark, dir))
     assert(rows.nonEmpty)
