@@ -290,6 +290,197 @@ object TextAnalysis extends OpModule {
        |FROM scored
        |QUALIFY rk <= $TfIdfTopK""".stripMargin
 
+  /** BM25 retrieval constants (Robertson–Spärck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 5
+  /** Fixed evaluation panel, the [[Similarity.QueryPanelIds]] discipline:
+    * 1-in-50 docs below the cap are queries, so retrieval evaluation is
+    * LINEAR in corpus size (an unbounded query sample makes it
+    * quadratic — the trap the ANN family's sf1 probe caught). */
+  val Bm25QueryMod = 50
+  val Bm25PanelIds = 40
+  /** Posting lists longer than this are pruned from scoring — the
+    * [[Dedup.HotShingleCap]] discipline: at web scale a stopword's
+    * posting list is the whole corpus and joining through it is the
+    * quadratic bomb, while BM25's idf already scores such terms near
+    * zero, so dropping them barely moves the ranking. Inert at sf0.01
+    * (max df 402 < cap); at sf0.1 the synthetic corpus's 31-term common
+    * core exceeds it and is pruned exactly as stopwords would be at
+    * web scale, leaving the rare terms BM25 discriminates on — both
+    * regimes hash-checked against the oracle. */
+  val Bm25HotDf = 1024L
+
+  /** BM25 keyword retrieval (`text_bm25_topk`): each panel doc queries
+    * the corpus with its own (deduplicated) terms; candidates share ≥1
+    * surviving term (posting-list equi-join — never all-pairs); score =
+    * Σ idf·tf-saturation, the textbook Okapi form. Determinism: each
+    * per-term weight quantizes to INTEGER micro-units (the xent
+    * micro-nat canon) BEFORE the per-pair sum, so the score is an
+    * order-independent integer sum — ln() ulps across engines live
+    * below the quantum. Scale shape: tf/df/dl are one hash aggregation
+    * each over the exploded token stream; df and the 1-row corpus
+    * stats broadcast; the q×postings join is bounded by the fixed
+    * panel times capped posting lists; top-k is a rank window over the
+    * per-pair aggregate. */
+  private def bm25Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokenized(spark, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs"
+    val term = tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .filter($"df" <= Bm25HotDf)
+      .join(dl, Seq("doc_id"))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("w_micro", round(
+        $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
+          ($"tf" + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / avgdl)) * 1e6)
+        .cast("long"))
+    val qterms = term
+      .filter($"doc_id" % Bm25QueryMod === 0 &&
+        $"doc_id" < Bm25QueryMod.toLong * Bm25PanelIds)
+      .select($"doc_id".as("qid"), $"tok")
+    val w = Window.partitionBy($"qid")
+      .orderBy($"score_micro".desc, $"nid")
+    qterms
+      .join(term.select($"doc_id".as("nid"), $"tok", $"w_micro"), Seq("tok"))
+      .filter($"nid" =!= $"qid")
+      .groupBy($"qid", $"nid")
+      .agg(sum($"w_micro").as("score_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= Bm25TopK)
+      .select($"qid", $"nid", $"rk", $"score_micro")
+  }
+
+  private val bm25Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot_dl FROM dl),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |term AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    round(
+       |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |        (tf.tf * ${Bm25K1 + 1.0}) /
+       |        (tf.tf + ${Bm25K1} *
+       |          (${1.0 - Bm25B} + ${Bm25B} * dl.dl /
+       |            (st.tot_dl::DOUBLE / st.n_docs))) * 1e6)::BIGINT
+       |      AS w_micro
+       |  FROM tf JOIN df USING (tok) CROSS JOIN st
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  WHERE df.df <= $Bm25HotDf),
+       |q AS (SELECT doc_id AS qid, tok FROM term
+       |      WHERE doc_id % $Bm25QueryMod = 0
+       |        AND doc_id < ${Bm25QueryMod.toLong * Bm25PanelIds}),
+       |sc AS (
+       |  SELECT q.qid, t.doc_id AS nid, sum(t.w_micro)::BIGINT AS score_micro
+       |  FROM q JOIN term t USING (tok)
+       |  WHERE t.doc_id <> q.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, nid) AS rk,
+       |  score_micro
+       |FROM sc
+       |QUALIFY rk <= $Bm25TopK""".stripMargin
+
+  /** RRF rank-smoothing constant (the standard k=60 of Cormack et al.;
+    * public literature). */
+  val RrfK = 60L
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (`hybrid_rrf_topk`):
+    * the BM25 keyword leg fused with a shingle-overlap leg (the
+    * surrogate for a semantic leg in this schema — any ranked list
+    * fuses the same way), per panel query: rrf = Σ 1e6/(60+rank) in
+    * integer micro-units over the legs that retrieved the candidate.
+    * RRF is rank-only, so the fusion is EXACT integer arithmetic —
+    * no score normalization across legs, which is precisely why
+    * production hybrid search uses it. Scale shape: each leg is
+    * bounded (fixed panel × capped posting lists × top-k); the fusion
+    * is a full-outer join of two panel×k frames — k-sized per query,
+    * metadata-scale. */
+  private def rrfDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kw = bm25Df(spark, dir).select($"qid", $"nid", $"rk".as("rk_kw"))
+    // shingle-overlap leg: shared word-3-grams between the panel query
+    // and the corpus, hot lists capped — Dedup's posting discipline
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      Dedup.shingled(spark, dir).select($"doc_id", $"h").distinct())
+    val hot = sets.groupBy($"h").agg(count(lit(1)).as("hdf"))
+      .filter($"hdf" > Dedup.HotShingleCap).select($"h")
+    val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
+    val qp = postings
+      .filter($"doc_id" % Bm25QueryMod === 0 &&
+        $"doc_id" < Bm25QueryMod.toLong * Bm25PanelIds)
+      .select($"doc_id".as("qid"), $"h")
+    val wSh = Window.partitionBy($"qid").orderBy($"inter".desc, $"nid")
+    val sh = qp
+      .join(postings.select($"doc_id".as("nid"), $"h"), Seq("h"))
+      .filter($"nid" =!= $"qid")
+      .groupBy($"qid", $"nid")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("rk_sh", row_number().over(wSh))
+      .filter($"rk_sh" <= Bm25TopK)
+      .select($"qid", $"nid", $"rk_sh")
+    val wR = Window.partitionBy($"qid").orderBy($"rrf_micro".desc, $"nid")
+    kw.join(sh, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + rk_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + rk_sh)"), lit(0L)))
+      .withColumn("rank", row_number().over(wR))
+      .filter($"rank" <= Bm25TopK)
+      .select($"qid", $"nid", $"rank", $"rrf_micro",
+        coalesce($"rk_kw", lit(0)).as("rk_kw"),
+        coalesce($"rk_sh", lit(0)).as("rk_sh"))
+  }
+
+  private val rrfSql: String =
+    s"""WITH bm AS ($bm25Sql),
+       |shd AS (${Dedup.shingledSql}),
+       |sets AS (SELECT DISTINCT doc_id, h FROM shd),
+       |hot AS (SELECT h FROM sets GROUP BY h
+       |        HAVING count(*) > ${Dedup.HotShingleCap}),
+       |post AS (SELECT doc_id, h FROM sets
+       |         WHERE h NOT IN (SELECT h FROM hot)),
+       |qp AS (SELECT doc_id AS qid, h FROM post
+       |       WHERE doc_id % $Bm25QueryMod = 0
+       |         AND doc_id < ${Bm25QueryMod.toLong * Bm25PanelIds}),
+       |shlegall AS (
+       |  SELECT qp.qid, p.doc_id AS nid, count(*) AS inter
+       |  FROM qp JOIN post p USING (h)
+       |  WHERE p.doc_id <> qp.qid
+       |  GROUP BY 1, 2),
+       |shleg AS (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY inter DESC, nid)
+       |      AS rk_sh
+       |  FROM shlegall
+       |  QUALIFY rk_sh <= $Bm25TopK),
+       |fused AS (
+       |  SELECT coalesce(bm.qid, s.qid) AS qid,
+       |    coalesce(bm.nid, s.nid) AS nid,
+       |    (coalesce(1000000 // ($RrfK + bm.rk), 0) +
+       |     coalesce(1000000 // ($RrfK + s.rk_sh), 0))::BIGINT AS rrf_micro,
+       |    coalesce(bm.rk, 0) AS rk_kw, coalesce(s.rk_sh, 0) AS rk_sh
+       |  FROM bm FULL OUTER JOIN shleg s
+       |    ON s.qid = bm.qid AND s.nid = bm.nid)
+       |SELECT qid, nid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, nid) AS "rank",
+       |  rrf_micro, rk_kw, rk_sh
+       |FROM fused
+       |QUALIFY "rank" <= $Bm25TopK""".stripMargin
+
   /** Vocabulary coverage curve: the top corpus tokens by frequency with
     * each prefix's cumulative share of all token occurrences — the table
     * a tokenizer-training step reads to pick vocabulary size / coverage
@@ -1585,6 +1776,8 @@ object TextAnalysis extends OpModule {
     "text_quality" -> (qualityDf(_, _)),
     "text_fingerprint" -> (fingerprintDf(_, _)),
     "text_tfidf" -> (tfidfDf(_, _)),
+    "text_bm25_topk" -> (bm25Df(_, _)),
+    "hybrid_rrf_topk" -> (rrfDf(_, _)),
     "text_vocab_coverage" -> (vocabDf(_, _)),
     "text_unigram_xent" -> (unigramXentDf(_, _)),
     "text_repetition" -> (repetitionDf(_, _)),
@@ -1611,6 +1804,8 @@ object TextAnalysis extends OpModule {
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf" -> tfidfSql,
+    "text_bm25_topk" -> bm25Sql,
+    "hybrid_rrf_topk" -> rrfSql,
     "text_vocab_coverage" -> vocabSql,
     "text_unigram_xent" -> unigramXentSql,
     "text_repetition" -> repetitionSql,

@@ -632,6 +632,86 @@ class TextDedupSpec extends SparkSpec {
     assert(aScore.isDefined, "df=1 token must make doc 3's top-5")
   }
 
+  test("bm25: exact copy ranks first, disjoint docs never retrieved, hot cap prunes") {
+    // doc 0 is a panel query (0 % 50 == 0): doc 1 is an exact copy (top
+    // hit), doc 2 shares 2 of 3 terms, doc 150 shares none (never
+    // retrieved). Pad docs push df("apple") below every other term's.
+    val d = writeDocsFixture(Seq(
+      (0L, "apple banana cherry", "en"),
+      (1L, "apple banana cherry", "en"),
+      (2L, "apple banana zzfill", "en"),
+      (150L, "unrelated terms only", "en"),
+      (151L, "more unrelated padding", "en")))
+    val r = rowsOf(TextAnalysis.queries("text_bm25_topk")(spark, d))
+    val q0 = r.filter(_("qid") == 0L).sortBy(_("rk").asInstanceOf[Int])
+    assert(q0.nonEmpty)
+    assert(q0.head("nid") == 1L, s"exact copy must rank first: $q0")
+    assert(!q0.exists(m => m("nid") == 150L || m("nid") == 151L))
+    val scores = q0.map(_("score_micro").asInstanceOf[Long])
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0L))
+    // hot-posting cap: a term in >Bm25HotDf docs contributes nothing —
+    // a query made ONLY of it retrieves nothing; a rare-term query on
+    // the same corpus still works
+    val n = TextAnalysis.Bm25HotDf.toInt + 8
+    val hot = writeDocsFixture(
+      Seq((0L, "the the the", "en"), (100L, "rare1 rare2", "en"),
+        (101L, "rare1 rare2 the", "en")) ++
+      (0 until n).map(i => (200L + i, s"the w$i", "en")))
+    val rh = rowsOf(TextAnalysis.queries("text_bm25_topk")(spark, hot))
+    assert(!rh.exists(_("qid") == 0L),
+      "a query of only hot terms must retrieve nothing")
+    val q100 = rh.filter(_("qid") == 100L)
+    assert(q100.map(_("nid")) == Seq(101L),
+      s"rare-term query must still retrieve its match: $q100")
+    // corpus invariants at the gate SF
+    val sf = rowsOf(TextAnalysis.queries("text_bm25_topk")(spark, sfDir("sf0.01")))
+    assert(sf.nonEmpty)
+    sf.groupBy(_("qid")).foreach { case (qid, rs) =>
+      assert(rs.size <= TextAnalysis.Bm25TopK)
+      assert(rs.forall(_("nid") != qid))
+      val ranked = rs.sortBy(_("rk").asInstanceOf[Int])
+      assert(ranked.map(_("rk")) == (1 to ranked.size).toList)
+      val sc = ranked.map(_("score_micro").asInstanceOf[Long])
+      assert(sc == sc.sorted.reverse)
+    }
+    Seq(d, hot).foreach(x =>
+      graft.functions.Fs.deleteRecursively(new java.io.File(x)))
+  }
+
+  test("rrf fusion: integer rank arithmetic exact; both-legs candidates beat single-leg peers") {
+    val sf = rowsOf(TextAnalysis.queries("hybrid_rrf_topk")(spark, sfDir("sf0.01")))
+    assert(sf.nonEmpty)
+    val k = TextAnalysis.RrfK
+    sf.foreach { m =>
+      val (kw, sh) = (m("rk_kw").asInstanceOf[Int].toLong,
+        m("rk_sh").asInstanceOf[Int].toLong)
+      val expect = (if (kw > 0) 1000000L / (k + kw) else 0L) +
+        (if (sh > 0) 1000000L / (k + sh) else 0L)
+      assert(m("rrf_micro") == expect, s"fusion arithmetic: $m")
+      assert(kw > 0 || sh > 0, "a fused row must come from some leg")
+    }
+    sf.groupBy(_("qid")).foreach { case (qid, rs) =>
+      assert(rs.size <= TextAnalysis.Bm25TopK)
+      assert(rs.forall(_("nid") != qid))
+      val ranked = rs.sortBy(_("rank").asInstanceOf[Int])
+      assert(ranked.map(_("rank")) == (1 to ranked.size).toList)
+      val sc = ranked.map(_("rrf_micro").asInstanceOf[Long])
+      assert(sc == sc.sorted.reverse)
+      // a candidate surfaced by BOTH legs at rank r dominates any
+      // candidate surfaced by ONE leg at rank >= r
+      for {
+        both <- rs.filter(m => m("rk_kw") != 0 && m("rk_sh") != 0)
+        one <- rs.filter(m => m("rk_kw") == 0 ^ m("rk_sh") == 0)
+        bMax = math.max(both("rk_kw").asInstanceOf[Int],
+          both("rk_sh").asInstanceOf[Int])
+        oMin = math.max(one("rk_kw").asInstanceOf[Int],
+          one("rk_sh").asInstanceOf[Int])
+        if oMin >= bMax
+      } assert(both("rrf_micro").asInstanceOf[Long] >
+        one("rrf_micro").asInstanceOf[Long])
+    }
+  }
+
   test("vocab coverage: ranks contiguous, counts non-increasing, share monotone to <= 1") {
     val rows = rowsOf(graft.operators.TextAnalysis
       .queries("text_vocab_coverage")(spark, sfDir("sf0.01")))
