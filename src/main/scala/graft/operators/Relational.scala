@@ -1054,23 +1054,29 @@ object Relational extends OpModule {
     * has ≤ a dozen distinct parts, so pairs-per-order is bounded and
     * the join output is linear in orders — the quadratic term rides
     * the BASKET size, not the corpus (contrast the shingle posting
-    * lists, which need `HotShingleCap`). Per-part counts are
-    * dimension-sized and broadcast; the orders total is a 1-row cross
-    * join; lift divides exactly-representable longs, rounded 6 on both
-    * engines. Top-50 by (support, part_a, part_b) is a
-    * TakeOrderedAndProject, never a full sort. */
+    * lists, which need `HotShingleCap`). The pair generator is NOT a
+    * self-join: baskets collect into per-order sorted part arrays (≤ a
+    * dozen elements) and pairs explode per-row — one shuffle keyed by
+    * orderkey, one by pair, no join of the corpus against itself.
+    * Per-part counts are dimension-sized and broadcast; the orders
+    * total is a 1-row cross join; lift divides exactly-representable
+    * longs, rounded 6 on both engines. Top-50 by (support, part_a,
+    * part_b) is a TakeOrderedAndProject, never a full sort. */
   private def basketDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val items = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val cnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
-    val tot = items.agg(countDistinct($"l_orderkey").as("n_orders"))
-    items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+    val baskets = graft.functions.DfMemo.cached(spark, s"baskets:$dir")(
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps")))
+    val cnt = baskets.select(explode($"ps").as("l_partkey"))
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= BasketMinSupport)
       .join(broadcast(cnt.select($"l_partkey".as("part_a"),
