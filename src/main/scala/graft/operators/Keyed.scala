@@ -341,6 +341,66 @@ object Keyed extends OpModule {
       |FROM s WHERE prev IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** SCD Type-2 dimension construction (`events_scd_ranges`): collapse
+    * each user's event-type change log into versioned validity
+    * intervals `[valid_from, valid_to)` — the slowly-changing-dimension
+    * table every warehouse maintains, derived change-log-first: a
+    * change row is one whose type differs from its predecessor
+    * (lag ≠ cur), version = running change count, valid_to = the next
+    * change's valid_from (NULL while current). One shuffle keyed by
+    * user; both windows share the (user, ts, id) sort; run lengths
+    * come from the event count between changes, so the interval table
+    * also audits itself (Σ n_events per user = user's event count,
+    * spec-pinned). All integers — epoch micros, versions, counts. */
+  private def scdRangesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"version")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("version", sum($"chg").over(wRun))
+      .groupBy($"user_id", $"version")
+      .agg(first($"event_type").as("state"),
+        min($"ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(wNext))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .select($"user_id", $"version", $"state", $"valid_from_us",
+        $"valid_to_us", $"n_events", $"is_current")
+  }
+
+  private val scdRangesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |v AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS version
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, version, any_value(event_type) AS state,
+      |    min(ts_us) AS valid_from_us, count(*) AS n_events
+      |  FROM v GROUP BY 1, 2)
+      |SELECT user_id, version, state, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to_us,
+      |  n_events,
+      |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |    IS NULL) AS is_current
+      |FROM g""".stripMargin
+
   /** DAU / WAU / stickiness (`events_dau_wau`): distinct daily actives,
     * distinct trailing-7-day actives, and the integer stickiness
     * percent (DAU*100 div WAU) per day. A trailing distinct-count is
@@ -462,6 +522,7 @@ object Keyed extends OpModule {
     "events_funnel" -> (funnelDf(_, _)),
     "events_retention" -> (retentionDf(_, _)),
     "events_markov" -> (markovDf(_, _)),
+    "events_scd_ranges" -> (scdRangesDf(_, _)),
     "events_dau_wau" -> (dauWauDf(_, _)),
     "events_funnel_curve" -> (funnelCurveDf(_, _)),
     "flow_zscore_keyed" -> (zscoreKeyedDf(_, _)),
@@ -476,6 +537,7 @@ object Keyed extends OpModule {
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
     "events_markov" -> markovSql,
+    "events_scd_ranges" -> scdRangesSql,
     "events_dau_wau" -> dauWauSql,
     "events_funnel_curve" -> funnelCurveSql,
     "flow_zscore_keyed" -> zscoreKeyedSql,

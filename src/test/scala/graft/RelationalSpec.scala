@@ -484,6 +484,37 @@ class RelationalSpec extends SparkSpec {
     tol.unpersist()
   }
 
+  test("events_scd_ranges: versions contiguous, intervals abut, census closes") {
+    import spark.implicits._
+    val rows = rowsOf(graft.operators.Keyed.queries("events_scd_ranges")(spark, dir))
+    assert(rows.nonEmpty)
+    val perUser = rows.groupBy(_("user_id").asInstanceOf[Long])
+    val evCounts = rowsOf(Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n")))
+      .map(m => m("user_id").asInstanceOf[Long] -> m("n").asInstanceOf[Long])
+      .toMap
+    perUser.foreach { case (uid, rs) =>
+      val ranked = rs.sortBy(_("version").asInstanceOf[Long])
+      // versions are 1..K with no gaps
+      assert(ranked.map(_("version")) == (1L to ranked.size).toList)
+      // consecutive intervals abut: valid_to(v) == valid_from(v+1);
+      // consecutive states DIFFER (else they'd be one version)
+      ranked.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a("valid_to_us") == b("valid_from_us"))
+          assert(a("state") != b("state"))
+        case _ =>
+      }
+      // exactly the last version is current (open-ended)
+      assert(ranked.init.forall(_("is_current") == false) &&
+        ranked.last("is_current") == true &&
+        ranked.last("valid_to_us") == null)
+      // the interval census closes: every event of the user is in
+      // exactly one version
+      assert(ranked.map(_("n_events").asInstanceOf[Long]).sum == evCounts(uid))
+    }
+  }
+
   test("q15_top_supplier: argmax set equals an independent per-supplier recompute") {
     import spark.implicits._
     val top = rowsOf(Relational.queries("q15_top_supplier")(spark, dir))

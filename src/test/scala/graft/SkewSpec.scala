@@ -399,6 +399,53 @@ class SkewSpec extends graft.SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim predicate prunes the fact side before the shuffle") {
+    import spark.implicits._
+    // the OTHER runtime rescue next to AQE skew-join: when a filtered
+    // dimension joins a big fact without broadcasting, Spark can build
+    // a bloom filter from the dim keys at runtime and inject it as a
+    // might-contain predicate on the FACT scan — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~matching slice. Thresholds here are production-sized
+    // (creation side small, application side huge), so the local
+    // fixture lowers them to prove the mechanism.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1b")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = Files.createTempDirectory("graft_rtf").toString
+    try {
+      (0 until 200000).map(i => (i.toLong % 1000, i.toLong))
+        .toDF("key", "payload")
+        .repartition(8).write.parquet(s"$dir/fact.parquet")
+      (0 until 1000).map(i => (i.toLong, s"d$i"))
+        .toDF("key", "name")
+        .write.parquet(s"$dir/dim.parquet")
+      val fact = spark.read.parquet(s"$dir/fact.parquet")
+      val dim = spark.read.parquet(s"$dir/dim.parquet")
+        .filter($"name".isin("d1", "d2", "d3")) // selective: 3 of 1000
+      val joined = fact.join(dim, Seq("key"))
+      val n = joined.collect().length.toLong
+      assert(n === 3L * 200) // 200 fact rows per key
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom-filter predicate on the fact side:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      graft.functions.Fs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("salted join: SMJ keyed on (key, salt), hot key spread R ways, plain-join answer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
