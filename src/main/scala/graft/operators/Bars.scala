@@ -62,6 +62,59 @@ object Bars extends OpModule {
        |  sum(value) AS volume, count(*) AS n_ticks
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Micros per day, for the anchored-VWAP session boundary. */
+  val DayUs: Long = 24L * HourUs
+
+  /** Hourly + day-anchored VWAP (`bars_vwap`): the volume-weighted
+    * average price per bar, and the session-anchored running VWAP every
+    * execution desk charts (anchor = UTC day open). Size comes from the
+    * payload's `k` field (the same extraction as `json_extract_agg`).
+    * Determinism is the exact-cents canon: per-tick price·size
+    * accumulates as `round(value*100)::BIGINT * k` — an
+    * order-independent integer sum on both engines — and only the final
+    * division produces a double, from identical operands. The anchored
+    * window is a per-day running integer sum: one shuffle keyed by day,
+    * no global ordering. */
+  private def vwapDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"day").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("pv_cents", round($"value" * 100).cast("long") * $"k")
+      .groupBy(expr(s"ts_us div $HourUs").as("bucket"))
+      .agg(sum($"pv_cents").as("pv"), sum($"k").as("sz"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("day", expr(s"bucket div ${DayUs / HourUs}"))
+      .withColumn("vwap",
+        when($"sz" > 0, $"pv" / $"sz" / 100.0))
+      .withColumn("avwap",
+        when(sum($"sz").over(w) > 0,
+          sum($"pv").over(w) / sum($"sz").over(w) / 100.0))
+      .select($"bucket", $"n_ticks", $"sz".as("size_sum"),
+        $"vwap", $"avwap")
+  }
+
+  private val vwapSql: String =
+    s"""WITH t AS (
+       |  SELECT epoch_us(ts) // $HourUs AS bucket,
+       |    round(value * 100)::BIGINT *
+       |      json_extract_string(props, '$$.k')::BIGINT AS pv_cents,
+       |    json_extract_string(props, '$$.k')::BIGINT AS k
+       |  FROM events),
+       |b AS (
+       |  SELECT bucket, sum(pv_cents)::BIGINT AS pv, sum(k)::BIGINT AS sz,
+       |    count(*) AS n_ticks, bucket // ${DayUs / HourUs} AS day
+       |  FROM t GROUP BY 1)
+       |SELECT bucket, n_ticks, sz AS size_sum,
+       |  CASE WHEN sz > 0 THEN pv / sz / 100.0 END AS vwap,
+       |  CASE WHEN (sum(sz) OVER w)::BIGINT > 0
+       |       THEN (sum(pv) OVER w)::BIGINT / (sum(sz) OVER w)::BIGINT / 100.0
+       |  END AS avwap
+       |FROM b
+       |WINDOW w AS (PARTITION BY day ORDER BY bucket
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** True range + prev-close lag inputs shared by ATR and realized vol.
     * tr is explicitly NULL on the first bar (no prev close) — both engines'
     * `greatest` skip NULLs, so we guard rather than rely on that. */
@@ -169,6 +222,7 @@ object Bars extends OpModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bars_ohlc" -> (barsDf(_, _)),
+    "bars_vwap" -> (vwapDf(_, _)),
     "bars_atr" -> (atrDf(_, _)),
     "bars_rv" -> (rvDf(_, _)),
     "bars_ema" -> (emaDf(_, _))
@@ -176,6 +230,7 @@ object Bars extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "bars_ohlc" -> barsSql,
+    "bars_vwap" -> vwapSql,
     "bars_atr" -> atrSql,
     "bars_rv" -> rvSql,
     "bars_ema" -> emaSql

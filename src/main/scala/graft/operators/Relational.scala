@@ -1108,8 +1108,45 @@ object Relational extends OpModule {
        |ORDER BY support DESC, part_a, part_b
        |LIMIT 50""".stripMargin
 
+  /** Repeat-purchase cohort retention (`orders_cohort`): customers
+    * grouped by first-order month, counted at each month offset where
+    * they ordered again — the BI retention triangle, `events_retention`'s
+    * orders-table sibling with month (not day) grain and a calendar
+    * month index (year·12+month) so offsets cross year boundaries
+    * exactly. Integer-only. One aggregation keyed by custkey for the
+    * cohort anchor, one custkey-keyed join (both sides already
+    * shuffled on the key), one distinct+count keyed by (cohort,
+    * offset) — the triangle frame is cohorts×offsets, metadata-scale. */
+  private def cohortDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("m"))
+    val firsts = om.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    om.join(firsts, Seq("o_custkey"))
+      .select($"o_custkey", $"m0", ($"m" - $"m0").as("k"))
+      .distinct()
+      .groupBy(expr("(m0 div 12) * 100 + m0 % 12 + 1").as("cohort_ym"),
+        $"k")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val cohortSql: String =
+    """WITH om AS (
+      |  SELECT o_custkey,
+      |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1),
+      |ck AS (SELECT DISTINCT om.o_custkey, f.m0, om.m - f.m0 AS k
+      |       FROM om JOIN f USING (o_custkey))
+      |SELECT ((m0 // 12) * 100 + m0 % 12 + 1)::BIGINT AS cohort_ym, k,
+      |  count(*) AS n_customers
+      |FROM ck GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_pairs" -> (basketDf(_, _)),
+    "orders_cohort" -> (cohortDf(_, _)),
     "q15_top_supplier" -> (q15Df(_, _)),
     "q21_sole_late" -> (q21Df(_, _)),
     "q22_idle_capital" -> (q22Df(_, _)),
@@ -1143,6 +1180,7 @@ object Relational extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "basket_pairs" -> basketSql,
+    "orders_cohort" -> cohortSql,
     "q15_top_supplier" -> q15Sql,
     "q21_sole_late" -> q21Sql,
     "q22_idle_capital" -> q22Sql,

@@ -1873,6 +1873,58 @@ object Similarity extends OpModule {
     * size — no global sort, no collect. Determinism: ordering is on the
     * ROUNDED cosine with vec_id tiebreak, so ranks cannot flip between
     * engines. */
+  /** Per-dimension embedding statistics (`emb_dim_stats`): mean and
+    * population variance per coordinate plus each dimension's
+    * cumulative share of total variance in rank order — the table a
+    * deployment reads before truncating (matryoshka `ann_trunc_*`),
+    * quantizing (SQ8's per-dim ranges), or whitening (OPQ): dims whose
+    * cumulative share saturates early carry the signal. One Expand-free
+    * pass: posexplode to (d, x), one hash aggregation keyed by d (64
+    * groups), everything after is 64-row arithmetic. Determinism:
+    * mean/var round(6) (sums over floats agree well past 6 dp), and
+    * the cumulative share quantizes each variance to integer micros
+    * FIRST so the running sum is order-independent integer math —
+    * DuckDB's segment-tree windowed sums never see a double. */
+  private def dimStatsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.orderBy($"varu".desc, $"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding").as(Seq("d0", "x")))
+      .select(($"d0" + 1).as("d"), $"x".cast("double").as("x"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n"), avg($"x").as("mu"),
+        (avg($"x" * $"x") - avg($"x") * avg($"x")).as("v"))
+      .withColumn("varu", round($"v" * 1e6).cast("long"))
+    val tot = per.agg(sum($"varu").as("totu"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("var_rank", row_number().over(
+        Window.orderBy($"varu".desc, $"d")))
+      .withColumn("cum_share_permille",
+        expr("(sum(varu) OVER (ORDER BY varu DESC, d" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)" +
+          " div totu"))
+      .select($"d", $"n", round($"mu", 6).as("mean"),
+        round($"v", 6).as("variance"), $"var_rank", $"cum_share_permille")
+  }
+
+  private val dimStatsSql: String =
+    s"""WITH x AS (
+      |  SELECT t.i AS d, embedding[t.i]::DOUBLE AS x
+      |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+      |per AS (
+      |  SELECT d, count(*) AS n, avg(x) AS mu,
+      |    avg(x * x) - avg(x) * avg(x) AS v,
+      |    round((avg(x * x) - avg(x) * avg(x)) * 1e6)::BIGINT AS varu
+      |  FROM x GROUP BY 1),
+      |tot AS (SELECT sum(varu)::BIGINT AS totu FROM per)
+      |SELECT d, n, round(mu, 6) AS mean, round(v, 6) AS variance,
+      |  row_number() OVER (ORDER BY varu DESC, d) AS var_rank,
+      |  (((sum(varu) OVER (ORDER BY varu DESC, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |    * 1000) // totu)::BIGINT AS cum_share_permille
+      |FROM per, tot""".stripMargin
+
   private def embPruneDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val a = kmeansRankedDf(spark, dir).filter($"rk" === 1)
@@ -2122,6 +2174,7 @@ object Similarity extends OpModule {
     "ann_recall_trunc" -> (recallTruncDf(_, _)),
     "ann_trunc_curve" -> (truncCurveDf(_, _)),
     "emb_prune" -> (embPruneDf(_, _)),
+    "emb_dim_stats" -> (dimStatsDf(_, _)),
     "ann_ivf_append" -> (ivfAppendDf(_, _)),
     "ann_recall_stale" -> (recallStaleDf(_, _)),
     "dedup_semantic_curve" -> (semCurveDf(_, _))
@@ -2157,6 +2210,7 @@ object Similarity extends OpModule {
     "ann_filtered_topk" -> filteredTopkSql,
     "ann_filtered_recall" -> filteredRecallSql,
     "emb_prune" -> embPruneSql,
+    "emb_dim_stats" -> dimStatsSql,
     "ann_ivf_append" -> ivfAppendSql,
     "ann_recall_stale" -> recallStaleSql,
     "dedup_semantic_curve" -> semCurveSql

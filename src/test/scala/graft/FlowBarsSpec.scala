@@ -50,6 +50,30 @@ class FlowBarsSpec extends SparkSpec {
     assert(o(h0 + 1)("open") == 5.0 && o(h0 + 1)("close") == 15.0)
   }
 
+  test("VWAP: per-bar and day-anchored values match the hand computation") {
+    // fixture props carry k = 1, so sizes are unit: vwap(h0) = mean
+    // (10,20,30) = 20; vwap(h0+1) = mean(5,15) = 10; the day-anchored
+    // running vwap at h0+1 blends both bars: (60+20)/(3+2) = 16
+    val v = rowsOf(Bars.queries("bars_vwap")(spark, dir))
+      .map(m => m("bucket") -> m).toMap
+    assert(v(h0)("vwap") == 20.0 && v(h0)("avwap") == 20.0)
+    assert(v(h0)("size_sum") == 3L && v(h0 + 1)("size_sum") == 2L)
+    assert(v(h0 + 1)("vwap") == 10.0)
+    assert(v(h0 + 1)("avwap") == 16.0)
+    // corpus invariant: a weighted mean stays inside the bar's range
+    val sf = rowsOf(Bars.queries("bars_vwap")(spark, sfDir()))
+    val ohlc = rowsOf(Bars.queries("bars_ohlc")(spark, sfDir()))
+      .map(m => m("bucket") -> m).toMap
+    assert(sf.nonEmpty)
+    sf.filter(_("vwap") != null).foreach { m =>
+      val b = ohlc(m("bucket"))
+      val (lo, hi) = (b("low").asInstanceOf[Double],
+        b("high").asInstanceOf[Double])
+      val w = m("vwap").asInstanceOf[Double]
+      assert(w >= lo - 0.01 && w <= hi + 0.01, s"vwap outside bar range: $m")
+    }
+  }
+
   test("EMA matches the adjust=False recursion computed by hand") {
     val e = rowsOf(Bars.queries("bars_ema")(spark, dir))
       .sortBy(_("bucket").asInstanceOf[Long])

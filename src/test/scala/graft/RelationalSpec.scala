@@ -484,6 +484,28 @@ class RelationalSpec extends SparkSpec {
     tol.unpersist()
   }
 
+  test("orders_cohort: anchor month holds the full cohort, retention never exceeds it") {
+    import spark.implicits._
+    val rows = rowsOf(Relational.queries("orders_cohort")(spark, dir))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_("cohort_ym").asInstanceOf[Long])
+    byCohort.foreach { case (_, rs) =>
+      val k0 = rs.find(_("k") == 0L)
+      assert(k0.nonEmpty, "every cohort orders in its anchor month by definition")
+      val base = k0.get("n_customers").asInstanceOf[Long]
+      rs.foreach { m =>
+        assert(m("k").asInstanceOf[Long] >= 0L)
+        assert(m("n_customers").asInstanceOf[Long] <= base,
+          s"retention cannot exceed cohort size: $m")
+      }
+    }
+    // cohort anchors partition the customers: k=0 counts sum to the
+    // number of distinct ordering customers
+    val total = Tables.orders(spark, dir).select($"o_custkey").distinct().count()
+    assert(rows.filter(_("k") == 0L)
+      .map(_("n_customers").asInstanceOf[Long]).sum == total)
+  }
+
   test("events_scd_ranges: versions contiguous, intervals abut, census closes") {
     import spark.implicits._
     val rows = rowsOf(graft.operators.Keyed.queries("events_scd_ranges")(spark, dir))

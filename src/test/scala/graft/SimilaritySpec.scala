@@ -401,4 +401,22 @@ class SimilaritySpec extends SparkSpec {
       assert(occ > Similarity.EmbBucketTarget / 2.0, s"n=$n over-split: $occ")
     }
   }
+
+  test("dim stats: rank permutes the dims, cumulative share climbs to exactly 1000") {
+    val rows = rowsOf(Similarity.queries("emb_dim_stats")(spark, sfDir("sf0.01")))
+    assert(rows.size == 64)
+    assert(rows.map(_("d")).toSet == (1L to 64L).toSet)
+    assert(rows.map(_("var_rank")).toSet == (1L to 64L).map(_.toInt).toSet)
+    assert(rows.map(_("n")).distinct.size == 1, "every dim sees every vector")
+    rows.foreach(m =>
+      assert(m("variance").asInstanceOf[Double] >= 0.0))
+    val byRank = rows.sortBy(_("var_rank").asInstanceOf[Int])
+    // variance non-increasing down the rank; share non-decreasing up to
+    // exactly 1000 permille (integer arithmetic closes the sum)
+    val vs = byRank.map(_("variance").asInstanceOf[Double])
+    assert(vs == vs.sorted.reverse)
+    val shares = byRank.map(_("cum_share_permille").asInstanceOf[Long])
+    assert(shares == shares.sorted)
+    assert(shares.last == 1000L)
+  }
 }
