@@ -256,10 +256,12 @@ object TextAnalysis extends OpModule {
 
   private def tfidfDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = tokenized(spark, dir)
-      .select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("tf"))
+    // the SAME memoized (doc, tok, tf) frame the xent family builds
+    val tf = graft.functions.DfMemo.cached(spark, s"unigram_tf:$dir")(
+      tokenized(spark, dir)
+        .select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
@@ -323,27 +325,38 @@ object TextAnalysis extends OpModule {
     * stats broadcast; the q×postings join is bounded by the fixed
     * panel times capped posting lists; top-k is a rank window over the
     * per-pair aggregate. */
+  /** The scored (doc, term, w_micro) frame — memoized because the
+    * keyword query consumes it once and the RRF fusion twice more
+    * (query side + candidate side). */
+  private def bm25TermDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"bm25_term:$dir") {
+      import spark.implicits._
+      val tf = graft.functions.DfMemo.cached(spark, s"unigram_tf:$dir")(
+        tokenized(spark, dir)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val avgdl = $"tot_dl".cast("double") / $"n_docs"
+      tf.join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .filter($"df" <= Bm25HotDf)
+        .join(dl, Seq("doc_id"))
+        .withColumn("idf",
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+        .withColumn("w_micro", round(
+          $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
+            ($"tf" + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / avgdl)) * 1e6)
+          .cast("long"))
+        .select($"doc_id", $"tok", $"w_micro")
+    }
+
   private def bm25Df(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = tokenized(spark, dir)
-      .select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
-    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val avgdl = $"tot_dl".cast("double") / $"n_docs"
-    val term = tf.join(broadcast(df), Seq("tok"))
-      .crossJoin(broadcast(stats))
-      .filter($"df" <= Bm25HotDf)
-      .join(dl, Seq("doc_id"))
-      .withColumn("idf",
-        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-      .withColumn("w_micro", round(
-        $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
-          ($"tf" + lit(Bm25K1) *
-            (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / avgdl)) * 1e6)
-        .cast("long"))
+    val term = bm25TermDf(spark, dir)
     val qterms = term
       .filter($"doc_id" % Bm25QueryMod === 0 &&
         $"doc_id" < Bm25QueryMod.toLong * Bm25PanelIds)
