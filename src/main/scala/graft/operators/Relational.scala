@@ -1144,7 +1144,117 @@ object Relational extends OpModule {
       |  count(*) AS n_customers
       |FROM ck GROUP BY 1, 2""".stripMargin
 
+  /** Skyline / dominance front (`skyline_parts`): the Pareto-optimal
+    * frontier of the part catalog — no other part is both cheaper
+    * (retail price, exact integer cents) and at least as big (p_size),
+    * with at least one strict. The classic skyline operator
+    * (Börzsönyi 2001) is quadratic as written; Spark-first it is a
+    * two-step reduction that never compares rows pairwise:
+    *  1. collapse the data to the DISTINCT point set with counts (one
+    *     hash aggregate — the only data-sized pass), then keep per
+    *     price only the max size (same-price-smaller rows are
+    *     dominated by it, size strict);
+    *  2. over the per-price frame ordered by price ascending, a row is
+    *     on the front iff its size strictly exceeds the running max of
+    *     every strictly-cheaper row (that predecessor has price ≤ and
+    *     would dominate at equal size because its price is strict).
+    * The ordered window runs over |distinct prices| rows — the price
+    * DOMAIN, bounded regardless of row count, so the single-partition
+    * window is metadata-sized at any SF (and skyline is distributive:
+    * per-partition local fronts could pre-filter step 1's input if the
+    * domain ever grew data-sized). The oracle keeps the textbook
+    * NOT EXISTS dominance form, so an independent formulation
+    * cross-checks the window reduction. */
+  private def skylineDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.part(spark, dir)
+      .select(round($"p_retailprice" * 100).cast("long").as("price_cents"),
+        $"p_size")
+      .groupBy($"price_cents", $"p_size")
+      .agg(count(lit(1)).as("n_parts"))
+    val perPrice = pts
+      .withColumn("mx", max($"p_size").over(
+        Window.partitionBy($"price_cents")))
+      .filter($"p_size" === $"mx")
+      .drop("mx")
+    val run = Window.orderBy($"price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("best_prev", max($"p_size").over(run))
+      .filter($"best_prev".isNull || $"p_size" > $"best_prev")
+      .select($"price_cents", $"p_size", $"n_parts")
+  }
+
+  private val skylineSql: String =
+    """WITH pts AS (
+      |  SELECT round(p_retailprice * 100)::BIGINT AS price_cents, p_size,
+      |    count(*) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT price_cents, p_size, n_parts FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+      |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin
+
+  /** Late-arriving-orders modulus for [[mvIncDf]]: orderkeys ≡ 0 mod
+    * this are the orders-side delta (~1%). */
+  val MvOrderMod = 97
+  /** Late-arriving-lines modulus for [[mvIncDf]]: suppkeys ≡ 0 mod
+    * this are the lineitem-side delta (~8%), deliberately CROSS-CUTTING
+    * the orders delta so every term of the delta algebra is non-empty. */
+  val MvSuppMod = 13
+
+  /** Incremental materialized-view maintenance (`mv_incremental_join`):
+    * the revenue-by-order-month join view maintained with
+    * DELTA ALGEBRA instead of recomputation. With base/delta splits
+    * L = L₀ ∪ ΔL and O = O₀ ∪ ΔO, the view over the full tables
+    * decomposes as L₀⋈O₀ ∪ ΔL⋈O ∪ L₀⋈ΔO — the first term is the
+    * standing view's sufficient statistics (sum/count partials, here
+    * rebuilt once to stand in for the stored aggregate), and the two
+    * delta terms are the refresh: ΔL⋈O shuffles only the delta lines
+    * (the orders side prunes to matching keys), and L₀⋈ΔO BROADCASTS
+    * the delta orders so the base fact never re-shuffles. Final merge
+    * re-aggregates the partials — exact integer cents per row, so the
+    * incremental sum is order-independent and bit-equal to a full
+    * recompute. At 100 TB a view refresh costs O(|Δ| + |view|), never a
+    * base-table re-join; the oracle IS the full recompute (plain
+    * join+group over the complete tables), so the driver's hash check
+    * certifies incremental ≡ recompute on every run. */
+  private def mvIncDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey",
+      round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long").as("cents"))
+    val o = Tables.orders(spark, dir).select($"o_orderkey",
+      (year($"o_orderdate") * 100 + month($"o_orderdate"))
+        .cast("long").as("ym"))
+    val lBase = l.filter($"l_suppkey" % MvSuppMod =!= 0)
+    val lDelta = l.filter($"l_suppkey" % MvSuppMod === 0)
+    val oBase = o.filter($"o_orderkey" % MvOrderMod =!= 0)
+    val oDelta = o.filter($"o_orderkey" % MvOrderMod === 0)
+    def partial(lines: DataFrame, orders: DataFrame): DataFrame =
+      lines.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"ym")
+        .agg(sum($"cents").as("pc"), count(lit(1)).as("pn"))
+    val standing = partial(lBase, oBase)          // the stored view
+    val dLines = partial(lDelta, o)               // ΔL ⋈ (O₀ ∪ ΔO)
+    val dOrders = partial(lBase, broadcast(oDelta)) // L₀ ⋈ ΔO, no shuffle
+    standing.unionByName(dLines).unionByName(dOrders)
+      .groupBy($"ym")
+      .agg(sum($"pc").as("revenue_cents"), sum($"pn").as("n_lines"))
+  }
+
+  private val mvIncSql: String =
+    """SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym,
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_parts" -> (skylineDf(_, _)),
+    "mv_incremental_join" -> (mvIncDf(_, _)),
     "basket_pairs" -> (basketDf(_, _)),
     "orders_cohort" -> (cohortDf(_, _)),
     "q15_top_supplier" -> (q15Df(_, _)),
@@ -1181,6 +1291,8 @@ object Relational extends OpModule {
   val oracles: Map[String, String] = Map(
     "basket_pairs" -> basketSql,
     "orders_cohort" -> cohortSql,
+    "skyline_parts" -> skylineSql,
+    "mv_incremental_join" -> mvIncSql,
     "q15_top_supplier" -> q15Sql,
     "q21_sole_late" -> q21Sql,
     "q22_idle_capital" -> q22Sql,

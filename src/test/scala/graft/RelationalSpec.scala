@@ -677,4 +677,50 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("skyline_parts: front is exactly the brute-force non-dominated set") {
+    import spark.implicits._
+    val front = rowsOf(Relational.queries("skyline_parts")(spark, dir))
+      .map(m => (m("price_cents").asInstanceOf[Long],
+        m("p_size").asInstanceOf[Int])).toSet
+    assert(front.nonEmpty)
+    // brute-force dominance over the distinct point set (tiny at sf0.001)
+    val pts = Tables.part(spark, dir)
+      .select(round($"p_retailprice" * 100).cast("long").as("pc"), $"p_size")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expect = pts.filter { case (pc, sz) =>
+      !pts.exists { case (qc, qz) =>
+        qc <= pc && qz >= sz && (qc < pc || qz > sz) }
+    }
+    assert(front == expect, s"front=$front expect=$expect")
+    // along increasing price the frontier's size strictly increases
+    val byPrice = front.toSeq.sortBy(_._1).map(_._2)
+    assert(byPrice == byPrice.distinct.sorted)
+  }
+
+  test("mv_incremental_join: delta-algebra refresh is bit-equal to a " +
+    "full recompute and the delta-orders term broadcasts") {
+    import spark.implicits._
+    val df = Relational.queries("mv_incremental_join")(spark, dir)
+    val inc = rowsOf(df).map(m => (m("ym").asInstanceOf[Long],
+      (m("revenue_cents").asInstanceOf[Long],
+        m("n_lines").asInstanceOf[Long]))).toMap
+    // naive recompute: one join over the complete tables
+    val full = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .join(Tables.orders(spark, dir).select($"o_orderkey",
+        (year($"o_orderdate") * 100 + month($"o_orderdate"))
+          .cast("long").as("ym")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"ym")
+      .agg(sum($"cents").as("rc"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc == full)
+    // the explicit broadcast() of the delta-orders side survives planning
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
 }
