@@ -1252,7 +1252,159 @@ object Relational extends OpModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Order-priority checking (`q4_order_priority`, the TPC-H Q4 shape on
+    * this schema's columns: "late" = a line shipped >60 days after the
+    * order date, standing in for commitdate<receiptdate which the trimmed
+    * lineitem lacks). The textbook form is a correlated EXISTS; the plan
+    * we want — and write directly — is a LEFT SEMI hash join on the order
+    * key with the non-equi lateness predicate as a join residual, so each
+    * order is emitted at most once no matter how many late lines it has
+    * and no lineitem column ever reaches the aggregate. The quarter filter
+    * prunes orders BEFORE the join (the semi join's build side is one
+    * quarter, not the full table). DuckDB keeps the EXISTS spelling, so
+    * the decorrelation is cross-checked against an engine that plans it
+    * independently. */
+  private def q4Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** Important-nation revenue (`q11_important_stock`, the TPC-H Q11 shape:
+    * keep groups whose value exceeds a FRACTION OF THE GLOBAL TOTAL —
+    * partsupp is absent so the "value" is supplier-nation revenue). The
+    * textbook form has a scalar subquery in HAVING that re-scans the fact
+    * table; the Spark plan aggregates ONCE, derives the global total from
+    * the 25-row per-nation frame (sum of sums — exact integer cents, so
+    * re-aggregation is lossless), and broadcasts the 1-row total back as a
+    * cross join, so the fact table is read exactly once at any SF. The
+    * 5% threshold compares as `value*20 > total` in integer cents — no
+    * double multiply to drift between engines. */
+  private def q11Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey",
+      round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long").as("cents"))
+    val sup = broadcast(Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey"))
+    val nat = broadcast(Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name"))
+    val perNation = li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(sum($"cents").as("value_cents"))
+    val total = perNation.agg(sum($"value_cents").as("total_cents"))
+    perNation.crossJoin(broadcast(total))
+      .filter($"value_cents" * 20 > $"total_cents")
+      .select($"n_name", $"value_cents")
+  }
+
+  private val q11Sql: String =
+    """WITH pn AS (
+      |  SELECT n_name,
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |      AS value_cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1)
+      |SELECT n_name, value_cents FROM pn
+      |WHERE value_cents * 20 > (SELECT sum(value_cents) FROM pn)""".stripMargin
+
+  /** Supplier census per part segment (`q16_supplier_cnt`, the TPC-H Q16
+    * shape: COUNT DISTINCT suppliers per (brand, size) excluding a
+    * NOT-IN supplier blocklist — negative account balance standing in for
+    * the comment-pattern complaint flag). NOT IN over a non-null key is an
+    * anti join; both the blocklist and the part dimension broadcast, so
+    * the only shuffle is the final distinct-count aggregate — and that one
+    * is unavoidable and keyed on the output grain. DuckDB keeps the
+    * NOT IN spelling. */
+  private def q16Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = broadcast(Tables.part(spark, dir)
+      .filter($"p_type" =!= "ECONOMY").select($"p_partkey", $"p_brand", $"p_size"))
+    val blocked = broadcast(Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey"))
+    Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .join(blocked, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  private val q16Sql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'ECONOMY'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Dominant red-part suppliers (`q20_promo_suppliers`, the TPC-H Q20
+    * shape: a nested correlated aggregate — suppliers who shipped >30% of
+    * a red part's total 1997 volume). The textbook form re-aggregates the
+    * fact table once PER GROUP inside HAVING; the Spark plan decorrelates
+    * into two aggregation levels where the second REUSES the first's
+    * partials (per-part totals are re-aggregated (part, supplier) sums,
+    * exact integer quantities), so the fact table is scanned once and the
+    * dominance join runs at (part, supplier) grain, never row grain. The
+    * DuckDB oracle keeps the correlated-HAVING spelling as the independent
+    * formulation. */
+  private def q20Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val red = broadcast(Tables.part(spark, dir)
+      .filter($"p_name".startsWith("red")).select($"p_partkey"))
+    val redLines = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(red, $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
+    val perSupPart = redLines.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"qty").as("sp_qty"))
+    val perPart = perSupPart.groupBy($"l_partkey").agg(sum($"sp_qty").as("p_qty"))
+    val dominant = perSupPart.join(perPart, Seq("l_partkey"))
+      .filter($"sp_qty" * 10 > $"p_qty" * 3)
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_name")
+  }
+
+  private val q20Sql: String =
+    """SELECT s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem l JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_partkey, l_suppkey
+      |  HAVING sum(l_quantity::BIGINT) * 10 > 3 * (
+      |    SELECT sum(l2.l_quantity::BIGINT)
+      |    FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+      |    WHERE p2.p_partkey = l.l_partkey AND p2.p_name LIKE 'red%'
+      |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4Df(_, _)),
+    "q11_important_stock" -> (q11Df(_, _)),
+    "q16_supplier_cnt" -> (q16Df(_, _)),
+    "q20_promo_suppliers" -> (q20Df(_, _)),
     "skyline_parts" -> (skylineDf(_, _)),
     "mv_incremental_join" -> (mvIncDf(_, _)),
     "basket_pairs" -> (basketDf(_, _)),
@@ -1289,6 +1441,10 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4Sql,
+    "q11_important_stock" -> q11Sql,
+    "q16_supplier_cnt" -> q16Sql,
+    "q20_promo_suppliers" -> q20Sql,
     "basket_pairs" -> basketSql,
     "orders_cohort" -> cohortSql,
     "skyline_parts" -> skylineSql,

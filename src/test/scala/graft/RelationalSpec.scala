@@ -699,6 +699,90 @@ class RelationalSpec extends SparkSpec {
     assert(byPrice == byPrice.distinct.sorted)
   }
 
+  test("q4_order_priority: semi-join counts each order once regardless " +
+    "of late-line multiplicity") {
+    import spark.implicits._
+    val out = rowsOf(Relational.queries("q4_order_priority")(spark, dir))
+      .map(m => m("o_orderpriority").asInstanceOf[String] ->
+        m("n_orders").asInstanceOf[Long]).toMap
+    assert(out.nonEmpty)
+    // brute force: distinct late order ids per priority
+    val expect = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"o_orderkey", $"o_orderpriority").distinct()
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == expect)
+  }
+
+  test("q11_important_stock: every kept nation clears 5% of the global " +
+    "total and the fact table is scanned once") {
+    val df = Relational.queries("q11_important_stock")(spark, dir)
+    val kept = rowsOf(df).map(m => m("value_cents").asInstanceOf[Long])
+    assert(kept.nonEmpty)
+    val total = rowsOf(
+      Tables.lineitem(spark, dir).agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("t"))).head("t").asInstanceOf[Long]
+    kept.foreach(v => assert(v * 20 > total))
+    // decorrelation holds: one scan of lineitem in the physical plan
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .count(_.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans")
+  }
+
+  test("q16_supplier_cnt: blocked suppliers never counted; anti join in plan") {
+    import spark.implicits._
+    val df = Relational.queries("q16_supplier_cnt")(spark, dir)
+    assert(rowsOf(df).nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"))
+    // recount one segment including blocked suppliers: must be >= the gated count
+    val blocked = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val withBlocked = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_type" =!= "ECONOMY"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("all_cnt"))
+    val joined = df.join(withBlocked, Seq("p_brand", "p_size"))
+    assert(joined.filter($"supplier_cnt" > $"all_cnt").count() == 0)
+    // if any blocked supplier shipped anything, some segment must shrink
+    if (blocked.join(Tables.lineitem(spark, dir),
+        $"s_suppkey" === $"l_suppkey", "left_semi").count() > 0) {
+      assert(joined.filter($"supplier_cnt" < $"all_cnt").count() > 0)
+    }
+  }
+
+  test("q20_promo_suppliers: every named supplier is dominant on some " +
+    "red part (>30% of its 1997 volume)") {
+    import spark.implicits._
+    val names = rowsOf(Relational.queries("q20_promo_suppliers")(spark, dir))
+      .map(_("s_name").asInstanceOf[String]).toSet
+    assert(names.nonEmpty)
+    val redLines = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, dir).filter($"p_name".startsWith("red")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
+    val sp = redLines.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"qty").as("sp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pTot = sp.groupBy(_._1._1).map { case (p, xs) => p -> xs.values.sum }
+    val expectKeys = sp.collect {
+      case ((p, s), q) if q * 10 > pTot(p) * 3 => s
+    }.toSet
+    val nameOf = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names == expectKeys.map(nameOf))
+  }
+
   test("mv_incremental_join: delta-algebra refresh is bit-equal to a " +
     "full recompute and the delta-orders term broadcasts") {
     import spark.implicits._
