@@ -220,12 +220,44 @@ object Bars extends OpModule {
        |FROM ohlc
        |WINDOW wf AS (ORDER BY bucket ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Underwater curve + running peak (`bars_drawdown`): drawdown from the
+    * all-time-high close, the risk statistic every equity-curve monitor
+    * (reference: daily P&L summaries, main.py telemetry) reads first.
+    * Pure prefix-max window over the bar table — like every bars_* frame
+    * the single-partition stage is over the bounded bucket DOMAIN, not the
+    * tick stream (multi-symbol would partitionBy(symbol)). Exact integer
+    * cents for the prefix max; the drawdown ratio ships as floor'd basis
+    * points so both engines compute the identical (a*b)/c double pair and
+    * truncate the same way — no round-boundary lottery on a ratio. */
+  private def drawdownDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ohlcDf(spark, dir)
+      .select($"bucket", round($"close" * 100).cast("long").as("close_cents"))
+      .withColumn("peak_cents", max($"close_cents").over(w))
+      .withColumn("dd_bps",
+        floor(($"peak_cents" - $"close_cents") * lit(10000.0) / $"peak_cents"))
+      .select($"bucket", $"close_cents", $"peak_cents", $"dd_bps")
+  }
+
+  private val drawdownSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |c AS (SELECT bucket, round(close * 100)::BIGINT AS close_cents FROM ohlc)
+       |SELECT bucket, close_cents,
+       |  max(close_cents) OVER w AS peak_cents,
+       |  floor((max(close_cents) OVER w - close_cents) * 10000.0 /
+       |        (max(close_cents) OVER w))::BIGINT AS dd_bps
+       |FROM c
+       |WINDOW w AS (ORDER BY bucket
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bars_ohlc" -> (barsDf(_, _)),
     "bars_vwap" -> (vwapDf(_, _)),
     "bars_atr" -> (atrDf(_, _)),
     "bars_rv" -> (rvDf(_, _)),
-    "bars_ema" -> (emaDf(_, _))
+    "bars_ema" -> (emaDf(_, _)),
+    "bars_drawdown" -> (drawdownDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +265,7 @@ object Bars extends OpModule {
     "bars_vwap" -> vwapSql,
     "bars_atr" -> atrSql,
     "bars_rv" -> rvSql,
-    "bars_ema" -> emaSql
+    "bars_ema" -> emaSql,
+    "bars_drawdown" -> drawdownSql
   )
 }

@@ -127,6 +127,33 @@ class FlowBarsSpec extends SparkSpec {
       s"unpartitioned raw-event window found:\n$plan")
   }
 
+  test("drawdown: running peak monotone, bps match the hand computation") {
+    import spark.implicits._
+    val rows = rowsOf(Bars.queries("bars_drawdown")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // fixture closes: h0 -> 30.0 (last by arrival), h0+1 -> 15.0
+    assert(rows.map(_("close_cents")) == Seq(3000L, 1500L))
+    assert(rows.map(_("peak_cents")) == Seq(3000L, 3000L))
+    assert(rows.map(_("dd_bps")) == Seq(0L, 5000L))
+    // property on real data: peak never decreases, dd in [0, 10000),
+    // dd == 0 exactly where close == peak
+    val real = rowsOf(Bars.queries("bars_drawdown")(spark, "/root/testdata/sf0.001"))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    assert(real.nonEmpty)
+    val peaks = real.map(_("peak_cents").asInstanceOf[Long])
+    assert(peaks == peaks.scanLeft(Long.MinValue)(math.max).tail)
+    real.foreach { m =>
+      val dd = m("dd_bps").asInstanceOf[Long]
+      assert(dd >= 0L && dd < 10000L)
+      assert((dd == 0L) ==
+        (m("close_cents") == m("peak_cents")) ||
+        // floor can land on 0 for a sub-bp dip just off the peak
+        (m("peak_cents").asInstanceOf[Long] -
+          m("close_cents").asInstanceOf[Long]) * 10000L <
+          m("peak_cents").asInstanceOf[Long])
+    }
+  }
+
   test("flow_resample: complete per-type hourly grid, gaps filled from the last observation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
