@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.OpModule
 import graft.state.Fsm
-import graft.state.Fsm.{FsmIn, FsmEvent, TrendIn}
+import graft.state.Fsm.{FsmIn, FsmEvent, TrendIn, CusumIn}
+import graft.sources.Tables
 
 /** Batch replay of the reference's stateful operators (SURVEY §2.9) plus
   * the result-table queries they feed (§2.2):
@@ -381,12 +382,102 @@ object Stateful extends OpModule {
          |    SELECT rn, confirmed, raw FROM t WHERE bucket IS NOT NULL))""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** First week of hourly buckets trains each key's CUSUM baseline. */
+  val CusumTrainBuckets = 168
+
+  /** Sequential drift detection (`flow_cusum`): two-sided CUSUM over the
+    * hourly-mean value per event_type — the monitoring primitive that
+    * catches a slow feed drift long before a fixed threshold fires
+    * (reference main.py's health loop has only the threshold kind). The
+    * baseline — target mean mu, allowance k = sigma/2 and decision
+    * threshold h = 5*sigma in the classic CUSUM parameterization, with
+    * sigma the TRAINING window's own bucket-mean dispersion so the dial
+    * is unit-free — is learned from each key's first
+    * [[CusumTrainBuckets]] buckets and BROADCAST
+    * back, so the only shuffles are the grid aggregate and the keyed fold
+    * — both on event_type, and the fold streams through
+    * `flatMapSortedGroups` with O(1) state per key exactly like the
+    * position FSM. All arithmetic is integer centi-cents (the bucket mean
+    * floors once through a single exact double division), so the recursive
+    * replay in DuckDB is bit-equal — the detector's every excursion and
+    * reset is hash-checked, not just its alarms. */
+  private def cusumDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .groupBy($"event_type", expr(s"ts_us div ${Flow.HourUs}").as("bucket"))
+      .agg(sum(round($"value" * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n"))
+      .withColumn("x", floor(($"sum_cents" * 100).cast("double") / $"n"))
+    // exact-integer sufficient statistics: n^2 * var = n*sum(x^2) - sum(x)^2
+    // stays a (cancelled, small) exact long, so sqrt sees the identical
+    // double on both engines and the thresholds are bit-stable
+    val base = grid
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"bucket")))
+      .filter($"rn" <= CusumTrainBuckets)
+      .groupBy($"event_type")
+      .agg(sum($"x").as("m"), sum($"x" * $"x").as("q"), count($"x").as("nn"))
+      .withColumn("mu", floor($"m".cast("double") / $"nn"))
+      .withColumn("num", $"q" * $"nn" - $"m" * $"m")
+      .withColumn("k", floor(lit(0.5) * sqrt($"num".cast("double")) / $"nn"))
+      .withColumn("h", floor(lit(5.0) * sqrt($"num".cast("double")) / $"nn"))
+    grid.join(broadcast(base), Seq("event_type"))
+      .select($"event_type".as("etype"), $"bucket", $"x", $"mu", $"k", $"h")
+      .as[CusumIn]
+      .groupByKey(_.etype)
+      .flatMapSortedGroups(col("bucket"))((_: String, it: Iterator[CusumIn]) =>
+        Fsm.cusumRun(it))
+      .toDF()
+  }
+
+  private val cusumSql: String = {
+    val sHi = "greatest(0::BIGINT, f.post_hi + i.x - i.mu - i.k)"
+    val sLo = "greatest(0::BIGINT, f.post_lo + i.mu - i.x - i.k)"
+    val alarm = s"($sHi > i.h OR $sLo > i.h)"
+    s"""WITH RECURSIVE t0 AS MATERIALIZED (
+       |  SELECT event_type, epoch_us(ts) // ${Flow.HourUs} AS bucket,
+       |    sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |g AS MATERIALIZED (
+       |  SELECT event_type, bucket,
+       |    floor((sum_cents * 100)::DOUBLE / n)::BIGINT AS x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+       |  FROM t0),
+       |mu0 AS (
+       |  SELECT event_type, sum(x)::BIGINT AS m, sum(x * x)::BIGINT AS q,
+       |    count(x) AS nn
+       |  FROM g WHERE rn <= $CusumTrainBuckets GROUP BY 1),
+       |base AS MATERIALIZED (
+       |  SELECT event_type, floor(m::DOUBLE / nn)::BIGINT AS mu,
+       |    floor(0.5 * sqrt((q * nn - m * m)::DOUBLE) / nn)::BIGINT AS k,
+       |    floor(5.0 * sqrt((q * nn - m * m)::DOUBLE) / nn)::BIGINT AS h
+       |  FROM mu0),
+       |c AS MATERIALIZED (
+       |  SELECT g.event_type, g.bucket, g.rn, g.x, b.mu, b.k, b.h
+       |  FROM g JOIN base b ON g.event_type = b.event_type),
+       |f AS (
+       |  SELECT event_type, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS bucket,
+       |    CAST(NULL AS BIGINT) AS x, 0::BIGINT AS s_hi, 0::BIGINT AS s_lo,
+       |    false AS alarm, 0::BIGINT AS post_hi, 0::BIGINT AS post_lo
+       |  FROM (SELECT DISTINCT event_type FROM c) seed
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.bucket, i.x,
+       |    $sHi, $sLo, $alarm,
+       |    CASE WHEN $alarm THEN 0::BIGINT ELSE $sHi END,
+       |    CASE WHEN $alarm THEN 0::BIGINT ELSE $sLo END
+       |  FROM f JOIN c i ON i.event_type = f.event_type AND i.rn = f.rn + 1)
+       |SELECT event_type, bucket, x AS x_centi, s_hi, s_lo, alarm
+       |FROM f WHERE bucket IS NOT NULL""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),
     "fsm_daily_summary" -> (dailyDf(_, _)),
     "fsm_cum_pnl" -> (cumPnlDf(_, _)),
     "trend_hysteresis" -> (trendDf(_, _)),
-    "trend_hysteresis_curve" -> (trendCurveDf(_, _))
+    "trend_hysteresis_curve" -> (trendCurveDf(_, _)),
+    "flow_cusum" -> (cusumDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +485,7 @@ object Stateful extends OpModule {
     "fsm_daily_summary" -> dailySql,
     "fsm_cum_pnl" -> cumPnlSql,
     "trend_hysteresis" -> trendSql,
-    "trend_hysteresis_curve" -> trendCurveSql
+    "trend_hysteresis_curve" -> trendCurveSql,
+    "flow_cusum" -> cusumSql
   )
 }

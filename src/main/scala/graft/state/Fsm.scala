@@ -151,4 +151,32 @@ object Fsm {
 
   def trendRun(rows: Iterator[TrendIn]): Iterator[TrendOut] =
     trendRunK(rows, HysteresisK)
+
+  /** Per-key CUSUM input: hourly-mean observation `x` in integer
+    * centi-cents plus the key's broadcast-learned baseline (target mean
+    * `mu`, allowance `k`, decision threshold `h`, same units). */
+  case class CusumIn(etype: String, bucket: Long, x: Long,
+      mu: Long, k: Long, h: Long)
+  case class CusumOut(event_type: String, bucket: Long, x_centi: Long,
+      s_hi: Long, s_lo: Long, alarm: Boolean)
+
+  /** Two-sided CUSUM (Page 1954) with reset-on-alarm, all integer
+    * arithmetic: `s_hi` accumulates positive drift beyond the allowance
+    * `k`, `s_lo` negative drift; either crossing `h` raises the alarm and
+    * restarts both accumulators. Emitted s values are PRE-reset so the
+    * alarm row shows the excursion that fired it. O(1) state per key —
+    * the same fold shape as [[run]]/[[trendRun]], streamable via
+    * `flatMapGroupsWithState`. */
+  def cusumRun(rows: Iterator[CusumIn]): Iterator[CusumOut] = {
+    var hi = 0L
+    var lo = 0L
+    rows.map { i =>
+      val nHi = math.max(0L, hi + i.x - i.mu - i.k)
+      val nLo = math.max(0L, lo + i.mu - i.x - i.k)
+      val alarm = nHi > i.h || nLo > i.h
+      hi = if (alarm) 0L else nHi
+      lo = if (alarm) 0L else nLo
+      CusumOut(i.etype, i.bucket, i.x, nHi, nLo, alarm)
+    }
+  }
 }

