@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Graph
+
+/** Integer PageRank semantics: the query must equal a from-scratch Scala
+  * replay of the same integer fixed-point (the DuckDB oracle covers the
+  * SQL formulation; this pins the algorithm itself). */
+class GraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("graph_pagerank equals an in-memory integer replay; mass conserved") {
+    val out = rowsOf(Graph.queries("graph_pagerank")(spark, dir))
+      .map(m => m("p_partkey").asInstanceOf[Long] ->
+        m("rank_micros").asInstanceOf[Long]).toMap
+    assert(out.nonEmpty)
+
+    // replay: edges from the same builder, then 8 integer iterations
+    val edges = Graph.edgesDf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = dw.keys.map(_ -> Graph.PrScale).toMap
+    val telep = 15L * Graph.PrScale / 100L
+    for (_ <- 1 to Graph.PrIters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        contrib(d) += r(s) * w / dw(s)
+      }
+      r = contrib.map { case (n, c) => n -> (telep + 85L * c / 100L) }.toMap
+    }
+    assert(out == r)
+
+    // floor leakage stays tiny: total mass within 0.1% of N * scale
+    val total = out.values.sum.toDouble
+    val ideal = out.size.toDouble * Graph.PrScale
+    assert(math.abs(total - ideal) / ideal < 0.001)
+
+    // symmetric-graph sanity: ranks positive, and the teleport term is a
+    // hard floor for every node
+    assert(out.values.forall(_ >= telep))
+  }
+}
