@@ -516,7 +516,76 @@ object Keyed extends OpModule {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Attribution lookback: touches within 7 days before the conversion. */
+  val AttribWindowUs: Long = 7L * DayUs
+
+  /** Multi-touch attribution (`events_attribution`): every `purchase`
+    * conversion credits the `click`/`view` touches in its trailing
+    * [[AttribWindowUs]] window under the three classic models at once —
+    * first-touch, last-touch, and linear — reported per channel. The
+    * touch⋈conversion pairing is an equi-join on user_id with the time
+    * band as a residual (per-user history is the natural bound on the
+    * fan-out; the join never leaves the user key, so it shuffles once),
+    * and the three models are three expressions over ONE window pass per
+    * conversion: count for the linear denominator, two tie-broken
+    * row_numbers for the endpoints. Linear credit is exact integer
+    * micro-credits (`1000000 div n` per touch) — order-independent sums,
+    * no fractional drift; a conversion's credits under-count 1e6 by at
+    * most n-1 micro-units (the floor remainder), never double-count. */
+  private def attributionDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("conv_id"), $"user_id", $"ts_us".as("conv_ts"))
+    val touch = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_type".as("channel"),
+        $"ts_us".as("touch_ts"), $"event_id".as("touch_id"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter($"touch_ts" < $"conv_ts" &&
+        $"touch_ts" >= $"conv_ts" - AttribWindowUs)
+    val w = Window.partitionBy($"conv_id")
+    pairs
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rf",
+        row_number().over(w.orderBy($"touch_ts", $"touch_id")))
+      .withColumn("rl",
+        row_number().over(w.orderBy($"touch_ts".desc, $"touch_id".desc)))
+      .groupBy($"channel")
+      .agg(sum(when($"rf" === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when($"rl" === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(expr("1000000 div n")).as("linear_micro"),
+        count(lit(1)).as("n_touches"))
+  }
+
+  private val attributionSql: String =
+    s"""WITH conv AS (
+       |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, event_type AS channel, epoch_us(ts) AS touch_ts,
+       |    event_id AS touch_id
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |p AS (
+       |  SELECT conv_id, channel, touch_ts, touch_id
+       |  FROM conv JOIN t USING (user_id)
+       |  WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - $AttribWindowUs),
+       |r AS (
+       |  SELECT channel,
+       |    count(*) OVER (PARTITION BY conv_id) AS n,
+       |    row_number() OVER (PARTITION BY conv_id
+       |      ORDER BY touch_ts, touch_id) AS rf,
+       |    row_number() OVER (PARTITION BY conv_id
+       |      ORDER BY touch_ts DESC, touch_id DESC) AS rl
+       |  FROM p)
+       |SELECT channel,
+       |  sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+       |  sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+       |  sum(1000000 // n)::BIGINT AS linear_micro,
+       |  count(*) AS n_touches
+       |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (attributionDf(_, _)),
     "join_salted" -> (joinSaltedDf(_, _)),
     "window_ranks" -> (windowRanksDf(_, _)),
     "events_funnel" -> (funnelDf(_, _)),
@@ -532,6 +601,7 @@ object Keyed extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> attributionSql,
     "join_salted" -> joinSaltedSql,
     "window_ranks" -> windowRanksSql,
     "events_funnel" -> funnelSql,

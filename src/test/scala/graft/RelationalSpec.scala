@@ -699,6 +699,36 @@ class RelationalSpec extends SparkSpec {
     assert(byPrice == byPrice.distinct.sorted)
   }
 
+  test("events_attribution: three credit models match the hand computation") {
+    def ns(day: Long, sec: Long): Long = ((day * 86400L + sec) * 1000000L) * 1000L
+    val fix = writeEventsFixture(Seq(
+      // user 1: view, click, view -> purchase (all in window)
+      (1L, ns(100, 0), 1L, "view", 1.0),
+      (2L, ns(100, 60), 1L, "click", 1.0),
+      (3L, ns(100, 120), 1L, "view", 1.0),
+      (4L, ns(100, 180), 1L, "purchase", 1.0),
+      // user 2: click 8 days early (outside) + click 1h before (inside)
+      (5L, ns(92, 0), 2L, "click", 1.0),
+      (6L, ns(100, 82800), 2L, "click", 1.0),
+      (7L, ns(100, 86399), 2L, "purchase", 1.0),
+      // user 3: purchase with no touches -> contributes nothing
+      (8L, ns(100, 0), 3L, "purchase", 1.0),
+      // user 4: error events are not touch channels
+      (9L, ns(100, 0), 4L, "error", 1.0),
+      (10L, ns(100, 60), 4L, "purchase", 1.0)))
+    val out = rowsOf(graft.operators.Keyed.queries("events_attribution")(spark, fix))
+      .map(m => m("channel").asInstanceOf[String] ->
+        ((m("first_touch").asInstanceOf[Long],
+          m("last_touch").asInstanceOf[Long],
+          m("linear_micro").asInstanceOf[Long],
+          m("n_touches").asInstanceOf[Long]))).toMap
+    // u1: n=3, first=view(t0), last=view(t2); linear view 2/3, click 1/3
+    // u2: n=1 (early click excluded), click takes all three models
+    assert(out == Map(
+      "view" -> ((1L, 1L, 666666L, 2L)),
+      "click" -> ((1L, 1L, 1333333L, 2L))))
+  }
+
   test("q4_order_priority: semi-join counts each order once regardless " +
     "of late-line multiplicity") {
     import spark.implicits._
