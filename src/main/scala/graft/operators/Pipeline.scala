@@ -1990,9 +1990,68 @@ object Pipeline extends OpModule {
        |  sum(delta)::BIGINT AS char_delta
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** Mixture drift between releases (`pipeline_mixture_kl`): the
+    * source-composition divergence of the same two corpus releases
+    * `pipeline_release_diff` compares document-by-document — the data-card
+    * number that says "release v2 is this much more web-heavy" without
+    * reading a single document twice. Per-source character mass is an
+    * exact integer aggregate (one scan per release); the per-source
+    * KL(P||Q) and Jensen-Shannon terms are emitted UNSUMMED so the
+    * consumer totals them in any order and each row localizes which
+    * source moved. Divergence terms round to 6 places (O(1) magnitudes;
+    * ln is the one libm call engines may disagree on in the last ulp).
+    * At 100 TB the whole query is source-cardinality-sized after two
+    * map-side-combined aggregates. */
+  private def mixtureKlDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+    val a = docs.filter($"doc_id" % ReleaseMod =!= 3L)
+      .groupBy($"source")
+      .agg(sum(length($"text").cast("long")).as("chars_a"))
+    val b = docs.filter($"doc_id" % ReleaseMod =!= 0L)
+      .withColumn("text",
+        when($"doc_id" % ReleaseMod === 6L, concat($"text", lit(" [rev2]")))
+          .otherwise($"text"))
+      .groupBy($"source")
+      .agg(sum(length($"text").cast("long")).as("chars_b"))
+    val j = a.join(b, Seq("source")) // residues drop docs, never a source
+    val tot = j.agg(sum($"chars_a").as("ta"), sum($"chars_b").as("tb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p", $"chars_a".cast("double") / $"ta")
+      .withColumn("q", $"chars_b".cast("double") / $"tb")
+      .withColumn("m", ($"p" + $"q") / 2.0)
+      .select($"source", $"chars_a", $"chars_b",
+        round($"p" * log($"p" / $"q"), 6).as("kl_term"),
+        round(lit(0.5) * $"p" * log($"p" / $"m") +
+          lit(0.5) * $"q" * log($"q" / $"m"), 6).as("js_term"))
+  }
+
+  private val mixtureKlSql: String =
+    s"""WITH a AS (
+       |  SELECT source, sum(length(text)::BIGINT)::BIGINT AS chars_a
+       |  FROM documents WHERE doc_id % $ReleaseMod != 3 GROUP BY 1),
+       |b AS (
+       |  SELECT source,
+       |    sum(length(CASE WHEN doc_id % $ReleaseMod = 6
+       |                    THEN text || ' [rev2]' ELSE text END)::BIGINT)::BIGINT
+       |      AS chars_b
+       |  FROM documents WHERE doc_id % $ReleaseMod != 0 GROUP BY 1),
+       |j AS (SELECT a.source, chars_a, chars_b FROM a JOIN b USING (source)),
+       |t AS (SELECT sum(chars_a)::BIGINT AS ta, sum(chars_b)::BIGINT AS tb
+       |      FROM j)
+       |SELECT source, chars_a, chars_b,
+       |  round(p * ln(p / q), 6) AS kl_term,
+       |  round(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m), 6) AS js_term
+       |FROM (SELECT source, chars_a, chars_b,
+       |        chars_a::DOUBLE / ta AS p, chars_b::DOUBLE / tb AS q,
+       |        (chars_a::DOUBLE / ta + chars_b::DOUBLE / tb) / 2.0 AS m
+       |      FROM j, t) s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleDf(_, _)),
     "pipeline_chunk" -> (chunkDf(_, _)),
+    "pipeline_mixture_kl" -> (mixtureKlDf(_, _)),
     "pipeline_release_diff" -> (releaseDiffDf(_, _)),
     "sample_quota" -> (quotaDf(_, _)),
     "sample_temperature" -> (temperatureDf(_, _)),
@@ -2030,6 +2089,7 @@ object Pipeline extends OpModule {
     "sample_stratified" -> sampleSql,
     "pipeline_chunk" -> chunkSql,
     "pipeline_release_diff" -> releaseDiffSql,
+    "pipeline_mixture_kl" -> mixtureKlSql,
     "sample_quota" -> quotaSql,
     "sample_temperature" -> temperatureSql,
     "sample_pps" -> ppsSql,

@@ -718,4 +718,29 @@ class PipelineSpec extends SparkSpec {
         (padded - r("sum_tokens").asInstanceOf[Long]) * 100 / padded)
     }
   }
+
+  test("pipeline_mixture_kl: Gibbs' inequality and the JS ln2 bound hold; " +
+    "identical releases diverge by zero") {
+    import graft.operators.Pipeline
+    val rows = rowsOf(
+      Pipeline.queries("pipeline_mixture_kl")(spark, sfDir()))
+    assert(rows.nonEmpty)
+    val kl = rows.map(_("kl_term").asInstanceOf[Double]).sum
+    val js = rows.map(_("js_term").asInstanceOf[Double]).sum
+    // Gibbs: KL(P||Q) >= 0 (terms may be negative, the SUM may not);
+    // Jensen-Shannon is bounded by ln 2 and symmetric-positive
+    assert(kl >= -1e-9, s"KL total $kl")
+    assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9, s"JS total $js")
+    // a single-source corpus has P = Q = (1.0): both divergences vanish
+    val one = writeDocsFixture(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon", "en"),
+      (18L, "zeta eta theta iota", "en"))) // 18 % 17 = 1: kept in both
+    val oneRows = rowsOf(Pipeline.queries("pipeline_mixture_kl")(spark, one))
+    assert(oneRows.nonEmpty)
+    oneRows.foreach { m =>
+      assert(m("kl_term").asInstanceOf[Double] == 0.0)
+      assert(m("js_term").asInstanceOf[Double] == 0.0)
+    }
+  }
 }
