@@ -401,17 +401,28 @@ object Stateful extends OpModule {
     * floors once through a single exact double division), so the recursive
     * replay in DuckDB is bit-equal — the detector's every excursion and
     * reset is hash-checked, not just its alarms. */
-  private def cusumDf(spark: SparkSession, dir: String): DataFrame = {
+  /** The hourly observation grid the detector folds over: per (key,
+    * bucket) exact integer sums and the floored bucket mean x. */
+  private[graft] def cusumGridDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grid = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .groupBy($"event_type", expr(s"ts_us div ${Flow.HourUs}").as("bucket"))
       .agg(sum(round($"value" * 100).cast("long")).as("sum_cents"),
         count(lit(1)).as("n"))
       .withColumn("x", floor(($"sum_cents" * 100).cast("double") / $"n"))
-    // exact-integer sufficient statistics: n^2 * var = n*sum(x^2) - sum(x)^2
-    // stays a (cancelled, small) exact long, so sqrt sees the identical
-    // double on both engines and the thresholds are bit-stable
-    val base = grid
+  }
+
+  /** Per-key baseline (mu, k, h) learned from the first
+    * [[CusumTrainBuckets]] grid buckets — the standing state the
+    * streaming twin ([[graft.streaming.Streams.cusumMonitor]]) ships in
+    * its closure, exactly as a deployment would broadcast it.
+    * Exact-integer sufficient statistics: n^2 * var = n*sum(x^2) -
+    * sum(x)^2 stays a (cancelled, small) exact long, so sqrt sees the
+    * identical double on both engines and the thresholds are
+    * bit-stable. */
+  private[graft] def cusumBaseDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cusumGridDf(spark, dir)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"event_type").orderBy($"bucket")))
       .filter($"rn" <= CusumTrainBuckets)
@@ -421,7 +432,12 @@ object Stateful extends OpModule {
       .withColumn("num", $"q" * $"nn" - $"m" * $"m")
       .withColumn("k", floor(lit(0.5) * sqrt($"num".cast("double")) / $"nn"))
       .withColumn("h", floor(lit(5.0) * sqrt($"num".cast("double")) / $"nn"))
-    grid.join(broadcast(base), Seq("event_type"))
+  }
+
+  private def cusumDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cusumGridDf(spark, dir)
+      .join(broadcast(cusumBaseDf(spark, dir)), Seq("event_type"))
       .select($"event_type".as("etype"), $"bucket", $"x", $"mu", $"k", $"h")
       .as[CusumIn]
       .groupByKey(_.etype)

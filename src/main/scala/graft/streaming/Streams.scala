@@ -1271,6 +1271,66 @@ object Streams {
       }
   }
 
+  case class CusumMonState(openBucket: Long, sum: Long, n: Long,
+      hi: Long, lo: Long)
+  case class CusumMonRow(event_type: String, bucket: Long, x_centi: Long,
+      s_hi: Long, s_lo: Long, alarm: Boolean)
+
+  /** Streaming drift monitor — the live twin of batch `flow_cusum`: per
+    * event_type the monitor accumulates the open hourly bucket's exact
+    * integer (sum_cents, n), and when a later bucket arrives it CLOSES
+    * the open one — computes the floored bucket mean, advances the
+    * two-sided CUSUM fold (same integer step as
+    * [[graft.state.Fsm.cusumRun]]), and emits the excursion row,
+    * resetting both accumulators after an alarm. The baseline (mu, k, h)
+    * per key is the batch-learned standing state
+    * ([[graft.operators.Stateful.cusumBaseDf]]) shipped in the closure,
+    * as a deployment would broadcast it. Emit-on-close like
+    * [[resampleMonitor]]: each key's final, still-open bucket is
+    * withheld, everything else equals the batch query row-for-row
+    * (StreamingSpec replays triggers that split buckets mid-hour).
+    * State is O(1) per key over the bounded event-type ledger. */
+  def cusumMonitor(events: DataFrame,
+      base: Map[String, (Long, Long, Long)]): Dataset[CusumMonRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val H = graft.operators.Flow.HourUs
+    events.select($"event_type", $"ts_us", $"value")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumMonState, CusumMonRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, it, state) =>
+          val (mu, k, h) = base.getOrElse(etype, (0L, 0L, Long.MaxValue))
+          // exact integer per-bucket sums; math.round is HALF_UP on the
+          // non-negative values, matching batch round(value * 100)
+          val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+          it.foreach { case (_, ts, v) =>
+            val b = ts / H
+            val (s0, n0) = acc.getOrElse(b, (0L, 0L))
+            acc(b) = (s0 + math.round(v * 100), n0 + 1L)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[CusumMonRow]()
+          var st = state.getOption.orNull
+          acc.toSeq.sortBy(_._1).foreach { case (b, (s, n)) =>
+            if (st == null) st = CusumMonState(b, s, n, 0L, 0L)
+            else if (b == st.openBucket) {
+              st = st.copy(sum = st.sum + s, n = st.n + n)
+            } else {
+              val x = math.floor((st.sum * 100).toDouble / st.n).toLong
+              val nHi = math.max(0L, st.hi + x - mu - k)
+              val nLo = math.max(0L, st.lo + mu - x - k)
+              val alarm = nHi > h || nLo > h
+              out += CusumMonRow(etype, st.openBucket, x, nHi, nLo, alarm)
+              st = CusumMonState(b, s, n,
+                if (alarm) 0L else nHi, if (alarm) 0L else nLo)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class CellOccState(nNew: Long, sumCos: Double)
   case class CellOcc(cell: Int, n_new: Long, mean_cos_new: Double)
 

@@ -1549,6 +1549,46 @@ class StreamingSpec extends SparkSpec {
       "streamed grid must equal the batch resample minus the open buckets")
   }
 
+  test("streaming cusum equals batch flow_cusum minus the open buckets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir()
+    // standing baseline learned in batch, shipped to the monitor closure
+    val base = graft.operators.Stateful.cusumBaseDf(spark, dir)
+      .select($"event_type", $"mu", $"k", $"h").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_type", $"ts_us", $"value")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._2)
+    val input = MemoryStream[(String, Long, Double)]
+    val q = Streams.cusumMonitor(
+      input.toDF().toDF("event_type", "ts_us", "value"), base)
+      .writeStream.format("memory").queryName("cusum_mon")
+      .outputMode("append").start()
+    // three triggers so open buckets straddle trigger boundaries and the
+    // carried (sum, n) partial does real work
+    ev.grouped(math.max(1, ev.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cusum_mon").as[Streams.CusumMonRow]
+      .collect()
+      .map(r => (r.event_type, r.bucket, r.x_centi, r.s_hi, r.s_lo, r.alarm))
+      .toSet
+    val batchRows = rowsOf(SparkEntry.queries("flow_cusum")(spark, dir))
+      .map(r => (r("event_type").asInstanceOf[String],
+        r("bucket").asInstanceOf[Long], r("x_centi").asInstanceOf[Long],
+        r("s_hi").asInstanceOf[Long], r("s_lo").asInstanceOf[Long],
+        r("alarm").asInstanceOf[Boolean]))
+    val lastPerType = batchRows.groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val batch = batchRows.filter(r => r._2 != lastPerType(r._1)).toSet
+    assert(streamed === batch,
+      "streamed cusum must equal the batch fold minus the open buckets")
+  }
+
   test("streaming markov steps equal the batch lag-window transitions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
