@@ -39,37 +39,46 @@ object Graph extends OpModule {
   /** Co-purchase edges (src, dst, w): distinct (order, part) pairs fan out
     * per order — both directions, so the graph is symmetric and every
     * node has out-degree >= 1 (no dangling-mass term needed). */
-  private[graft] def edgesDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .groupBy($"l_orderkey").agg(collect_list($"l_partkey").as("ps"))
-      .select(explode($"ps").as("src"), $"ps")
-      .select($"src", explode($"ps").as("dst"))
-      .filter($"src" =!= $"dst")
-      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
-  }
+  private[graft] def edgesDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"graph_edges:$dir") {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey").agg(collect_list($"l_partkey").as("ps"))
+        .select(explode($"ps").as("src"), $"ps")
+        .select($"src", explode($"ps").as("dst"))
+        .filter($"src" =!= $"dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    }
 
   private def pagerankDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // standing state for the loop: partitioned on src once, lineage cut so
-    // each iteration's plan is one join + one aggregate, not a growing tree
-    val edges = edgesDf(spark, dir)
+    // standing state for the loop: the out-weight joins INTO the edge
+    // table once (never re-joined per iteration), partitioned on src and
+    // lineage-cut, so each iteration is exactly one node-sized shuffle of
+    // ranks into the standing edge partitioning plus the dst aggregate
+    val edges0 = edgesDf(spark, dir)
+    val deg = edges0.groupBy($"src").agg(sum($"w").as("dw"))
+    val edges = edges0.join(deg, Seq("src"))
       .repartition($"src")
       .localCheckpoint()
-    val deg = edges.groupBy($"src").agg(sum($"w").as("dw"))
-      .repartition($"src")
-      .localCheckpoint()
+    // PrIters is a small fixed constant, so the loop UNROLLS into one
+    // declarative 8-level plan — one job, no per-iteration driver sync or
+    // checkpoint barrier (a dynamic-N loop would re-introduce them).
+    // The rank vector is node-sized and nodes ≪ edges on any co-purchase
+    // graph, so it BROADCASTS into the standing edge partitioning: the
+    // 2.4M-edge side never moves or re-sorts, and each iteration's only
+    // exchange is the map-side-combined dst aggregate. (A web-scale
+    // billion-node graph would drop the hint and take the co-partitioned
+    // shuffle join on src instead.)
     var ranks = deg.select($"src".as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       ranks = edges
-        .join(deg, Seq("src"))
-        .join(ranks, $"src" === $"node")
+        .join(broadcast(ranks), $"src" === $"node")
         .groupBy($"dst")
         .agg(sum(expr("r * w div dw")).as("s"))
         .select($"dst".as("node"),
           (lit(telep) + expr("85 * s div 100")).as("r"))
-        .localCheckpoint() // keep the loop's plan O(1) deep
     }
     ranks.select($"node".as("p_partkey"), $"r".as("rank_micros"))
   }
@@ -99,11 +108,90 @@ object Graph extends OpModule {
        |SELECT node AS p_partkey, r::BIGINT AS rank_micros FROM pr$PrIters""".stripMargin
   }
 
+  /** Per-node triangle counts (`graph_triangles`) over the undirected
+    * co-purchase graph — the local clustering signal behind community
+    * detection and recommendation diversity. The classic scalable plan:
+    * orient every edge from the LOWER-(degree, id) endpoint to the
+    * higher one (a total order, so each triangle survives in exactly one
+    * rotation), then one self-join extends each oriented wedge and one
+    * more join closes it. Degree-ordered orientation is what makes this
+    * survive 100 TB: a node's out-degree is O(sqrt(m)) after orienting,
+    * so the wedge join's fan-out is m^1.5 worst-case instead of the
+    * hub-degree-squared blowup a naive adjacency join takes on skewed
+    * graphs — the same hot-key discipline as the salted join, achieved
+    * by construction rather than salting. All joins are equi-joins on
+    * node keys; counts are exact integers.
+    *
+    * The closure step never materializes wedges: each oriented edge
+    * (s, t) picks up BOTH endpoints' out-neighbor arrays (bounded at
+    * O(sqrt(m)) each by the orientation) and intersects them in place —
+    * the per-edge common-neighbor list IS the edge's triangle set, so the
+    * only shuffled rows are the m edges and the per-node credit terms,
+    * never the wedge fan-out. */
+  private def trianglesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = edgesDf(spark, dir).filter($"src" < $"dst")
+      .select($"src".as("u"), $"dst".as("v"))
+    val deg = und.select($"u".as("node"))
+      .unionAll(und.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val o = und
+      .join(deg.select($"node".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"node".as("v"), $"d".as("dv")), Seq("v"))
+      .select(when(fwd, $"u").otherwise($"v").as("s"),
+        when(fwd, $"v").otherwise($"u").as("t"))
+    val adj = o.groupBy($"s").agg(collect_list($"t").as("nbrs"))
+    val closed = o
+      .join(adj, Seq("s"))
+      .join(adj.select($"s".as("t"), $"nbrs".as("nbrs_t")), Seq("t"))
+      .select($"s", $"t", array_intersect($"nbrs", $"nbrs_t").as("common"))
+      .filter(size($"common") > 0)
+    // triangle {s, t, w} exists once (as its oriented base edge): credit
+    // s and t with the edge's triangle count, each closing w with 1
+    closed.select($"s".as("node"), size($"common").cast("long").as("c"))
+      .unionAll(closed.select($"t".as("node"),
+        size($"common").cast("long").as("c")))
+      .unionAll(closed.select(explode($"common").as("node"), lit(1L).as("c")))
+      .groupBy($"node").agg(sum($"c").as("n_triangles"))
+      .select($"node".as("p_partkey"), $"n_triangles")
+  }
+
+  private val trianglesSql: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lp a JOIN lp b USING (l_orderkey)
+      |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+      |  GROUP BY 1),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |              THEN u ELSE v END AS s,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |              THEN v ELSE u END AS t
+      |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM o e1
+      |  JOIN o e2 ON e2.s = e1.t
+      |  JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t)
+      |SELECT node AS p_partkey, count(*) AS n_triangles FROM (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b AS node FROM tri
+      |  UNION ALL SELECT c AS node FROM tri) x
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerankDf(_, _))
+    "graph_pagerank" -> (pagerankDf(_, _)),
+    "graph_triangles" -> (trianglesDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql
+    "graph_pagerank" -> pagerankSql,
+    "graph_triangles" -> trianglesSql
   )
 }

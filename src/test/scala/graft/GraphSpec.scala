@@ -40,4 +40,29 @@ class GraphSpec extends SparkSpec {
     // hard floor for every node
     assert(out.values.forall(_ >= telep))
   }
+
+  test("graph_triangles equals the brute-force per-node census") {
+    val out = rowsOf(Graph.queries("graph_triangles")(spark, dir))
+      .map(m => m("p_partkey").asInstanceOf[Long] ->
+        m("n_triangles").asInstanceOf[Long]).toMap
+    assert(out.nonEmpty)
+    // brute force over the undirected edge set
+    val und = Graph.edgesDf(spark, dir).collect()
+      .filter(r => r.getLong(0) < r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    und.foreach { case (u, v) =>
+      adj(u).intersect(adj(v)).foreach { w =>
+        if (w > v) { // {u < v < w}: each triangle counted once
+          counts(u) += 1; counts(v) += 1; counts(w) += 1
+        }
+      }
+    }
+    assert(out == counts.toMap)
+    // every triangle credits exactly 3 nodes
+    assert(out.values.sum % 3 == 0)
+  }
 }
