@@ -220,6 +220,62 @@ object Bars extends OpModule {
        |FROM ohlc
        |WINDOW wf AS (ORDER BY bucket ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // Holt smoothing constants as EXACT binary fractions (0.25 = 2^-2,
+  // 0.125 = 2^-3) so the literals parse to identical doubles everywhere
+  // and 1-alpha / 1-beta are exact too.
+  val HoltAlpha = 0.25
+  val HoltBeta = 0.125
+
+  /** Holt linear-trend double smoothing (`bars_holt`) — the forecasting
+    * rung above [[emaDf]]: a coupled (level, trend) fold
+    * `l' = a*x + (1-a)*(l+b); b' = beta*(l'-l) + (1-beta)*b` with the
+    * 1-step-ahead forecast `l+b` shipped per bar. Same bounded-frame fold
+    * machinery as the EMA (ordered `collect_list` + `aggregate` over the
+    * trailing [[Lookback]] bars, seeded [first, 0]); the accumulator is a
+    * 2-element array because the recursion carries two coupled states.
+    * The DuckDB oracle folds `list_reduce` over `[x, 0]` pairs — the
+    * 2-arg reduce's first element IS the same seed — with the level
+    * expression textually duplicated inside the trend update so both
+    * engines execute the identical IEEE op sequence and match bitwise,
+    * like the EMA. */
+  private[operators] def holtDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Window.orderBy($"bucket").rowsBetween(-(Lookback - 1), 0)
+    ohlcDf(spark, dir)
+      .withColumn("arr", collect_list($"close").over(wf))
+      .withColumn("lb",
+        aggregate(
+          slice($"arr", 2, Lookback - 1),
+          array(element_at($"arr", 1), lit(0.0)),
+          (acc, x) => {
+            val l = element_at(acc, 1)
+            val b = element_at(acc, 2)
+            val l2 = lit(HoltAlpha) * x + lit(1.0 - HoltAlpha) * (l + b)
+            array(l2, lit(HoltBeta) * (l2 - l) + lit(1.0 - HoltBeta) * b)
+          }))
+      .select($"bucket", $"close",
+        element_at($"lb", 1).as("level"),
+        element_at($"lb", 2).as("trend"),
+        (element_at($"lb", 1) + element_at($"lb", 2)).as("forecast_next"))
+  }
+
+  private[operators] val holtSql: String = {
+    val l2 = "0.25 * e[1] + 0.75 * (acc[1] + acc[2])"
+    s"""WITH ohlc AS ($ohlcSql),
+       |f AS (
+       |  SELECT bucket, close,
+       |    list_reduce(
+       |      list_transform(list(close) OVER wf, x -> [x, 0.0::DOUBLE]),
+       |      (acc, e) -> [$l2,
+       |                   0.125 * (($l2) - acc[1]) + 0.875 * acc[2]]) AS lb
+       |  FROM ohlc
+       |  WINDOW wf AS (ORDER BY bucket
+       |                ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW))
+       |SELECT bucket, close, lb[1] AS level, lb[2] AS trend,
+       |  lb[1] + lb[2] AS forecast_next
+       |FROM f""".stripMargin
+  }
+
   /** Underwater curve + running peak (`bars_drawdown`): drawdown from the
     * all-time-high close, the risk statistic every equity-curve monitor
     * (reference: daily P&L summaries, main.py telemetry) reads first.
@@ -257,7 +313,8 @@ object Bars extends OpModule {
     "bars_atr" -> (atrDf(_, _)),
     "bars_rv" -> (rvDf(_, _)),
     "bars_ema" -> (emaDf(_, _)),
-    "bars_drawdown" -> (drawdownDf(_, _))
+    "bars_drawdown" -> (drawdownDf(_, _)),
+    "bars_holt" -> (holtDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +323,7 @@ object Bars extends OpModule {
     "bars_atr" -> atrSql,
     "bars_rv" -> rvSql,
     "bars_ema" -> emaSql,
-    "bars_drawdown" -> drawdownSql
+    "bars_drawdown" -> drawdownSql,
+    "bars_holt" -> holtSql
   )
 }

@@ -154,6 +154,27 @@ class FlowBarsSpec extends SparkSpec {
     }
   }
 
+  test("holt: coupled level/trend recursion matches the hand computation") {
+    val rows = rowsOf(Bars.queries("bars_holt")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // fixture closes: 30.0 then 15.0
+    // bar 1: seed [30, 0] -> forecast 30
+    assert(rows(0)("level") == 30.0 && rows(0)("trend") == 0.0)
+    assert(rows(0)("forecast_next") == 30.0)
+    // bar 2: l' = .25*15 + .75*30 = 26.25; b' = .125*(26.25-30) = -0.46875
+    assert(rows(1)("level") == 26.25)
+    assert(rows(1)("trend") == -0.46875)
+    assert(rows(1)("forecast_next") == 25.78125)
+    // real data: forecast = level + trend everywhere, and a constant
+    // series would pin trend at 0 (checked via the fixture seed row)
+    val real = rowsOf(Bars.queries("bars_holt")(spark, "/root/testdata/sf0.001"))
+    assert(real.nonEmpty)
+    real.foreach { m =>
+      assert(m("forecast_next") ==
+        m("level").asInstanceOf[Double] + m("trend").asInstanceOf[Double])
+    }
+  }
+
   test("flow_resample: complete per-type hourly grid, gaps filled from the last observation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
