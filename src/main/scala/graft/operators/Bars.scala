@@ -41,7 +41,7 @@ object Bars extends OpModule {
   // sqrt(ticks_per_min) (data_manager.py:768) — fixed equivalent constant.
   val RvScale = "sqrt(60.0)"
 
-  private[operators] def ohlcDf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ohlcDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .events(spark, dir)

@@ -175,13 +175,71 @@ object LongMemory extends OpModule {
        |LEFT JOIN bos15h ON bos1.bucket = bos15h.b15h
        |LEFT JOIN bos4 ON bos1.bucket // 4 = bos4.bucket4""".stripMargin
 
+  /** ACF lags reported by [[acfDf]]: one trading day of hourly lags. */
+  val AcfMaxLag = 24
+
+  /** Autocorrelation function (`lm_autocorr`): lag-1..24 serial
+    * correlation of the hourly close series — the direct long-memory
+    * readout next to the rescaled-range [[hurstDf]] estimate (an AR(1)
+    * market decays geometrically; long memory shows as a fat ACF tail).
+    *
+    * All sufficient statistics are EXACT integers so both engines derive
+    * bit-identical ratios: with S = Σx and n over the full series, the
+    * lag-k numerator is Σ (n·x_t − S)(n·x_{t+k} − S) — the mean-centered
+    * cross-product scaled by n², computed entirely in int64 (cents keep
+    * n·x ≤ 1e7, products ≤ 1e14, sums ≤ 1e17 < 2^63) — and the shared
+    * denominator is the same sum at lag 0. The final acf double is one
+    * division of two exactly-agreed integers. The lag dimension is a
+    * broadcast 24-row frame joined against the bar-domain series, so the
+    * whole query is bar-table-sized work regardless of raw event
+    * volume. */
+  private def acfDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Bars.ohlcDf(spark, dir)
+      .select($"bucket", round($"close" * 100).cast("long").as("x"))
+    val stats = s.agg(sum($"x").as("s_sum"), count(lit(1)).as("n"))
+    val den = s.crossJoin(broadcast(stats))
+      .agg(sum(($"n" * $"x" - $"s_sum") * ($"n" * $"x" - $"s_sum")).as("den"))
+    val lags = spark.range(1, AcfMaxLag + 1).select($"id".as("lag"))
+    s.crossJoin(broadcast(lags))
+      .join(s.select($"bucket".as("b2"), $"x".as("y")),
+        $"b2" === $"bucket" + $"lag")
+      .crossJoin(broadcast(stats))
+      .groupBy($"lag")
+      .agg(sum(($"n" * $"x" - $"s_sum") * ($"n" * $"y" - $"s_sum")).as("num"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select($"lag",
+        ($"num".cast("double") / $"den".cast("double")).as("acf"),
+        $"n_pairs")
+  }
+
+  private val acfSql: String =
+    s"""WITH ohlc AS (${Bars.ohlcSql}),
+       |s AS (SELECT bucket, round(close * 100)::BIGINT AS x FROM ohlc),
+       |st AS (SELECT sum(x)::BIGINT AS s_sum, count(*) AS n FROM s),
+       |den AS (SELECT sum((n * x - s_sum) * (n * x - s_sum))::BIGINT AS den
+       |        FROM s, st),
+       |p AS (
+       |  SELECT l.lag, a.x, b.x AS y
+       |  FROM s a CROSS JOIN range(1, ${AcfMaxLag + 1}) l(lag)
+       |  JOIN s b ON b.bucket = a.bucket + l.lag)
+       |SELECT lag,
+       |  (sum((n * x - s_sum) * (n * y - s_sum))::BIGINT)::DOUBLE / den::DOUBLE
+       |    AS acf,
+       |  count(*) AS n_pairs
+       |FROM p, st, den GROUP BY lag, den
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_hurst" -> (hurstDf(_, _)),
-    "lm_bos" -> (bosDf(_, _))
+    "lm_bos" -> (bosDf(_, _)),
+    "lm_autocorr" -> (acfDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "lm_hurst" -> hurstSql,
-    "lm_bos" -> bosSql
+    "lm_bos" -> bosSql,
+    "lm_autocorr" -> acfSql
   )
 }

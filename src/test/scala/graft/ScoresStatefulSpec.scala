@@ -84,6 +84,32 @@ class ScoresStatefulSpec extends SparkSpec {
     }
   }
 
+  test("autocorrelation matches a from-scratch replay and stays in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val out = rowsOf(LongMemory.queries("lm_autocorr")(spark, sfDir()))
+      .map(m => m("lag").asInstanceOf[Long] ->
+        ((m("acf").asInstanceOf[Double], m("n_pairs").asInstanceOf[Long])))
+      .toMap
+    assert(out.size == LongMemory.AcfMaxLag)
+    val xs = graft.operators.Bars.ohlcDf(spark, sfDir())
+      .select(col("bucket"), round(col("close") * 100).cast("long").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val byBucket = xs.toMap
+    val n = xs.length.toLong
+    val s = xs.map(_._2).sum
+    val den = xs.map { case (_, x) => (n * x - s) * (n * x - s) }.sum
+    (1 to LongMemory.AcfMaxLag).foreach { k =>
+      val pairs = xs.flatMap { case (b, x) =>
+        byBucket.get(b + k).map(y => (x, y)) }
+      val num = pairs.map { case (x, y) => (n * x - s) * (n * y - s) }.sum
+      val (acf, np) = out(k.toLong)
+      assert(np == pairs.length.toLong)
+      assert(acf == num.toDouble / den.toDouble, s"lag $k")
+      assert(acf >= -1.0 && acf <= 1.0)
+    }
+  }
+
   test("FSM events from the batch replay pair up and respect cooldown") {
     val evs = rowsOf(Stateful.queries("fsm_position_events")(spark, sfDir()))
       .sortBy(_("bucket").asInstanceOf[Long])
