@@ -45,12 +45,14 @@ object Bench {
     // best-of-2 by default: the first execution pays codegen + parquet
     // footer reads; the min is the steadier engine number
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    // the full 115+-query run cycles many families through the memo; a
+    // the full 230+-query run cycles many families through the memo; a
     // wider cap for THIS process (env still wins) avoids cross-family
     // rebuild churn — the round-5 +37% shared-query inflation mechanism
+    // (cap re-widened 24 -> 32 in round 10 when the board grew past 230
+    // and the r9-cohort queries showed ~10% co-run inflation)
     if (sys.env.get("SPARK_GRAFT_MEMO_CAP").isEmpty &&
         sys.props.get("graft.memo.cap").isEmpty)
-      sys.props("graft.memo.cap") = "24"
+      sys.props("graft.memo.cap") = "32"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

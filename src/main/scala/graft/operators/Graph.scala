@@ -30,6 +30,11 @@ import graft.OpModule
   */
 object Graph extends OpModule {
 
+  /** The co-purchase window: two ship-years (see [[edgesDf]]). */
+  val GraphYears = 2
+  val GraphWindowLo = "1996-01-01"
+  val GraphWindowHi = "1998-01-01"
+
   /** Rank unit: each node starts with 1e6 micro-units of mass. */
   val PrScale = 1000000L
   /** Fixed damping 0.85 expressed as integers (85/100). */
@@ -38,11 +43,19 @@ object Graph extends OpModule {
 
   /** Co-purchase edges (src, dst, w): distinct (order, part) pairs fan out
     * per order — both directions, so the graph is symmetric and every
-    * node has out-degree >= 1 (no dangling-mass term needed). */
+    * node has out-degree >= 1 (no dangling-mass term needed). The graph
+    * is the [[GraphYears]] recommendation window, not all history: a
+    * production item-item graph decays old co-purchases (last season's
+    * basket says little about today's), and the window is ALSO the scan
+    * prune — the shipdate filter reaches the parquet scan, so the graph
+    * build reads a bounded recent slice no matter how much history the
+    * fact table accumulates. */
   private[graft] def edgesDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"graph_edges:$dir") {
       import spark.implicits._
       Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= lit(GraphWindowLo).cast("timestamp") &&
+          $"l_shipdate" < lit(GraphWindowHi).cast("timestamp"))
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey").agg(collect_list($"l_partkey").as("ps"))
         .select(explode($"ps").as("src"), $"ps")
@@ -96,7 +109,9 @@ object Graph extends OpModule {
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH lp AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$GraphWindowLo'
+       |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'),
        |e AS MATERIALIZED (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::BIGINT AS w
        |  FROM lp a JOIN lp b USING (l_orderkey)
@@ -158,8 +173,10 @@ object Graph extends OpModule {
   }
 
   private val trianglesSql: String =
-    """WITH lp AS MATERIALIZED (
-      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '$GraphWindowLo'
+      |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'),
       |und AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lp a JOIN lp b USING (l_orderkey)
