@@ -446,11 +446,10 @@ object Stateful extends OpModule {
       .toDF()
   }
 
-  private val cusumSql: String = {
-    val sHi = "greatest(0::BIGINT, f.post_hi + i.x - i.mu - i.k)"
-    val sLo = "greatest(0::BIGINT, f.post_lo + i.mu - i.x - i.k)"
-    val alarm = s"($sHi > i.h OR $sLo > i.h)"
-    s"""WITH RECURSIVE t0 AS MATERIALIZED (
+  /** The grid CTEs shared by the cusum and seasonal oracles — the SQL
+    * mirror of [[cusumGridDf]]. */
+  private[operators] val cusumGridSql: String =
+    s"""t0 AS MATERIALIZED (
        |  SELECT event_type, epoch_us(ts) // ${Flow.HourUs} AS bucket,
        |    sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
        |    count(*) AS n
@@ -459,7 +458,13 @@ object Stateful extends OpModule {
        |  SELECT event_type, bucket,
        |    floor((sum_cents * 100)::DOUBLE / n)::BIGINT AS x,
        |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
-       |  FROM t0),
+       |  FROM t0)""".stripMargin
+
+  private val cusumSql: String = {
+    val sHi = "greatest(0::BIGINT, f.post_hi + i.x - i.mu - i.k)"
+    val sLo = "greatest(0::BIGINT, f.post_lo + i.mu - i.x - i.k)"
+    val alarm = s"($sHi > i.h OR $sLo > i.h)"
+    s"""WITH RECURSIVE $cusumGridSql,
        |mu0 AS (
        |  SELECT event_type, sum(x)::BIGINT AS m, sum(x * x)::BIGINT AS q,
        |    count(x) AS nn
@@ -487,13 +492,38 @@ object Stateful extends OpModule {
        |FROM f WHERE bucket IS NOT NULL""".stripMargin
   }
 
+  /** Hour-of-day seasonal profile (`flow_seasonal`): the third leg of
+    * the monitoring trio next to `flow_cusum` (level drift) and
+    * `lm_autocorr` (serial dependence) — per event_type, what does a
+    * normal hour h look like? One pass over the SAME hourly grid the
+    * CUSUM folds (bucket % 24 is the UTC hour of day), per (key, hod)
+    * exact integer mean and range. A monitor subtracts this profile
+    * before alarming so the daily cycle doesn't page anyone; group
+    * cardinality is |keys| x 24 regardless of volume. */
+  private def seasonalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cusumGridDf(spark, dir)
+      .groupBy($"event_type", ($"bucket" % 24).as("hod"))
+      .agg(count(lit(1)).as("n_buckets"),
+        floor(sum($"x").cast("double") / count($"x")).as("mean_centi"),
+        (max($"x") - min($"x")).as("range_centi"))
+  }
+
+  private val seasonalSql: String =
+    s"""WITH $cusumGridSql
+       |SELECT event_type, bucket % 24 AS hod, count(*) AS n_buckets,
+       |  floor(sum(x)::DOUBLE / count(x))::BIGINT AS mean_centi,
+       |  (max(x) - min(x))::BIGINT AS range_centi
+       |FROM g GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),
     "fsm_daily_summary" -> (dailyDf(_, _)),
     "fsm_cum_pnl" -> (cumPnlDf(_, _)),
     "trend_hysteresis" -> (trendDf(_, _)),
     "trend_hysteresis_curve" -> (trendCurveDf(_, _)),
-    "flow_cusum" -> (cusumDf(_, _))
+    "flow_cusum" -> (cusumDf(_, _)),
+    "flow_seasonal" -> (seasonalDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,6 +532,7 @@ object Stateful extends OpModule {
     "fsm_cum_pnl" -> cumPnlSql,
     "trend_hysteresis" -> trendSql,
     "trend_hysteresis_curve" -> trendCurveSql,
-    "flow_cusum" -> cusumSql
+    "flow_cusum" -> cusumSql,
+    "flow_seasonal" -> seasonalSql
   )
 }

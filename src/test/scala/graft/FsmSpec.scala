@@ -201,6 +201,30 @@ class FsmSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal profile: complete hod grid per key, replay-exact means") {
+    val spark = SparkSpec.session
+    val out = graft.operators.Stateful
+      .queries("flow_seasonal")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    // replay from the shared grid
+    val grid = graft.operators.Stateful
+      .cusumGridDf(spark, "/root/testdata/sf0.001")
+      .select("event_type", "bucket", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = grid.groupBy(g => (g._1, g._2 % 24)).map { case (k, gs) =>
+      val xs = gs.map(_._3)
+      k -> ((xs.length.toLong,
+        math.floor(xs.sum.toDouble / xs.length).toLong, xs.max - xs.min))
+    }
+    assert(out == expect)
+    // 30 days of hourly data: every key covers all 24 hours
+    out.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.map(_._2).toSet == (0L until 24L).toSet)
+    }
+  }
+
   test("hysteresis never flips on a single reading") {
     val rnd = new Random(7)
     val trends = Array("UPTREND", "DOWNTREND", "RANGEBOUND")
