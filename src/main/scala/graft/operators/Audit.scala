@@ -412,6 +412,62 @@ object Audit extends OpModule {
             .mkString(",\n  ")}
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Winsorized statistics (`events_winsorize`): per event type, the
+    * p1/p99 DISCRETE order statistics (real data values, so everything
+    * stays integer cents — no interpolation arithmetic to guard), the
+    * clip census on both tails, and the winsorized mean — the
+    * trim-then-trust summary next to [[madOutliersDf]]'s detect-and-count
+    * screen. The k-th order statistic comes from one rank window per key
+    * (rank ties on equal cents are value-irrelevant: the k-th VALUE of
+    * the multiset is unique), the two cut rows collapse via conditional
+    * max, and the group-count-sized cut frame broadcasts back for the
+    * clamp pass. The winsorized mean floors one exact-integer ratio, so
+    * the whole row is engine-exact. Per-key sort is the documented
+    * 100 TB sketch swap (`docs_length_hist`), same as every exact order
+    * statistic here. */
+  private def winsorizeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"cents")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val cuts = ranked.groupBy($"event_type")
+      .agg(max(when($"rn" === ceil($"n" * lit(0.01)), $"cents")).as("lo"),
+        max(when($"rn" === ceil($"n" * lit(0.99)), $"cents")).as("hi"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        first($"lo").as("p1_cents"), first($"hi").as("p99_cents"),
+        sum(when($"cents" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"cents" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+        floor(sum(greatest($"lo", least($"hi", $"cents"))).cast("double") /
+          count(lit(1))).as("winsor_mean_cents"))
+  }
+
+  private val winsorizeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, round(value * 100)::BIGINT AS cents FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |cuts AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = ceil(n * 0.01) THEN cents END) AS lo,
+      |    max(CASE WHEN rn = ceil(n * 0.99) THEN cents END) AS hi
+      |  FROM r GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  any_value(lo)::BIGINT AS p1_cents, any_value(hi)::BIGINT AS p99_cents,
+      |  sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+      |  sum(CASE WHEN cents > hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+      |  floor(sum(greatest(lo, least(hi, cents)))::DOUBLE / count(*))::BIGINT
+      |    AS winsor_mean_cents
+      |FROM ev e JOIN cuts USING (event_type) GROUP BY 1""".stripMargin
+
   /** MAD outlier multiplier: 3 scaled sigmas (1.4826·MAD estimates σ
     * under normality — the standard robust-z convention). */
   val MadK = 3.0 * 1.4826
@@ -511,6 +567,7 @@ object Audit extends OpModule {
     "stats_incremental" -> (statsIncrementalDf(_, _)),
     "agg_quantiles" -> (quantilesDf(_, _)),
     "events_mad_outliers" -> (madOutliersDf(_, _)),
+    "events_winsorize" -> (winsorizeDf(_, _)),
     "stats_corr" -> (corrDf(_, _))
   )
 
@@ -522,6 +579,7 @@ object Audit extends OpModule {
     "stats_incremental" -> statsIncrementalSql,
     "agg_quantiles" -> quantilesSql,
     "events_mad_outliers" -> madOutliersSql,
+    "events_winsorize" -> winsorizeSql,
     "stats_corr" -> corrSql
   )
 }

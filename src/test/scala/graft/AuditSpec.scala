@@ -154,6 +154,33 @@ class AuditSpec extends SparkSpec {
     assert(rows.size === cells)
   }
 
+  test("events_winsorize: cuts are real order statistics, clamp census exact") {
+    import org.apache.spark.sql.functions._
+    val out = rowsOf(Audit.queries("events_winsorize")(spark, dir))
+      .map(m => m("event_type").asInstanceOf[String] -> m).toMap
+    assert(out.nonEmpty)
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    raw.foreach { case (t, xs) =>
+      val m = out(t)
+      val n = xs.length
+      val lo = xs(math.ceil(n * 0.01).toInt - 1)
+      val hi = xs(math.ceil(n * 0.99).toInt - 1)
+      assert(m("n") == n.toLong)
+      assert(m("p1_cents") == lo && m("p99_cents") == hi, t)
+      assert(m("n_clip_lo") == xs.count(_ < lo).toLong)
+      assert(m("n_clip_hi") == xs.count(_ > hi).toLong)
+      val wsum = xs.map(x => math.max(lo, math.min(hi, x))).sum
+      assert(m("winsor_mean_cents") ==
+        math.floor(wsum.toDouble / n).toLong)
+      // winsorized mean sits inside the cut band
+      val wm = m("winsor_mean_cents").asInstanceOf[Long]
+      assert(wm >= lo && wm <= hi)
+    }
+  }
+
   test("events_mad_outliers: hand-computed median/MAD census; robust to the outlier itself") {
     // values 1..9 plus one wild 100: median 5.5, adev median (MAD) 2.5,
     // threshold 3·1.4826·2.5 = 11.1195 — only the 100 (adev 94.5) trips
