@@ -584,8 +584,54 @@ object Keyed extends OpModule {
        |  count(*) AS n_touches
        |FROM r GROUP BY 1""".stripMargin
 
+  /** SCD2 temporal join (`join_scd2`): the canonical USE of the
+    * dimension `events_scd_ranges` builds — attribute each `purchase`
+    * fact to the version of its user's state dimension valid at
+    * transaction time. The validity predicate is
+    * `valid_from < ts <= valid_to` (strictly-before on the open side),
+    * i.e. the state the user was IN when the purchase arrived — the
+    * purchase event itself opens a new version, so the at-or-before form
+    * would degenerately self-match every row. A user's first-ever event
+    * has no prior state and drops, by design. Plan: equi-join on
+    * user_id with the validity band as a residual — the dimension is
+    * user-count-sized (NOT broadcastable at scale), so both sides
+    * shuffle once on the user key and each user's handful of versions
+    * probes locally; the same shape at 1000 executors. */
+  private def scdJoinDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = scdRangesDf(spark, dir)
+      .select($"user_id".as("d_user"), $"version", $"state",
+        $"valid_from_us", $"valid_to_us")
+    val fact = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us",
+        round($"value" * 100).cast("long").as("cents"))
+    fact.join(dim, $"d_user" === $"user_id" &&
+        $"valid_from_us" < $"ts_us" &&
+        ($"valid_to_us".isNull || $"ts_us" <= $"valid_to_us"))
+      .groupBy($"state")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"cents").as("revenue_cents"),
+        countDistinct($"d_user", $"version").as("n_versions"))
+  }
+
+  private val scdJoinSql: String =
+    s"""WITH scd AS ($scdRangesSql),
+       |f AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us,
+       |    round(value * 100)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT state, count(*) AS n_purchases,
+       |  sum(cents)::BIGINT AS revenue_cents,
+       |  count(DISTINCT (d.user_id, d.version)) AS n_versions
+       |FROM f JOIN scd d ON d.user_id = f.user_id
+       |  AND d.valid_from_us < f.ts_us
+       |  AND (d.valid_to_us IS NULL OR f.ts_us <= d.valid_to_us)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (attributionDf(_, _)),
+    "join_scd2" -> (scdJoinDf(_, _)),
     "join_salted" -> (joinSaltedDf(_, _)),
     "window_ranks" -> (windowRanksDf(_, _)),
     "events_funnel" -> (funnelDf(_, _)),
@@ -602,6 +648,7 @@ object Keyed extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "events_attribution" -> attributionSql,
+    "join_scd2" -> scdJoinSql,
     "join_salted" -> joinSaltedSql,
     "window_ranks" -> windowRanksSql,
     "events_funnel" -> funnelSql,

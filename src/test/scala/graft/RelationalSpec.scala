@@ -699,6 +699,32 @@ class RelationalSpec extends SparkSpec {
     assert(byPrice == byPrice.distinct.sorted)
   }
 
+  test("join_scd2: every non-first purchase attributes to exactly one " +
+    "prior-state version; census reconciles") {
+    import spark.implicits._
+    val out = rowsOf(graft.operators.Keyed.queries("join_scd2")(spark, dir))
+    assert(out.nonEmpty)
+    val joined = out.map(_("n_purchases").asInstanceOf[Long]).sum
+    // purchases that are their user's first-ever event have no prior
+    // state and drop; everything else joins exactly once
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val firstEvent = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.minBy(e => (e._4, e._2))._2 }
+    val expected = purchases.count(p => firstEvent(p._1) != p._2)
+    assert(joined == expected.toLong,
+      s"joined=$joined expected=$expected of ${purchases.length}")
+    // revenue in the join equals the raw revenue of the attributed set
+    val revOut = out.map(_("revenue_cents").asInstanceOf[Long]).sum
+    val revRaw = rowsOf(Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value" * 100).cast("long")).as("r")))
+      .head("r").asInstanceOf[Long]
+    assert(revOut <= revRaw)
+  }
+
   test("events_attribution: three credit models match the hand computation") {
     def ns(day: Long, sec: Long): Long = ((day * 86400L + sec) * 1000000L) * 1000L
     val fix = writeEventsFixture(Seq(
