@@ -516,6 +516,55 @@ object Stateful extends OpModule {
        |  (max(x) - min(x))::BIGINT AS range_centi
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** Seasonal-adjusted anomaly census (`events_anomaly`): the
+    * composition the seasonal profile exists FOR — subtract each hour's
+    * [[seasonalDf]] expectation from the grid, then flag buckets whose
+    * residual exceeds 3 residual-sigmas. ENTIRELY integer arithmetic:
+    * the 3σ cut is the cross-multiplied comparison
+    * `resid² · n² > 9 · (n·Σr² − (Σr)²)` over exact int64 sums (the
+    * RHS is n²-scaled variance), so there is not a single double in the
+    * query — no sqrt, no division, nothing to drift. The per-key stats
+    * frame and the |keys|×24 profile both broadcast; the only shuffles
+    * are the grid aggregate and the two key-count-sized reductions. */
+  private def anomalyDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = cusumGridDf(spark, dir).select($"event_type", $"bucket", $"x")
+    val prof = grid
+      .groupBy($"event_type".as("p_type"), ($"bucket" % 24).as("hod"))
+      .agg(floor(sum($"x").cast("double") / count($"x")).as("mean_centi"))
+    val r = grid
+      .join(broadcast(prof),
+        $"p_type" === $"event_type" && $"hod" === $"bucket" % 24)
+      .select($"event_type", $"bucket", $"x", $"mean_centi",
+        ($"x" - $"mean_centi").as("resid"))
+    val st = r.groupBy($"event_type")
+      .agg(sum($"resid").as("m"), sum($"resid" * $"resid").as("q"),
+        count(lit(1)).as("n"))
+    r.join(broadcast(st), Seq("event_type"))
+      .filter($"resid" * $"resid" * $"n" * $"n" >
+        lit(9L) * ($"n" * $"q" - $"m" * $"m"))
+      .select($"event_type", $"bucket", $"x", $"mean_centi", $"resid")
+  }
+
+  private val anomalySql: String =
+    s"""WITH $cusumGridSql,
+       |prof AS (
+       |  SELECT event_type, bucket % 24 AS hod,
+       |    floor(sum(x)::DOUBLE / count(x))::BIGINT AS mean_centi
+       |  FROM g GROUP BY 1, 2),
+       |r AS (
+       |  SELECT g.event_type, g.bucket, g.x, p.mean_centi,
+       |    g.x - p.mean_centi AS resid
+       |  FROM g JOIN prof p
+       |    ON p.event_type = g.event_type AND p.hod = g.bucket % 24),
+       |st AS (
+       |  SELECT event_type, sum(resid)::BIGINT AS m,
+       |    sum(resid * resid)::BIGINT AS q, count(*) AS n
+       |  FROM r GROUP BY 1)
+       |SELECT r.event_type, bucket, x, mean_centi, resid
+       |FROM r JOIN st ON st.event_type = r.event_type
+       |WHERE resid * resid * n * n > 9 * (n * q - m * m)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),
     "fsm_daily_summary" -> (dailyDf(_, _)),
@@ -523,7 +572,8 @@ object Stateful extends OpModule {
     "trend_hysteresis" -> (trendDf(_, _)),
     "trend_hysteresis_curve" -> (trendCurveDf(_, _)),
     "flow_cusum" -> (cusumDf(_, _)),
-    "flow_seasonal" -> (seasonalDf(_, _))
+    "flow_seasonal" -> (seasonalDf(_, _)),
+    "events_anomaly" -> (anomalyDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,6 +583,7 @@ object Stateful extends OpModule {
     "trend_hysteresis" -> trendSql,
     "trend_hysteresis_curve" -> trendCurveSql,
     "flow_cusum" -> cusumSql,
-    "flow_seasonal" -> seasonalSql
+    "flow_seasonal" -> seasonalSql,
+    "events_anomaly" -> anomalySql
   )
 }

@@ -225,6 +225,33 @@ class FsmSpec extends AnyFunSuite {
     }
   }
 
+  test("events_anomaly: integer 3-sigma census equals a from-scratch replay") {
+    val spark = SparkSpec.session
+    val out = graft.operators.Stateful
+      .queries("events_anomaly")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val grid = graft.operators.Stateful
+      .cusumGridDf(spark, "/root/testdata/sf0.001")
+      .select("event_type", "bucket", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = grid.groupBy(_._1).toSeq.flatMap { case (t, gs) =>
+      val prof = gs.groupBy(_._2 % 24).map { case (h, hs) =>
+        h -> math.floor(hs.map(_._3).sum.toDouble / hs.length).toLong }
+      val rs = gs.map { case (_, b, x) => (b, x, x - prof(b % 24)) }
+      val n = rs.length.toLong
+      val m = rs.map(_._3).sum
+      val q = rs.map(r => r._3 * r._3).sum
+      rs.collect {
+        case (b, x, resid) if resid * resid * n * n > 9L * (n * q - m * m) =>
+          (t, b, x, x - resid, resid)
+      }
+    }.toSet
+    assert(out == expect)
+    // census sanity: flags are a small tail, never the bulk
+    assert(out.size < grid.length / 20)
+  }
+
   test("hysteresis never flips on a single reading") {
     val rnd = new Random(7)
     val trends = Array("UPTREND", "DOWNTREND", "RANGEBOUND")
