@@ -39,6 +39,16 @@ class GraphSpec extends SparkSpec {
     // symmetric-graph sanity: ranks positive, and the teleport term is a
     // hard floor for every node
     assert(out.values.forall(_ >= telep))
+
+    // plan shape: the loop unrolls into PrIters broadcast levels over the
+    // standing (checkpointed) edge frame — the node-sized rank vector is
+    // what moves, never the edges
+    val plan = Graph.queries("graph_pagerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= Graph.PrIters, s"expected >= ${Graph.PrIters} broadcast levels, got $bhj")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      "edges must come from the checkpointed standing frame")
   }
 
   test("graph_triangles equals the brute-force per-node census") {

@@ -773,6 +773,10 @@ class RelationalSpec extends SparkSpec {
       .groupBy($"o_orderpriority").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == expect)
+    // the EXISTS is planned as a semi join, not an aggregate-then-join
+    val plan = Relational.queries("q4_order_priority")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(400))
   }
 
   test("q11_important_stock: every kept nation clears 5% of the global " +
