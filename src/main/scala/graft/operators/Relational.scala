@@ -1400,7 +1400,80 @@ object Relational extends OpModule {
       |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
       |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin
 
+  /** Customer order-count distribution (`q13_custdist`, the TPC-H Q13
+    * shape: the histogram-of-group-sizes). The LEFT OUTER join is the
+    * point — customers with ZERO qualifying orders must appear in the
+    * c_count = 0 bin, which an inner join silently drops; the exclusion
+    * filter ('5-LOW' priority standing in for the comment pattern the
+    * trimmed schema lacks) prunes the orders side BEFORE the join. Two
+    * aggregates: per-customer count over the outer join, then the
+    * distribution over the (bounded) count domain. */
+  private def q13Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .select($"o_orderkey", $"o_custkey")
+    val perCust = Tables.customer(spark, dir).select($"c_custkey")
+      .join(o, $"o_custkey" === $"c_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count(col): NULLs don't count
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Sql: String =
+    """WITH pc AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY 1)
+      |SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""".stripMargin
+
+  /** Discounted-revenue with a disjunctive predicate (`q19_disjunct`,
+    * the TPC-H Q19 shape: an OR of three conjunctive brand/size/quantity
+    * clauses). The planner exercise is that the disjunction spans BOTH
+    * tables: per-table conjuncts (brand IN (...), size ranges, quantity
+    * envelope) are pushed to each scan as the OR's union bound, while
+    * the cross-table clause pairing evaluates as a join residual — one
+    * scan each side, no union-of-three-joins rewrite. Exact integer
+    * cents; quantities are integral doubles cast to long. */
+  private def q19Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .filter($"qty" >= 1L && $"qty" <= 35L)
+    val p = broadcast(Tables.part(spark, dir)
+      .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+      .select($"p_partkey", $"p_brand", $"p_size"))
+    val clause =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+        $"qty".between(1L, 15L)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(11, 25) &&
+        $"qty".between(10L, 25L)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(26, 50) &&
+        $"qty".between(20L, 35L))
+    l.join(p, $"l_partkey" === $"p_partkey" && clause)
+      .agg(sum($"cents").as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql: String =
+    """SELECT
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity::BIGINT BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+      |        AND l_quantity::BIGINT BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+      |        AND l_quantity::BIGINT BETWEEN 20 AND 35)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13Df(_, _)),
+    "q19_disjunct" -> (q19Df(_, _)),
     "q4_order_priority" -> (q4Df(_, _)),
     "q11_important_stock" -> (q11Df(_, _)),
     "q16_supplier_cnt" -> (q16Df(_, _)),
@@ -1441,6 +1514,8 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13Sql,
+    "q19_disjunct" -> q19Sql,
     "q4_order_priority" -> q4Sql,
     "q11_important_stock" -> q11Sql,
     "q16_supplier_cnt" -> q16Sql,

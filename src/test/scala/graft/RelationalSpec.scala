@@ -725,6 +725,48 @@ class RelationalSpec extends SparkSpec {
     assert(revOut <= revRaw)
   }
 
+  test("q13_custdist: zero-order customers occupy the 0 bin; mass conserves") {
+    import spark.implicits._
+    val out = rowsOf(Relational.queries("q13_custdist")(spark, dir))
+      .map(m => m("c_count").asInstanceOf[Long] ->
+        m("custdist").asInstanceOf[Long]).toMap
+    assert(out.nonEmpty)
+    // every customer lands in exactly one bin
+    assert(out.values.sum == Tables.customer(spark, dir).count())
+    // order mass conserves: sum(bin * customers) = qualifying orders
+    val qualifying = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey", "left_semi").count()
+    assert(out.map { case (c, d) => c * d }.sum == qualifying)
+    // the zero bin exists iff some customer has no qualifying orders
+    val withOrders = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .select($"o_custkey").distinct().count()
+    val custs = Tables.customer(spark, dir).count()
+    assert(out.contains(0L) == (withOrders < custs))
+  }
+
+  test("q19_disjunct: single-scan disjunction equals the union of the " +
+    "three clause queries") {
+    import spark.implicits._
+    val out = rowsOf(Relational.queries("q19_disjunct")(spark, dir)).head
+    def clause(brand: String, szLo: Int, szHi: Int, qLo: Long, qHi: Long) =
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter($"p_brand" === brand &&
+          $"p_size".between(szLo, szHi)), $"l_partkey" === $"p_partkey")
+        .filter($"l_quantity".cast("long").between(qLo, qHi))
+        .agg(coalesce(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long")), lit(0L)).as("r"), count(lit(1)).as("n"))
+        .collect().head
+    val parts = Seq(clause("Brand#1", 1, 10, 1L, 15L),
+      clause("Brand#2", 11, 25, 10L, 25L),
+      clause("Brand#3", 26, 50, 20L, 35L))
+    // brands partition the parts, so the three clauses are disjoint
+    assert(out("revenue_cents") == parts.map(_.getLong(0)).sum)
+    assert(out("n_lines") == parts.map(_.getLong(1)).sum)
+  }
+
   test("events_attribution: three credit models match the hand computation") {
     def ns(day: Long, sec: Long): Long = ((day * 86400L + sec) * 1000000L) * 1000L
     val fix = writeEventsFixture(Seq(
