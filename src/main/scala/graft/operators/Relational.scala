@@ -1471,7 +1471,194 @@ object Relational extends OpModule {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
       |        AND l_quantity::BIGINT BETWEEN 20 AND 35)""".stripMargin
 
+  /** Forecast-revenue-change (`q6_forecast`, the TPC-H Q6 shape): the
+    * pure scan-side query — a three-conjunct range filter and one
+    * arithmetic aggregate, no join at all. Its whole value is the plan:
+    * all three predicates MUST reach the parquet scan as PushedFilters
+    * (spec-asserted) so a 100 TB run reads only the 1997 row groups
+    * whose stats overlap the band. Revenue = Σ round(price·discount·100)
+    * — one IEEE multiply per row then a half-up round, identical on
+    * both engines, summed as exact integers. */
+  private def q6Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+      .agg(sum(round($"l_extendedprice" * $"l_discount" * 100).cast("long"))
+        .as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  private val q6Sql: String =
+    """SELECT
+      |  sum(round(l_extendedprice * l_discount * 100)::BIGINT)::BIGINT
+      |    AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Bilateral trade volume (`q7_nation_volume`, the TPC-H Q7 shape):
+    * revenue shipped between two chosen nations in either direction,
+    * by supplier nation, customer nation and ship year. Both nation
+    * dimensions broadcast through supplier/customer; the disjunctive
+    * nation-pair predicate is a join residual over the already-pruned
+    * (two-nation) sides, so the fact tables shuffle once on their join
+    * keys and nothing else. */
+  private def q7Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nA = "NATION_3"
+    val nB = "NATION_7"
+    val sup = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir)
+        .filter($"n_name".isin(nA, nB)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir)
+        .filter($"n_name".isin(nA, nB)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation")))
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").cast("long").as("l_year"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+    l.join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === nA && $"cust_nation" === nB) ||
+        ($"supp_nation" === nB && $"cust_nation" === nA))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"cents").as("revenue_cents"))
+  }
+
+  private val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate)::BIGINT AS l_year,
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS revenue_cents
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** National market share (`q8_market_share`, the TPC-H Q8 shape): of
+    * all revenue sold INTO one region per order year, the share supplied
+    * by one nation — the numerator is a conditional sum inside the same
+    * aggregate as the denominator (never two scans), and the share ships
+    * as floor'd basis points of two exact integer sums. */
+  private def q8Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shareNation = "NATION_5"
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey"))
+    val sup = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation")))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum(when($"supp_nation" === shareNation, $"cents")
+        .otherwise(0L)).as("nation_cents"),
+        sum($"cents").as("total_cents"))
+      .withColumn("share_bps",
+        floor($"nation_cents" * lit(10000.0) / $"total_cents"))
+  }
+
+  private val q8Sql: String =
+    """SELECT year(o_orderdate)::BIGINT AS o_year,
+      |  sum(CASE WHEN n1.n_name = 'NATION_5'
+      |           THEN round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
+      |           ELSE 0 END)::BIGINT AS nation_cents,
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS total_cents,
+      |  floor(sum(CASE WHEN n1.n_name = 'NATION_5'
+      |             THEN round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
+      |             ELSE 0 END) * 10000.0 /
+      |        sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT))::BIGINT
+      |    AS share_bps
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Returned-item ranking (`q10_returns`, the TPC-H Q10 shape): the
+    * top 20 customers by revenue REFUNDED in one quarter — the
+    * customer-service queue. Quarter filter prunes orders pre-join,
+    * returnflag prunes lines at the scan, customer+nation broadcast,
+    * and the final top-20 is a `TakeOrderedAndProject` (never a full
+    * sort), tie-broken by custkey so the cut is total-order
+    * deterministic. */
+  private def q10Df(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+    val cn = broadcast(Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"cents").as("refund_cents"))
+      .join(cn, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"n_name",
+        round($"c_acctbal", 2).as("c_acctbal"), $"refund_cents")
+      .orderBy($"refund_cents".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+      |    AS refund_cents
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY refund_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Df(_, _)),
+    "q7_nation_volume" -> (q7Df(_, _)),
+    "q8_market_share" -> (q8Df(_, _)),
+    "q10_returns" -> (q10Df(_, _)),
     "q13_custdist" -> (q13Df(_, _)),
     "q19_disjunct" -> (q19Df(_, _)),
     "q4_order_priority" -> (q4Df(_, _)),
@@ -1514,6 +1701,10 @@ object Relational extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" -> q6Sql,
+    "q7_nation_volume" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q10_returns" -> q10Sql,
     "q13_custdist" -> q13Sql,
     "q19_disjunct" -> q19Sql,
     "q4_order_priority" -> q4Sql,

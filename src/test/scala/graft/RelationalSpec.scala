@@ -725,6 +725,49 @@ class RelationalSpec extends SparkSpec {
     assert(revOut <= revRaw)
   }
 
+  test("q6_forecast: all three predicates reach the parquet scan") {
+    val df = Relational.queries("q6_forecast")(spark, dir)
+    assert(rowsOf(df).head("n_lines").asInstanceOf[Long] > 0L)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = formatted.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q7_nation_volume: only the two chosen nations in either role, " +
+    "both directions present") {
+    val rows = rowsOf(Relational.queries("q7_nation_volume")(spark, dir))
+    assert(rows.nonEmpty)
+    val pairs = rows.map(m => (m("supp_nation"), m("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    rows.foreach(m => assert(m("revenue_cents").asInstanceOf[Long] > 0L))
+  }
+
+  test("q8_market_share: share_bps consistent with the two sums, bounded") {
+    rowsOf(Relational.queries("q8_market_share")(spark, dir)).foreach { m =>
+      val nc = m("nation_cents").asInstanceOf[Long]
+      val tc = m("total_cents").asInstanceOf[Long]
+      val bps = m("share_bps").asInstanceOf[Long]
+      assert(nc >= 0L && nc <= tc)
+      assert(bps == math.floor(nc * 10000.0 / tc).toLong)
+      assert(bps >= 0L && bps <= 10000L)
+    }
+  }
+
+  test("q10_returns: top-20 cut is a TakeOrderedAndProject, refunds " +
+    "descend deterministically") {
+    val df = Relational.queries("q10_returns")(spark, dir)
+    val rows = rowsOf(df)
+    assert(rows.size <= 20 && rows.nonEmpty)
+    val refs = rows.map(m => (m("refund_cents").asInstanceOf[Long],
+      m("c_custkey").asInstanceOf[Long]))
+    assert(refs == refs.sortBy(r => (-r._1, r._2)))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("q13_custdist: zero-order customers occupy the 0 bin; mass conserves") {
     import spark.implicits._
     val out = rowsOf(Relational.queries("q13_custdist")(spark, dir))
