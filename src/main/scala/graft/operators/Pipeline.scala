@@ -200,12 +200,17 @@ object Pipeline extends OpModule {
     import spark.implicits._
     val maxN = ContamCurveNs.max
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val leads = Tables.documents(spark, dir)
-      .select($"doc_id",
-        posexplode(filter(split($"text", "\\s+"), t => t =!= ""))
-          .as(Seq("pos", "tok")))
-      .select(($"doc_id" +: $"tok" +:
-        (1 until maxN).map(k => lead($"tok", k).over(w).as(s"t$k"))): _*)
+    // memoized: all four width branches CONSUME this one pass — without
+    // the checkpoint each union branch re-executes the explode+window
+    // subtree (exchange reuse only shares the shuffle, not the window)
+    val leads = graft.functions.DfMemo.cached(spark, s"contam_leads:$dir") {
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          posexplode(filter(split($"text", "\\s+"), t => t =!= ""))
+            .as(Seq("pos", "tok")))
+        .select(($"doc_id" +: $"tok" +:
+          (1 until maxN).map(k => lead($"tok", k).over(w).as(s"t$k"))): _*)
+    }
     ContamCurveNs.map { n =>
       val parts = $"tok" +: (1 until n).map(k => col(s"t$k"))
       val sets = leads
