@@ -128,7 +128,10 @@ class InvarianceSpec extends SparkSpec {
     // aggregate may legitimately wobble in its last ulp with summation
     // order (which is why those queries quantize for the oracle).
     val qs = Seq("events_funnel", "events_dau_wau", "events_k_anon",
-      "pipeline_length_buckets", "dedup_lsh_curve")
+      "pipeline_length_buckets", "dedup_lsh_curve",
+      // round-10 integer-exact additions: the iterative graph pair, the
+      // keyed CUSUM fold, and the all-integer anomaly census
+      "graph_pagerank", "graph_triangles", "flow_cusum", "events_anomaly")
     def snap(): Map[String, Set[Map[String, Any]]] =
       qs.map(q => q ->
         rowsOf(SparkEntry.queries(q)(spark, sfDir())).map(_.filter {
