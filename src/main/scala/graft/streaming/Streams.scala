@@ -1331,6 +1331,61 @@ object Streams {
       }
   }
 
+  case class AnomMonState(openBucket: Long, sum: Long, n: Long)
+  case class AnomMonRow(event_type: String, bucket: Long, x_centi: Long,
+      resid: Long)
+
+  /** Streaming seasonal-anomaly monitor — the live twin of batch
+    * `events_anomaly`: per event_type the monitor closes hourly buckets
+    * exactly like [[cusumMonitor]], subtracts the BROADCAST hour-of-day
+    * expectation (`flow_seasonal`'s profile, batch-learned standing
+    * state), and emits the bucket iff the residual clears the
+    * all-integer 3σ cut `resid²·n² > 9·(n·Σr²−(Σr)²)` with (Σr, Σr²,
+    * n) also batch-learned. Emits ONLY anomalies (the batch census
+    * shape) and withholds each key's final open bucket. Not a single
+    * double anywhere — closure state is three longs per key. */
+  def anomalyMonitor(events: DataFrame,
+      profile: Map[(String, Long), Long],
+      stats: Map[String, (Long, Long, Long)]): Dataset[AnomMonRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val H = graft.operators.Flow.HourUs
+    events.select($"event_type", $"ts_us", $"value")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomMonState, AnomMonRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (etype, it, state) =>
+          val (m, q, n) = stats.getOrElse(etype, (0L, 0L, 0L))
+          val rhs = 9L * (n * q - m * m)
+          val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+          it.foreach { case (_, ts, v) =>
+            val b = ts / H
+            val (s0, n0) = acc.getOrElse(b, (0L, 0L))
+            acc(b) = (s0 + math.round(v * 100), n0 + 1L)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[AnomMonRow]()
+          var st = state.getOption.orNull
+          def close(): Unit = if (st != null) {
+            val x = math.floor((st.sum * 100).toDouble / st.n).toLong
+            val resid = x - profile.getOrElse((etype, st.openBucket % 24), x)
+            if (resid * resid * n * n > rhs)
+              out += AnomMonRow(etype, st.openBucket, x, resid)
+          }
+          acc.toSeq.sortBy(_._1).foreach { case (b, (s, cnt)) =>
+            if (st == null) st = AnomMonState(b, s, cnt)
+            else if (b == st.openBucket) {
+              st = st.copy(sum = st.sum + s, n = st.n + cnt)
+            } else {
+              close()
+              st = AnomMonState(b, s, cnt)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class CellOccState(nNew: Long, sumCos: Double)
   case class CellOcc(cell: Int, n_new: Long, mean_cos_new: Double)
 

@@ -1589,6 +1589,49 @@ class StreamingSpec extends SparkSpec {
       "streamed cusum must equal the batch fold minus the open buckets")
   }
 
+  test("streaming anomaly census equals batch events_anomaly minus open buckets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir()
+    // standing state: the batch-learned hour-of-day profile and the
+    // batch residual sufficient statistics
+    val grid = graft.operators.Stateful.cusumGridDf(spark, dir)
+      .select($"event_type", $"bucket", $"x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val profile = grid.groupBy(g => (g._1, g._2 % 24)).map { case (k, gs) =>
+      k -> math.floor(gs.map(_._3).sum.toDouble / gs.length).toLong }
+    val stats = grid.groupBy(_._1).map { case (t, gs) =>
+      val rs = gs.map { case (_, b, x) => x - profile((t, b % 24)) }
+      t -> ((rs.sum, rs.map(r => r * r).sum, rs.length.toLong))
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_type", $"ts_us", $"value")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._2)
+    val input = MemoryStream[(String, Long, Double)]
+    val mon = Streams.anomalyMonitor(
+      input.toDF().toDF("event_type", "ts_us", "value"), profile, stats)
+      .writeStream.format("memory").queryName("anom_mon")
+      .outputMode("append").start()
+    ev.grouped(math.max(1, ev.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk)
+      mon.processAllAvailable()
+    }
+    mon.stop()
+    val streamed = spark.table("anom_mon").as[Streams.AnomMonRow]
+      .collect().map(r => (r.event_type, r.bucket, r.x_centi, r.resid)).toSet
+    val batchRows = rowsOf(SparkEntry.queries("events_anomaly")(spark, dir))
+      .map(r => (r("event_type").asInstanceOf[String],
+        r("bucket").asInstanceOf[Long], r("x").asInstanceOf[Long],
+        r("resid").asInstanceOf[Long]))
+    // open buckets are each KEY's final grid bucket, flagged or not
+    val lastPerType = grid.groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val batch = batchRows.filter(r => r._2 != lastPerType(r._1)).toSet
+    assert(streamed === batch,
+      "streamed anomaly set must equal the batch census minus open buckets")
+    assert(batch.nonEmpty, "fixture should flag at least one closed anomaly")
+  }
+
   test("streaming markov steps equal the batch lag-window transitions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
