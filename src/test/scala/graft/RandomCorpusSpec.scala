@@ -167,6 +167,34 @@ class RandomCorpusSpec extends SparkSpec {
     }
   }
 
+  test("skyline equals brute-force dominance on random part catalogs") {
+    import spark.implicits._
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(200)
+      // small value domains force heavy ties — the hard case for the
+      // per-price max collapse and the strict-predecessor window
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"part$i", "Brand#1", "ECONOMY",
+          1 + rnd.nextInt(12), 1.0 + rnd.nextInt(15) * 0.25)
+      }
+      val dir = Files.createTempDirectory(s"graft_sky$seed").toString
+      rows.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+        .coalesce(1).write.parquet(s"$dir/part.parquet")
+      val front = rowsOf(
+        graft.operators.Relational.queries("skyline_parts")(spark, dir))
+        .map(m => (m("price_cents").asInstanceOf[Long],
+          m("p_size").asInstanceOf[Int])).toSet
+      val pts = rows.map(r => (math.round(r._6 * 100), r._5)).toSet
+      val expect = pts.filter { case (pc, sz) =>
+        !pts.exists { case (qc, qz) =>
+          qc <= pc && qz >= sz && (qc < pc || qz > sz) }
+      }
+      assert(front == expect, s"seed $seed: front=$front expect=$expect")
+    }
+  }
+
   test("an empty corpus yields empty-or-sentinel results, never a throw") {
     val dir = writeDocsFixture(Seq.empty)
     // the document-driven analytics: each must evaluate cleanly on a
