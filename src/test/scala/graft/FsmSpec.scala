@@ -172,6 +172,36 @@ class FsmSpec extends AnyFunSuite {
     assert(outs.last.alarm)
   }
 
+  test("cusum detects planted drift after onset and stays silent before") {
+    import Fsm.CusumIn
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(seed)
+      val mu = 100000L
+      val sigma = 500 + rnd.nextInt(2000)
+      def noise(): Long = math.round(rnd.nextGaussian() * sigma)
+      val calm = 168
+      val onset = calm + rnd.nextInt(100)
+      val driftMag = (4 + rnd.nextInt(4)) * sigma // 4-7 sigma level shift
+      val sign = if (rnd.nextBoolean()) 1L else -1L
+      val xs = (0 until onset).map(_ => mu + noise()) ++
+        (0 until 200).map(_ => mu + sign * driftMag + noise())
+      // thresholds from the same sigma-scaled rule the query learns
+      val k = sigma / 2
+      val h = 5L * sigma
+      val outs = Fsm.cusumRun(xs.zipWithIndex.map { case (x, i) =>
+        CusumIn("t", i.toLong, x, mu, k, h) }.iterator).toList
+      val alarms = outs.filter(_.alarm).map(_.bucket)
+      // a 4+ sigma shift with allowance sigma/2 accumulates >= 3.5*sigma
+      // per bucket: the excursion must clear h = 5*sigma within a few
+      // buckets of onset
+      assert(alarms.exists(b => b >= onset && b < onset + 10),
+        s"seed $seed: no alarm within 10 buckets of onset $onset")
+      // false-alarm rate on the calm prefix stays tiny (ARL property)
+      val early = alarms.count(_ < onset)
+      assert(early <= 2, s"seed $seed: $early false alarms before onset")
+    }
+  }
+
   test("cusum on real data: query equals an in-memory replay of its grid") {
     val spark = SparkSpec.session
     val df = graft.operators.Stateful
