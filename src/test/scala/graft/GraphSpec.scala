@@ -51,6 +51,45 @@ class GraphSpec extends SparkSpec {
       "edges must come from the checkpointed standing frame")
   }
 
+  private def writeGraphFixture(orders: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    orders.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", lit("1997-01-01").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("pagerank: exactly uniform on a cycle, center-dominant on a star") {
+    // cycle: order i links part i and part (i+1) % n — every node has
+    // identical degree, so the integer fixed point must be EXACTLY equal
+    val n = 12
+    val cycle = (0 until n).flatMap(i =>
+      Seq((i.toLong, i.toLong), (i.toLong, ((i + 1) % n).toLong)))
+    val cRanks = rowsOf(Graph.queries("graph_pagerank")(
+      spark, writeGraphFixture(cycle)))
+      .map(m => m("p_partkey").asInstanceOf[Long] ->
+        m("rank_micros").asInstanceOf[Long]).toMap
+    assert(cRanks.size == n)
+    assert(cRanks.values.toSet.size == 1,
+      s"cycle ranks must be uniform, got $cRanks")
+
+    // star: every order links the hub (part 0) with one leaf — the hub
+    // must outrank every leaf, and all leaves tie by symmetry
+    val star = (1 to 10).flatMap(i =>
+      Seq((i.toLong, 0L), (i.toLong, i.toLong)))
+    val sRanks = rowsOf(Graph.queries("graph_pagerank")(
+      spark, writeGraphFixture(star)))
+      .map(m => m("p_partkey").asInstanceOf[Long] ->
+        m("rank_micros").asInstanceOf[Long]).toMap
+    assert(sRanks.size == 11)
+    val hub = sRanks(0L)
+    val leaves = (sRanks - 0L).values.toSet
+    assert(leaves.size == 1, s"leaves must tie, got $sRanks")
+    assert(hub > leaves.head * 5, s"hub $hub vs leaf ${leaves.head}")
+  }
+
   test("graph_triangles equals the brute-force per-node census") {
     val out = rowsOf(Graph.queries("graph_triangles")(spark, dir))
       .map(m => m("p_partkey").asInstanceOf[Long] ->
