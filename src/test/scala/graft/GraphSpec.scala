@@ -90,6 +90,23 @@ class GraphSpec extends SparkSpec {
     assert(hub > leaves.head * 5, s"hub $hub vs leaf ${leaves.head}")
   }
 
+  test("triangles: K5 gives every node C(4,2); a chordless cycle gives none") {
+    // one order holding all 5 parts -> the complete graph K5: each node
+    // closes C(4,2) = 6 triangles, 10 triangles total
+    val k5 = (0 until 5).map(p => (1L, p.toLong))
+    val kRows = rowsOf(Graph.queries("graph_triangles")(
+      spark, writeGraphFixture(k5)))
+      .map(m => m("p_partkey").asInstanceOf[Long] ->
+        m("n_triangles").asInstanceOf[Long]).toMap
+    assert(kRows == (0L until 5L).map(_ -> 6L).toMap)
+
+    // chordless 6-cycle: triangle-free, the census must be EMPTY
+    val cyc = (0 until 6).flatMap(i =>
+      Seq((i.toLong, i.toLong), (i.toLong, ((i + 1) % 6).toLong)))
+    assert(rowsOf(Graph.queries("graph_triangles")(
+      spark, writeGraphFixture(cyc))).isEmpty)
+  }
+
   test("graph_triangles equals the brute-force per-node census") {
     val out = rowsOf(Graph.queries("graph_triangles")(spark, dir))
       .map(m => m("p_partkey").asInstanceOf[Long] ->
