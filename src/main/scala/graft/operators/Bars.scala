@@ -226,8 +226,8 @@ object Bars extends OpModule {
   val HoltAlpha = 0.25
   val HoltBeta = 0.125
 
-  /** Holt linear-trend double smoothing (`bars_holt`) — the forecasting
-    * rung above [[emaDf]]: a coupled (level, trend) fold
+  /** Holt linear-trend double smoothing (`bars_holt`, Holt 1957) — the
+    * forecasting rung above [[emaDf]]: a coupled (level, trend) fold
     * `l' = a*x + (1-a)*(l+b); b' = beta*(l'-l) + (1-beta)*b` with the
     * 1-step-ahead forecast `l+b` shipped per bar. Same bounded-frame fold
     * machinery as the EMA (ordered `collect_list` + `aggregate` over the

@@ -6,11 +6,14 @@ import graft.sources.Tables
 import graft.OpModule
 
 /** Iterative graph analytics (SURVEY §2's ML/iterative family, next to
-  * k-means and BPE): PageRank over the part co-purchase graph — two parts
-  * are linked when they appear in the same order, weighted by
-  * co-occurrence count, the item-item graph behind "customers also
-  * bought" ranking. The reference has no graph surface; this extends the
-  * engine the same way the ANN/dedup families do.
+  * k-means and BPE): PageRank (Brin & Page 1998, the random-surfer
+  * fixed point) over the part co-purchase graph — two parts are linked
+  * when they appear in the same order, weighted by co-occurrence count,
+  * the item-item graph behind "customers also bought" ranking — and
+  * triangle counting via degree-ordered orientation (the forward/
+  * compact-forward algorithm of Schank & Wagner 2005 / Latapy 2008).
+  * The reference has no graph surface; this extends the engine the
+  * same way the ANN/dedup families do.
   *
   * Everything is INTEGER arithmetic so the fixed-point is bit-identical
   * across engines: ranks live in micro-units ([[PrScale]] = 1e6 per
