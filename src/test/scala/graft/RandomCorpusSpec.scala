@@ -279,4 +279,58 @@ class RandomCorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming cusum equals batch on random streams at random trigger cuts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 9100)
+      val n = 2000 + rnd.nextInt(2000)
+      // several hundred hourly buckets so the 168-bucket baseline trains
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          1700000000000000000L +
+            math.abs(rnd.nextLong() % (400L * 3600L * 1000000L)) * 1000L,
+          rnd.nextInt(9).toLong,
+          Seq("click", "view")(rnd.nextInt(2)),
+          10.0 + rnd.nextInt(9000) / 100.0)
+      }
+      val fix = writeEventsFixture(rows)
+      val batchRows = rowsOf(SparkEntry.queries("flow_cusum")(spark, fix))
+        .map(r => (r("event_type").asInstanceOf[String],
+          r("bucket").asInstanceOf[Long], r("x_centi").asInstanceOf[Long],
+          r("s_hi").asInstanceOf[Long], r("s_lo").asInstanceOf[Long],
+          r("alarm").asInstanceOf[Boolean]))
+      val lastPerType = batchRows.groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
+      val batch = batchRows.filter(r => r._2 != lastPerType(r._1)).toSet
+      val base = graft.operators.Stateful.cusumBaseDf(spark, fix)
+        .select($"event_type", $"mu", $"k", $"h").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val ev = graft.sources.Tables.events(spark, fix)
+        .select($"event_type", $"ts_us", $"value")
+        .as[(String, Long, Double)].collect().toSeq.sortBy(_._2)
+      val input = MemoryStream[(String, Long, Double)]
+      val name = s"cusum_rand_$seed"
+      val q = Streams.cusumMonitor(
+        input.toDF().toDF("event_type", "ts_us", "value"), base)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // random trigger boundaries: 2-6 unequal chunks, so open buckets
+      // straddle cuts at arbitrary points
+      var rest = ev
+      while (rest.nonEmpty) {
+        val take = math.max(1, rnd.nextInt(ev.size / 2 + 1))
+        input.addData(rest.take(take))
+        q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+      q.stop()
+      val streamed = spark.table(name).as[Streams.CusumMonRow].collect()
+        .map(r => (r.event_type, r.bucket, r.x_centi, r.s_hi, r.s_lo, r.alarm))
+        .toSet
+      assert(streamed === batch, s"seed $seed: stream vs batch diverged")
+    }
+  }
 }
