@@ -1331,6 +1331,54 @@ object Streams {
       }
   }
 
+  case class DrawMonState(openBucket: Long, bestId: Long, bestVal: Double,
+      peak: Long)
+  case class DrawMonRow(bucket: Long, close_cents: Long, peak_cents: Long,
+      dd_bps: Long)
+
+  /** Streaming drawdown monitor — the live twin of batch
+    * `bars_drawdown`: per bar the monitor carries the open bucket's
+    * max-by-event_id close candidate (the OHLC close rule) plus the
+    * running all-time-high in integer cents; closing a bucket emits the
+    * underwater row with the same floor'd-basis-points arithmetic as
+    * the batch window. Single-symbol stream keys on the constant symbol
+    * (multi-symbol data would key on it); state is O(1). Emit-on-close:
+    * the final open bar is withheld, everything else equals the batch
+    * query row-for-row. */
+  def drawdownMonitor(events: DataFrame): Dataset[DrawMonRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val H = graft.operators.Flow.HourUs
+    events.select($"event_id", $"ts_us", $"value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_ => "SYM")
+      .flatMapGroupsWithState[DrawMonState, DrawMonRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val perBucket = scala.collection.mutable.Map[Long, (Long, Double)]()
+          it.foreach { case (id, ts, v) =>
+            val b = ts / H
+            if (!perBucket.get(b).exists(_._1 >= id)) perBucket(b) = (id, v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[DrawMonRow]()
+          var st = state.getOption.orNull
+          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v)) =>
+            if (st == null) st = DrawMonState(b, id, v, 0L)
+            else if (b == st.openBucket) {
+              if (id > st.bestId) st = st.copy(bestId = id, bestVal = v)
+            } else {
+              val cc = math.round(st.bestVal * 100)
+              val peak = math.max(st.peak, cc)
+              out += DrawMonRow(st.openBucket, cc, peak,
+                math.floor((peak - cc) * 10000.0 / peak).toLong)
+              st = DrawMonState(b, id, v, peak)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class AnomMonState(openBucket: Long, sum: Long, n: Long)
   case class AnomMonRow(event_type: String, bucket: Long, x_centi: Long,
       resid: Long)

@@ -1589,6 +1589,36 @@ class StreamingSpec extends SparkSpec {
       "streamed cusum must equal the batch fold minus the open buckets")
   }
 
+  test("streaming drawdown equals batch bars_drawdown minus the open bar") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sfDir()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"ts_us", $"value")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(e => (e._2, e._1))
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streams.drawdownMonitor(
+      input.toDF().toDF("event_id", "ts_us", "value"))
+      .writeStream.format("memory").queryName("draw_mon")
+      .outputMode("append").start()
+    ev.grouped(math.max(1, ev.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("draw_mon").as[Streams.DrawMonRow]
+      .collect().map(r => (r.bucket, r.close_cents, r.peak_cents, r.dd_bps))
+      .toSet
+    val batchRows = rowsOf(SparkEntry.queries("bars_drawdown")(spark, dir))
+      .map(r => (r("bucket").asInstanceOf[Long],
+        r("close_cents").asInstanceOf[Long],
+        r("peak_cents").asInstanceOf[Long], r("dd_bps").asInstanceOf[Long]))
+    val last = batchRows.map(_._1).max
+    val batch = batchRows.filter(_._1 != last).toSet
+    assert(streamed === batch,
+      "streamed drawdown must equal the batch curve minus the open bar")
+  }
+
   test("streaming anomaly census equals batch events_anomaly minus open buckets") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
