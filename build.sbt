@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // costs ~8 s of GC across a bench run (measured 64.9 -> 57.0 s);
   // the bench harness host has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // extra JVM flags for local experiments (GC collector A/Bs etc.);
+  // unset in the driver's environment, so defaults above are the record
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -144,6 +144,22 @@ object Dedup extends OpModule {
   private[graft] def bandKeyCol(sig: Column, band: Int): Column =
     concat_ws(",", (0 until 4).map(r => element_at(sig, band * 4 + r + 1)): _*)
 
+  /** The (doc_id, band, band_key) frame of a signature under a (b, r)
+    * banding: ONE projection generates all b bands via explode of an
+    * inline array — same rows as the b-way union of per-band selects it
+    * replaces, at 1/b the plan (one pass over the signature frame
+    * instead of b scans). */
+  private def bandFrame(spark: SparkSession, sig: DataFrame,
+      b: Int, r: Int): DataFrame = {
+    import spark.implicits._
+    sig.select($"doc_id", explode(array((0 until b).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws(",", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+            .as("band_key"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+  }
+
   /** Per-doc MinHash signature: all k minima in one grouped pass.
     * Memoized: the sig query, the pair generator, and the accuracy
     * metric (which joins it on BOTH pair sides — Spark would plan the
@@ -177,11 +193,7 @@ object Dedup extends OpModule {
   private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashDf(spark, dir)
-    val bands = (0 until MinhashK / 4).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)
-          .as("band_key"))
-    }.reduce(_ unionByName _)
+    val bands = bandFrame(spark, sig, MinhashK / 4, 4)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -458,11 +470,7 @@ object Dedup extends OpModule {
     val truth = lshTruthDf(spark, dir)
     val truthN = truth.agg(count(lit(1)).as("n_true_total"))
     LshCurveConfigs.map { case (b, r) =>
-      val bands = (0 until b).map { j =>
-        sig.select($"doc_id", lit(j).as("band"),
-          concat_ws(",", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
-            .as("band_key"))
-      }.reduce(_ unionByName _)
+      val bands = bandFrame(spark, sig, b, r)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") &&
@@ -992,11 +1000,7 @@ object Dedup extends OpModule {
     val baseByHash = docs.filter(!isDelta)
       .groupBy($"content_hash").agg(count(lit(1)).as("n_exact"))
     val sig = minhashDf(spark, dir)
-    val bands = (0 until MinhashK / 4).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)
-          .as("band_key"))
-    }.reduce(_ unionByName _)
+    val bands = bandFrame(spark, sig, MinhashK / 4, 4)
     val near = bands.filter(isDelta).as("x")
       .join(bands.filter(!isDelta).as("y"),
         col("x.band") === col("y.band") &&

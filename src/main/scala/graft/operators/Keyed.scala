@@ -245,23 +245,36 @@ object Keyed extends OpModule {
   val FunnelCurveWindows: Seq[Long] =
     Seq(3600000000L, 86400000000L, 7L * 86400000000L)
 
-  /** Step-k builder shared by the shipped funnel and its window dial. */
+  /** Step-k builder shared by the shipped funnel and its window dial.
+    * The [[FunnelWindowUs]] chain is memoized per step: `events_funnel`
+    * publishes its four survivor frames and the curve's middle window
+    * re-reads them instead of re-running the step joins (the 1 h / 7 d
+    * chains are the curve's own and build from the same memoized typed
+    * projection). Survivor frames are (user, ts) pairs that shrink
+    * monotonically — at 100 TB they are the natural share unit, the
+    * events scan having been paid once. */
   private def funnelStepsAt(spark: SparkSession, dir: String,
       windowUs: Long): Seq[DataFrame] = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id", $"event_type", $"ts_us")
-    var cur = ev.filter($"event_type" === FunnelSteps.head)
-      .groupBy($"user_id").agg(min($"ts_us").as("t"))
-    val out = scala.collection.mutable.ArrayBuffer(cur)
-    FunnelSteps.tail.foreach { et =>
-      cur = ev.filter($"event_type" === et)
-        .join(cur.select($"user_id", $"t".as("tp")), Seq("user_id"))
-        .filter($"ts_us" > $"tp" && $"ts_us" <= $"tp" + windowUs)
-        .groupBy($"user_id").agg(min($"ts_us").as("t"))
-      out += cur
+    val ev = graft.functions.DfMemo.cached(spark, s"funnel_ev:$dir")(
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts_us"))
+    def step(i: Int, prev: Option[DataFrame]): DataFrame = {
+      val build = prev match {
+        case None => ev.filter($"event_type" === FunnelSteps.head)
+          .groupBy($"user_id").agg(min($"ts_us").as("t"))
+        case Some(cur) => ev.filter($"event_type" === FunnelSteps(i))
+          .join(cur.select($"user_id", $"t".as("tp")), Seq("user_id"))
+          .filter($"ts_us" > $"tp" && $"ts_us" <= $"tp" + windowUs)
+          .groupBy($"user_id").agg(min($"ts_us").as("t"))
+      }
+      if (windowUs == FunnelWindowUs)
+        graft.functions.DfMemo.cached(spark, s"funnel_s$i:$dir")(build)
+      else build
     }
-    out.toSeq
+    FunnelSteps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
+      acc :+ step(i, acc.lastOption)
+    }
   }
 
   /** The funnel's completion-window dial (`events_funnel_curve`): the

@@ -253,10 +253,26 @@ object Multimodal extends OpModule {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"source")
+      // Decode parallelism: the fixture corpus is a couple of parquet
+      // splits, which would run the partition-local synth+decode nearly
+      // serial on local[32]; spread the slim (id, text) rows across all
+      // cores first. At production scale the input's own file count
+      // provides this and the repartition coalesces to a no-op-sized
+      // shuffle relative to the decode work it unlocks.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, source) =>
         (id, synthesize(text, source))
       })
+  }
+
+  /** [[mediaDs]]'s decode-parallelism spread for the queries that map
+    * straight off the documents projection (see the comment there). */
+  private def spreadDocs(spark: SparkSession, dir: String,
+      cols: String*): DataFrame = {
+    val ds = Tables.documents(spark, dir)
+      .select(cols.head, cols.tail: _*)
+    ds.repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** The oracle's reconstruction of the generating formulas: per-media
@@ -683,8 +699,7 @@ object Multimodal extends OpModule {
     * delta from the generating formulas. */
   private def sceneCutsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text")
+    spreadDocs(spark, dir, "doc_id", "text")
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val d = decode(synthesizeVideo(text))
@@ -758,8 +773,7 @@ object Multimodal extends OpModule {
   private def videoFpDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"video_fp:$dir") {
       import spark.implicits._
-      Tables.documents(spark, dir)
-        .select($"doc_id", $"text")
+      spreadDocs(spark, dir, "doc_id", "text")
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val d = decode(synthesizeVideo(text))
@@ -866,37 +880,77 @@ object Multimodal extends OpModule {
   /** Synthesize a real zlib-compressed PNG: pixels from the same essence
     * formula as the PPM rung (channel value at flat index `i = (y*w+x)*3
     * + c` is `(seed + i*ByteStep) % 256`), dims from salted hashes,
-    * encoded by `javax.imageio` (DEFLATE + PNG filters — an actual
-    * compressed codec path, unlike the uncompressed containers above).
-    * PNG is LOSSLESS, so decoded pixel facts stay derivable from the
-    * generating formulas and the DuckDB oracle needs no codec. */
+    * written by this hand-rolled encoder — IHDR / one IDAT holding the
+    * zlib-DEFLATEd (`java.util.zip.Deflater`) filter-0 scanlines / IEND,
+    * each chunk CRC32-sealed per the PNG spec. The DEFLATE stream is
+    * real compression, and the DECODER stays the independent
+    * `javax.imageio` reader ([[decodePng]]) — a mis-encoded length, CRC,
+    * filter byte, or deflate block fails that reader outright, so the
+    * round-trip is a cross-implementation codec check (the JDK
+    * encode-side round trip cost ~10× this writer; MultimodalSpec pins
+    * the round-trip bytes). PNG is LOSSLESS, so decoded pixel facts stay
+    * derivable from the generating formulas and the DuckDB oracle needs
+    * no codec. */
   def synthesizePng(text: String): Array[Byte] = {
     val seed = hex32Jvm(text)
     val w = (hex32Jvm(text + "pw") % 24 + 8).toInt
     val h = (hex32Jvm(text + "ph") % 18 + 6).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // raw scanlines: each row prefixed by filter type 0 (None)
+    val raw = new Array[Byte](h * (1 + w * 3))
     var y = 0
     while (y < h) {
+      val row = y * (1 + w * 3)
       var x = 0
-      while (x < w) {
-        val base = (y.toLong * w + x) * 3
-        img.setRGB(x, y,
-          (essenceByte(seed, base) << 16) |
-          (essenceByte(seed, base + 1) << 8) |
-          essenceByte(seed, base + 2))
+      while (x < w * 3) {
+        raw(row + 1 + x) = essenceByte(seed, y.toLong * w * 3 + x).toByte
         x += 1
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", out))
-      throw new IllegalStateException("PNG: no JDK encoder")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zlen = 0
+    while (!deflater.finished())
+      zlen += deflater.deflate(zbuf, zlen, zbuf.length - zlen)
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zlen + 64)
+    out.write(PngMagic, 0, PngMagic.length)
+    def chunk(tag: String, body: Array[Byte], bodyLen: Int): Unit = {
+      def be32(v: Int) = Array[Byte](
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(bodyLen), 0, 4)
+      val tagBytes = tag.getBytes("US-ASCII")
+      out.write(tagBytes, 0, 4)
+      out.write(body, 0, bodyLen)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagBytes); crc.update(body, 0, bodyLen)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      .array()
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", zbuf, zlen)
+    chunk("IEND", Array.emptyByteArray, 0)
     out.toByteArray
   }
 
   private val PngMagic =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One JDK PNG `ImageReader` per executor thread (readers are
+    * stateful, not thread-safe; `setInput` resets one between images). */
+  private object PngReader extends ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (!it.hasNext) throw new IllegalStateException("PNG: no JDK reader")
+      it.next()
+    }
+  }
 
   /** Decode a PNG payload: validate the 8-byte signature, inflate and
     * de-filter via the JDK reader, return the ARGB-free RGB triples in
@@ -906,23 +960,28 @@ object Multimodal extends OpModule {
     if (bytes.length < 8 || !PngMagic.indices.forall(i => bytes(i) == PngMagic(i)))
       throw new IllegalArgumentException(
         s"PNG: bad signature (${bytes.take(8).mkString(",")})")
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    // the JDK PNG reader, reused per thread: ImageIO.read's per-call
+    // reader lookup + disk-backed stream cache (a temp FILE per image
+    // under the default useCache=true) cost more than the inflate
+    // itself at thumbnail sizes; the decode path below it is identical
+    val reader = PngReader.get()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val img =
+      try reader.read(0)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"PNG: unreadable ($e)") }
     if (img == null) throw new IllegalArgumentException("PNG: unreadable")
     val w = img.getWidth; val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
     val rgb = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val base = (y * w + x) * 3
-        rgb(base) = ((p >> 16) & 0xff).toByte
-        rgb(base + 1) = ((p >> 8) & 0xff).toByte
-        rgb(base + 2) = (p & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
     }
     (w, h, rgb)
   }
@@ -941,8 +1000,7 @@ object Multimodal extends OpModule {
     * encode+decode are partition-local, only fixed-width facts leave. */
   private def pngMetaDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text")
+    spreadDocs(spark, dir, "doc_id", "text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val (w, h, rgb) = decodePng(synthesizePng(text))
