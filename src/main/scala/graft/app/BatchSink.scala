@@ -80,17 +80,30 @@ object BatchSink {
 
   // ---- writer fencing (the single-writer contract, enforced) ----
 
+  // legacy single-value epoch file (pre-CAS tables); read-only fallback
   private def epochFile(liveDir: String) =
     new java.io.File(liveDir, "_writer_epoch")
 
+  private val EpochMarker = "_writer_epoch."
+
   /** The table's current writer epoch; 0 before any lease exists.
-    * One long in `liveDir/_writer_epoch`, written via write-aside +
-    * atomic rename (never partially visible). */
+    * The epoch is the MAX over `_writer_epoch.<n>` marker files — each
+    * marker was claimed with CREATE_NEW by exactly one acquirer, so the
+    * max is a consistent read no matter how acquisitions interleave.
+    * Tables written before the marker scheme fall back to the legacy
+    * single-value `_writer_epoch` file. */
   def currentEpoch(liveDir: String): Long = {
-    val f = epochFile(liveDir)
-    if (!f.exists()) 0L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .trim.toLongOption.getOrElse(0L)
+    val markers = Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => if (f.getName.startsWith(EpochMarker))
+        f.getName.stripPrefix(EpochMarker).toLongOption else None)
+    if (markers.nonEmpty) markers.max
+    else {
+      val f = epochFile(liveDir)
+      if (!f.exists()) 0L
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toLongOption.getOrElse(0L)
+    }
   }
 
   /** Acquire the table's writer lease by bumping the epoch — the
@@ -105,12 +118,31 @@ object BatchSink {
   def acquireWriter(liveDir: String): WriterLease = {
     val dir = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(dir.toPath)
-    val next = currentEpoch(liveDir) + 1
-    val tmp = new java.io.File(dir, "._writer_epoch_tmp")
-    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, epochFile(liveDir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    WriterLease(liveDir, next)
+    // CAS acquisition: claim epoch e+1 by creating `_writer_epoch.<e+1>`
+    // with CREATE_NEW — the filesystem serializes creators, so exactly
+    // one acquirer wins a given epoch; a loser observes the collision
+    // and retries on top of the winner (the old read-increment-rename
+    // admitted two writers that both read e and both published e+1).
+    var lease: WriterLease = null
+    while (lease == null) {
+      val next = currentEpoch(liveDir) + 1
+      try {
+        java.nio.file.Files.createFile(
+          new java.io.File(dir, s"$EpochMarker$next").toPath)
+        lease = WriterLease(liveDir, next)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost; retry
+      }
+    }
+    // bounded housekeeping: markers more than 2 epochs behind are dead
+    // (deleted only AFTER the new one exists, so a concurrent
+    // currentEpoch scan always sees at least the current marker)
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(EpochMarker) &&
+        f.getName.stripPrefix(EpochMarker).toLongOption
+          .exists(_ < lease.epoch - 2)) { f.delete(); () }
+    }
+    lease
   }
 
   /** Throw iff a newer lease has fenced this one. */

@@ -873,13 +873,17 @@ object Relational extends OpModule {
     * view form, so the two formulations cross-check. */
   private def q15Df(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-row round-then-integer-sum (the q6/q7/q8/q11 canon): the
+    // argmax key rc is an order-independent BIGINT sum, so a
+    // summation-tree ulp can never flip WHICH suppliers tie for max;
+    // total_revenue derives from rc, bit-identical on both engines
     val rev = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-        .as("total_revenue"))
-      .withColumn("rc", round($"total_revenue" * 100).cast("long"))
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("rc"))
+      .withColumn("total_revenue", $"rc" / 100.0)
     val mx = rev.agg(max($"rc").as("rc_max"))
     rev.crossJoin(broadcast(mx))
       .filter($"rc" === $"rc_max")
@@ -889,16 +893,15 @@ object Relational extends OpModule {
   }
 
   private val q15Sql: String =
-    """WITH r AS (
+    """WITH c AS (
       |  SELECT l_suppkey,
-      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |      ::BIGINT AS rc
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
-      |  GROUP BY 1),
-      |c AS (SELECT l_suppkey, total_revenue,
-      |        round(total_revenue * 100)::BIGINT AS rc FROM r)
-      |SELECT s_suppkey AS suppkey, s_name, total_revenue
+      |  GROUP BY 1)
+      |SELECT s_suppkey AS suppkey, s_name, rc / 100.0 AS total_revenue
       |FROM c JOIN supplier ON s_suppkey = l_suppkey
       |WHERE rc = (SELECT max(rc) FROM c)""".stripMargin
 

@@ -521,9 +521,11 @@ object Stateful extends OpModule {
     * [[seasonalDf]] expectation from the grid, then flag buckets whose
     * residual exceeds 3 residual-sigmas. ENTIRELY integer arithmetic:
     * the 3σ cut is the cross-multiplied comparison
-    * `resid² · n² > 9 · (n·Σr² − (Σr)²)` over exact int64 sums (the
-    * RHS is n²-scaled variance), so there is not a single double in the
-    * query — no sqrt, no division, nothing to drift. The per-key stats
+    * `resid² · n² > 9 · (n·Σr² − (Σr)²)` — the sums are exact int64 and
+    * the comparison itself widens to decimal128 (both sides reach ~1e20
+    * at ~1e4 buckets/key; see the filter comment), so there is not a
+    * single double in the query — no sqrt, no division, nothing to
+    * drift. The per-key stats
     * frame and the |keys|×24 profile both broadcast; the only shuffles
     * are the grid aggregate and the two key-count-sized reductions. */
   private def anomalyDf(spark: SparkSession, dir: String): DataFrame = {
@@ -540,9 +542,15 @@ object Stateful extends OpModule {
     val st = r.groupBy($"event_type")
       .agg(sum($"resid").as("m"), sum($"resid" * $"resid").as("q"),
         count(lit(1)).as("n"))
+    // decimal128 for the cross-multiplied comparison: resid²·n² reaches
+    // ~1e20 once a key holds ~1e4 buckets of ~1e6-centi residuals —
+    // past int64, an ANSI runtime error. decimal(38,0) keeps the
+    // arithmetic EXACT (both sides ≪ 1e38) with zero drift; DuckDB
+    // mirrors it with HUGEINT.
+    val dec = "decimal(38,0)"
     r.join(broadcast(st), Seq("event_type"))
-      .filter($"resid" * $"resid" * $"n" * $"n" >
-        lit(9L) * ($"n" * $"q" - $"m" * $"m"))
+      .filter(($"resid" * $"resid").cast(dec) * $"n" * $"n" >
+        lit(9L).cast(dec) * ($"q".cast(dec) * $"n" - $"m".cast(dec) * $"m"))
       .select($"event_type", $"bucket", $"x", $"mean_centi", $"resid")
   }
 
@@ -563,7 +571,8 @@ object Stateful extends OpModule {
        |  FROM r GROUP BY 1)
        |SELECT r.event_type, bucket, x, mean_centi, resid
        |FROM r JOIN st ON st.event_type = r.event_type
-       |WHERE resid * resid * n * n > 9 * (n * q - m * m)""".stripMargin
+       |WHERE resid::HUGEINT * resid * n * n
+       |  > 9::HUGEINT * (q::HUGEINT * n - m::HUGEINT * m)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_position_events" -> (eventsDf(_, _)),

@@ -1254,6 +1254,11 @@ object Streams {
             if (st == null) st = ResampleState(b, v, id)
             else if (b == st.openBucket) {
               if (id > st.openId) st = ResampleState(b, v, id)
+            } else if (b < st.openBucket) {
+              // late row for an already-CLOSED bucket: dropped. Closed
+              // rows are appended and cannot be retracted; regressing
+              // openBucket would re-emit them (the in-order ledger
+              // contract, now enforced rather than assumed).
             } else {
               // close the open bucket, fill the silence, open the new one
               out += ResampleRow(etype, st.openBucket, st.openValue,
@@ -1316,6 +1321,9 @@ object Streams {
             if (st == null) st = CusumMonState(b, s, n, 0L, 0L)
             else if (b == st.openBucket) {
               st = st.copy(sum = st.sum + s, n = st.n + n)
+            } else if (b < st.openBucket) {
+              // late row for a closed bucket: dropped (see
+              // resampleMonitor — closed rows cannot be retracted)
             } else {
               val x = math.floor((st.sum * 100).toDouble / st.n).toLong
               val nHi = math.max(0L, st.hi + x - mu - k)
@@ -1366,6 +1374,9 @@ object Streams {
             if (st == null) st = DrawMonState(b, id, v, 0L)
             else if (b == st.openBucket) {
               if (id > st.bestId) st = st.copy(bestId = id, bestVal = v)
+            } else if (b < st.openBucket) {
+              // late row for a closed bucket: dropped (see
+              // resampleMonitor — closed rows cannot be retracted)
             } else {
               val cc = math.round(st.bestVal * 100)
               val peak = math.max(st.peak, cc)
@@ -1405,7 +1416,10 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (etype, it, state) =>
           val (m, q, n) = stats.getOrElse(etype, (0L, 0L, 0L))
-          val rhs = 9L * (n * q - m * m)
+          // BigInt mirrors the batch query's decimal128 comparison:
+          // n·q reaches ~1e20 once a key holds ~1e4 trained buckets of
+          // ~1e6-centi residuals — past int64
+          val rhs = BigInt(9) * (BigInt(n) * q - BigInt(m) * m)
           val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
           it.foreach { case (_, ts, v) =>
             val b = ts / H
@@ -1417,13 +1431,16 @@ object Streams {
           def close(): Unit = if (st != null) {
             val x = math.floor((st.sum * 100).toDouble / st.n).toLong
             val resid = x - profile.getOrElse((etype, st.openBucket % 24), x)
-            if (resid * resid * n * n > rhs)
+            if (BigInt(resid) * resid * n * n > rhs)
               out += AnomMonRow(etype, st.openBucket, x, resid)
           }
           acc.toSeq.sortBy(_._1).foreach { case (b, (s, cnt)) =>
             if (st == null) st = AnomMonState(b, s, cnt)
             else if (b == st.openBucket) {
               st = st.copy(sum = st.sum + s, n = st.n + cnt)
+            } else if (b < st.openBucket) {
+              // late row for a closed bucket: dropped (see
+              // resampleMonitor — closed rows cannot be retracted)
             } else {
               close()
               st = AnomMonState(b, s, cnt)

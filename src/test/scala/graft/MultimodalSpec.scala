@@ -202,13 +202,27 @@ class MultimodalSpec extends SparkSpec {
       s"recall ${det.toDouble / planted} ($det/$planted)")
   }
 
-  test("media decode queries plan zero exchanges: pixels never shuffle") {
-    // scene cuts and audio features are pure partition-local decode
-    // passes — an Exchange anywhere means payload bytes moved
+  test("media decode queries never shuffle pixels: only the pre-decode round-robin spread") {
+    // scene cuts and audio features are partition-local decode passes.
+    // The ONE allowed Exchange is the decode-parallelism spread of the
+    // slim (id, text) projection BELOW the MapPartitions decode
+    // (Multimodal.mediaDs round-robins a couple of parquet splits across
+    // cores before the CPU-bound synth+decode); no Exchange may sit
+    // ABOVE the decode — that would move payload/pixel bytes.
     Seq("media_scene_cuts", "media_audio_features").foreach { q =>
       val plan = Multimodal.queries(q)(spark, sfDir())
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+      val lines = plan.linesIterator.toVector
+      val exLines = lines.filter(_.contains("Exchange"))
+      assert(exLines.forall(_.contains("RoundRobinPartitioning")),
+        s"$q has a non-round-robin Exchange (payload bytes keyed/moved):\n$plan")
+      val firstDecode = lines.indexWhere(_.contains("MapPartitions"))
+      val firstEx = lines.indexWhere(_.contains("Exchange"))
+      assert(firstDecode >= 0, s"$q lost its decode MapPartitions:\n$plan")
+      // executedPlan prints root-first: an ancestor (post-decode)
+      // Exchange would print BEFORE the MapPartitions line
+      assert(firstEx < 0 || firstEx > firstDecode,
+        s"$q shuffles decoded bytes (Exchange above the decode):\n$plan")
     }
   }
 

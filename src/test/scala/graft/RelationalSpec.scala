@@ -541,13 +541,15 @@ class RelationalSpec extends SparkSpec {
     import spark.implicits._
     val top = rowsOf(Relational.queries("q15_top_supplier")(spark, dir))
     assert(top.nonEmpty)
-    // independent recompute: per-supplier cents revenue over the window
+    // independent recompute: per-supplier cents revenue over the window,
+    // per-row round-then-integer-sum (the q6/q7/q8/q11 canon the query
+    // itself uses — order-independent, so the argmax set is exact)
     val rev = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 100)
-        .cast("long").as("rc"))
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("rc"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mx = rev.values.max
     val expect = rev.filter(_._2 == mx).keySet
