@@ -19,19 +19,20 @@ import graft.OpModule
   *    a range violation in a fixture and proves every check fires.
   *  - `stats_columns`: per-column NDV / null count / min / max over
   *    lineitem's numeric columns — the statistics a cost-based optimizer
-  *    feeds on (join reorder, broadcast decisions). NDV here is exact
-  *    (DuckDB-matchable); at 100 TB the same plan swaps the exact
-  *    count-distinct for the KMV estimator this engine already ships
-  *    (`text_gram_kmv`), trading a bounded error for one streaming pass.
+  *    feeds on (join reorder, broadcast decisions). NDV is exact at or
+  *    below [[StatsExactMaxRows]] and DEFAULTS to the KMV bottom-k
+  *    estimator above it (the 100 TB posture — a bounded-state pass
+  *    instead of the Expand blowup); the threshold splits the two
+  *    verification SFs so both branches stay oracle-checked.
   *
   * Scale shape: per-table checks COMBINE into one aggregation per table
   * (one scan each, map-side combined, 1-row outputs unioned), and the
   * FK-orphan checks are key-projected anti-joins — the referenced side
   * reduces to its distinct key column before shuffling, so the join
-  * carries keys, never rows. `stats_columns` is ONE aggregation whose
-  * multi-NDV plan Spark executes via Expand (d rows per input row, one
-  * per distinct-aggregate) — the documented cost of single-pass multi-NDV,
-  * still one scan and one shuffle of key-only data.
+  * carries keys, never rows. `stats_columns` below the threshold is ONE
+  * aggregation whose multi-NDV plan Spark executes via Expand (d rows
+  * per input row, one per distinct-aggregate) — affordable there, and
+  * exactly the blowup the above-threshold KMV branch avoids.
   */
 object Audit extends OpModule {
 
@@ -137,9 +138,25 @@ object Audit extends OpModule {
   val StatCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
 
-  /** Optimizer statistics: exact NDV + null count + min/max per column,
-    * single-pass. */
-  private def statsDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact-NDV row budget for `stats_columns`: at or below it the exact
+    * multi-countDistinct (Expand) plan runs — DuckDB-matchable and
+    * cheap on a small table; above it the plan DEFAULTS to the KMV
+    * sketch path, because the Expand's d-rows-per-input-row blowup is
+    * the statistics job's scale killer at 100 TB while the sketch is
+    * one bounded-state pass. The threshold deliberately splits the two
+    * verification SFs (sf0.01 ≈ 60k rows → exact; sf0.1 ≈ 600k → KMV),
+    * so BOTH branches are oracle-checked every round. */
+  val StatsExactMaxRows = 100000L
+
+  /** Optimizer statistics (`stats_columns`): NDV + null count + min/max
+    * per column, single-pass; exact below [[StatsExactMaxRows]], KMV
+    * bottom-k NDV above it (both branches mirrored in the oracle). */
+  private def statsDf(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.lineitem(spark, dir).count() <= StatsExactMaxRows)
+      statsExactDf(spark, dir)
+    else statsSketchDf(spark, dir)
+
+  private def statsExactDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val aggs = StatCols.flatMap { c =>
       Seq(countDistinct(col(c)).as(s"${c}__ndv"),
@@ -157,13 +174,86 @@ object Audit extends OpModule {
       .select($"r.column", $"r.ndv", $"r.n_nulls", $"r.vmin", $"r.vmax")
   }
 
-  private val statsSql: String =
-    StatCols.map { c =>
+  /** The sketch branch: one (nulls, min, max) aggregation without any
+    * Expand, plus the KMV bottom-k NDV over per-column distinct hashes.
+    * Values hash through their exact centi-integer string (the columns
+    * have 2-decimal provenance; l_partkey is integral), so the hash
+    * domain is engine-identical and ndv(round(100x)) = ndv(x). The NDV
+    * lands as floor(est)::BIGINT — same dtype as the exact branch. */
+  private[graft] def statsSketchDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val baseAggs = StatCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val base = li.agg(baseAggs.head, baseAggs.tail: _*)
+      .select(explode(array(StatCols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__min").as("vmin"), col(s"${c}__max").as("vmax"))
+      }: _*)).as("r"))
+      .select($"r.column", $"r.n_nulls", $"r.vmin", $"r.vmax")
+    // distinct (column, hash) — map-side combined, so the shuffle
+    // carries per-partition-distinct hashes, never rows
+    val hashed = li
+      .select(explode(array(StatCols.map(c =>
+        struct(lit(c).as("column"), graft.functions.ColFns.hex32(
+          round(col(c) * 100).cast("long").cast("string")).as("h"))): _*))
+        .as("cv"))
+      .select($"cv.column", $"cv.h")
+      .distinct()
+    val wr = Window.partitionBy($"column").orderBy($"h")
+    val kmv = hashed
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= KmvColK)
+      .groupBy($"column")
+      .agg(count(lit(1)).as("seen"), max($"h").as("kth"))
+      .select($"column",
+        floor(when($"seen" < KmvColK, $"seen".cast("double"))
+          .otherwise(lit((KmvColK - 1).toDouble) *
+            lit(KmvColU).cast("double") / $"kth")).as("ndv"))
+    base.join(kmv, Seq("column"))
+      .select($"column", $"ndv", $"n_nulls", $"vmin", $"vmax")
+  }
+
+  private lazy val statsSql: String = {
+    // threshold filters sit OUTSIDE the aggregates: an ungrouped
+    // aggregate over a false WHERE still returns its one (empty) row
+    val exact = StatCols.map { c =>
       s"""SELECT '$c' AS "column", count(DISTINCT $c) AS ndv,
          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
          |  min($c)::DOUBLE AS vmin, max($c)::DOUBLE AS vmax
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val hs = StatCols.map(c =>
+      s"""SELECT DISTINCT '$c' AS "column",
+         |  ${graft.functions.ColFns.hex32Sql(s"round($c * 100)::BIGINT::VARCHAR")} AS h
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    val sketch = StatCols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |  min($c)::DOUBLE AS vmin, max($c)::DOUBLE AS vmax
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hs AS ($hs),
+       |km AS (SELECT "column",
+       |         floor(CASE WHEN count(*) < $KmvColK THEN count(*)::DOUBLE
+       |              ELSE ${(KmvColK - 1).toDouble} * ${KmvColU}::DOUBLE / max(h)
+       |              END)::BIGINT AS ndv
+       |       FROM (SELECT "column", h,
+       |               row_number() OVER (PARTITION BY "column" ORDER BY h) AS rn
+       |             FROM hs) r
+       |       WHERE rn <= $KmvColK GROUP BY 1),
+       |bs AS ($sketch),
+       |ex AS ($exact)
+       |SELECT * FROM ex
+       |WHERE (SELECT count(*) FROM lineitem) <= $StatsExactMaxRows
+       |UNION ALL
+       |SELECT bs."column", km.ndv, bs.n_nulls, bs.vmin, bs.vmax
+       |FROM bs JOIN km USING ("column")
+       |WHERE (SELECT count(*) FROM lineitem) > $StatsExactMaxRows""".stripMargin
+  }
 
   /** Minimum distinct users for a release cell to publish (k-anonymity
     * k). */

@@ -67,43 +67,90 @@ object Graph extends OpModule {
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
     }
 
-  private def pagerankDf(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared rank frame (node, r_prev, r_last): iterations 1..7 as
+    * one unrolled plan, the 7th checkpointed, the 8th built on top —
+    * memoized so `graph_pagerank` (reads r_last) and
+    * `graph_pagerank_converge` (compares the two) price ONE run. */
+  private[graft] def ranksDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"pr_ranks:$dir")(
+      ranksBuild(spark, dir))
+
+  /** The unrolled fixed-point subtree: `iters` integer PageRank steps
+    * as ONE declarative plan, plus the step function to extend it.
+    * Standing state for the loop: the out-weight joins INTO the edge
+    * table once (never re-joined per iteration), partitioned on src and
+    * lineage-cut, so each iteration is exactly one node-sized shuffle
+    * of ranks into the standing edge partitioning plus the dst
+    * aggregate. PrIters is a small fixed constant, so the loop UNROLLS
+    * — one job, no per-iteration driver sync (a dynamic-N loop would
+    * re-introduce them). The rank vector is node-sized and nodes ≪
+    * edges on any co-purchase graph, so it BROADCASTS into the standing
+    * edge partitioning: the edge side never moves or re-sorts, and each
+    * iteration's only exchange is the map-side-combined dst aggregate.
+    * (A web-scale billion-node graph would drop the hint and take the
+    * co-partitioned shuffle join on src instead.) */
+  private[graft] def unrolledRanks(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame => DataFrame) = {
     import spark.implicits._
-    // standing state for the loop: the out-weight joins INTO the edge
-    // table once (never re-joined per iteration), partitioned on src and
-    // lineage-cut, so each iteration is exactly one node-sized shuffle of
-    // ranks into the standing edge partitioning plus the dst aggregate
     val edges0 = edgesDf(spark, dir)
     val deg = edges0.groupBy($"src").agg(sum($"w").as("dw"))
     val edges = edges0.join(deg, Seq("src"))
       .repartition($"src")
       .localCheckpoint()
-    // PrIters is a small fixed constant, so the loop UNROLLS into one
-    // declarative 8-level plan — one job, no per-iteration driver sync or
-    // checkpoint barrier (a dynamic-N loop would re-introduce them).
-    // The rank vector is node-sized and nodes ≪ edges on any co-purchase
-    // graph, so it BROADCASTS into the standing edge partitioning: the
-    // 2.4M-edge side never moves or re-sorts, and each iteration's only
-    // exchange is the map-side-combined dst aggregate. (A web-scale
-    // billion-node graph would drop the hint and take the co-partitioned
-    // shuffle join on src instead.)
+    def step(ranks: DataFrame): DataFrame = edges
+      .join(broadcast(ranks), $"src" === $"node")
+      .groupBy($"dst")
+      .agg(sum(expr("r * w div dw")).as("s"))
+      .select($"dst".as("node"),
+        (lit(telep) + expr("85 * s div 100")).as("r"))
     var ranks = deg.select($"src".as("node"), lit(PrScale).as("r"))
-    for (_ <- 1 to PrIters) {
-      ranks = edges
-        .join(broadcast(ranks), $"src" === $"node")
-        .groupBy($"dst")
-        .agg(sum(expr("r * w div dw")).as("s"))
-        .select($"dst".as("node"),
-          (lit(telep) + expr("85 * s div 100")).as("r"))
-    }
-    ranks.select($"node".as("p_partkey"), $"r".as("rank_micros"))
+    for (_ <- 1 to iters) ranks = step(ranks)
+    (ranks, step)
   }
 
-  /** The same 8 iterations unrolled as generated CTE levels (the BPE
-    * oracle's replay pattern — DuckDB's recursive term can't aggregate). */
-  private val pagerankSql: String = {
+  /** The pre-memo rank builder (plan-shape assertions target
+    * [[unrolledRanks]] — the memoized frame is a LogicalRDD with the
+    * lineage cut). */
+  private[graft] def ranksBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (r7, step) = unrolledRanks(spark, dir, PrIters - 1)
+    // checkpoint the penultimate vector so the final step's plan does
+    // not re-derive the 7-level subtree a second time for the audit
+    val prev = r7.localCheckpoint()
+    step(prev)
+      .join(prev.select($"node", $"r".as("r_prev")), Seq("node"))
+      .select($"node", $"r_prev", $"r".as("r_last"))
+  }
+
+  private def pagerankDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ranksDf(spark, dir)
+      .select($"node".as("p_partkey"), $"r_last".as("rank_micros"))
+  }
+
+  /** Convergence audit (`graph_pagerank_converge`): the data behind the
+    * fixed [[PrIters]] = 8 — the L1 rank movement of the LAST step,
+    * next to the total rank mass it moved within. A healthy fixed-N
+    * choice shows the final step moving a vanishing share of the mass
+    * (micro-units are exact integers, so the ratio is hash-stable);
+    * a growing ratio would say 8 is too few. One aggregation over the
+    * shared [[ranksDf]] frame — the audit prices the dial for free. */
+  private def convergeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ranksDf(spark, dir)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(abs($"r_last" - $"r_prev")).as("l1_delta_micros"),
+        sum($"r_last").as("mass_micros"))
+  }
+
+  /** The same iterations unrolled as generated CTE levels (the BPE
+    * oracle's replay pattern — DuckDB's recursive term can't aggregate).
+    * `pr${PrIters-1}` is MATERIALIZED because the convergence oracle
+    * reads it twice (as the last step's input and as the comparand). */
+  private def prLevelsSql: String = {
     val levels = (1 to PrIters).map { i =>
-      s"""pr$i AS (
+      val mat = if (i == PrIters - 1) " MATERIALIZED" else ""
+      s"""pr$i AS$mat (
          |  SELECT e.dst AS node,
          |    $telep + (85 * sum((p.r * e.w) // d.dw)) // 100 AS r
          |  FROM pr${i - 1} p
@@ -111,7 +158,7 @@ object Graph extends OpModule {
          |  JOIN deg d ON d.src = p.node
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH lp AS MATERIALIZED (
+    s"""lp AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '$GraphWindowLo'
        |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'),
@@ -122,9 +169,19 @@ object Graph extends OpModule {
        |  GROUP BY 1, 2),
        |deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS dw FROM e GROUP BY 1),
        |pr0 AS (SELECT src AS node, $PrScale::BIGINT AS r FROM deg),
-       |$levels
-       |SELECT node AS p_partkey, r::BIGINT AS rank_micros FROM pr$PrIters""".stripMargin
+       |$levels""".stripMargin
   }
+
+  private val pagerankSql: String =
+    s"""WITH $prLevelsSql
+       |SELECT node AS p_partkey, r::BIGINT AS rank_micros FROM pr$PrIters""".stripMargin
+
+  private val convergeSql: String =
+    s"""WITH $prLevelsSql
+       |SELECT count(*) AS n_nodes,
+       |  sum(abs(a.r - b.r))::BIGINT AS l1_delta_micros,
+       |  sum(a.r)::BIGINT AS mass_micros
+       |FROM pr$PrIters a JOIN pr${PrIters - 1} b USING (node)""".stripMargin
 
   /** Per-node triangle counts (`graph_triangles`) over the undirected
     * co-purchase graph — the local clustering signal behind community
@@ -205,13 +262,114 @@ object Graph extends OpModule {
       |  UNION ALL SELECT c AS node FROM tri) x
       |GROUP BY 1""".stripMargin
 
+  /** Window-dial prices for [[GraphYears]] (`graph_window_curve`): the
+    * co-purchase graph's size/degree posture at 1 / 2 / 4 ship-years —
+    * how the dedup/ANN families price THEIR dials (`dedup_lsh_curve`).
+    * ONE pair fan-out on the WIDEST window: each (order, part) carries
+    * its max in-window shipdate, each pair the min of its endpoints'
+    * maxes — which alone decides every narrower window (pair ∈ Y-year
+    * window ⟺ that min lands inside it), so the 1/2/4-year weights are
+    * three conditional sums over one build, never three fan-outs.
+    * Emits per window: node/edge counts, total weight, max degree —
+    * the numbers that justify 2 years as the production default (the
+    * recency-decay argument) with measured growth, not assertion. */
+  val WindowYearsDial: Seq[Int] = Seq(1, 2, 4)
+  private def windowLo(y: Int): String = s"${1998 - y}-01-01"
+
+  private def windowCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.functions.DfMemo.cached(spark, s"graph_pairs4:$dir") {
+      val g = Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= lit(windowLo(4)).cast("timestamp") &&
+          $"l_shipdate" < lit(GraphWindowHi).cast("timestamp"))
+        .groupBy($"l_orderkey", $"l_partkey")
+        .agg(max($"l_shipdate").as("ms"))
+      def wCol(y: Int) =
+        if (y == 4) count(lit(1)).as("w4")
+        else sum(when($"m" >= lit(windowLo(y)).cast("timestamp"), 1L)
+          .otherwise(0L)).as(s"w$y")
+      g.groupBy($"l_orderkey")
+        .agg(collect_list(struct($"l_partkey", $"ms")).as("ps"))
+        .select(explode($"ps").as("a"), $"ps")
+        .select($"a.l_partkey".as("src"), $"a.ms".as("ams"),
+          explode($"ps").as("b"))
+        .filter($"src" =!= $"b.l_partkey")
+        .select($"src", $"b.l_partkey".as("dst"),
+          least($"ams", $"b.ms").as("m"))
+        .groupBy($"src", $"dst")
+        .agg(wCol(1), wCol(2), wCol(4))
+    }
+    def live(y: Int) = col(s"w$y") > 0
+    val edgeAggs = WindowYearsDial.flatMap { y =>
+      Seq(countDistinct(when(live(y), $"src")).as(s"nn$y"),
+        sum(when(live(y), 1L).otherwise(0L)).as(s"ne$y"),
+        sum(col(s"w$y")).as(s"sw$y"))
+    }
+    val ea = pairs.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val degAggs = WindowYearsDial.map(y =>
+      sum(when(live(y), 1L).otherwise(0L)).as(s"d$y"))
+    val da = pairs.groupBy($"src").agg(degAggs.head, degAggs.tail: _*)
+      .agg(WindowYearsDial.map(y => max(col(s"d$y")).as(s"md$y")).head,
+        WindowYearsDial.map(y => max(col(s"d$y")).as(s"md$y")).tail: _*)
+    ea.crossJoin(da)
+      .select(explode(array(WindowYearsDial.map { y =>
+        struct(lit(y).as("years"), col(s"nn$y").as("n_nodes"),
+          col(s"ne$y").as("n_edges"), col(s"sw$y").as("sum_w"),
+          col(s"md$y").as("max_degree"))
+      }: _*)).as("r"))
+      .select($"r.years", $"r.n_nodes", $"r.n_edges", $"r.sum_w",
+        $"r.max_degree")
+  }
+
+  private val windowCurveSql: String = {
+    def wSel(y: Int) =
+      if (y == 4) "count(*)::BIGINT AS w4"
+      else s"""sum(CASE WHEN least(a.ms, b.ms) >= TIMESTAMP '${windowLo(y)}'
+              |      THEN 1 ELSE 0 END)::BIGINT AS w$y""".stripMargin
+    val rows = WindowYearsDial.map(y =>
+      s"""SELECT $y AS years, nn$y AS n_nodes, ne$y AS n_edges,
+         |  sw$y AS sum_w, md$y AS max_degree FROM ea, da""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey, max(l_shipdate) AS ms FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '${windowLo(4)}'
+       |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'
+       |  GROUP BY 1, 2),
+       |pr AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       |    ${wSel(1)},
+       |    ${wSel(2)},
+       |    ${wSel(4)}
+       |  FROM g a JOIN g b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |ea AS (SELECT
+       |  ${WindowYearsDial.map(y =>
+            s"""count(DISTINCT CASE WHEN w$y > 0 THEN src END) AS nn$y,
+               |  sum(CASE WHEN w$y > 0 THEN 1 ELSE 0 END)::BIGINT AS ne$y,
+               |  sum(w$y)::BIGINT AS sw$y""".stripMargin).mkString(",\n  ")}
+       |  FROM pr),
+       |deg AS (SELECT src,
+       |  ${WindowYearsDial.map(y =>
+            s"sum(CASE WHEN w$y > 0 THEN 1 ELSE 0 END)::BIGINT AS d$y")
+            .mkString(",\n  ")}
+       |  FROM pr GROUP BY 1),
+       |da AS (SELECT ${WindowYearsDial.map(y =>
+            s"max(d$y) AS md$y").mkString(", ")} FROM deg)
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerankDf(_, _)),
-    "graph_triangles" -> (trianglesDf(_, _))
+    "graph_pagerank_converge" -> (convergeDf(_, _)),
+    "graph_triangles" -> (trianglesDf(_, _)),
+    "graph_window_curve" -> (windowCurveDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
-    "graph_triangles" -> trianglesSql
+    "graph_pagerank_converge" -> convergeSql,
+    "graph_triangles" -> trianglesSql,
+    "graph_window_curve" -> windowCurveSql
   )
 }

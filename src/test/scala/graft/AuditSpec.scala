@@ -90,6 +90,29 @@ class AuditSpec extends SparkSpec {
     assert(q("vmax") === direct.getDouble(2))
   }
 
+  test("stats_columns sketch branch: same schema as exact, sub-k " +
+    "columns exact, estimates inside the k-bound error") {
+    // the above-StatsExactMaxRows default plan, forced directly (the
+    // spec SF sits below the threshold, where the dispatcher is exact)
+    val exact = SparkEntry.queries("stats_columns")(spark, dir)
+    val sk = Audit.statsSketchDf(spark, dir)
+    assert(sk.schema.map(f => (f.name, f.dataType)) ===
+      exact.schema.map(f => (f.name, f.dataType)))
+    val exByCol = rowsOf(exact)
+      .map(r => r("column") -> r("ndv").asInstanceOf[Long]).toMap
+    rowsOf(sk).foreach { r =>
+      val c = r("column").asInstanceOf[String]
+      val est = r("ndv").asInstanceOf[Long]
+      val ex = exByCol(c)
+      if (ex < Audit.KmvColK)
+        assert(est === ex, s"$c: below k the sketch IS the count")
+      else
+        assert(math.abs(est - ex).toDouble / ex <
+          3.0 / math.sqrt(Audit.KmvColK - 2.0),
+          s"$c estimate $est vs exact $ex outside 3 sigma")
+    }
+  }
+
   test("kmv ndv sketch: sub-k columns exact, estimates inside the " +
     "k-bound error") {
     val rows = rowsOf(Audit.queries("stats_columns_kmv")(spark, sfDir()))
