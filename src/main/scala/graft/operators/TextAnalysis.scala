@@ -1621,6 +1621,19 @@ object TextAnalysis extends OpModule {
   private[graft] def cmsBucket(j: Int, gh: Column): Column =
     ColFns.universalBucket(CmsA(j), CmsB(j), FpMod, CmsW.toLong, gh)
 
+  /** The identical bucket arithmetic on the JVM, for the streaming
+    * alert monitor's in-state fold ([[graft.streaming.Streams
+    * .hhAlertMonitor]]) — same (a, b) draws, same modulus, so its grid
+    * cells are definitionally colocated with the batch grid's. */
+  private[graft] def cmsBucketJvm(j: Int, gh: Long): Int =
+    (((CmsA(j) * gh + CmsB(j)) % FpMod) % CmsW).toInt
+
+  /** The raw (a[], b[], p) hash-family constants, for streaming-state
+    * closures that must not capture this module (task serializability —
+    * the closure inlines the same arithmetic over primitives). */
+  private[graft] def cmsParamsJvm: (Array[Long], Array[Long], Long) =
+    (CmsA.toArray, CmsB.toArray, FpMod)
+
   /** Per-document array of Horner gram hashes from a token array —
     * pure map work (streaming-safe), identical to the batch gram
     * identity. */

@@ -1563,6 +1563,79 @@ object Streams {
       }
   }
 
+  case class TimedDoc(doc_id: Long, text: String, ts: Timestamp)
+  case class HhGrid(cells: Array[Long])
+
+  /** Streaming heavy-hitter ALERT monitor — the missing rung between
+    * [[cmsMonitor]] (the live count-min grid) and [[throttledAlerts]]
+    * (the telegram_notifier.py:87-103 throttle): per document, every
+    * gram folds into the carried d×w count-min grid, and a gram whose
+    * post-increment estimate (min over its d cells) reaches `threshold`
+    * emits an [[Alert]] keyed by the gram — the reference's alert
+    * producers (strategy.py:701-712, 921-930) raise on a condition and
+    * leave rate limiting to the notifier, so re-alerts on later
+    * occurrences are CORRECT here and [[hhAlerts]] pipes them through
+    * the 5 s throttle, completing the producer→throttle→sink chain.
+    *
+    * State is the grid alone — O(d·w) longs, the same bounded footprint
+    * the batch `text_heavy_hitters` query calls "the only state a
+    * streaming frequency monitor would keep" — NOT per-gram memory: an
+    * unbounded gram ledger is exactly what the sketch exists to avoid,
+    * which is why crossing is re-detected per occurrence (throttling is
+    * the dedup, as in the reference). Keyed on a constant like
+    * [[drawdownMonitor]]; a sharded deployment would key the grid's d
+    * rows separately (a gram alerts when ALL d row-cells clear the
+    * threshold — min ≥ T ⟺ every cell ≥ T) at the cost of a per-gram
+    * d-way rendezvous. Docs replay in (ts, doc_id) order within a
+    * trigger; at most one alert per (gram, document). */
+  def hhAlertMonitor(docs: DataFrame, threshold: Long): Dataset[Alert] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    val d = T.CmsD
+    val w = T.CmsW
+    // primitive copies so the state closure serializes without
+    // capturing the operator module
+    val (as, bs, p) = T.cmsParamsJvm
+    docs
+      .select($"doc_id", $"ts", T.gramHashArr(T.tokensCol).as("ghs"))
+      .as[(Long, Timestamp, Seq[Long])]
+      .groupByKey(_ => "GRID")
+      .flatMapGroupsWithState[HhGrid, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val cells = state.getOption.map(_.cells)
+            .getOrElse(Array.fill(d * w)(0L))
+          val out = scala.collection.mutable.ArrayBuffer[Alert]()
+          it.toSeq.sortBy(e => (e._2.getTime, e._1)).foreach {
+            case (_, ts, ghs) =>
+              val alerted = scala.collection.mutable.Set[Long]()
+              ghs.foreach { gh =>
+                var est = Long.MaxValue
+                var j = 0
+                while (j < d) {
+                  val c = j * w + (((as(j) * gh + bs(j)) % p) % w).toInt
+                  cells(c) += 1
+                  if (cells(c) < est) est = cells(c)
+                  j += 1
+                }
+                if (est >= threshold && alerted.add(gh))
+                  out += Alert(gh.toString, ts,
+                    s"heavy hitter: gram $gh est=$est")
+              }
+          }
+          state.update(HhGrid(cells))
+          out.iterator
+      }
+  }
+
+  /** The end-to-end alerting chain: heavy-hitter detection feeding the
+    * throttled alert sink — one alert per gram per `throttleMs` window,
+    * however often the condition re-fires (the notifier's contract). */
+  def hhAlerts(docs: DataFrame, threshold: Long,
+      throttleMs: Long = 5000L): Dataset[Alert] =
+    throttledAlerts(hhAlertMonitor(docs, threshold), throttleMs)
+
   def cmsMonitor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

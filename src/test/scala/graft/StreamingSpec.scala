@@ -970,6 +970,74 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("heavy-hitter alert chain: stream equals the replayed grid+throttle census, throttle suppresses re-fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // "alpha beta gamma ..." recurs once per second: its grams cross
+    // threshold 3 at t=3, re-fire t=4..7 inside the 5 s throttle
+    // (suppressed), and re-alert at t=8; fillers never cross
+    val hot = "alpha beta gamma delta"
+    val docs = (1L to 8L).map(i => Streams.TimedDoc(i, hot, ts(i))) ++
+      Seq(Streams.TimedDoc(20L, "unique filler words here", ts(2)),
+        Streams.TimedDoc(21L, "другие совсем слова", ts(5)))
+    val ordered = docs.sortBy(d => (d.ts.getTime, d.doc_id))
+    val threshold = 3L
+
+    // independent census: collect each doc's gram hashes through the
+    // SHARED gram identity, then replay grid + per-gram throttle in
+    // plain Scala (the monitor's contract, written twice)
+    val ghsByDoc = spark.createDataset(ordered).toDF()
+      .select($"doc_id", TextAnalysis.gramHashArr(TextAnalysis.tokensCol).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val d = TextAnalysis.CmsD; val w = TextAnalysis.CmsW
+    val grid = Array.fill(d * w)(0L)
+    var unthrottled = 0
+    val lastEmit = scala.collection.mutable.Map[String, Long]()
+    val expected = ordered.flatMap { doc =>
+      val seen = scala.collection.mutable.Set[Long]()
+      ghsByDoc(doc.doc_id).flatMap { gh =>
+        val est = (0 until d).map { j =>
+          val c = j * w + TextAnalysis.cmsBucketJvm(j, gh)
+          grid(c) += 1; grid(c)
+        }.min
+        if (est >= threshold && seen.add(gh)) {
+          unthrottled += 1
+          val sym = gh.toString
+          if (lastEmit.get(sym).forall(l => doc.ts.getTime - l >= 5000L)) {
+            lastEmit(sym) = doc.ts.getTime
+            Some((sym, doc.ts.getTime, s"heavy hitter: gram $gh est=$est"))
+          } else None
+        } else None
+      }
+    }
+    assert(expected.nonEmpty, "the fixture must produce alerts")
+    assert(expected.size < unthrottled,
+      "the fixture must exercise the throttle (some re-fires suppressed)")
+
+    // stream the same docs across trigger cuts that split the hot run
+    // mid-threshold AND mid-throttle-window
+    val input = MemoryStream[Streams.TimedDoc]
+    val q = Streams.hhAlerts(input.toDF(), threshold)
+      .writeStream.format("memory").queryName("hh_alerts_out")
+      .outputMode("append").start()
+    input.addData(ordered.take(3): _*)   // grid at 2, crossing pending
+    q.processAllAvailable()
+    input.addData(ordered.slice(3, 7): _*) // inside the throttle window
+    q.processAllAvailable()
+    input.addData(ordered.drop(7): _*)   // past it: the re-alert
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_alerts_out").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[String]("message")))
+      .sortBy(a => (a._2, a._1))
+    assert(streamed.toSeq == expected.sortBy(a => (a._2, a._1)),
+      s"streamed:\n${streamed.mkString("\n")}\nexpected:\n${expected.mkString("\n")}")
+  }
+
   test("streaming LSH monitor emits exactly the batch band-collision pairs") {
     import spark.implicits._
     import graft.operators.Dedup

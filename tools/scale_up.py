@@ -18,8 +18,11 @@ real sf1 would not have:
     cluster structure while making vectors distinct;
   - event timestamps jitter a few ms per replica so time-ordered windows
     keep a deterministic order (no 10-deep exact-timestamp ties);
-  - dimension tables (region/nation/supplier/part) copy through unscaled,
-    exactly like TPC-H's fixed-size dims.
+  - part and supplier SCALE WITH THE FACTS (replica k's lineitem rows remap
+    l_partkey/l_suppkey into replica k's key stripe), exactly like real
+    TPC-H where part/supplier cardinality grows with SF — so graph-on-parts
+    and dim-join queries grow instead of saturating on a fixed dim;
+  - region/nation copy through unscaled (fixed-size even in real TPC-H).
 """
 import sys, os, shutil
 import duckdb
@@ -87,7 +90,9 @@ write("orders", """
 
 write("lineitem", """
   SELECT l_orderkey + {k} * 10000000 AS l_orderkey,
-         l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_partkey + {k} * 100000 AS l_partkey,
+         l_suppkey + {k} * 10000 AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice,
          l_discount, l_tax, l_returnflag, l_linestatus,
          l_shipdate + INTERVAL ({k} * 7) MILLISECOND AS l_shipdate
   FROM {src}""")
@@ -97,7 +102,20 @@ write("customer", """
          c_name || '_r{k}' AS c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM {src}""")
 
-for dim in ["region", "nation", "supplier", "part"]:
+# part/supplier stripes mirror the lineitem FK remap above; names get a
+# per-replica suffix so distinct-name surfaces (q16-style) grow too, while
+# brand/type/size/nation distributions copy through unchanged
+write("part", """
+  SELECT p_partkey + {k} * 100000 AS p_partkey,
+         p_name || '_r{k}' AS p_name, p_brand, p_type, p_size, p_retailprice
+  FROM {src}""")
+
+write("supplier", """
+  SELECT s_suppkey + {k} * 10000 AS s_suppkey,
+         s_name || '_r{k}' AS s_name, s_nationkey, s_acctbal
+  FROM {src}""")
+
+for dim in ["region", "nation"]:
     shutil.copyfile(f"{src}/{dim}.parquet", f"{dst}/{dim}.parquet")
     print(f"{dim}: copied")
 
