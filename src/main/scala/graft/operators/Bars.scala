@@ -307,6 +307,189 @@ object Bars extends OpModule {
        |WINDOW w AS (ORDER BY bucket
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Wilder RSI period (Wilder 1978, "New Concepts in Technical Trading
+    * Systems"); the smoothing is an adjust=False EMA with alpha=1/14. */
+  val RsiN = 14
+  private val rsiA: Double = 1.0 / RsiN
+  private val rsiOmA: Double = 1.0 - 1.0 / RsiN
+
+  /** Wilder RSI(14) over hourly closes (`bars_rsi`) — the momentum
+    * oscillator the reference's TA stack conspicuously lacks next to its
+    * EMA/ATR (data_manager.py:721-833); any user of a TA engine expects
+    * it beside them. Gains/losses split from the close diff with explicit
+    * sign guards (never `greatest(-d, 0)`, whose -0.0 tie-break is
+    * engine-dependent); both averages are the same bounded-lookback
+    * adjust=False fold as [[emaDf]], seeded with the frame's first
+    * element, so state is O(span) at any scale and the DuckDB
+    * `list_reduce` twin matches bitwise. RSI=50 is the empty-information
+    * seed (no moves yet), 100 the all-gains edge. */
+  private[operators] def rsiDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.orderBy($"bucket")
+    val wf = Window.orderBy($"bucket").rowsBetween(-(Lookback - 1), 0)
+    ohlcDf(spark, dir)
+      .withColumn("pc", lag($"close", 1).over(wOrd))
+      .withColumn("d",
+        when($"pc".isNotNull, $"close" - $"pc").otherwise(lit(0.0)))
+      .withColumn("g", when($"d" > 0, $"d").otherwise(lit(0.0)))
+      .withColumn("l", when($"d" < 0, -$"d").otherwise(lit(0.0)))
+      .withColumn("garr", collect_list($"g").over(wf))
+      .withColumn("larr", collect_list($"l").over(wf))
+      .withColumn("ag",
+        aggregate(slice($"garr", 2, Lookback - 1), element_at($"garr", 1),
+          (acc, x) => lit(rsiA) * x + lit(rsiOmA) * acc))
+      .withColumn("al",
+        aggregate(slice($"larr", 2, Lookback - 1), element_at($"larr", 1),
+          (acc, x) => lit(rsiA) * x + lit(rsiOmA) * acc))
+      .withColumn("rsi",
+        when($"al" > 0, lit(100.0) - lit(100.0) / (lit(1.0) + $"ag" / $"al"))
+          .when($"ag" > 0, lit(100.0))
+          .otherwise(lit(50.0)))
+      .select("bucket", "close", "rsi")
+  }
+
+  private[operators] val rsiSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |b AS (SELECT bucket, close,
+       |        lag(close) OVER (ORDER BY bucket) AS pc FROM ohlc),
+       |d AS (SELECT bucket, close,
+       |        CASE WHEN pc IS NOT NULL THEN close - pc ELSE 0.0 END AS dd
+       |      FROM b),
+       |g AS (SELECT bucket, close,
+       |        CASE WHEN dd > 0 THEN dd ELSE 0.0 END AS g,
+       |        CASE WHEN dd < 0 THEN -dd ELSE 0.0 END AS l
+       |      FROM d),
+       |f AS (SELECT bucket, close,
+       |  list_reduce(list(g) OVER wf,
+       |    (acc, x) -> (1.0 / $RsiN.0) * x + (1.0 - 1.0 / $RsiN.0) * acc) AS ag,
+       |  list_reduce(list(l) OVER wf,
+       |    (acc, x) -> (1.0 / $RsiN.0) * x + (1.0 - 1.0 / $RsiN.0) * acc) AS al
+       |  FROM g
+       |  WINDOW wf AS (ORDER BY bucket
+       |                ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW))
+       |SELECT bucket, close,
+       |  CASE WHEN al > 0 THEN 100.0 - 100.0 / (1.0 + ag / al)
+       |       WHEN ag > 0 THEN 100.0 ELSE 50.0 END AS rsi
+       |FROM f""".stripMargin
+
+  // MACD spans (Appel's 12/26/9 convention); 0.2/0.8 for the signal EMA
+  // are exact binary-representable literals like the Holt constants.
+  val MacdFast = 12
+  val MacdSlow = 26
+  val MacdSignal = 9
+  private val macdAF: Double = 2.0 / (MacdFast + 1.0)
+  private val macdOmF: Double = 1.0 - 2.0 / (MacdFast + 1.0)
+  private val macdAS: Double = 2.0 / (MacdSlow + 1.0)
+  private val macdOmS: Double = 1.0 - 2.0 / (MacdSlow + 1.0)
+  private val macdAG: Double = 0.2
+  private val macdOmG: Double = 0.8
+  val SignalLookback: Int = 3 * MacdSignal
+
+  /** MACD(12,26,9) over hourly closes (`bars_macd`) — convergence/
+    * divergence of two adjust=False EMAs plus the 9-span signal line and
+    * histogram. The fast/slow folds share ONE collected frame; the
+    * signal line is a second bounded fold over the derived macd column
+    * (EMA-of-EMA has no closed form, so the oracle replays the identical
+    * two-level `list_reduce`). Same O(span) state story as [[emaDf]]. */
+  private[operators] def macdDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Window.orderBy($"bucket").rowsBetween(-(Lookback - 1), 0)
+    val wfs = Window.orderBy($"bucket").rowsBetween(-(SignalLookback - 1), 0)
+    ohlcDf(spark, dir)
+      .withColumn("arr", collect_list($"close").over(wf))
+      .withColumn("e12",
+        aggregate(slice($"arr", 2, Lookback - 1), element_at($"arr", 1),
+          (acc, x) => lit(macdAF) * x + lit(macdOmF) * acc))
+      .withColumn("e26",
+        aggregate(slice($"arr", 2, Lookback - 1), element_at($"arr", 1),
+          (acc, x) => lit(macdAS) * x + lit(macdOmS) * acc))
+      .withColumn("macd", $"e12" - $"e26")
+      .withColumn("marr", collect_list($"macd").over(wfs))
+      .withColumn("signal",
+        aggregate(slice($"marr", 2, SignalLookback - 1),
+          element_at($"marr", 1),
+          (acc, x) => lit(macdAG) * x + lit(macdOmG) * acc))
+      .withColumn("hist", $"macd" - $"signal")
+      .select("bucket", "close", "macd", "signal", "hist")
+  }
+
+  private[operators] val macdSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |m AS (
+       |  SELECT bucket, close,
+       |    list_reduce(list(close) OVER wf,
+       |      (acc, x) -> (2.0 / ${MacdFast + 1}.0) * x
+       |                  + (1.0 - 2.0 / ${MacdFast + 1}.0) * acc)
+       |    - list_reduce(list(close) OVER wf,
+       |      (acc, x) -> (2.0 / ${MacdSlow + 1}.0) * x
+       |                  + (1.0 - 2.0 / ${MacdSlow + 1}.0) * acc) AS macd
+       |  FROM ohlc
+       |  WINDOW wf AS (ORDER BY bucket
+       |                ROWS BETWEEN ${Lookback - 1} PRECEDING AND CURRENT ROW)),
+       |s AS (
+       |  SELECT bucket, close, macd,
+       |    list_reduce(list(macd) OVER wfs,
+       |      (acc, x) -> 0.2 * x + 0.8 * acc) AS signal
+       |  FROM m
+       |  WINDOW wfs AS (ORDER BY bucket
+       |                 ROWS BETWEEN ${SignalLookback - 1} PRECEDING AND CURRENT ROW))
+       |SELECT bucket, close, macd, signal, macd - signal AS hist
+       |FROM s""".stripMargin
+
+  /** Bollinger window (Bollinger's 20-bar, 2-sigma convention). */
+  val BollN = 20
+
+  /** Bollinger bands (`bars_bollinger`): 20-bar rolling mean ± 2σ with
+    * %B. Determinism is the exact-integer-cents canon: the window keeps
+    * BIGINT sums of cents and squared cents (order-independent), and
+    * every double (mid, sd, bands, %B) derives from those exact integers
+    * with the textually identical op sequence on both engines — even the
+    * catastrophic cancellation inside the variance is bit-identical
+    * because its operands are. Window is over the bounded bucket domain
+    * like every bars_* frame. */
+  private[operators] def bollDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket").rowsBetween(-(BollN - 1), 0)
+    ohlcDf(spark, dir)
+      .select($"bucket", round($"close" * 100).cast("long").as("close_cents"))
+      .withColumn("s", sum($"close_cents").over(w))
+      .withColumn("q", sum($"close_cents" * $"close_cents").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mid", $"s" / $"n" / lit(100.0))
+      .withColumn("sd",
+        sqrt(greatest($"q" / $"n" - ($"s" / $"n") * ($"s" / $"n"), lit(0.0)))
+          / lit(100.0))
+      .withColumn("upper", $"mid" + lit(2.0) * $"sd")
+      .withColumn("lower", $"mid" - lit(2.0) * $"sd")
+      .withColumn("pct_b",
+        when($"upper" > $"lower",
+          ($"close_cents" / lit(100.0) - $"lower") / ($"upper" - $"lower")))
+      .select("bucket", "close_cents", "mid", "lower", "upper", "pct_b")
+  }
+
+  private[operators] val bollSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |c AS (SELECT bucket, round(close * 100)::BIGINT AS close_cents FROM ohlc),
+       |w AS (
+       |  SELECT bucket, close_cents,
+       |    (sum(close_cents) OVER wb)::BIGINT AS s,
+       |    (sum(close_cents * close_cents) OVER wb)::BIGINT AS q,
+       |    (count(*) OVER wb)::BIGINT AS n
+       |  FROM c
+       |  WINDOW wb AS (ORDER BY bucket
+       |                ROWS BETWEEN ${BollN - 1} PRECEDING AND CURRENT ROW)),
+       |d AS (
+       |  SELECT bucket, close_cents,
+       |    s / n / 100.0 AS mid,
+       |    sqrt(greatest(q / n - (s / n) * (s / n), 0.0)) / 100.0 AS sd
+       |  FROM w)
+       |SELECT bucket, close_cents, mid,
+       |  mid - 2.0 * sd AS lower, mid + 2.0 * sd AS upper,
+       |  CASE WHEN mid + 2.0 * sd > mid - 2.0 * sd
+       |       THEN (close_cents / 100.0 - (mid - 2.0 * sd))
+       |            / ((mid + 2.0 * sd) - (mid - 2.0 * sd)) END AS pct_b
+       |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bars_ohlc" -> (barsDf(_, _)),
     "bars_vwap" -> (vwapDf(_, _)),
@@ -314,7 +497,10 @@ object Bars extends OpModule {
     "bars_rv" -> (rvDf(_, _)),
     "bars_ema" -> (emaDf(_, _)),
     "bars_drawdown" -> (drawdownDf(_, _)),
-    "bars_holt" -> (holtDf(_, _))
+    "bars_holt" -> (holtDf(_, _)),
+    "bars_rsi" -> (rsiDf(_, _)),
+    "bars_macd" -> (macdDf(_, _)),
+    "bars_bollinger" -> (bollDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +510,9 @@ object Bars extends OpModule {
     "bars_rv" -> rvSql,
     "bars_ema" -> emaSql,
     "bars_drawdown" -> drawdownSql,
-    "bars_holt" -> holtSql
+    "bars_holt" -> holtSql,
+    "bars_rsi" -> rsiSql,
+    "bars_macd" -> macdSql,
+    "bars_bollinger" -> bollSql
   )
 }

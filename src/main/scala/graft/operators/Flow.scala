@@ -340,6 +340,85 @@ object Flow {
        |             RANGE BETWEEN ${HourUs - 1} PRECEDING AND CURRENT ROW)
        |""".stripMargin
 
+  /** VPIN volume-bucket size and rolling window (Easley, López de Prado
+    * & O'Hara 2012): ~100 buckets at sf0.01 so the estimate has support
+    * at the verification SFs; bucket COUNT scales linearly with volume
+    * while each bucket's work stays fixed. */
+  val VpinBucketVol = 5000L
+  val VpinWindow = 50
+
+  /** VPIN — Volume-synchronized Probability of INformed trading
+    * (`flow_vpin`): the flow-toxicity estimator that upgrades
+    * [[deltaDf]]'s clock-time buckets to volume-time. Trades partition
+    * into consecutive equal-VOLUME buckets (trade-indivisible variant: a
+    * trade lands wholly in the bucket its starting cumulative volume
+    * falls in); each bucket's order imbalance |buy − sell| averages over
+    * the trailing [[VpinWindow]] buckets against the bucket volume.
+    *
+    * Plan: the global cumulative volume uses the proven TWO-LEVEL prefix
+    * sum (pipeline_pack's machinery — running sum within bounded hour
+    * granules, hour totals exclusive-prefix-summed on a tiny frame and
+    * broadcast back), so no single-partition window ever sees the tick
+    * stream; the per-bucket aggregation is one hash shuffle on the
+    * bucket id and the VPIN window runs over the bounded bucket DOMAIN.
+    * Everything before the final division is exact integers, so the
+    * single-window oracle matches bitwise. The open (last, partial)
+    * bucket ships like every bars_* open frame — a live monitor would
+    * hold it back until the volume clock fills it. */
+  private[operators] def vpinDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.eventsWithSide(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("hr", expr(s"ts_us div $HourUs"))
+      .select($"event_id", $"ts_us", $"hr", $"is_buy", $"k")
+    val wIn = Window.partitionBy($"hr").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = e.groupBy($"hr").agg(sum($"k").as("ht"))
+      .withColumn("hbase", coalesce(sum($"ht").over(wBase), lit(0L)))
+      .select($"hr", $"hbase")
+    val wV = Window.orderBy($"vb").rowsBetween(-(VpinWindow - 1), 0)
+    e.withColumn("cin", coalesce(sum($"k").over(wIn), lit(0L)))
+      .join(broadcast(bases), Seq("hr"))
+      .withColumn("vb", expr(s"(hbase + cin) div $VpinBucketVol"))
+      .groupBy($"vb")
+      .agg(
+        sum(when($"is_buy", $"k").otherwise(0L)).as("buy_vol"),
+        sum(when(!$"is_buy", $"k").otherwise(0L)).as("sell_vol"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("oi", abs($"buy_vol" - $"sell_vol"))
+      .withColumn("vpin",
+        sum($"oi").over(wV)
+          / (count(lit(1)).over(wV) * lit(VpinBucketVol)))
+      .select("vb", "buy_vol", "sell_vol", "n_trades", "oi", "vpin")
+  }
+
+  private[operators] val vpinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us,
+       |    json_extract_string(props, '$$.k')::BIGINT AS k,
+       |    ($BuySql) AS is_buy
+       |  FROM events),
+       |c AS (
+       |  SELECT *,
+       |    coalesce(sum(k) OVER (ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+       |  FROM e),
+       |b AS (
+       |  SELECT cb // $VpinBucketVol AS vb,
+       |    sum(CASE WHEN is_buy THEN k ELSE 0 END)::BIGINT AS buy_vol,
+       |    sum(CASE WHEN is_buy THEN 0 ELSE k END)::BIGINT AS sell_vol,
+       |    count(*) AS n_trades
+       |  FROM c GROUP BY 1),
+       |o AS (SELECT *, abs(buy_vol - sell_vol) AS oi FROM b)
+       |SELECT vb, buy_vol, sell_vol, n_trades, oi,
+       |  (sum(oi) OVER wv)::BIGINT
+       |    / ((count(*) OVER wv)::BIGINT * $VpinBucketVol) AS vpin
+       |FROM o
+       |WINDOW wv AS (ORDER BY vb
+       |              ROWS BETWEEN ${VpinWindow - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_range_window" -> (rangeWindowDf(_, _)),
     "flow_delta" -> (deltaDf(_, _)),
@@ -347,7 +426,8 @@ object Flow {
     "flow_cvd" -> (cvdDf(_, _)),
     "flow_lv" -> (lvDf(_, _)),
     "flow_volrate" -> (volRateDf(_, _)),
-    "flow_resample" -> (resampleDf(_, _))
+    "flow_resample" -> (resampleDf(_, _)),
+    "flow_vpin" -> (vpinDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,6 +437,7 @@ object Flow {
     "flow_lv" -> lvSql,
     "flow_volrate" -> volRateSql,
     "flow_resample" -> resampleSql,
-    "flow_range_window" -> rangeWindowSql
+    "flow_range_window" -> rangeWindowSql,
+    "flow_vpin" -> vpinSql
   )
 }

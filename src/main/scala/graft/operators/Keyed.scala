@@ -109,19 +109,26 @@ object Keyed extends OpModule {
     * construction, which is the point of the pattern. */
   private def saltedDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // exact integer cents through BOTH phases: the salted tree sums in
+    // a different order than the oracle's flat aggregate, so a raw
+    // double sum drifts an ulp at sf0.1 row counts (the
+    // flow_range_window lesson); the integer sum is order-independent
+    // and only the final division produces a double.
     Tables.events(spark, dir)
       .withColumn("salt", $"event_id" % SaltBuckets)
+      .withColumn("cents", round($"value" * 100).cast("long"))
       .groupBy($"event_type", $"salt")
-      .agg(sum($"value").as("pv"), count(lit(1)).as("pn"),
+      .agg(sum($"cents").as("pv"), count(lit(1)).as("pn"),
         max($"value").as("pmax"))
       .groupBy($"event_type")
-      .agg(sum($"pv").as("volume"), sum($"pn").as("n_events"),
+      .agg((sum($"pv") / 100.0).as("volume"), sum($"pn").as("n_events"),
         max($"pmax").as("max_value"))
   }
 
   private val saltedSql: String =
-    """SELECT event_type, sum(value) AS volume, count(*) AS n_events,
-      |  max(value) AS max_value
+    """SELECT event_type,
+      |  sum(round(value * 100)::BIGINT)::BIGINT / 100.0 AS volume,
+      |  count(*) AS n_events, max(value) AS max_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** Rank-statistics windows (`window_ranks`) — the §2.6 functions not
@@ -642,8 +649,43 @@ object Keyed extends OpModule {
        |  AND (d.valid_to_us IS NULL OR f.ts_us <= d.valid_to_us)
        |GROUP BY 1""".stripMargin
 
+  /** Second-order path census (`events_paths`) — the rung above
+    * [[markovDf]]'s first-order matrix: every 3-step event-type
+    * trajectory a user walks, counted globally with its share of all
+    * walked paths in floor'd basis points. The window-lead pass is the
+    * same per-user narrow stream as the markov lag (one shuffle keyed
+    * by user); the census frame is bounded by |types|³, so the global
+    * share window runs over at most 125 rows at any data scale. */
+  private def pathsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"event_type".as("s1"), $"e2".as("s2"), $"e3".as("s3"))
+      .agg(count(lit(1)).as("n_walks"))
+      .withColumn("share_bps",
+        expr("(n_walks * 10000) div (sum(n_walks) OVER ())"))
+  }
+
+  private val pathsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT event_type AS s1, e2 AS s2, e3 AS s3,
+      |  count(*) AS n_walks,
+      |  ((count(*) * 10000) // (sum(count(*)) OVER ()))::BIGINT AS share_bps
+      |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (attributionDf(_, _)),
+    "events_paths" -> (pathsDf(_, _)),
     "join_scd2" -> (scdJoinDf(_, _)),
     "join_salted" -> (joinSaltedDf(_, _)),
     "window_ranks" -> (windowRanksDf(_, _)),
@@ -661,6 +703,7 @@ object Keyed extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "events_attribution" -> attributionSql,
+    "events_paths" -> pathsSql,
     "join_scd2" -> scdJoinSql,
     "join_salted" -> joinSaltedSql,
     "window_ranks" -> windowRanksSql,

@@ -1563,6 +1563,68 @@ object Streams {
       }
   }
 
+  case class VpinState(cum: Long, openVb: Long, buy: Long, sell: Long,
+      n: Long, ois: Seq[Long])
+  case class VpinRow(vb: Long, buy_vol: Long, sell_vol: Long,
+      n_trades: Long, oi: Long, vpin: Double)
+
+  /** Streaming VPIN — the VOLUME-CLOCK rung of the monitor ladder (every
+    * other monitor closes buckets on event time; this one closes them
+    * when traded volume fills the bucket, the whole point of Easley et
+    * al.'s estimator). Live twin of batch `flow_vpin`
+    * ([[graft.operators.Flow]]): the carried state is the volume clock
+    * itself (cumulative volume), the open bucket's integer
+    * (buy, sell, n), and the trailing ≤[[graft.operators.Flow.VpinWindow]]-1
+    * closed-bucket imbalances — O(window) longs, no per-trade memory.
+    * A trade lands wholly in the bucket its STARTING cumulative volume
+    * falls in (the batch trade-indivisible convention), so a bucket
+    * closes exactly when a later trade's start crosses the boundary;
+    * the closed row's vpin divides the same exact-integer operands as
+    * the batch window, so rows match bitwise. The open bucket is
+    * withheld until the volume clock fills it (emit-on-close). The
+    * volume clock is the monitor's own fold — monotone by construction —
+    * so no late-bucket guard is needed. Trades replay in (ts_us,
+    * event_id) order within a trigger, like every ledger monitor. */
+  def vpinMonitor(events: DataFrame,
+      bucketVol: Long = graft.operators.Flow.VpinBucketVol): Dataset[VpinRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val win = graft.operators.Flow.VpinWindow
+    val buyTypes = graft.sources.Tables.BuyTypes.toSet
+    events
+      .select($"event_id", $"ts_us", $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_ => "CLOCK")
+      .flatMapGroupsWithState[VpinState, VpinRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var st = state.getOption.getOrElse(
+            VpinState(0L, 0L, 0L, 0L, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[VpinRow]()
+          it.toSeq.sortBy(e => (e._2, e._1)).foreach {
+            case (_, _, etype, k) =>
+              val vb = st.cum / bucketVol
+              if (st.n > 0 && vb > st.openVb) {
+                // close the open bucket: its oi joins the trailing
+                // window and the row ships with the batch's exact
+                // long/long -> double division
+                val oi = math.abs(st.buy - st.sell)
+                val w = (st.ois :+ oi).takeRight(win)
+                out += VpinRow(st.openVb, st.buy, st.sell, st.n, oi,
+                  w.sum.toDouble / (w.size.toLong * bucketVol).toDouble)
+                st = VpinState(st.cum, vb, 0L, 0L, 0L,
+                  (st.ois :+ oi).takeRight(win - 1))
+              } else if (st.n == 0) st = st.copy(openVb = vb)
+              val buy = if (buyTypes(etype)) k else 0L
+              st = st.copy(cum = st.cum + k, buy = st.buy + buy,
+                sell = st.sell + (k - buy), n = st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class TimedDoc(doc_id: Long, text: String, ts: Timestamp)
   case class HhGrid(cells: Array[Long])
 

@@ -208,4 +208,104 @@ class FlowBarsSpec extends SparkSpec {
     assert(own.count() === 0L)
     rs.unpersist()
   }
+
+  test("rsi: Wilder folds match the hand computation; bounded on real data") {
+    val rows = rowsOf(Bars.queries("bars_rsi")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // fixture closes 30 -> 15: bar 1 has no move (seed 0/0 -> neutral 50),
+    // bar 2 is all loss (ag=0, al=15/14 -> rsi 0)
+    assert(rows(0)("rsi") == 50.0)
+    assert(rows(1)("rsi") == 0.0)
+    val real = rowsOf(Bars.queries("bars_rsi")(spark, "/root/testdata/sf0.001"))
+    assert(real.nonEmpty)
+    real.foreach { m =>
+      val r = m("rsi").asInstanceOf[Double]
+      assert(r >= 0.0 && r <= 100.0)
+    }
+  }
+
+  test("macd: two-level EMA folds match the hand computation") {
+    val rows = rowsOf(Bars.queries("bars_macd")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // bar 1: both EMAs seed at 30 -> macd 0, signal seeds at 0, hist 0
+    assert(rows(0)("macd") == 0.0 && rows(0)("signal") == 0.0 &&
+      rows(0)("hist") == 0.0)
+    // bar 2: one fold step of each span over [30, 15]
+    val e12 = (2.0 / 13.0) * 15.0 + (1.0 - 2.0 / 13.0) * 30.0
+    val e26 = (2.0 / 27.0) * 15.0 + (1.0 - 2.0 / 27.0) * 30.0
+    val macd2 = e12 - e26
+    val signal2 = 0.2 * macd2 + 0.8 * 0.0
+    assert(rows(1)("macd") == macd2)
+    assert(rows(1)("signal") == signal2)
+    assert(rows(1)("hist") == macd2 - signal2)
+    // real data: hist is exactly macd - signal everywhere
+    val real = rowsOf(Bars.queries("bars_macd")(spark, "/root/testdata/sf0.001"))
+    assert(real.nonEmpty)
+    real.foreach { m =>
+      assert(m("hist") == m("macd").asInstanceOf[Double] -
+        m("signal").asInstanceOf[Double])
+    }
+  }
+
+  test("bollinger: integer-cents moments match the hand computation") {
+    val rows = rowsOf(Bars.queries("bars_bollinger")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // bar 1: single point -> sd 0, degenerate band, %B withheld
+    assert(rows(0)("mid") == 30.0 && rows(0)("lower") == 30.0 &&
+      rows(0)("upper") == 30.0 && rows(0)("pct_b") == null)
+    // bar 2 over cents {3000, 1500}: mid 22.5, sd 7.5 -> band [7.5, 37.5],
+    // close 15 sits a quarter of the way up
+    assert(rows(1)("mid") == 22.5 && rows(1)("lower") == 7.5 &&
+      rows(1)("upper") == 37.5 && rows(1)("pct_b") == 0.25)
+    // real data: lower <= mid <= upper, %B consistent with the band
+    val real = rowsOf(Bars.queries("bars_bollinger")(spark, "/root/testdata/sf0.001"))
+    assert(real.nonEmpty)
+    real.foreach { m =>
+      val (lo, mid, up) = (m("lower").asInstanceOf[Double],
+        m("mid").asInstanceOf[Double], m("upper").asInstanceOf[Double])
+      assert(lo <= mid && mid <= up)
+      if (m("pct_b") != null) {
+        val b = (m("close_cents").asInstanceOf[Long] / 100.0 - lo) / (up - lo)
+        assert(m("pct_b") == b)
+      }
+    }
+  }
+
+  test("vpin: volume buckets and the rolling toxicity match an independent fold") {
+    val sf = sfDir()
+    val got = rowsOf(Flow.queries("flow_vpin")(spark, sf))
+      .map(m => m("vb").asInstanceOf[Long] -> m).toMap
+    // independent recompute: collect the raw trades, walk the volume
+    // clock sequentially, rebuild every bucket and its trailing window
+    val trades = graft.sources.Tables.eventsWithSide(spark, sf)
+      .selectExpr("event_id", "ts_us", "is_buy",
+        "cast(get_json_object(props, '$.k') as long) as k")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val buckets = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long)]()
+    trades.foreach { case (_, _, isBuy, k) =>
+      val vb = cum / Flow.VpinBucketVol
+      val (b, s, n) = buckets.getOrElse(vb, (0L, 0L, 0L))
+      buckets(vb) =
+        (b + (if (isBuy) k else 0L), s + (if (isBuy) 0L else k), n + 1L)
+      cum += k
+    }
+    assert(buckets.size == got.size)
+    val ois = buckets.toSeq.sortBy(_._1).map { case (vb, (b, s, _)) =>
+      vb -> math.abs(b - s) }
+    ois.zipWithIndex.foreach { case ((vb, oi), i) =>
+      val (b, s, n) = buckets(vb)
+      val m = got(vb)
+      assert(m("buy_vol") == b && m("sell_vol") == s &&
+        m("n_trades") == n && m("oi") == oi)
+      val w = ois.slice(math.max(0, i - (Flow.VpinWindow - 1)), i + 1).map(_._2)
+      val vpin = w.sum.toDouble / (w.size.toLong * Flow.VpinBucketVol).toDouble
+      assert(m("vpin") == vpin)
+      // oi <= bucket volume, which overshoots V by at most one trade
+      // (trade-indivisible buckets), so the bound is 1 + maxK/V
+      assert(vpin >= 0.0 && vpin <= 1.0 + 100.0 / Flow.VpinBucketVol)
+    }
+  }
 }

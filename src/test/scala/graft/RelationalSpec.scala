@@ -417,6 +417,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("events_paths: 3-step walks partition the walk stream, shares " +
+    "floor exactly; fixture walks enumerate by hand") {
+    val rows = rowsOf(graft.operators.Keyed.queries("events_paths")(spark, dir))
+    // 5 event types: at most 125 path cells; each user with n events
+    // contributes max(n - 2, 0) walks
+    assert(rows.size <= 125)
+    val ev = rowsOf(Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+    val walks = ev.map(m => math.max(m("n").asInstanceOf[Long] - 2, 0L)).sum
+    val tot = rows.map(_("n_walks").asInstanceOf[Long]).sum
+    assert(tot === walks)
+    rows.foreach { c =>
+      assert(c("share_bps").asInstanceOf[Long] ===
+        c("n_walks").asInstanceOf[Long] * 10000 / tot)
+    }
+    assert(rows.map(_("share_bps").asInstanceOf[Long]).sum <= 10000L)
+    // hand fixture: user 1 walks (click,view,purchase),(view,purchase,error);
+    // user 2 is two events short of a walk
+    val fixDir = writeEventsFixture(Seq(
+      (1L, 1000L, 1L, "click", 1.0),
+      (2L, 2000L, 1L, "view", 1.0),
+      (3L, 3000L, 1L, "purchase", 1.0),
+      (4L, 4000L, 1L, "error", 1.0),
+      (5L, 1000L, 2L, "click", 1.0),
+      (6L, 2000L, 2L, "view", 1.0)))
+    val fx = rowsOf(graft.operators.Keyed.queries("events_paths")(spark, fixDir))
+      .map(m => (m("s1"), m("s2"), m("s3")) -> m).toMap
+    assert(fx.size == 2)
+    assert(fx(("click", "view", "purchase"))("n_walks") == 1L)
+    assert(fx(("view", "purchase", "error"))("n_walks") == 1L)
+    assert(fx.values.forall(_("share_bps") == 5000L))
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))

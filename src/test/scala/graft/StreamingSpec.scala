@@ -970,6 +970,53 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("vpin monitor: volume-clock buckets equal the batch rows minus the open bucket, across trigger cuts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // trades sized so bucket boundaries fall mid-trigger; k varies so
+    // bucket populations are irregular like real volume time
+    val ks = Seq(1800L, 2500L, 1200L, 3000L, 900L, 2200L, 1500L, 2600L,
+      1100L, 2000L, 1700L, 2400L)
+    val types = Seq("click", "error", "view", "error", "purchase", "error",
+      "click", "signup", "view", "error", "click", "error")
+    val rows = ks.zip(types).zipWithIndex.map { case ((k, t), i) =>
+      (i + 1L, (i + 1L) * 1000000L, t, s"""{"k": $k}""")
+    }
+    // batch twin over the identical trades (parquet fixture, ns clock)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpin").toString
+    rows.map { case (id, tsUs, t, props) => (id, tsUs * 1000L, 1L, t, 1.0, props) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = rowsOf(graft.operators.Flow.queries("flow_vpin")(spark, dir))
+    val openVb = batch.map(_("vb").asInstanceOf[Long]).max
+    val expected = batch.filter(_("vb").asInstanceOf[Long] != openVb)
+      .map(m => (m("vb"), m("buy_vol"), m("sell_vol"), m("n_trades"),
+        m("oi"), m("vpin")))
+      .sortBy(_._1.asInstanceOf[Long])
+    assert(expected.size >= 3, "fixture must close several buckets")
+
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.vpinMonitor(
+      input.toDF().toDF("event_id", "ts_us", "event_type", "props"))
+      .writeStream.format("memory").queryName("vpin_out")
+      .outputMode("append").start()
+    input.addData(rows.take(4): _*)   // cut inside bucket 1
+    q.processAllAvailable()
+    input.addData(rows.slice(4, 9): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(9): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vpin_out").collect()
+      .map(r => (r.getAs[Long]("vb"), r.getAs[Long]("buy_vol"),
+        r.getAs[Long]("sell_vol"), r.getAs[Long]("n_trades"),
+        r.getAs[Long]("oi"), r.getAs[Double]("vpin")))
+      .sortBy(_._1)
+    assert(streamed.toSeq == expected,
+      s"streamed:\n${streamed.mkString("\n")}\nbatch-minus-open:\n${expected.mkString("\n")}")
+  }
+
   test("heavy-hitter alert chain: stream equals the replayed grid+throttle census, throttle suppresses re-fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
