@@ -490,6 +490,62 @@ object Bars extends OpModule {
        |            / ((mid + 2.0 * sd) - (mid - 2.0 * sd)) END AS pct_b
        |FROM d""".stripMargin
 
+  /** Stochastic oscillator windows (Lane's 14/3 convention). */
+  val StochN = 14
+  val StochD = 3
+
+  /** Stochastic %K/%D (`bars_stochastic`): where the close sits inside
+    * the trailing 14-bar high-low range, plus the 3-bar smoothed %D.
+    * %K derives from exact integer cents with one textual op sequence,
+    * so it is bit-identical; %D deliberately averages the FLOORED
+    * micro-%K integers (sum of exact longs / (n·1e6)) instead of raw
+    * doubles — a windowed double avg sums in engine-private tree order
+    * (DuckDB's segment tree vs Spark's fold), which is exactly the
+    * half-boundary lottery the exact-integer canon exists to avoid.
+    * Flat 14-bar ranges withhold %K (NULL) and drop out of %D's count
+    * on both engines. */
+  private[operators] def stochDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w14 = Window.orderBy($"bucket").rowsBetween(-(StochN - 1), 0)
+    val w3 = Window.orderBy($"bucket").rowsBetween(-(StochD - 1), 0)
+    ohlcDf(spark, dir)
+      .select($"bucket",
+        round($"close" * 100).cast("long").as("cc"),
+        round($"high" * 100).cast("long").as("hc"),
+        round($"low" * 100).cast("long").as("lc"))
+      .withColumn("lo14", min($"lc").over(w14))
+      .withColumn("hi14", max($"hc").over(w14))
+      .withColumn("pct_k",
+        when($"hi14" > $"lo14",
+          ($"cc" - $"lo14") * lit(100.0) / ($"hi14" - $"lo14")))
+      .withColumn("k_micro", floor($"pct_k" * lit(1000000.0)))
+      .withColumn("pct_d",
+        sum($"k_micro").over(w3) /
+          (count($"k_micro").over(w3) * lit(1000000.0)))
+      .select($"bucket", $"cc".as("close_cents"), $"pct_k", $"pct_d")
+  }
+
+  private[operators] val stochSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |c AS (SELECT bucket, round(close * 100)::BIGINT AS cc,
+       |        round(high * 100)::BIGINT AS hc,
+       |        round(low * 100)::BIGINT AS lc FROM ohlc),
+       |k AS (SELECT bucket, cc,
+       |        CASE WHEN max(hc) OVER w14 > min(lc) OVER w14
+       |             THEN (cc - min(lc) OVER w14) * 100.0
+       |                  / (max(hc) OVER w14 - min(lc) OVER w14) END AS pct_k
+       |      FROM c
+       |      WINDOW w14 AS (ORDER BY bucket
+       |                     ROWS BETWEEN ${StochN - 1} PRECEDING AND CURRENT ROW)),
+       |m AS (SELECT bucket, cc, pct_k,
+       |        floor(pct_k * 1000000.0)::BIGINT AS k_micro FROM k)
+       |SELECT bucket, cc AS close_cents, pct_k,
+       |  (sum(k_micro) OVER w3)::BIGINT
+       |    / ((count(k_micro) OVER w3)::BIGINT * 1000000.0) AS pct_d
+       |FROM m
+       |WINDOW w3 AS (ORDER BY bucket
+       |              ROWS BETWEEN ${StochD - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bars_ohlc" -> (barsDf(_, _)),
     "bars_vwap" -> (vwapDf(_, _)),
@@ -500,7 +556,8 @@ object Bars extends OpModule {
     "bars_holt" -> (holtDf(_, _)),
     "bars_rsi" -> (rsiDf(_, _)),
     "bars_macd" -> (macdDf(_, _)),
-    "bars_bollinger" -> (bollDf(_, _))
+    "bars_bollinger" -> (bollDf(_, _)),
+    "bars_stochastic" -> (stochDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,6 +570,7 @@ object Bars extends OpModule {
     "bars_holt" -> holtSql,
     "bars_rsi" -> rsiSql,
     "bars_macd" -> macdSql,
-    "bars_bollinger" -> bollSql
+    "bars_bollinger" -> bollSql,
+    "bars_stochastic" -> stochSql
   )
 }

@@ -271,6 +271,29 @@ class FlowBarsSpec extends SparkSpec {
     }
   }
 
+  test("stochastic: %K range position and integer-floored %D match the hand computation") {
+    val rows = rowsOf(Bars.queries("bars_stochastic")(spark, dir))
+      .sortBy(_("bucket").asInstanceOf[Long])
+    // bar 1 range [1000, 3000] cents, close 3000 -> %K 100, %D 100
+    assert(rows(0)("pct_k") == 100.0 && rows(0)("pct_d") == 100.0)
+    // bar 2 widens the low to 500: %K = (1500-500)*100/2500 = 40,
+    // %D = (100e6 + 40e6) / (2 * 1e6) = 70
+    assert(rows(1)("pct_k") == 40.0 && rows(1)("pct_d") == 70.0)
+    // real data: %K in [0, 100] whenever the range is non-flat, %D too
+    val real = rowsOf(Bars.queries("bars_stochastic")(spark, "/root/testdata/sf0.001"))
+    assert(real.nonEmpty)
+    real.foreach { m =>
+      if (m("pct_k") != null) {
+        val k = m("pct_k").asInstanceOf[Double]
+        assert(k >= 0.0 && k <= 100.0)
+      }
+      if (m("pct_d") != null) {
+        val d = m("pct_d").asInstanceOf[Double]
+        assert(d >= 0.0 && d <= 100.0)
+      }
+    }
+  }
+
   test("vpin: volume buckets and the rolling toxicity match an independent fold") {
     val sf = sfDir()
     val got = rowsOf(Flow.queries("flow_vpin")(spark, sf))
