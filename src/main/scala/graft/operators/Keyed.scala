@@ -683,8 +683,169 @@ object Keyed extends OpModule {
       |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Two-proportion A/B significance (`events_ab_test`) — the
+    * experimentation readout a product-analytics engine must serve:
+    * users split into variants on `user_id % 2` (the deterministic
+    * hash-bucket assignment an experiment platform uses), conversion =
+    * "ever purchased", and the B−A lift ships with the pooled
+    * two-proportion z statistic and its two-sided p-value through the
+    * SAME Φ approximation as `fn_normcdf` (codegen expression on the
+    * Spark side, [[graft.functions.ColFns.normCdfSql]] on the oracle —
+    * already proven bitwise-equal). Every rate and the z pipeline
+    * derive from exact integer counts with one textual op sequence, so
+    * the verdict boolean cannot flip between engines. Plan: one shuffle
+    * keyed by user (map-side combined), then a 2-row frame. */
+  private def abTestDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // conversion = purchased within the user's first 7 observed days
+    // (activation): "ever purchased" saturates to 1.0 on a long event
+    // history, and a saturated pool has zero variance — the degenerate
+    // case the z guard below withholds rather than divides by
+    val w = Window.partitionBy($"user_id")
+    val cells = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", expr(s"ts_us div $DayUs").as("day"))
+      .withColumn("first_day", min($"day").over(w))
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" &&
+          $"day" < $"first_day" + 7, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", $"user_id" % 2)
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+    val a = cells.filter($"variant" === 0)
+      .select($"n_users".as("n_a"), $"n_conv".as("c_a"))
+    val b = cells.filter($"variant" === 1)
+      .select($"n_users".as("n_b"), $"n_conv".as("c_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a", $"c_a" / $"n_a")
+      .withColumn("rate_b", $"c_b" / $"n_b")
+      .withColumn("lift_bps", floor(($"rate_b" - $"rate_a") * lit(10000.0)))
+      .withColumn("p_pool", ($"c_a" + $"c_b") / ($"n_a" + $"n_b"))
+      .withColumn("z",
+        when($"p_pool" > 0 && $"p_pool" < 1,
+          ($"rate_b" - $"rate_a") /
+            sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
+              (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))))
+      .withColumn("p_value",
+        lit(2.0) * (lit(1.0) - graft.functions.ColFns.normCdf(abs($"z"))))
+      .select($"n_a", $"c_a", $"n_b", $"c_b", $"rate_a", $"rate_b",
+        $"lift_bps", $"z", $"p_value", ($"p_value" < 0.05).as("significant"))
+  }
+
+  private val abTestSql: String = {
+    val phi = graft.functions.ColFns.normCdfSql("abs(z)")
+    s"""WITH d AS (
+       |  SELECT user_id, event_type, epoch_us(ts) // $DayUs AS day,
+       |    min(epoch_us(ts) // $DayUs) OVER (PARTITION BY user_id) AS first_day
+       |  FROM events),
+       |per AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND day < first_day + 7
+       |             THEN 1 ELSE 0 END)::BIGINT AS conv
+       |  FROM d GROUP BY 1),
+       |cells AS (
+       |  SELECT user_id % 2 AS variant, count(*) AS n_users,
+       |    sum(conv)::BIGINT AS n_conv
+       |  FROM per GROUP BY 1),
+       |a AS (SELECT n_users AS n_a, n_conv AS c_a FROM cells WHERE variant = 0),
+       |b AS (SELECT n_users AS n_b, n_conv AS c_b FROM cells WHERE variant = 1),
+       |r AS (SELECT *, c_a / n_a AS rate_a, c_b / n_b AS rate_b,
+       |        (c_a + c_b) / (n_a + n_b) AS p_pool
+       |      FROM a, b),
+       |zz AS (SELECT *, CASE WHEN p_pool > 0 AND p_pool < 1
+       |         THEN (rate_b - rate_a)
+       |           / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+       |         END AS z
+       |       FROM r),
+       |p AS (SELECT *, 2.0 * (1.0 - $phi) AS p_value FROM zz)
+       |SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+       |  floor((rate_b - rate_a) * 10000.0)::BIGINT AS lift_bps, z, p_value,
+       |  p_value < 0.05 AS significant
+       |FROM p""".stripMargin
+  }
+
+  /** CUPED variance reduction (`events_cuped`, Deng et al. 2013) — the
+    * pre-experiment-covariate adjustment every large experimentation
+    * platform applies before the z-test, because it shrinks metric
+    * variance without bias: per user, x = pre-period spend and
+    * y = post-period spend (exact integer cents, the calendar midpoint
+    * splitting the observed day range), θ = cov(x,y)/var(x), and the
+    * adjusted variance has the closed form var(y) − cov²/var(x) — so
+    * ONE aggregation of exact integer sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy — all safely inside int64 at these
+    * magnitudes) yields θ, both variances, and the floored
+    * variance-reduction share. Every double derives from the same
+    * exact longs with one textual op sequence on both engines. Plan:
+    * one shuffle keyed by user, then a 1-row frame; the day-range
+    * midpoint broadcasts from a metadata-sized aggregate. */
+  private def cupedDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts_us div $DayUs").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+    val mid = days.agg(
+      expr("(min(day) + max(day) + 1) div 2").as("mid_day"))
+    val per = days.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"day" < $"mid_day", $"cents").otherwise(0L)).as("x"),
+        sum(when($"day" >= $"mid_day", $"cents").otherwise(0L)).as("y"))
+    per
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .withColumn("cov_n2",
+        $"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+      .withColumn("varx_n2",
+        $"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
+      .withColumn("vary_n2",
+        $"n".cast("double") * $"syy" - $"sy".cast("double") * $"sy")
+      .withColumn("theta", $"cov_n2" / $"varx_n2")
+      .withColumn("var_y",
+        $"vary_n2" / ($"n".cast("double") * $"n".cast("double")))
+      .withColumn("var_adj",
+        ($"vary_n2" - $"cov_n2" * $"cov_n2" / $"varx_n2") /
+          ($"n".cast("double") * $"n".cast("double")))
+      .select($"n", $"theta", $"var_y", $"var_adj",
+        floor((lit(1.0) - $"var_adj" / $"var_y") * lit(10000.0))
+          .as("reduction_bps"))
+  }
+
+  private val cupedSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |    round(value * 100)::BIGINT AS cents
+       |  FROM events),
+       |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid_day FROM d),
+       |per AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN day < mid_day THEN cents ELSE 0 END)::BIGINT AS x,
+       |    sum(CASE WHEN day >= mid_day THEN cents ELSE 0 END)::BIGINT AS y
+       |  FROM d, m GROUP BY 1),
+       |s AS (
+       |  SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+       |    sum(x * y)::BIGINT AS sxy
+       |  FROM per),
+       |c AS (
+       |  SELECT n,
+       |    n::DOUBLE * sxy - sx::DOUBLE * sy AS cov_n2,
+       |    n::DOUBLE * sxx - sx::DOUBLE * sx AS varx_n2,
+       |    n::DOUBLE * syy - sy::DOUBLE * sy AS vary_n2
+       |  FROM s)
+       |SELECT n, cov_n2 / varx_n2 AS theta,
+       |  vary_n2 / (n::DOUBLE * n::DOUBLE) AS var_y,
+       |  (vary_n2 - cov_n2 * cov_n2 / varx_n2) / (n::DOUBLE * n::DOUBLE)
+       |    AS var_adj,
+       |  floor((1.0 - ((vary_n2 - cov_n2 * cov_n2 / varx_n2)
+       |                / (n::DOUBLE * n::DOUBLE))
+       |               / (vary_n2 / (n::DOUBLE * n::DOUBLE))) * 10000.0)::BIGINT
+       |    AS reduction_bps
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (attributionDf(_, _)),
+    "events_ab_test" -> (abTestDf(_, _)),
+    "events_cuped" -> (cupedDf(_, _)),
     "events_paths" -> (pathsDf(_, _)),
     "join_scd2" -> (scdJoinDf(_, _)),
     "join_salted" -> (joinSaltedDf(_, _)),
@@ -703,6 +864,8 @@ object Keyed extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "events_attribution" -> attributionSql,
+    "events_ab_test" -> abTestSql,
+    "events_cuped" -> cupedSql,
     "events_paths" -> pathsSql,
     "join_scd2" -> scdJoinSql,
     "join_salted" -> joinSaltedSql,

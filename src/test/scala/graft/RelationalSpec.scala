@@ -450,6 +450,74 @@ class RelationalSpec extends SparkSpec {
     assert(fx.values.forall(_("share_bps") == 5000L))
   }
 
+  test("events_ab_test: counts, z and the activation window match the hand computation") {
+    val day = 86400000000L * 1000L // ns per day
+    // variant 0 = users 2,4; variant 1 = users 1,3. User 2 activates;
+    // user 4's only purchase is on day 9 — outside the 7-day window.
+    val fixDir = writeEventsFixture(Seq(
+      (1L, 1L * day, 2L, "purchase", 1.0),
+      (2L, 1L * day, 4L, "view", 1.0),
+      (3L, 9L * day, 4L, "purchase", 1.0),
+      (4L, 1L * day, 1L, "purchase", 1.0),
+      (5L, 1L * day, 3L, "purchase", 1.0)))
+    val m = rowsOf(graft.operators.Keyed.queries("events_ab_test")(spark, fixDir)).head
+    assert(m("n_a") == 2L && m("c_a") == 1L)
+    assert(m("n_b") == 2L && m("c_b") == 2L)
+    assert(m("rate_a") == 0.5 && m("rate_b") == 1.0)
+    assert(m("lift_bps") == 5000L)
+    // z = 0.5 / sqrt(0.75 * 0.25 * (1/2 + 1/2)) = 1.1547...
+    val z = m("z").asInstanceOf[Double]
+    assert(math.abs(z - 0.5 / math.sqrt(0.1875)) < 1e-12)
+    val p = m("p_value").asInstanceOf[Double]
+    assert(p > 0.2 && p < 0.3 && m("significant") == false)
+    // real data: the verdict composes from its own columns
+    val r = rowsOf(graft.operators.Keyed.queries("events_ab_test")(
+      spark, sfDir())).head
+    assert(r("n_a").asInstanceOf[Long] > 0 && r("n_b").asInstanceOf[Long] > 0)
+    if (r("p_value") != null)
+      assert(r("significant") == (r("p_value").asInstanceOf[Double] < 0.05))
+  }
+
+  test("events_cuped: theta and variances match an independent recompute; adjustment never hurts") {
+    val dir0 = sfDir()
+    val m = rowsOf(graft.operators.Keyed.queries("events_cuped")(spark, dir0)).head
+    // independent fold: per-user (pre, post) cents from the raw events
+    val days = rowsOf(Tables.events(spark, dir0)
+      .selectExpr("user_id", s"ts_us div ${graft.operators.Keyed.DayUs} as day",
+        "cast(round(value * 100) as long) as cents"))
+    val lo = days.map(_("day").asInstanceOf[Long]).min
+    val hi = days.map(_("day").asInstanceOf[Long]).max
+    val mid = (lo + hi + 1) / 2
+    val per = days.groupBy(_("user_id")).values.map { es =>
+      val x = es.filter(_("day").asInstanceOf[Long] < mid)
+        .map(_("cents").asInstanceOf[Long]).sum
+      val y = es.filter(_("day").asInstanceOf[Long] >= mid)
+        .map(_("cents").asInstanceOf[Long]).sum
+      (x, y)
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._1).sum; val sy = per.map(_._2).sum
+    val sxx = per.map(t => t._1 * t._1).sum
+    val syy = per.map(t => t._2 * t._2).sum
+    val sxy = per.map(t => t._1 * t._2).sum
+    val covN2 = n.toDouble * sxy - sx.toDouble * sy
+    val varxN2 = n.toDouble * sxx - sx.toDouble * sx
+    val varyN2 = n.toDouble * syy - sy.toDouble * sy
+    assert(m("n") == n)
+    assert(m("theta") == covN2 / varxN2)
+    assert(m("var_y") == varyN2 / (n.toDouble * n.toDouble))
+    assert(m("var_adj") ==
+      (varyN2 - covN2 * covN2 / varxN2) / (n.toDouble * n.toDouble))
+    // the closed form guarantees var_adj <= var_y, so the reduction is
+    // a true percentage of variance removed
+    val (vy, va) = (m("var_y").asInstanceOf[Double],
+      m("var_adj").asInstanceOf[Double])
+    assert(va >= 0.0 && va <= vy)
+    val red = m("reduction_bps").asInstanceOf[Long]
+    assert(red >= 0L && red <= 10000L)
+    assert(red == math.floor((1.0 - va / vy) * 10000.0).toLong)
+  }
+
   test("window ranks: quartiles balance within one row, rank stats " +
     "bound correctly per key") {
     val rows = rowsOf(graft.operators.Keyed.queries("window_ranks")(spark, dir))
