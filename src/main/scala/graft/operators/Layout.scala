@@ -602,7 +602,50 @@ object Layout extends OpModule {
        |  count(*) * $Partitions > t.total * $HotFactor AS salt_candidate
        |FROM events, t GROUP BY 1, t.total""".stripMargin
 
+  /** Deletion-cohort residue: user_id % [[ErasureMod]] == 0 plays the
+    * right-to-be-forgotten request batch (the engine-wide residue-class
+    * convention, like StatsDeltaMod). */
+  val ErasureMod = 10L
+
+  /** Erasure planning (`layout_erasure`) — the right-to-be-forgotten
+    * audit a lakehouse runs BEFORE touching data: against the standing
+    * Z-ordered layout, which granules contain any row of the deletion
+    * cohort, how many rows each must drop, and how many innocent rows
+    * ride along in the rewrite (copy-on-write amplification — the
+    * number a compaction scheduler weighs against batching more
+    * requests). The conditional count rides the same scan that builds
+    * the layout rank, and the output is the granule frame — metadata-
+    * sized at any data scale; in production the granule assignment is
+    * already persisted, so this plan is a broadcast cohort join against
+    * granule metadata, never a second scan of the table. */
+  private def erasureDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    granuleByRank(zvalDf(spark, dir), $"zval", $"event_id")
+      .groupBy($"granule")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"user_id" % ErasureMod === 0, 1L).otherwise(0L))
+          .as("n_del"))
+      .select($"granule", $"n_rows", $"n_del",
+        ($"n_del" > 0).as("rewrite"),
+        ($"n_rows" - $"n_del").as("n_keep"))
+  }
+
+  private val erasureSql: String =
+    s"""WITH $zvalSqlBody,
+       |g AS (SELECT *, (row_number() OVER (ORDER BY zval, event_id) - 1)
+       |                // $GranuleRows AS granule FROM z)
+       |SELECT granule, count(*) AS n_rows,
+       |  sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_del,
+       |  sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END)::BIGINT > 0
+       |    AS rewrite,
+       |  (count(*) -
+       |   sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END))::BIGINT
+       |    AS n_keep
+       |FROM g GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_erasure" -> (erasureDf(_, _)),
     "layout_zorder" -> (zorderDf(_, _)),
     "layout_prune" -> (pruneDf(_, _)),
     "layout_compaction" -> (compactionDf(_, _)),
@@ -613,6 +656,7 @@ object Layout extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_erasure" -> erasureSql,
     "layout_zorder" -> zorderSql,
     "layout_prune" -> pruneSql,
     "layout_compaction" -> compactionSql,

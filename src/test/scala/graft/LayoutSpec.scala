@@ -40,6 +40,31 @@ class LayoutSpec extends SparkSpec {
     assert(violated.count() === 0)
   }
 
+  test("layout_erasure: the plan partitions every granule and prices the rewrite") {
+    import spark.implicits._
+    val plan = rowsOf(Layout.queries("layout_erasure")(spark, dir))
+    val ev = graft.sources.Tables.events(spark, dir)
+    val total = ev.count()
+    val cohort = ev.filter($"user_id" % Layout.ErasureMod === 0).count()
+    // the plan partitions the table: every row is kept or deleted, once
+    assert(plan.map(_("n_rows").asInstanceOf[Long]).sum === total)
+    assert(plan.map(_("n_del").asInstanceOf[Long]).sum === cohort)
+    plan.foreach { g =>
+      val (n, d, k) = (g("n_rows").asInstanceOf[Long],
+        g("n_del").asInstanceOf[Long], g("n_keep").asInstanceOf[Long])
+      assert(d + k === n)
+      assert(g("rewrite") === (d > 0))
+    }
+    // copy-on-write amplification is real and measurable: rewritten
+    // granules drag innocent rows, so rewritten mass strictly exceeds
+    // the cohort (the Z-layout clusters by (time, user), and a ~10%
+    // user cohort touches most granules)
+    val rewrittenRows = plan.filter(_("rewrite") == true)
+      .map(_("n_rows").asInstanceOf[Long]).sum
+    assert(cohort > 0 && rewrittenRows > cohort,
+      s"amplification vanished: $rewrittenRows rewritten for $cohort deleted")
+  }
+
   test("layout_prune: zorder skips strictly more granules than time-sort " +
     "and both layouts select the same rows") {
     import spark.implicits._

@@ -1017,6 +1017,62 @@ class StreamingSpec extends SparkSpec {
       s"streamed:\n${streamed.mkString("\n")}\nbatch-minus-open:\n${expected.mkString("\n")}")
   }
 
+  test("vpin monitor: the volume clock and open bucket survive a query restart from the checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ks = Seq(1800L, 2500L, 1200L, 3000L, 900L, 2200L, 1500L, 2600L,
+      1100L, 2000L, 1700L, 2400L)
+    val types = Seq("click", "error", "view", "error", "purchase", "error",
+      "click", "signup", "view", "error", "click", "error")
+    val rows = ks.zip(types).zipWithIndex.map { case ((k, t), i) =>
+      (i + 1L, (i + 1L) * 1000000L, t, s"""{"k": $k}""")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_vpin_ck").toString
+    val (srcDir, ckptDir, outDir) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    // batch twin on the identical trades
+    val fixDir = s"$base/fix"
+    rows.map { case (id, tsUs, t, props) => (id, tsUs * 1000L, 1L, t, 1.0, props) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/events.parquet")
+    val batch = rowsOf(graft.operators.Flow.queries("flow_vpin")(spark, fixDir))
+    val openVb = batch.map(_("vb").asInstanceOf[Long]).max
+    val expected = batch.filter(_("vb").asInstanceOf[Long] != openVb)
+      .map(m => (m("vb"), m("buy_vol"), m("sell_vol"), m("n_trades"),
+        m("oi"), m("vpin"))).sortBy(_._1.asInstanceOf[Long])
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, event_type STRING, props STRING")
+    def startQuery() = Streams
+      .vpinMonitor(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+
+    // stop with bucket 1 open mid-fill: its partials and the trailing
+    // oi window live only in the state store across the restart
+    rows.take(5).toDF("event_id", "ts_us", "event_type", "props")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    rows.drop(5).toDF("event_id", "ts_us", "event_type", "props")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("vb"), r.getAs[Long]("buy_vol"),
+        r.getAs[Long]("sell_vol"), r.getAs[Long]("n_trades"),
+        r.getAs[Long]("oi"), r.getAs[Double]("vpin")))
+      .sortBy(_._1)
+    assert(streamed.toSeq == expected,
+      s"restart lost the volume clock:\n${streamed.mkString("\n")}\nvs\n${expected.mkString("\n")}")
+    // the bucket closed AFTER the restart must carry volume accumulated
+    // BEFORE it (trades 4-5 opened bucket 1 pre-stop; 6 filled it post)
+    assert(expected.exists(_._1 == 1L), "fixture must close bucket 1 post-restart")
+  }
+
   test("heavy-hitter alert chain: stream equals the replayed grid+throttle census, throttle suppresses re-fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
