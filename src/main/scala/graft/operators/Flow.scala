@@ -365,23 +365,35 @@ object Flow {
     * single-window oracle matches bitwise. The open (last, partial)
     * bucket ships like every bars_* open frame — a live monitor would
     * hold it back until the volume clock fills it. */
+  /** The volume clock itself — each trade with its exact starting
+    * cumulative volume, via the two-level prefix sum. Memoized: the
+    * VPIN point estimate and the bucket-size curve both read it. */
+  private def cumVolDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DfMemo.cached(spark, s"vpin_cum:$dir") {
+      val e = Tables.eventsWithSide(spark, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .withColumn("hr", expr(s"ts_us div $HourUs"))
+        .select($"event_id", $"ts_us", $"hr", $"is_buy", $"k")
+      val wIn = Window.partitionBy($"hr").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBase = Window.orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = e.groupBy($"hr").agg(sum($"k").as("ht"))
+        .withColumn("hbase", coalesce(sum($"ht").over(wBase), lit(0L)))
+        .select($"hr", $"hbase")
+      e.withColumn("cin", coalesce(sum($"k").over(wIn), lit(0L)))
+        .join(broadcast(bases), Seq("hr"))
+        .select($"event_id", $"is_buy", $"k",
+          ($"hbase" + $"cin").as("cum_before"))
+    }
+  }
+
   private[operators] def vpinDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.eventsWithSide(spark, dir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
-      .withColumn("hr", expr(s"ts_us div $HourUs"))
-      .select($"event_id", $"ts_us", $"hr", $"is_buy", $"k")
-    val wIn = Window.partitionBy($"hr").orderBy($"ts_us", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wBase = Window.orderBy($"hr")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = e.groupBy($"hr").agg(sum($"k").as("ht"))
-      .withColumn("hbase", coalesce(sum($"ht").over(wBase), lit(0L)))
-      .select($"hr", $"hbase")
     val wV = Window.orderBy($"vb").rowsBetween(-(VpinWindow - 1), 0)
-    e.withColumn("cin", coalesce(sum($"k").over(wIn), lit(0L)))
-      .join(broadcast(bases), Seq("hr"))
-      .withColumn("vb", expr(s"(hbase + cin) div $VpinBucketVol"))
+    cumVolDf(spark, dir)
+      .withColumn("vb", expr(s"cum_before div $VpinBucketVol"))
       .groupBy($"vb")
       .agg(
         sum(when($"is_buy", $"k").otherwise(0L)).as("buy_vol"),
@@ -419,6 +431,66 @@ object Flow {
        |WINDOW wv AS (ORDER BY vb
        |              ROWS BETWEEN ${VpinWindow - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** The bucket-volume dial (halving/doubling around the shipped
+    * [[VpinBucketVol]]); doubling NESTS the buckets (floor(c/2V)
+    * merges floor(c/V) pairs), which is what makes the curve's
+    * monotonicity provable, not just observed. */
+  val VpinCurveVols: Seq[Long] = Seq(2500L, 5000L, 10000L)
+
+  /** The VPIN dial priced (`flow_vpin_curve`): the whole-history
+    * toxicity census at each bucket volume, every row derived from the
+    * SAME memoized volume-clock frame ([[cumVolDf]]) — one prefix-sum
+    * pass however many dial points. Coarser buckets can only cancel
+    * imbalance (|Σa+Σb| ≤ |Σa|+|Σb| and the doubled buckets nest), so
+    * `total_oi` and `toxicity_bps` are provably non-increasing in
+    * bucket volume — the spec asserts it, and the shipped 5000-point's
+    * census row reconciles with `flow_vpin`'s per-bucket frame. */
+  private[operators] def vpinCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cum = cumVolDf(spark, dir)
+    VpinCurveVols.map { v =>
+      cum.withColumn("vb", expr(s"cum_before div $v"))
+        .groupBy($"vb")
+        .agg(
+          sum(when($"is_buy", $"k").otherwise(0L)).as("buy_vol"),
+          sum(when(!$"is_buy", $"k").otherwise(0L)).as("sell_vol"))
+        .select(abs($"buy_vol" - $"sell_vol").as("oi"))
+        .agg(count(lit(1)).as("n_buckets"), sum($"oi").as("total_oi"),
+          max($"oi").as("max_oi"))
+        .select(lit(v).as("bucket_vol"), $"n_buckets", $"total_oi",
+          $"max_oi")
+    }.reduce(_.unionAll(_))
+      .withColumn("toxicity_bps",
+        expr("(total_oi * 10000) div (n_buckets * bucket_vol)"))
+  }
+
+  private[operators] val vpinCurveSql: String = {
+    val cumCte =
+      s"""e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us,
+         |    json_extract_string(props, '$$.k')::BIGINT AS k,
+         |    ($BuySql) AS is_buy
+         |  FROM events),
+         |c AS (
+         |  SELECT *,
+         |    coalesce(sum(k) OVER (ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM e)""".stripMargin
+    val perV = VpinCurveVols.map { v =>
+      s"""SELECT $v::BIGINT AS bucket_vol, count(*) AS n_buckets,
+         |  sum(oi)::BIGINT AS total_oi, max(oi) AS max_oi
+         |FROM (
+         |  SELECT abs(sum(CASE WHEN is_buy THEN k ELSE 0 END)
+         |            - sum(CASE WHEN is_buy THEN 0 ELSE k END))::BIGINT AS oi
+         |  FROM c GROUP BY cum_before // $v) b$v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cumCte
+       |SELECT bucket_vol, n_buckets, total_oi, max_oi,
+       |  (total_oi * 10000) // (n_buckets * bucket_vol) AS toxicity_bps
+       |FROM ($perV) u""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_range_window" -> (rangeWindowDf(_, _)),
     "flow_delta" -> (deltaDf(_, _)),
@@ -427,7 +499,8 @@ object Flow {
     "flow_lv" -> (lvDf(_, _)),
     "flow_volrate" -> (volRateDf(_, _)),
     "flow_resample" -> (resampleDf(_, _)),
-    "flow_vpin" -> (vpinDf(_, _))
+    "flow_vpin" -> (vpinDf(_, _)),
+    "flow_vpin_curve" -> (vpinCurveDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +511,7 @@ object Flow {
     "flow_volrate" -> volRateSql,
     "flow_resample" -> resampleSql,
     "flow_range_window" -> rangeWindowSql,
-    "flow_vpin" -> vpinSql
+    "flow_vpin" -> vpinSql,
+    "flow_vpin_curve" -> vpinCurveSql
   )
 }

@@ -294,6 +294,26 @@ class FlowBarsSpec extends SparkSpec {
     }
   }
 
+  test("vpin curve: coarser buckets provably cancel imbalance; the shipped point reconciles") {
+    val sf = sfDir()
+    val curve = rowsOf(Flow.queries("flow_vpin_curve")(spark, sf))
+      .sortBy(_("bucket_vol").asInstanceOf[Long])
+    assert(curve.map(_("bucket_vol")) == Flow.VpinCurveVols)
+    // doubling nests buckets, so |imbalance| mass is non-increasing
+    val ois = curve.map(_("total_oi").asInstanceOf[Long])
+    assert(ois == ois.sorted.reverse, s"total_oi not monotone: $ois")
+    val nb = curve.map(_("n_buckets").asInstanceOf[Long])
+    assert(nb == nb.sorted.reverse, "bucket count must shrink with volume")
+    // the shipped 5000-volume row equals the per-bucket frame's census
+    val point = rowsOf(Flow.queries("flow_vpin")(spark, sf))
+    val mid = curve(1)
+    assert(mid("n_buckets") == point.size.toLong)
+    assert(mid("total_oi") ==
+      point.map(_("oi").asInstanceOf[Long]).sum)
+    assert(mid("max_oi") ==
+      point.map(_("oi").asInstanceOf[Long]).max)
+  }
+
   test("vpin: volume buckets and the rolling toxicity match an independent fold") {
     val sf = sfDir()
     val got = rowsOf(Flow.queries("flow_vpin")(spark, sf))
