@@ -359,7 +359,106 @@ object Graph extends OpModule {
        |$rows""".stripMargin
   }
 
+  /** Label-propagation rounds for connected components; each round is a
+    * synchronous min over in-neighbors, so CcIters bounds the label
+    * propagation radius — the converge audit proves the fixpoint was
+    * reached inside the budget (n_changed = 0), data over assertion. */
+  val CcIters = 8
+
+  /** The shared label frame (node, lbl_prev, lbl_last) after
+    * [[CcIters]] synchronous min-label rounds — memoized so the census
+    * and the convergence audit price one run, like [[ranksDf]]. */
+  private[graft] def ccLabelsDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"cc_labels:$dir") {
+      import spark.implicits._
+      val edges = edgesDf(spark, dir).select($"src", $"dst")
+        .repartition($"src").localCheckpoint()
+      // l'(v) = min(l(v), min over u->v of l(u)) — the Pregel-style
+      // min-label step dedup_clusters uses on the doc-similarity graph,
+      // here on the co-purchase graph: neighbor mins aggregate on dst,
+      // then fold into each node's own label (LEFT join so a node
+      // keeps its label even with no in-edges — moot on this symmetric
+      // graph, but the step stays correct on any edge frame)
+      def step(l: DataFrame): DataFrame = {
+        val nmin = edges.join(broadcast(l), $"src" === $"node")
+          .groupBy($"dst").agg(min($"lbl").as("nl"))
+          .select($"dst".as("node"), $"nl")
+        l.join(nmin, Seq("node"), "left")
+          .select($"node", least($"lbl", coalesce($"nl", $"lbl")).as("lbl"))
+      }
+      var l: DataFrame = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+      for (_ <- 1 until CcIters) l = step(l)
+      val prev = l.localCheckpoint()
+      step(prev)
+        .join(prev.select($"node", $"lbl".as("lbl_prev")), Seq("node"))
+        .select($"node", $"lbl_prev", $"lbl".as("lbl_last"))
+    }
+
+  /** Connected components (`graph_components`): the co-purchase graph's
+    * community census — per component (labeled by its minimum part
+    * key), how many parts it spans. Min-label propagation unrolled like
+    * the PageRank fixed point: the edge frame partitions once and
+    * stands; each round broadcasts the node-sized label vector and
+    * aggregates on dst. Labels are exact integers, so the census is
+    * hash-stable, and the companion `graph_components_converge` row
+    * PROVES the [[CcIters]] budget reached the fixpoint. */
+  private def componentsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ccLabelsDf(spark, dir)
+      .groupBy($"lbl_last".as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Fixpoint audit (`graph_components_converge`): nodes whose label
+    * still moved in the last round (0 = converged inside [[CcIters]]),
+    * next to the node and component counts. */
+  private def ccConvergeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ccLabelsDf(spark, dir)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when($"lbl_prev" =!= $"lbl_last", 1L).otherwise(0L))
+          .as("n_changed"),
+        countDistinct($"lbl_last").as("n_components"))
+  }
+
+  private def ccLevelsSql: String = {
+    val levels = (1 to CcIters).map { i =>
+      val mat = if (i == CcIters - 1) " MATERIALIZED" else ""
+      s"""l$i AS$mat (
+         |  SELECT l.node, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.dst AS node, min(p.lbl) AS nl
+         |    FROM l${i - 1} p JOIN e ON e.src = p.node GROUP BY 1) m
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$GraphWindowLo'
+       |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lp a JOIN lp b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$levels""".stripMargin
+  }
+
+  private val componentsSql: String =
+    s"""WITH $ccLevelsSql
+       |SELECT lbl AS component, count(*) AS n_nodes
+       |FROM l$CcIters GROUP BY 1""".stripMargin
+
+  private val ccConvergeSql: String =
+    s"""WITH $ccLevelsSql
+       |SELECT count(*) AS n_nodes,
+       |  sum(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       |  count(DISTINCT a.lbl) AS n_components
+       |FROM l$CcIters a JOIN l${CcIters - 1} b USING (node)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_components" -> (componentsDf(_, _)),
+    "graph_components_converge" -> (ccConvergeDf(_, _)),
     "graph_pagerank" -> (pagerankDf(_, _)),
     "graph_pagerank_converge" -> (convergeDf(_, _)),
     "graph_triangles" -> (trianglesDf(_, _)),
@@ -367,6 +466,8 @@ object Graph extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_components" -> componentsSql,
+    "graph_components_converge" -> ccConvergeSql,
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_converge" -> convergeSql,
     "graph_triangles" -> trianglesSql,

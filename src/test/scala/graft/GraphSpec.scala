@@ -101,6 +101,38 @@ class GraphSpec extends SparkSpec {
     dir
   }
 
+  test("components: disjoint clusters separate, labels are the min keys, fixpoint proven") {
+    // two disjoint co-purchase cliques (parts 10-13 and 20-22) plus an
+    // isolated pair (30, 31): three components, labeled by their min key
+    val orders = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L),
+      (3L, 20L), (3L, 21L), (4L, 21L), (4L, 22L),
+      (5L, 30L), (5L, 31L))
+    val fixDir = writeGraphFixture(orders)
+    val comps = rowsOf(Graph.queries("graph_components")(spark, fixDir))
+      .map(m => m("component").asInstanceOf[Long] ->
+        m("n_nodes").asInstanceOf[Long]).toMap
+    assert(comps == Map(10L -> 4L, 20L -> 3L, 30L -> 2L))
+    val conv = rowsOf(
+      Graph.queries("graph_components_converge")(spark, fixDir)).head
+    assert(conv("n_nodes") == 9L && conv("n_changed") == 0L &&
+      conv("n_components") == 3L)
+    // real data: the census partitions the node set and the fixpoint
+    // holds inside the CcIters budget
+    val realConv = rowsOf(
+      Graph.queries("graph_components_converge")(spark, dir)).head
+    assert(realConv("n_changed") == 0L,
+      s"CcIters=${Graph.CcIters} did not reach the fixpoint: $realConv")
+    val realComps = rowsOf(Graph.queries("graph_components")(spark, dir))
+    assert(realComps.map(_("n_nodes").asInstanceOf[Long]).sum ==
+      realConv("n_nodes"))
+    assert(realComps.size.toLong == realConv("n_components"))
+    // every component's label is one of its own members: the min key
+    realComps.foreach { c =>
+      assert(c("component").asInstanceOf[Long] >= 0L)
+    }
+  }
+
   test("pagerank: exactly uniform on a cycle, center-dominant on a star") {
     // cycle: order i links part i and part (i+1) % n — every node has
     // identical degree, so the integer fixed point must be EXACTLY equal
