@@ -491,7 +491,177 @@ object Flow {
        |FROM ($perV) u""".stripMargin
   }
 
+  /** Kyle's lambda (`flow_kyle_lambda`, Kyle 1985) — the price-impact
+    * slope a flow engine exists to estimate: per 10-minute bucket, the
+    * signed volume q = buy − sell (the `k` sizes, like VPIN) and the
+    * price move Δp = close − open in exact cents (the OHLC arg-min/max
+    * tie-break), then λ = cov(q, Δp)/var(q) with the regression R² —
+    * both from ONE aggregation of exact integer sufficient statistics
+    * (n, Σq, Σd, Σq², Σd², Σqd), the `events_cuped` determinism
+    * pattern: every double derives from the same exact longs with one
+    * textual op sequence, so the slope is engine-stable despite the
+    * cancellation inside the moments. Plan: one hash aggregation into
+    * buckets (map-side combined), then a 1-row frame. λ > 0 on real
+    * flow (buying pressure moves price up); the spec recomputes the
+    * moments independently and checks the sign story on the fixture. */
+  private[operators] def kyleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables.eventsWithSide(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy(expr(s"ts_us div $DeltaBucketUs").as("bucket"))
+      .agg(
+        (sum(when($"is_buy", $"k").otherwise(0L)) -
+          sum(when(!$"is_buy", $"k").otherwise(0L))).as("q"),
+        (max_by($"cents", $"event_id") - min_by($"cents", $"event_id"))
+          .as("d"))
+    b.agg(count(lit(1)).as("n"), sum($"q").as("sq"), sum($"d").as("sd"),
+        sum($"q" * $"q").as("sqq"), sum($"d" * $"d").as("sdd"),
+        sum($"q" * $"d").as("sqd"))
+      .withColumn("covn2",
+        $"n".cast("double") * $"sqd" - $"sq".cast("double") * $"sd")
+      .withColumn("varqn2",
+        $"n".cast("double") * $"sqq" - $"sq".cast("double") * $"sq")
+      .withColumn("vardn2",
+        $"n".cast("double") * $"sdd" - $"sd".cast("double") * $"sd")
+      .select($"n".as("n_buckets"),
+        ($"covn2" / $"varqn2").as("lambda_cents_per_k"),
+        when($"vardn2" > 0,
+          $"covn2" * $"covn2" / ($"varqn2" * $"vardn2")).as("r2"))
+  }
+
+  private[operators] val kyleSql: String =
+    s"""WITH b AS (
+       |  SELECT epoch_us(ts) // $DeltaBucketUs AS bucket,
+       |    (sum(CASE WHEN $BuySql
+       |              THEN json_extract_string(props, '$$.k')::BIGINT
+       |              ELSE 0 END)
+       |     - sum(CASE WHEN $BuySql THEN 0
+       |               ELSE json_extract_string(props, '$$.k')::BIGINT
+       |               END))::BIGINT AS q,
+       |    (arg_max(round(value * 100)::BIGINT, event_id)
+       |     - arg_min(round(value * 100)::BIGINT, event_id))::BIGINT AS d
+       |  FROM events GROUP BY 1),
+       |s AS (
+       |  SELECT count(*) AS n, sum(q)::BIGINT AS sq, sum(d)::BIGINT AS sd,
+       |    sum(q * q)::BIGINT AS sqq, sum(d * d)::BIGINT AS sdd,
+       |    sum(q * d)::BIGINT AS sqd
+       |  FROM b),
+       |c AS (
+       |  SELECT n,
+       |    n::DOUBLE * sqd - sq::DOUBLE * sd AS covn2,
+       |    n::DOUBLE * sqq - sq::DOUBLE * sq AS varqn2,
+       |    n::DOUBLE * sdd - sd::DOUBLE * sd AS vardn2
+       |  FROM s)
+       |SELECT n AS n_buckets, covn2 / varqn2 AS lambda_cents_per_k,
+       |  CASE WHEN vardn2 > 0
+       |       THEN covn2 * covn2 / (varqn2 * vardn2) END AS r2
+       |FROM c""".stripMargin
+
+  /** Roll implied spread (`flow_roll_spread`, Roll 1984) — the classic
+    * effective-spread estimator s = 2·√(−cov(Δp_t, Δp_{t−1})): bid-ask
+    * bounce makes successive trade-price changes negatively serially
+    * correlated, and the covariance magnitude recovers the half-spread.
+    * Δp pairs form INSIDE each 10-minute bucket (a partitioned window —
+    * never the single-partition all-ticks sort), ordered by
+    * (ts_us, event_id) on both engines so the lag is deterministic; the
+    * serial covariance then pools across buckets from exact integer
+    * sufficient statistics (n, Σx, Σy, Σxy over cents longs), and the
+    * one double expression `2·√(−covn2)/n` is textually identical in the
+    * oracle, so the estimate is bit-stable. cov ≥ 0 (trending fixture)
+    * reports NULL, the estimator's documented undefined case. */
+  private[operators] def rollDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bucket").orderBy($"ts_us", $"event_id")
+    val d = Tables.events(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("bucket", expr(s"ts_us div $DeltaBucketUs"))
+      .select($"bucket", $"ts_us", $"event_id", $"cents")
+      .withColumn("dp", $"cents" - lag($"cents", 1).over(w))
+    val p = d.withColumn("dp1", lag($"dp", 1).over(w))
+      .where($"dp".isNotNull && $"dp1".isNotNull)
+    p.agg(count(lit(1)).as("n"), sum($"dp").as("sx"), sum($"dp1").as("sy"),
+        sum($"dp" * $"dp1").as("sxy"))
+      .withColumn("covn2",
+        $"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+      .select($"n".as("n_pairs"),
+        when($"covn2" < 0, lit(2.0) * sqrt(-$"covn2") / $"n")
+          .as("roll_spread_cents"))
+  }
+
+  private[operators] val rollSql: String =
+    s"""WITH t AS (
+       |  SELECT epoch_us(ts) // $DeltaBucketUs AS bucket,
+       |    epoch_us(ts) AS ts_us, event_id,
+       |    round(value * 100)::BIGINT AS cents
+       |  FROM events),
+       |d AS (
+       |  SELECT bucket, ts_us, event_id, cents - lag(cents)
+       |    OVER (PARTITION BY bucket ORDER BY ts_us, event_id) AS dp
+       |  FROM t),
+       |p AS (
+       |  SELECT dp, lag(dp)
+       |    OVER (PARTITION BY bucket ORDER BY ts_us, event_id) AS dp1
+       |  FROM d),
+       |s AS (
+       |  SELECT count(*) AS n, sum(dp)::BIGINT AS sx, sum(dp1)::BIGINT AS sy,
+       |    sum(dp * dp1)::BIGINT AS sxy
+       |  FROM p WHERE dp IS NOT NULL AND dp1 IS NOT NULL),
+       |c AS (
+       |  SELECT n, n::DOUBLE * sxy - sx::DOUBLE * sy AS covn2 FROM s)
+       |SELECT n AS n_pairs,
+       |  CASE WHEN covn2 < 0 THEN 2.0 * sqrt(-covn2) / n END
+       |    AS roll_spread_cents
+       |FROM c""".stripMargin
+
+  /** Amihud illiquidity (`flow_amihud`, Amihud 2002) — |price move| per
+    * unit traded volume, the workhorse low-frequency liquidity proxy:
+    * per 10-minute bucket, the absolute open→close move in cents (the
+    * same event_id arg-min/max convention as Kyle's λ) over the bucket's
+    * summed `k` volume, floored to integer basis points so no
+    * engine-private double ever forms per bucket; the board-level mean
+    * is then one exact BIGINT sum with a single final division. Plan:
+    * one map-side-combined hash aggregation into buckets, then a 1-row
+    * reduce — no window, no sort. */
+  private[operators] def amihudDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy(expr(s"ts_us div $DeltaBucketUs").as("bucket"))
+      .agg(abs(max_by($"cents", $"event_id") - min_by($"cents", $"event_id"))
+          .as("dabs"),
+        sum($"k").as("vol"))
+      .where($"vol" > 0)
+      .withColumn("illiq_bps", expr("(dabs * 10000) div vol"))
+    b.agg(count(lit(1)).as("n_buckets"), sum($"illiq_bps").as("sum_bps"),
+        max($"illiq_bps").as("max_bps"))
+      .withColumn("amihud_bps",
+        $"sum_bps".cast("double") / $"n_buckets".cast("double"))
+  }
+
+  private[operators] val amihudSql: String =
+    s"""WITH b AS (
+       |  SELECT epoch_us(ts) // $DeltaBucketUs AS bucket,
+       |    abs(arg_max(round(value * 100)::BIGINT, event_id)
+       |      - arg_min(round(value * 100)::BIGINT, event_id))::BIGINT AS dabs,
+       |    sum(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS vol
+       |  FROM events GROUP BY 1),
+       |i AS (
+       |  SELECT ((dabs * 10000) // vol)::BIGINT AS illiq_bps
+       |  FROM b WHERE vol > 0),
+       |s AS (
+       |  SELECT count(*) AS n_buckets, sum(illiq_bps)::BIGINT AS sum_bps,
+       |    max(illiq_bps) AS max_bps
+       |  FROM i)
+       |SELECT n_buckets, sum_bps, max_bps,
+       |  sum_bps::DOUBLE / n_buckets::DOUBLE AS amihud_bps
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_kyle_lambda" -> (kyleDf(_, _)),
+    "flow_roll_spread" -> (rollDf(_, _)),
+    "flow_amihud" -> (amihudDf(_, _)),
     "flow_range_window" -> (rangeWindowDf(_, _)),
     "flow_delta" -> (deltaDf(_, _)),
     "flow_zscore" -> (zscoreDf(_, _)),
@@ -512,6 +682,9 @@ object Flow {
     "flow_resample" -> resampleSql,
     "flow_range_window" -> rangeWindowSql,
     "flow_vpin" -> vpinSql,
-    "flow_vpin_curve" -> vpinCurveSql
+    "flow_vpin_curve" -> vpinCurveSql,
+    "flow_kyle_lambda" -> kyleSql,
+    "flow_roll_spread" -> rollSql,
+    "flow_amihud" -> amihudSql
   )
 }

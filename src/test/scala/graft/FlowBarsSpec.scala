@@ -294,6 +294,92 @@ class FlowBarsSpec extends SparkSpec {
     }
   }
 
+  test("kyle lambda: slope and R2 match an independent moment recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = sfDir()
+    val m = rowsOf(Flow.queries("flow_kyle_lambda")(spark, sf)).head
+    // independent fold over the same per-bucket (q, d) frame
+    val buckets = rowsOf(graft.sources.Tables.eventsWithSide(spark, sf)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy(expr(s"ts_us div ${Flow.DeltaBucketUs}").as("bucket"))
+      .agg((sum(when($"is_buy", $"k").otherwise(0L)) -
+        sum(when(!$"is_buy", $"k").otherwise(0L))).as("q"),
+        (max_by($"cents", $"event_id") - min_by($"cents", $"event_id"))
+          .as("d")))
+      .map(r => (r("q").asInstanceOf[Long], r("d").asInstanceOf[Long]))
+    val n = buckets.size.toLong
+    val sq = buckets.map(_._1).sum; val sd = buckets.map(_._2).sum
+    val sqq = buckets.map(t => t._1 * t._1).sum
+    val sdd = buckets.map(t => t._2 * t._2).sum
+    val sqd = buckets.map(t => t._1 * t._2).sum
+    val covn2 = n.toDouble * sqd - sq.toDouble * sd
+    val varqn2 = n.toDouble * sqq - sq.toDouble * sq
+    val vardn2 = n.toDouble * sdd - sd.toDouble * sd
+    assert(m("n_buckets") == n)
+    assert(m("lambda_cents_per_k") == covn2 / varqn2)
+    if (m("r2") != null) {
+      val r2 = m("r2").asInstanceOf[Double]
+      assert(r2 == covn2 * covn2 / (varqn2 * vardn2))
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("roll spread: serial covariance matches an independent per-bucket lag walk") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = sfDir()
+    val m = rowsOf(Flow.queries("flow_roll_spread")(spark, sf)).head
+    // independent walk: per bucket, sort ticks, form (dp, lagged dp) pairs
+    val ticks = rowsOf(graft.sources.Tables.events(spark, sf)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .select(expr(s"ts_us div ${Flow.DeltaBucketUs}").as("bucket"),
+        $"ts_us", $"event_id", $"cents"))
+      .map(r => (r("bucket").asInstanceOf[Long], r("ts_us").asInstanceOf[Long],
+        r("event_id").asInstanceOf[Long], r("cents").asInstanceOf[Long]))
+    val pairs = ticks.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val dps = rows.sortBy(t => (t._2, t._3)).map(_._4)
+        .sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      dps.sliding(2).collect { case Seq(prev, cur) => (cur, prev) }.toSeq
+    }
+    val n = pairs.size.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(t => t._1 * t._2).sum
+    val covn2 = n.toDouble * sxy - sx.toDouble * sy
+    assert(m("n_pairs") == n)
+    if (covn2 < 0)
+      assert(m("roll_spread_cents") == 2.0 * math.sqrt(-covn2) / n)
+    else assert(m("roll_spread_cents") == null)
+  }
+
+  test("amihud: floored per-bucket bps and the exact-sum mean match a recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = sfDir()
+    val m = rowsOf(Flow.queries("flow_amihud")(spark, sf)).head
+    val buckets = rowsOf(graft.sources.Tables.events(spark, sf)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy(expr(s"ts_us div ${Flow.DeltaBucketUs}").as("bucket"))
+      .agg(abs(max_by($"cents", $"event_id") - min_by($"cents", $"event_id"))
+          .as("dabs"),
+        sum($"k").as("vol")))
+      .filter(r => r("vol").asInstanceOf[Long] > 0)
+      .map { r =>
+        val dabs = r("dabs").asInstanceOf[Long]
+        val vol = r("vol").asInstanceOf[Long]
+        Math.floorDiv(dabs * 10000L, vol)
+      }
+    val n = buckets.size.toLong
+    assert(m("n_buckets") == n)
+    assert(m("sum_bps") == buckets.sum)
+    assert(m("max_bps") == buckets.max)
+    assert(m("amihud_bps") == buckets.sum.toDouble / n.toDouble)
+    // liquidity proxy sanity: non-negative, mean bounded by max
+    assert(buckets.forall(_ >= 0L))
+  }
+
   test("vpin curve: coarser buckets provably cancel imbalance; the shipped point reconciles") {
     val sf = sfDir()
     val curve = rowsOf(Flow.queries("flow_vpin_curve")(spark, sf))
