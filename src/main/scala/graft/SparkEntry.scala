@@ -19,7 +19,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Flow.queries("flow_zscore")(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[OpModule] = Seq(Bars, LongMemory, Book, Relational, TextAnalysis, Dedup, Similarity, Scores, Stateful, Scalars, Multimodal, Trend, Ingest, Keyed, Pipeline, MultiSym, Bpe, Opq, Phash, Sq8, Layout, Audit, Graph)
+  private val modules: Seq[OpModule] = Seq(Bars, LongMemory, Book, Relational, TextAnalysis, Dedup, Similarity, Scores, Stateful, Scalars, Multimodal, Trend, Ingest, Keyed, Pipeline, MultiSym, Bpe, Opq, Phash, Sq8, Layout, Audit, Graph, Regress)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

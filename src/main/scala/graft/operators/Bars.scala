@@ -546,6 +546,81 @@ object Bars extends OpModule {
        |WINDOW w3 AS (ORDER BY bucket
        |              ROWS BETWEEN ${StochD - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Number of hourly bars per UTC day, the range-vol grouping key. */
+  private val BarsPerDay: Long = DayUs / HourUs
+
+  // Double literals written out so both engines use the identical
+  // constant (ln() of a literal would differ at the ulp across libm):
+  // 4*ln(2) and 2*ln(2)-1.
+  private val FourLn2 = "2.772588722239781"
+  private val TwoLn2M1 = "0.3862943611198906"
+
+  // Final-stage formulas shared verbatim between the Spark selectExpr and
+  // the DuckDB oracle, so every double op after the exact integer sums
+  // has the same textual (hence IEEE) sequence on both engines.
+  private val rangeVolFinal: Seq[String] = Seq(
+    "day",
+    "n_bars",
+    s"sqrt(greatest(cast(pk_sum as double) / n_bars / 1e6 / $FourLn2, 0.0)) as vol_parkinson",
+    "sqrt(greatest(cast(gk_sum as double) / n_bars / 1e6, 0.0)) as vol_gk",
+    "sqrt(greatest(cast(rs_sum as double) / n_bars / 1e6, 0.0)) as vol_rs")
+
+  /** Range-based volatility estimator triple (`bars_range_vol`): per-UTC-day
+    * Parkinson, Garman–Klass and Rogers–Satchell estimates over the hourly
+    * OHLC bars (the classical OHLC counterparts of the reference's
+    * close-to-close realized vol, data_manager.py:747-772 — range
+    * estimators are 5-8x more efficient per bar, Parkinson 1980 / Garman &
+    * Klass 1980 / Rogers & Satchell 1991).
+    *
+    * Scale shape: one hash aggregation events→bars (map-side combined),
+    * then a second tiny aggregation bars→days; nothing is windowed and no
+    * global sort exists, so the plan is two shuffles over ever-shrinking
+    * frames at any SF. Determinism is the exact-integer canon: each
+    * per-bar log term is floored to 1e-6 units (ln() ulps across engines
+    * live inside the flooring, the TF-IDF precedent), per-day sums are
+    * order-independent BIGINT adds, and the final sqrt/divisions run the
+    * shared textual op sequence on identical operands. GK terms can be
+    * negative per bar (and pathologically per day), hence the
+    * `greatest(_, 0)` guard on both sides. */
+  private[operators] def rangeVolDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lhl = log($"high" / $"low")
+    val lco = log($"close" / $"open")
+    ohlcDf(spark, dir)
+      // log-range terms are undefined on non-positive prices; low > 0
+      // bounds every OHLC field away from zero (low <= open,close <= high)
+      .filter($"low" > 0.0)
+      .select(
+        expr(s"bucket div $BarsPerDay").as("day"),
+        floor(lhl * lhl * lit(1e6)).cast("long").as("pk_i"),
+        floor((lit(0.5) * (lhl * lhl) - expr(TwoLn2M1) * (lco * lco)) * lit(1e6))
+          .cast("long").as("gk_i"),
+        floor((log($"high" / $"close") * log($"high" / $"open") +
+          log($"low" / $"close") * log($"low" / $"open")) * lit(1e6))
+          .cast("long").as("rs_i"))
+      .groupBy($"day")
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum($"pk_i").as("pk_sum"),
+        sum($"gk_i").as("gk_sum"),
+        sum($"rs_i").as("rs_sum"))
+      .selectExpr(rangeVolFinal: _*)
+  }
+
+  private[operators] val rangeVolSql: String =
+    s"""WITH ohlc AS ($ohlcSql),
+       |t AS (SELECT bucket // $BarsPerDay AS day,
+       |  floor(ln(high / low) * ln(high / low) * 1e6)::BIGINT AS pk_i,
+       |  floor((0.5 * (ln(high / low) * ln(high / low)) -
+       |         $TwoLn2M1 * (ln(close / open) * ln(close / open))) * 1e6)::BIGINT AS gk_i,
+       |  floor((ln(high / close) * ln(high / open) +
+       |         ln(low / close) * ln(low / open)) * 1e6)::BIGINT AS rs_i
+       |  FROM ohlc WHERE low > 0),
+       |d AS (SELECT day, count(*) AS n_bars, sum(pk_i)::BIGINT AS pk_sum,
+       |        sum(gk_i)::BIGINT AS gk_sum, sum(rs_i)::BIGINT AS rs_sum
+       |      FROM t GROUP BY 1)
+       |SELECT ${rangeVolFinal.mkString(", ")} FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bars_ohlc" -> (barsDf(_, _)),
     "bars_vwap" -> (vwapDf(_, _)),
@@ -557,7 +632,8 @@ object Bars extends OpModule {
     "bars_rsi" -> (rsiDf(_, _)),
     "bars_macd" -> (macdDf(_, _)),
     "bars_bollinger" -> (bollDf(_, _)),
-    "bars_stochastic" -> (stochDf(_, _))
+    "bars_stochastic" -> (stochDf(_, _)),
+    "bars_range_vol" -> (rangeVolDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,6 +647,7 @@ object Bars extends OpModule {
     "bars_rsi" -> rsiSql,
     "bars_macd" -> macdSql,
     "bars_bollinger" -> bollSql,
-    "bars_stochastic" -> stochSql
+    "bars_stochastic" -> stochSql,
+    "bars_range_vol" -> rangeVolSql
   )
 }

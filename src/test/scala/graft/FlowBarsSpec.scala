@@ -437,4 +437,34 @@ class FlowBarsSpec extends SparkSpec {
       assert(vpin >= 0.0 && vpin <= 1.0 + 100.0 / Flow.VpinBucketVol)
     }
   }
+
+  test("range vol: Parkinson/GK from the floored log terms, RS zero when high=close") {
+    // fixture bars: (o=10,h=30,l=10,c=30) and (o=5,h=15,l=5,c=15) — both
+    // have h/l = c/o = 3 and h = c, l = o, so every log term is ln(3)-
+    // derived and the Rogers–Satchell terms vanish exactly:
+    // ln(h/c)*ln(h/o) + ln(l/c)*ln(l/o) = 0*ln3 + ln(1/3)*0 = 0.
+    val rs = rowsOf(Bars.queries("bars_range_vol")(spark, dir))
+    assert(rs.size == 1, "both bars fall in one UTC day")
+    val m = rs.head
+    assert(m("day") == h0 / 24)
+    assert(m("n_bars") == 2L)
+    val ln3 = math.log(3.0)
+    val pkI = math.floor(ln3 * ln3 * 1e6).toLong // identical per bar
+    val expPk = math.sqrt(pkI * 2 / 2L.toDouble / 1e6 / 2.772588722239781)
+    assert(m("vol_parkinson") == expPk)
+    val gkI = math.floor((0.5 * (ln3 * ln3) - 0.3862943611198906 * (ln3 * ln3)) * 1e6).toLong
+    val expGk = math.sqrt(gkI * 2 / 2L.toDouble / 1e6)
+    assert(m("vol_gk") == expGk)
+    assert(m("vol_rs") == 0.0)
+    // Parkinson caps GK here (GK subtracts the close-open term)
+    assert(expPk > expGk && expGk > 0.0)
+    // corpus sanity: every day non-negative on all three estimators
+    val sf = rowsOf(Bars.queries("bars_range_vol")(spark, sfDir()))
+    assert(sf.nonEmpty)
+    sf.foreach { d =>
+      assert(d("vol_parkinson").asInstanceOf[Double] >= 0.0)
+      assert(d("vol_gk").asInstanceOf[Double] >= 0.0)
+      assert(d("vol_rs").asInstanceOf[Double] >= 0.0)
+    }
+  }
 }
