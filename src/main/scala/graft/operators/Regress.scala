@@ -75,10 +75,9 @@ object Regress extends OpModule {
     "case when det <> 0.0 and cyy > 0.0 then 1.0 - (cyy - beta_qty * cqy - beta_disc * cdy) / cyy end as r2",
     "case when det <> 0.0 then sqrt(greatest(cyy - beta_qty * cqy - beta_disc * cdy, 0.0) / n) end as rmse")
 
-  /** `ml_ols`: per-returnflag OLS of extendedprice on (quantity, discount)
-    * via normal equations — one aggregation over lineitem, then a
-    * constant-size per-group solve. */
-  private[operators] def olsDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared sufficient-statistics frame: one aggregation over lineitem,
+    * then the natural-unit and centered-moment projections. */
+  private def statsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .select(
@@ -100,12 +99,61 @@ object Regress extends OpModule {
         sum(($"y_i" * $"y_i").cast("decimal(38,0)")).as("syy_w"))
       .selectExpr(olsMoments: _*)
       .selectExpr(olsCentered: _*)
-      .selectExpr(olsBetas: _*)
-      .selectExpr(olsFinal: _*)
   }
 
-  private[operators] val olsSql: String =
-    s"""WITH r AS (SELECT l_returnflag,
+  /** `ml_ols`: per-returnflag OLS of extendedprice on (quantity, discount)
+    * via normal equations — one aggregation over lineitem, then a
+    * constant-size per-group Cramer solve. */
+  private[operators] def olsDf(spark: SparkSession, dir: String): DataFrame =
+    statsDf(spark, dir)
+      .selectExpr(olsBetas: _*)
+      .selectExpr(olsFinal: _*)
+
+  // Ridge stages: penalty lambda = frac * trace(C), so the dial is
+  // scale-free (the same fracs mean the same shrinkage at any SF);
+  // the intercept is unpenalized, the standard formulation.
+  private val ridgeAug: Seq[String] = Seq(
+    "l_returnflag", "frac", "n", "sq", "sd", "sy", "cqd", "cqy", "cdy", "cyy",
+    "cqq", "cdd",
+    "cqq + frac * (cqq + cdd) as aqq",
+    "cdd + frac * (cqq + cdd) as adr")
+
+  private val ridgeBetas: Seq[String] = Seq(
+    "l_returnflag", "frac", "n", "sq", "sd", "sy", "cqd", "cqy", "cdy", "cyy",
+    "cqq", "cdd",
+    "aqq * adr - cqd * cqd as det",
+    "case when aqq * adr - cqd * cqd <> 0.0 then (cqy * adr - cdy * cqd) / (aqq * adr - cqd * cqd) end as beta_qty",
+    "case when aqq * adr - cqd * cqd <> 0.0 then (cdy * aqq - cqy * cqd) / (aqq * adr - cqd * cqd) end as beta_disc")
+
+  // Ridge betas are not the least-squares optimum, so in-sample error
+  // needs the full quadratic form, not the shortcut cyy - b.c.
+  private val ridgeFinal: Seq[String] = Seq(
+    "l_returnflag",
+    "frac",
+    "case when det <> 0.0 then (sy - beta_qty * sq - beta_disc * sd) / n end as intercept",
+    "beta_qty",
+    "beta_disc",
+    "case when det <> 0.0 then sqrt(beta_qty * beta_qty + beta_disc * beta_disc) end as beta_norm",
+    "case when det <> 0.0 and cyy > 0.0 then 1.0 - (cyy - 2.0 * (beta_qty * cqy + beta_disc * cdy) + beta_qty * beta_qty * cqq + 2.0 * beta_qty * beta_disc * cqd + beta_disc * beta_disc * cdd) / cyy end as r2")
+
+  /** `ml_ridge_curve`: the regularization dial priced off ONE sufficient-
+    * statistics pass — the 4-point lambda grid (0, 1%, 10%, 100% of
+    * trace(C)) fans out AFTER the aggregation, so pricing the dial costs
+    * a 12-row projection, not four scans. beta_norm is provably
+    * non-increasing in frac (spec-asserted); frac = 0 reproduces `ml_ols`
+    * exactly. */
+  private[operators] def ridgeCurveDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    statsDf(spark, dir)
+      .withColumn("frac",
+        explode(array(lit(0.0), lit(0.01), lit(0.1), lit(1.0))))
+      .selectExpr(ridgeAug: _*)
+      .selectExpr(ridgeBetas: _*)
+      .selectExpr(ridgeFinal: _*)
+  }
+
+  private val statsSql: String =
+    s"""r AS (SELECT l_returnflag,
        |    round(l_quantity)::BIGINT AS q_i,
        |    round(l_discount * 100)::BIGINT AS d_i,
        |    round(l_extendedprice * 100)::BIGINT AS y_i
@@ -119,15 +167,166 @@ object Regress extends OpModule {
        |    sum(y_i::HUGEINT * y_i::HUGEINT) AS syy_w
        |  FROM r GROUP BY 1),
        |m AS (SELECT ${olsMoments.mkString(", ")} FROM a),
-       |c AS (SELECT ${olsCentered.mkString(", ")} FROM m),
+       |c AS (SELECT ${olsCentered.mkString(", ")} FROM m)""".stripMargin
+
+  private[operators] val ridgeCurveSql: String =
+    s"""WITH $statsSql,
+       |g AS (SELECT c.*, f.frac FROM c
+       |      CROSS JOIN (VALUES (0.0), (0.01), (0.1), (1.0)) AS f(frac)),
+       |ra AS (SELECT ${ridgeAug.mkString(", ")} FROM g),
+       |rb AS (SELECT ${ridgeBetas.mkString(", ")} FROM ra)
+       |SELECT ${ridgeFinal.mkString(", ")} FROM rb""".stripMargin
+
+  private[operators] val olsSql: String =
+    s"""WITH $statsSql,
        |b AS (SELECT ${olsBetas.mkString(", ")} FROM c)
        |SELECT ${olsFinal.mkString(", ")} FROM b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ml_logreg: distributed logistic regression by Newton/IRLS steps.
+  // ---------------------------------------------------------------------
+
+  /** Newton iterations; logistic Newton converges quadratically, and the
+    * audit columns prove 4 is past the flooring noise floor. */
+  val LogregIters = 4
+
+  // Per-row feature projection: exact integers cast to identical doubles
+  // on both engines (the label is 1.0 for returned lines).
+  private val lrBase: Seq[String] = Seq(
+    "case when l_returnflag = 'R' then 1.0 else 0.0 end as y",
+    "cast(round(l_quantity) as double) as q",
+    "cast(round(l_discount * 100) as double) / 100.0 as d")
+
+  // p under the entering weights, clamped away from 0/1 so the log-loss
+  // term is always finite. One shared textual op sequence.
+  private val lrP: Seq[String] = Seq("y", "q", "d", "b0", "bq", "bd",
+    "greatest(least(1.0 / (1.0 + exp(-(b0 + bq * q + bd * d))), 1.0 - 1e-12), 1e-12) as p")
+
+  // Every per-row contribution floors to 1e-6 integer units BEFORE the
+  // sums, so exp()/ln() ulp differences across engines never reach the
+  // order-independent BIGINT aggregation (the TF-IDF canon, applied to
+  // training): gradient g = sum (y-p)x, Hessian H = sum p(1-p) xx^T,
+  // plus the entering-weights log-loss.
+  private val lrTerms: Seq[String] = Seq("b0", "bq", "bd",
+    "cast(floor((y - p) * 1e6) as bigint) as t_g0",
+    "cast(floor((y - p) * q * 1e6) as bigint) as t_g1",
+    "cast(floor((y - p) * d * 1e6) as bigint) as t_g2",
+    "cast(floor(p * (1.0 - p) * 1e6) as bigint) as t_ha",
+    "cast(floor(p * (1.0 - p) * q * 1e6) as bigint) as t_hb",
+    "cast(floor(p * (1.0 - p) * d * 1e6) as bigint) as t_hc",
+    "cast(floor(p * (1.0 - p) * q * q * 1e6) as bigint) as t_hd",
+    "cast(floor(p * (1.0 - p) * q * d * 1e6) as bigint) as t_he",
+    "cast(floor(p * (1.0 - p) * d * d * 1e6) as bigint) as t_hf",
+    "cast(floor(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6) as bigint) as t_ll")
+
+  private val lrNaturals: Seq[String] = Seq("b0", "bq", "bd", "n",
+    "cast(sg0 as double) / 1e6 as g0",
+    "cast(sg1 as double) / 1e6 as g1",
+    "cast(sg2 as double) / 1e6 as g2",
+    "cast(sha as double) / 1e6 as ha",
+    "cast(shb as double) / 1e6 as hb",
+    "cast(shc as double) / 1e6 as hc",
+    "cast(shd as double) / 1e6 as hd",
+    "cast(she as double) / 1e6 as he",
+    "cast(shf as double) / 1e6 as hf",
+    "cast(sll as double) / 1e6 / n as logloss")
+
+  // Cramer's rule on the symmetric 3x3 Hessian [ha hb hc; hb hd he; hc he hf].
+  private val lrSolve: Seq[String] = Seq("b0", "bq", "bd", "n", "logloss",
+    "ha * (hd * hf - he * he) - hb * (hb * hf - he * hc) + hc * (hb * he - hd * hc) as det",
+    "g0 * (hd * hf - he * he) - hb * (g1 * hf - he * g2) + hc * (g1 * he - hd * g2) as det0",
+    "ha * (g1 * hf - he * g2) - g0 * (hb * hf - he * hc) + hc * (hb * g2 - g1 * hc) as det1",
+    "ha * (hd * g2 - he * g1) - hb * (hb * g2 - g1 * hc) + g0 * (hb * he - hd * hc) as det2")
+
+  private val lrStep: Seq[String] = Seq("n", "logloss",
+    "case when det <> 0.0 then b0 + det0 / det end as b0",
+    "case when det <> 0.0 then bq + det1 / det end as bq",
+    "case when det <> 0.0 then bd + det2 / det end as bd",
+    "case when det <> 0.0 then sqrt((det0 / det) * (det0 / det) + (det1 / det) * (det1 / det) + (det2 / det) * (det2 / det)) end as delta_norm")
+
+  private val lrOut: Seq[String] = Seq("iter",
+    "b0 as intercept", "bq as beta_qty", "bd as beta_disc",
+    "delta_norm", "logloss")
+
+  /** `ml_logreg`: logistic regression of is-returned on (quantity,
+    * discount), trained ON the cluster by `LogregIters` unrolled Newton
+    * steps — per step ONE map-side-combined aggregation of 10 floored
+    * integer sufficient statistics, the 3x3 Cramer solve in the
+    * projection, and the 1-row weights frame localCheckpointed so step
+    * k+1's scan is the only rescan (the pagerank unroll lesson inverted:
+    * here each level costs a full fact scan, so caching the O(1) state
+    * beats one giant plan). Output is the per-iteration audit — weights,
+    * Newton-delta norm and ENTERING-weights log-loss — so convergence is
+    * measured, not asserted: logloss(iter 1) = floor(ln 2 * 1e6)/1e6
+    * exactly (all-zero weights give p = 0.5), and the spec requires the
+    * loss strictly decreasing and the delta norm collapsing. Oracle
+    * replays every level as chained CTEs over a MATERIALIZED base. */
+  private[operators] def logregDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialize the projected training frame ONCE (3 doubles/row) so
+    // each Newton step scans memory, not parquet — the standard "cache
+    // the design matrix before IRLS" move, and at cluster scale the same
+    // call is a .persist over executors
+    val base = Tables.lineitem(spark, dir).selectExpr(lrBase: _*)
+      .localCheckpoint()
+    val w0 = spark.range(1).selectExpr(
+      "0.0 as b0", "0.0 as bq", "0.0 as bd")
+    val steps = (1 to LogregIters).scanLeft(w0) { (w, _) =>
+      base.crossJoin(broadcast(w.select("b0", "bq", "bd")))
+        .selectExpr(lrP: _*)
+        .selectExpr(lrTerms: _*)
+        .groupBy($"b0", $"bq", $"bd")
+        .agg(count(lit(1)).as("n"),
+          sum($"t_g0").as("sg0"), sum($"t_g1").as("sg1"),
+          sum($"t_g2").as("sg2"), sum($"t_ha").as("sha"),
+          sum($"t_hb").as("shb"), sum($"t_hc").as("shc"),
+          sum($"t_hd").as("shd"), sum($"t_he").as("she"),
+          sum($"t_hf").as("shf"), sum($"t_ll").as("sll"))
+        .selectExpr(lrNaturals: _*)
+        .selectExpr(lrSolve: _*)
+        .selectExpr(lrStep: _*)
+        .localCheckpoint()
+    }.drop(1)
+    steps.zipWithIndex
+      .map { case (s, i) =>
+        s.selectExpr((s"${i + 1} as iter" +: lrOut.tail): _*)
+      }
+      .reduce(_ union _)
+  }
+
+  private[operators] val logregSql: String = {
+    val levels = (1 to LogregIters).map { k =>
+      s"""p$k AS (SELECT ${lrP.mkString(", ")} FROM base, w${k - 1}),
+         |t$k AS (SELECT ${lrTerms.mkString(", ")} FROM p$k),
+         |a$k AS (SELECT b0, bq, bd, count(*) AS n,
+         |  sum(t_g0)::BIGINT AS sg0, sum(t_g1)::BIGINT AS sg1,
+         |  sum(t_g2)::BIGINT AS sg2, sum(t_ha)::BIGINT AS sha,
+         |  sum(t_hb)::BIGINT AS shb, sum(t_hc)::BIGINT AS shc,
+         |  sum(t_hd)::BIGINT AS shd, sum(t_he)::BIGINT AS she,
+         |  sum(t_hf)::BIGINT AS shf, sum(t_ll)::BIGINT AS sll
+         |  FROM t$k GROUP BY 1, 2, 3),
+         |n$k AS (SELECT ${lrNaturals.mkString(", ")} FROM a$k),
+         |s$k AS (SELECT ${lrSolve.mkString(", ")} FROM n$k),
+         |w$k AS (SELECT ${lrStep.mkString(", ")} FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to LogregIters)
+      .map(k => s"SELECT ${(s"$k as iter" +: lrOut.tail).mkString(", ")} FROM w$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS MATERIALIZED (SELECT ${lrBase.mkString(", ")} FROM lineitem),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS bq, 0.0 AS bd),
+       |$levels
+       |$union""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ml_ols" -> (olsDf(_, _))
+    "ml_ols" -> (olsDf(_, _)),
+    "ml_ridge_curve" -> (ridgeCurveDf(_, _)),
+    "ml_logreg" -> (logregDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
-    "ml_ols" -> olsSql
+    "ml_ols" -> olsSql,
+    "ml_ridge_curve" -> ridgeCurveSql,
+    "ml_logreg" -> logregSql
   )
 }

@@ -42,6 +42,64 @@ class RegressSpec extends SparkSpec {
     assert(r("intercept") == null && r("r2") == null && r("rmse") == null)
   }
 
+  test("ridge curve: frac=0 reproduces OLS; shrinkage and fit monotone in frac") {
+    val ols = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
+      .map(r => r("l_returnflag") -> r).toMap
+    val curve = rowsOf(Regress.queries("ml_ridge_curve")(spark, sfDir()))
+    assert(curve.size == 12) // 3 returnflags x 4 fracs
+    curve.groupBy(_("l_returnflag")).foreach { case (flag, rows) =>
+      val byFrac = rows.sortBy(_("frac").asInstanceOf[Double])
+      // unpenalized point is the OLS solution bit-for-bit
+      assert(byFrac.head("beta_qty") == ols(flag)("beta_qty"))
+      assert(byFrac.head("beta_disc") == ols(flag)("beta_disc"))
+      // ||beta|| non-increasing, in-sample r2 non-increasing as the
+      // penalty grows
+      val norms = byFrac.map(_("beta_norm").asInstanceOf[Double])
+      val r2s = byFrac.map(_("r2").asInstanceOf[Double])
+      norms.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-12) }
+      r2s.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-12) }
+    }
+  }
+
+  test("logreg: first-step loss is exactly ln 2, loss descends, Newton deltas collapse") {
+    val rs = rowsOf(Regress.queries("ml_logreg")(spark, sfDir()))
+      .sortBy(_("iter").asInstanceOf[Int])
+    assert(rs.size == Regress.LogregIters)
+    // at w0 = 0 every p is exactly 0.5, so every row's floored loss term
+    // is floor(ln(2) * 1e6) = 693147 and the mean is exact
+    assert(rs.head("logloss") == 0.693147)
+    // entering-weights loss improves every Newton step until the
+    // flooring noise floor (~1e-8 jitter once converged)
+    rs.map(_("logloss").asInstanceOf[Double]).sliding(2).foreach {
+      case Seq(a, b) => assert(b < a + 1e-6)
+    }
+    assert(rs.last("logloss").asInstanceOf[Double] < 0.693147 - 0.01)
+    // quadratic convergence: the last delta is far below the first
+    val deltas = rs.map(_("delta_norm").asInstanceOf[Double])
+    assert(deltas.last < deltas.head / 10.0)
+    rs.foreach { r =>
+      assert(r("intercept") != null && r("beta_qty") != null && r("beta_disc") != null)
+    }
+  }
+
+  test("logreg: recovers the sign structure of a planted separable-ish fixture") {
+    // high quantity -> returned, low -> kept (with two flipped rows so
+    // the logit stays finite); discount alternates without label signal
+    // (a CONSTANT discount would make the Hessian singular)
+    val rows = (1 to 40).map { i =>
+      val q = i.toDouble
+      val ret = (q > 20) ^ (i == 1 || i == 40) // flip the extremes
+      (if (ret) "R" else "N", q, if (i % 2 == 0) 0.02 else 0.06, 10.0)
+    }
+    val dir = writeLineitem(rows)
+    val rs = rowsOf(Regress.queries("ml_logreg")(spark, dir))
+      .sortBy(_("iter").asInstanceOf[Int])
+    val last = rs.last
+    // quantity must carry strong positive weight; loss well below ln 2
+    assert(last("beta_qty").asInstanceOf[Double] > 0.0)
+    assert(last("logloss").asInstanceOf[Double] < 0.5)
+  }
+
   test("corpus fit: one row per returnflag, solvable system, r2 in [0, 1]") {
     val rs = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
     assert(rs.size == 3)
