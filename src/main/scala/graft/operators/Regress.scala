@@ -318,15 +318,151 @@ object Regress extends OpModule {
        |$union""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ml_kfold: K models from ONE scan via complement sufficient statistics.
+  // ---------------------------------------------------------------------
+
+  /** Cross-validation folds (assignment: l_orderkey % K, so a whole
+    * order moves together — the group-aware-split rule). */
+  val KFolds = 5
+
+  // Complement (train) integer sums: total-over-all-folds minus this
+  // fold's own, via a window over the K-row frame — the subtraction is
+  // exact integer algebra, so "train on K-1 folds" never rescans facts.
+  private val kfComplement: Seq[String] =
+    Seq("fold", "n", "sq_i", "sd_i", "sy_i", "sqq_i", "sqd_i", "sdd_i",
+      "sqy_i", "sdy_i", "syy_w") ++
+      Seq("n", "sq_i", "sd_i", "sy_i", "sqq_i", "sqd_i", "sdd_i",
+        "sqy_i", "sdy_i", "syy_w")
+        .map(c => s"sum($c) over () - $c as t_$c")
+
+  // Natural-unit doubles for BOTH sides of the split: t* = train
+  // (complement) moments feeding the solver, e* = the held fold's own
+  // moments feeding the evaluation quadratic.
+  private val kfMoments: Seq[String] = Seq(
+    "fold",
+    "cast(t_n as bigint) as trn",
+    "cast(t_sq_i as double) as tsq",
+    "cast(t_sd_i as double) / 100.0 as tsd",
+    "cast(t_sy_i as double) / 100.0 as tsy",
+    "cast(t_sqq_i as double) as tsqq",
+    "cast(t_sqd_i as double) / 100.0 as tsqd",
+    "cast(t_sdd_i as double) / 10000.0 as tsdd",
+    "cast(t_sqy_i as double) / 100.0 as tsqy",
+    "cast(t_sdy_i as double) / 10000.0 as tsdy",
+    "n as en",
+    "cast(sq_i as double) as esq",
+    "cast(sd_i as double) / 100.0 as esd",
+    "cast(sy_i as double) / 100.0 as esy",
+    "cast(sqq_i as double) as esqq",
+    "cast(sqd_i as double) / 100.0 as esqd",
+    "cast(sdd_i as double) / 10000.0 as esdd",
+    "cast(sqy_i as double) / 100.0 as esqy",
+    "cast(sdy_i as double) / 10000.0 as esdy",
+    "cast(syy_w as double) / 10000.0 as esyy")
+
+  private val kfCarry =
+    Seq("fold", "trn", "tsq", "tsd", "tsy", "en", "esq", "esd", "esy",
+      "esqq", "esqd", "esdd", "esqy", "esdy", "esyy")
+
+  private val kfCentered: Seq[String] = kfCarry ++ Seq(
+    "tsqq - tsq * tsq / trn as cqq",
+    "tsqd - tsq * tsd / trn as cqd",
+    "tsdd - tsd * tsd / trn as cdd",
+    "tsqy - tsq * tsy / trn as cqy",
+    "tsdy - tsd * tsy / trn as cdy")
+
+  private val kfBetas: Seq[String] = kfCarry ++ Seq(
+    "case when cqq * cdd - cqd * cqd <> 0.0 then (cqy * cdd - cdy * cqd) / (cqq * cdd - cqd * cqd) end as b1",
+    "case when cqq * cdd - cqd * cqd <> 0.0 then (cdy * cqq - cqy * cqd) / (cqq * cdd - cqd * cqd) end as b2")
+
+  private val kfIntercept: Seq[String] = kfCarry ++ Seq("b1", "b2",
+    "(tsy - b1 * tsq - b2 * tsd) / trn as b0")
+
+  // Held-fold SSE expanded in the fold's OWN sufficient statistics —
+  // evaluation is a projection, never a second pass over the rows.
+  private val kfSse: Seq[String] = Seq("fold", "trn", "en", "b0", "b1", "b2", "esy", "esyy",
+    "esyy + b0 * b0 * en + b1 * b1 * esqq + b2 * b2 * esdd - 2.0 * b0 * esy - 2.0 * b1 * esqy - 2.0 * b2 * esdy + 2.0 * b0 * b1 * esq + 2.0 * b0 * b2 * esd + 2.0 * b1 * b2 * esqd as sse")
+
+  private val kfFinal: Seq[String] = Seq(
+    "fold",
+    "trn as n_train",
+    "en as n_test",
+    "b0 as intercept",
+    "b1 as beta_qty",
+    "b2 as beta_disc",
+    "sqrt(greatest(sse, 0.0) / en) as rmse_test",
+    "case when esyy - esy * esy / en > 0.0 then 1.0 - sse / (esyy - esy * esy / en) end as r2_test")
+
+  /** `ml_kfold`: K-fold cross-validation of the OLS fit where ALL K
+    * models and ALL K held-fold evaluations come from ONE aggregation
+    * pass — per-fold sufficient statistics, complement subtraction for
+    * each training set, Cramer solve per fold, and the held-fold SSE
+    * expanded in the fold's own moments. The classical "K scans for K
+    * folds" becomes one scan plus a K-row window; at 100 TB that is the
+    * difference between cross-validating and not. */
+  private[operators] def kfoldDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(
+        (col("l_orderkey") % KFolds).as("fold"),
+        round($"l_quantity").cast("long").as("q_i"),
+        round($"l_discount" * 100).cast("long").as("d_i"),
+        round($"l_extendedprice" * 100).cast("long").as("y_i"))
+      .groupBy($"fold")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"q_i").as("sq_i"),
+        sum($"d_i").as("sd_i"),
+        sum($"y_i").as("sy_i"),
+        sum($"q_i" * $"q_i").as("sqq_i"),
+        sum($"q_i" * $"d_i").as("sqd_i"),
+        sum($"d_i" * $"d_i").as("sdd_i"),
+        sum($"q_i" * $"y_i").as("sqy_i"),
+        sum($"d_i" * $"y_i").as("sdy_i"),
+        sum(($"y_i" * $"y_i").cast("decimal(38,0)")).as("syy_w"))
+      .selectExpr(kfComplement: _*)
+      .selectExpr(kfMoments: _*)
+      .selectExpr(kfCentered: _*)
+      .selectExpr(kfBetas: _*)
+      .selectExpr(kfIntercept: _*)
+      .selectExpr(kfSse: _*)
+      .selectExpr(kfFinal: _*)
+  }
+
+  private[operators] val kfoldSql: String =
+    s"""WITH r AS (SELECT l_orderkey % $KFolds AS fold,
+       |    round(l_quantity)::BIGINT AS q_i,
+       |    round(l_discount * 100)::BIGINT AS d_i,
+       |    round(l_extendedprice * 100)::BIGINT AS y_i
+       |  FROM lineitem),
+       |a AS (SELECT fold, count(*) AS n,
+       |    sum(q_i)::BIGINT AS sq_i, sum(d_i)::BIGINT AS sd_i,
+       |    sum(y_i)::BIGINT AS sy_i,
+       |    sum(q_i * q_i)::BIGINT AS sqq_i, sum(q_i * d_i)::BIGINT AS sqd_i,
+       |    sum(d_i * d_i)::BIGINT AS sdd_i, sum(q_i * y_i)::BIGINT AS sqy_i,
+       |    sum(d_i * y_i)::BIGINT AS sdy_i,
+       |    sum(y_i::HUGEINT * y_i::HUGEINT) AS syy_w
+       |  FROM r GROUP BY 1),
+       |tc AS (SELECT ${kfComplement.mkString(", ")} FROM a),
+       |m AS (SELECT ${kfMoments.mkString(", ")} FROM tc),
+       |c AS (SELECT ${kfCentered.mkString(", ")} FROM m),
+       |b AS (SELECT ${kfBetas.mkString(", ")} FROM c),
+       |i AS (SELECT ${kfIntercept.mkString(", ")} FROM b),
+       |s AS (SELECT ${kfSse.mkString(", ")} FROM i)
+       |SELECT ${kfFinal.mkString(", ")} FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ols" -> (olsDf(_, _)),
     "ml_ridge_curve" -> (ridgeCurveDf(_, _)),
-    "ml_logreg" -> (logregDf(_, _))
+    "ml_logreg" -> (logregDf(_, _)),
+    "ml_kfold" -> (kfoldDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     "ml_ols" -> olsSql,
     "ml_ridge_curve" -> ridgeCurveSql,
-    "ml_logreg" -> logregSql
+    "ml_logreg" -> logregSql,
+    "ml_kfold" -> kfoldSql
   )
 }

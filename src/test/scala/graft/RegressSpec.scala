@@ -9,11 +9,14 @@ import graft.operators.Regress
   */
 class RegressSpec extends SparkSpec {
 
-  /** lineitem fixture with just the columns the trainer reads. */
+  /** lineitem fixture with just the columns the trainers read; orderkey
+    * is the row index so the kfold assignment is hand-computable. */
   private def writeLineitem(rows: Seq[(String, Double, Double, Double)]): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fix").toString
-    rows.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    rows.zipWithIndex
+      .map { case ((f, q, d, y), i) => (i.toLong, f, q, d, y) }
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
@@ -98,6 +101,41 @@ class RegressSpec extends SparkSpec {
     // quantity must carry strong positive weight; loss well below ln 2
     assert(last("beta_qty").asInstanceOf[Double] > 0.0)
     assert(last("logloss").asInstanceOf[Double] < 0.5)
+  }
+
+  test("kfold: exactly linear data generalizes perfectly on every held fold") {
+    // 20 rows over 5 folds; every 4-fold complement stays non-collinear
+    val pts = (0 until 20).map { i =>
+      val q = (i % 7 + 1).toDouble
+      val d = (i % 4).toDouble / 50.0 // 0.00, 0.02, 0.04, 0.06
+      ("A", q, d, 100.0 + 2.0 * q - 50.0 * d)
+    }
+    val dir = writeLineitem(pts)
+    val rs = rowsOf(Regress.queries("ml_kfold")(spark, dir))
+    assert(rs.size == Regress.KFolds)
+    assert(rs.map(_("fold")).toSet.size == Regress.KFolds)
+    rs.foreach { r =>
+      assert(r("n_train") == 16L && r("n_test") == 4L)
+      assert(math.abs(r("beta_qty").asInstanceOf[Double] - 2.0) < 1e-9)
+      assert(math.abs(r("beta_disc").asInstanceOf[Double] + 50.0) < 1e-9)
+      assert(r("rmse_test").asInstanceOf[Double] < 1e-6)
+    }
+  }
+
+  test("kfold: corpus folds partition the table; held-out r2 tracks in-sample") {
+    val rs = rowsOf(Regress.queries("ml_kfold")(spark, sfDir()))
+    assert(rs.size == Regress.KFolds)
+    val total = rs.map(r => r("n_test").asInstanceOf[Long]).sum
+    val whole = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
+      .map(_("n").asInstanceOf[Long]).sum
+    assert(total == whole, "folds must partition the rows exactly")
+    rs.foreach { r =>
+      assert(r("rmse_test").asInstanceOf[Double] > 0.0)
+      // held-out r2 of a stable linear fit can dip below 0 only on
+      // pathological splits; bound it loosely and cap at 1
+      val r2 = r("r2_test").asInstanceOf[Double]
+      assert(r2 > -1.0 && r2 <= 1.0)
+    }
   }
 
   test("corpus fit: one row per returnflag, solvable system, r2 in [0, 1]") {
