@@ -2144,8 +2144,139 @@ object Similarity extends OpModule {
        |$rows""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ann_mmr_topk: maximal marginal relevance diversified retrieval.
+  // ---------------------------------------------------------------------
+
+  /** Candidate pool per query for the MMR re-rank. */
+  val MmrPoolM = 20
+
+  // MMR trade-off (Carbonell & Goldstein 1998): written as the two
+  // literals so both engines run the identical doubles.
+  private val MmrL = "0.7"
+  private val MmrOneMinusL = "0.3"
+
+  /** `ann_mmr_topk`: diversified top-[[TopK]] by maximal marginal
+    * relevance — candidates are the plain cosine top-[[MmrPoolM]] per
+    * panel query (ONE corpus scan, the knn plan), and the greedy
+    * re-rank `argmax λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)` then runs
+    * entirely on metadata-sized frames: the pool (panel×M rows) and its
+    * within-pool pairwise sims (panel×M² rows) are localCheckpointed,
+    * and each of the TopK−1 greedy steps is an anti-join + max-sim
+    * aggregation + rank-1 pick over those. At 100 TB the corpus cost is
+    * unchanged from `knn_brute`; diversification is free by comparison.
+    * The first pick carries mmr = NULL (no diversity term exists yet);
+    * ties break on nid like every other rank in the family. The oracle
+    * replays each greedy level as a chained CTE with NOT EXISTS
+    * screening out already-picked candidates. */
+  private def mmrTopkDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(isQueryCol($"vec_id"))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val pairs = broadcast(q)
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
+        $"nid" =!= $"qid")
+      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    // rank over SLIM (qid, nid, cos) rows — carrying the 64-float arrays
+    // through the per-query sort pays for rows that are about to be cut;
+    // the M survivors re-join their arrays afterwards
+    // panel×M rows: single-partition from here on, so the greedy loop's
+    // joins/windows schedule one task per stage instead of 32
+    val pool = pairs.select($"qid", $"nid", $"cos")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= MmrPoolM)
+      .coalesce(1)
+      .localCheckpoint()
+    val poolE = pool
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), Seq("nid"))
+    val sims = poolE.select($"qid", $"nid".as("a"), $"ne".as("ea"))
+      .join(poolE.select($"qid", $"nid".as("b"), $"ne".as("eb")), Seq("qid"))
+      .filter($"a" =!= $"b")
+      .withColumn("sim", dot($"ea", $"eb") / (norm($"ea") * norm($"eb")))
+      .select("qid", "a", "b", "sim")
+      .coalesce(1)
+      .localCheckpoint()
+    var out = pool.filter($"rk" === 1)
+      .select($"qid", $"nid", $"cos", lit(1).as("step"),
+        lit(null).cast("double").as("mmr"))
+      .localCheckpoint()
+    for (k <- 2 to TopK) {
+      val selB = out.select($"qid", $"nid".as("b"))
+      val rem = pool.select($"qid", $"nid", $"cos")
+        .join(out.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      val pick = rem.select($"qid", $"nid".as("a"), $"cos")
+        .join(selB, Seq("qid"))
+        .join(sims, Seq("qid", "a", "b"))
+        .groupBy($"qid", $"a", $"cos")
+        .agg(max($"sim").as("maxs"))
+        .selectExpr("qid", "a as nid", "cos",
+          s"$MmrL * cos - $MmrOneMinusL * maxs as mmr")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid")))
+        .filter($"rn" === 1)
+        .select($"qid", $"nid", $"cos", lit(k).as("step"), $"mmr")
+      // checkpoint per step: measured against the unrolled alternative
+      // (no checkpoints, 2^(TopK-1) re-references) — the unrolled plan's
+      // analysis/optimization cost nearly doubles the query, so TopK-1
+      // driver-synchronized tiny jobs win
+      out = out.union(pick).localCheckpoint()
+    }
+    out.select("qid", "step", "nid", "cos", "mmr")
+  }
+
+  private val mmrTopkSql: String = {
+    val levels = (2 to TopK).map { k =>
+      s"""sc$k AS (SELECT p.qid, p.nid, p.cos,
+         |    $MmrL * p.cos - $MmrOneMinusL * max(s.sim) AS mmr
+         |  FROM pool p
+         |  JOIN cum${k - 1} c ON c.qid = p.qid
+         |  JOIN sims s ON s.qid = p.qid AND s.a = p.nid AND s.b = c.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM cum${k - 1} x
+         |                    WHERE x.qid = p.qid AND x.nid = p.nid)
+         |  GROUP BY 1, 2, 3),
+         |pk$k AS (SELECT qid, nid, cos, $k AS step, mmr
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |                  ORDER BY mmr DESC, nid) AS rn FROM sc$k)
+         |  WHERE rn = 1),
+         |cum$k AS (SELECT * FROM cum${k - 1}
+         |  UNION ALL SELECT qid, nid, cos, step, mmr FROM pk$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE ${isQuerySql()}),
+       |n AS (SELECT vec_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS nrm
+       |      FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |d AS (SELECT qid, e.vec_id AS nid, ${dotSql("qe", "e.embedding")} AS dt
+       |      FROM q, embeddings e, range(1, ${Dim + 1}) t(i)
+       |      WHERE e.vec_id <> qid GROUP BY 1, 2),
+       |c AS (SELECT qid, nid, dt / (nq.nrm * nn.nrm) AS cos
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |             JOIN n nn ON nn.vec_id = nid),
+       |pool AS MATERIALIZED (
+       |  SELECT * FROM (SELECT qid, nid, cos, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM c)
+       |  WHERE rk <= $MmrPoolM),
+       |ds AS (SELECT p1.qid, p1.nid AS a, p2.nid AS b,
+       |    sum(e1.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE) AS dt
+       |  FROM pool p1
+       |  JOIN pool p2 ON p1.qid = p2.qid AND p1.nid <> p2.nid
+       |  JOIN embeddings e1 ON e1.vec_id = p1.nid
+       |  JOIN embeddings e2 ON e2.vec_id = p2.nid,
+       |  range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2, 3),
+       |sims AS MATERIALIZED (SELECT qid, a, b, dt / (na.nrm * nb.nrm) AS sim
+       |  FROM ds JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b),
+       |cum1 AS (SELECT qid, nid, cos, 1 AS step, CAST(NULL AS DOUBLE) AS mmr
+       |  FROM pool WHERE rk = 1),
+       |$levels
+       |SELECT qid, step, nid, cos, mmr FROM cum$TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnDf(_, _)),
+    "ann_mmr_topk" -> (mmrTopkDf(_, _)),
     "ann_lsh_sig" -> (lshSigDf(_, _)),
     "ann_lsh_topk" -> (lshTopkDf(_, _)),
     "ann_multi_topk" -> (multiTopkDf(_, _)),
@@ -2182,6 +2313,7 @@ object Similarity extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "knn_brute" -> knnSql,
+    "ann_mmr_topk" -> mmrTopkSql,
     "ann_lsh_sig" -> lshSigSql,
     "ann_lsh_topk" -> lshTopkSql,
     "ann_multi_topk" -> multiTopkSql,

@@ -419,4 +419,38 @@ class SimilaritySpec extends SparkSpec {
     assert(shares == shares.sorted)
     assert(shares.last == 1000L)
   }
+
+  test("mmr prefers a diverse candidate over a redundant higher-cosine one") {
+    // q = e1; A (id 1) cos 0.90; A' (id 2) cos 0.89 but nearly identical
+    // to A (cos ~0.9997); B (id 3) cos 0.80 but diverse (cos(A,B) = 0.72).
+    // Plain top-3 is A, A', B; MMR at lambda 0.7 must pick B second:
+    // score(A') = .7*.89 - .3*.9997 = 0.323 < score(B) = .7*.8 - .3*.72 = 0.344
+    val mdir = writeEmbFixture(Seq(
+      (0L, vec(i => if (i == 0) 1f else 0f), 0),
+      (1L, vec(i => if (i == 0) 0.9f else if (i == 1) 0.43589f else 0f), 0),
+      (2L, vec(i => if (i == 0) 0.89f else if (i == 1) 0.45596f else 0f), 0),
+      (3L, vec(i => if (i == 0) 0.8f else if (i == 2) 0.6f else 0f), 1)))
+    val rows = rowsOf(Similarity.queries("ann_mmr_topk")(spark, mdir))
+      .filter(_("qid") == 0L)
+      .sortBy(_("step").asInstanceOf[Int])
+    assert(rows.map(_("nid")) == Seq(1L, 3L, 2L), "greedy order must be A, B, A'")
+    assert(rows.head("mmr") == null, "first pick has no diversity term")
+    rows.tail.foreach(r => assert(r("mmr") != null))
+  }
+
+  test("mmr on the corpus: first pick is the knn top-1, selections distinct") {
+    val knn = rowsOf(Similarity.queries("knn_brute")(spark, sfDir()))
+    val top1 = knn.groupBy(_("qid").asInstanceOf[Long]).map { case (q, rs) =>
+      val best = rs.maxBy(r =>
+        (r("cos").asInstanceOf[Double], -r("nid").asInstanceOf[Long]))
+      q -> best("nid")
+    }
+    val mmr = rowsOf(Similarity.queries("ann_mmr_topk")(spark, sfDir()))
+    mmr.groupBy(_("qid").asInstanceOf[Long]).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK)
+      assert(rs.map(_("nid")).distinct.size == Similarity.TopK)
+      val first = rs.minBy(r => r("step").asInstanceOf[Int])
+      assert(first("nid") == top1(q))
+    }
+  }
 }
