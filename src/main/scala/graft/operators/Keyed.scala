@@ -842,7 +842,89 @@ object Keyed extends OpModule {
        |    AS reduction_bps
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_survival: Kaplan-Meier user-lifetime curve.
+  // ---------------------------------------------------------------------
+
+  /** Users whose last activity is within this many days of the corpus
+    * end are right-censored (they may still be alive). */
+  val CensorDays = 7
+
+  // The survival product in the exact-integer canon: each timeline term
+  // ln(1 - d/n) floors to 1e-9 units, the running product becomes an
+  // exact ordered integer sum, and the single exp() at the end runs on
+  // identical operands. A term with d = n (everyone left dies) would be
+  // ln(0); it can only be the LAST timeline row (any later row would
+  // have kept its users in this risk set), flagged to an exact 0.
+  private val SurvW =
+    "over (order by duration_days rows between unbounded preceding and current row)"
+
+  private val survivalFinal: Seq[String] = Seq(
+    "duration_days",
+    "n_risk",
+    "deaths",
+    "censored",
+    s"case when max(case when deaths = n_risk then 1 else 0 end) $SurvW = 1 then 0.0 " +
+      s"else exp(cast(sum(ln_i) $SurvW as double) / 1e9) end as survival")
+
+  /** `events_survival`: Kaplan-Meier estimate of user lifetime (days
+    * from first to last observed activity), right-censoring users still
+    * active near the corpus end — the product-analytics twin of
+    * `events_retention` that handles the "still alive" cohort correctly
+    * instead of undercounting it. Plan shape: one shuffle to the
+    * per-user frame, one aggregation to the duration timeline
+    * (calendar-sized), and the KM product as an ordered window over
+    * that tiny frame — nothing user-sized is ever sorted globally. */
+  private def survivalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lives = Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+      .groupBy($"user_id")
+      .agg(min($"day").as("first_day"), max($"day").as("last_day"))
+    // corpus end as a broadcast 1-row frame — never a window that would
+    // drag the whole user frame onto one partition
+    val perUser = lives
+      .crossJoin(broadcast(lives.groupBy().agg(max($"last_day").as("max_day"))))
+      .select(
+        ($"last_day" - $"first_day").as("duration_days"),
+        when($"last_day" < $"max_day" - CensorDays, 1L).otherwise(0L).as("died"))
+    val timeline = perUser
+      .groupBy($"duration_days")
+      .agg(count(lit(1)).as("cnt"), sum($"died").as("deaths"))
+      .withColumn("n_risk",
+        sum($"cnt").over(Window.orderBy($"duration_days")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("censored", $"cnt" - $"deaths")
+      .withColumn("ln_i",
+        when($"deaths" < $"n_risk",
+          floor(log(lit(1.0) - $"deaths" / $"n_risk") * lit(1e9)).cast("long")))
+    timeline.selectExpr(survivalFinal: _*)
+  }
+
+  private val survivalSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, min(epoch_us(ts) // $DayUs) AS first_day,
+       |    max(epoch_us(ts) // $DayUs) AS last_day
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT last_day - first_day AS duration_days,
+       |    CASE WHEN last_day < (max(last_day) OVER ()) - $CensorDays
+       |         THEN 1 ELSE 0 END AS died
+       |  FROM pu),
+       |tl AS (SELECT duration_days, count(*) AS cnt, sum(died)::BIGINT AS deaths
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT duration_days, cnt, deaths,
+       |    (sum(cnt) OVER (ORDER BY duration_days
+       |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS n_risk,
+       |    cnt - deaths AS censored
+       |  FROM tl),
+       |f AS (SELECT *,
+       |    CASE WHEN deaths < n_risk
+       |         THEN floor(ln(1.0 - deaths / n_risk) * 1e9)::BIGINT END AS ln_i
+       |  FROM t)
+       |SELECT ${survivalFinal.mkString(", ")} FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival" -> (survivalDf(_, _)),
     "events_attribution" -> (attributionDf(_, _)),
     "events_ab_test" -> (abTestDf(_, _)),
     "events_cuped" -> (cupedDf(_, _)),
@@ -863,6 +945,7 @@ object Keyed extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_survival" -> survivalSql,
     "events_attribution" -> attributionSql,
     "events_ab_test" -> abTestSql,
     "events_cuped" -> cupedSql,

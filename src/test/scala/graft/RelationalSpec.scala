@@ -233,6 +233,48 @@ class RelationalSpec extends SparkSpec {
       .map(_("n_cohort").asInstanceOf[Long]).sum === users)
   }
 
+  test("kaplan-meier survival matches the hand computation with censoring") {
+    // day d -> hour d*24; one event per (user, active-day endpoint)
+    def ev(id: Long, uid: Long, day: Long) =
+      (id, day * 24L * 3600L * 1000000000L, uid, "view", 1.0)
+    val sdir = writeEventsFixture(Seq(
+      ev(1, 1, 0),               // u1: duration 0, died
+      ev(2, 2, 0), ev(3, 2, 2),  // u2: duration 2, died
+      ev(4, 3, 0), ev(5, 3, 2),  // u3: duration 2, died
+      ev(6, 4, 5), ev(7, 4, 25), // u4: duration 20, censored (25 >= 30-7)
+      ev(8, 5, 0), ev(9, 5, 10), // u5: duration 10, died
+      ev(10, 9, 0), ev(11, 9, 30))) // u9: duration 30, censored anchor
+    val rs = rowsOf(graft.operators.Keyed.queries("events_survival")(spark, sdir))
+      .map(r => r("duration_days").asInstanceOf[Long] -> r).toMap
+    assert(rs.keySet == Set(0L, 2L, 10L, 20L, 30L))
+    assert(rs(0L)("n_risk") == 6L && rs(0L)("deaths") == 1L)
+    assert(rs(2L)("n_risk") == 5L && rs(2L)("deaths") == 2L)
+    assert(rs(10L)("n_risk") == 3L && rs(10L)("deaths") == 1L)
+    assert(rs(20L)("censored") == 1L && rs(20L)("deaths") == 0L)
+    assert(rs(30L)("censored") == 1L)
+    def s(d: Long) = rs(d)("survival").asInstanceOf[Double]
+    assert(math.abs(s(0) - 5.0 / 6.0) < 1e-6)
+    assert(math.abs(s(2) - 0.5) < 1e-6)       // 5/6 * 3/5
+    assert(math.abs(s(10) - 1.0 / 3.0) < 1e-6) // 1/2 * 2/3
+    assert(s(20) == s(10) && s(30) == s(10))   // censoring-only steps are flat
+  }
+
+  test("survival on the corpus is a proper non-increasing curve from n users") {
+    val rs = rowsOf(graft.operators.Keyed.queries("events_survival")(spark, dir))
+      .sortBy(_("duration_days").asInstanceOf[Long])
+    assert(rs.nonEmpty)
+    val users = rowsOf(Tables.events(spark, dir)
+      .select(countDistinct(col("user_id")).as("n"))).head("n")
+    assert(rs.head("n_risk") == users)
+    val sv = rs.map(_("survival").asInstanceOf[Double])
+    sv.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    sv.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-12) }
+    // the risk set shrinks by exactly the timeline's own counts
+    val exits = rs.map(r => r("deaths").asInstanceOf[Long] +
+      r("censored").asInstanceOf[Long])
+    assert(exits.sum == users)
+  }
+
   test("grouping sets carry only the two margins, matching cube's") {
     def keyed(name: String) =
       rowsOf(Relational.queries(name)(spark, dir)).map(r =>
