@@ -923,8 +923,118 @@ object Keyed extends OpModule {
        |  FROM t)
        |SELECT ${survivalFinal.mkString(", ")} FROM f""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_did: difference-in-differences experiment readout.
+  // ---------------------------------------------------------------------
+
+  // All final-stage arithmetic shared textually; every operand is an
+  // exact integer sum (per-user purchase-count diffs), so the estimate,
+  // its standard error and the t statistic are engine-stable.
+  private val didFinal: Seq[String] = Seq(
+    "n_treat", "n_ctrl",
+    "cast(sd1 as double) / n_treat as mean_diff_treat",
+    "cast(sd0 as double) / n_ctrl as mean_diff_ctrl",
+    "cast(sd1 as double) / n_treat - cast(sd0 as double) / n_ctrl as did",
+    "sqrt((cast(sq1 as double) - cast(sd1 as double) * cast(sd1 as double) / n_treat) / n_treat / n_treat + (cast(sq0 as double) - cast(sd0 as double) * cast(sd0 as double) / n_ctrl) / n_ctrl / n_ctrl) as se",
+    "case when (cast(sq1 as double) - cast(sd1 as double) * cast(sd1 as double) / n_treat) / n_treat / n_treat + (cast(sq0 as double) - cast(sd0 as double) * cast(sd0 as double) / n_ctrl) / n_ctrl / n_ctrl > 0.0 then (cast(sd1 as double) / n_treat - cast(sd0 as double) / n_ctrl) / sqrt((cast(sq1 as double) - cast(sd1 as double) * cast(sd1 as double) / n_treat) / n_treat / n_treat + (cast(sq0 as double) - cast(sd0 as double) * cast(sd0 as double) / n_ctrl) / n_ctrl / n_ctrl) end as t_stat")
+
+  /** `events_did`: difference-in-differences on per-user purchase
+    * counts — variants on `user_id % 2` (the `events_ab_test`
+    * assignment), periods split at the corpus midpoint day (broadcast
+    * 1-row frame). The estimator works on per-user (post − pre) diffs,
+    * so user fixed effects cancel exactly; the variance comes from the
+    * integer sufficient statistics (n, Σd, Σd²) per variant. One
+    * shuffle to the (user, period) frame, then user-sized and 2-row
+    * frames only. */
+  private def didDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", expr(s"ts_us div $DayUs").as("day"))
+    val mid = broadcast(days.groupBy()
+      .agg(expr("(min(day) + max(day) + 1) div 2").as("mid_day")))
+    val perUser = days.crossJoin(mid)
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "purchase" && $"day" >= $"mid_day", 1L)
+          .otherwise(0L)).as("post_n"),
+        sum(when($"event_type" === "purchase" && $"day" < $"mid_day", 1L)
+          .otherwise(0L)).as("pre_n"))
+      .select(($"user_id" % 2).as("variant"),
+        ($"post_n" - $"pre_n").as("d"))
+    perUser
+      .groupBy()
+      .agg(
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when($"variant" === 1, $"d").otherwise(0L)).as("sd1"),
+        sum(when($"variant" === 0, $"d").otherwise(0L)).as("sd0"),
+        sum(when($"variant" === 1, $"d" * $"d").otherwise(0L)).as("sq1"),
+        sum(when($"variant" === 0, $"d" * $"d").otherwise(0L)).as("sq0"))
+      .selectExpr(didFinal: _*)
+  }
+
+  private val didSql: String =
+    s"""WITH days AS (
+       |  SELECT user_id, event_type, epoch_us(ts) // $DayUs AS day
+       |  FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid_day FROM days),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' AND day >= mid_day
+       |             THEN 1 ELSE 0 END)::BIGINT AS post_n,
+       |    sum(CASE WHEN event_type = 'purchase' AND day < mid_day
+       |             THEN 1 ELSE 0 END)::BIGINT AS pre_n
+       |  FROM days, mid GROUP BY 1),
+       |d AS (SELECT user_id % 2 AS variant, post_n - pre_n AS d FROM pu),
+       |a AS (SELECT
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+       |    sum(CASE WHEN variant = 1 THEN d ELSE 0 END)::BIGINT AS sd1,
+       |    sum(CASE WHEN variant = 0 THEN d ELSE 0 END)::BIGINT AS sd0,
+       |    sum(CASE WHEN variant = 1 THEN d * d ELSE 0 END)::BIGINT AS sq1,
+       |    sum(CASE WHEN variant = 0 THEN d * d ELSE 0 END)::BIGINT AS sq0
+       |  FROM d)
+       |SELECT ${didFinal.mkString(", ")} FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_streaks: gaps-and-islands longest-run census.
+  // ---------------------------------------------------------------------
+
+  /** `events_streaks`: the max consecutive-active-days streak per user,
+    * published as a census (streak length → user count). Islands via
+    * the classic `day − dense_rank()` constant-per-run key; every
+    * window is partitioned by user, so the plan scales with the user
+    * count, never a global sort. */
+  private def streaksDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+      .withColumn("island", $"day" - dense_rank().over(wu))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("max_streak"))
+      .groupBy($"max_streak")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val streaksSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |i AS (SELECT user_id,
+       |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+       |  FROM d),
+       |runs AS (SELECT user_id, island, count(*) AS len
+       |  FROM i GROUP BY 1, 2),
+       |mx AS (SELECT user_id, max(len) AS max_streak FROM runs GROUP BY 1)
+       |SELECT max_streak, count(*) AS n_users FROM mx GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_survival" -> (survivalDf(_, _)),
+    "events_did" -> (didDf(_, _)),
+    "events_streaks" -> (streaksDf(_, _)),
     "events_attribution" -> (attributionDf(_, _)),
     "events_ab_test" -> (abTestDf(_, _)),
     "events_cuped" -> (cupedDf(_, _)),
@@ -946,6 +1056,8 @@ object Keyed extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "events_survival" -> survivalSql,
+    "events_did" -> didSql,
+    "events_streaks" -> streaksSql,
     "events_attribution" -> attributionSql,
     "events_ab_test" -> abTestSql,
     "events_cuped" -> cupedSql,

@@ -275,6 +275,46 @@ class RelationalSpec extends SparkSpec {
     assert(exits.sum == users)
   }
 
+  test("difference-in-differences matches the hand computation") {
+    def ev(id: Long, uid: Long, day: Long, t: String) =
+      (id, day * 24L * 3600L * 1000000000L, uid, t, 1.0)
+    // mid = (0+9+1)/2 = 5; odd users treat, even control
+    val fixture =
+      Seq((1L, Seq(0L), Seq(5L, 6L, 7L, 8L)),   // treat: d = 3
+        (3L, Seq(0L, 1L), Seq(5L, 6L, 7L)),      // treat: d = 1
+        (2L, Seq(1L), Seq(6L, 7L)),              // ctrl:  d = 1
+        (4L, Seq(0L, 2L), Seq(5L, 8L)))          // ctrl:  d = 0
+    var id = 0L
+    val rows = fixture.flatMap { case (u, pre, post) =>
+      (pre ++ post).map { d => id += 1; ev(id, u, d, "purchase") }
+    } :+ ev(999L, 4L, 9L, "view") // stretch the corpus to day 9
+    val ddir = writeEventsFixture(rows)
+    val r = rowsOf(graft.operators.Keyed.queries("events_did")(spark, ddir)).head
+    assert(r("n_treat") == 2L && r("n_ctrl") == 2L)
+    assert(r("mean_diff_treat") == 2.0 && r("mean_diff_ctrl") == 0.5)
+    assert(r("did") == 1.5)
+    val se = r("se").asInstanceOf[Double]
+    assert(math.abs(se - math.sqrt(0.625)) < 1e-12)
+    assert(math.abs(r("t_stat").asInstanceOf[Double] - 1.5 / math.sqrt(0.625)) < 1e-12)
+  }
+
+  test("streak census: gaps-and-islands max runs, users partitioned") {
+    def ev(id: Long, uid: Long, day: Long) =
+      (id, day * 24L * 3600L * 1000000000L, uid, "view", 1.0)
+    val sdir = writeEventsFixture(Seq(
+      ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 2), ev(4, 1, 5), ev(5, 1, 6),
+      ev(6, 2, 0), ev(7, 2, 2), ev(8, 2, 4)))
+    val census = rowsOf(graft.operators.Keyed.queries("events_streaks")(spark, sdir))
+      .map(r => r("max_streak") -> r("n_users")).toMap
+    assert(census == Map(3L -> 1L, 1L -> 1L))
+    // corpus: census covers every user exactly once, streaks positive
+    val rs = rowsOf(graft.operators.Keyed.queries("events_streaks")(spark, dir))
+    val users = rowsOf(Tables.events(spark, dir)
+      .select(countDistinct(col("user_id")).as("n"))).head("n")
+    assert(rs.map(_("n_users").asInstanceOf[Long]).sum == users)
+    rs.foreach(r => assert(r("max_streak").asInstanceOf[Long] >= 1L))
+  }
+
   test("grouping sets carry only the two margins, matching cube's") {
     def keyed(name: String) =
       rowsOf(Relational.queries(name)(spark, dir)).map(r =>
