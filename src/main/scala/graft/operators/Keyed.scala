@@ -1031,10 +1031,78 @@ object Keyed extends OpModule {
        |mx AS (SELECT user_id, max(len) AS max_streak FROM runs GROUP BY 1)
        |SELECT max_streak, count(*) AS n_users FROM mx GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_lorenz: activity-concentration curve + Gini coefficient.
+  // ---------------------------------------------------------------------
+
+  // Trapezoid Gini over the grouped census, entirely in exact integers:
+  // contribution_i = f_i * (2*cumv_i - mass_i) sums to
+  // sum f_i*(cumv_i + cumv_{i-1}); gini = 1 - that / (N*T). The running
+  // products ride decimal/HUGEINT (N*T overflows int64 at ~1e9 users ×
+  // 1e10 events). Shared textually.
+  // (the permille floors use `div`/`//`, the one operator the engines
+  // spell differently, so those stay per-engine; the gini line shares)
+  private val lorenzGini: String =
+    "1.0 - cast(trap as double) / (cast(tot_n as double) * cast(tot_v as double)) as gini"
+
+  /** `events_lorenz`: the Lorenz curve of per-user activity plus the
+    * Gini coefficient — "what share of all events comes from the
+    * busiest users", the concentration diagnostic any consumer product
+    * tracks. The global ranking that makes Gini look sort-shaped
+    * collapses to a census by activity LEVEL (distinct per-user event
+    * counts — a frame bounded by the max count, not the user count), so
+    * the plan is: one shuffle to per-user counts, one aggregation to
+    * the census, ordered windows over that tiny frame. Exact integers
+    * end to end; the trapezoid products accumulate as decimal(38,0) /
+    * HUGEINT. */
+  private def lorenzDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Window.orderBy($"n_events")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .groupBy($"n_events").agg(count(lit(1)).as("n_users"))
+      .withColumn("mass", $"n_events" * $"n_users")
+      .withColumn("cum_n", sum($"n_users").over(wc))
+      .withColumn("cum_v", sum($"mass").over(wc))
+      .withColumn("tot_n", sum($"n_users").over(wAll))
+      .withColumn("tot_v", sum($"mass").over(wAll))
+      .withColumn("contrib",
+        ($"n_users" * (lit(2) * $"cum_v" - $"mass")).cast("decimal(38,0)"))
+      .withColumn("trap", sum($"contrib").over(wAll))
+      .selectExpr("n_events", "n_users",
+        "cum_n * 1000 div tot_n as cum_users_permille",
+        "cum_v * 1000 div tot_v as cum_value_permille",
+        lorenzGini)
+  }
+
+  private val lorenzSql: String =
+    s"""WITH pu AS (SELECT user_id, count(*) AS n_events
+       |  FROM events GROUP BY 1),
+       |cen AS (SELECT n_events, count(*) AS n_users FROM pu GROUP BY 1),
+       |c AS (SELECT n_events, n_users, n_events * n_users AS mass,
+       |    (sum(n_users) OVER wc)::BIGINT AS cum_n,
+       |    (sum(n_events * n_users) OVER wc)::BIGINT AS cum_v,
+       |    (sum(n_users) OVER ())::BIGINT AS tot_n,
+       |    (sum(n_events * n_users) OVER ())::BIGINT AS tot_v
+       |  FROM cen
+       |  WINDOW wc AS (ORDER BY n_events
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (SELECT *,
+       |    sum(n_users::HUGEINT * (2 * cum_v - mass)::HUGEINT) OVER () AS trap
+       |  FROM c)
+       |SELECT n_events, n_users,
+       |  ((cum_n * 1000) // tot_n)::BIGINT AS cum_users_permille,
+       |  ((cum_v * 1000) // tot_v)::BIGINT AS cum_value_permille,
+       |  $lorenzGini
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_survival" -> (survivalDf(_, _)),
     "events_did" -> (didDf(_, _)),
     "events_streaks" -> (streaksDf(_, _)),
+    "events_lorenz" -> (lorenzDf(_, _)),
     "events_attribution" -> (attributionDf(_, _)),
     "events_ab_test" -> (abTestDf(_, _)),
     "events_cuped" -> (cupedDf(_, _)),
@@ -1058,6 +1126,7 @@ object Keyed extends OpModule {
     "events_survival" -> survivalSql,
     "events_did" -> didSql,
     "events_streaks" -> streaksSql,
+    "events_lorenz" -> lorenzSql,
     "events_attribution" -> attributionSql,
     "events_ab_test" -> abTestSql,
     "events_cuped" -> cupedSql,

@@ -315,6 +315,35 @@ class RelationalSpec extends SparkSpec {
     rs.foreach(r => assert(r("max_streak").asInstanceOf[Long] >= 1L))
   }
 
+  test("lorenz curve and gini match the hand computation") {
+    def ev(id: Long, uid: Long) = (id, id * 1000000000L, uid, "view", 1.0)
+    // per-user event counts 1, 1, 2, 4 -> classical Gini = 0.3125
+    val ldir = writeEventsFixture(Seq(
+      ev(1, 1), ev(2, 2), ev(3, 3), ev(4, 3),
+      ev(5, 4), ev(6, 4), ev(7, 4), ev(8, 4)))
+    val rs = rowsOf(graft.operators.Keyed.queries("events_lorenz")(spark, ldir))
+      .sortBy(_("n_events").asInstanceOf[Long])
+    assert(rs.map(r => (r("n_events"), r("n_users"))) ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+    assert(rs.map(_("cum_users_permille")) == Seq(500L, 750L, 1000L))
+    assert(rs.map(_("cum_value_permille")) == Seq(250L, 500L, 1000L))
+    rs.foreach(r => assert(r("gini") == 0.3125))
+
+    // corpus: a proper Lorenz curve — monotone, under the diagonal,
+    // ending at (1000, 1000), with gini in [0, 1)
+    val cs = rowsOf(graft.operators.Keyed.queries("events_lorenz")(spark, dir))
+      .sortBy(_("n_events").asInstanceOf[Long])
+    assert(cs.nonEmpty)
+    assert(cs.last("cum_users_permille") == 1000L)
+    assert(cs.last("cum_value_permille") == 1000L)
+    cs.foreach { r =>
+      assert(r("cum_value_permille").asInstanceOf[Long] <=
+        r("cum_users_permille").asInstanceOf[Long])
+      val g = r("gini").asInstanceOf[Double]
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
   test("grouping sets carry only the two margins, matching cube's") {
     def keyed(name: String) =
       rowsOf(Relational.queries(name)(spark, dir)).map(r =>
