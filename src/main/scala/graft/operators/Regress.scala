@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.OpModule
@@ -262,16 +263,28 @@ object Regress extends OpModule {
     * loss strictly decreasing and the delta norm collapsing. Oracle
     * replays every level as chained CTEs over a MATERIALIZED base. */
   private[operators] def logregDf(spark: SparkSession, dir: String): DataFrame = {
+    val steps = logregChain(lrBaseDf(spark, dir), spark)
+    steps.zipWithIndex
+      .map { case (s, i) =>
+        s.selectExpr((s"${i + 1} as iter" +: lrOut.tail): _*)
+      }
+      .reduce(_ union _)
+  }
+
+  /** The once-materialized design matrix: 3 doubles/row so each Newton
+    * step scans memory, not parquet — the standard "cache the design
+    * matrix before IRLS" move; at cluster scale the same call is a
+    * .persist over executors. */
+  private def lrBaseDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).selectExpr(lrBase: _*).localCheckpoint()
+
+  /** The Newton chain: K checkpointed 1-row step frames (weights +
+    * audit), shared by the trainer output and the evaluator. */
+  private def logregChain(base: DataFrame, spark: SparkSession): Seq[DataFrame] = {
     import spark.implicits._
-    // materialize the projected training frame ONCE (3 doubles/row) so
-    // each Newton step scans memory, not parquet — the standard "cache
-    // the design matrix before IRLS" move, and at cluster scale the same
-    // call is a .persist over executors
-    val base = Tables.lineitem(spark, dir).selectExpr(lrBase: _*)
-      .localCheckpoint()
     val w0 = spark.range(1).selectExpr(
       "0.0 as b0", "0.0 as bq", "0.0 as bd")
-    val steps = (1 to LogregIters).scanLeft(w0) { (w, _) =>
+    (1 to LogregIters).scanLeft(w0) { (w, _) =>
       base.crossJoin(broadcast(w.select("b0", "bq", "bd")))
         .selectExpr(lrP: _*)
         .selectExpr(lrTerms: _*)
@@ -287,14 +300,11 @@ object Regress extends OpModule {
         .selectExpr(lrStep: _*)
         .localCheckpoint()
     }.drop(1)
-    steps.zipWithIndex
-      .map { case (s, i) =>
-        s.selectExpr((s"${i + 1} as iter" +: lrOut.tail): _*)
-      }
-      .reduce(_ union _)
   }
 
-  private[operators] val logregSql: String = {
+  // The full training replay as a CTE prefix (base, w0, all K levels) —
+  // shared by the trainer oracle and the evaluator oracle.
+  private val lrChainSql: String = {
     val levels = (1 to LogregIters).map { k =>
       s"""p$k AS (SELECT ${lrP.mkString(", ")} FROM base, w${k - 1}),
          |t$k AS (SELECT ${lrTerms.mkString(", ")} FROM p$k),
@@ -309,14 +319,81 @@ object Regress extends OpModule {
          |s$k AS (SELECT ${lrSolve.mkString(", ")} FROM n$k),
          |w$k AS (SELECT ${lrStep.mkString(", ")} FROM s$k)""".stripMargin
     }.mkString(",\n")
+    s"""base AS MATERIALIZED (SELECT ${lrBase.mkString(", ")} FROM lineitem),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS bq, 0.0 AS bd),
+       |$levels""".stripMargin
+  }
+
+  private[operators] val logregSql: String = {
     val union = (1 to LogregIters)
       .map(k => s"SELECT ${(s"$k as iter" +: lrOut.tail).mkString(", ")} FROM w$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH base AS MATERIALIZED (SELECT ${lrBase.mkString(", ")} FROM lineitem),
-       |w0 AS (SELECT 0.0 AS b0, 0.0 AS bq, 0.0 AS bd),
-       |$levels
+    s"""WITH $lrChainSql
        |$union""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // ml_logreg_eval: confusion matrix + exact tie-aware AUC.
+  // ---------------------------------------------------------------------
+
+  // Per-(q,d) cell score under the final weights: the identical textual
+  // sequence as training's p, so both engines order cells identically
+  // (w is bit-identical, q/d exact — no ulp lottery in the rank).
+  private val lrCellP: Seq[String] = Seq("q", "d", "n", "pos", "n - pos as neg",
+    "greatest(least(1.0 / (1.0 + exp(-(b0 + bq * q + bd * d))), 1.0 - 1e-12), 1e-12) as p")
+
+  // num2 = Σ pos·(2·cum_neg_below + neg) stays int64 to ~1e9 rows even
+  // in a single cell (2e18 < 2^63); the decimal(38,0) swap is the
+  // documented 100 TB upgrade, mirroring the OLS Σy² moment.
+  private val lrEvalAgg: Seq[String] = Seq(
+    "sum(case when p >= 0.5 then pos else 0 end) as tp",
+    "sum(case when p >= 0.5 then neg else 0 end) as fp",
+    "sum(case when p < 0.5 then pos else 0 end) as fn",
+    "sum(case when p < 0.5 then neg else 0 end) as tn",
+    "sum(pos * (2 * cumneg + neg)) as num2")
+
+  private val lrEvalFinal: Seq[String] = Seq(
+    "cast(tp as bigint) as tp", "cast(fp as bigint) as fp",
+    "cast(fn as bigint) as fn", "cast(tn as bigint) as tn",
+    "cast(tp + tn as double) / (tp + fp + fn + tn) as accuracy",
+    "case when tp + fn > 0 and fp + tn > 0 then cast(num2 as double) / (2.0 * cast(tp + fn as double) * cast(fp + tn as double)) end as auc")
+
+  /** `ml_logreg_eval`: the evaluate step of the logistic lifecycle —
+    * confusion matrix at the 0.5 threshold and the EXACT tie-aware AUC.
+    * The global rank-sum that makes AUC look sort-shaped collapses to a
+    * census over the discrete (quantity, centi-discount) feature cells
+    * (≤ 50×11 rows at any corpus size), so the evaluation is one more
+    * aggregation over the already-materialized design matrix plus
+    * windows over a constant-size frame. Ties (cells mixing labels)
+    * get the standard half credit via pos·(2·cum_neg_below + neg)/2. */
+  private[operators] def logregEvalDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = lrBaseDf(spark, dir)
+    val wFinal = logregChain(base, spark).last.select("b0", "bq", "bd")
+    val cells = base.groupBy($"q", $"d")
+      .agg(count(lit(1)).as("n"), sum($"y".cast("long")).as("pos"))
+      .crossJoin(broadcast(wFinal))
+      .selectExpr(lrCellP: _*)
+    val wOrd = Window.orderBy($"p", $"q", $"d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumneg", coalesce(sum($"neg").over(wOrd), lit(0L)))
+      .groupBy()
+      .agg(expr(lrEvalAgg.head), lrEvalAgg.tail.map(expr): _*)
+      .selectExpr(lrEvalFinal: _*)
+  }
+
+  private[operators] val logregEvalSql: String =
+    s"""WITH $lrChainSql,
+       |cells AS (SELECT q, d, count(*) AS n, sum(y)::BIGINT AS pos
+       |  FROM base GROUP BY 1, 2),
+       |cp AS (SELECT ${lrCellP.mkString(", ")}
+       |  FROM cells, (SELECT b0, bq, bd FROM w$LogregIters) w),
+       |cn AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY p, q, d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg
+       |  FROM cp),
+       |ag AS (SELECT ${lrEvalAgg.mkString(", ")} FROM cn)
+       |SELECT ${lrEvalFinal.mkString(", ")} FROM ag""".stripMargin
 
   // ---------------------------------------------------------------------
   // ml_kfold: K models from ONE scan via complement sufficient statistics.
@@ -456,6 +533,7 @@ object Regress extends OpModule {
     "ml_ols" -> (olsDf(_, _)),
     "ml_ridge_curve" -> (ridgeCurveDf(_, _)),
     "ml_logreg" -> (logregDf(_, _)),
+    "ml_logreg_eval" -> (logregEvalDf(_, _)),
     "ml_kfold" -> (kfoldDf(_, _))
   )
 
@@ -463,6 +541,7 @@ object Regress extends OpModule {
     "ml_ols" -> olsSql,
     "ml_ridge_curve" -> ridgeCurveSql,
     "ml_logreg" -> logregSql,
+    "ml_logreg_eval" -> logregEvalSql,
     "ml_kfold" -> kfoldSql
   )
 }

@@ -138,6 +138,37 @@ class RegressSpec extends SparkSpec {
     }
   }
 
+  test("logreg eval: exact AUC and strong accuracy on the planted fixture") {
+    // same planted data as the sign-structure test: pos = {1, 21..39},
+    // neg = {2..20, 40}. If scores were monotone in q alone the exact
+    // tie-aware AUC would be 19*19/400 = 0.9025; the alternating d
+    // feature's small learned weight may flip a few ADJACENT-q pairs
+    // (each flip moves AUC by 1/400), so the assertion bounds it
+    val rows = (1 to 40).map { i =>
+      val q = i.toDouble
+      val ret = (q > 20) ^ (i == 1 || i == 40)
+      (if (ret) "R" else "N", q, if (i % 2 == 0) 0.02 else 0.06, 10.0)
+    }
+    val dir = writeLineitem(rows)
+    val r = rowsOf(Regress.queries("ml_logreg_eval")(spark, dir)).head
+    val total = Seq("tp", "fp", "fn", "tn").map(r(_).asInstanceOf[Long]).sum
+    assert(total == 40L)
+    val auc = r("auc").asInstanceOf[Double]
+    assert(math.abs(auc - 0.9025) <= 10.0 / 400.0)
+    assert(r("accuracy").asInstanceOf[Double] >= 0.9)
+  }
+
+  test("logreg eval on the corpus: confusion partitions rows, auc defined") {
+    val r = rowsOf(Regress.queries("ml_logreg_eval")(spark, sfDir())).head
+    val total = Seq("tp", "fp", "fn", "tn").map(r(_).asInstanceOf[Long]).sum
+    val n = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
+      .map(_("n").asInstanceOf[Long]).sum
+    assert(total == n)
+    val auc = r("auc").asInstanceOf[Double]
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(r("accuracy").asInstanceOf[Double] >= 0.5)
+  }
+
   test("corpus fit: one row per returnflag, solvable system, r2 in [0, 1]") {
     val rs = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
     assert(rs.size == 3)
