@@ -193,15 +193,19 @@ object Regress extends OpModule {
 
   // Per-row feature projection: exact integers cast to identical doubles
   // on both engines (the label is 1.0 for returned lines).
-  private val lrBase: Seq[String] = Seq(
+  private[graft] val lrBase: Seq[String] = Seq(
     "case when l_returnflag = 'R' then 1.0 else 0.0 end as y",
     "cast(round(l_quantity) as double) as q",
     "cast(round(l_discount * 100) as double) / 100.0 as d")
 
   // p under the entering weights, clamped away from 0/1 so the log-loss
-  // term is always finite. One shared textual op sequence.
-  private val lrP: Seq[String] = Seq("y", "q", "d", "b0", "bq", "bd",
-    "greatest(least(1.0 / (1.0 + exp(-(b0 + bq * q + bd * d))), 1.0 - 1e-12), 1e-12) as p")
+  // term is always finite. ONE textual op sequence, shared by training,
+  // evaluation and the streaming scorer (Streams.modelMonitor) so a
+  // served score can never disagree with the trainer's.
+  private[graft] val lrPExpr: String =
+    "greatest(least(1.0 / (1.0 + exp(-(b0 + bq * q + bd * d))), 1.0 - 1e-12), 1e-12) as p"
+
+  private val lrP: Seq[String] = Seq("y", "q", "d", "b0", "bq", "bd", lrPExpr)
 
   // Every per-row contribution floors to 1e-6 integer units BEFORE the
   // sums, so exp()/ln() ulp differences across engines never reach the
@@ -339,8 +343,8 @@ object Regress extends OpModule {
   // Per-(q,d) cell score under the final weights: the identical textual
   // sequence as training's p, so both engines order cells identically
   // (w is bit-identical, q/d exact — no ulp lottery in the rank).
-  private val lrCellP: Seq[String] = Seq("q", "d", "n", "pos", "n - pos as neg",
-    "greatest(least(1.0 / (1.0 + exp(-(b0 + bq * q + bd * d))), 1.0 - 1e-12), 1e-12) as p")
+  private val lrCellP: Seq[String] =
+    Seq("q", "d", "n", "pos", "n - pos as neg", lrPExpr)
 
   // num2 = Σ pos·(2·cum_neg_below + neg) stays int64 to ~1e9 rows even
   // in a single cell (2e18 < 2^63); the decimal(38,0) swap is the

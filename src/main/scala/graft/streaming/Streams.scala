@@ -1711,4 +1711,38 @@ object Streams {
       .groupBy($"row_id", $"bucket")
       .agg(count(lit(1)).as("cell"))
   }
+
+  /** Streaming model-quality monitor: the serve-side of the
+    * `ml_logreg` lifecycle. Weights train offline (one `ml_logreg`
+    * batch run) and ship as LITERALS into the live scorer — the
+    * fastText-serving pattern (`text_classifier_score`): zero shuffles
+    * to score, and the monitor's only state is the running confusion
+    * census (a global streaming aggregation in Complete mode, five
+    * counters of state total). The score expression is
+    * [[graft.operators.Regress.lrPExpr]] — the IDENTICAL textual op
+    * sequence the trainer and evaluator use — so a served prediction
+    * can never disagree with the batch evaluation on the same row
+    * (spec-proven: random trigger cuts end at `ml_logreg_eval`'s exact
+    * confusion). At 100 TB the same graph monitors live model drift:
+    * the census is per-trigger-incremental and the scorer is
+    * stateless per row. */
+  def modelMonitor(lines: DataFrame, b0: Double, bq: Double, bd: Double): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines
+      .selectExpr(graft.operators.Regress.lrBase: _*)
+      .withColumn("b0", lit(b0))
+      .withColumn("bq", lit(bq))
+      .withColumn("bd", lit(bd))
+      .selectExpr("y", graft.operators.Regress.lrPExpr)
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("case when p >= 0.5 and y = 1.0 then 1 else 0 end")).as("tp"),
+        sum(expr("case when p >= 0.5 and y = 0.0 then 1 else 0 end")).as("fp"),
+        sum(expr("case when p < 0.5 and y = 1.0 then 1 else 0 end")).as("fn"),
+        sum(expr("case when p < 0.5 and y = 0.0 then 1 else 0 end")).as("tn"))
+      .selectExpr("n", "tp", "fp", "fn", "tn",
+        "cast(tp + tn as double) / n as accuracy")
+  }
 }

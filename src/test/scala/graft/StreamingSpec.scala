@@ -1933,4 +1933,42 @@ class StreamingSpec extends SparkSpec {
         s"step $step: streamed $streamed completions vs batch $n")
     }
   }
+
+  test("model monitor: live scoring with batch weights ends at the batch confusion") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train offline on the corpus, collect the final weights as literals
+    val trained = rowsOf(SparkEntry.queries("ml_logreg")(spark, sfDir()))
+      .maxBy(_("iter").asInstanceOf[Int])
+    val (b0, bq, bd) = (trained("intercept").asInstanceOf[Double],
+      trained("beta_qty").asInstanceOf[Double],
+      trained("beta_disc").asInstanceOf[Double])
+    val batchEval = rowsOf(SparkEntry.queries("ml_logreg_eval")(spark, sfDir())).head
+
+    // replay the same rows as a stream in three arbitrary trigger cuts
+    val rows = rowsOf(graft.sources.Tables.lineitem(spark, sfDir())
+      .selectExpr("l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+      .map(r => ScoredLine(r("l_returnflag").asInstanceOf[String],
+        r("l_quantity").asInstanceOf[Double],
+        r("l_discount").asInstanceOf[Double],
+        r("l_extendedprice").asInstanceOf[Double]))
+    val input = MemoryStream[ScoredLine]
+    val q = Streams.modelMonitor(input.toDF(), b0, bq, bd)
+      .writeStream.format("memory").queryName("mm_out")
+      .outputMode("complete").start()
+    val cuts = Seq(rows.take(7), rows.slice(7, 1000), rows.drop(1000))
+    cuts.foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val m = spark.table("mm_out").collect().map(r =>
+      r.schema.fieldNames.zip(r.toSeq).toMap).head
+    assert(m("n") == rows.size.toLong)
+    assert(m("tp") == batchEval("tp") && m("fp") == batchEval("fp"))
+    assert(m("fn") == batchEval("fn") && m("tn") == batchEval("tn"))
+    assert(m("accuracy") == batchEval("accuracy"))
+  }
 }
+
+/** Scoring-stream record for [[Streams.modelMonitor]]'s replay spec. */
+case class ScoredLine(l_returnflag: String, l_quantity: Double,
+  l_discount: Double, l_extendedprice: Double)
