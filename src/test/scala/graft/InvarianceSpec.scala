@@ -131,20 +131,29 @@ class InvarianceSpec extends SparkSpec {
       "pipeline_length_buckets", "dedup_lsh_curve",
       // round-10 integer-exact additions: the iterative graph pair, the
       // keyed CUSUM fold, and the all-integer anomaly census
-      "graph_pagerank", "graph_triangles", "flow_cusum", "events_anomaly")
+      "graph_pagerank", "graph_triangles", "flow_cusum", "events_anomaly",
+      // round-11: streaks/lorenz/survival counters and the confusion census
+      "events_streaks", "events_lorenz", "events_survival", "ml_logreg_eval")
+    // The regression family makes a STRONGER claim: every double output
+    // derives from order-independent integer sums through a fixed op
+    // sequence, so even the doubles must be bit-identical at any width.
+    val exactDoubleQs = Seq("ml_ols", "ml_kfold", "ml_logreg",
+      "events_did", "bars_range_vol")
     def snap(): Map[String, Set[Map[String, Any]]] =
-      qs.map(q => q ->
+      (qs.map(q => q ->
         rowsOf(SparkEntry.queries(q)(spark, sfDir())).map(_.filter {
           case (_, _: java.lang.Double) => false
           case _ => true
-        }).toSet).toMap
+        }).toSet) ++
+        exactDoubleQs.map(q => q ->
+          rowsOf(SparkEntry.queries(q)(spark, sfDir())).toSet)).toMap
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     val base = snap()
     conf.set("spark.sql.shuffle.partitions", "7")
     try {
       val narrow = snap()
-      qs.foreach { q =>
+      (qs ++ exactDoubleQs).foreach { q =>
         assert(narrow(q) === base(q), s"$q moved with the partition count")
       }
     } finally conf.set("spark.sql.shuffle.partitions", prev)
