@@ -121,6 +121,27 @@ class InvarianceSpec extends SparkSpec {
     assert(inc.nonEmpty && keep.nonEmpty)
   }
 
+  test("one-scan claims hold in the physical plan") {
+    // ml_kfold's whole point is "K folds, ONE scan": every training set
+    // is the integer complement of its held fold, so a second fact scan
+    // in the plan would falsify the design. Same single-pass claim for
+    // the OLS normal equations and the census-collapsed Lorenz/range-vol.
+    def scans(q: String): Int = {
+      val plan = SparkEntry.queries(q)(spark, sfDir())
+        .queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(plan).length
+    }
+    assert(scans("ml_kfold") == 1, "kfold must read lineitem once")
+    assert(scans("ml_ols") == 1, "ols must read lineitem once")
+    assert(scans("events_lorenz") == 1, "lorenz must read events once")
+    assert(scans("bars_range_vol") == 1, "range vol must read events once")
+    // column pruning reaches the kfold scan: 4 columns, not the table
+    val kplan = SparkEntry.queries("ml_kfold")(spark, sfDir())
+      .queryExecution.executedPlan.toString
+    assert(kplan.contains("l_orderkey") && !kplan.contains("l_shipdate"),
+      s"kfold scan must prune to the 4 used columns:\n$kplan")
+  }
+
   test("integer-exact analytics are invariant to the shuffle partition count") {
     // partition-count independence IS the distributed-correctness
     // property: a plan whose answer moves when the cluster width changes
