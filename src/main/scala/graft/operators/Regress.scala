@@ -533,12 +533,95 @@ object Regress extends OpModule {
        |s AS (SELECT ${kfSse.mkString(", ")} FROM i)
        |SELECT ${kfFinal.mkString(", ")} FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // docs_quality_probe: can the cheap heuristic replace the LM gate?
+  // ---------------------------------------------------------------------
+
+  // Per-row floors to 1e-6 units: quality and xent are deterministic
+  // per row (exact-rational blends on both engines) but double SUMS are
+  // not — the logreg canon again.
+  private val qpFloor: Seq[String] = Seq("source",
+    "cast(floor(quality * 1e6) as bigint) as x_i",
+    "cast(floor(xent * 1e6) as bigint) as y_i")
+
+  private val qpNaturals: Seq[String] = Seq("source", "n",
+    "cast(sx_i as double) / 1e6 as sx",
+    "cast(sy_i as double) / 1e6 as sy",
+    "cast(sxx_w as double) / 1e12 as sxx",
+    "cast(sxy_w as double) / 1e12 as sxy",
+    "cast(syy_w as double) / 1e12 as syy")
+
+  private val qpCentered: Seq[String] = Seq("source", "n", "sx", "sy",
+    "sxx - sx * sx / n as cxx",
+    "sxy - sx * sy / n as cxy",
+    "syy - sy * sy / n as cyy")
+
+  private val qpFinal: Seq[String] = Seq(
+    "source",
+    "n as n_docs",
+    "case when cxx > 0.0 then cxy / cxx end as slope",
+    "case when cxx > 0.0 then (sy - (cxy / cxx) * sx) / n end as intercept",
+    "case when cxx > 0.0 and cyy > 0.0 then (cxy * cxy) / (cxx * cyy) end as r2")
+
+  /** `docs_quality_probe`: per-source linear probe of the unigram-LM
+    * cross-entropy gate on the cheap heuristic quality blend — the
+    * pipeline-governance question "how much of the expensive gate does
+    * the cheap one explain?", answered with a measured R² instead of a
+    * hunch. Composes two memoized text frames (quality, xent) with the
+    * regression canon: per-row floors, per-source integer sufficient
+    * statistics (wide moments on decimal/HUGEINT), slope/intercept/R²
+    * from one shared textual op sequence. One join-shaped pass; the
+    * regression itself is a projection of a |sources|-row frame. */
+  private[operators] def qualityProbeDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = TextAnalysis.queries("text_quality")(spark, dir)
+      .select($"doc_id", $"quality")
+    val xent = TextAnalysis.queries("text_unigram_xent")(spark, dir)
+      .select($"doc_id", $"xent")
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(feats, Seq("doc_id"))
+      .join(xent, Seq("doc_id"))
+      .filter($"quality".isNotNull && $"xent".isNotNull)
+      .selectExpr(qpFloor: _*)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x_i").as("sx_i"),
+        sum($"y_i").as("sy_i"),
+        sum(($"x_i" * $"x_i").cast("decimal(38,0)")).as("sxx_w"),
+        sum(($"x_i" * $"y_i").cast("decimal(38,0)")).as("sxy_w"),
+        sum(($"y_i" * $"y_i").cast("decimal(38,0)")).as("syy_w"))
+      .selectExpr(qpNaturals: _*)
+      .selectExpr(qpCentered: _*)
+      .selectExpr(qpFinal: _*)
+  }
+
+  private[operators] val qualityProbeSql: String =
+    s"""WITH q AS (${TextAnalysis.oracles("text_quality")}),
+       |x AS (${TextAnalysis.oracles("text_unigram_xent")}),
+       |j AS (SELECT d.source, q.quality, x.xent
+       |  FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN x ON x.doc_id = d.doc_id
+       |  WHERE q.quality IS NOT NULL AND x.xent IS NOT NULL),
+       |f AS (SELECT ${qpFloor.mkString(", ")} FROM j),
+       |a AS (SELECT source, count(*) AS n,
+       |    sum(x_i)::BIGINT AS sx_i, sum(y_i)::BIGINT AS sy_i,
+       |    sum(x_i::HUGEINT * x_i::HUGEINT) AS sxx_w,
+       |    sum(x_i::HUGEINT * y_i::HUGEINT) AS sxy_w,
+       |    sum(y_i::HUGEINT * y_i::HUGEINT) AS syy_w
+       |  FROM f GROUP BY 1),
+       |m AS (SELECT ${qpNaturals.mkString(", ")} FROM a),
+       |c AS (SELECT ${qpCentered.mkString(", ")} FROM m)
+       |SELECT ${qpFinal.mkString(", ")} FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ols" -> (olsDf(_, _)),
     "ml_ridge_curve" -> (ridgeCurveDf(_, _)),
     "ml_logreg" -> (logregDf(_, _)),
     "ml_logreg_eval" -> (logregEvalDf(_, _)),
-    "ml_kfold" -> (kfoldDf(_, _))
+    "ml_kfold" -> (kfoldDf(_, _)),
+    "docs_quality_probe" -> (qualityProbeDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,6 +629,7 @@ object Regress extends OpModule {
     "ml_ridge_curve" -> ridgeCurveSql,
     "ml_logreg" -> logregSql,
     "ml_logreg_eval" -> logregEvalSql,
-    "ml_kfold" -> kfoldSql
+    "ml_kfold" -> kfoldSql,
+    "docs_quality_probe" -> qualityProbeSql
   )
 }

@@ -169,6 +169,43 @@ class RegressSpec extends SparkSpec {
     assert(r("accuracy").asInstanceOf[Double] >= 0.5)
   }
 
+  test("quality probe replays bitwise against an independent local OLS") {
+    import graft.operators.TextAnalysis
+    val dir = sfDir()
+    val q = rowsOf(TextAnalysis.queries("text_quality")(spark, dir))
+      .map(r => r("doc_id") -> r("quality")).collect {
+        case (id, v: java.lang.Double) => id -> v.toDouble }.toMap
+    val x = rowsOf(TextAnalysis.queries("text_unigram_xent")(spark, dir))
+      .map(r => r("doc_id") -> r("xent")).collect {
+        case (id, v: java.lang.Double) => id -> v.toDouble }.toMap
+    val src = rowsOf(graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source"))
+      .map(r => r("doc_id") -> r("source").asInstanceOf[String]).toMap
+    val local = q.keySet.intersect(x.keySet).toSeq
+      .map(id => (src(id), math.floor(q(id) * 1e6).toLong,
+        math.floor(x(id) * 1e6).toLong))
+      .groupBy(_._1).map { case (s, rows) =>
+        val n = rows.size.toLong
+        val sx = rows.map(_._2).sum / 1e6
+        val sy = rows.map(_._3).sum / 1e6
+        val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble / 1e12
+        val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble / 1e12
+        val syy = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble / 1e12
+        val (cxx, cxy, cyy) =
+          (sxx - sx * sx / n, sxy - sx * sy / n, syy - sy * sy / n)
+        s -> (n, cxy / cxx, (sy - (cxy / cxx) * sx) / n, (cxy * cxy) / (cxx * cyy))
+      }
+    val got = rowsOf(Regress.queries("docs_quality_probe")(spark, dir))
+    assert(got.map(_("source")).toSet == local.keySet)
+    got.foreach { r =>
+      val (n, slope, icept, r2) = local(r("source").asInstanceOf[String])
+      assert(r("n_docs") == n)
+      assert(r("slope") == slope && r("intercept") == icept && r("r2") == r2)
+      val rr = r("r2").asInstanceOf[Double]
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+  }
+
   test("corpus fit: one row per returnflag, solvable system, r2 in [0, 1]") {
     val rs = rowsOf(Regress.queries("ml_ols")(spark, sfDir()))
     assert(rs.size == 3)
