@@ -1098,11 +1098,57 @@ object Keyed extends OpModule {
        |  $lorenzGini
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // orders_cohort_ltv: revenue cohort curves (cumulative LTV by age).
+  // ---------------------------------------------------------------------
+
+  /** `orders_cohort_ltv`: customers cohorted by first-order month;
+    * each cohort's cumulative revenue per month-of-age is the LTV curve
+    * finance reads next to `events_retention`'s activity cells. Exact
+    * integer cents end to end; the cumulative window is partitioned by
+    * cohort over the (cohort × age) frame, which is calendar² -sized at
+    * any corpus scale. Cohorting is one min-aggregation joined back —
+    * never a window over raw orders. */
+  private def cohortLtvDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast("long").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("rev_c"))
+    val firstM = o.groupBy($"o_custkey").agg(min($"m").as("cohort_m"))
+    val wAge = Window.partitionBy($"cohort_m").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(firstM, Seq("o_custkey"))
+      .groupBy($"cohort_m", ($"m" - $"cohort_m").as("age"))
+      .agg(countDistinct($"o_custkey").as("n_active"),
+        sum($"rev_c").as("rev_cents"))
+      .withColumn("cum_rev_cents", sum($"rev_cents").over(wAge))
+      .select($"cohort_m", $"age", $"n_active", $"rev_cents", $"cum_rev_cents")
+  }
+
+  private val cohortLtvSql: String =
+    s"""WITH o AS (SELECT o_custkey,
+       |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+       |    round(o_totalprice * 100)::BIGINT AS rev_c
+       |  FROM orders),
+       |f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+       |cells AS (SELECT f.cohort_m, o.m - f.cohort_m AS age,
+       |    count(DISTINCT o.o_custkey) AS n_active,
+       |    sum(o.rev_c)::BIGINT AS rev_cents
+       |  FROM o JOIN f ON f.o_custkey = o.o_custkey
+       |  GROUP BY 1, 2)
+       |SELECT cohort_m, age, n_active, rev_cents,
+       |  (sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |    AS cum_rev_cents
+       |FROM cells""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_survival" -> (survivalDf(_, _)),
     "events_did" -> (didDf(_, _)),
     "events_streaks" -> (streaksDf(_, _)),
     "events_lorenz" -> (lorenzDf(_, _)),
+    "orders_cohort_ltv" -> (cohortLtvDf(_, _)),
     "events_attribution" -> (attributionDf(_, _)),
     "events_ab_test" -> (abTestDf(_, _)),
     "events_cuped" -> (cupedDf(_, _)),
@@ -1127,6 +1173,7 @@ object Keyed extends OpModule {
     "events_did" -> didSql,
     "events_streaks" -> streaksSql,
     "events_lorenz" -> lorenzSql,
+    "orders_cohort_ltv" -> cohortLtvSql,
     "events_attribution" -> attributionSql,
     "events_ab_test" -> abTestSql,
     "events_cuped" -> cupedSql,

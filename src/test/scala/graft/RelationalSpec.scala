@@ -344,6 +344,42 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV curve matches the hand computation and accumulates monotonically") {
+    import spark.implicits._
+    val odir = java.nio.file.Files.createTempDirectory("graft_fix").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq(
+      (1L, d("2020-01-05"), 10.00), (1L, d("2020-02-01"), 20.00),
+      (1L, d("2020-02-20"), 5.00), (2L, d("2020-01-30"), 7.00),
+      (3L, d("2020-03-02"), 1.00), (3L, d("2020-05-09"), 2.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$odir/orders.parquet")
+    val rs = rowsOf(graft.operators.Keyed.queries("orders_cohort_ltv")(spark, odir))
+      .map(r => (r("cohort_m").asInstanceOf[Long], r("age").asInstanceOf[Long]) -> r)
+      .toMap
+    val jan = 2020L * 12 // 2020-01 month index
+    assert(rs((jan, 0L))("n_active") == 2L)
+    assert(rs((jan, 0L))("rev_cents") == 1700L)
+    assert(rs((jan, 1L))("cum_rev_cents") == 4200L)
+    val mar = jan + 2
+    assert(rs((mar, 0L))("cum_rev_cents") == 100L)
+    assert(rs((mar, 2L))("cum_rev_cents") == 300L)
+    assert(!rs.contains((mar, 1L)), "no order in the cohort's silent month")
+
+    // corpus: cumulative revenue never decreases within a cohort, and
+    // age-0 cohort sizes partition the customer base
+    val cs = rowsOf(graft.operators.Keyed.queries("orders_cohort_ltv")(spark, dir))
+    cs.groupBy(_("cohort_m")).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_("age").asInstanceOf[Long])
+        .map(_("cum_rev_cents").asInstanceOf[Long])
+      byAge.sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
+    }
+    val custs = rowsOf(Tables.orders(spark, dir)
+      .select(countDistinct(col("o_custkey")).as("n"))).head("n")
+    assert(cs.filter(_("age") == 0L)
+      .map(_("n_active").asInstanceOf[Long]).sum == custs)
+  }
+
   test("grouping sets carry only the two margins, matching cube's") {
     def keyed(name: String) =
       rowsOf(Relational.queries(name)(spark, dir)).map(r =>
