@@ -333,4 +333,56 @@ class RandomCorpusSpec extends SparkSpec {
       assert(streamed === batch, s"seed $seed: stream vs batch diverged")
     }
   }
+
+  test("kaplan-meier equals a local bitwise replay on random lifetimes") {
+    import graft.operators.Keyed
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 77)
+      // random users with random active-day sets over a 0..40 horizon
+      val rows = (1 to (10 + rnd.nextInt(20))).flatMap { uid =>
+        val first = rnd.nextInt(30)
+        val span = rnd.nextInt(11)
+        val days = Seq(first, first + span) ++
+          Seq.fill(rnd.nextInt(4))(first + rnd.nextInt(span + 1))
+        days.distinct.map(d => (uid.toLong, d.toLong))
+      }
+      val dir = writeEventsFixture(rows.zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong + 1, d * 24L * 3600L * 1000000000L, u, "view", 1.0)
+      })
+      // local replay with the identical integer-floored ln canon
+      // .toSeq BEFORE .map: mapping a Map to (min, max) tuples would
+      // collapse users sharing the same span into one map entry
+      val perUser = rows.groupBy(_._1).toSeq.map { case (_, ds) =>
+        (ds.map(_._2).min, ds.map(_._2).max) }
+      val maxDay = perUser.map(_._2).max
+      val lives = perUser.map { case (f, l) =>
+        (l - f, if (l < maxDay - Keyed.CensorDays) 1L else 0L) }
+      val timeline = lives.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (dur, us) => (dur, us.size.toLong, us.map(_._2).sum) }
+      var atRisk = lives.size.toLong
+      var lnSum = 0L
+      var dead = false
+      val want = timeline.map { case (dur, cnt, deaths) =>
+        val nRisk = atRisk
+        if (deaths == nRisk) dead = true
+        else lnSum +=
+          math.floor(StrictMath.log(1.0 - deaths.toDouble / nRisk) * 1e9).toLong
+        atRisk -= cnt
+        // Spark's Log/Exp expressions run StrictMath, not Math —
+        // bitwise replay must match the engine's libm choice
+        val s = if (dead) 0.0 else StrictMath.exp(lnSum.toDouble / 1e9)
+        dur -> ((nRisk, deaths, cnt - deaths, s))
+      }.toMap
+      val got = rowsOf(Keyed.queries("events_survival")(spark, dir))
+      assert(got.size == want.size,
+        s"seed $seed: timeline ${got.map(_("duration_days").asInstanceOf[Long]).sorted} vs ${want.keySet.toSeq.sorted}")
+      got.foreach { r =>
+        val (n, dth, c, s) = want(r("duration_days").asInstanceOf[Long])
+        assert(r("n_risk") == n && r("deaths") == dth && r("censored") == c,
+          s"seed $seed: counters at ${r("duration_days")}")
+        assert(r("survival") == s,
+          s"seed $seed: survival at ${r("duration_days")}")
+      }
+    }
+  }
 }
