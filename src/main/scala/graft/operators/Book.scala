@@ -228,7 +228,55 @@ object Book extends OpModule {
        |FROM s""".stripMargin
   }
 
+  // Shared final strings: every operand is an exact integer (cents),
+  // so the microprice and its tilt are engine-stable by construction.
+  private val microFinal: Seq[String] = Seq(
+    "bucket",
+    "bid_c", "ask_c", "bvol_c", "avol_c",
+    "cast(bvol_c * ask_c + avol_c * bid_c as double) / (bvol_c + avol_c) / 100.0 as microprice",
+    "cast(floor((cast(bvol_c * ask_c + avol_c * bid_c as double) / (bvol_c + avol_c) / 100.0 - cast(bid_c + ask_c as double) / 200.0) / (cast(bid_c + ask_c as double) / 200.0) * 1e4) as bigint) as tilt_bps")
+
+  /** Microprice (`book_microprice`): the size-weighted fair price
+    * I·ask + (1−I)·bid with I = bid volume share (Stoikov 2018) — the
+    * short-horizon price predictor desks quote around, leaning toward
+    * the HEAVIER side's opposite quote. Inputs are the same rank-1
+    * best levels as `book_touch` and the side top-20 volumes as
+    * `book_imbalance`, all in exact integer cents; tilt_bps floors the
+    * microprice's deviation from the naive mid. One aggregation over
+    * the level frame, never a per-tick window. */
+  private[operators] def micropriceDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    levels(spark, dir)
+      .withColumn("v_c", round($"value" * 100).cast("long"))
+      .groupBy($"bucket")
+      .agg(
+        max(when($"is_buy" && $"rn" === 1, $"v_c")).as("bid_c"),
+        max(when(!$"is_buy" && $"rn" === 1, $"v_c")).as("ask_c"),
+        sum(when($"is_buy", $"v_c").otherwise(0L)).as("bvol_c"),
+        sum(when(!$"is_buy", $"v_c").otherwise(0L)).as("avol_c"))
+      // the mid guard also covers ANSI: a thin bucket whose best levels
+      // are both zero-cent would divide by zero in the tilt
+      .filter($"bid_c".isNotNull && $"ask_c".isNotNull &&
+        $"bvol_c" + $"avol_c" > 0 && $"bid_c" + $"ask_c" > 0)
+      .selectExpr(microFinal: _*)
+  }
+
+  private[operators] val micropriceSql: String =
+    s"""WITH lv AS ($levelsSql),
+       |c AS (SELECT bucket, round(value * 100)::BIGINT AS v_c, is_buy, rn
+       |      FROM lv),
+       |a AS (SELECT bucket,
+       |    max(CASE WHEN is_buy AND rn = 1 THEN v_c END) AS bid_c,
+       |    max(CASE WHEN NOT is_buy AND rn = 1 THEN v_c END) AS ask_c,
+       |    sum(CASE WHEN is_buy THEN v_c ELSE 0 END)::BIGINT AS bvol_c,
+       |    sum(CASE WHEN NOT is_buy THEN v_c ELSE 0 END)::BIGINT AS avol_c
+       |  FROM c GROUP BY 1)
+       |SELECT ${microFinal.mkString(", ")} FROM a
+       |WHERE bid_c IS NOT NULL AND ask_c IS NOT NULL
+       |  AND bvol_c + avol_c > 0 AND bid_c + ask_c > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "book_microprice" -> (micropriceDf(_, _)),
     "book_imbalance" -> (imbalanceDf(_, _)),
     "book_wall" -> (wallDf(_, _)),
     "book_touch" -> (touchDf(_, _)),
@@ -236,6 +284,7 @@ object Book extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "book_microprice" -> micropriceSql,
     "book_imbalance" -> imbalanceSql,
     "book_wall" -> wallSql,
     "book_touch" -> touchSql,

@@ -73,6 +73,31 @@ class ScoresStatefulSpec extends SparkSpec {
     }
   }
 
+  test("microprice lies inside the touch and leans toward the heavy side") {
+    val touch = rowsOf(Book.queries("book_touch")(spark, sfDir()))
+      .map(m => m("bucket") -> m).toMap
+    val rows = rowsOf(Book.queries("book_microprice")(spark, sfDir()))
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val (bid, ask) = (m("bid_c").asInstanceOf[Long] / 100.0,
+        m("ask_c").asInstanceOf[Long] / 100.0)
+      val micro = m("microprice").asInstanceOf[Double]
+      // a convex combination of the two quotes stays inside them
+      assert(micro >= math.min(bid, ask) - 1e-9 &&
+        micro <= math.max(bid, ask) + 1e-9)
+      // heavier bid volume pulls the microprice toward the ask quote
+      val (bv, av) = (m("bvol_c").asInstanceOf[Long], m("avol_c").asInstanceOf[Long])
+      val mid = (bid + ask) / 2.0
+      if (bv > av) assert((micro - mid) * (ask - mid) >= -1e-9)
+      if (av > bv) assert((micro - mid) * (bid - mid) >= -1e-9)
+      // the rank-1 quotes agree with book_touch's best levels
+      touch.get(m("bucket")).foreach { t =>
+        assert(math.abs(t("best_bid").asInstanceOf[Double] - bid) < 0.005 + 1e-9)
+        assert(math.abs(t("best_ask").asInstanceOf[Double] - ask) < 0.005 + 1e-9)
+      }
+    }
+  }
+
   test("hurst defined only on complete groups, in a sane band") {
     rowsOf(LongMemory.queries("lm_hurst")(spark, sfDir())).foreach { m =>
       if (m("n").asInstanceOf[Long] < LongMemory.HurstN)
