@@ -267,7 +267,7 @@ object Regress extends OpModule {
     * loss strictly decreasing and the delta norm collapsing. Oracle
     * replays every level as chained CTEs over a MATERIALIZED base. */
   private[operators] def logregDf(spark: SparkSession, dir: String): DataFrame = {
-    val steps = logregChain(lrBaseDf(spark, dir), spark)
+    val steps = logregChain(spark, dir)
     steps.zipWithIndex
       .map { case (s, i) =>
         s.selectExpr((s"${i + 1} as iter" +: lrOut.tail): _*)
@@ -278,31 +278,37 @@ object Regress extends OpModule {
   /** The once-materialized design matrix: 3 doubles/row so each Newton
     * step scans memory, not parquet — the standard "cache the design
     * matrix before IRLS" move; at cluster scale the same call is a
-    * .persist over executors. */
+    * .persist over executors. Memoized per (session, dir): the trainer,
+    * the evaluator and the audit all start here. */
   private def lrBaseDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).selectExpr(lrBase: _*).localCheckpoint()
+    graft.functions.DfMemo.cached(spark, s"lr_base:$dir")(
+      Tables.lineitem(spark, dir).selectExpr(lrBase: _*))
 
-  /** The Newton chain: K checkpointed 1-row step frames (weights +
-    * audit), shared by the trainer output and the evaluator. */
-  private def logregChain(base: DataFrame, spark: SparkSession): Seq[DataFrame] = {
+  /** The Newton chain: K memoized 1-row step frames (weights + audit),
+    * shared by the trainer output and the evaluator — training runs
+    * once per (session, dir) even when both queries execute. */
+  private def logregChain(spark: SparkSession, dir: String): Seq[DataFrame] = {
     import spark.implicits._
+    lazy val base = lrBaseDf(spark, dir)
     val w0 = spark.range(1).selectExpr(
       "0.0 as b0", "0.0 as bq", "0.0 as bd")
+    var k = 0
     (1 to LogregIters).scanLeft(w0) { (w, _) =>
-      base.crossJoin(broadcast(w.select("b0", "bq", "bd")))
-        .selectExpr(lrP: _*)
-        .selectExpr(lrTerms: _*)
-        .groupBy($"b0", $"bq", $"bd")
-        .agg(count(lit(1)).as("n"),
-          sum($"t_g0").as("sg0"), sum($"t_g1").as("sg1"),
-          sum($"t_g2").as("sg2"), sum($"t_ha").as("sha"),
-          sum($"t_hb").as("shb"), sum($"t_hc").as("shc"),
-          sum($"t_hd").as("shd"), sum($"t_he").as("she"),
-          sum($"t_hf").as("shf"), sum($"t_ll").as("sll"))
-        .selectExpr(lrNaturals: _*)
-        .selectExpr(lrSolve: _*)
-        .selectExpr(lrStep: _*)
-        .localCheckpoint()
+      k += 1
+      graft.functions.DfMemo.cached(spark, s"lr_step$k:$dir")(
+        base.crossJoin(broadcast(w.select("b0", "bq", "bd")))
+          .selectExpr(lrP: _*)
+          .selectExpr(lrTerms: _*)
+          .groupBy($"b0", $"bq", $"bd")
+          .agg(count(lit(1)).as("n"),
+            sum($"t_g0").as("sg0"), sum($"t_g1").as("sg1"),
+            sum($"t_g2").as("sg2"), sum($"t_ha").as("sha"),
+            sum($"t_hb").as("shb"), sum($"t_hc").as("shc"),
+            sum($"t_hd").as("shd"), sum($"t_he").as("she"),
+            sum($"t_hf").as("shf"), sum($"t_ll").as("sll"))
+          .selectExpr(lrNaturals: _*)
+          .selectExpr(lrSolve: _*)
+          .selectExpr(lrStep: _*))
     }.drop(1)
   }
 
@@ -373,7 +379,7 @@ object Regress extends OpModule {
   private[operators] def logregEvalDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = lrBaseDf(spark, dir)
-    val wFinal = logregChain(base, spark).last.select("b0", "bq", "bd")
+    val wFinal = logregChain(spark, dir).last.select("b0", "bq", "bd")
     val cells = base.groupBy($"q", $"d")
       .agg(count(lit(1)).as("n"), sum($"y".cast("long")).as("pos"))
       .crossJoin(broadcast(wFinal))
