@@ -73,21 +73,34 @@ object Similarity extends OpModule {
   private def dotSql(a: String, b: String): String =
     s"sum($a[i]::DOUBLE * $b[i]::DOUBLE)"
 
+  /** The exact ranked candidate frame (top-[[MmrPoolM]] per panel
+    * query), memoized per (session, dir): ONE O(Q·N) brute-force scan
+    * feeds `knn_brute` (rank ≤ TopK), the MMR re-rank pool, and — via
+    * `brute3Df` — every recall metric. The big side never shuffles (the
+    * panel broadcasts) and the rank window sorts slim (qid, nid, cos)
+    * rows. */
+  private def rankedPool(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"knn_pool:$dir") {
+      graft.GraftExtensions.register(spark)
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter(isQueryCol($"vec_id"))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val pairs = broadcast(q)
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
+          $"nid" =!= $"qid")
+        .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      pairs.select($"qid", $"nid", $"cos")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= MmrPoolM)
+    }
+
   /** Brute-force cosine top-5 for the query subset. No rank column in the
     * output: the *set* of neighbors is the contract. */
   private def knnDf(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val q = e.filter(isQueryCol($"vec_id"))
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val pairs = broadcast(q)
-      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
-        $"nid" =!= $"qid")
-      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    pairs
-      .withColumn("rk", row_number().over(w))
+    rankedPool(spark, dir)
       .filter($"rk" <= TopK)
       .select("qid", "nid", "cos")
   }
@@ -2173,21 +2186,10 @@ object Similarity extends OpModule {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter(isQueryCol($"vec_id"))
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val pairs = broadcast(q)
-      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
-        $"nid" =!= $"qid")
-      .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    // rank over SLIM (qid, nid, cos) rows — carrying the 64-float arrays
-    // through the per-query sort pays for rows that are about to be cut;
-    // the M survivors re-join their arrays afterwards
-    // panel×M rows: single-partition from here on, so the greedy loop's
+    // the memoized exact ranked frame `knn_brute` also reads: panel×M
+    // rows, single-partition from here on so the greedy loop's
     // joins/windows schedule one task per stage instead of 32
-    val pool = pairs.select($"qid", $"nid", $"cos")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= MmrPoolM)
+    val pool = rankedPool(spark, dir)
       .coalesce(1)
       .localCheckpoint()
     val poolE = pool
