@@ -614,6 +614,65 @@ object Flow {
        |    AS roll_spread_cents
        |FROM c""".stripMargin
 
+  /** Tick-rule trade classification audit (`flow_tick_rule`): the
+    * Lee-Ready tick test (Lee & Ready 1991) — classify each trade as
+    * buyer-initiated on an uptick, seller-initiated on a downtick, and
+    * carry the LAST nonzero direction through zero-ticks — evaluated
+    * against the feed's true aggressor flag per 10-minute bucket. A
+    * venue that loses the aggressor flag (many historical tapes do)
+    * must reconstruct it; this query measures exactly how much signal
+    * that reconstruction recovers on this tape. Windows partition by
+    * bucket (the roll_spread shape — never a global tick sort); every
+    * count is an exact integer and accuracy divides two longs. The
+    * bucket's first tick and zero-tick runs before any direction exists
+    * stay unclassified and drop from the audit on both engines. */
+  private[operators] def tickRuleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bucket").orderBy($"ts_us", $"event_id")
+    val wRun = Window.partitionBy($"bucket").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsWithSide(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("bucket", expr(s"ts_us div $DeltaBucketUs"))
+      .select($"bucket", $"ts_us", $"event_id", $"cents",
+        when($"is_buy", 1L).otherwise(0L).as("actual"))
+      .withColumn("dp", $"cents" - lag($"cents", 1).over(w))
+      .withColumn("sgn",
+        when($"dp" > 0, 1L).when($"dp" < 0, 0L))
+      .withColumn("cls", last($"sgn", ignoreNulls = true).over(wRun))
+      .filter($"cls".isNotNull)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_classified"),
+        sum(when($"cls" === $"actual", 1L).otherwise(0L)).as("n_match"))
+      .withColumn("accuracy",
+        $"n_match".cast("double") / $"n_classified")
+  }
+
+  private[operators] val tickRuleSql: String =
+    s"""WITH t AS (
+       |  SELECT epoch_us(ts) // $DeltaBucketUs AS bucket,
+       |    epoch_us(ts) AS ts_us, event_id,
+       |    round(value * 100)::BIGINT AS cents,
+       |    CASE WHEN ${Tables.BuySql} THEN 1 ELSE 0 END AS actual
+       |  FROM events),
+       |d AS (
+       |  SELECT *, cents - lag(cents)
+       |    OVER (PARTITION BY bucket ORDER BY ts_us, event_id) AS dp
+       |  FROM t),
+       |s AS (
+       |  SELECT *, CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN 0 END AS sgn
+       |  FROM d),
+       |c AS (
+       |  SELECT bucket, actual, last_value(sgn IGNORE NULLS)
+       |    OVER (PARTITION BY bucket ORDER BY ts_us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cls
+       |  FROM s)
+       |SELECT bucket, count(*) AS n_classified,
+       |  sum(CASE WHEN cls = actual THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       |  sum(CASE WHEN cls = actual THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |    / count(*) AS accuracy
+       |FROM c WHERE cls IS NOT NULL GROUP BY 1""".stripMargin
+
   /** Amihud illiquidity (`flow_amihud`, Amihud 2002) — |price move| per
     * unit traded volume, the workhorse low-frequency liquidity proxy:
     * per 10-minute bucket, the absolute open→close move in cents (the
@@ -670,7 +729,8 @@ object Flow {
     "flow_volrate" -> (volRateDf(_, _)),
     "flow_resample" -> (resampleDf(_, _)),
     "flow_vpin" -> (vpinDf(_, _)),
-    "flow_vpin_curve" -> (vpinCurveDf(_, _))
+    "flow_vpin_curve" -> (vpinCurveDf(_, _)),
+    "flow_tick_rule" -> (tickRuleDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,6 +745,7 @@ object Flow {
     "flow_vpin_curve" -> vpinCurveSql,
     "flow_kyle_lambda" -> kyleSql,
     "flow_roll_spread" -> rollSql,
-    "flow_amihud" -> amihudSql
+    "flow_amihud" -> amihudSql,
+    "flow_tick_rule" -> tickRuleSql
   )
 }

@@ -438,6 +438,29 @@ class FlowBarsSpec extends SparkSpec {
     }
   }
 
+  test("tick rule classifies upticks and audits against the true side") {
+    // fixture h0 prices 10,20,30 (buy,sell,buy): first tick unclassified,
+    // two upticks classify buy -> actuals sell,buy -> 1 of 2 match;
+    // h0+1 prices 5,15 (sell,buy): one uptick, actual buy -> 1 of 1
+    val rs = rowsOf(Flow.queries("flow_tick_rule")(spark, dir))
+      .map(r => r("bucket") -> r).toMap
+    val b0 = h0 * 6
+    assert(rs(b0)("n_classified") == 2L && rs(b0)("n_match") == 1L)
+    assert(rs(b0)("accuracy") == 0.5)
+    val b1 = (h0 + 1) * 6
+    assert(rs(b1)("n_classified") == 1L && rs(b1)("n_match") == 1L)
+    assert(rs(b1)("accuracy") == 1.0)
+    // corpus sanity: accuracy is a proper rate everywhere
+    val sf = rowsOf(Flow.queries("flow_tick_rule")(spark, sfDir()))
+    assert(sf.nonEmpty)
+    sf.foreach { m =>
+      val a = m("accuracy").asInstanceOf[Double]
+      assert(a >= 0.0 && a <= 1.0)
+      assert(m("n_match").asInstanceOf[Long] <=
+        m("n_classified").asInstanceOf[Long])
+    }
+  }
+
   test("range vol: Parkinson/GK from the floored log terms, RS zero when high=close") {
     // fixture bars: (o=10,h=30,l=10,c=30) and (o=5,h=15,l=5,c=15) — both
     // have h/l = c/o = 3 and h = c, l = o, so every log term is ln(3)-
