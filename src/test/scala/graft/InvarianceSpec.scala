@@ -159,7 +159,12 @@ class InvarianceSpec extends SparkSpec {
     // derives from order-independent integer sums through a fixed op
     // sequence, so even the doubles must be bit-identical at any width.
     val exactDoubleQs = Seq("ml_ols", "ml_kfold", "ml_logreg",
-      "events_did", "bars_range_vol")
+      "events_did", "bars_range_vol",
+      // late round-11: survival's exp over integer window sums, the
+      // cents-built microprice, the all-integer LTV curve, and the
+      // tick-test accuracy rate are equally width-independent
+      "events_survival", "book_microprice", "orders_cohort_ltv",
+      "flow_tick_rule")
     def snap(): Map[String, Set[Map[String, Any]]] =
       (qs.map(q => q ->
         rowsOf(SparkEntry.queries(q)(spark, sfDir())).map(_.filter {
