@@ -202,12 +202,18 @@ object Audit extends OpModule {
     // 32-bit collisions the same way the oracle's DISTINCT-on-h does,
     // so the kth-smallest is engine-identical even on a collision.
     // Memoized: the bench's repeat attempts re-read the reduced frame.
+    // NULLs are excluded from the NDV stream, matching the exact
+    // branch's count(DISTINCT) semantics (NULL count is reported as
+    // n_nulls); un-filtered, a NULL hash would sort FIRST under
+    // Spark's ascending window but LAST under DuckDB's, skewing the
+    // bottom-k on any nullable column.
     val vals = graft.functions.DfMemo.cached(spark, s"stats_sketch_v:$dir")(
       li.select(explode(array(StatCols.map(c =>
           struct(lit(c).as("column"),
             round(col(c) * 100).cast("long").cast("string").as("v"))): _*))
           .as("cv"))
         .select($"cv.column", $"cv.v")
+        .filter($"v".isNotNull)
         .distinct())
     val hashed = vals
       .select($"column", graft.functions.ColFns.hex32($"v").as("h"))
@@ -238,7 +244,7 @@ object Audit extends OpModule {
     val hs = StatCols.map(c =>
       s"""SELECT DISTINCT '$c' AS "column",
          |  ${graft.functions.ColFns.hex32Sql(s"round($c * 100)::BIGINT::VARCHAR")} AS h
-         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+         |FROM lineitem WHERE $c IS NOT NULL""".stripMargin).mkString("\nUNION ALL\n")
     val sketch = StatCols.map { c =>
       s"""SELECT '$c' AS "column",
          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
@@ -328,11 +334,16 @@ object Audit extends OpModule {
     // 3 distincts + 3 countDistinct aggregations = 6 table passes
     // memoized: the exact count and the hash stream both read this
     // frame — unmemoized, each re-executes the scan+explode+distinct
+    // NULL values stay out of the distinct frame: the oracle's exact
+    // branch is count(DISTINCT c), which excludes NULLs — counting a
+    // NULL row here (and letting its NULL hash sort engine-differently
+    // in the bottom-k) would diverge on any nullable key column.
     val vals = graft.functions.DfMemo.cached(spark, s"stats_kmv_v:$dir")(
       li.select(explode(array(KmvCols.map(c =>
           struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
           .as("cv"))
         .select($"cv.column", $"cv.v")
+        .filter($"v".isNotNull)
         .distinct())
     val hashes = vals.select($"column",
       graft.functions.ColFns.hex32($"v").as("h"))
@@ -359,7 +370,7 @@ object Audit extends OpModule {
     val hs = KmvCols.map(c =>
       s"""SELECT DISTINCT '$c' AS "column",
          |  ${graft.functions.ColFns.hex32Sql(s"$c::VARCHAR")} AS h
-         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+         |FROM lineitem WHERE $c IS NOT NULL""".stripMargin).mkString("\nUNION ALL\n")
     val ex = KmvCols.map(c =>
       s"""SELECT '$c' AS "column", count(DISTINCT $c) AS n_exact
          |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")

@@ -1069,7 +1069,12 @@ object Keyed extends OpModule {
       .withColumn("tot_n", sum($"n_users").over(wAll))
       .withColumn("tot_v", sum($"mass").over(wAll))
       .withColumn("contrib",
-        ($"n_users" * (lit(2) * $"cum_v" - $"mass")).cast("decimal(38,0)"))
+        // widen BEFORE the multiply (the oracle's HUGEINT does): an
+        // int64 product of n_users * (2*cum_v - mass) wraps at the
+        // ~1e9-users × 1e10-events scale this query is sized for
+        $"n_users".cast("decimal(38,0)") *
+          (lit(2) * $"cum_v".cast("decimal(38,0)") -
+            $"mass".cast("decimal(38,0)")))
       .withColumn("trap", sum($"contrib").over(wAll))
       .selectExpr("n_events", "n_users",
         "cum_n * 1000 div tot_n as cum_users_permille",

@@ -352,15 +352,21 @@ object Regress extends OpModule {
   private val lrCellP: Seq[String] =
     Seq("q", "d", "n", "pos", "n - pos as neg", lrPExpr)
 
-  // num2 = Σ pos·(2·cum_neg_below + neg) stays int64 to ~1e9 rows even
-  // in a single cell (2e18 < 2^63); the decimal(38,0) swap is the
-  // documented 100 TB upgrade, mirroring the OLS Σy² moment.
-  private val lrEvalAgg: Seq[String] = Seq(
+  // num2 = Σ pos·(2·cum_neg_below + neg). The factors widen BEFORE the
+  // multiply — pos and cumneg are both O(rows), so the per-group
+  // product wraps int64 near 3e9 rows; decimal(38,0) (HUGEINT in the
+  // oracle, which cannot multiply two DECIMAL(38,0)s) holds to 1e38,
+  // mirroring the lorenz trapezoid. The confusion counters stay int64
+  // (each is ≤ rows) and share text across engines.
+  private val lrEvalAggShared: Seq[String] = Seq(
     "sum(case when p >= 0.5 then pos else 0 end) as tp",
     "sum(case when p >= 0.5 then neg else 0 end) as fp",
     "sum(case when p < 0.5 then pos else 0 end) as fn",
-    "sum(case when p < 0.5 then neg else 0 end) as tn",
-    "sum(pos * (2 * cumneg + neg)) as num2")
+    "sum(case when p < 0.5 then neg else 0 end) as tn")
+  private val lrEvalNum2Spark: String =
+    "sum(cast(pos as decimal(38,0)) * (2 * cast(cumneg as decimal(38,0)) + neg)) as num2"
+  private val lrEvalNum2Duck: String =
+    "sum(pos::HUGEINT * (2 * cumneg::HUGEINT + neg)) AS num2"
 
   private val lrEvalFinal: Seq[String] = Seq(
     "cast(tp as bigint) as tp", "cast(fp as bigint) as fp",
@@ -374,8 +380,12 @@ object Regress extends OpModule {
     * census over the discrete (quantity, centi-discount) feature cells
     * (≤ 50×11 rows at any corpus size), so the evaluation is one more
     * aggregation over the already-materialized design matrix plus
-    * windows over a constant-size frame. Ties (cells mixing labels)
-    * get the standard half credit via pos·(2·cum_neg_below + neg)/2. */
+    * windows over a constant-size frame. Ties get the standard half
+    * credit via pos·(2·cum_neg_below + neg)/2, and tie detection is by
+    * the SCORE itself: cells whose p is bitwise equal are merged
+    * before the rank-sum (both engines compute p through the identical
+    * textual expression over exact integers, so "equal" agrees), so
+    * half credit applies across cells, not just within one. */
   private[operators] def logregEvalDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = lrBaseDf(spark, dir)
@@ -384,12 +394,17 @@ object Regress extends OpModule {
       .agg(count(lit(1)).as("n"), sum($"y".cast("long")).as("pos"))
       .crossJoin(broadcast(wFinal))
       .selectExpr(lrCellP: _*)
-    val wOrd = Window.orderBy($"p", $"q", $"d")
+    // merge bitwise-equal scores: the AUC rank orders by p ALONE, so
+    // any (q,d) tiebreak would turn a genuine tie into full/zero credit
+    val byP = cells.groupBy($"p")
+      .agg(sum($"pos").as("pos"), sum($"neg").as("neg"))
+    val wOrd = Window.orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, -1)
-    cells
+    val aggs = lrEvalAggShared :+ lrEvalNum2Spark
+    byP
       .withColumn("cumneg", coalesce(sum($"neg").over(wOrd), lit(0L)))
       .groupBy()
-      .agg(expr(lrEvalAgg.head), lrEvalAgg.tail.map(expr): _*)
+      .agg(expr(aggs.head), aggs.tail.map(expr): _*)
       .selectExpr(lrEvalFinal: _*)
   }
 
@@ -399,10 +414,12 @@ object Regress extends OpModule {
        |  FROM base GROUP BY 1, 2),
        |cp AS (SELECT ${lrCellP.mkString(", ")}
        |  FROM cells, (SELECT b0, bq, bd FROM w$LogregIters) w),
-       |cn AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY p, q, d
+       |byp AS (SELECT p, sum(pos)::BIGINT AS pos, sum(neg)::BIGINT AS neg
+       |  FROM cp GROUP BY 1),
+       |cn AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY p
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg
-       |  FROM cp),
-       |ag AS (SELECT ${lrEvalAgg.mkString(", ")} FROM cn)
+       |  FROM byp),
+       |ag AS (SELECT ${(lrEvalAggShared :+ lrEvalNum2Duck).mkString(", ")} FROM cn)
        |SELECT ${lrEvalFinal.mkString(", ")} FROM ag""".stripMargin
 
   // ---------------------------------------------------------------------

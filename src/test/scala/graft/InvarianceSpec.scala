@@ -177,6 +177,11 @@ class InvarianceSpec extends SparkSpec {
     val prev = conf.get("spark.sql.shuffle.partitions")
     val base = snap()
     conf.set("spark.sql.shuffle.partitions", "7")
+    // drop the DfMemo checkpoints built during the base snapshot:
+    // memoized chains (the logistic Newton passes, knn-backed frames)
+    // would otherwise serve the narrow run from the 32-partition
+    // materialization and the width-invariance claim would be vacuous
+    graft.functions.DfMemo.clear()
     try {
       val narrow = snap()
       (qs ++ exactDoubleQs).foreach { q =>

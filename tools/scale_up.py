@@ -34,8 +34,38 @@ R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
+# Key stripes are DERIVED from the base corpus, not hardcoded: a fixed
+# stripe (the old l_partkey + k*100000) silently collides across replicas
+# the moment the base holds more keys than the stripe width (any base at
+# or above ~sf0.5), merging distinct keys and corrupting every scaled
+# join/graph surface with no error. The stripe is the next power of ten
+# strictly above the max key over EVERY table that carries the key (PK
+# and FK sides), so replica key spaces stay disjoint at any base SF.
+def _stripe(*table_cols):
+    m = 0
+    for table, col in table_cols:
+        v = con.execute(
+            f"SELECT max({col}) FROM '{src}/{table}.parquet'").fetchone()[0]
+        m = max(m, int(v or 0))
+    s = 10
+    while s <= m:
+        s *= 10
+    return s
+
+S = {
+    "ok": _stripe(("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+    "ck": _stripe(("customer", "c_custkey"), ("orders", "o_custkey")),
+    "pk": _stripe(("part", "p_partkey"), ("lineitem", "l_partkey")),
+    "sk": _stripe(("supplier", "s_suppkey"), ("lineitem", "l_suppkey")),
+    "ev": _stripe(("events", "event_id")),
+    "uid": _stripe(("events", "user_id")),
+    "doc": _stripe(("documents", "doc_id")),
+    "vec": _stripe(("embeddings", "vec_id")),
+}
+print("stripes:", S)
+
 def write(table, per_replica_sql):
-    parts = [per_replica_sql.format(k=k, src=f"'{src}/{table}.parquet'")
+    parts = [per_replica_sql.format(k=k, src=f"'{src}/{table}.parquet'", **S)
              for k in range(R)]
     q = "COPY (" + "\nUNION ALL\n".join(parts) + \
         f") TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
@@ -44,14 +74,14 @@ def write(table, per_replica_sql):
     print(f"{table}: {n} rows")
 
 write("events", """
-  SELECT event_id + {k} * 10000000 AS event_id,
+  SELECT event_id + {k} * {ev} AS event_id,
          ts + INTERVAL ({k} * 7) MILLISECOND AS ts,
-         user_id + {k} * 1000000 AS user_id,
+         user_id + {k} * {uid} AS user_id,
          event_type, value, props
   FROM {src}""")
 
 write("documents", """
-  SELECT doc_id + {k} * 10000000 AS doc_id,
+  SELECT doc_id + {k} * {doc} AS doc_id,
          CASE WHEN {k} = 0 THEN text
               ELSE array_to_string(list_concat(
                 toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
@@ -72,7 +102,7 @@ write("documents", """
 # order preserves norms and the value distribution while making replicas
 # mutually dissimilar, like genuinely new vectors
 write("embeddings", """
-  SELECT vec_id + {k} * 1000000 AS vec_id,
+  SELECT vec_id + {k} * {vec} AS vec_id,
          list_transform(range(1, len(embedding) + 1),
            i -> (embedding[1 + ((i - 1 + {k} * 5) % len(embedding))]
                  + (({k} * 31 + i * 7) % 13 - 6) * 0.003)::FLOAT
@@ -81,24 +111,24 @@ write("embeddings", """
   FROM {src}""")
 
 write("orders", """
-  SELECT o_orderkey + {k} * 10000000 AS o_orderkey,
-         o_custkey + {k} * 1000000 AS o_custkey,
+  SELECT o_orderkey + {k} * {ok} AS o_orderkey,
+         o_custkey + {k} * {ck} AS o_custkey,
          o_orderstatus, o_totalprice,
          o_orderdate + INTERVAL ({k} * 7) MILLISECOND AS o_orderdate,
          o_orderpriority
   FROM {src}""")
 
 write("lineitem", """
-  SELECT l_orderkey + {k} * 10000000 AS l_orderkey,
-         l_partkey + {k} * 100000 AS l_partkey,
-         l_suppkey + {k} * 10000 AS l_suppkey,
+  SELECT l_orderkey + {k} * {ok} AS l_orderkey,
+         l_partkey + {k} * {pk} AS l_partkey,
+         l_suppkey + {k} * {sk} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice,
          l_discount, l_tax, l_returnflag, l_linestatus,
          l_shipdate + INTERVAL ({k} * 7) MILLISECOND AS l_shipdate
   FROM {src}""")
 
 write("customer", """
-  SELECT c_custkey + {k} * 1000000 AS c_custkey,
+  SELECT c_custkey + {k} * {ck} AS c_custkey,
          c_name || '_r{k}' AS c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM {src}""")
 
@@ -106,12 +136,12 @@ write("customer", """
 # per-replica suffix so distinct-name surfaces (q16-style) grow too, while
 # brand/type/size/nation distributions copy through unchanged
 write("part", """
-  SELECT p_partkey + {k} * 100000 AS p_partkey,
+  SELECT p_partkey + {k} * {pk} AS p_partkey,
          p_name || '_r{k}' AS p_name, p_brand, p_type, p_size, p_retailprice
   FROM {src}""")
 
 write("supplier", """
-  SELECT s_suppkey + {k} * 10000 AS s_suppkey,
+  SELECT s_suppkey + {k} * {sk} AS s_suppkey,
          s_name || '_r{k}' AS s_name, s_nationkey, s_acctbal
   FROM {src}""")
 
