@@ -1034,36 +1034,56 @@ object Similarity extends OpModule {
     * (ties then break on nid) so the shortlist boundary cannot flip on
     * engine summation order — the same guard as the IVF cell ranks.
     *
-    * Scale shape: at 100 TB the d-dim prefix is ITS OWN stored column,
-    * so stage 1 scans d/[[Dim]] of the vector bytes (1/4 at d=16) with
-    * the same broadcast-queries/one-corpus-scan plan as `knn_brute`,
-    * and stage 2 fetches full vectors for only Q x [[TruncShortlist]]
-    * survivors — the fetch-the-tail pattern every two-stage retrieval
-    * system runs. */
+    * Scale shape, MODELED in the plan, not just documented: at 100 TB
+    * the d-dim prefix is its own stored column, so stage 1 reads
+    * d/[[Dim]] of the vector bytes. Here the corpus projects to the
+    * slim (nid, d-prefix) frame immediately at the scan, the prefix
+    * cosine is computed against the broadcast query prefixes, and the
+    * ARRAYS ARE DROPPED before the per-query rank exchange — the
+    * shuffle that ranks Q x N candidates carries (qid, nid, pcos)
+    * only, never a vector (the full-width arrays riding that exchange
+    * were the measured 9.7x sf1 hotspot). Stage 2 then re-fetches full
+    * vectors for only Q x [[TruncShortlist]] survivors — the
+    * fetch-the-tail pattern every two-stage retrieval system runs.
+    * The (qid, nid) shortlist is memoized per width: `ann_trunc_topk`
+    * and the width-16 rung of `ann_trunc_curve` share one build. */
   private def truncShortDf(spark: SparkSession, dir: String,
       d: Int): DataFrame = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val q = e.filter(isQueryCol($"vec_id"))
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val (pq, pn) = (slice($"qe", 1, d), slice($"ne", 1, d))
-    broadcast(q)
-      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")),
-        $"nid" =!= $"qid")
-      .withColumn("pcos",
-        round(dot(pq, pn) / (sqrt(dot(pq, pq)) * sqrt(dot(pn, pn))), 6))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy($"qid").orderBy($"pcos".desc, $"nid")))
-      .filter($"prk" <= TruncShortlist)
+    graft.functions.DfMemo.cached(spark, s"trunc_short:$d:$dir") {
+      val e = Tables.embeddings(spark, dir)
+      val qp = e.filter(isQueryCol($"vec_id"))
+        .select($"vec_id".as("qid"), slice($"embedding", 1, d).as("qp"))
+        .withColumn("qn", sqrt(dot($"qp", $"qp")))
+      val np = e.select($"vec_id".as("nid"),
+        slice($"embedding", 1, d).as("pe"))
+        .withColumn("pn", sqrt(dot($"pe", $"pe")))
+      broadcast(qp)
+        .join(np, $"nid" =!= $"qid")
+        .select($"qid", $"nid",
+          round(dot($"qp", $"pe") / ($"qn" * $"pn"), 6).as("pcos"))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"pcos".desc, $"nid")))
+        .filter($"prk" <= TruncShortlist)
+        .select($"qid", $"nid")
+    }
   }
 
   /** ANN rung 11 (`ann_trunc_topk`): exact-cosine re-rank of the
     * [[TruncDim]]-prefix shortlist, top-3 per query — same output
-    * contract as every re-ranked rung. */
+    * contract as every re-ranked rung. The survivors frame (Q x
+    * [[TruncShortlist]] rows) broadcasts into the corpus scan, so the
+    * full-vector fetch streams the corpus once and emits only the
+    * shortlist rows. */
   private def truncTopkDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    truncShortDf(spark, dir, TruncDim)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(isQueryCol($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    broadcast(truncShortDf(spark, dir, TruncDim))
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(q), $"qid" === $"q_id")
       .withColumn("cos", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))

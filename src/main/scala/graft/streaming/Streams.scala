@@ -739,7 +739,9 @@ object Streams {
     * in the state store, scaling with DISTINCT corpus size, not stream
     * length; at 100 TB that is the same cardinality the batch
     * `dedup_exact` shuffle carries, here amortized over the ingest
-    * lifetime and spillable via RocksDB). A deployment that only needs
+    * lifetime and spillable via RocksDB — exercised, not just claimed:
+    * RocksDbStateSpec re-runs the dedup checkpoint-restart proof under
+    * RocksDBStateStoreProvider). A deployment that only needs
     * within-horizon dedup passes `retention`: the stream then carries a
     * processing-time watermark and `dropDuplicatesWithinWatermark`, so
     * the dedup set holds only the horizon's content hashes — verdicts
@@ -890,7 +892,9 @@ object Streams {
     * Scale shape: state per (band, band_key) bucket is its membership —
     * summed over buckets that is O(corpus x bands), the same cardinality
     * the batch band join's build side carries, amortized over the ingest
-    * lifetime and spillable via RocksDB. Per-arrival work is O(bucket
+    * lifetime and spillable via RocksDB (cross-batch membership is
+    * replayed under RocksDBStateStoreProvider in RocksDbStateSpec).
+    * Per-arrival work is O(bucket
     * occupancy), which banding keeps small by construction (a bucket
     * only grows when its members are near-identical). A replayed doc_id
     * is ignored (at-least-once upstream stays exactly-once here). The
@@ -1203,10 +1207,15 @@ object Streams {
       }
   }
 
+  // `late` counts input rows dropped by the closed-bucket guard —
+  // correct-but-silent drops are unacceptable at 100 TB (an upstream
+  // replaying out of order would otherwise vanish); every emitted row
+  // carries the key's cumulative count so the drop rate is observable
+  // in the output stream itself, no side channel.
   case class ResampleState(openBucket: Long, openValue: Double,
-    openId: Long)
+    openId: Long, late: Long = 0L)
   case class ResampleRow(event_type: String, bucket: Long, value: Double,
-    is_gap: Boolean)
+    is_gap: Boolean, late_drops: Long = 0L)
 
   /** Streaming regular-grid resampler — the live twin of batch
     * `flow_resample`: per event_type the monitor carries the OPEN
@@ -1243,32 +1252,43 @@ object Streams {
           // tie-break as batch `max_by(value, event_id)`, deliberately
           // ignoring ts within a bucket (the monitor carries openId so
           // the rule also holds when one bucket straddles triggers)
-          val perBucket = scala.collection.mutable.Map[Long, (Long, Double)]()
+          // (bestId, bestValue, rawRowCount) per observed bucket: the
+          // count feeds the late-drop ledger when the bucket is stale
+          val perBucket =
+            scala.collection.mutable.Map[Long, (Long, Double, Long)]()
           it.foreach { case (_, id, ts, v) =>
             val b = ts / H
-            if (!perBucket.get(b).exists(_._1 >= id)) perBucket(b) = (id, v)
+            perBucket(b) = perBucket.get(b) match {
+              case Some((id0, v0, c0)) =>
+                if (id >= id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
+              case None => (id, v, 1L)
+            }
           }
           val out = scala.collection.mutable.ArrayBuffer[ResampleRow]()
           var st = state.getOption.orNull
-          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v)) =>
+          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v, cnt)) =>
             if (st == null) st = ResampleState(b, v, id)
             else if (b == st.openBucket) {
-              if (id > st.openId) st = ResampleState(b, v, id)
+              if (id > st.openId)
+                st = st.copy(openValue = v, openId = id)
             } else if (b < st.openBucket) {
-              // late row for an already-CLOSED bucket: dropped. Closed
+              // late rows for an already-CLOSED bucket: dropped (closed
               // rows are appended and cannot be retracted; regressing
-              // openBucket would re-emit them (the in-order ledger
-              // contract, now enforced rather than assumed).
+              // openBucket would re-emit them — the in-order ledger
+              // contract) but COUNTED: the next emitted row carries the
+              // cumulative drop count, so the loss is observable
+              st = st.copy(late = st.late + cnt)
             } else {
               // close the open bucket, fill the silence, open the new one
               out += ResampleRow(etype, st.openBucket, st.openValue,
-                is_gap = false)
+                is_gap = false, late_drops = st.late)
               var g = st.openBucket + 1
               while (g < b) {
-                out += ResampleRow(etype, g, st.openValue, is_gap = true)
+                out += ResampleRow(etype, g, st.openValue, is_gap = true,
+                  late_drops = st.late)
                 g += 1
               }
-              st = ResampleState(b, v, id)
+              st = ResampleState(b, v, id, st.late)
             }
           }
           if (st != null) state.update(st)
@@ -1277,9 +1297,9 @@ object Streams {
   }
 
   case class CusumMonState(openBucket: Long, sum: Long, n: Long,
-      hi: Long, lo: Long)
+      hi: Long, lo: Long, late: Long = 0L)
   case class CusumMonRow(event_type: String, bucket: Long, x_centi: Long,
-      s_hi: Long, s_lo: Long, alarm: Boolean)
+      s_hi: Long, s_lo: Long, alarm: Boolean, late_drops: Long = 0L)
 
   /** Streaming drift monitor — the live twin of batch `flow_cusum`: per
     * event_type the monitor accumulates the open hourly bucket's exact
@@ -1322,16 +1342,19 @@ object Streams {
             else if (b == st.openBucket) {
               st = st.copy(sum = st.sum + s, n = st.n + n)
             } else if (b < st.openBucket) {
-              // late row for a closed bucket: dropped (see
-              // resampleMonitor — closed rows cannot be retracted)
+              // late rows for a closed bucket: dropped but COUNTED (see
+              // resampleMonitor — closed rows cannot be retracted; the
+              // cumulative count rides every emitted row)
+              st = st.copy(late = st.late + n)
             } else {
               val x = math.floor((st.sum * 100).toDouble / st.n).toLong
               val nHi = math.max(0L, st.hi + x - mu - k)
               val nLo = math.max(0L, st.lo + mu - x - k)
               val alarm = nHi > h || nLo > h
-              out += CusumMonRow(etype, st.openBucket, x, nHi, nLo, alarm)
+              out += CusumMonRow(etype, st.openBucket, x, nHi, nLo, alarm,
+                late_drops = st.late)
               st = CusumMonState(b, s, n,
-                if (alarm) 0L else nHi, if (alarm) 0L else nLo)
+                if (alarm) 0L else nHi, if (alarm) 0L else nLo, st.late)
             }
           }
           if (st != null) state.update(st)
@@ -1340,9 +1363,9 @@ object Streams {
   }
 
   case class DrawMonState(openBucket: Long, bestId: Long, bestVal: Double,
-      peak: Long)
+      peak: Long, late: Long = 0L)
   case class DrawMonRow(bucket: Long, close_cents: Long, peak_cents: Long,
-      dd_bps: Long)
+      dd_bps: Long, late_drops: Long = 0L)
 
   /** Streaming drawdown monitor — the live twin of batch
     * `bars_drawdown`: per bar the monitor carries the open bucket's
@@ -1363,26 +1386,33 @@ object Streams {
       .flatMapGroupsWithState[DrawMonState, DrawMonRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (_, it, state) =>
-          val perBucket = scala.collection.mutable.Map[Long, (Long, Double)]()
+          val perBucket =
+            scala.collection.mutable.Map[Long, (Long, Double, Long)]()
           it.foreach { case (id, ts, v) =>
             val b = ts / H
-            if (!perBucket.get(b).exists(_._1 >= id)) perBucket(b) = (id, v)
+            perBucket(b) = perBucket.get(b) match {
+              case Some((id0, v0, c0)) =>
+                if (id >= id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
+              case None => (id, v, 1L)
+            }
           }
           val out = scala.collection.mutable.ArrayBuffer[DrawMonRow]()
           var st = state.getOption.orNull
-          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v)) =>
+          perBucket.toSeq.sortBy(_._1).foreach { case (b, (id, v, cnt)) =>
             if (st == null) st = DrawMonState(b, id, v, 0L)
             else if (b == st.openBucket) {
               if (id > st.bestId) st = st.copy(bestId = id, bestVal = v)
             } else if (b < st.openBucket) {
-              // late row for a closed bucket: dropped (see
+              // late rows for a closed bucket: dropped but COUNTED (see
               // resampleMonitor — closed rows cannot be retracted)
+              st = st.copy(late = st.late + cnt)
             } else {
               val cc = math.round(st.bestVal * 100)
               val peak = math.max(st.peak, cc)
               out += DrawMonRow(st.openBucket, cc, peak,
-                math.floor((peak - cc) * 10000.0 / peak).toLong)
-              st = DrawMonState(b, id, v, peak)
+                math.floor((peak - cc) * 10000.0 / peak).toLong,
+                late_drops = st.late)
+              st = DrawMonState(b, id, v, peak, st.late)
             }
           }
           if (st != null) state.update(st)
@@ -1390,9 +1420,10 @@ object Streams {
       }
   }
 
-  case class AnomMonState(openBucket: Long, sum: Long, n: Long)
+  case class AnomMonState(openBucket: Long, sum: Long, n: Long,
+      late: Long = 0L)
   case class AnomMonRow(event_type: String, bucket: Long, x_centi: Long,
-      resid: Long)
+      resid: Long, late_drops: Long = 0L)
 
   /** Streaming seasonal-anomaly monitor — the live twin of batch
     * `events_anomaly`: per event_type the monitor closes hourly buckets
@@ -1432,18 +1463,20 @@ object Streams {
             val x = math.floor((st.sum * 100).toDouble / st.n).toLong
             val resid = x - profile.getOrElse((etype, st.openBucket % 24), x)
             if (BigInt(resid) * resid * n * n > rhs)
-              out += AnomMonRow(etype, st.openBucket, x, resid)
+              out += AnomMonRow(etype, st.openBucket, x, resid,
+                late_drops = st.late)
           }
           acc.toSeq.sortBy(_._1).foreach { case (b, (s, cnt)) =>
             if (st == null) st = AnomMonState(b, s, cnt)
             else if (b == st.openBucket) {
               st = st.copy(sum = st.sum + s, n = st.n + cnt)
             } else if (b < st.openBucket) {
-              // late row for a closed bucket: dropped (see
+              // late rows for a closed bucket: dropped but COUNTED (see
               // resampleMonitor — closed rows cannot be retracted)
+              st = st.copy(late = st.late + cnt)
             } else {
               close()
-              st = AnomMonState(b, s, cnt)
+              st = AnomMonState(b, s, cnt, st.late)
             }
           }
           if (st != null) state.update(st)

@@ -1833,6 +1833,93 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture should flag at least one closed anomaly")
   }
 
+  test("monitors count late-dropped rows instead of losing them silently") {
+    // The closed-bucket guards drop out-of-order rows by contract
+    // (appended rows cannot be retracted), but at scale a silent drop
+    // is indistinguishable from correct ingest — every emit-on-close
+    // monitor therefore carries a per-key cumulative late_drops counter
+    // in its output rows. Replay: trigger 1 closes buckets 0..1; trigger
+    // 2 ships rows for the CLOSED bucket 0 (dropped, counted) plus new
+    // buckets; the next closed row must surface the count, and the
+    // closed rows' values must be untouched by the late rows.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = graft.operators.Flow.HourUs
+    def us(b: Long, off: Long = 0L): Long = b * H + off
+
+    // --- resample: 1 late row into bucket 0 ---
+    val rIn = MemoryStream[(String, Long, Long, Double)]
+    val rq = Streams.resampleMonitor(
+      rIn.toDF().toDF("event_type", "event_id", "ts_us", "value"))
+      .writeStream.format("memory").queryName("late_resample")
+      .outputMode("append").start()
+    rIn.addData(Seq(("a", 1L, us(0), 1.0), ("a", 2L, us(1), 2.0),
+      ("a", 3L, us(2), 3.0)))
+    rq.processAllAvailable()
+    rIn.addData(Seq(("a", 9L, us(0, 5L), 99.0), ("a", 4L, us(3), 4.0)))
+    rq.processAllAvailable()
+    rq.stop()
+    val rRows = spark.table("late_resample").as[Streams.ResampleRow]
+      .collect().map(r => r.bucket -> ((r.value, r.late_drops))).toMap
+    assert(rRows(0L) == ((1.0, 0L)) && rRows(1L) == ((2.0, 0L)),
+      s"in-order closes must carry zero drops: $rRows")
+    assert(rRows(2L) == ((3.0, 1L)),
+      s"the close after the late row must count it and keep its value: $rRows")
+
+    // --- cusum: 2 late raw rows into bucket 0 (counter counts ROWS) ---
+    val cIn = MemoryStream[(String, Long, Double)]
+    val cq = Streams.cusumMonitor(
+      cIn.toDF().toDF("event_type", "ts_us", "value"),
+      Map("a" -> ((0L, 0L, Long.MaxValue))))
+      .writeStream.format("memory").queryName("late_cusum")
+      .outputMode("append").start()
+    cIn.addData(Seq(("a", us(0), 1.0), ("a", us(1), 2.0)))
+    cq.processAllAvailable()
+    cIn.addData(Seq(("a", us(0, 5L), 9.0), ("a", us(0, 6L), 9.0),
+      ("a", us(2), 3.0)))
+    cq.processAllAvailable()
+    cq.stop()
+    val cRows = spark.table("late_cusum").as[Streams.CusumMonRow]
+      .collect().map(r => r.bucket -> ((r.x_centi, r.late_drops))).toMap
+    assert(cRows(0L) == ((10000L, 0L)), s"bucket 0 pre-drop: $cRows")
+    assert(cRows(1L) == ((20000L, 2L)),
+      s"both late rows counted, closed mean untouched: $cRows")
+
+    // --- drawdown: late row must not move the peak either ---
+    val dIn = MemoryStream[(Long, Long, Double)]
+    val dq = Streams.drawdownMonitor(
+      dIn.toDF().toDF("event_id", "ts_us", "value"))
+      .writeStream.format("memory").queryName("late_draw")
+      .outputMode("append").start()
+    dIn.addData(Seq((1L, us(0), 5.0), (2L, us(1), 4.0)))
+    dq.processAllAvailable()
+    dIn.addData(Seq((9L, us(0, 5L), 100.0), (3L, us(2), 3.0)))
+    dq.processAllAvailable()
+    dq.stop()
+    val dRows = spark.table("late_draw").as[Streams.DrawMonRow]
+      .collect().map(r => r.bucket -> ((r.peak_cents, r.late_drops))).toMap
+    assert(dRows(0L) == ((500L, 0L)) && dRows(1L) == ((500L, 1L)),
+      s"late 100.0 print must be dropped AND counted: $dRows")
+
+    // --- anomaly: the flagged row carries the count ---
+    val aIn = MemoryStream[(String, Long, Double)]
+    val aq = Streams.anomalyMonitor(
+      aIn.toDF().toDF("event_type", "ts_us", "value"),
+      profile = Map(("a", 0L) -> 0L, ("a", 1L) -> 0L, ("a", 2L) -> 0L),
+      stats = Map("a" -> ((0L, 1L, 1L))))
+      .writeStream.format("memory").queryName("late_anom")
+      .outputMode("append").start()
+    aIn.addData(Seq(("a", us(0), 1.0), ("a", us(1), 1.0)))
+    aq.processAllAvailable()
+    aIn.addData(Seq(("a", us(0, 5L), 1.0), ("a", us(2), 1.0)))
+    aq.processAllAvailable()
+    aq.stop()
+    val aRows = spark.table("late_anom").as[Streams.AnomMonRow]
+      .collect().map(r => r.bucket -> r.late_drops).toMap
+    assert(aRows(0L) == 0L && aRows(1L) == 1L,
+      s"anomaly rows must surface the cumulative drop count: $aRows")
+  }
+
   test("streaming markov steps equal the batch lag-window transitions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
