@@ -2024,10 +2024,22 @@ object Similarity extends OpModule {
     // full rank-against-centroids subtree
     val a = staleRankedDf(spark, dir)
       .filter($"rk" === 1)
+    // cell means average FLOORED micro-cosines (exact integer sum,
+    // one double division), not raw doubles: a raw avg's summation
+    // tree is engine-private — DuckDB's own parallel sum made cos_new
+    // flip its 6th decimal BETWEEN ORACLE RUNS at sf0.1 (a run-to-run
+    // red, the hardest kind) — while the integer form is bit-stable on
+    // both engines at any width. cos_c is already round-6, so the
+    // micro conversion is exact.
+    val microMean = (c: Column) =>
+      floor(sum(round(c * 1e6).cast("long")).cast("double") /
+        count(lit(1))) / 1e6
     val base = a.filter($"vec_id" % VecDeltaMod =!= 0).groupBy($"cell")
-      .agg(count(lit(1)).as("n_base"), round(avg($"cos_c"), 6).as("cos_base"))
+      .agg(count(lit(1)).as("n_base"),
+        microMean($"cos_c").as("cos_base"))
     val fresh = a.filter($"vec_id" % VecDeltaMod === 0).groupBy($"cell")
-      .agg(count(lit(1)).as("n_new"), round(avg($"cos_c"), 6).as("cos_new"))
+      .agg(count(lit(1)).as("n_new"),
+        microMean($"cos_c").as("cos_new"))
     base.join(fresh, Seq("cell"), "left")
       .select($"cell", $"n_base",
         coalesce($"n_new", lit(0L)).as("n_new"),
@@ -2056,9 +2068,11 @@ object Similarity extends OpModule {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cell) AS rk
        |  FROM cc),
-       |b AS (SELECT cell, count(*) AS n_base, round(avg(cos_c), 6) AS cos_base
+       |b AS (SELECT cell, count(*) AS n_base,
+       |        floor(sum(round(cos_c * 1e6)::BIGINT)::DOUBLE / count(*)) / 1e6 AS cos_base
        |      FROM a WHERE rk = 1 AND vec_id % $VecDeltaMod <> 0 GROUP BY 1),
-       |d AS (SELECT cell, count(*) AS n_new, round(avg(cos_c), 6) AS cos_new
+       |d AS (SELECT cell, count(*) AS n_new,
+       |        floor(sum(round(cos_c * 1e6)::BIGINT)::DOUBLE / count(*)) / 1e6 AS cos_new
        |      FROM a WHERE rk = 1 AND vec_id % $VecDeltaMod = 0 GROUP BY 1)
        |SELECT b.cell, b.n_base, coalesce(d.n_new, 0) AS n_new,
        |  (coalesce(d.n_new, 0) * 100) // b.n_base AS growth_pct,

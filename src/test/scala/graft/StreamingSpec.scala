@@ -1647,9 +1647,10 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (c, (n, cos)) =>
       val s = streamed(c)
       assert(s.n_new === n, s"cell $c: streamed ${s.n_new} vs batch $n")
-      // batch averages the same rounded cosines; only summation order
-      // differs, so the means agree to float tolerance
-      assert(math.abs(s.mean_cos_new - cos) < 1e-6,
+      // the batch side floors its micro-integer mean (up to 1e-6 below
+      // the true mean); the streamed side is a raw running mean — so
+      // they agree to the floor width plus summation ulps
+      assert(math.abs(s.mean_cos_new - cos) < 2e-6,
         s"cell $c: streamed mean ${s.mean_cos_new} vs batch $cos")
     }
   }
