@@ -94,7 +94,7 @@ def main():
         elif kind_drift and not LAX:
             print(f"FAIL {name}: dtype kind drift (mine vs oracle): {kind_drift}"
                   " — the driver hashes dtypes; ::BIGINT-wrap HUGEINT-promoting"
-                  " oracle arithmetic (see .claude/skills/verify/SKILL.md)")
+                  " oracle arithmetic")
             n_fail += 1
         elif len(mine) != len(ref):
             print(f"FAIL {name}: {len(mine)} rows vs oracle {len(ref)}")
