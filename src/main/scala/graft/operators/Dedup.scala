@@ -183,9 +183,31 @@ object Dedup extends OpModule {
        |FROM sh GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-bucket member budget for batch pair enumeration — the batch
+    * twin of `Streams.LshBucketCap` (same value, same rationale): a
+    * real corpus holds boilerplate duplicated millions of times, and a
+    * band bucket carrying such a cluster would otherwise enumerate
+    * O(n²) pairs (the dim-scaled sf10 probe measured 23.5M pairs from
+    * 500k docs, 93,000× the sf0.1 count for 100× docs — THE
+    * fixed-capacity trap this probe rung exists to catch). */
+  val LshPairCap = 64
+
   /** LSH banding: 2 bands x 4 rows; candidate pairs share any full band.
     * Output is the deduplicated candidate pair list. Memoized: the
-    * cluster-resolution query consumes the same pair graph. */
+    * cluster-resolution query consumes the same pair graph.
+    *
+    * Hot-bucket guard (capped clique + connectivity star): bucket
+    * members rank by doc_id; the first [[LshPairCap]] form the full
+    * pair clique (audit-grade — estimator-accuracy rungs read these),
+    * and every member PAST the cap emits exactly one edge to the
+    * bucket's rank-1 hub. The edge set is linear in bucket size, every
+    * edge is a genuine band-sharing pair, and the graph's connected
+    * components are EXACTLY the uncapped graph's (everything in a
+    * bucket stays connected through the hub) — so `dedup_clusters`,
+    * `dedup_keep_best` and `pipeline_split*` semantics are preserved
+    * bit-for-bit at any cluster size while the work stays linear.
+    * Buckets at or under the cap (every sane corpus bucket, and all of
+    * sf0.01/sf0.1) produce the identical full pair set as before. */
   private def minhashPairsDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"minhash_pairs:$dir")(
       minhashPairsUncached(spark, dir))
@@ -194,13 +216,24 @@ object Dedup extends OpModule {
     import spark.implicits._
     val sig = minhashDf(spark, dir)
     val bands = bandFrame(spark, sig, MinhashK / 4, 4)
-    bands.as("x")
-      .join(bands.as("y"),
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"band_key").orderBy($"doc_id")))
+    // two separately-bounded joins, so no intermediate is ever bucket²:
+    // the clique join's sides are both ≤ cap per bucket, the star
+    // join's left side is exactly 1 row per bucket
+    val head = bands.filter($"rn" <= LshPairCap)
+    val clique = head.as("x")
+      .join(head.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val star = bands.filter($"rn" === 1).as("x")
+      .join(bands.filter($"rn" > LshPairCap).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    clique.union(star).distinct()
   }
 
   private val minhashPairsSql: String = {
@@ -212,11 +245,22 @@ object Dedup extends OpModule {
        |sig AS (SELECT doc_id,
        |${(0 until MinhashK).map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(",\n")}
        |FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.band_key = y.band_key
-       | AND x.doc_id < y.doc_id""".stripMargin
+       |bands0 AS ($bandRows),
+       |bands AS (SELECT doc_id, band, band_key,
+       |    row_number() OVER (PARTITION BY band, band_key
+       |      ORDER BY doc_id) AS rn
+       |  FROM bands0)
+       |SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |   AND x.rn <= $LshPairCap AND y.rn <= $LshPairCap
+       |  UNION ALL
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.rn = 1 AND y.rn > $LshPairCap)""".stripMargin
   }
 
   /** MinHash estimation accuracy — the sketch-trust metric, in the same
@@ -615,7 +659,16 @@ object Dedup extends OpModule {
     * all-pairs), then the exact Hamming check via one XOR + popcount.
     * The alternative pair generator to MinHash LSH: cheaper signatures
     * (one int vs k minima), exact distance semantics, at the cost of a
-    * cruder similarity notion. */
+    * cruder similarity notion.
+    *
+    * Same hot-bucket guard as [[minhashPairsDf]] (capped clique +
+    * hub star, [[LshPairCap]] members): a band bucket carrying a large
+    * exact-duplicate cluster enumerates linearly, not quadratically
+    * (sf10 measured 33.8M pairs pre-guard). A past-cap member keeps its
+    * pair with the bucket hub when within [[SimhashHamMax]] — exact for
+    * the duplicate-cluster hot case (hamming 0 to the hub); a past-cap
+    * member near some OTHER member but far from the hub is the accepted
+    * saturation trade, the batch form of the streaming sentinel. */
   private def simhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = simhashDf(spark, dir)
@@ -624,13 +677,24 @@ object Dedup extends OpModule {
       .withColumn("band_key",
         expr(s"(simhash div shiftleft(cast(1 as bigint), int(band * $SimhashBandBits)))" +
           s" % ${1 << SimhashBandBits}"))
-    bands.as("x")
-      .join(bands.as("y"),
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"band_key").orderBy($"doc_id")))
+    val pairCols = Seq(col("x.doc_id").as("doc_a"),
+      col("y.doc_id").as("doc_b"),
+      expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+    val head = bands.filter($"rn" <= LshPairCap)
+    val clique = head.as("x")
+      .join(head.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .select(pairCols: _*)
+    val star = bands.filter($"rn" === 1).as("x")
+      .join(bands.filter($"rn" > LshPairCap).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(pairCols: _*)
+    clique.union(star)
       // filter BEFORE distinct: hamming is a function of the pair, so the
       // result is identical but the dedup shuffle carries only the pairs
       // inside the threshold, not every band collision
@@ -640,16 +704,27 @@ object Dedup extends OpModule {
 
   private val simhashPairsSql: String =
     s"""WITH sig AS ($simhashSql),
-       |bands AS (
+       |bands0 AS (
        |  SELECT doc_id, simhash, b AS band,
        |    (simhash // (1::BIGINT << (b * $SimhashBandBits))) % ${1 << SimhashBandBits} AS band_key
-       |  FROM sig, range(0, $SimhashBands) t(b))
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.band_key = y.band_key
-       | AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashHamMax""".stripMargin
+       |  FROM sig, range(0, $SimhashBands) t(b)),
+       |bands AS (SELECT *, row_number() OVER (PARTITION BY band, band_key
+       |    ORDER BY doc_id) AS rn
+       |  FROM bands0)
+       |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |   AND x.rn <= $LshPairCap AND y.rn <= $LshPairCap
+       |  UNION ALL
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.rn = 1 AND y.rn > $LshPairCap)
+       |WHERE hamming <= $SimhashHamMax""".stripMargin
 
   /** Duplicate-CLUSTER resolution: connected components over the
     * MinHash-LSH pair graph, one canonical (minimum) doc id per

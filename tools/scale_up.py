@@ -10,10 +10,11 @@ keeps the original's statistical shape without manufacturing pathologies the
 real sf1 would not have:
   - fact keys shift per replica (orderkey/custkey/doc_id/vec_id/event_id
     spaces stay disjoint), so key cardinalities scale with volume;
-  - documents rotate their word order per replica (breaks nearly every
-    shingle), so the near-dup detectors don't see a synthetic 10-way
-    duplicate of the whole corpus — candidate-pair volume scales linearly
-    like a real corpus, not quadratically like a copy;
+  - documents rotate their word order AND tag every 4th token with a
+    replica marker (rotation alone is a circular shift that PRESERVES
+    n-grams), so the near-dup detectors don't see a synthetic R-way
+    near-duplicate of the whole corpus — candidate-pair volume scales
+    linearly like a real corpus, not quadratically like a copy;
   - embeddings get a small deterministic per-replica offset, keeping the
     cluster structure while making vectors distinct;
   - event timestamps jitter a few ms per replica so time-ordered windows
@@ -80,20 +81,32 @@ write("events", """
          event_type, value, props
   FROM {src}""")
 
+# rotation ALONE is a circular shift — it preserves nearly every word
+# n-gram, so replicas would be genuine near-dups of each other and the
+# near-dup pair volume would grow QUADRATICALLY in R (measured: 23.5M
+# LSH candidate pairs at R=100 from a 500k-doc corpus — round 12).
+# Every replica therefore also tags each 4th token (phase varies by k)
+# with a replica marker: ~3/4 of 3-gram shingles break between any two
+# replicas, cross-replica Jaccard lands ~0.14 (far below banding
+# thresholds), and candidate volume scales linearly like a real corpus
+# while the base corpus's own planted duplicates still replicate
+# per-stripe (so dedup surfaces keep linear work to find).
 write("documents", """
   SELECT doc_id + {k} * {doc} AS doc_id,
-         CASE WHEN {k} = 0 THEN text
-              ELSE array_to_string(list_concat(
-                toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
-                toks[: (({k} * 7) % GREATEST(len(toks), 1))]), ' ')
-         END AS text,
-         lang, source,
+         text2 AS text, lang, source,
          CASE WHEN {k} = 0 THEN n_chars
-              ELSE length(array_to_string(list_concat(
-                toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
-                toks[: (({k} * 7) % GREATEST(len(toks), 1))]), ' '))::BIGINT
-         END AS n_chars
-  FROM (SELECT *, string_split(text, ' ') AS toks FROM {src})""")
+              ELSE length(text2)::BIGINT END AS n_chars
+  FROM (
+    SELECT *, CASE WHEN {k} = 0 THEN text
+         ELSE array_to_string(list_transform(range(1, len(rot) + 1),
+           i -> CASE WHEN (i % 4) = (({k} * 3) % 4)
+                THEN rot[i] || '_x{k}' ELSE rot[i] END), ' ')
+         END AS text2
+    FROM (
+      SELECT *, list_concat(
+          toks[1 + (({k} * 7) % GREATEST(len(toks), 1)):],
+          toks[: (({k} * 7) % GREATEST(len(toks), 1))]) AS rot
+      FROM (SELECT *, string_split(text, ' ') AS toks FROM {src})))""")
 
 # dimension ROTATION per replica (not just a small offset): an offset keeps
 # each replica a near-duplicate of its siblings, handing the near-dup
