@@ -147,11 +147,16 @@ object LatencyBench {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
       }
-      val d = measure(spark, stage, nSym, ticksPerSym, rounds, warmup,
-        ckptBase).sorted
-      spark.conf.unset(providerKey)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      name -> d
+      // restore on EVERY exit: a cell that throws mid-measure must not
+      // leak its provider/partition overrides into the remaining sweep
+      try {
+        val d = measure(spark, stage, nSym, ticksPerSym, rounds, warmup,
+          ckptBase).sorted
+        name -> d
+      } finally {
+        spark.conf.unset(providerKey)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
     }
 
     // one-dimension-at-a-time sweep from the base cell (full cascade,

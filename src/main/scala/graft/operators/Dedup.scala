@@ -212,28 +212,36 @@ object Dedup extends OpModule {
     graft.functions.DfMemo.cached(spark, s"minhash_pairs:$dir")(
       minhashPairsUncached(spark, dir))
 
-  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sig = minhashDf(spark, dir)
-    val bands = bandFrame(spark, sig, MinhashK / 4, 4)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"band", $"band_key").orderBy($"doc_id")))
-    // two separately-bounded joins, so no intermediate is ever bucket²:
-    // the clique join's sides are both ≤ cap per bucket, the star
-    // join's left side is exactly 1 row per bucket
-    val head = bands.filter($"rn" <= LshPairCap)
+  /** The hot-bucket guard applied to a (doc_id, band, band_key) frame:
+    * bucket members rank by doc_id, the first [[LshPairCap]] form the
+    * full pair clique, every member past the cap emits one edge to the
+    * rank-1 hub. Shared by the shipped pair generator and every
+    * `dedup_lsh_curve` config, so the curve's (2,4) point IS the
+    * generator by construction. Two separately-bounded joins, so no
+    * intermediate is ever bucket²: the clique join's sides are both
+    * ≤ cap per bucket, the star join's left side is exactly 1 row per
+    * bucket. */
+  private def guardedPairFrame(bands0: DataFrame): DataFrame = {
+    val bands = bands0.withColumn("rn", row_number().over(
+      Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+    val head = bands.filter(col("rn") <= LshPairCap)
     val clique = head.as("x")
       .join(head.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val star = bands.filter($"rn" === 1).as("x")
-      .join(bands.filter($"rn" > LshPairCap).as("y"),
+    val star = bands.filter(col("rn") === 1).as("x")
+      .join(bands.filter(col("rn") > LshPairCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     clique.union(star).distinct()
+  }
+
+  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashDf(spark, dir)
+    guardedPairFrame(bandFrame(spark, sig, MinhashK / 4, 4))
   }
 
   private val minhashPairsSql: String = {
@@ -485,8 +493,25 @@ object Dedup extends OpModule {
     * (3*inter >= na+nb, no double compare), counts are exact, shares
     * are integer-percent floors. Scale shape: ground truth reuses the
     * hot-capped postings join (never all-pairs); each config's
-    * candidates come from the banding self-join; every verdict frame is
-    * 1 row. */
+    * candidate enumeration carries the SAME hot-bucket guard as the
+    * shipped pair generator ([[guardedPairFrame]] — capped clique +
+    * hub star, never bucket²; a boilerplate-heavy corpus would
+    * otherwise make the permissive 8x1 config quadratic in its
+    * largest duplicate cluster, the trap class the sf10 board
+    * measured at 93,000x pair growth). `n_candidates` is therefore a
+    * LOWER bound on the uncapped candidate count once any bucket
+    * passes [[LshPairCap]] (exact below it — all of sf0.01/sf0.1);
+    * the closed-form `n_candidates_ub` column prices the suppressed
+    * remainder from per-bucket occupancy alone — each (band,
+    * band_key) bucket of n members contributes n*(n-1)/2 pair SLOTS,
+    * an upper bound on distinct pairs that needs no enumeration at
+    * any bucket size and stays provably monotone along the dial (a
+    * full-band match implies matches of all its sub-bands in every
+    * finer config). Nesting makes `n_candidates` monotone too while
+    * buckets stay under the cap; past it, rank shifts between configs
+    * can in principle locally reorder the guarded counts — the
+    * bracketing [lb, ub] columns are the honest report there. Every
+    * verdict frame is 1 row. */
   private def lshTruthDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"lsh_truth:$dir") {
       import spark.implicits._
@@ -515,19 +540,21 @@ object Dedup extends OpModule {
     val truthN = truth.agg(count(lit(1)).as("n_true_total"))
     LshCurveConfigs.map { case (b, r) =>
       val bands = bandFrame(spark, sig, b, r)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = guardedPairFrame(bands)
+      // closed-form slot census: per-bucket occupancy n contributes
+      // n*(n-1)/2 — no pair row is ever materialized, exact at any
+      // bucket size, an upper bound on the uncapped distinct count
+      val ub = bands.groupBy($"band", $"band_key")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .as("n_candidates_ub"))
       cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ub)
         .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("n_true")))
         .crossJoin(truthN)
         .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          $"n_candidates", $"n_true", $"n_true_total",
+          $"n_candidates", $"n_candidates_ub", $"n_true", $"n_true_total",
           expr("(n_true * 100) div nullif(n_candidates, 0)")
             .as("precision_pct"),
           expr("(n_true * 100) div nullif(n_true_total, 0)")
@@ -539,23 +566,41 @@ object Dedup extends OpModule {
     val sigCols = (0 until MinhashK)
       .map(i => s"  min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS mh$i")
       .mkString(",\n")
-    val configs = LshCurveConfigs.map { case (b, r) =>
+    // per-config CTEs mirror the Spark side's guarded enumeration: the
+    // banded frame gains a per-bucket rank, candidates are the capped
+    // clique plus the rank-1 hub star (never bucket²), and the
+    // closed-form upper bound sums n*(n-1)/2 over bucket occupancies
+    val cfgCtes = LshCurveConfigs.map { case (b, r) =>
       val bandRows = (0 until b).map { j =>
         val key = (0 until r).map(i => s"mh${j * r + i}::VARCHAR")
           .mkString(" || ',' || ")
         s"SELECT doc_id, $j AS band, $key AS band_key FROM sig"
       }.mkString("\nUNION ALL\n")
+      s"""bands_${b}_$r AS (
+         |  SELECT doc_id, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key
+         |      ORDER BY doc_id) AS rn
+         |  FROM ($bandRows)),
+         |cand_${b}_$r AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    FROM bands_${b}_$r x JOIN bands_${b}_$r y
+         |      ON x.band = y.band AND x.band_key = y.band_key
+         |     AND x.doc_id < y.doc_id
+         |     AND x.rn <= $LshPairCap AND y.rn <= $LshPairCap
+         |    UNION ALL
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    FROM bands_${b}_$r x JOIN bands_${b}_$r y
+         |      ON x.band = y.band AND x.band_key = y.band_key
+         |     AND x.rn = 1 AND y.rn > $LshPairCap))""".stripMargin
+    }.mkString(",\n")
+    val configs = LshCurveConfigs.map { case (b, r) =>
       s"""SELECT ${b}::BIGINT AS n_bands, ${r}::BIGINT AS rows_per_band,
-         |  (SELECT count(*) FROM (
-         |     SELECT DISTINCT x.doc_id, y.doc_id FROM ($bandRows) x
-         |     JOIN ($bandRows) y ON x.band = y.band
-         |       AND x.band_key = y.band_key AND x.doc_id < y.doc_id))
-         |    AS n_candidates,
-         |  (SELECT count(*) FROM (
-         |     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |     FROM ($bandRows) x
-         |     JOIN ($bandRows) y ON x.band = y.band
-         |       AND x.band_key = y.band_key AND x.doc_id < y.doc_id) c
+         |  (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+         |  (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT FROM (
+         |     SELECT count(*) AS n FROM bands_${b}_$r
+         |     GROUP BY band, band_key)) AS n_candidates_ub,
+         |  (SELECT count(*) FROM cand_${b}_$r c
          |   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
          |    AS n_true,
          |  (SELECT count(*) FROM truth) AS n_true_total""".stripMargin
@@ -579,8 +624,10 @@ object Dedup extends OpModule {
        |sig AS (SELECT doc_id,
        |$sigCols
        |FROM sh GROUP BY doc_id),
+       |$cfgCtes,
        |curve AS ($configs)
-       |SELECT n_bands, rows_per_band, n_candidates, n_true, n_true_total,
+       |SELECT n_bands, rows_per_band, n_candidates, n_candidates_ub,
+       |  n_true, n_true_total,
        |  ((n_true * 100) // nullif(n_candidates, 0))::BIGINT AS precision_pct,
        |  ((n_true * 100) // nullif(n_true_total, 0))::BIGINT AS recall_pct
        |FROM curve""".stripMargin
@@ -669,28 +716,34 @@ object Dedup extends OpModule {
     * the duplicate-cluster hot case (hamming 0 to the hub); a past-cap
     * member near some OTHER member but far from the hub is the accepted
     * saturation trade, the batch form of the streaming sentinel. */
-  private def simhashPairsDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sig = simhashDf(spark, dir)
-    val bands = sig.select($"doc_id", $"simhash",
+  /** The 4x14-bit banding of a (doc_id, simhash) frame. */
+  private def simhashBandFrame(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_key",
         expr(s"(simhash div shiftleft(cast(1 as bigint), int(band * $SimhashBandBits)))" +
           s" % ${1 << SimhashBandBits}"))
+
+  /** The guarded simhash pair enumeration over any (doc_id, simhash)
+    * frame — capped clique + Hamming-filtered hub star. Shared by the
+    * shipped generator and the [[simhashSatDf]] saturation audit, so
+    * the audit prices exactly the code that ships. */
+  private def simhashGuardedPairs(sig: DataFrame): DataFrame = {
+    val bands = simhashBandFrame(sig)
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"band", $"band_key").orderBy($"doc_id")))
+        Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
     val pairCols = Seq(col("x.doc_id").as("doc_a"),
       col("y.doc_id").as("doc_b"),
       expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-    val head = bands.filter($"rn" <= LshPairCap)
+    val head = bands.filter(col("rn") <= LshPairCap)
     val clique = head.as("x")
       .join(head.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(pairCols: _*)
-    val star = bands.filter($"rn" === 1).as("x")
-      .join(bands.filter($"rn" > LshPairCap).as("y"),
+    val star = bands.filter(col("rn") === 1).as("x")
+      .join(bands.filter(col("rn") > LshPairCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key"))
       .select(pairCols: _*)
@@ -698,9 +751,12 @@ object Dedup extends OpModule {
       // filter BEFORE distinct: hamming is a function of the pair, so the
       // result is identical but the dedup shuffle carries only the pairs
       // inside the threshold, not every band collision
-      .filter($"hamming" <= SimhashHamMax)
+      .filter(col("hamming") <= SimhashHamMax)
       .distinct()
   }
+
+  private def simhashPairsDf(spark: SparkSession, dir: String): DataFrame =
+    simhashGuardedPairs(simhashDf(spark, dir))
 
   private val simhashPairsSql: String =
     s"""WITH sig AS ($simhashSql),
@@ -725,6 +781,121 @@ object Dedup extends OpModule {
        |    ON x.band = y.band AND x.band_key = y.band_key
        |   AND x.rn = 1 AND y.rn > $LshPairCap)
        |WHERE hamming <= $SimhashHamMax""".stripMargin
+
+  /** Saturation-audit fixture width: 2.5x [[LshPairCap]] members in one
+    * planted hot bucket, so 60% of the bucket mass sits past the cap. */
+  val SimhashSatMembers = 160
+
+  /** `dedup_simhash_sat` — the measured recall price of the simhash
+    * hot-bucket guard, the way `ann_recall_stale` prices deferred
+    * re-training. Unlike the minhash guard (whose unconditional star
+    * edges provably preserve connected components), the simhash star
+    * edge carries the Hamming filter, so a past-cap bucket member near
+    * some OTHER member but far from the hub loses that pair — the
+    * accepted trade documented at [[simhashGuardedPairs]]. This rung
+    * converts "accepted" into a number on a deterministic planted
+    * fixture: the first [[SimhashSatMembers]] doc ids get synthetic
+    * signatures that (a) share band 0 exactly (one hot bucket), and
+    * (b) pair up into near-dup twins 3 bits apart with the 3
+    * differing bits spread across bands 1/2/3, so each twin pair is
+    * discoverable ONLY through the hot band; distinct twin groups sit
+    * >= 4 bits apart (a 4x repetition code over the group id). The
+    * audit runs the SHIPPED guarded generator against the exact
+    * within-bucket census: every twin whose two members both rank past
+    * the cap is lost (planted: groups 32..79 -> 48 of 80 pairs,
+    * recall 40%), every sub-cap twin and the hub's own neighbors
+    * survive. Scale shape: the fixture is a CONSTANT 160 rows taken
+    * via TakeOrdered (never a corpus sort); the census self-join is
+    * 160^2/2 rows, a fixture constant, and the guarded side is the
+    * production operator itself. */
+  private def simhashSatDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = SimhashSatMembers
+    // rank the fixture AFTER the TakeOrdered limit: the window then
+    // sorts m rows, not the corpus
+    val ranked = Tables.documents(spark, dir).select($"doc_id")
+      .orderBy($"doc_id").limit(m)
+      .withColumn("rk", row_number().over(Window.orderBy($"doc_id")))
+    // twin group g (7 bits, 4x repetition-coded at these offsets: any
+    // two groups differ by >= 4 signature bits) and parity p (flips one
+    // bit in each of bands 1/2/3: twins are 3 apart, never band-equal
+    // outside the planted hot band 0, whose 14 low bits stay 0)
+    val base = SimhashSatCodeOffsets.zipWithIndex.map { case (o, i) =>
+      shiftright($"g", i).bitwiseAND(lit(1L)) * lit(15L << o)
+    }.reduce(_ + _)
+    val sig = ranked
+      .withColumn("g", expr("cast((rk - 1) div 2 as bigint)"))
+      .withColumn("p", expr("cast((rk - 1) % 2 as bigint)"))
+      .select($"doc_id", (base + $"p" * lit(SimhashSatFlipMask)).as("simhash"))
+      .localCheckpoint() // tiny; consumed by 3 frames below
+    val guarded = simhashGuardedPairs(sig)
+    val exact = sig.as("x")
+      .join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= SimhashHamMax)
+    sig.agg(count(lit(1)).as("n_members"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+      .crossJoin(guarded.agg(count(lit(1)).as("n_guarded_pairs")))
+      .select($"n_members", $"n_exact_pairs", $"n_guarded_pairs",
+        ($"n_exact_pairs" - $"n_guarded_pairs").as("n_lost_pairs"),
+        expr("(n_guarded_pairs * 100) div nullif(n_exact_pairs, 0)")
+          .as("recall_pct"))
+  }
+
+  /** 4x repetition-code offsets for the 7 group-id bits: 3 groups of 4
+    * bits in band 1 (bits 15-26), 3 in band 2 (29-40), 1 in band 3
+    * (43-46) — all clear of the per-parity flip bits 14/28/42 and of
+    * the hot band 0 (bits 0-13). */
+  private val SimhashSatCodeOffsets = Seq(15, 19, 23, 29, 33, 37, 43)
+  private val SimhashSatFlipMask = (1L << 14) | (1L << 28) | (1L << 42)
+
+  private lazy val simhashSatSql: String = {
+    val baseSql = SimhashSatCodeOffsets.zipWithIndex
+      .map { case (o, i) => s"((g >> $i) & 1) * (15::BIGINT << $o)" }
+      .mkString(" +\n      ")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+       |  FROM (SELECT doc_id FROM documents ORDER BY doc_id
+       |        LIMIT $SimhashSatMembers)),
+       |gp AS (SELECT doc_id, (rk - 1) // 2 AS g, (rk - 1) % 2 AS p
+       |       FROM ranked),
+       |sig AS (SELECT doc_id,
+       |      ($baseSql
+       |      + p * $SimhashSatFlipMask)::BIGINT AS simhash
+       |    FROM gp),
+       |bands0 AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |    (simhash // (1::BIGINT << (b * $SimhashBandBits))) % ${1 << SimhashBandBits} AS band_key
+       |  FROM sig, range(0, $SimhashBands) t(b)),
+       |bands AS (SELECT *, row_number() OVER (PARTITION BY band, band_key
+       |    ORDER BY doc_id) AS rn
+       |  FROM bands0),
+       |guarded AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |      bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.band_key = y.band_key
+       |     AND x.doc_id < y.doc_id
+       |     AND x.rn <= $LshPairCap AND y.rn <= $LshPairCap
+       |    UNION ALL
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |      bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.band_key = y.band_key
+       |     AND x.rn = 1 AND y.rn > $LshPairCap)
+       |  WHERE hamming <= $SimhashHamMax),
+       |exact AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashHamMax)
+       |SELECT (SELECT count(*) FROM sig) AS n_members,
+       |  (SELECT count(*) FROM exact) AS n_exact_pairs,
+       |  (SELECT count(*) FROM guarded) AS n_guarded_pairs,
+       |  (SELECT count(*) FROM exact) - (SELECT count(*) FROM guarded)
+       |    AS n_lost_pairs,
+       |  ((SELECT count(*) FROM guarded) * 100)
+       |    // nullif((SELECT count(*) FROM exact), 0) AS recall_pct""".stripMargin
+  }
 
   /** Duplicate-CLUSTER resolution: connected components over the
     * MinHash-LSH pair graph, one canonical (minimum) doc id per
@@ -1176,6 +1347,7 @@ object Dedup extends OpModule {
     "dedup_minhash_est" -> (minhashEstDf(_, _)),
     "dedup_containment" -> (containmentDf(_, _)),
     "dedup_simhash_pairs" -> (simhashPairsDf(_, _)),
+    "dedup_simhash_sat" -> (simhashSatDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
     "dedup_lsh_curve" -> (lshCurveDf(_, _)),
@@ -1194,6 +1366,7 @@ object Dedup extends OpModule {
     "dedup_minhash_est" -> minhashEstSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash_sat" -> simhashSatSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
     "dedup_lsh_curve" -> lshCurveSql,

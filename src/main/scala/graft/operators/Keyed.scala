@@ -1095,7 +1095,7 @@ object Keyed extends OpModule {
        |  WINDOW wc AS (ORDER BY n_events
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |t AS (SELECT *,
-       |    sum(n_users::HUGEINT * (2 * cum_v - mass)::HUGEINT) OVER () AS trap
+       |    sum(n_users::HUGEINT * (2 * cum_v::HUGEINT - mass)) OVER () AS trap
        |  FROM c)
        |SELECT n_events, n_users,
        |  ((cum_n * 1000) // tot_n)::BIGINT AS cum_users_permille,

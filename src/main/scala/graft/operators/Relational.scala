@@ -1048,6 +1048,18 @@ object Relational extends OpModule {
   /** Minimum co-occurrence count for a [[basketDf]] pair to surface. */
   val BasketMinSupport = 2
 
+  /** Per-basket member budget for pair enumeration — the basket twin
+    * of `Dedup.LshPairCap` (same guard family, same rationale): pair
+    * output is quadratic in BASKET size, and while this schema's
+    * baskets hold ≤ a dozen distinct parts, a retail-scale corpus with
+    * 1,000-item carts would make one hot basket emit 500k pairs. Over
+    * the cap only the first [[BasketPairCap]] parts (by part key —
+    * the basket array is sorted, so the slice is deterministic)
+    * enumerate; every basket on this schema, and any sane one, is
+    * exact. Marginals (`cnt`, `n_orders`) stay uncapped — they are
+    * linear and need no guard. */
+  val BasketPairCap = 64
+
   /** Market-basket co-occurrence (`basket_pairs`): part pairs ordered
     * together, with support and LIFT (observed co-rate over the rate
     * independence predicts) — the frequent-itemset/association-rule
@@ -1056,8 +1068,9 @@ object Relational extends OpModule {
     * Scale shape: the pair self-join is keyed by orderkey and an order
     * has ≤ a dozen distinct parts, so pairs-per-order is bounded and
     * the join output is linear in orders — the quadratic term rides
-    * the BASKET size, not the corpus (contrast the shingle posting
-    * lists, which need `HotShingleCap`). The pair generator is NOT a
+    * the BASKET size, not the corpus, and [[BasketPairCap]] bounds it
+    * even against a pathological hot basket (contrast the shingle
+    * posting lists, which need `HotShingleCap`). The pair generator is NOT a
     * self-join: baskets collect into per-order sorted part arrays (≤ a
     * dozen elements) and pairs explode per-row — one shuffle keyed by
     * orderkey, one by pair, no join of the corpus against itself.
@@ -1075,9 +1088,11 @@ object Relational extends OpModule {
       .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
     val tot = baskets.agg(count(lit(1)).as("n_orders"))
     baskets
+      // hot-basket guard: enumerate pairs over at most the first
+      // BasketPairCap (sorted) parts — exact for every sub-cap basket
       .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
+        s"""flatten(transform(slice(ps, 1, $BasketPairCap), (x, i) ->
+          |  transform(slice(ps, i + 2, $BasketPairCap - i - 1), y ->
           |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
       .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
       .agg(count(lit(1)).as("support"))
@@ -1098,10 +1113,16 @@ object Relational extends OpModule {
     s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cnt AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+       |itemsc AS (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey, row_number() OVER (
+       |      PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+       |    FROM items) r
+       |  WHERE rn <= $BasketPairCap),
        |pr AS (
        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        |    count(*) AS support
-       |  FROM items a JOIN items b
+       |  FROM itemsc a JOIN itemsc b
        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
        |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,

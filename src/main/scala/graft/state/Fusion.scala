@@ -118,8 +118,18 @@ object Fusion {
     val delta = b.buy_vol - b.sell_vol
     val ring = (st.ring :+ delta).takeRight(ZPop)
     val n = ring.length
-    val mu = ring.sum / n
-    val sigma = math.sqrt(ring.map(x => (x - mu) * (x - mu)).sum / n)
+    // two explicit left-to-right folds, NOT ring.sum / ring.map(..).sum:
+    // same addition order bit-for-bit (the replay specs pin stream ≡
+    // batch), but no boxed intermediate vector — this is the reflex
+    // hot path (ReflexBench) and the O(ZPop) walk per bar is kept
+    // deliberately (a subtract-on-evict running sum would change the
+    // FP summation tree and break bit-parity with the batch twin)
+    var s1 = 0.0
+    ring.foreach(s1 += _)
+    val mu = s1 / n
+    var s2 = 0.0
+    ring.foreach { x => val d = x - mu; s2 += d * d }
+    val sigma = math.sqrt(s2 / n)
     val z =
       if (n >= ZMin && sigma > 0) Some((delta - mu) / sigma) else None
     // normalized CVD (aether_oracle.py:123-153)

@@ -1260,7 +1260,11 @@ object Streams {
             val b = ts / H
             perBucket(b) = perBucket.get(b) match {
               case Some((id0, v0, c0)) =>
-                if (id >= id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
+                // STRICT: first-wins on equal event_id, matching the
+                // cross-batch carried-state update (id > openId) so a
+                // duplicate id picks the same value whether the two
+                // rows share a micro-batch or straddle a trigger cut
+                if (id > id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
               case None => (id, v, 1L)
             }
           }
@@ -1392,7 +1396,11 @@ object Streams {
             val b = ts / H
             perBucket(b) = perBucket.get(b) match {
               case Some((id0, v0, c0)) =>
-                if (id >= id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
+                // STRICT: first-wins on equal event_id, matching the
+                // cross-batch carried-state update (id > openId) so a
+                // duplicate id picks the same value whether the two
+                // rows share a micro-batch or straddle a trigger cut
+                if (id > id0) (id, v, c0 + 1) else (id0, v0, c0 + 1)
               case None => (id, v, 1L)
             }
           }

@@ -131,6 +131,76 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("dedup state far past a 2 MB RocksDB budget spills to SST and " +
+    "stays exact") {
+    // the actual 100 TB failure mode of the HEAP store: per-key state
+    // grows past executor memory. Here RocksDB gets a deliberately
+    // tiny bounded budget (2 MB shared cache, 1 MB write buffers) and
+    // the content-hash dedup state is driven to ~15-20 MB of key
+    // material — an order of magnitude past the budget — across
+    // multiple commits. The proof is three-sided: (a) semantics stay
+    // exact (every distinct content kept once, every re-send dropped,
+    // including re-sends of the OLDEST batch, whose keys cannot be
+    // memory-resident any more); (b) the state actually left memory
+    // (total SST file bytes exceed the whole budget); (c) the pinned
+    // block-cache usage respected the bound.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val budgetMb = 2L
+    val memConf = Seq(
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->
+        budgetMb.toString,
+      "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "1",
+      "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber" -> "2")
+    val prev = memConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    memConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try underRocksDb {
+      val n = 240000
+      def doc(i: Int, id: Long) =
+        Streams.RawDoc(id, s"unique content $i with stable tail ${i * 7L}",
+          "en", "s")
+      val input = MemoryStream[Streams.RawDoc]
+      val q = Streams.docIngest(input.toDF())
+        .writeStream.format("memory").queryName("rdb_pressure")
+        .outputMode("append").start()
+      (0 until n by 80000).foreach { lo =>
+        input.addData((lo until lo + 80000).map(i => doc(i, i.toLong)))
+        q.processAllAvailable()
+      }
+      // re-send the FIRST batch's contents under fresh doc ids: these
+      // lookups hit keys written ~160k commits of churn ago — state
+      // that a 2 MB cache cannot hold — and must still all dedup
+      input.addData((0 until 20000).map(i => doc(i, (n + i).toLong)))
+      q.processAllAvailable()
+      assertRocksDbEngaged(q)
+      val so = q.recentProgress.toSeq.reverse
+        .flatMap(_.stateOperators.toSeq).head
+      assert(so.numRowsTotal == n.toLong,
+        s"dedup state must hold one row per distinct content: " +
+          s"${so.numRowsTotal}")
+      def metric(name: String): Long =
+        so.customMetrics.getOrDefault(name, java.lang.Long.valueOf(-1L))
+      val budgetBytes = budgetMb * 1024 * 1024
+      val sst = metric("rocksdbSstFileSize")
+      assert(sst > budgetBytes,
+        s"state must exceed the memory budget on disk: sst=$sst " +
+          s"budget=$budgetBytes")
+      val pinned = metric("rocksdbPinnedBlocksMemoryUsage")
+      assert(pinned >= 0 && pinned <= budgetBytes,
+        s"pinned block cache must respect the bounded budget: $pinned")
+      q.stop()
+      val ids = spark.table("rdb_pressure").select($"doc_id").as[Long]
+        .collect()
+      assert(ids.length == n && ids.forall(_ < n.toLong),
+        s"exactly the $n distinct contents, none of the re-sends: " +
+          s"got ${ids.length} rows, dup leaked=${ids.exists(_ >= n.toLong)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("layoutMonitor granule counters accumulate across batches in RocksDB") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -830,6 +830,14 @@ class TextDedupSpec extends SparkSpec {
     // consecutive-run bands nest: finer configs can only add candidates
     val cands = rows.map(_("n_candidates").asInstanceOf[Long])
     assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
+    // the closed-form slot census brackets the enumerated count from
+    // above (each distinct pair occupies >= 1 bucket slot) and is
+    // itself monotone along the dial (a full-band match implies
+    // matches of all its sub-bands in every finer config)
+    val ubs = rows.map(_("n_candidates_ub").asInstanceOf[Long])
+    rows.indices.foreach(i => assert(ubs(i) >= cands(i),
+      s"slot UB ${ubs(i)} must dominate enumerated ${cands(i)}"))
+    assert(ubs.zip(ubs.tail).forall { case (a, b) => b >= a })
     val hits = rows.map(_("n_true").asInstanceOf[Long])
     assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
       "recall must be monotone along the nesting")
@@ -846,5 +854,22 @@ class TextDedupSpec extends SparkSpec {
       Dedup.queries("dedup_minhash_pairs")(spark, d)).size.toLong
     assert(rows.find(_("n_bands") == 2L)
       .get("n_candidates") === shipped)
+  }
+
+  test("simhash saturation audit prices the planted past-cap loss " +
+    "exactly") {
+    val rows = rowsOf(Dedup.queries("dedup_simhash_sat")(spark, sfDir()))
+    assert(rows.size === 1)
+    val r = rows.head
+    // the plant: 160 members in one hot band-0 bucket, 80 twin pairs
+    // 3 bits apart (spread over bands 1/2/3), groups >= 4 bits apart.
+    // Twins of groups 0..31 sit fully inside the 64-member clique and
+    // survive; groups 32..79 are both-past-cap and >= 4 bits from the
+    // rank-1 hub, so the Hamming-filtered star drops exactly those 48
+    assert(r("n_members") === Dedup.SimhashSatMembers.toLong)
+    assert(r("n_exact_pairs") === 80L)
+    assert(r("n_guarded_pairs") === 32L)
+    assert(r("n_lost_pairs") === 48L)
+    assert(r("recall_pct") === 40L)
   }
 }
