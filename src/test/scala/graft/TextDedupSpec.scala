@@ -856,6 +856,29 @@ class TextDedupSpec extends SparkSpec {
       .get("n_candidates") === shipped)
   }
 
+  test("lsh curve stays bounded on a single giant duplicate cluster") {
+    // the boilerplate case every real corpus has: 300 byte-identical
+    // docs put all 300 in ONE bucket of every band of every config.
+    // Pre-guard this enumerated C(300,2) pairs per band (the shape the
+    // sf10 board measured at 93,000x growth); the guarded enumeration
+    // is the capped clique + hub star, and the closed-form slot census
+    // reports the full quadratic mass without materializing a row
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = writeDocsFixture((1L to 300L).map(i => (i, text, "en")))
+    val rows = rowsOf(Dedup.queries("dedup_lsh_curve")(spark, dir))
+      .sortBy(_("n_bands").asInstanceOf[Long])
+    assert(rows.size === Dedup.LshCurveConfigs.size)
+    val cap = Dedup.LshPairCap.toLong
+    val guarded = cap * (cap - 1) / 2 + (300L - cap)
+    rows.foreach { r =>
+      assert(r("n_candidates") === guarded,
+        s"guarded enumeration must be clique+star, got $r")
+      val b = r("n_bands").asInstanceOf[Long]
+      assert(r("n_candidates_ub") === b * (300L * 299L / 2),
+        s"slot census must report the exact uncapped quadratic mass: $r")
+    }
+  }
+
   test("simhash saturation audit prices the planted past-cap loss " +
     "exactly") {
     val rows = rowsOf(Dedup.queries("dedup_simhash_sat")(spark, sfDir()))
