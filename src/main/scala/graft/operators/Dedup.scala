@@ -539,24 +539,28 @@ object Dedup extends OpModule {
     val truth = lshTruthDf(spark, dir)
     val truthN = truth.agg(count(lit(1)).as("n_true_total"))
     LshCurveConfigs.map { case (b, r) =>
-      // each config's banded frame feeds three consumers (occupancy
-      // census, pair count, truth intersection) inside one union plan —
-      // checkpoint it, and the pair list, so the window and the guarded
-      // enumeration execute ONCE per config instead of once per branch
-      // (measured 3x the heavy work at sf10 without this)
-      val bands = bandFrame(spark, sig, b, r).localCheckpoint()
-      val cand = guardedPairFrame(bands).localCheckpoint()
+      val bands = bandFrame(spark, sig, b, r)
+      // ONE pass over the guarded pair stream serves both counts: the
+      // truth set (real near-dup pairs, metadata-sized) broadcasts
+      // into a left join carrying an indicator, so the candidate count
+      // and the truth intersection fold in the same aggregation — the
+      // heavy window + enumeration executes once per config and no
+      // pair row is ever materialized to storage
+      val stats = guardedPairFrame(bands)
+        .join(broadcast(truth.withColumn("is_true", lit(1L))),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum($"is_true"), lit(0L)).as("n_true"))
       // closed-form slot census: per-bucket occupancy n contributes
       // n*(n-1)/2 — no pair row is ever materialized, exact at any
-      // bucket size, an upper bound on the uncapped distinct count
+      // bucket size, an upper bound on the uncapped distinct count;
+      // occupancy needs no rank window, just the grouped count
       val ub = bands.groupBy($"band", $"band_key")
         .agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
           .as("n_candidates_ub"))
-      cand.agg(count(lit(1)).as("n_candidates"))
+      stats
         .crossJoin(ub)
-        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_true")))
         .crossJoin(truthN)
         .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
           $"n_candidates", $"n_candidates_ub", $"n_true", $"n_true_total",
