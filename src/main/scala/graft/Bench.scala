@@ -36,6 +36,34 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *  - SPARK_GRAFT_REPEAT=n     best-of-n timing per query
   */
 object Bench {
+  /** The 61 round-1 board queries (BENCH_r01.json), all still
+    * registered. Their same-session total is emitted as
+    * `yardstick_sec`, so every artifact carries its own host
+    * calibration: the round-1 gate total (32.305 s) was measured on a
+    * different box 13 rounds ago, and round 13 showed a re-provisioned
+    * sandbox alone can move the full-board total 2.5x. Comparing this
+    * subset's total to 32.305 s is like-for-like (same queries, same
+    * data), so a regression in it is the ENGINE; a uniform inflation of
+    * everything including it is the HOST.
+    */
+  val YardstickIds: Set[String] = Set(
+    "agg_rollup", "agg_salted", "ann_lsh_sig", "ann_lsh_topk",
+    "ann_multi_topk", "ann_recall", "ann_recall_multi", "bars_atr",
+    "bars_ema", "bars_ohlc", "bars_rv", "book_array_imbalance",
+    "book_imbalance", "book_touch", "book_wall", "dedup_exact",
+    "dedup_jaccard_topk", "dedup_minhash_pairs", "dedup_minhash_sig",
+    "dedup_simhash", "distinct_proj", "emb_centroids", "entry_signals",
+    "flow_cvd", "flow_delta", "flow_lv", "flow_moments", "flow_volrate",
+    "flow_zscore", "flow_zscore_keyed", "fn_normcdf", "fsm_cum_pnl",
+    "fsm_daily_summary", "fsm_position_events", "fusion_scores",
+    "ingest_validated", "join_anti", "join_asof", "join_interval",
+    "join_semi", "json_extract_agg", "knn_brute", "lm_bos", "lm_hurst",
+    "media_features", "media_frames", "media_meta", "order_rate_limit",
+    "order_success_rate", "position_sizing", "q1_pricing", "q3_topk",
+    "q5_region_revenue", "session_agg", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "topk_per_group",
+    "trend_features", "trend_hysteresis")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -125,8 +153,12 @@ object Bench {
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // same-session host calibration: total over the 61 round-1 queries
+    // (see YardstickIds) — the gate compares THIS number to 32.305 s
+    val yard = results.filter(r => YardstickIds(r._1) && r._2 >= 0)
+    val yardSec = yard.map(_._2).sum
     // front-truncation armor: detail/slowest/counts/total at the END
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qsJson,"detail":$detailJson,"slowest":$slowestJson,"failed":$failed,"n_queries":${results.size},"total_sec":${r3(total)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qsJson,"detail":$detailJson,"slowest":$slowestJson,"failed":$failed,"n_queries":${results.size},"yardstick_n":${yard.size},"yardstick_sec":${r3(yardSec)},"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }
