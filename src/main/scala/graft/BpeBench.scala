@@ -63,11 +63,19 @@ object BpeBench {
       }
     })
 
+    // engine: "local" (default — the round-14 production trainer,
+    // graft.operators.Bpe.trainLocal) or "spark" (the distributed
+    // batched loop, the pre-r14 path whose N=30k run never completed)
+    val engine = sys.env.getOrElse("SPARK_GRAFT_BPE_ENGINE", "local")
     val cells = ns.map { n =>
       val j0 = jobs.get
       val t0 = System.nanoTime()
-      val (merges, seg) = graft.operators.Bpe.trainOn(
-        spark, words, n, incremental = true, strict = false)
+      val (merges, seg) =
+        if (engine == "local")
+          graft.operators.Bpe.trainOnLocal(spark, words, n, strict = false)
+        else
+          graft.operators.Bpe.trainOn(
+            spark, words, n, incremental = true, strict = false)
       val sec = (System.nanoTime() - t0) / 1e9
       graft.functions.DfMemo.release(seg)
       val rounds = math.ceil(n / 64.0).toInt
@@ -76,7 +84,7 @@ object BpeBench {
     val cellJson = cells.map { case (n, m, r, s, j) =>
       s""""$n":{"merges":$m,"rounds_max":$r,"sec":$s,"jobs":$j}"""
     }.mkString(",")
-    println(s"""{"metric":"bpe_train_scale","unit":"sec","n_types":${types.size},"cells":{$cellJson}}""")
+    println(s"""{"metric":"bpe_train_scale","unit":"sec","engine":"$engine","n_types":${types.size},"cells":{$cellJson}}""")
     spark.stop()
   }
 }

@@ -271,6 +271,173 @@ object Bpe extends OpModule {
     (merges.result(), words)
   }
 
+  /** Code-point string compare — the order Spark's `orderBy(l, r)` uses
+    * (UTF8String binary order == code-point order), NOT Java's
+    * `String.compareTo` (UTF-16 code-unit order, which disagrees for
+    * supplementary characters vs [U+E000, U+FFFF]). Keeps [[trainLocal]]
+    * tie-breaking bit-compatible with [[trainOn]] on any input. */
+  private def cpCmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Single-node BPE trainer over a collected word-type table — the
+    * production-vocabulary completion path. EXACTLY [[trainOn]]'s
+    * sequential semantics (naive adjacent counts runs-included, argmax
+    * tie-broken (cnt DESC, l, r) in UTF8 binary order, greedy
+    * left-to-right non-overlapping rewrite), asserted merge-for-merge
+    * and segment-for-segment against the Spark loop in BpeSpec; the
+    * shipped `text_bpe_*` queries run THIS trainer, so the DuckDB
+    * oracle's 12-level sequential CTE replay hash-checks it per round.
+    *
+    * Why a local loop is the SCALE answer, not a concession: training
+    * state is VOCABULARY-sized (word types × short symbol arrays — the
+    * corpus was already reduced by [[wordTypes]]'s one distributed
+    * pass), and each merge depends on every prior one, so the loop is
+    * inherently sequential; distributing it buys per-round shuffle +
+    * driver-sync overhead on a frame that fits in memory. Round 13
+    * measured the cost of ignoring that: the batched Spark loop's
+    * N=30k run blew past 5.4 h (~760 driver rounds) because per-round
+    * acceptance thins (and widening acceptance past the first conflict
+    * is UNSOUND — a skipped chained pair's decremented count is
+    * unobservable driver-side and may still dominate later accepted
+    * pairs at sequential's next turn, see PLANS.md §"Round-14 BPE").
+    * This trainer instead maintains the pair counts incrementally with
+    * a pair -> word-ids inverted index and a lazy-invalidation max-heap
+    * (the SentencePiece / HF-tokenizers architecture): per merge, work
+    * ∝ words actually containing the pair, argmax is O(log |pairs|),
+    * and a 30k-merge vocabulary over 200k word types completes in
+    * minutes on one core. The Spark loop remains the fallback for
+    * vocabularies beyond one node's memory.
+    */
+  private[graft] def trainLocal(types: Seq[(String, Long)], n: Int,
+      strict: Boolean = true): (Seq[Merge], Map[String, Seq[String]]) = {
+    import scala.collection.mutable
+    val toks = types.map(_._1).toArray
+    val freqs = types.map(_._2).toArray
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      toks.map(t => mutable.ArrayBuffer.from(t.map(_.toString)))
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    // word ids that MIGHT contain the pair (lazy: never pruned on
+    // rewrite; a stale id is skipped by the contains-check below)
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w); val f = freqs(w); var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        cnt.update(p, cnt.getOrElse(p, 0L) + f)
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
+        i += 1
+      }
+      w += 1
+    }
+    // lazy max-heap: entries are (cnt-at-push, l, r); an entry is live
+    // iff its count still equals the standing count — every standing
+    // count was pushed when last set, so the true argmax is always
+    // present and stale entries are simply discarded on pop
+    val ord = new java.util.Comparator[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val cl = cpCmp(a._2, b._2)
+          if (cl != 0) cl else cpCmp(a._3, b._3)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, cnt.size), ord)
+    cnt.foreach { case ((l, r), c) => heap.add((c, l, r)) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= n && !exhausted) {
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (cnt.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top == null) {
+        if (strict) throw new IllegalStateException(
+          s"BPE: no pair left at round $rank — corpus fully merged")
+        exhausted = true
+      } else {
+        val (c, l, r) = top
+        merges += Merge(rank, l, r, c)
+        val m = l + r
+        val touched = mutable.HashSet.empty[(String, String)]
+        occ.getOrElse((l, r), mutable.HashSet.empty).toArray.foreach { wid =>
+          val s = syms(wid); val f = freqs(wid)
+          var has = false; var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == l && s(i + 1) == r) has = true
+            i += 1
+          }
+          if (has) {
+            // full per-word recount: subtract every old adjacent pair,
+            // rewrite greedily, add every new one — by construction the
+            // standing table stays equal to a global recount
+            i = 0
+            while (i < s.length - 1) {
+              val p = (s(i), s(i + 1))
+              cnt.update(p, cnt.getOrElse(p, 0L) - f)
+              touched += p
+              i += 1
+            }
+            val out = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += m; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(wid) = out
+            i = 0
+            while (i < out.length - 1) {
+              val p = (out(i), out(i + 1))
+              cnt.update(p, cnt.getOrElse(p, 0L) + f)
+              touched += p
+              occ.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+              i += 1
+            }
+          }
+        }
+        touched.foreach { p =>
+          cnt.get(p) match {
+            case Some(c0) if c0 <= 0 => cnt.remove(p); occ.remove(p)
+            case Some(c0) => heap.add((c0, p._1, p._2))
+            case None => ()
+          }
+        }
+        rank += 1
+      }
+    }
+    (merges.result(),
+      toks.iterator.zip(syms.iterator.map(_.toSeq)).toMap)
+  }
+
+  /** [[trainLocal]] over a `(tok, freq, syms)` frame, returning the same
+    * shape as [[trainOn]]. The collect is VOCABULARY-sized by design
+    * (the corpus-sized reduction already happened in [[wordTypes]]'s
+    * one distributed pass) — the same bound the per-round loop's
+    * candidate collect already documents, and the reason production
+    * tokenizer trainers are single-node. */
+  private[graft] def trainOnLocal(spark: SparkSession, words0: DataFrame,
+      n: Int, strict: Boolean = true): (Seq[Merge], DataFrame) = {
+    import spark.implicits._
+    val types = words0.select($"tok", $"freq").as[(String, Long)]
+      .collect().toSeq
+    val (merges, seg) = trainLocal(types, n, strict)
+    val rows = types.map { case (t, f) => (t, f, seg(t)) }
+    (merges, rows.toDF("tok", "freq", "syms"))
+  }
+
   /** The character-segmented word-type frame of a corpus — the ONE
     * corpus-sized pass. */
   private[graft] def wordTypes(spark: SparkSession, dir: String): DataFrame = {
@@ -285,9 +452,12 @@ object Bpe extends OpModule {
       .select($"tok", $"freq", $"syms")
   }
 
-  /** Run (and cache) the shipped incremental training once per
-    * (session, dir): returns the ranked merges and the final word-type
-    * segmentation. */
+  /** Run (and cache) the shipped training once per (session, dir):
+    * returns the ranked merges and the final word-type segmentation.
+    * Engine is [[trainOnLocal]] (round 14) — spec-proven ≡ the Spark
+    * loop and hash-checked per-round by the sequential DuckDB oracle;
+    * the distributed [[trainOn]] loop remains for vocabularies beyond
+    * one node. */
   private def train(spark: SparkSession, dir: String): (Seq[Merge], DataFrame) = {
     val tab = cache.synchronized {
       var m = cache.get(spark)
@@ -300,8 +470,7 @@ object Bpe extends OpModule {
     tab.synchronized(tab.get(dir)) match {
       case Some(hit) => hit
       case None =>
-        val out = trainOn(spark, wordTypes(spark, dir), BpeMergesN,
-          incremental = true)
+        val out = trainOnLocal(spark, wordTypes(spark, dir), BpeMergesN)
         tab.synchronized(tab.put(dir, out))
         out
     }

@@ -123,7 +123,12 @@ class BpeSpec extends SparkSpec {
     assert(ran >= 2, s"only $ran random corpora sustained all merges")
   }
 
-  test("incremental pair-count training equals a full recount at N=200") {
+  // heavy: the full-recount engine re-aggregates every pair every
+  // round — ~2 min of its own. The in-loop local-vs-Spark rung below
+  // covers the incremental path's deep behavior each run; this rung
+  // re-proves incremental ≡ quadratic-recount and runs with
+  // SPARK_GRAFT_HEAVY=1 (required whenever Bpe.scala changes).
+  heavyTest("incremental pair-count training equals a full recount at N=200") {
     import org.apache.spark.sql.DataFrame
     val seed = 7001
     val rnd = new scala.util.Random(seed)
@@ -155,7 +160,11 @@ class BpeSpec extends SparkSpec {
     assert(segs(wi) == segs(wr), s"seed $seed: segmentations diverged")
   }
 
-  test("batched training equals strictly-sequential training at N=200") {
+  // heavy: batchK=1 degenerates to one Spark round per merge — 200
+  // rounds × 2 seeds. The batched ≡ sequential property itself is
+  // unchanged since round 10; run with SPARK_GRAFT_HEAVY=1 whenever
+  // acceptBatch or the rewrite fold changes.
+  heavyTest("batched training equals strictly-sequential training at N=200") {
     import org.apache.spark.sql.DataFrame
     def segs(df: DataFrame) = {
       import spark.implicits._
@@ -184,6 +193,39 @@ class BpeSpec extends SparkSpec {
       assert(mb == ms, s"seed $seed: batched merge sequence diverged")
       assert(mb.size >= 200, s"seed $seed: want a deep chain, got ${mb.size}")
       assert(segs(wb) == segs(ws), s"seed $seed: segmentations diverged")
+    }
+  }
+
+  test("local trainer equals the Spark loop at N=200 (merges + segmentation)") {
+    import org.apache.spark.sql.DataFrame
+    def segs(df: DataFrame) = {
+      import spark.implicits._
+      df.select($"tok", $"syms").as[(String, Seq[String])].collect().toMap
+    }
+    // one seed in the default loop (the second is negligible marginal
+    // coverage for another ~2 min of batched-loop wall; the heavy set
+    // runs the sibling properties at two seeds)
+    (1 to 1).foreach { seed =>
+      val rnd = new scala.util.Random(9100 + seed)
+      val pool = (0 until 90).map(_ =>
+        (1 to 3 + rnd.nextInt(10)).map(_ => "abcdef"(rnd.nextInt(6))).mkString)
+        .distinct
+      val docs = (0 until 60).map { i =>
+        (i.toLong,
+          (0 until 4 + rnd.nextInt(10)).map(_ => pool(rnd.nextInt(pool.size)))
+            .mkString(" "), "en")
+      }
+      val dir = writeDocsFixture(docs)
+      // the round-14 production trainer (heap + inverted index on the
+      // driver) vs the distributed batched loop, far past the oracle
+      // horizon: identical merge sequences, counts, and segmentations
+      val (ml, wl) = Bpe.trainOnLocal(spark, Bpe.wordTypes(spark, dir), 200,
+        strict = false)
+      val (ms, ws) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 200,
+        incremental = true, strict = false)
+      assert(ml == ms, s"seed $seed: local merge sequence diverged")
+      assert(ml.size >= 200, s"seed $seed: want a deep chain, got ${ml.size}")
+      assert(segs(wl) == segs(ws), s"seed $seed: segmentations diverged")
     }
   }
 
