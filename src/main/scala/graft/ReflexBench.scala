@@ -55,9 +55,17 @@ object ReflexBench {
         dp = 0.05 + nextD() * 0.2)
     }
 
+    // SPARK_GRAFT_REFLEX_PURE=1 measures the immutable-ring `step`
+    // (the pre-r14 path) instead of the deployment's `hotStep`
+    val pure = sys.env.get("SPARK_GRAFT_REFLEX_PURE").contains("1")
+    val zr = new Fusion.ZRing()
     var st = Fusion.init
     var i = 0
-    while (i < warm) { st = Fusion.step(st, bar(i))._1; i += 1 }
+    while (i < warm) {
+      st = (if (pure) Fusion.step(st, bar(i))
+            else Fusion.hotStep(zr, st, bar(i)))._1
+      i += 1
+    }
 
     val lat = new Array[Long](n)
     var sink = 0L // blackhole: keep the JIT from eliding the fold
@@ -65,7 +73,8 @@ object ReflexBench {
     while (j < n) {
       val b = bar(warm + j)
       val t0 = System.nanoTime()
-      val (st2, out) = Fusion.step(st, b)
+      val (st2, out) =
+        if (pure) Fusion.step(st, b) else Fusion.hotStep(zr, st, b)
       lat(j) = System.nanoTime() - t0
       st = st2
       sink += out.total_long.toLong + out.side.length
@@ -73,8 +82,10 @@ object ReflexBench {
     }
 
     java.util.Arrays.sort(lat)
+    // standard nearest-rank: index ceil(p*n)-1 (not (p*n).toInt, which
+    // reads one rank high — e.g. p50 of 200000 at index 100000)
     def pct(p: Double): Double =
-      lat(math.min(n - 1, (p * n).toInt)) / 1000.0
+      lat(math.max(0, math.min(n - 1, math.ceil(p * n).toInt - 1))) / 1000.0
     val totalNs = lat.sum
     val mean = totalNs / 1000.0 / n
     val evPerSec = n / (totalNs / 1e9)
@@ -83,6 +94,6 @@ object ReflexBench {
       s""""p50":${pct(0.50)},"p90":${pct(0.90)},"p99":${pct(0.99)},""" +
       s""""p999":${pct(0.999)},"max":${lat(n - 1) / 1000.0},""" +
       f""""mean":$mean%.3f,"events_per_sec":${evPerSec.toLong},""" +
-      s""""ring":${st.ring.length},"sink":${sink % 7}}""")
+      s""""ring":${if (pure) st.ring.length else zr.length},"pure":$pure,"sink":${sink % 7}}""")
   }
 }

@@ -113,6 +113,32 @@ object Fusion {
       clamp(qty / (volRing.sum / volRing.length), 0.5, 2.0), ring, volRing)
   }
 
+  /** Preallocated circular taker-delta ring — the per-event service's
+    * z-ring twin ([[hotStep]]). Walks OLDEST -> NEWEST, the exact
+    * left-to-right order [[step]]'s Vector folds use, so the two paths'
+    * FP summation trees are identical addition-for-addition (the replay
+    * specs pin stream ≡ batch bit-for-bit); the only difference is zero
+    * allocation per event (no boxed Vector append / takeRight churn —
+    * the GC-pause source behind ReflexBench's pre-r14 2.4 ms p99.9). */
+  final class ZRing(cap: Int = ZPop) {
+    private val a = new Array[Double](cap)
+    private var head = 0 // index of the oldest element
+    private var n = 0
+    def length: Int = n
+    def push(x: Double): Unit =
+      if (n < cap) { a((head + n) % cap) = x; n += 1 }
+      else { a(head) = x; head = (head + 1) % cap }
+    /** (mu, sigma) over the ring — same two-fold walk as [[step]]. */
+    def stats: (Double, Double) = {
+      var s1 = 0.0; var i = 0
+      while (i < n) { s1 += a((head + i) % cap); i += 1 }
+      val mu = s1 / n
+      var s2 = 0.0; i = 0
+      while (i < n) { val d = a((head + i) % cap) - mu; s2 += d * d; i += 1 }
+      (mu, math.sqrt(s2 / n))
+    }
+  }
+
   def step(st: FusionState, b: SigBar): (FusionState, FusedOut) = {
     // rolling z over the taker-delta ring (strategy.py:1022-1044)
     val delta = b.buy_vol - b.sell_vol
@@ -120,10 +146,11 @@ object Fusion {
     val n = ring.length
     // two explicit left-to-right folds, NOT ring.sum / ring.map(..).sum:
     // same addition order bit-for-bit (the replay specs pin stream ≡
-    // batch), but no boxed intermediate vector — this is the reflex
-    // hot path (ReflexBench) and the O(ZPop) walk per bar is kept
-    // deliberately (a subtract-on-evict running sum would change the
-    // FP summation tree and break bit-parity with the batch twin)
+    // batch), but no boxed intermediate vector. The O(ZPop) walk per bar
+    // is kept deliberately (a subtract-on-evict running sum would change
+    // the FP summation tree and break bit-parity with the batch twin);
+    // the per-event service avoids the append/evict allocation instead
+    // ([[hotStep]] over [[ZRing]], same walk order).
     var s1 = 0.0
     ring.foreach(s1 += _)
     val mu = s1 / n
@@ -132,6 +159,32 @@ object Fusion {
     val sigma = math.sqrt(s2 / n)
     val z =
       if (n >= ZMin && sigma > 0) Some((delta - mu) / sigma) else None
+    val (st2, out) = stepCore(st, b, delta, z)
+    (st2.copy(ring = ring), out)
+  }
+
+  /** [[step]] with the z-ring externalized into a mutable [[ZRing]]:
+    * the per-event deployment's transition (EP1, PLANS.md §"Round-12
+    * EP1 latency"). Identical outputs bit-for-bit (FusionHotSpec folds
+    * both paths over the same bar stream past ring saturation); the
+    * returned state's `ring` field stays EMPTY — the ZRing owns that
+    * state, so keep the pair (zr, st) together per symbol. */
+  def hotStep(zr: ZRing, st: FusionState, b: SigBar): (FusionState, FusedOut) = {
+    val delta = b.buy_vol - b.sell_vol
+    zr.push(delta)
+    val n = zr.length
+    val (mu, sigma) = zr.stats
+    val z =
+      if (n >= ZMin && sigma > 0) Some((delta - mu) / sigma) else None
+    stepCore(st, b, delta, z)
+  }
+
+  /** Everything after the z-ring — the single body both [[step]] and
+    * [[hotStep]] run, so the batch/streaming path and the per-event
+    * path cannot drift. Returns the state with `ring` UNTOUCHED (the
+    * caller owns the ring representation). */
+  private def stepCore(st: FusionState, b: SigBar, delta: Double,
+      z: Option[Double]): (FusionState, FusedOut) = {
     // normalized CVD (aether_oracle.py:123-153)
     val tot = b.buy_vol + b.sell_vol
     val cvd = if (tot == 0.0) 0.0 else clamp(delta / tot, -1.0, 1.0)
@@ -200,7 +253,7 @@ object Fusion {
       sc.kellyLong, sc.kellyShort, sc.winprobLong, sc.winprobShort,
       sc.totalLong, sc.totalShort, sc.side,
       ev.map(_.action), ev.flatMap(_.pnl), ev.flatMap(_.reason))
-    (FusionState(ring, Some(ema), trend, closes, Some(b.close), trs, rets,
+    (FusionState(st.ring, Some(ema), trend, closes, Some(b.close), trs, rets,
       bars, pos2, lv.ring, lv.volRing), out)
   }
 

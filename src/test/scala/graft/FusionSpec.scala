@@ -59,6 +59,43 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("hotStep over the preallocated ZRing equals step bit-for-bit past saturation") {
+    // full-surface bars (books + dp so the whole cascade runs), folded
+    // well past ZPop so the ring wraps and evicts; every FusedOut field
+    // must be EQUAL — the two paths share stepCore and the z folds walk
+    // the identical oldest->newest order, so == here is bit-parity on
+    // the doubles (the EP1 deployment guarantee)
+    val rnd = new scala.util.Random(1234)
+    var price = 100.0
+    val bars = (0 until Fusion.ZPop + 500).map { m =>
+      val drift = (rnd.nextDouble() - 0.5) * 0.4
+      val open = price
+      price = math.max(1.0, price + drift)
+      val vol = 5.0 + rnd.nextDouble() * 20.0
+      val buy = vol * rnd.nextDouble()
+      SigBar("S", ts(m * 60L), open,
+        math.max(open, price) + rnd.nextDouble() * 0.3,
+        math.min(open, price) - rnd.nextDouble() * 0.3,
+        price, vol, buy, vol - buy,
+        Vector.fill(graft.operators.Book.Depth)(1.0 + rnd.nextDouble() * 5.0),
+        Vector.fill(graft.operators.Book.Depth)(1.0 + rnd.nextDouble() * 5.0),
+        dp = 0.05 + rnd.nextDouble() * 0.2)
+    }
+    val zr = new Fusion.ZRing()
+    var sp = Fusion.init // pure path
+    var sh = Fusion.init // hot path
+    bars.zipWithIndex.foreach { case (b, i) =>
+      val (sp2, op) = Fusion.step(sp, b)
+      val (sh2, oh) = Fusion.hotStep(zr, sh, b)
+      assert(op == oh, s"outputs diverged at bar $i")
+      // every state field except the ring representation must agree
+      assert(sp2.copy(ring = Vector.empty) == sh2.copy(ring = Vector.empty),
+        s"states diverged at bar $i")
+      sp = sp2; sh = sh2
+    }
+    assert(zr.length == Fusion.ZPop) // the ring really saturated
+  }
+
   test("symbols fold independently: interleaved corpus equals per-symbol runs") {
     import spark.implicits._
     val a = seededBars("AAA", 120, 11)
