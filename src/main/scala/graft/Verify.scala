@@ -17,9 +17,17 @@ object Verify {
     // across machines, and float-sum reassociation under a different
     // partition count could cross the oracle's 9-digit rounding
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // config-invariance sweep knobs (tools/config_sweep.sh): the r14
+    // property run re-dumps the whole board at shuffle partitions
+    // {4, 200} × AQE {on, off} and requires every query to stay
+    // oracle-green — the cheapest way to surface latent partition-count
+    // nondeterminism the single-config driver gate can't see
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
