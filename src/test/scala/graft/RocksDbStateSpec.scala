@@ -84,7 +84,10 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
-  test("lshMonitor bucket membership accumulates across batches in RocksDB") {
+  // heavy: provider DEPTH rung — the docIngest restart test above keeps
+  // RocksDB provider mechanics in the default loop; this re-proves the
+  // same engagement on a second state shape (SPARK_GRAFT_HEAVY=1)
+  heavyTest("lshMonitor bucket membership accumulates across batches in RocksDB") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     underRocksDb {
@@ -108,7 +111,8 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
-  test("phashMonitor posting lists accumulate across batches in RocksDB") {
+  // heavy: provider depth rung, same rationale as lshMonitor's
+  heavyTest("phashMonitor posting lists accumulate across batches in RocksDB") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     underRocksDb {
@@ -131,7 +135,10 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
-  test("dedup state far past a 2 MB RocksDB budget spills to SST and " +
+  // heavy: the r13 memory-pressure proof (240k keys vs a 2 MB budget)
+  // — unchanged code; run with SPARK_GRAFT_HEAVY=1 whenever the state
+  // budget wiring or docIngest state layout changes
+  heavyTest("dedup state far past a 2 MB RocksDB budget spills to SST and " +
     "stays exact") {
     // the actual 100 TB failure mode of the HEAP store: per-key state
     // grows past executor memory. Here RocksDB gets a deliberately
