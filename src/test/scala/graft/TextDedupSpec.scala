@@ -827,17 +827,23 @@ class TextDedupSpec extends SparkSpec {
       .sortBy(_("n_bands").asInstanceOf[Long])
     assert(rows.map(r => (r("n_bands"), r("rows_per_band"))) ===
       Dedup.LshCurveConfigs.map { case (b, r) => (b.toLong, r.toLong) })
-    // consecutive-run bands nest: finer configs can only add candidates
-    val cands = rows.map(_("n_candidates").asInstanceOf[Long])
-    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
     // the closed-form slot census brackets the enumerated count from
     // above (each distinct pair occupies >= 1 bucket slot) and is
-    // itself monotone along the dial (a full-band match implies
-    // matches of all its sub-bands in every finer config)
+    // PROVABLY monotone along the dial at ANY bucket size (a full-band
+    // match implies matches of all its sub-bands in every finer config)
+    val cands = rows.map(_("n_candidates").asInstanceOf[Long])
     val ubs = rows.map(_("n_candidates_ub").asInstanceOf[Long])
     rows.indices.foreach(i => assert(ubs(i) >= cands(i),
       s"slot UB ${ubs(i)} must dominate enumerated ${cands(i)}"))
     assert(ubs.zip(ubs.tail).forall { case (a, b) => b >= a })
+    // enumerated-count and recall monotonicity hold only while every
+    // bucket stays under LshPairCap (candidate SETS nest sub-cap; past
+    // the cap, per-bucket rank shifts can locally reorder the guarded
+    // counts — Dedup.scala's docstring). The sf corpora are sub-cap by
+    // construction, so the checks stay exact HERE but are deliberately
+    // fixture-specific — the saturated regime is priced by the
+    // giant-cluster test below, where only the UB stays monotone.
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
     val hits = rows.map(_("n_true").asInstanceOf[Long])
     assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
       "recall must be monotone along the nesting")
@@ -877,6 +883,24 @@ class TextDedupSpec extends SparkSpec {
       assert(r("n_candidates_ub") === b * (300L * 299L / 2),
         s"slot census must report the exact uncapped quadratic mass: $r")
     }
+    // the [lb, ub] bracket is the honest saturated-regime report: its
+    // spread prices what the guard suppressed, it must be strictly
+    // positive on a saturated bucket, and it must WIDEN along the dial
+    // (each added band contributes another full quadratic mass while
+    // the guarded enumeration stays capped flat)
+    val spreads = rows.map(r => r("n_candidates_ub").asInstanceOf[Long] -
+      r("n_candidates").asInstanceOf[Long])
+    assert(spreads.forall(_ > 0),
+      "saturated corpus must show a positive bracket spread")
+    assert(spreads.zip(spreads.tail).forall { case (a, b) => b > a },
+      "bracket spread must widen as the dial adds bands")
+    // past the cap only the UB is provably monotone along the dial —
+    // here the enumerated count saturates FLAT (every config hits the
+    // same one-bucket guard), the regime where the sub-cap nesting
+    // argument no longer applies and the census carries the ordering
+    val ubs = rows.map(_("n_candidates_ub").asInstanceOf[Long])
+    assert(ubs.zip(ubs.tail).forall { case (a, b) => b >= a },
+      "slot census must stay monotone on the saturated corpus")
   }
 
   test("simhash saturation audit prices the planted past-cap loss " +
