@@ -372,22 +372,27 @@ object Graph extends OpModule {
     graft.functions.DfMemo.cached(spark, s"cc_labels:$dir") {
       import spark.implicits._
       val edges = edgesDf(spark, dir).select($"src", $"dst")
-        .repartition($"src").localCheckpoint()
+      val nodes = edges.select($"src".as("node")).distinct()
       // l'(v) = min(l(v), min over u->v of l(u)) — the Pregel-style
       // min-label step dedup_clusters uses on the doc-similarity graph,
-      // here on the co-purchase graph: neighbor mins aggregate on dst,
-      // then fold into each node's own label (LEFT join so a node
-      // keeps its label even with no in-edges — moot on this symmetric
-      // graph, but the step stays correct on any edge frame)
-      def step(l: DataFrame): DataFrame = {
-        val nmin = edges.join(broadcast(l), $"src" === $"node")
-          .groupBy($"dst").agg(min($"lbl").as("nl"))
-          .select($"dst".as("node"), $"nl")
-        l.join(nmin, Seq("node"), "left")
-          .select($"node", least($"lbl", coalesce($"nl", $"lbl")).as("lbl"))
-      }
-      var l: DataFrame = edges.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("lbl"))
+      // here on the co-purchase graph. The self term rides an IDENTITY
+      // edge per node folded into the standing edge frame, so the step
+      // references the label frame exactly ONCE (the broadcast) — the
+      // round-14 config sweep caught the previous two-reference shape
+      // (outer l join + broadcast-derived nmin) doubling the unrolled
+      // plan tree per level: 2^8 subtree executions lived under p=4/AQE
+      // but blew the broadcast timeout at 200 non-adaptive partitions.
+      // Single-reference makes plan growth LINEAR in CcIters, exactly
+      // the PageRank unroll's shape, and the identity edge keeps
+      // no-in-edge nodes on their own label (what the old LEFT join did).
+      val edgesPlus = edges
+        .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
+        .repartition($"src").localCheckpoint()
+      def step(l: DataFrame): DataFrame =
+        edgesPlus.join(broadcast(l), $"src" === $"node")
+          .groupBy($"dst").agg(min($"lbl").as("lbl"))
+          .select($"dst".as("node"), $"lbl")
+      var l: DataFrame = nodes.select($"node", $"node".as("lbl"))
       for (_ <- 1 until CcIters) l = step(l)
       val prev = l.localCheckpoint()
       step(prev)
