@@ -24,7 +24,14 @@ import graft.state.Fusion
   * microseconds, mean, events/sec). Not part of the driver
   * contract — run manually with `graft.ReflexBench` as the main class
   * (plain java, any classpath that holds the compiled classes).
-  * Results live in PLANS.md §"Round-13 reflex latency".
+  * Measures [[Fusion.hotStep]] (the per-event deployment transition;
+  * SPARK_GRAFT_REFLEX_PURE=1 measures the immutable `step` instead).
+  * The deployment JVM recipe that hit p99.9 ≈ 0.1 ms (PLANS.md
+  * §"Round-14 reflex p99.9"): `-XX:+UseZGC -Xms2g -Xmx2g
+  * -XX:+AlwaysPreTouch` under `taskset` spanning the mutator AND the
+  * GC threads (pinning to ONE core starves ZGC and quadruples the
+  * tail). Results live in PLANS.md §"Round-13 reflex latency" and
+  * §"Round-14 reflex p99.9".
   */
 object ReflexBench {
 
