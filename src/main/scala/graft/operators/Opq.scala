@@ -163,8 +163,10 @@ object Opq extends OpModule {
       val n = Tables.embeddings(spark, dir).count()
       val step = math.max(n / K, 1L)
       val picks = (0 until K).map(k => (k, 1L + k * step))
-      val nrank = Tables.embeddings(spark, dir).select($"vec_id")
-        .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
+      // two-level rank (graft.functions.Ranks): bit-identical to the
+      // global vec_id row_number with no single-partition Exchange
+      val nrank = graft.functions.Ranks.rankById(
+        Tables.embeddings(spark, dir).select($"vec_id"), "vec_id", "rn")
       val seeds = picks.toDF("k", "rn")
         .join(nrank, Seq("rn"))
         .join(rsub, Seq("vec_id"))

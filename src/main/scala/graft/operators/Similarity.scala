@@ -690,8 +690,11 @@ object Similarity extends OpModule {
     val n = Tables.embeddings(spark, dir).count()
     val step = math.max(n / PqK, 1L)
     val picks = (0 until PqK).map(k => (k, 1L + k * step))
-    val nrank = Tables.embeddings(spark, dir).select($"vec_id")
-      .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
+    // two-level rank (graft.functions.Ranks): bit-identical to
+    // row_number() over the global vec_id order, but with no
+    // single-partition Exchange — the oracle keeps the simple window form
+    val nrank = graft.functions.Ranks.rankById(
+      Tables.embeddings(spark, dir).select($"vec_id"), "vec_id", "rn")
     val seeds = picks.toDF("k", "rn")
       .join(nrank, Seq("rn"))
       .join(rsub, Seq("vec_id"))
