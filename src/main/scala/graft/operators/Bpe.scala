@@ -320,8 +320,21 @@ object Bpe extends OpModule {
     import scala.collection.mutable
     val toks = types.map(_._1).toArray
     val freqs = types.map(_._2).toArray
+    // segment by CODE POINTS, matching wordTypes' UTF8String substr
+    // semantics — per-UTF-16-char (t.map(_.toString)) would split a
+    // supplementary character (emoji, CJK ext-B) into lone surrogates,
+    // diverging from the Spark loop and corrupting to U+FFFD on toDF
     val syms: Array[mutable.ArrayBuffer[String]] =
-      toks.map(t => mutable.ArrayBuffer.from(t.map(_.toString)))
+      toks.map { t =>
+        val buf = mutable.ArrayBuffer.empty[String]
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          buf += new String(Character.toChars(cp))
+          ci += Character.charCount(cp)
+        }
+        buf
+      }
     val cnt = mutable.HashMap.empty[(String, String), Long]
     // word ids that MIGHT contain the pair (lazy: never pruned on
     // rewrite; a stale id is skipped by the contains-check below)

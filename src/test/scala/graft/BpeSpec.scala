@@ -229,6 +229,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("local trainer segments supplementary characters like the Spark loop") {
+    import org.apache.spark.sql.DataFrame
+    def segs(df: DataFrame) = {
+      import spark.implicits._
+      df.select($"tok", $"syms").as[(String, Seq[String])].collect().toMap
+    }
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are supplementary: one code point,
+    // TWO UTF-16 chars. A per-char segmentation would split them into
+    // lone surrogates and diverge from wordTypes' code-point substr.
+    val docs = Seq(
+      (1L, "a𝕏b a𝕏b 😀😀x 😀😀x a𝕏b ab ab ab", "en"),
+      (2L, "𝕏😀 𝕏😀 b😀x ab a𝕏b", "en"))
+    val dir = writeDocsFixture(docs)
+    val (ml, wl) = Bpe.trainOnLocal(spark, Bpe.wordTypes(spark, dir), 6,
+      strict = false)
+    val (ms, ws) = Bpe.trainOn(spark, Bpe.wordTypes(spark, dir), 6,
+      incremental = true, strict = false)
+    assert(ml == ms, "merge sequences diverged on supplementary input")
+    assert(segs(wl) == segs(ws),
+      "segmentations diverged on supplementary input")
+    // no lone surrogates anywhere: every sym must survive a UTF-8
+    // round-trip unchanged (a lone surrogate decays to U+FFFD)
+    segs(wl).values.flatten.foreach { s =>
+      val rt = new String(s.getBytes("UTF-8"), "UTF-8")
+      assert(rt == s, s"sym '$s' is not well-formed UTF-16")
+    }
+  }
+
   test("BPE training fails loudly when the corpus exhausts before N merges") {
     val dir = writeDocsFixture(Seq((1L, "ab ab", "en")))
     val ex = intercept[IllegalStateException] {
