@@ -205,17 +205,7 @@ object Graph extends OpModule {
     * never the wedge fan-out. */
   private def trianglesDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = edgesDf(spark, dir).filter($"src" < $"dst")
-      .select($"src".as("u"), $"dst".as("v"))
-    val deg = und.select($"u".as("node"))
-      .unionAll(und.select($"v".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("d"))
-    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val o = und
-      .join(deg.select($"node".as("u"), $"d".as("du")), Seq("u"))
-      .join(deg.select($"node".as("v"), $"d".as("dv")), Seq("v"))
-      .select(when(fwd, $"u").otherwise($"v").as("s"),
-        when(fwd, $"v").otherwise($"u").as("t"))
+    val o = orientedDf(spark, dir)
     val adj = o.groupBy($"s").agg(collect_list($"t").as("nbrs"))
     val closed = o
       .join(adj, Seq("s"))
@@ -232,8 +222,48 @@ object Graph extends OpModule {
       .select($"node".as("p_partkey"), $"n_triangles")
   }
 
-  private val trianglesSql: String =
-    s"""WITH lp AS MATERIALIZED (
+  /** The degree-ordered orientation of the undirected co-purchase graph
+    * — every edge directed from the LOWER-(degree, id) endpoint to the
+    * higher one. Shared by [[trianglesDf]] (wedge closure) and
+    * [[wedgesDf]] (the census that prices the closure). */
+  private[graft] def orientedDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = edgesDf(spark, dir).filter($"src" < $"dst")
+      .select($"src".as("u"), $"dst".as("v"))
+    val deg = und.select($"u".as("node"))
+      .unionAll(und.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    und
+      .join(deg.select($"node".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"node".as("v"), $"d".as("dv")), Seq("v"))
+      .select(when(fwd, $"u").otherwise($"v").as("s"),
+        when(fwd, $"v").otherwise($"u").as("t"))
+  }
+
+  /** Post-orientation wedge census (`graph_wedges`) — the workload
+    * meter for [[trianglesDf]]: the closure join examines exactly the
+    * oriented wedges (out-neighbor pairs sharing a source), so
+    * `n_wedges = Σ_s C(outdeg(s), 2)` IS the triangle query's work
+    * term, and a bench scale-up should be judged as sec/wedge, not
+    * sec/row — the sf1 board's 11.1× for 10× rows is wedge growth
+    * under the derived slice's densification, not a plan defect
+    * (VERDICT r14 #3). `max_out_degree` rides along to audit the
+    * orientation's O(√(2m)) out-degree cap (GraphSpec asserts the
+    * exact bound: d nodes of out-degree ≥ d each point at nodes of
+    * degree ≥ d, so d² ≤ Σdeg = 2m). One row; both engines count in
+    * exact integers. */
+  private def wedgesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orientedDf(spark, dir)
+      .groupBy($"s").agg(count(lit(1)).as("od"))
+      .agg(sum($"od").as("n_edges"),
+        sum(expr("od * (od - 1) div 2")).as("n_wedges"),
+        max($"od").as("max_out_degree"))
+  }
+
+  private val orientedSqlBody: String =
+    s"""lp AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '$GraphWindowLo'
       |    AND l_shipdate < TIMESTAMP '$GraphWindowHi'),
@@ -250,7 +280,17 @@ object Graph extends OpModule {
       |              THEN u ELSE v END AS s,
       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
       |              THEN v ELSE u END AS t
-      |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)""".stripMargin
+
+  private val wedgesSql: String =
+    s"""WITH $orientedSqlBody
+      |SELECT sum(od)::BIGINT AS n_edges,
+      |  sum(od * (od - 1) // 2)::BIGINT AS n_wedges,
+      |  max(od)::BIGINT AS max_out_degree
+      |FROM (SELECT count(*) AS od FROM o GROUP BY s)""".stripMargin
+
+  private val trianglesSql: String =
+    s"""WITH $orientedSqlBody,
       |tri AS MATERIALIZED (
       |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
       |  FROM o e1
@@ -369,36 +409,47 @@ object Graph extends OpModule {
     * [[CcIters]] synchronous min-label rounds — memoized so the census
     * and the convergence audit price one run, like [[ranksDf]]. */
   private[graft] def ccLabelsDf(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.DfMemo.cached(spark, s"cc_labels:$dir") {
-      import spark.implicits._
-      val edges = edgesDf(spark, dir).select($"src", $"dst")
-      val nodes = edges.select($"src".as("node")).distinct()
-      // l'(v) = min(l(v), min over u->v of l(u)) — the Pregel-style
-      // min-label step dedup_clusters uses on the doc-similarity graph,
-      // here on the co-purchase graph. The self term rides an IDENTITY
-      // edge per node folded into the standing edge frame, so the step
-      // references the label frame exactly ONCE (the broadcast) — the
-      // round-14 config sweep caught the previous two-reference shape
-      // (outer l join + broadcast-derived nmin) doubling the unrolled
-      // plan tree per level: 2^8 subtree executions lived under p=4/AQE
-      // but blew the broadcast timeout at 200 non-adaptive partitions.
-      // Single-reference makes plan growth LINEAR in CcIters, exactly
-      // the PageRank unroll's shape, and the identity edge keeps
-      // no-in-edge nodes on their own label (what the old LEFT join did).
-      val edgesPlus = edges
-        .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
-        .repartition($"src").localCheckpoint()
-      def step(l: DataFrame): DataFrame =
-        edgesPlus.join(broadcast(l), $"src" === $"node")
-          .groupBy($"dst").agg(min($"lbl").as("lbl"))
-          .select($"dst".as("node"), $"lbl")
-      var l: DataFrame = nodes.select($"node", $"node".as("lbl"))
-      for (_ <- 1 until CcIters) l = step(l)
-      val prev = l.localCheckpoint()
-      step(prev)
-        .join(prev.select($"node", $"lbl".as("lbl_prev")), Seq("node"))
-        .select($"node", $"lbl_prev", $"lbl".as("lbl_last"))
-    }
+    graft.functions.DfMemo.cached(spark, s"cc_labels:$dir")(
+      ccLabelsOn(edgesDf(spark, dir).select(col("src"), col("dst"))))
+
+  /** The min-label loop over an arbitrary (src, dst) edge frame.
+    * l'(v) = min(l(v), min over u->v of l(u)) — the Pregel-style
+    * min-label step dedup_clusters uses on the doc-similarity graph,
+    * here on the co-purchase graph. The self term rides an IDENTITY
+    * edge per node folded into the standing edge frame, so the step
+    * references the label frame exactly ONCE (the broadcast) — the
+    * round-14 config sweep caught the previous two-reference shape
+    * (outer l join + broadcast-derived nmin) doubling the unrolled
+    * plan tree per level: 2^8 subtree executions lived under p=4/AQE
+    * but blew the broadcast timeout at 200 non-adaptive partitions.
+    * Single-reference makes plan growth LINEAR in CcIters, exactly
+    * the PageRank unroll's shape.
+    *
+    * The node universe is src ∪ dst, each with an identity edge, so a
+    * dst-only node of an ASYMMETRIC frame keeps its own label in every
+    * round's min — the round-15 fix: the previous distinct-src universe
+    * silently dropped dst-only nodes' self terms after round 1 and was
+    * correct only because the co-purchase frame is symmetric. On
+    * symmetric frames (src ∪ dst = distinct src) the two coincide, which
+    * is why the DuckDB oracle's `l0 = DISTINCT src` seed still hash-
+    * matches on the shipped graph. */
+  private[graft] def ccLabelsOn(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val edgesPlus = edges
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    def step(l: DataFrame): DataFrame =
+      edgesPlus.join(broadcast(l), col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+    var l: DataFrame = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 until CcIters) l = step(l)
+    val prev = l.localCheckpoint()
+    step(prev)
+      .join(prev.select(col("node"), col("lbl").as("lbl_prev")), Seq("node"))
+      .select(col("node"), col("lbl_prev"), col("lbl").as("lbl_last"))
+  }
 
   /** Connected components (`graph_components`): the co-purchase graph's
     * community census — per component (labeled by its minimum part
@@ -467,6 +518,7 @@ object Graph extends OpModule {
     "graph_pagerank" -> (pagerankDf(_, _)),
     "graph_pagerank_converge" -> (convergeDf(_, _)),
     "graph_triangles" -> (trianglesDf(_, _)),
+    "graph_wedges" -> (wedgesDf(_, _)),
     "graph_window_curve" -> (windowCurveDf(_, _))
   )
 
@@ -476,6 +528,7 @@ object Graph extends OpModule {
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_converge" -> convergeSql,
     "graph_triangles" -> trianglesSql,
+    "graph_wedges" -> wedgesSql,
     "graph_window_curve" -> windowCurveSql
   )
 }

@@ -179,6 +179,48 @@ class GraphSpec extends SparkSpec {
       spark, writeGraphFixture(cyc))).isEmpty)
   }
 
+  test("ccLabelsOn is exact on an asymmetric edge frame (dst-only nodes)") {
+    import spark.implicits._
+    // directed chain 9 -> 5 -> 3 plus dst-only node 1 fed by 7 -> 1:
+    // nodes 1 and 3 never appear as src. Correct min-reachability
+    // labels: l(9)=9, l(5)=min(5,9)=5, l(3)=min(3,5,9)=3, l(7)=7,
+    // l(1)=min(1,7)=1 — the dst-only nodes' OWN labels must win, which
+    // requires their identity edges (the round-15 fix; the old
+    // distinct-src universe gave them in-neighbor mins only: l(3)=5,
+    // l(1)=7).
+    val edges = Seq((9L, 5L), (5L, 3L), (7L, 1L)).toDF("src", "dst")
+    val got = Graph.ccLabelsOn(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map(9L -> 9L, 5L -> 5L, 3L -> 3L, 7L -> 7L, 1L -> 1L)
+    assert(got.view.mapValues(_._2).toMap == want, s"labels: $got")
+    // fixpoint reached: prev == last everywhere
+    assert(got.values.forall { case (p, l) => p == l })
+  }
+
+  test("graph_wedges equals an in-memory replay; out-degree cap d² <= 2m holds") {
+    val row = rowsOf(Graph.queries("graph_wedges")(spark, dir)).head
+    val m = row("n_edges").asInstanceOf[Long]
+    val w = row("n_wedges").asInstanceOf[Long]
+    val dmax = row("max_out_degree").asInstanceOf[Long]
+    // independent replay: orient each undirected edge from the
+    // lower-(degree, id) endpoint, then census the out-degrees
+    val und = Graph.edgesDf(spark, dir).collect()
+      .filter(r => r.getLong(0) < r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = und.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val od = und.map { case (u, v) =>
+        if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(m == und.length.toLong)
+    assert(w == od.values.map(d => d * (d - 1) / 2).sum)
+    assert(dmax == od.values.max)
+    // the orientation theorem the 100 TB story leans on: a node of
+    // out-degree d points only at (degree >= d)-nodes, so d^2 <= 2m
+    assert(dmax * dmax <= 2 * m,
+      s"orientation cap broken: max_out_degree=$dmax, edges=$m")
+  }
+
   test("graph_triangles equals the brute-force per-node census") {
     val out = rowsOf(Graph.queries("graph_triangles")(spark, dir))
       .map(m => m("p_partkey").asInstanceOf[Long] ->
