@@ -130,6 +130,14 @@ object Multimodal extends OpModule {
     if (startsWith("P6")) parsePpm(bytes)
     else if (startsWith("RIFF")) parseWav(bytes)
     else if (startsWith("YUV4MPEG2")) parseY4m(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      // JPEG (SOI marker). LOSSY: `data` is the decoder's raster, a
+      // valid feature-path input but NOT an oracle-checkable essence —
+      // only media_jpeg_meta's dim facts are oracle-compared.
+      val (w, h, rgb) = decodeJpeg(bytes)
+      Decoded("image", w, h, -1, -1, -1, rgb)
+    }
     else throw new IllegalArgumentException(
       s"unknown media container (first bytes: ${bytes.take(8).mkString(",")})")
   }
@@ -1062,6 +1070,177 @@ object Multimodal extends OpModule {
        |     JOIN rs USING (media_id)""".stripMargin
   }
 
+  // ---- JPEG rung: the first LOSSY codec, via the JDK's ImageIO ----
+
+  /** Synthesize a real baseline JPEG: dims from salted hashes
+    * ('jw'/'jh' — independent of the PNG rung's draws), pixels from the
+    * GRADIENT formula [[jpegEssence]] (`(seed + 3x + 5y + 40c) % 256` —
+    * locally smooth like a real photograph, NOT the per-byte essence
+    * sawtooth, whose 37-per-byte step is adversarial for a DCT codec:
+    * measured mean |err| ~38-41 at EVERY quality 0.80-0.98, making any
+    * distortion bound non-discriminating; the gradient measures
+    * worst 14.7 / avg 6.3 at q=0.85 vs >=53 for a channel-swapped
+    * decode), encoded by the JDK's ImageIO JPEG writer at a FIXED
+    * explicit quality. JPEG is LOSSY: decoded pixels are encoder- and
+    * decoder-version-dependent, so — unlike every prior rung — pixel
+    * facts are NOT oracle-checkable. The oracle checks what lossy
+    * compression preserves exactly: the SOF frame-header dims (parsed
+    * straight off the marker stream by [[parseJpegSof]], independent of
+    * the decoder) and the decoded raster dims. Pixel-level facts
+    * (decode determinism, bounded distortion vs the source formula)
+    * are spec-only in MultimodalSpec, with the bound loose enough to
+    * hold across JDK decoder revisions. */
+  def synthesizeJpeg(text: String): Array[Byte] = {
+    val seed = hex32Jvm(text)
+    val w = (hex32Jvm(text + "jw") % 24 + 8).toInt
+    val h = (hex32Jvm(text + "jh") % 18 + 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = jpegEssence(seed, x, y, 0)
+        val g = jpegEssence(seed, x, y, 1)
+        val b = jpegEssence(seed, x, y, 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = JpegWriter.get()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.85f)
+    val bos = new java.io.ByteArrayOutputStream(w * h + 1024)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.flush()
+    bos.toByteArray
+  }
+
+  /** The JPEG rung's generating pixel formula: a wrapped plane gradient,
+    * channel-offset by 40 so a channel swap moves the mean error to
+    * >=53 while a faithful decode stays under ~15 (see
+    * [[synthesizeJpeg]]'s measurements). */
+  def jpegEssence(seed: Long, x: Int, y: Int, c: Int): Int =
+    ((seed + 3L * x + 5L * y + 40L * c) % 256).toInt
+
+  /** One JDK JPEG writer / reader per executor thread — same lifecycle
+    * note as [[PngReader]] (stateful, not thread-safe; setInput/
+    * setOutput resets one between images). */
+  private object JpegWriter extends ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+      if (!it.hasNext) throw new IllegalStateException("JPEG: no JDK writer")
+      it.next()
+    }
+  }
+
+  private object JpegReader extends ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      if (!it.hasNext) throw new IllegalStateException("JPEG: no JDK reader")
+      it.next()
+    }
+  }
+
+  /** Frame dims straight from the JPEG marker stream's SOF segment —
+    * a hand parse independent of the ImageIO decode path, so a reader
+    * bug and a writer bug cannot cancel out. Walks markers per ITU
+    * T.81 §B: skips padding FFs and standalone markers, length-skips
+    * every other segment, stops at any SOFn (C0–CF minus C4/C8/CC). */
+  def parseJpegSof(b: Array[Byte]): (Int, Int) = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      throw new IllegalArgumentException(
+        s"JPEG: bad signature (${b.take(4).mkString(",")})")
+    var pos = 2
+    while (pos + 3 < b.length) {
+      if ((b(pos) & 0xff) != 0xff)
+        throw new IllegalArgumentException(s"JPEG: expected marker at $pos")
+      while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
+      val m = b(pos) & 0xff; pos += 1
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // SOFn: len(2) precision(1) height(2) width(2) ...
+        val h = ((b(pos + 3) & 0xff) << 8) | (b(pos + 4) & 0xff)
+        val w = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
+        return (w, h)
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone marker, no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        throw new IllegalArgumentException("JPEG: no SOF before scan/EOI")
+      } else {
+        pos += ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+      }
+    }
+    throw new IllegalArgumentException("JPEG: truncated before SOF")
+  }
+
+  /** Decode a JPEG payload via the JDK reader: returns (w, h, rgb). */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8)
+      throw new IllegalArgumentException(
+        s"JPEG: bad signature (${bytes.take(4).mkString(",")})")
+    val reader = JpegReader.get()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val img =
+      try reader.read(0)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"JPEG: unreadable ($e)") }
+    if (img == null) throw new IllegalArgumentException("JPEG: unreadable")
+    val w = img.getWidth; val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** JPEG metadata (`media_jpeg_meta`), every field from the ENCODED
+    * container: `sof_width`/`sof_height` from the hand-parsed marker
+    * stream, `width`/`height` from the ImageIO-decoded raster — two
+    * independent read paths that must both land on the generating
+    * formula's dims, which is exactly what the oracle reconstructs.
+    * No pixel facts here (lossy — see [[synthesizeJpeg]]); the decoded
+    * raster still flows through the decoder so a truncated or
+    * mis-encoded stream fails the job rather than passing on header
+    * luck. Same scale shape as every media query: encode+parse+decode
+    * are partition-local, only fixed-width facts leave the task. */
+  private def jpegMetaDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spreadDocs(spark, dir, "doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = synthesizeJpeg(text)
+        val (sw, sh) = parseJpegSof(bytes)
+        val (w, h, _) = decodeJpeg(bytes)
+        (id, sw.toLong, sh.toLong, w.toLong, h.toLong, w.toLong * h)
+      })
+      .toDF("media_id", "sof_width", "sof_height", "width", "height",
+        "n_pixels")
+  }
+
+  private val jpegMetaSql: String = {
+    val seedW = ColFns.hex32Sql("(text || 'jw')")
+    val seedH = ColFns.hex32Sql("(text || 'jh')")
+    s"""SELECT doc_id AS media_id,
+       |  ($seedW % 24 + 8)::BIGINT AS sof_width,
+       |  ($seedH % 18 + 6)::BIGINT AS sof_height,
+       |  ($seedW % 24 + 8)::BIGINT AS width,
+       |  ($seedH % 18 + 6)::BIGINT AS height,
+       |  (($seedW % 24 + 8) * ($seedH % 18 + 6))::BIGINT AS n_pixels
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (metaDf(_, _)),
     "media_frames" -> (framesDf(_, _)),
@@ -1071,7 +1250,8 @@ object Multimodal extends OpModule {
     "media_audio_features" -> (audioFeaturesDf(_, _)),
     "media_scene_cuts" -> (sceneCutsDf(_, _)),
     "media_video_fp" -> (videoPairsDf(_, _)),
-    "media_png_meta" -> (pngMetaDf(_, _))
+    "media_png_meta" -> (pngMetaDf(_, _)),
+    "media_jpeg_meta" -> (jpegMetaDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1083,6 +1263,7 @@ object Multimodal extends OpModule {
     "media_audio_features" -> audioFeaturesSql,
     "media_scene_cuts" -> sceneCutsSql,
     "media_video_fp" -> videoPairsSql,
-    "media_png_meta" -> pngMetaSql
+    "media_png_meta" -> pngMetaSql,
+    "media_jpeg_meta" -> jpegMetaSql
   )
 }
