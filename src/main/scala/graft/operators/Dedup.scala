@@ -308,7 +308,7 @@ object Dedup extends OpModule {
     // memoizes — share the key instead of re-running explode+distinct
     val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
       shingled(spark, dir).select($"doc_id", $"h").distinct())
-    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = setSizesDf(spark, dir)
     // same discipline below: the running left side stays pair-bounded
     // (pairs × shingles-per-doc at worst), so it broadcasts into each
     // corpus-sized sets/sizes frame rather than shuffling it
@@ -373,7 +373,7 @@ object Dedup extends OpModule {
     val pairs = minhashPairsDf(spark, dir)
     val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
       shingled(spark, dir).select($"doc_id", $"h").distinct())
-    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = setSizesDf(spark, dir)
     // same broadcast discipline as minhashEstDf: the running left side
     // stays pair-bounded, so it broadcasts into each corpus-sized frame
     val inter = broadcast(broadcast(pairs)
@@ -421,29 +421,52 @@ object Dedup extends OpModule {
     * measures both the dropped pair count and the jaccard bias. */
   val HotShingleCap = 64
 
+  /** Per-doc distinct shingle-set sizes — memoized: feeds
+    * dedup_jaccard_topk, the LSH ground truth, minhashEst and
+    * containment in one session (a doc-count-sized frame re-aggregated
+    * four times before round 15). */
+  private def setSizesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DfMemo.cached(spark, s"jaccard_sizes:$dir") {
+      val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+        shingled(spark, dir).select($"doc_id", $"h").distinct())
+      sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    }
+  }
+
+  /** (doc_a, doc_b, inter): exact shared-shingle counts of every doc
+    * pair sharing at least one NON-HOT shingle — ONE guarded postings
+    * self-join, memoized. Round-15 share: `dedup_jaccard_topk` and the
+    * LSH curve's ground truth ([[lshTruthDf]]) used to run this
+    * identical enumeration TWICE; it was the dominant term in the
+    * board's #1 one-shot entry (`dedup_lsh_curve`, 15.5 s driver
+    * reading in BENCH_r14 vs 1.52 s warm). Document frequency gates
+    * via hash aggregation (map-side combine) and a broadcast ANTI join
+    * of the short hot list — not count().over(partitionBy(h)), which
+    * shuffled AND sorted every (doc, shingle) pair just to score a
+    * filter. */
+  private def pairInterDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"jaccard_inter:$dir") {
+      import spark.implicits._
+      val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+        shingled(spark, dir).select($"doc_id", $"h").distinct())
+      val hot = sets.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > HotShingleCap)
+        .select($"h")
+      val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
+      postings.as("a")
+        .join(postings.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    }
+
   /** Exact n-gram Jaccard over the inverted index: top-20 most similar
     * pairs (j desc, ids asc). Distinct shingle sets per doc. */
   private def jaccardDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The distinct shingle-set frame feeds sizes + both join sides: persist
-    // once instead of recomputing the explode+distinct three times.
-    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
-      shingled(spark, dir).select($"doc_id", $"h").distinct())
-    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // Document frequency via hash aggregation (map-side combine) and a
-    // broadcast ANTI join of the short hot list — not
-    // count().over(partitionBy(h)), which shuffled AND sorted every
-    // (doc, shingle) pair just to score a filter.
-    val hot = sets.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" > HotShingleCap)
-      .select($"h")
-    val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
-    val inter = postings.as("a")
-      .join(postings.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    val sizes = setSizesDf(spark, dir)
+    pairInterDf(spark, dir)
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -515,18 +538,10 @@ object Dedup extends OpModule {
   private def lshTruthDf(spark: SparkSession, dir: String): DataFrame =
     graft.functions.DfMemo.cached(spark, s"lsh_truth:$dir") {
       import spark.implicits._
-      val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
-        shingled(spark, dir).select($"doc_id", $"h").distinct())
-      val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val hot = sets.groupBy($"h").agg(count(lit(1)).as("df"))
-        .filter($"df" > HotShingleCap)
-        .select($"h")
-      val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
-      postings.as("a")
-        .join(postings.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
+      // reuses the memoized guarded enumeration ([[pairInterDf]]) —
+      // before round 15 this re-ran the identical postings self-join
+      val sizes = setSizesDf(spark, dir)
+      pairInterDf(spark, dir)
         .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
         .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
         .filter(lit(3) * $"inter" >= $"na" + $"nb")
