@@ -38,6 +38,7 @@ import re
 import sys
 
 YARDSTICK_SEC = 32.305   # round-1 driver board total (BENCH_r01.json)
+YARDSTICK_N = 61         # the fixed round-1 query set the base was timed on
 # board/yardstick ratio of the last audited board: the r13 judge's
 # same-host pair (board 105.05 s, yardstick subset 18.0 s — VERDICT r13)
 BOARD_RATIO = 105.05 / 18.0
@@ -59,7 +60,7 @@ def fields_of(path: str):
         if "total_sec" in d:
             return {k: d.get(k) for k in
                     ("total_sec", "n_queries", "failed",
-                     "yardstick_sec", "yardstick_n")}
+                     "yardstick_sec", "yardstick_n", "sf")}
     # grep the (possibly front-truncated) raw text — all gate fields sit
     # at the END of the bench line by design
     out = {}
@@ -92,6 +93,12 @@ def main(paths):
             # smoke-level signals only
             lines.append(f"NOTE non-gate SF ({sf}); bases are sf0.1")
         if ysec is not None:
+            if yn != YARDSTICK_N:
+                # a renamed/dropped/failed yardstick query silently
+                # shrinks ysec, loosening BOTH gates — hard-fail it
+                passed = False
+                lines.append(f"yardstick_n={yn} != {YARDSTICK_N}: "
+                             "yardstick set drifted, gates not comparable")
             eng = ysec / YARDSTICK_SEC
             if eng > GATE_X:
                 passed = False

@@ -19,8 +19,14 @@ for cfg in "4 true" "4 false" "200 true" "200 false"; do
   DIR="$OUT/p${P}_aqe${A}"
   echo "== shuffle.partitions=$P aqe=$A -> $DIR"
   rm -rf "$DIR"
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=$P SPARK_GRAFT_AQE=$A \
-    tools/run_verify.sh "$SF" "$DIR" >/dev/null 2>&1
+  # guard under set -e: a verify crash must record a FAIL line and let
+  # the remaining configs run, not abort the sweep mid-loop
+  if ! SPARK_GRAFT_SHUFFLE_PARTITIONS=$P SPARK_GRAFT_AQE=$A \
+      tools/run_verify.sh "$SF" "$DIR" >/dev/null 2>&1; then
+    echo "FAIL p=$P aqe=$A (verify crashed)"
+    FAIL=1
+    continue
+  fi
   if python3 tools/verify_local.py "$SF" "$DIR" | tail -1 \
       | tee /dev/stderr | grep -q " 0 fail"; then
     echo "PASS p=$P aqe=$A"
