@@ -221,9 +221,15 @@ object Dedup extends OpModule {
     * intermediate is ever bucket²: the clique join's sides are both
     * ≤ cap per bucket, the star join's left side is exactly 1 row per
     * bucket. */
-  private def guardedPairFrame(bands0: DataFrame): DataFrame = {
-    val bands = bands0.withColumn("rn", row_number().over(
-      Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+  private def guardedPairFrame(bands0: DataFrame): DataFrame =
+    guardedPairsRanked(bands0.withColumn("rn", row_number().over(
+      Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id")))))
+
+  /** The guarded enumeration over a banded frame that ALREADY carries
+    * the per-bucket rank `rn` — callers that reference the ranked frame
+    * more than once (the curve audit) checkpoint it first so the rank
+    * window runs once, not per reference. */
+  private def guardedPairsRanked(bands: DataFrame): DataFrame = {
     val head = bands.filter(col("rn") <= LshPairCap)
     val clique = head.as("x")
       .join(head.as("y"),
@@ -548,20 +554,36 @@ object Dedup extends OpModule {
         .select($"doc_a", $"doc_b")
     }
 
-  private def lshCurveDf(spark: SparkSession, dir: String): DataFrame = {
+  private def lshCurveDf(spark: SparkSession, dir: String): DataFrame =
+    // memoized like every other curve frame (4 rows) — and the build
+    // itself materializes each config's RANKED banded frame once: the
+    // round-15 board audit found the un-materialized `bands` subtree
+    // re-executed per reference (clique head ×2, star ×2, occupancy
+    // census — 5 window/banding executions per config, ×4 configs),
+    // which was the warm per-attempt cost behind the board's #1 entry
+    graft.functions.DfMemo.cached(spark, s"lsh_curve:$dir")(
+      lshCurveBuild(spark, dir))
+
+  // pre-memo builder, visible for plan/one-shot attribution
+  private[graft] def lshCurveBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashDf(spark, dir)
     val truth = lshTruthDf(spark, dir)
     val truthN = truth.agg(count(lit(1)).as("n_true_total"))
     LshCurveConfigs.map { case (b, r) =>
+      // ranked ONCE per config and checkpointed (docs × b rows,
+      // bounded): head/star/occupancy all read these rows instead of
+      // re-running the banding + rank window per reference
       val bands = bandFrame(spark, sig, b, r)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"band", $"band_key").orderBy($"doc_id")))
+        .localCheckpoint()
       // ONE pass over the guarded pair stream serves both counts: the
       // truth set (real near-dup pairs, metadata-sized) broadcasts
       // into a left join carrying an indicator, so the candidate count
-      // and the truth intersection fold in the same aggregation — the
-      // heavy window + enumeration executes once per config and no
+      // and the truth intersection fold in the same aggregation — no
       // pair row is ever materialized to storage
-      val stats = guardedPairFrame(bands)
+      val stats = guardedPairsRanked(bands)
         .join(broadcast(truth.withColumn("is_true", lit(1L))),
           Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_candidates"),
@@ -569,9 +591,9 @@ object Dedup extends OpModule {
       // closed-form slot census: per-bucket occupancy n contributes
       // n*(n-1)/2 — no pair row is ever materialized, exact at any
       // bucket size, an upper bound on the uncapped distinct count;
-      // occupancy needs no rank window, just the grouped count
+      // occupancy is max(rn) per bucket on the already-ranked frame
       val ub = bands.groupBy($"band", $"band_key")
-        .agg(count(lit(1)).as("n"))
+        .agg(max($"rn").as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
           .as("n_candidates_ub"))
       stats
