@@ -196,7 +196,17 @@ object Pipeline extends OpModule {
     * stream is walked once with leads t1..t4 and each width is a
     * projection of that frame — at 100 TB you never re-scan the corpus
     * per candidate width. */
-  private def contamCurveDf(spark: SparkSession, dir: String): DataFrame = {
+  private def contamCurveDf(spark: SparkSession, dir: String): DataFrame =
+    // memoized like the other curve frames (4 rows); the build
+    // checkpoints each width's distinct gram-set frame once — `bench`
+    // and the training side both filter it, and without the
+    // materialization the corpus-sized distinct re-executed per
+    // reference (2 per width, 8 total — the round-15 board's #1 entry
+    // once the LSH curve was fixed the same way)
+    graft.functions.DfMemo.cached(spark, s"contam_curve:$dir")(
+      contamCurveBuild(spark, dir))
+
+  private[graft] def contamCurveBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val maxN = ContamCurveNs.max
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -218,6 +228,7 @@ object Pipeline extends OpModule {
         .select($"doc_id",
           ColFns.hex32(concat_ws(" ", parts: _*)).as("h"))
         .distinct()
+        .localCheckpoint()
       val bench = sets.filter($"doc_id" % BenchMod === 0)
         .select($"h").distinct()
       sets.filter($"doc_id" % BenchMod =!= 0)
