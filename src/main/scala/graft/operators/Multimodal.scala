@@ -1096,6 +1096,10 @@ object Multimodal extends OpModule {
     val h = (hex32Jvm(text + "jh") % 18 + 6).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk raster write — per-pixel setRGB calls made the encode
+    // GC-bound at corpus scale (86 s of GC across the sf10 probe's
+    // 1.5M encodes before this)
+    val pix = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -1103,11 +1107,12 @@ object Multimodal extends OpModule {
         val r = jpegEssence(seed, x, y, 0)
         val g = jpegEssence(seed, x, y, 1)
         val b = jpegEssence(seed, x, y, 2)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        pix(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, pix, 0, w)
     val writer = JpegWriter.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
