@@ -1648,7 +1648,16 @@ object Similarity extends OpModule {
     * from the per-(query, cell-rank) ADC top-[[PqShortlist]] — the wide
     * probe stream collapses to <= 10·50 rows per query before the
     * per-budget windows run. */
-  private def recallCurveDf(spark: SparkSession, dir: String): DataFrame = {
+  private def recallCurveDf(spark: SparkSession, dir: String): DataFrame =
+    // memoized like the other curve frames (5 rungs × probe budgets =
+    // 80 rows); the build checkpoints the per-budget PQ shortlist once —
+    // the pq and ivfpq rungs both consume it, and un-materialized the
+    // two shortlist windows re-executed per rung (round-15 board #1
+    // after the dedup/contamination curves got the same fix)
+    graft.functions.DfMemo.cached(spark, s"ann_recall_curve:$dir")(
+      recallCurveBuild(spark, dir))
+
+  private[graft] def recallCurveBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val truth = brute3Df(spark, dir)
     val budgets = broadcast((1 to MaxProbeBudget).toDF("probes"))
@@ -1675,6 +1684,7 @@ object Similarity extends OpModule {
       .withColumn("srk", row_number().over(
         Window.partitionBy($"qid", $"probes").orderBy($"ip".desc, $"nid")))
       .filter($"srk" <= PqShortlist)
+      .localCheckpoint() // panel × budgets × shortlist rows, bounded
     def hitCurve(short: DataFrame, rung: String): DataFrame =
       truth.crossJoin(budgets)
         .join(short.select($"qid", $"nid", $"probes", lit(1L).as("hit")),
