@@ -41,9 +41,27 @@ object Ranks {
       granules: Int = 256): DataFrame = {
     val stats = df.agg(min(col(idCol)).as("_rk_lo"),
       max(col(idCol)).as("_rk_hi"))
+    // Runtime enforcement of the documented range precondition (advisor
+    // r15): an id span wider than Long.MaxValue/granules would wrap the
+    // cell arithmetic and mis-rank SILENTLY — fail loudly instead. The
+    // span itself is computed with try_add/try_subtract so a hi-lo that
+    // overflows long becomes NULL (ANSI mode would otherwise throw a
+    // generic overflow, non-ANSI would wrap) and routes into the same
+    // guard. Once span <= Long.MaxValue/granules holds, the cell
+    // arithmetic is overflow-free: 0 <= id-lo <= span-1, so
+    // (id-lo)*granules < Long.MaxValue. The check folds into the cell
+    // CASE (a broadcast 1-row condition per row, codegen'd), not a
+    // separate column Catalyst could prune away.
+    val maxSpan = Long.MaxValue / granules
     val celled = df.crossJoin(broadcast(stats))
+      .withColumn("_rk_span", expr("try_add(try_subtract(_rk_hi, _rk_lo), 1L)"))
       .withColumn("_rk_cell", expr(
-        s"(($idCol - _rk_lo) * $granules) div (_rk_hi - _rk_lo + 1)"))
+        s"""CASE WHEN _rk_span IS NULL OR _rk_span <= 0
+           |       OR _rk_span > ${maxSpan}L
+           |  THEN CAST(raise_error(
+           |    'Ranks.rankById: id span (hi-lo+1) exceeds Long.MaxValue/granules; use a hash-cell rank for hash-wide ids') AS BIGINT)
+           |  ELSE (($idCol - _rk_lo) * $granules) div _rk_span
+           |END""".stripMargin))
     val wIn = Window.partitionBy(col("_rk_cell")).orderBy(col(idCol))
     // bounded window: ≤ `granules` rows after the groupBy
     val wBase = Window.orderBy(col("_rk_cell"))
@@ -56,6 +74,6 @@ object Ranks {
       .withColumn("_rk_rw", row_number().over(wIn).cast("long"))
       .join(broadcast(bases), Seq("_rk_cell"))
       .withColumn(rnCol, col("_rk_base") + col("_rk_rw"))
-      .drop("_rk_cell", "_rk_rw", "_rk_base", "_rk_lo", "_rk_hi")
+      .drop("_rk_cell", "_rk_rw", "_rk_base", "_rk_lo", "_rk_hi", "_rk_span")
   }
 }

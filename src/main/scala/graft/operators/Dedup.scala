@@ -502,6 +502,86 @@ object Dedup extends OpModule {
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
 
+  /** Workload census for the guarded Jaccard enumeration — the
+    * `graph_wedges` treatment applied to `dedup_jaccard_topk` (round 16,
+    * VERDICT r15 #1): the r15 scale probe read the sf1→sf10 leg at 25×
+    * for 10× data with nothing measuring whether the CANDIDATE PAIRS
+    * actually grew 10× or 25×, so contention and workload growth were
+    * indistinguishable. This 1-row frame emits the enumeration's own
+    * meters so scale-ups are judged in sec/pair, not sec/row:
+    *
+    *  - `n_docs` / `n_shingles` / `max_set` / `avg_set_x1000`: corpus
+    *    shape (per-doc distinct shingle-set size distribution);
+    *  - `n_hot` / `n_postings` / `max_df_capped`: what the
+    *    [[HotShingleCap]] guard removed and what survives it;
+    *  - `pair_slots` = Σ df·(df−1)/2 over non-hot shingles: the
+    *    closed-form upper bound on candidate pairs, computable from the
+    *    df histogram alone (no enumeration — the cheap meter a 100 TB
+    *    run reads BEFORE deciding to enumerate);
+    *  - `n_pairs` / `inter_total`: the enumerated distinct pair count
+    *    and total shared-shingle mass — exactly the join + aggregation
+    *    work `dedup_jaccard_topk` performs (reuses the memoized
+    *    [[pairInterDf]], so the census prices the real shipped plan).
+    *
+    * All-integer output; every aggregate is a hash aggregation with
+    * map-side combine over the memoized postings frames. */
+  private def pairCensusDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
+      shingled(spark, dir).select($"doc_id", $"h").distinct())
+    val dfreq = sets.groupBy($"h").agg(count(lit(1)).as("df"))
+    val docsN = sets.agg(countDistinct($"doc_id").as("n_docs"))
+    val shingleStats = dfreq.agg(
+      count(lit(1)).as("n_shingles"),
+      coalesce(sum(when($"df" > HotShingleCap, lit(1L))), lit(0L))
+        .as("n_hot"),
+      coalesce(sum(when($"df" <= HotShingleCap, $"df")), lit(0L))
+        .as("n_postings"),
+      coalesce(max(when($"df" <= HotShingleCap, $"df")), lit(0L))
+        .as("max_df_capped"),
+      coalesce(sum(when($"df" <= HotShingleCap,
+        expr("df * (df - 1) div 2"))), lit(0L)).as("pair_slots"))
+    val sizes = setSizesDf(spark, dir).agg(
+      max($"n").as("max_set"),
+      expr("(sum(n) * 1000) div count(1)").as("avg_set_x1000"))
+    val pairs = pairInterDf(spark, dir).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum($"inter"), lit(0L)).as("inter_total"))
+    docsN.crossJoin(shingleStats).crossJoin(sizes).crossJoin(pairs)
+      .select($"n_docs", $"n_shingles", $"n_hot", $"n_postings",
+        $"max_df_capped", $"pair_slots", $"max_set", $"avg_set_x1000",
+        $"n_pairs", $"inter_total")
+  }
+
+  private val pairCensusSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |sets AS (SELECT DISTINCT doc_id, h FROM sh),
+       |dfreq AS (SELECT h, count(*) AS df FROM sets GROUP BY 1),
+       |postings AS (
+       |  SELECT s.doc_id, s.h FROM sets s
+       |  JOIN dfreq d ON d.h = s.h AND d.df <= $HotShingleCap),
+       |iv AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM postings a JOIN postings b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1)
+       |SELECT
+       |  (SELECT count(DISTINCT doc_id) FROM sets) AS n_docs,
+       |  (SELECT count(*) FROM dfreq) AS n_shingles,
+       |  (SELECT count(*) FROM dfreq WHERE df > $HotShingleCap) AS n_hot,
+       |  (SELECT coalesce(sum(df), 0) FROM dfreq
+       |     WHERE df <= $HotShingleCap)::BIGINT AS n_postings,
+       |  (SELECT coalesce(max(df), 0) FROM dfreq
+       |     WHERE df <= $HotShingleCap)::BIGINT AS max_df_capped,
+       |  (SELECT coalesce(sum(df * (df - 1) // 2), 0) FROM dfreq
+       |     WHERE df <= $HotShingleCap)::BIGINT AS pair_slots,
+       |  (SELECT max(n) FROM sz)::BIGINT AS max_set,
+       |  ((SELECT sum(n) * 1000 FROM sz)
+       |     // (SELECT count(*) FROM sz))::BIGINT AS avg_set_x1000,
+       |  (SELECT count(*) FROM iv) AS n_pairs,
+       |  (SELECT coalesce(sum(inter), 0) FROM iv)::BIGINT AS inter_total""".stripMargin
+
   /** Band configurations for the LSH dial audit, all over the same
     * [[MinhashK]] = 8 signature components: (bands, rows_per_band). */
   val LshCurveConfigs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1))
@@ -1396,6 +1476,7 @@ object Dedup extends OpModule {
     "dedup_simhash_sat" -> (simhashSatDf(_, _)),
     "dedup_clusters" -> (clustersDf(_, _)),
     "dedup_jaccard_topk" -> (jaccardDf(_, _)),
+    "dedup_pair_census" -> (pairCensusDf(_, _)),
     "dedup_lsh_curve" -> (lshCurveDf(_, _)),
     "dedup_simhash" -> (simhashDf(_, _)),
     "dedup_substring_spans" -> (substrSpansDf(_, _)),
@@ -1415,6 +1496,7 @@ object Dedup extends OpModule {
     "dedup_simhash_sat" -> simhashSatSql,
     "dedup_clusters" -> clustersSql,
     "dedup_jaccard_topk" -> jaccardSql,
+    "dedup_pair_census" -> pairCensusSql,
     "dedup_lsh_curve" -> lshCurveSql,
     "dedup_simhash" -> simhashSql,
     "dedup_substring_spans" -> substrSpansSql,

@@ -185,7 +185,7 @@ object Multimodal extends OpModule {
     // walk chunks: fmt must precede data; unknown chunks skip (real
     // files carry LIST/fact chunks — a parser that assumes a fixed
     // 44-byte layout breaks on them)
-    var rate = -1; var bits = -1; var channels = -1
+    var rate = -1; var bits = -1; var channels = -1; var fmtCode = -1
     var data: Array[Byte] = null
     while (bb.remaining() >= 8 && data == null) {
       val id = fourcc(); val len = bb.getInt
@@ -196,8 +196,12 @@ object Multimodal extends OpModule {
       id match {
         case "fmt " =>
           val fmt = bb.getShort
-          if (fmt != 1)
-            throw new IllegalArgumentException(s"WAV: not PCM (fmt $fmt)")
+          // format 1 = linear PCM; format 7 = G.711 μ-law (the lossy
+          // audio rung — 8-bit log-companded, decoded below)
+          if (fmt != 1 && fmt != 7)
+            throw new IllegalArgumentException(
+              s"WAV: want PCM or ULAW (fmt $fmt)")
+          fmtCode = fmt
           channels = bb.getShort
           rate = bb.getInt
           bb.getInt; bb.getShort // byte rate, block align
@@ -211,10 +215,21 @@ object Multimodal extends OpModule {
       }
     }
     if (data == null) throw new IllegalArgumentException("WAV: no data chunk")
-    if (channels != 1 || bits != 16)
-      throw new IllegalArgumentException(
-        s"WAV: want mono 16-bit, got $channels ch $bits bit")
-    Decoded("audio", -1, -1, -1, rate, data.length / 2, data)
+    if (fmtCode == 7) {
+      // μ-law: one byte per sample; decode to linear PCM16 through the
+      // JDK codec so downstream audio features see the same 16-bit
+      // stream shape as the PCM path. `nSamples` = μ-law byte count.
+      if (channels != 1 || bits != 8)
+        throw new IllegalArgumentException(
+          s"WAV/ULAW: want mono 8-bit, got $channels ch $bits bit")
+      val pcm = ulawDecode(data, rate)
+      Decoded("audio", -1, -1, -1, rate, data.length.toLong, pcm)
+    } else {
+      if (channels != 1 || bits != 16)
+        throw new IllegalArgumentException(
+          s"WAV: want mono 16-bit, got $channels ch $bits bit")
+      Decoded("audio", -1, -1, -1, rate, data.length / 2, data)
+    }
   }
 
   private def parseY4m(b: Array[Byte]): Decoded = {
@@ -1165,9 +1180,17 @@ object Multimodal extends OpModule {
       if ((b(pos) & 0xff) != 0xff)
         throw new IllegalArgumentException(s"JPEG: expected marker at $pos")
       while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
+      // every read below is bounds-guarded so malformed input (trailing
+      // FF fill driving pos to b.length, a truncated SOF/length field)
+      // keeps the documented IllegalArgumentException contract instead
+      // of leaking ArrayIndexOutOfBounds (advisor r15)
+      if (pos >= b.length)
+        throw new IllegalArgumentException("JPEG: truncated")
       val m = b(pos) & 0xff; pos += 1
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
         // SOFn: len(2) precision(1) height(2) width(2) ...
+        if (pos + 6 >= b.length)
+          throw new IllegalArgumentException("JPEG: truncated")
         val h = ((b(pos + 3) & 0xff) << 8) | (b(pos + 4) & 0xff)
         val w = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
         return (w, h)
@@ -1176,6 +1199,8 @@ object Multimodal extends OpModule {
       } else if (m == 0xd9 || m == 0xda) {
         throw new IllegalArgumentException("JPEG: no SOF before scan/EOI")
       } else {
+        if (pos + 1 >= b.length)
+          throw new IllegalArgumentException("JPEG: truncated")
         pos += ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
       }
     }
@@ -1246,6 +1271,178 @@ object Multimodal extends OpModule {
        |FROM documents""".stripMargin
   }
 
+  // ---- lossy audio: G.711 μ-law through the JDK codec (round 16) ----
+  //
+  // The audio sibling of the JPEG rung: a real LOSSY codec the bare JDK
+  // ships (javax.sound.sampled format conversion, CCITT G.711), wrapped
+  // in a real RIFF/WAVE container with format code 7. Unlike JPEG's
+  // DCT, μ-law quantization is a fixed 256-level table, so the decode
+  // error bound is EXACT (≤ [[UlawMaxErr]] within the codebook range)
+  // and the whole decode table is spec-checked bit-for-bit against a
+  // hand-written G.711 expansion (ITU G.711 table 2a/2b; see
+  // MultimodalSpec).
+  //
+  // Measured JDK encoder boundary (jshell, this repo's round-16 log):
+  // samples below ≈ −32504 overflow the encoder's magnitude negation
+  // and come out as garbage codes — the synthesis formula therefore
+  // draws from exactly the μ-law codebook range ±[[UlawClip]], where
+  // the measured max |decode−source| is exactly 512 and
+  // encode∘decode is the identity on codes modulo the two
+  // zero-representations (−0 code 0x7F ≡ +0 code 0xFF).
+
+  /** μ-law codebook clip: the largest magnitude G.711 represents. */
+  val UlawClip = 32124
+  /** Exact max |decoded − source| within ±[[UlawClip]] (top segment
+    * step 1024, half-step 512 — measured equal to theory). */
+  val UlawMaxErr = 512L
+
+  private def ulawFormats(rate: Int) = (
+    new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false),
+    new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false))
+
+  /** Little-endian mono PCM16 → μ-law bytes via the JDK codec. */
+  def ulawEncode(pcm: Array[Byte], rate: Int = SampleRate): Array[Byte] = {
+    val (src, dst) = ulawFormats(rate)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), src, pcm.length / 2)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(dst, in)
+      .readAllBytes()
+  }
+
+  /** μ-law bytes → little-endian mono PCM16 via the JDK codec. */
+  def ulawDecode(u: Array[Byte], rate: Int = SampleRate): Array[Byte] = {
+    val (src, dst) = ulawFormats(rate)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(u), dst, u.length.toLong)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(src, in)
+      .readAllBytes()
+  }
+
+  /** Source PCM sample i for a document seed: uniform over exactly the
+    * μ-law codebook range [−[[UlawClip]], +[[UlawClip]]] (2·32124+1 =
+    * 64249 values), so every segment incl. both clip shoulders is
+    * exercised while staying clear of the JDK encoder's negative-
+    * extreme overflow (documented above). */
+  def ulawEssence(seed: Long, i: Long): Int =
+    (((seed + i * 2654435761L) % 64249L) - UlawClip.toLong).toInt
+
+  /** Number of μ-law samples for a document text. */
+  def ulawSamples(text: String): Int =
+    (hex32Jvm(text + "u") % 256 + 16).toInt
+
+  /** PCM16LE source buffer from the generating formula. */
+  def ulawSourcePcm(text: String): Array[Byte] = {
+    val seed = hex32Jvm(text)
+    val n = ulawSamples(text)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ulawEssence(seed, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcm
+  }
+
+  /** A REAL RIFF/WAVE μ-law file: 18-byte fmt chunk (format code 7,
+    * cbSize 0), the `fact` chunk compressed formats carry (sample
+    * count), then the JDK-encoded μ-law data chunk, word-aligned.
+    * Container size is exactly 58 + n + (n mod 2) — the fact the
+    * oracle reconstructs. */
+  def synthesizeUlaw(text: String): Array[Byte] = {
+    val u = ulawEncode(ulawSourcePcm(text))
+    val n = u.length
+    val pad = n & 1
+    val bb = java.nio.ByteBuffer.allocate(58 + n + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(50 + n + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7).putShort(1) // μ-law, mono
+      .putInt(SampleRate).putInt(SampleRate) // byte rate = rate (1 B/sample)
+      .putShort(1).putShort(8) // block align, bits
+      .putShort(0) // cbSize
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(u)
+    bb.array()
+  }
+
+  /** `media_ulaw_meta` — the lossy-AUDIO rung (SURVEY north-star
+    * multimodal family; completes the lossy matrix next to
+    * [[jpegMetaDf]]): synthesize PCM from the generating formula,
+    * compress through the JDK G.711 μ-law codec into a real RIFF fmt-7
+    * container, then decode through the [[decode]] SNIFFER (magic-byte
+    * dispatch, the same path every other payload takes) and emit
+    *
+    *  - exact container facts the oracle reconstructs from the
+    *    formulas: sample count, container bytes (58 + n + pad),
+    *    compressed data bytes (1 B/sample — the 2:1 ratio is the
+    *    codec's), sample rate;
+    *  - `err_within_bound`: max |decoded − source| over every sample
+    *    ≤ [[UlawMaxErr]] — the EXACT quantization bound, so any
+    *    channel/endian/sign bug (errors ≥ thousands) fails the row;
+    *  - `roundtrip_stable`: re-encoding the decoded PCM reproduces the
+    *    byte-identical μ-law stream modulo −0 ≡ +0 (quantization
+    *    idempotence — what "lossy but stable under re-ingestion" means
+    *    for a training pipeline that may re-encode its own output).
+    *
+    * Scale shape: identical to every media query — synthesize + codec +
+    * compare are partition-local over the spread documents frame; only
+    * fixed-width facts leave the task. */
+  private def ulawMetaDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spreadDocs(spark, dir, "doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val src = ulawSourcePcm(text)
+        val bytes = synthesizeUlaw(text)
+        val d = decode(bytes)
+        if (d.kind != "audio")
+          throw new IllegalStateException(s"ULAW: sniffed as ${d.kind}")
+        var maxErr = 0L
+        var i = 0
+        val n = d.data.length / 2
+        while (i < n) {
+          val a = ((src(2 * i) & 0xff) | (src(2 * i + 1) << 8)).toShort
+          val b = ((d.data(2 * i) & 0xff) | (d.data(2 * i + 1) << 8)).toShort
+          val e = math.abs(a.toInt - b.toInt).toLong
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        val again = ulawEncode(d.data)
+        val first = ulawEncode(src)
+        val stable = again.length == first.length &&
+          first.indices.forall { j =>
+            first(j) == again(j) ||
+              // −0 (0x7F) and +0 (0xFF) are the same quantization level
+              ((first(j) & 0xff) | 0x80) == ((again(j) & 0xff) | 0x80) &&
+                (first(j) & 0x7f) == 0x7f
+          }
+        (id, d.nSamples, bytes.length.toLong, d.nSamples,
+          d.sampleRate, maxErr <= UlawMaxErr, stable)
+      })
+      .toDF("media_id", "n_samples", "container_bytes", "data_bytes",
+        "sample_rate", "err_within_bound", "roundtrip_stable")
+  }
+
+  private val ulawMetaSql: String = {
+    val ns = s"(${ColFns.hex32Sql("(text || 'u')")} % 256 + 16)"
+    s"""SELECT doc_id AS media_id,
+       |  $ns::BIGINT AS n_samples,
+       |  (58 + $ns + ($ns % 2))::BIGINT AS container_bytes,
+       |  $ns::BIGINT AS data_bytes,
+       |  $SampleRate::BIGINT AS sample_rate,
+       |  TRUE AS err_within_bound,
+       |  TRUE AS roundtrip_stable
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (metaDf(_, _)),
     "media_frames" -> (framesDf(_, _)),
@@ -1256,7 +1453,8 @@ object Multimodal extends OpModule {
     "media_scene_cuts" -> (sceneCutsDf(_, _)),
     "media_video_fp" -> (videoPairsDf(_, _)),
     "media_png_meta" -> (pngMetaDf(_, _)),
-    "media_jpeg_meta" -> (jpegMetaDf(_, _))
+    "media_jpeg_meta" -> (jpegMetaDf(_, _)),
+    "media_ulaw_meta" -> (ulawMetaDf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1269,6 +1467,7 @@ object Multimodal extends OpModule {
     "media_scene_cuts" -> sceneCutsSql,
     "media_video_fp" -> videoPairsSql,
     "media_png_meta" -> pngMetaSql,
-    "media_jpeg_meta" -> jpegMetaSql
+    "media_jpeg_meta" -> jpegMetaSql,
+    "media_ulaw_meta" -> ulawMetaSql
   )
 }

@@ -103,6 +103,125 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseJpegSof keeps the IllegalArgumentException contract on " +
+      "malformed input (never ArrayIndexOutOfBounds)") {
+    // trailing 0xFF fill: the FF-skip loop must not run off the end
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpegSof(
+        Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte))
+    }
+    // SOF marker present but its dim fields truncated
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpegSof(
+        Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte))
+    }
+    // non-SOF segment whose 2-byte length field is cut mid-read
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpegSof(
+        Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte))
+    }
+    // a real payload truncated at EVERY prefix length either parses to
+    // the true dims (prefix already contains the SOF) or throws the
+    // documented IAE — any other exception (AIOOBE) fails the sweep
+    val real = Multimodal.synthesizeJpeg("truncsweep")
+    val full = Multimodal.parseJpegSof(real)
+    (2 until real.length).foreach { n =>
+      try {
+        val d = Multimodal.parseJpegSof(java.util.Arrays.copyOf(real, n))
+        assert(d == full, s"prefix $n parsed to wrong dims $d")
+      } catch {
+        case _: IllegalArgumentException => // the documented contract
+      }
+    }
+  }
+
+  test("JDK μ-law decode matches the hand G.711 expansion for all 256 " +
+      "codes (the codec is a fixed table, pinned bit-for-bit)") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val dec = Multimodal.ulawDecode(codes)
+    (0 until 256).foreach { i =>
+      // ITU G.711 §4 expansion: invert, split sign/segment/mantissa,
+      // reconstruct the interval midpoint ((2·mant+33)·2^seg − 33)·4
+      val uval = ~i & 0xff
+      val sign = uval & 0x80
+      val seg = (uval >> 4) & 7
+      val mant = uval & 0xf
+      val mag = (((mant << 3) + 0x84) << seg) - 0x84
+      val hand = if (sign != 0) -mag else mag
+      val jdk = (((dec(2 * i) & 0xff) | (dec(2 * i + 1) << 8)).toShort).toInt
+      assert(jdk == hand, s"code $i: JDK $jdk != G.711 $hand")
+    }
+  }
+
+  test("μ-law roundtrip: error exactly bounded by the top-segment " +
+      "half-step within the codebook range, idempotent modulo ±0") {
+    // the FULL codebook range as one stream, not just fixture draws
+    val n = 2 * Multimodal.UlawClip + 1
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = i - Multimodal.UlawClip
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val u = Multimodal.ulawEncode(pcm)
+    assert(u.length == n, "1 byte per sample")
+    val back = Multimodal.ulawDecode(u)
+    var maxErr = 0
+    (0 until n).foreach { i =>
+      val a = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      val b = ((back(2 * i) & 0xff) | (back(2 * i + 1) << 8)).toShort.toInt
+      maxErr = math.max(maxErr, math.abs(a - b))
+    }
+    // EXACT: the top segment's step is 1024, so the worst interior
+    // error is 512 — and the sweep over every value attains it
+    assert(maxErr == Multimodal.UlawMaxErr, s"max err $maxErr")
+    // quantization idempotence: re-encoding the reconstruction levels
+    // reproduces the codes, except −0 (0x7F) ≡ +0 (0xFF)
+    val again = Multimodal.ulawEncode(back)
+    (0 until n).foreach { i =>
+      val same = u(i) == again(i) ||
+        ((u(i) & 0x7f) == 0x7f && (again(i) & 0x7f) == 0x7f)
+      assert(same, s"idempotence break at ${i - Multimodal.UlawClip}: " +
+        s"${u(i) & 0xff} -> ${again(i) & 0xff}")
+    }
+  }
+
+  test("μ-law container: sniffer dispatches RIFF fmt-7, facts match " +
+      "the generating formulas, malformed containers fail loudly") {
+    (0 until 8).foreach { i =>
+      val text = s"ulaw$i"
+      val bytes = Multimodal.synthesizeUlaw(text)
+      val n = Multimodal.ulawSamples(text)
+      assert(bytes.length == 58 + n + (n & 1), s"container size of $text")
+      val d = Multimodal.decode(bytes)
+      assert(d.kind == "audio")
+      assert(d.nSamples == n.toLong, s"sample count of $text")
+      assert(d.sampleRate == Multimodal.SampleRate.toLong)
+      assert(d.data.length == n * 2, "decoded PCM16 stream")
+      // decoded samples stay within the exact quantization bound of
+      // the generating formula
+      val seed = Multimodal.hex32Jvm(text)
+      (0 until n).foreach { j =>
+        val b = ((d.data(2 * j) & 0xff) | (d.data(2 * j + 1) << 8))
+          .toShort.toInt
+        val a = Multimodal.ulawEssence(seed, j)
+        assert(math.abs(a - b) <= Multimodal.UlawMaxErr,
+          s"$text sample $j: |$a - $b| > bound")
+      }
+    }
+    // an unsupported format code still fails loudly (fmt 2 = ADPCM)
+    val bad = Multimodal.synthesizeUlaw("badfmt")
+    bad(20) = 2 // fmt code low byte inside the fmt chunk
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decode(bad)
+    }
+    assert(e.getMessage.contains("fmt"), e.getMessage)
+    // a ULAW header claiming 16-bit samples is rejected
+    val bad2 = Multimodal.synthesizeUlaw("badbits")
+    bad2(34) = 16 // bits-per-sample low byte
+    intercept[IllegalArgumentException] { Multimodal.decode(bad2) }
+  }
+
   test("PNG decode fails loudly on a bad signature") {
     intercept[IllegalArgumentException] {
       Multimodal.decodePng("NOTAPNG..........".getBytes("US-ASCII"))

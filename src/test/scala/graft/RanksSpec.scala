@@ -40,14 +40,62 @@ class RanksSpec extends SparkSpec {
   }
 
   test("rankById plan: ranked side has no single-partition Exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import spark.implicits._
-    val df = (0L until 2000L).toDF("vec_id").repartition(7)
-    val plan = Ranks.rankById(df, "vec_id", "rn")
-      .queryExecution.executedPlan.toString
-    // a global-order rank would show up as a rangepartitioning Exchange
-    // feeding the window; the two-level form must not have one
-    assert(!plan.contains("rangepartitioning"),
-      s"two-level rank plan contains a global sort exchange:\n$plan")
+    // The banned regression is Window.orderBy with no partitionBy — it
+    // plans as `Exchange SinglePartition` (AllTuples), NOT as a
+    // rangepartitioning exchange, so the old string assertion here
+    // could never catch it (advisor r15). Assert the real property
+    // instead: every SinglePartition exchange in the plan feeds an
+    // AGGREGATED subtree (the bounded <=granules-row bases frame); the
+    // corpus-sized ranked side never funnels through one task. AQE is
+    // disabled for the snapshot so the full physical tree is
+    // traversable (AdaptiveSparkPlanExec hides its inner plan from
+    // collect()); the production plan shape is identical.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0L until 2000L).toDF("vec_id").repartition(7)
+      def singles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeLike
+          if e.outputPartitioning == SinglePartition => e }
+      val twoLevel = Ranks.rankById(df, "vec_id", "rn")
+        .queryExecution.executedPlan
+      val s = singles(twoLevel)
+      assert(s.nonEmpty, "expected the bounded bases-side window exchange")
+      s.foreach { e =>
+        assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          "a SinglePartition exchange feeds a non-aggregated " +
+            s"(corpus-sized) subtree:\n$twoLevel")
+      }
+      // negative control: the banned direct form DOES trip the detector
+      // (its SinglePartition exchange carries the raw un-aggregated
+      // corpus), proving this assertion can catch the regression
+      val banned = df.withColumn("rn",
+          row_number().over(Window.orderBy($"vec_id")).cast("long"))
+        .queryExecution.executedPlan
+      val tripped = singles(banned).exists(
+        e => e.collect { case a: BaseAggregateExec => a }.isEmpty)
+      assert(tripped, "detector failed to flag the direct global window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("rankById fails loudly when the id span exceeds the cell-" +
+      "arithmetic bound (no silent mis-rank)") {
+    import spark.implicits._
+    // span (hi-lo+1) > Long.MaxValue/256: the documented precondition —
+    // must raise, not wrap the cell expression into wrong ranks
+    val wide = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2).toDF("vec_id")
+    val e = intercept[Exception] {
+      Ranks.rankById(wide, "vec_id", "rn").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Ranks.rankById")),
+      s"expected the range-guard raise_error, got: $e")
   }
 
   test("PQ seed picks via rankById reproduce the strided-rank contract") {

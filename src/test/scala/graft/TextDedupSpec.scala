@@ -919,4 +919,48 @@ class TextDedupSpec extends SparkSpec {
     assert(r("n_lost_pairs") === 48L)
     assert(r("recall_pct") === 40L)
   }
+
+  test("pair census: every meter matches a driver-side brute-force " +
+      "recompute, and pair_slots bounds n_pairs") {
+    // brute-force recompute of the census over the 5-doc fixture:
+    // distinct word-3-gram sets per doc, df histogram, capped pairs
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over a lazy dog",
+      4L -> "der hund und die katze und das haus",
+      5L -> "completely different words entirely here now")
+    val sets = texts.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val df = sets.values.flatten.groupBy(identity).map {
+      case (sh, occ) => sh -> occ.size
+    }
+    val nonHot = df.filter(_._2 <= Dedup.HotShingleCap).keySet
+    val ids = sets.keys.toSeq.sorted
+    val brutePairs = for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j) & nonHot).size if inter > 0
+    } yield ((i, j), inter.toLong)
+    val slots = df.collect { case (_, d) if d <= Dedup.HotShingleCap =>
+      d.toLong * (d - 1) / 2
+    }.sum
+    val r = rowsOf(Dedup.queries("dedup_pair_census")(spark, dir)).head
+    assert(r("n_docs") === 5L)
+    assert(r("n_shingles") === df.size.toLong)
+    assert(r("n_hot") === 0L)
+    assert(r("n_postings") === df.values.map(_.toLong).sum)
+    assert(r("max_df_capped") === df.values.max.toLong)
+    assert(r("pair_slots") === slots)
+    assert(r("max_set") === sets.values.map(_.size).max.toLong)
+    assert(r("avg_set_x1000") ===
+      sets.values.map(_.size.toLong).sum * 1000 / sets.size)
+    assert(r("n_pairs") === brutePairs.size.toLong)
+    assert(r("inter_total") === brutePairs.map(_._2).sum)
+    // the closed-form slot bound dominates the enumerated count — the
+    // invariant a 100 TB run uses to price enumeration without running it
+    assert(r("pair_slots").asInstanceOf[Long] >=
+      r("n_pairs").asInstanceOf[Long])
+  }
 }
