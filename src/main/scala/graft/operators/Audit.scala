@@ -338,15 +338,21 @@ object Audit extends OpModule {
     // branch is count(DISTINCT c), which excludes NULLs — counting a
     // NULL row here (and letting its NULL hash sort engine-differently
     // in the bottom-k) would diverge on any nullable key column.
+    // The distinct runs over the NATIVE long keys, not their string
+    // casts (round 16 GC audit): long→string is injective, so the
+    // distinct sets are identical, but the pre-distinct stream is 3×
+    // the table and casting it allocated a UTF8String per row — the
+    // expensive string form (md5 input, to match the oracle's VARCHAR
+    // hash) is now built only for the ~NDV distinct survivors.
     val vals = graft.functions.DfMemo.cached(spark, s"stats_kmv_v:$dir")(
       li.select(explode(array(KmvCols.map(c =>
-          struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+          struct(lit(c).as("column"), col(c).cast("long").as("v"))): _*))
           .as("cv"))
         .select($"cv.column", $"cv.v")
         .filter($"v".isNotNull)
         .distinct())
     val hashes = vals.select($"column",
-      graft.functions.ColFns.hex32($"v").as("h"))
+      graft.functions.ColFns.hex32($"v".cast("string")).as("h"))
     val exact = vals.groupBy($"column").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"column").orderBy($"h")
     val kmv = hashes
@@ -414,8 +420,10 @@ object Audit extends OpModule {
   private def statsIncrementalDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
+    // native long keys through the wide distinct, string cast only for
+    // the post-distinct md5 — same GC trade as stats_columns_kmv above
     val tagged = li.select(explode(array(KmvCols.map(c =>
-        struct(lit(c).as("column"), col(c).cast("string").as("v"),
+        struct(lit(c).as("column"), col(c).cast("long").as("v"),
           (col("l_orderkey") % StatsDeltaMod === 0).as("is_delta"))): _*))
         .as("cv"))
       .select($"cv.column", $"cv.v", $"cv.is_delta")
@@ -433,7 +441,7 @@ object Audit extends OpModule {
     val hashes = graft.functions.DfMemo.cached(spark, s"stats_inc_h:$dir")(
       tagged.distinct()
         .select($"column", $"is_delta",
-          graft.functions.ColFns.hex32($"v").as("h"))
+          graft.functions.ColFns.hex32($"v".cast("string")).as("h"))
         .distinct())
     def bottomK(df: DataFrame): DataFrame = {
       val w = Window.partitionBy($"column").orderBy($"h")

@@ -472,9 +472,20 @@ object Dedup extends OpModule {
   private def jaccardDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sizes = setSizesDf(spark, dir)
+    // EXPLICIT broadcast of the doc-count-sized set-size frame: pairs
+    // dominate docs in every near-dup corpus (here 23M pairs vs 500k
+    // docs at the sf10 probe), and relying on the 10 MB autoBroadcast
+    // threshold let the plan flip to sort-merge past ~sf1 — two full
+    // sorts of the pair frame, measured 11× wall / ~100% GC for a 1.6×
+    // pair-count growth (round-16 census, PLANS.md). At corpora where
+    // even (doc_id, n) outgrows broadcast, attach n to the postings
+    // BEFORE enumeration instead (size joins scale with postings, never
+    // with pairs).
     pairInterDf(spark, dir)
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .join(broadcast(
+        sizes.select($"doc_id".as("doc_a"), $"n".as("na"))), Seq("doc_a"))
+      .join(broadcast(
+        sizes.select($"doc_id".as("doc_b"), $"n".as("nb"))), Seq("doc_b"))
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
@@ -627,9 +638,13 @@ object Dedup extends OpModule {
       // reuses the memoized guarded enumeration ([[pairInterDf]]) —
       // before round 15 this re-ran the identical postings self-join
       val sizes = setSizesDf(spark, dir)
+      // same explicit broadcast as jaccardDf: the size frame is
+      // doc-count-sized, the left side is pair-sized
       pairInterDf(spark, dir)
-        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
-        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+        .join(broadcast(
+          sizes.select($"doc_id".as("doc_a"), $"n".as("na"))), Seq("doc_a"))
+        .join(broadcast(
+          sizes.select($"doc_id".as("doc_b"), $"n".as("nb"))), Seq("doc_b"))
         .filter(lit(3) * $"inter" >= $"na" + $"nb")
         .select($"doc_a", $"doc_b")
     }

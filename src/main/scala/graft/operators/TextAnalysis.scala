@@ -1107,10 +1107,19 @@ object TextAnalysis extends OpModule {
       .select($"doc_id", $"p.ph", $"p.ch")
       .groupBy($"doc_id", $"ph", $"ch")
       .agg(count(lit(1)).as("tf")))
-    val c2 = tf2.groupBy($"ph", $"ch").agg(sum($"tf").as("c2"))
+    // c2 and uni are each read by TWO consumers (c2 → c1 AND the lq
+    // join; uni → tot AND the broadcast) — without the memo the plan
+    // tree duplicates their build subtrees, re-running the tf2
+    // aggregation and the full-corpus unigram explode once per
+    // reference (round-16 GC audit: the duplicated executions, not the
+    // arithmetic, were the query's 1.8 s GC bill). Both frames are
+    // vocabulary-sized, so the checkpoint is metadata-cheap.
+    val c2 = graft.functions.DfMemo.cached(spark, s"bigram_c2:$dir")(
+      tf2.groupBy($"ph", $"ch").agg(sum($"tf").as("c2")))
     val c1 = c2.groupBy($"ph").agg(sum($"c2").as("c1"))
-    val uni = hs.select(explode($"hs").as("h"))
-      .groupBy($"h").agg(count(lit(1)).as("cu"))
+    val uni = graft.functions.DfMemo.cached(spark, s"bigram_uni:$dir")(
+      hs.select(explode($"hs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("cu")))
     val tot = uni.agg(sum($"cu").as("tot"))
     val lq = c2.join(broadcast(c1), Seq("ph"))
       .join(broadcast(uni.withColumnRenamed("h", "ch")), Seq("ch"))
