@@ -213,12 +213,18 @@ object Graph extends OpModule {
       .select($"s", $"t", array_intersect($"nbrs", $"nbrs_t").as("common"))
       .filter(size($"common") > 0)
     // triangle {s, t, w} exists once (as its oriented base edge): credit
-    // s and t with the edge's triangle count, each closing w with 1
-    closed.select($"s".as("node"), size($"common").cast("long").as("c"))
-      .unionAll(closed.select($"t".as("node"),
-        size($"common").cast("long").as("c")))
-      .unionAll(closed.select(explode($"common").as("node"), lit(1L).as("c")))
-      .groupBy($"node").agg(sum($"c").as("n_triangles"))
+    // s and t with the edge's triangle count, each closing w with 1.
+    // One explode over a per-edge credit array, NOT a 3-leg union of
+    // `closed` — each union leg re-executed the whole closure join
+    // (scan + adjacency build x2 + both joins), 3 full passes for the
+    // same frame; the credit sums are order-independent exact longs, so
+    // the output is unchanged.
+    closed.select(explode(concat(
+        array(struct($"s".as("node"), size($"common").cast("long").as("c")),
+          struct($"t".as("node"), size($"common").cast("long").as("c"))),
+        transform($"common",
+          w => struct(w.as("node"), lit(1L).as("c"))))).as("nc"))
+      .groupBy($"nc.node".as("node")).agg(sum($"nc.c").as("n_triangles"))
       .select($"node".as("p_partkey"), $"n_triangles")
   }
 
@@ -226,20 +232,25 @@ object Graph extends OpModule {
     * — every edge directed from the LOWER-(degree, id) endpoint to the
     * higher one. Shared by [[trianglesDf]] (wedge closure) and
     * [[wedgesDf]] (the census that prices the closure). */
-  private[graft] def orientedDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val und = edgesDf(spark, dir).filter($"src" < $"dst")
-      .select($"src".as("u"), $"dst".as("v"))
-    val deg = und.select($"u".as("node"))
-      .unionAll(und.select($"v".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("d"))
-    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    und
-      .join(deg.select($"node".as("u"), $"d".as("du")), Seq("u"))
-      .join(deg.select($"node".as("v"), $"d".as("dv")), Seq("v"))
-      .select(when(fwd, $"u").otherwise($"v").as("s"),
-        when(fwd, $"v").otherwise($"u").as("t"))
-  }
+  private[graft] def orientedDf(spark: SparkSession, dir: String): DataFrame =
+    // memoized: the closure query references it directly AND through the
+    // adjacency build (and graph_wedges re-derives it) — un-checkpointed,
+    // each reference re-ran the edge scan + degree aggregation + both
+    // degree joins
+    graft.functions.DfMemo.cached(spark, s"graph_oriented:$dir") {
+      import spark.implicits._
+      val und = edgesDf(spark, dir).filter($"src" < $"dst")
+        .select($"src".as("u"), $"dst".as("v"))
+      val deg = und.select($"u".as("node"))
+        .unionAll(und.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("d"))
+      val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+      und
+        .join(deg.select($"node".as("u"), $"d".as("du")), Seq("u"))
+        .join(deg.select($"node".as("v"), $"d".as("dv")), Seq("v"))
+        .select(when(fwd, $"u").otherwise($"v").as("s"),
+          when(fwd, $"v").otherwise($"u").as("t"))
+    }
 
   /** Post-orientation wedge census (`graph_wedges`) — the workload
     * meter for [[trianglesDf]]: the closure join examines exactly the

@@ -831,7 +831,12 @@ object Multimodal extends OpModule {
     * copy's frames match) and identical-text clips (exact dups). */
   private def videoPairsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val frames = videoFpDf(spark, dir).select($"vid", $"fp").distinct()
+    // memoized: un-checkpointed, this distinct subtree (checkpoint scan
+    // + Exchange + HashAggregate) re-executed once per REFERENCE — sizes,
+    // hot, and both sides of the postings self-join — 5 distinct passes
+    // per evaluation for a clip-count-sized frame
+    val frames = graft.functions.DfMemo.cached(spark, s"video_frames:$dir")(
+      videoFpDf(spark, dir).select($"vid", $"fp").distinct())
     val sizes = frames.groupBy($"vid").agg(count(lit(1)).as("nf"))
     // hot-fingerprint guard — [[Dedup.HotShingleCap]]'s video analog: a
     // fingerprint appearing in more than HotFpCap clips is an
@@ -843,7 +848,10 @@ object Multimodal extends OpModule {
     // a copy — the accepted production semantics.
     val hot = frames.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" > HotFpCap).select($"fp")
-    val postings = frames.join(broadcast(hot), Seq("fp"), "left_anti")
+    // postings feeds BOTH sides of the pair self-join: memoized so the
+    // hot-fp aggregation + anti-join runs once, not twice
+    val postings = graft.functions.DfMemo.cached(spark, s"video_postings:$dir")(
+      frames.join(broadcast(hot), Seq("fp"), "left_anti"))
     postings.select($"vid".as("vid_a"), $"fp")
       .join(postings.select($"vid".as("vid_b"), $"fp"), Seq("fp"))
       .filter($"vid_a" < $"vid_b")
