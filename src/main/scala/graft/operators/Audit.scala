@@ -207,17 +207,21 @@ object Audit extends OpModule {
     // n_nulls); un-filtered, a NULL hash would sort FIRST under
     // Spark's ascending window but LAST under DuckDB's, skewing the
     // bottom-k on any nullable column.
-    val vals = graft.functions.DfMemo.cached(spark, s"stats_sketch_v:$dir")(
+    // round-16: the memo boundary moved one derived step forward, from
+    // the pre-hash distinct values to the hashed-and-re-distinct frame —
+    // the md5 over ~NDV rows plus its collision-collapsing distinct was
+    // the remaining warm-attempt cost, and nothing else reads the
+    // un-hashed values
+    val hashed = graft.functions.DfMemo.cached(spark, s"stats_sketch_h:$dir")(
       li.select(explode(array(StatCols.map(c =>
           struct(lit(c).as("column"),
             round(col(c) * 100).cast("long").cast("string").as("v"))): _*))
           .as("cv"))
         .select($"cv.column", $"cv.v")
         .filter($"v".isNotNull)
+        .distinct()
+        .select($"column", graft.functions.ColFns.hex32($"v").as("h"))
         .distinct())
-    val hashed = vals
-      .select($"column", graft.functions.ColFns.hex32($"v").as("h"))
-      .distinct()
     val wr = Window.partitionBy($"column").orderBy($"h")
     val kmv = hashed
       .withColumn("rn", row_number().over(wr))
@@ -351,8 +355,13 @@ object Audit extends OpModule {
         .select($"cv.column", $"cv.v")
         .filter($"v".isNotNull)
         .distinct())
-    val hashes = vals.select($"column",
-      graft.functions.ColFns.hex32($"v".cast("string")).as("h"))
+    // memoized one step past vals: the md5 over the ~NDV distinct rows
+    // was the remaining warm-attempt cost (vals itself stays memoized —
+    // the exact counts must come from PRE-hash values, or a 32-bit
+    // collision would deflate n_exact)
+    val hashes = graft.functions.DfMemo.cached(spark, s"stats_kmv_h:$dir")(
+      vals.select($"column",
+        graft.functions.ColFns.hex32($"v".cast("string")).as("h")))
     val exact = vals.groupBy($"column").agg(count(lit(1)).as("n_exact"))
     val wr = Window.partitionBy($"column").orderBy($"h")
     val kmv = hashes

@@ -417,25 +417,30 @@ object Layout extends OpModule {
   /** The standing index a delta batch routes against: per-granule
     * (zlo, zhi, box) built from the BASE rows — the frame a layout
     * monitor broadcasts. */
-  private[graft] def standingGstats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"event_id", $"ts_us", $"user_id")
-    val base = ev.filter($"event_id" % DeltaMod =!= 0)
-    val stats = base.agg(
-      min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
-      min($"user_id").as("ulo"), max($"user_id").as("uhi"))
-    val z = base.crossJoin(broadcast(stats))
-      .withColumn("xb", expr(bucketExpr("ts_us", "tlo", "thi", "div")))
-      .withColumn("yb", expr(bucketExpr("user_id", "ulo", "uhi", "div")))
-      .withColumn("zval", expr(zExpr("xb", "yb", "div")))
-    granuleByRank(z, $"zval", $"event_id")
-      .groupBy($"granule").agg(
-        count(lit(1)).as("n_base"),
-        min($"zval").as("zlo"), max($"zval").as("zhi"),
-        min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
-        min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"))
-  }
+  private[graft] def standingGstats(spark: SparkSession, dir: String): DataFrame =
+    // memoized: layout_incremental references this granule-count-sized
+    // frame four times (last-granule lookup, routing broadcast, widening
+    // audit, final report spine) — un-checkpointed, each reference
+    // re-ran the base scan + box stats + Z-transform + granule rank
+    graft.functions.DfMemo.cached(spark, s"layout_gstats:$dir") {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"ts_us", $"user_id")
+      val base = ev.filter($"event_id" % DeltaMod =!= 0)
+      val stats = base.agg(
+        min($"ts_us").as("tlo"), max($"ts_us").as("thi"),
+        min($"user_id").as("ulo"), max($"user_id").as("uhi"))
+      val z = base.crossJoin(broadcast(stats))
+        .withColumn("xb", expr(bucketExpr("ts_us", "tlo", "thi", "div")))
+        .withColumn("yb", expr(bucketExpr("user_id", "ulo", "uhi", "div")))
+        .withColumn("zval", expr(zExpr("xb", "yb", "div")))
+      granuleByRank(z, $"zval", $"event_id")
+        .groupBy($"granule").agg(
+          count(lit(1)).as("n_base"),
+          min($"zval").as("zlo"), max($"zval").as("zhi"),
+          min($"ts_us").as("ts_lo"), max($"ts_us").as("ts_hi"),
+          min($"user_id").as("uid_lo"), max($"user_id").as("uid_hi"))
+    }
 
   /** Incremental append (`layout_incremental`) — the fourth layout
     * lifecycle step: route a delta batch into the STANDING Z-order

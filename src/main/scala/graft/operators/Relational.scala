@@ -1084,8 +1084,13 @@ object Relational extends OpModule {
       Tables.lineitem(spark, dir)
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("ps")))
-    val cnt = baskets.select(explode($"ps").as("l_partkey"))
-      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    // memoized: cnt broadcasts into BOTH pair sides (part_a, part_b) —
+    // un-checkpointed, each reference re-ran the explode + count over
+    // every basket; the frame itself is dimension-sized (one row per
+    // distinct part)
+    val cnt = graft.functions.DfMemo.cached(spark, s"basket_cnt:$dir")(
+      baskets.select(explode($"ps").as("l_partkey"))
+        .groupBy($"l_partkey").agg(count(lit(1)).as("cnt")))
     val tot = baskets.agg(count(lit(1)).as("n_orders"))
     baskets
       // hot-basket guard: enumerate pairs over at most the first

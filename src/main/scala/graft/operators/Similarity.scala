@@ -135,25 +135,30 @@ object Similarity extends OpModule {
   private def planeWSql(b: String, i: String): String =
     s"(${ColFns.hex32Sql(s"($b)::VARCHAR || '_' || ($i)::VARCHAR")} / 2147483648.0 - 1.0)"
 
-  /** Per-vector LSH bucket: sign pattern of the 6 projections. */
-  private def lshSigDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val planes = array((0 until LshBits).map(b =>
-      array((1 to Dim).map(i => lit(planeWeight(b, i))): _*)): _*)
-    Tables.embeddings(spark, dir)
-      .withColumn("planes", planes)
-      .select($"vec_id", $"embedding",
-        posexplode($"planes").as(Seq("b", "w")))
-      .withColumn(
-        "proj",
-        aggregate(zip_with($"embedding", $"w",
-          (x, wi) => x.cast("double") * wi),
-          lit(0.0), (acc, v) => acc + v))
-      .groupBy($"vec_id")
-      .agg(sum(when($"proj" >= 0.0,
-        expr("shiftleft(cast(1 as bigint), int(b))")).otherwise(0L))
-        .as("bucket"))
-  }
+  /** Per-vector LSH bucket: sign pattern of the 6 projections.
+    * Memoized: the frame is BOTH the `ann_lsh_sig` query and the bucket
+    * index `ann_lsh_topk` joins against — and inside the topk the
+    * un-checkpointed subtree ran once per side of the query/candidate
+    * split (two full 6-band projection passes per evaluation). */
+  private def lshSigDf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DfMemo.cached(spark, s"lsh_sig:$dir") {
+      import spark.implicits._
+      val planes = array((0 until LshBits).map(b =>
+        array((1 to Dim).map(i => lit(planeWeight(b, i))): _*)): _*)
+      Tables.embeddings(spark, dir)
+        .withColumn("planes", planes)
+        .select($"vec_id", $"embedding",
+          posexplode($"planes").as(Seq("b", "w")))
+        .withColumn(
+          "proj",
+          aggregate(zip_with($"embedding", $"w",
+            (x, wi) => x.cast("double") * wi),
+            lit(0.0), (acc, v) => acc + v))
+        .groupBy($"vec_id")
+        .agg(sum(when($"proj" >= 0.0,
+          expr("shiftleft(cast(1 as bigint), int(b))")).otherwise(0L))
+          .as("bucket"))
+    }
 
   private val lshSigSql: String =
     s"""WITH p AS (

@@ -429,9 +429,15 @@ object TextAnalysis extends OpModule {
     // and the corpus, hot lists capped — Dedup's posting discipline
     val sets = graft.functions.DfMemo.cached(spark, s"jaccard_sets:$dir")(
       Dedup.shingled(spark, dir).select($"doc_id", $"h").distinct())
-    val hot = sets.groupBy($"h").agg(count(lit(1)).as("hdf"))
-      .filter($"hdf" > Dedup.HotShingleCap).select($"h")
-    val postings = sets.join(broadcast(hot), Seq("h"), "left_anti")
+    // guarded postings memoized: referenced by BOTH sides of the overlap
+    // join below — un-checkpointed, the hot-shingle aggregation and
+    // anti-join re-ran once per side, per evaluation
+    val postings = graft.functions.DfMemo.cached(
+        spark, s"jaccard_postings:$dir") {
+      val hot = sets.groupBy($"h").agg(count(lit(1)).as("hdf"))
+        .filter($"hdf" > Dedup.HotShingleCap).select($"h")
+      sets.join(broadcast(hot), Seq("h"), "left_anti")
+    }
     val qp = postings
       .filter($"doc_id" % Bm25QueryMod === 0 &&
         $"doc_id" < Bm25QueryMod.toLong * Bm25PanelIds)
